@@ -1,0 +1,101 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Pure re-implementation of the reference's consumer-group assignment
+  * (BucketPriorityAssignor.java:92-149) for parity testing.
+  *
+  * Spark has no consumer groups — Structured Streaming reads all partitions and
+  * the driver schedules tasks — so this function is NOT runtime machinery here.
+  * The operational equivalent is one streaming query per bucket over that
+  * bucket's partitions with FAIR-pool weights ∝ allocation (see
+  * [[graft.streaming.PriorityPools]]). This pure function exists so the
+  * reference's assignment tests (BucketPriorityAssignorTest.java:114-343) have a
+  * Scala counterpart.
+  */
+object BucketAssign {
+
+  final case class TopicPartition(topic: String, partition: Int)
+
+  /** What a consumer advertises on (re)join: its topics and, iff it subscribes
+    * to the bucket topic, its declared bucket
+    * (reference `subscriptionUserData`, BucketPriorityAssignor.java:78-89). */
+  final case class Subscription(topics: Seq[String], bucket: Option[String])
+
+  /** Assign partitions to consumers.
+    *
+    * Normative semantics (BucketPriorityAssignor.java:92-149):
+    *  1. layout computed from the current partition count of the bucket topic;
+    *  2. every consumer subscribed to the bucket topic gets an entry in the
+    *     result, possibly empty (line 107) — consumers declaring an unknown
+    *     bucket receive nothing;
+    *  3. each bucket's partitions are dealt round-robin over that bucket's
+    *     consumers using ONE counter shared across all buckets (lines 127-139):
+    *     with k consumers and p partitions a consumer gets ⌈p/k⌉ or ⌊p/k⌋,
+    *     contiguity not guaranteed;
+    *  4. consumers of other topics are delegated wholesale to the fallback
+    *     assignor (default RangeAssignor) and merged (lines 140-147);
+    *  5. no sticky state: a rebalance is just a re-evaluation; a bucket with
+    *     zero consumers simply has unconsumed partitions
+    *     (BucketPriorityAssignorTest.java:294-342).
+    *
+    * Consumer iteration order within a bucket is the sorted consumer id order
+    * (the reference iterates map order; tests assert invariants, not byte
+    * order — SURVEY §5).
+    */
+  def assign(
+      cfg: BucketPriorityConfig,
+      partitionsPerTopic: Map[String, Int],
+      subscriptions: Map[String, Subscription]
+  ): Map[String, Seq[TopicPartition]] = {
+    val result = mutable.LinkedHashMap.empty[String, mutable.Buffer[TopicPartition]]
+
+    // -- bucket topic ------------------------------------------------------
+    val bucketTopicConsumers = subscriptions.collect {
+      case (cid, sub) if sub.topics.contains(cfg.topic) => cid -> sub
+    }
+    bucketTopicConsumers.keys.toSeq.sorted.foreach { cid =>
+      result(cid) = mutable.Buffer.empty
+    }
+    partitionsPerTopic.get(cfg.topic).foreach { n =>
+      val lay = BucketLayout.layout(cfg, n)
+      val byBucket: Map[String, Seq[String]] = bucketTopicConsumers.toSeq
+        .collect { case (cid, sub) if sub.bucket.isDefined => (sub.bucket.get, cid) }
+        .groupBy(_._1)
+        .map { case (b, xs) => b -> xs.map(_._2).sorted }
+      var count = 0 // the single shared counter (Assignor:127)
+      lay.foreach { case (bucketName, parts) =>
+        byBucket.get(bucketName).filter(_.nonEmpty).foreach { consumers =>
+          parts.foreach { p =>
+            result(consumers(count % consumers.size)) += TopicPartition(cfg.topic, p)
+            count += 1
+          }
+        }
+      }
+    }
+
+    // -- other topics: fallback (RangeAssignor semantics) ------------------
+    // RangeAssignor (public Kafka semantics): per topic, consumers sorted;
+    // each gets n/k contiguous partitions, the first n%k consumers one extra.
+    val otherTopics = partitionsPerTopic.keys.filterNot(_ == cfg.topic)
+    otherTopics.foreach { topic =>
+      val consumers = subscriptions.collect {
+        case (cid, sub) if sub.topics.contains(topic) => cid
+      }.toSeq.sorted
+      if (consumers.nonEmpty) {
+        val n = partitionsPerTopic(topic)
+        val base = n / consumers.size
+        val extra = n % consumers.size
+        var next = 0
+        consumers.zipWithIndex.foreach { case (cid, idx) =>
+          val take = base + (if (idx < extra) 1 else 0)
+          val buf = result.getOrElseUpdate(cid, mutable.Buffer.empty)
+          (next until next + take).foreach(p => buf += TopicPartition(topic, p))
+          next += take
+        }
+      }
+    }
+
+    result.map { case (k, v) => k -> v.toSeq }.toMap
+  }
+}

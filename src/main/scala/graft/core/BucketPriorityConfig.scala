@@ -1,0 +1,108 @@
+package graft.core
+
+/** Validated bucket-priority configuration.
+  *
+  * Semantics mirror the reference's `configure()` validation surface
+  * (reference: BucketPriorityConfig.java:10-90, BucketPriorityPartitioner.java:27-59,
+  * BucketPriorityAssignor.java:34-75):
+  *   - `topic`, `buckets`, `allocation` are mandatory;
+  *   - allocation list must have the same length as the bucket list;
+  *   - each allocation is an integer percentage, optionally suffixed `%`,
+  *     surrounding whitespace ignored;
+  *   - allocations must sum to exactly 100;
+  *   - `delimiter` defaults to `"-"` and is a REGEX (it feeds String.split);
+  *   - the consumer-side `bucket` declaration defaults to `""`.
+  *
+  * Construction is only possible through [[BucketPriorityConfig.apply]] /
+  * [[BucketPriorityConfig.fromRaw]], which return `Either` instead of throwing,
+  * so invalid configs are unrepresentable downstream.
+  *
+  * @param buckets bucket names ordered descending by allocation (ties keep
+  *                caller order), the order every layout/assignment consumes
+  *                (reference: Bucket.java:31-40 inverted compareTo + LinkedHashMap
+  *                sort at BucketPriorityPartitioner.java:49-58)
+  */
+final case class BucketPriorityConfig private (
+    topic: String,
+    buckets: Seq[String],
+    allocation: Seq[Int],
+    delimiter: String,
+    consumerBucket: String
+) {
+  /** allocation percent per bucket, in the descending order of `buckets`. */
+  def allocationOf(bucket: String): Option[Int] =
+    buckets.zip(allocation).collectFirst { case (b, a) if b == bucket => a }
+
+  def numBuckets: Int = buckets.size
+}
+
+sealed abstract class ConfigError(val message: String)
+object ConfigError {
+  final case class MissingKey(key: String)
+      extends ConfigError(s"Configuration key '$key' is mandatory and was not provided")
+  final case class LengthMismatch(numBuckets: Int, numAllocations: Int)
+      extends ConfigError(
+        s"The number of buckets ($numBuckets) and the number of allocations " +
+          s"($numAllocations) differ: every bucket needs exactly one allocation")
+  final case class NotAPercentage(raw: String)
+      extends ConfigError(s"Allocation '$raw' is not an integer percentage")
+  final case class BadSum(sum: Int)
+      extends ConfigError(s"Bucket allocations must sum to exactly 100, got $sum")
+  final case class DuplicateBucket(name: String)
+      extends ConfigError(s"Bucket '$name' is declared more than once")
+}
+
+object BucketPriorityConfig {
+  val DefaultDelimiter = "-"
+
+  /** Smart constructor over already-parsed allocations. */
+  def apply(
+      topic: String,
+      buckets: Seq[String],
+      allocation: Seq[Int],
+      delimiter: String = DefaultDelimiter,
+      consumerBucket: String = ""
+  ): Either[ConfigError, BucketPriorityConfig] = {
+    if (topic == null || topic.isEmpty) Left(ConfigError.MissingKey("topic"))
+    else if (buckets == null || buckets.isEmpty) Left(ConfigError.MissingKey("buckets"))
+    else if (allocation == null || allocation.isEmpty) Left(ConfigError.MissingKey("allocation"))
+    else if (buckets.size != allocation.size)
+      Left(ConfigError.LengthMismatch(buckets.size, allocation.size))
+    else if (buckets.distinct.size != buckets.size)
+      Left(ConfigError.DuplicateBucket(
+        buckets.diff(buckets.distinct).headOption.getOrElse(buckets.head)))
+    else if (allocation.sum != 100) Left(ConfigError.BadSum(allocation.sum))
+    else {
+      // Descending allocation, stable for ties (reference sorts once at
+      // configure time: BucketPriorityPartitioner.java:49-58).
+      val ordered = buckets.zip(allocation).sortBy { case (_, a) => -a }
+      Right(new BucketPriorityConfig(
+        topic, ordered.map(_._1), ordered.map(_._2), delimiter, consumerBucket))
+    }
+  }
+
+  /** Raw-string constructor: allocations like `"70%"`, `" 30 "` — strip the
+    * optional `%` and whitespace, then parse int
+    * (reference: BucketPriorityPartitioner.java:30-33). */
+  def fromRaw(
+      topic: String,
+      buckets: Seq[String],
+      allocation: Seq[String],
+      delimiter: String = DefaultDelimiter,
+      consumerBucket: String = ""
+  ): Either[ConfigError, BucketPriorityConfig] = {
+    val parsed = allocation.map { raw =>
+      val cleaned = Option(raw).getOrElse("").replace("%", "").trim
+      try Right(cleaned.toInt)
+      catch { case _: NumberFormatException => Left(ConfigError.NotAPercentage(raw)) }
+    }
+    parsed.collectFirst { case Left(e) => e } match {
+      case Some(e) => Left(e)
+      case None    => apply(topic, buckets, parsed.map(_.toOption.get), delimiter, consumerBucket)
+    }
+  }
+
+  /** The delimiter is used as a regex by the reference (String.split).
+    * Helper for callers that want to treat it literally. */
+  def literalDelimiterRegex(delim: String): String = java.util.regex.Pattern.quote(delim)
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.{BucketLayout, BucketPriorityConfig}
+import graft.sql.BucketRouting
+
+/** The oracle-checked query surface (SURVEY §2.2–§2.4).
+  *
+  * Each entry pairs a Spark DataFrame program with (where SQL-expressible) an
+  * equivalent ANSI SQL string the driver runs in DuckDB over the same parquet
+  * tables. Column names are aligned on both sides (the driver sorts columns
+  * by name before hashing). Every query carries a total ORDER BY so row order
+  * is deterministic on both engines.
+  *
+  * Float parity strategy: sums over 2-decimal money columns are computed as
+  * `CAST(SUM(CAST(x AS DECIMAL(18,2)) ...) AS DOUBLE)` on BOTH engines —
+  * decimal aggregation is exact, so the result is order-independent and
+  * bit-identical, unlike double summation which varies with partial-sum
+  * order. Integral-valued doubles (l_quantity) sum exactly in binary and
+  * need no cast.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** queries worth timing at sf0.1 in Bench */
+    headline: Boolean = false)
+
+object Queries {
+
+  // --------------------------------------------------------------------
+  // Bucket-priority configs used by the routing queries (single source of
+  // truth for both the Spark plan and the generated oracle SQL).
+  // --------------------------------------------------------------------
+
+  /** 4 routable event types, view unrouted; 40/30/20/10 over 10 partitions
+    * → purchase [0-3], signup [4-6], error [7-8], click [9]. */
+  val evenCfg: BucketPriorityConfig =
+    BucketPriorityConfig("events", Seq("purchase", "signup", "error", "click"),
+      Seq(40, 30, 20, 10)).toOption.get
+
+  /** Over-allocated 55/40/5 over 10 partitions → round 6+4+1=11 → the
+    * 'error' bucket owns ZERO partitions and its traffic is discarded
+    * (reference over-allocation fixture, PartitionerTest:186-262). */
+  val overCfg: BucketPriorityConfig =
+    BucketPriorityConfig("events", Seq("purchase", "signup", "error"),
+      Seq(55, 40, 5)).toOption.get
+
+  val NumPartitions = 10
+
+  // --------------------------------------------------------------------
+  // Oracle SQL generation helpers (layout constants come from BucketLayout
+  // so Scala stays the single source of truth).
+  // --------------------------------------------------------------------
+
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+  private def inList(names: Seq[String]) = names.map(sq).mkString(", ")
+
+  private def caseOver(ranges: Seq[(String, (Int, Int))], pick: ((Int, Int)) => Int) =
+    "CASE bucket " +
+      ranges.map { case (n, r) => s"WHEN ${sq(n)} THEN ${pick(r)}" }.mkString(" ") +
+      " END"
+
+  /** Oracle for deterministic routing: row_number round-robin over the
+    * bucket's contiguous range, ordered by event_id; empty buckets excluded
+    * (their traffic is discarded). */
+  private def routeOracle(cfg: BucketPriorityConfig): String = {
+    val ranges = BucketLayout.ranges(cfg, NumPartitions)
+    val routable = ranges.filter(_._2._2 > 0)
+    s"""WITH routed AS (
+       |  SELECT event_type AS bucket, event_id,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+       |  FROM events WHERE event_type IN (${inList(routable.map(_._1))})
+       |)
+       |SELECT bucket,
+       |       CAST(${caseOver(routable, _._1)} + ((rn - 1) % ${caseOver(routable, _._2)}) AS INTEGER) AS pt,
+       |       COUNT(*) AS n
+       |FROM routed GROUP BY 1, 2 ORDER BY bucket, pt""".stripMargin
+  }
+
+  private def eventKey = concat(col("event_type"), lit("-"), col("event_id"))
+
+  // --------------------------------------------------------------------
+  // §2.1 bucket-priority queries
+  // --------------------------------------------------------------------
+
+  private val bucketQueries: Map[String, Q] = Map(
+    "bucket_route_counts" -> Q(
+      fn = (s, dir) => {
+        val routed = BucketRouting.route(
+          Tables.load(s, dir, "events"), evenCfg, NumPartitions, eventKey, col("event_id"))
+        BucketRouting.discard(routed)
+          .groupBy("bucket", "pt").agg(count(lit(1)).as("n"))
+          .orderBy("bucket", "pt")
+      },
+      oracle = Some(routeOracle(evenCfg)),
+      headline = true),
+
+    "bucket_route_overalloc" -> Q(
+      fn = (s, dir) => {
+        val routed = BucketRouting.route(
+          Tables.load(s, dir, "events"), overCfg, NumPartitions, eventKey, col("event_id"))
+        BucketRouting.discard(routed)
+          .groupBy("bucket", "pt").agg(count(lit(1)).as("n"))
+          .orderBy("bucket", "pt")
+      },
+      oracle = Some(routeOracle(overCfg))),
+
+    // bucket_of over multi-token keys (README.md:65-69 key shapes): bucket is
+    // the FIRST delimiter token; unroutable keys (event_type 'view', or any
+    // unconfigured type) yield NULL.
+    "bucket_of_dist" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val key = concat(col("event_type"), lit("-"), col("user_id"), lit("-"), col("event_id"))
+        ev.select(BucketRouting.bucketOf(key, evenCfg).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket").asc_nulls_first)
+      },
+      oracle = Some(
+        s"""SELECT CASE WHEN event_type IN (${inList(evenCfg.buckets)}) THEN event_type END AS bucket,
+           |       COUNT(*) AS n
+           |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)),
+
+    // Discarded-traffic accounting: how many messages does the over-allocated
+    // config silently drop, per event_type (DiscardPartitioner intent).
+    "bucket_discarded" -> Q(
+      fn = (s, dir) => {
+        val routed = BucketRouting.route(
+          Tables.load(s, dir, "events"), overCfg, NumPartitions, eventKey, col("event_id"))
+        routed.filter(col("pt").isNull || col("pt") === -1)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val nonEmpty = BucketLayout.ranges(overCfg, NumPartitions).filter(_._2._2 > 0).map(_._1)
+        s"""SELECT event_type, COUNT(*) AS n FROM events
+           |WHERE event_type NOT IN (${inList(nonEmpty)})
+           |GROUP BY 1 ORDER BY event_type""".stripMargin
+      })
+  )
+
+  // --------------------------------------------------------------------
+  // §2.2 relational surface
+  // --------------------------------------------------------------------
+
+  /** money column → exact decimal cents (parity-safe aggregation). */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  private val relationalQueries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: hash agg, multiple aggregates.
+    "q1_pricing_summary" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+              * (lit(1).cast("decimal(18,2)") + dec("l_tax")))
+              .cast("double").as("sum_charge"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       SUM(l_quantity) AS sum_qty,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+          |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+          |       COUNT(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // TPC-H Q5-style: 5-way star join, broadcast dims, agg per nation.
+    "q5_revenue_by_nation" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      oracle = Some(
+        """SELECT r_name, n_name,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n_items
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation   ON c_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY r_name, n_name
+          |ORDER BY r_name, n_name""".stripMargin),
+      headline = true)
+  )
+
+  // --------------------------------------------------------------------
+
+  val all: Map[String, Q] = bucketQueries ++ relationalQueries
+
+  def headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }.toSeq.sorted
+}

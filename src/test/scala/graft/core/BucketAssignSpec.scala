@@ -1,0 +1,80 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import BucketAssign.{Subscription, TopicPartition}
+
+/** Parity with the reference assignor tests (BucketPriorityAssignorTest.java). */
+class BucketAssignSpec extends AnyFunSuite {
+
+  private val c8020 =
+    BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(80, 20)).toOption.get
+
+  test("8 B1 + 2 B2 consumers over 80/20 x 10 (AssignorTest:155-223)") {
+    val subs =
+      (0 until 8).map(i => f"c$i%02d" -> Subscription(Seq("orders"), Some("B1"))).toMap ++
+        (8 until 10).map(i => f"c$i%02d" -> Subscription(Seq("orders"), Some("B2"))).toMap
+    val r = BucketAssign.assign(c8020, Map("orders" -> 10), subs)
+    assert(r.keySet == subs.keySet) // every subscriber present
+    // B1 consumers own only partitions 0-7; B2 consumers only 8-9; all non-empty
+    (0 until 8).foreach { i =>
+      val ps = r(f"c$i%02d").map(_.partition)
+      assert(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 7))
+    }
+    (8 until 10).foreach { i =>
+      val ps = r(f"c$i%02d").map(_.partition)
+      assert(ps.nonEmpty && ps.forall(p => p >= 8 && p <= 9))
+    }
+    // complete, disjoint
+    assert(r.values.flatten.map(_.partition).toSeq.sorted == (0 until 10))
+  }
+
+  test("rebalance: B2 consumers gone -> B2 partitions unassigned (AssignorTest:226-343)") {
+    val subs = (0 until 6).map(i => s"c$i" -> Subscription(Seq("orders"), Some("B1"))).toMap
+    val r = BucketAssign.assign(c8020, Map("orders" -> 10), subs)
+    assert(r.keySet == subs.keySet)
+    val assigned = r.values.flatten.map(_.partition).toSeq.sorted
+    assert(assigned == (0 until 8)) // only B1's partitions; 8,9 unconsumed
+    // fairness: ceil/floor split of 8 partitions over 6 consumers
+    assert(r.values.map(_.size).toSeq.sorted == Seq(1, 1, 1, 1, 2, 2))
+  }
+
+  test("multi-topic: non-bucket topic delegated to range fallback (AssignorTest:114-152)") {
+    val subs = Map(
+      "b0" -> Subscription(Seq("orders"), Some("B1")),
+      "b1" -> Subscription(Seq("orders"), Some("B2")),
+      "r0" -> Subscription(Seq("plain"), None),
+      "r1" -> Subscription(Seq("plain"), None))
+    val r = BucketAssign.assign(c8020, Map("orders" -> 6, "plain" -> 6), subs)
+    assert(r.keySet == Set("b0", "b1", "r0", "r1"))
+    assert(r.values.forall(_.nonEmpty))
+    // range fallback: contiguous halves of "plain"
+    assert(r("r0").map(_.partition).sorted == Seq(0, 1, 2))
+    assert(r("r1").map(_.partition).sorted == Seq(3, 4, 5))
+    assert(r("r0").forall(_.topic == "plain"))
+    // bucket topic: 80/20 over 6 -> B1=[0-4], B2=[5]
+    assert(r("b0").map(_.partition).sorted == Seq(0, 1, 2, 3, 4))
+    assert(r("b1").map(_.partition).sorted == Seq(5))
+  }
+
+  test("unknown bucket declaration gets an entry but no partitions (Assignor:104-124)") {
+    val subs = Map(
+      "good" -> Subscription(Seq("orders"), Some("B1")),
+      "weird" -> Subscription(Seq("orders"), Some("NoSuchBucket")))
+    val r = BucketAssign.assign(c8020, Map("orders" -> 10), subs)
+    assert(r("weird").isEmpty)
+    assert(r("good").map(_.partition).sorted == (0 until 8))
+  }
+
+  test("every assigned partition belongs to the consumer's declared bucket") {
+    val cfg = BucketPriorityConfig("t", Seq("a", "b", "c"), Seq(50, 30, 20)).toOption.get
+    val subs = Map(
+      "x" -> Subscription(Seq("t"), Some("a")),
+      "y" -> Subscription(Seq("t"), Some("b")),
+      "z" -> Subscription(Seq("t"), Some("c")))
+    val lay = BucketLayout.layout(cfg, 12).toMap
+    val r = BucketAssign.assign(cfg, Map("t" -> 12), subs)
+    assert(r("x").map(_.partition).toSet == lay("a").toSet)
+    assert(r("y").map(_.partition).toSet == lay("b").toSet)
+    assert(r("z").map(_.partition).toSet == lay("c").toSet)
+  }
+}
