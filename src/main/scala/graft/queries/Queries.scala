@@ -219,7 +219,9 @@ object Queries {
 
   // --------------------------------------------------------------------
 
-  val all: Map[String, Q] = bucketQueries ++ relationalQueries
+  val all: Map[String, Q] =
+    bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all
 
   def headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }.toSeq.sorted
 }

@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2.2 relational surface: projection/filter, joins of every flavor,
+  * aggregation, windows, sort/top-k, set ops, scalar functions, date/time,
+  * JSON, arrays. Each query is one Spark program + one DuckDB oracle with
+  * aligned column names and a total ORDER BY on both sides.
+  */
+object RelationalQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  private val oneDec = lit(1).cast("decimal(18,2)")
+
+  val all: Map[String, Q] = Map(
+
+    // ---- projection / filter / CASE / IN / BETWEEN / LIKE ----------------
+    "q2_filter_project" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "part")
+          .filter(col("p_size").between(10, 40) &&
+            col("p_type").rlike("PROMO|ECONOMY") &&
+            col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#10", "Brand#21"))
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            (dec("p_retailprice") * lit("1.10").cast("decimal(4,2)"))
+              .cast("double").as("marked_up"),
+            when(col("p_size") < 20, "small").otherwise("large").as("size_class"))
+          .orderBy("p_partkey")
+      },
+      oracle = Some(
+        """SELECT p_partkey, UPPER(p_name) AS uname,
+          |       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(4,2)) AS DOUBLE) AS marked_up,
+          |       CASE WHEN p_size < 20 THEN 'small' ELSE 'large' END AS size_class
+          |FROM part
+          |WHERE p_size BETWEEN 10 AND 40
+          |  AND regexp_matches(p_type, 'PROMO|ECONOMY')
+          |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#10', 'Brand#21')
+          |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- TPC-H Q6-style single-table filter + agg ------------------------
+    "q6_forecast_revenue" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+          .agg(
+            sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- semi / anti joins ----------------------------------------------
+    "q_semi_join" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    "q_anti_join" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- outer joins -----------------------------------------------------
+    "q_outer_join" -> Q(
+      fn = (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val c = Tables.load(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        n.join(c, col("n_nationkey") === col("c_nationkey"), "left")
+          .select(col("n_name"), coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy("n_name")
+      },
+      oracle = Some(
+        """SELECT n_name, COALESCE(c.n_cust, 0) AS n_cust
+          |FROM nation LEFT JOIN
+          |  (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+          |  ON n_nationkey = c_nationkey
+          |ORDER BY n_name""".stripMargin)),
+
+    // ---- cross join ------------------------------------------------------
+    "q_cross_join" -> Q(
+      fn = (s, dir) => {
+        val r = Tables.load(s, dir, "region").select(col("r_name"))
+        val n = Tables.load(s, dir, "nation").select(col("n_name"))
+        r.crossJoin(n).orderBy("r_name", "n_name")
+      },
+      oracle = Some(
+        "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name")),
+
+    // ---- per-group top-k via row_number ---------------------------------
+    "q_topk_per_group" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+          .orderBy("o_custkey", "rk")
+      },
+      oracle = Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          |  FROM orders) t
+          |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin),
+      headline = true),
+
+    // ---- lag/lead: inter-event gaps -------------------------------------
+    "q_window_lag" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events").filter(col("user_id") < 10)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.select(
+            col("user_id"), col("event_id"),
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) AS gap_us,
+          |       LEAD(event_type, 1) OVER w AS next_type
+          |FROM events WHERE user_id < 10
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+          |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- running sum with an explicit frame -----------------------------
+    "q_running_sum" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.load(s, dir, "orders").filter(col("o_custkey") < 20)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(
+            col("o_custkey"), col("o_orderkey"),
+            sum(dec("o_totalprice")).over(w).cast("double").as("running_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some(
+        """SELECT o_custkey, o_orderkey,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+          |FROM orders WHERE o_custkey < 20
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- rank / dense_rank ----------------------------------------------
+    "q_rank_dense" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+        c.select(col("c_mktsegment"), col("c_custkey"),
+            rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          .filter(col("rnk") <= 5)
+          .orderBy("c_mktsegment", "rnk", "c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_mktsegment, c_custkey, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk FROM (
+          |  SELECT c_mktsegment, c_custkey,
+          |         RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+          |  FROM customer
+          |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t
+          |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin)),
+
+    // ---- rollup ----------------------------------------------------------
+    "q_rollup_day" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .withColumn("day", to_date(date_trunc("day", col("ts"))))
+          .rollup("event_type", "day")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+      },
+      oracle = Some(
+        """SELECT event_type, day, COUNT(*) AS n FROM (
+          |  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events) t
+          |GROUP BY ROLLUP (event_type, day)
+          |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin)),
+
+    // ---- cube ------------------------------------------------------------
+    "q_cube_flags" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      oracle = Some(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- grouping sets (SQL entry point) --------------------------------
+    "q_grouping_sets" -> Q(
+      fn = (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- set operations --------------------------------------------------
+    "q_set_ops" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+        val both = users("purchase").intersect(users("error"))
+          .agg(count(lit(1)).as("n")).select(lit("purchase_and_error").as("tag"), col("n"))
+        val only = users("purchase").except(users("error"))
+          .agg(count(lit(1)).as("n")).select(lit("purchase_not_error").as("tag"), col("n"))
+        val either = users("purchase").union(users("error")).distinct()
+          .agg(count(lit(1)).as("n")).select(lit("purchase_or_error").as("tag"), col("n"))
+        both.unionAll(only).unionAll(either).orderBy("tag")
+      },
+      oracle = Some(
+        """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+          |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+          |SELECT 'purchase_and_error' AS tag, COUNT(*) AS n FROM (SELECT * FROM p INTERSECT SELECT * FROM e) t
+          |UNION ALL
+          |SELECT 'purchase_not_error' AS tag, COUNT(*) AS n FROM (SELECT * FROM p EXCEPT SELECT * FROM e) t
+          |UNION ALL
+          |SELECT 'purchase_or_error' AS tag, COUNT(*) AS n FROM (SELECT * FROM p UNION SELECT * FROM e) t
+          |ORDER BY tag""".stripMargin)),
+
+    // ---- exact distinct -------------------------------------------------
+    "q_count_distinct" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- approximate distinct (HLL): rows-only check (sketch values are
+    // engine-specific by design, so no value oracle exists) ---------------
+    "q_approx_distinct" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          .orderBy("event_type")
+      },
+      oracle = None),
+
+    // ---- string functions -----------------------------------------------
+    "q_string_funcs" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "part").filter(col("p_partkey") <= 500)
+          .select(
+            col("p_partkey"),
+            lower(col("p_brand")).as("lbrand"),
+            substring(col("p_name"), 1, 8).as("prefix"),
+            length(col("p_name")).as("name_len"),
+            regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+            regexp_replace(col("p_type"), "[AEIOU]", "_").as("devoweled"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+          .orderBy("p_partkey")
+      },
+      oracle = Some(
+        """SELECT p_partkey, LOWER(p_brand) AS lbrand, substring(p_name, 1, 8) AS prefix,
+          |       CAST(length(p_name) AS INTEGER) AS name_len,
+          |       regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+          |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+          |       p_brand || '|' || p_type AS joined
+          |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
+
+    // ---- date/time functions --------------------------------------------
+    "q_date_funcs" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(
+            to_date(date_trunc("month", col("ts"))).as("month"),
+            hour(col("ts")).as("hr"),
+            (dayofweek(col("ts")) - 1).as("dow")) // Spark: 1=Sunday → 0=Sunday
+          .groupBy("month", "hr", "dow")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("month", "hr", "dow")
+      },
+      oracle = Some(
+        """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+          |       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+          |       CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1, 2, 3 ORDER BY month, hr, dow""".stripMargin)),
+
+    // ---- tumbling time window (batch window(), §2.3's batch twin) -------
+    "q_tumbling_window" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+          .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      oracle = Some(
+        """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
+      headline = true),
+
+    // ---- JSON extraction -------------------------------------------------
+    "q_json_props" -> Q(
+      fn = (s, dir) => {
+        val schema = "k INT"
+        Tables.load(s, dir, "events")
+          .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(schema)).getField("k"))
+          .groupBy("event_type")
+          .agg(
+            sum(col("k")).as("sum_k"),
+            (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+            count(when(col("k") > 50, 1)).as("n_high"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k FROM events)
+          |SELECT event_type, SUM(k) AS sum_k,
+          |       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
+          |       COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- arrays: explode + top-k tokens ---------------------------------
+    "q_token_topk" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)
+      },
+      oracle = Some(
+        """SELECT token, COUNT(*) AS n
+          |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- range (theta) join: events within 5s per user ------------------
+    "q_range_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        val a = ev.toDF("user_id", "a_id", "a_us")
+        val b = ev.toDF("user_id", "b_id", "b_us")
+        a.join(b, Seq("user_id"))
+          .filter(col("a_id") < col("b_id") &&
+            abs(col("a_us") - col("b_us")) <= 3600000000L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """SELECT a.user_id, COUNT(*) AS n_pairs
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+          | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
+          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+
+    // ---- null semantics: nullif/coalesce/CASE ---------------------------
+    "q_null_handling" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<none>")).as("seg_filled"),
+            when(col("c_acctbal") < 0, "debt")
+              .when(col("c_acctbal") < 5000, "low").otherwise("high").as("bal_class"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey,
+          |       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+          |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<none>') AS seg_filled,
+          |       CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class
+          |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}

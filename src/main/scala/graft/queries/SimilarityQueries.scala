@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2.4 similarity search over `embeddings.embedding` (64-d float vectors).
+  *
+  * Float parity: dot products and norms are computed as LEFT-FOLDS over
+  * double-cast elements on BOTH engines (Spark `aggregate`, DuckDB
+  * `list_reduce`) — identical operation order ⇒ bit-identical doubles. The
+  * reported similarity is rounded to 6 dp as belt-and-braces; ranking uses
+  * the raw value with vec_id tie-break.
+  *
+  * Scale path: brute force is O(Q·N); [[ivf_topk]] buckets candidates by
+  * nearest coarse centroid (IVF) and probes the best 4 lists, cutting the
+  * scanned candidates ~4× here and ~nlist/nprobe at 100 TB, where the
+  * centroid assignment becomes a broadcast join + shuffle-free scan.
+  */
+object SimilarityQueries {
+
+  /** Spark SQL left-fold dot product of two float arrays, in double. */
+  private def dotExpr(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB left-fold dot product (list_reduce folds left; the first element
+    * seeds the accumulator, and 0.0 + v1 == v1 exactly, so the fold matches
+    * Spark's zero-seeded aggregate bit-for-bit). */
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private val NumQueries = 5
+  private val TopK = 10
+
+  val all: Map[String, Q] = Map(
+
+    // ---- brute-force cosine top-k ---------------------------------------
+    "similarity_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim",
+            expr(dotExpr("qv", "cv")) /
+              (sqrt(expr(dotExpr("qv", "qv"))) * sqrt(expr(dotExpr("cv", "cv")))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT qid, cid,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
+           |  FROM q CROSS JOIN c WHERE qid != cid),
+           |ranked AS (
+           |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM scored)
+           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+      headline = true),
+
+    // ---- embedding-cosine near-duplicate pairs --------------------------
+    // (corpus embeddings are near-orthogonal random vectors — max pairwise
+    // cosine ≈ 0.44 — so the threshold is 0.35 to exercise non-empty output)
+    "dedup_embedding_cosine" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
+        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .withColumn("sim",
+            expr(dotExpr("av", "bv")) /
+              (sqrt(expr(dotExpr("av", "av"))) * sqrt(expr(dotExpr("bv", "bv")))))
+          .filter(col("sim") >= 0.35)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |       round(${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})), 6) AS sim
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE ${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.35
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- IVF-bucketed ANN: coarse quantize → probe best lists ------------
+    // Deterministic IVF: centroids are the first 16 vectors; every vector is
+    // assigned to its nearest centroid (the inverted list); a query probes
+    // its 4 nearest centroids' lists and does exact cosine inside them.
+    // Same structure as FAISS IVF-Flat, fully declarative.
+    "ivf_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        def cosTo(v1: String, v2: String) =
+          expr(dotExpr(v1, v2)) / (sqrt(expr(dotExpr(v1, v1))) * sqrt(expr(dotExpr(v2, v2))))
+        // inverted lists: each vector → nearest centroid
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("csim").desc, col("cent_id"))
+        val lists = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", cosTo("cv", "centv"))
+          .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") === 1)
+          .select(col("cid"), col("cv"), col("cent_id").as("list_id"))
+        // queries probe their 4 nearest lists
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
+        val probes = broadcast(q).crossJoin(broadcast(cents))
+          .withColumn("psim", cosTo("qv", "centv"))
+          .withColumn("prk", row_number().over(wProbe))
+          .filter(col("prk") <= 4)
+          .select(col("qid"), col("qv"), col("cent_id").as("list_id"))
+        // exact cosine within probed lists
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        probes.join(lists, Seq("list_id"))
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", cosTo("qv", "cv"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some {
+        def duckCos(a: String, b: String) =
+          s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 16),
+           |lists AS (
+           |  SELECT cid, cv, cent_id AS list_id FROM (
+           |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cent_id,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS crk
+           |    FROM embeddings e CROSS JOIN cents c) t
+           |  WHERE crk = 1),
+           |probes AS (
+           |  SELECT qid, qv, cent_id AS list_id FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cent_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
+           |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
+           |  WHERE prk <= 4),
+           |scored AS (
+           |  SELECT qid, cid, ${duckCos("p.qv", "l.cv")} AS sim
+           |  FROM probes p JOIN lists l ON p.list_id = l.list_id
+           |  WHERE qid != cid),
+           |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
+           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2.4 / north-star text-pipeline operators over `documents`: exact dedup,
+  * MinHash+LSH near-dup, SimHash fingerprints, n-gram Jaccard, text stats,
+  * token counting, language scoring, document fingerprinting.
+  *
+  * Portability notes for the DuckDB oracles:
+  *   - all hashing is md5-over-strings — identical bytes on both engines, so
+  *     min-hash signatures and band keys compare exactly as strings;
+  *   - higher-order folds are written fold-left on both sides;
+  *   - ratios are exact-int divisions cast to double (deterministic IEEE).
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private def sqList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  /** 3-token shingle list, distinct, as a Spark SQL expression. */
+  private val shinglesExpr =
+    "array_distinct(transform(sequence(0, size(toks) - 3), i -> array_join(slice(toks, i + 1, 3), ' ')))"
+  private val shinglesSqlDuck =
+    "list_distinct(list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1 : i + 3], ' ')))"
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 → catches Jaccard ≳ 0.5 reliably
+
+  val all: Map[String, Q] = Map(
+
+    // ---- exact dedup: survivor per normalized-text hash ------------------
+    "dedup_exact" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          |FROM documents GROUP BY md5(LOWER(TRIM(text)))
+          |ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // ---- text stats: tokens, lengths, stopword ratio ---------------------
+    "text_stats" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            length(col("text")).as("text_len"),
+            expr(s"size(filter(toks, t -> t IN (${sqList(stopwords)})))").as("n_stop"),
+            (expr(s"CAST(size(filter(toks, t -> t IN (${sqList(stopwords)}))) AS DOUBLE)")
+              / size(col("toks"))).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+           |SELECT doc_id,
+           |       CAST(len(toks) AS INTEGER) AS n_tokens,
+           |       CAST(length(text) AS INTEGER) AS text_len,
+           |       CAST(len(list_filter(toks, t -> t IN (${sqList(stopwords)}))) AS INTEGER) AS n_stop,
+           |       CAST(len(list_filter(toks, t -> t IN (${sqList(stopwords)}))) AS DOUBLE) / len(toks) AS stop_ratio
+           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE-ish regex token counting ------------------------------------
+    "token_count_regex" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_bpeish"),
+            size(split(col("text"), " ")).as("n_ws"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish,
+          |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus distribution by lang × source ----------------------------
+    "lang_source_dist" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some(
+        """SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+          |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // ---- heuristic quality score (length/stopword mix, deterministic) ----
+    "quality_score" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${sqList(stopwords)})))"))
+          .select(
+            col("doc_id"),
+            round(
+              lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+                lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+                lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0),
+              6).as("quality"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars2,
+           |         len(list_filter(string_split(text, ' '), t -> t IN (${sqList(stopwords)}))) AS n_stop
+           |  FROM documents)
+           |SELECT doc_id,
+           |       round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+           |           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           |           + 0.3 * least(1.0, CAST(n_chars2 AS DOUBLE) / 200.0), 6) AS quality
+           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- document fingerprint: min-md5 over 5-token shingles (winnowing) -
+    "doc_fingerprint" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(
+            col("doc_id"),
+            expr("array_min(transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' '))))")
+              .as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          |SELECT doc_id,
+          |       list_min(list_transform(range(len(toks) - 4), i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS fingerprint
+          |FROM t WHERE len(toks) >= 5 ORDER BY doc_id""".stripMargin)),
+
+    // ---- SimHash-style 16-hex fingerprint --------------------------------
+    // Per token: md5; per hex position 1..16: majority vote over tokens of
+    // (nibble bit 3). Gives a 16-bit locality-sensitive signature computed
+    // identically on both engines (full 64-bit version is the same plumbing
+    // × 4 bits; 16 bits keeps the oracle tractable).
+    "simhash_fingerprint" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        d.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("h", md5(col("tok")))
+          // nibble bit 3 set ⟺ hex char ∈ '89abcdef' ⟺ char >= '8' bytewise
+          .select(col("doc_id") +: (1 to 16).map(i =>
+            when(expr(s"substring(h, $i, 1) >= '8'"), 1)
+              .otherwise(-1).as(s"b$i")): _*)
+          .groupBy("doc_id")
+          .agg(sum(col("b1")).as("s1"),
+            (2 to 16).map(i => sum(col(s"b$i")).as(s"s$i")): _*)
+          .select(col("doc_id"),
+            concat((1 to 16).map(i => when(col(s"s$i") > 0, "1").otherwise("0")): _*)
+              .as("simhash"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val bits = (1 to 16).map(i =>
+          s"CASE WHEN SUM(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM tok)
+           |SELECT doc_id, $bits AS simhash
+           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- MinHash + LSH near-duplicate pairs ------------------------------
+    // 8 md5-seeded min-hashes over distinct 3-token shingles; 4 bands of 2;
+    // candidate pairs share ≥1 band key; verified with exact Jaccard ≥ 0.5.
+    "dedup_minhash_lsh" -> Q(
+      fn = (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles", expr(shinglesExpr))
+          .select("doc_id", "shingles")
+        val withSig = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+          df.withColumn(s"sig$k",
+            expr(s"array_min(transform(shingles, sh -> md5(concat('$k:', sh))))"))
+        }
+        val bands = (0 until NumHashes / BandSize).map { b =>
+          withSig.select(col("doc_id"),
+            md5(concat_ws("|", lit(b.toString), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+              .as("bk"))
+        }.reduce(_ unionAll _)
+        val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+          .withColumn("jacc",
+            size(array_intersect(col("sa"), col("sb"))).cast("double")
+              / size(array_union(col("sa"), col("sb"))))
+          .filter(col("jacc") >= 0.5)
+          .select("a_id", "b_id", "jacc")
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> md5('$k:' || s))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |)
+           |SELECT a_id, b_id,
+           |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) AS jacc
+           |FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
+           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      headline = true),
+
+    // ---- n-gram Jaccard similarity over a candidate window ---------------
+    // All-pairs within each source (sources are small groups) — exact
+    // n-gram Jaccard without LSH, the brute-force twin of the query above.
+    "ngram_jaccard_pairs" -> Q(
+      fn = (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles", expr(shinglesExpr))
+          .select("doc_id", "source", "shingles")
+        val a = sh.select(col("source"), col("doc_id").as("a_id"), col("shingles").as("sa"))
+        val b = sh.select(col("source"), col("doc_id").as("b_id"), col("shingles").as("sb"))
+        a.join(b, Seq("source")).filter(col("a_id") < col("b_id"))
+          .withColumn("jacc",
+            size(array_intersect(col("sa"), col("sb"))).cast("double")
+              / size(array_union(col("sa"), col("sb"))))
+          .filter(col("jacc") >= 0.2)
+          .select("source", "a_id", "b_id", "jacc")
+          .orderBy("source", "a_id", "b_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, source, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3)
+           |SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+           |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) AS jacc
+           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) >= 0.2
+           |ORDER BY a.source, a_id, b_id""".stripMargin)),
+
+    // ---- multimodal plumbing: opaque binary column + typed metadata ------
+    // The "decode" is a deterministic stub (no media libs in this container):
+    // metadata is derived purely from the bytes, identically on both engines.
+    "multimodal_meta" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("blob", encode(col("text"), "UTF-8"))
+          .select(
+            col("doc_id"),
+            octet_length(col("blob")).as("n_bytes"),
+            // corpus text is ASCII → first 8 chars == first 8 bytes
+            lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("header_hex"),
+            md5(col("blob")).as("content_hash"),
+            (octet_length(col("blob")) % 640).as("fake_width"),
+            (octet_length(col("blob")) % 480).as("fake_height"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          |       lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+          |       md5(text) AS content_hash,
+          |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+          |       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
