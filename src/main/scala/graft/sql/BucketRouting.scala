@@ -82,9 +82,19 @@ object BucketRouting {
         .otherwise(start + (rn - lit(1)) % size))
   }
 
-  /** Shuffle-free routing for cluster scale: same uniformity invariant, order
-    * defined per Spark task rather than globally. Uses the task's partition id
-    * as the round-robin salt so concurrent tasks start at different offsets.
+  /** Shuffle-free routing for cluster scale: one round-robin counter per
+    * (task, bucket), exactly the reference's per-bucket `AtomicInteger`
+    * design (Bucket.java:14,22-29) with task-locality instead of
+    * producer-instance-locality. Uniformity is exact within each task (≤1
+    * skew per partition per task); across T tasks the worst-case skew is T,
+    * the same compounding the reference has across producer instances.
+    * Counters start at the task's partition id so concurrent tasks don't all
+    * begin on the bucket's first partition.
+    *
+    * `mapPartitions` is justified here (preference (d), SURVEY §2): the
+    * semantics are inherently stateful-per-task and a window would force a
+    * by-bucket shuffle with one partition per bucket — the exact skew this
+    * variant exists to avoid at 100 TB.
     */
   def routeUniform(
       df: DataFrame,
@@ -92,20 +102,31 @@ object BucketRouting {
       numPartitions: Int,
       keyCol: Column
   ): DataFrame = {
-    val ranges = BucketLayout.ranges(cfg, numPartitions)
-    val bucket = bucketOf(keyCol, cfg)
-    val withBucket = df.withColumn("bucket", bucket)
-    val start = bucketCase(col("bucket"), ranges.map { case (n, (s, _)) => (n, s) })
-    val size = bucketCase(col("bucket"), ranges.map { case (n, (_, z)) => (n, z) })
-    // Per-task dense counter: monotonically_increasing_id is (taskPartition
-    // << 33) + row-in-task, so (id & mask) is dense within a task; adding
-    // spark_partition_id() staggers task starting offsets across the range.
-    val perTask = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
-    withBucket.withColumn(
-      "pt",
-      when(col("bucket").isNull, lit(null).cast("int"))
-        .when(size === 0, lit(-1))
-        .otherwise(start + ((perTask + spark_partition_id()) % size).cast("int")))
+    val ranges: Map[String, (Int, Int)] = BucketLayout.ranges(cfg, numPartitions).toMap
+    val withBucket = df.withColumn("bucket", bucketOf(keyCol, cfg))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      withBucket.schema.fields :+
+        org.apache.spark.sql.types.StructField("pt", org.apache.spark.sql.types.IntegerType, nullable = true))
+    val bucketIdx = withBucket.schema.fieldIndex("bucket")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    withBucket.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counters = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map { row =>
+        val b = row.getString(bucketIdx)
+        val pt: Any =
+          if (b == null) null
+          else ranges.get(b) match {
+            case Some((_, 0)) | None => -1
+            case Some((startP, size)) =>
+              val c = counters.getOrElseUpdate(b, pid)
+              counters(b) = c + 1
+              startP + (c % size)
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pt)
+      }
+    }
   }
 
   /** `discard` fallback: keep only routable rows (documented intent of

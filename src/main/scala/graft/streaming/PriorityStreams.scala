@@ -1,0 +1,183 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.{BucketLayout, BucketPriorityConfig}
+import graft.sql.BucketRouting
+
+/** §2.3 Structured Streaming surface.
+  *
+  * The reference's runtime is the Kafka client loop; ours is micro-batch
+  * Structured Streaming. Mapping (SURVEY §2.1 `assign` row, §2.3):
+  *   - produce-path routing → [[routeStream]] applied per micro-batch before
+  *     the sink (the sink honors an explicit `partition` column);
+  *   - consumer-group priority → NOT emulated as group coordination; instead
+  *     one streaming query per bucket over that bucket's partitions with a
+  *     weighted FAIR pool ([[PriorityPools]]) — more scheduler share for
+  *     bigger buckets is Spark's native expression of "more consumers for
+  *     higher-priority buckets" (reference README.md:17);
+  *   - the windows/watermark/session/dedup/stateful rows of §2.3.
+  *
+  * Scale: all stateful operators are keyed by (bucket, window) or (user,
+  * session) and bounded by watermarks — no global state; state store is
+  * pluggable (RocksDB at cluster scale).
+  */
+object PriorityStreams {
+
+  /** Priority routing inside a stream: shuffle-free [[BucketRouting.routeUniform]]
+    * (a streaming micro-batch has no global order column; per-task round-robin
+    * preserves the reference's ≤1-skew uniformity invariant, see
+    * BucketRouting scaladoc). Unroutable rows are discarded (DiscardPartitioner
+    * intent) when `discardUnroutable = true`, else left with null partition. */
+  def routeStream(
+      df: DataFrame,
+      cfg: BucketPriorityConfig,
+      numPartitions: Int,
+      keyCol: Column,
+      discardUnroutable: Boolean = true
+  ): DataFrame = {
+    val routed = BucketRouting.routeUniform(df, cfg, numPartitions, keyCol)
+    if (discardUnroutable) BucketRouting.discard(routed) else routed
+  }
+
+  /** Shape a routed frame for the Kafka sink: (key, value, partition) with
+    * Kafka wire types. The `partition` column carries the §2.1 route result,
+    * which the Kafka sink honors verbatim. */
+  def toKafkaFrame(routed: DataFrame, keyCol: Column, valueCol: Column): DataFrame =
+    routed.select(
+      keyCol.cast("binary").as("key"),
+      valueCol.cast("binary").as("value"),
+      col("pt").cast("int").as("partition"))
+
+  /** Tumbling (or sliding, when `slide` is set) per-bucket counts and value
+    * sums with a watermark bounding state. */
+  def bucketWindowAgg(
+      df: DataFrame,
+      cfg: BucketPriorityConfig,
+      keyCol: Column,
+      tsCol: String,
+      windowDur: String,
+      slide: Option[String] = None,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val bucketed = df
+      .withColumn("bucket", BucketRouting.bucketOf(keyCol, cfg))
+      .filter(col("bucket").isNotNull)
+      .withWatermark(tsCol, watermark)
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None    => window(col(tsCol), windowDur)
+    }
+    bucketed
+      .groupBy(w.as("w"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("bucket"), col("n"), col("sum_value"))
+  }
+
+  /** Per-user session windows with a gap timeout. */
+  def sessionize(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gap: String,
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("s"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(s"s.start").as("s_start"), col(s"s.end").as("s_end"),
+        col(userCol), col("n_events"))
+
+  /** Streaming dedup on an id column, state bounded by the watermark. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  // ---- stateful per-bucket backlog / SLA tracker -------------------------
+
+  /** One input event, already bucketed. */
+  final case class BucketEvent(bucket: String, eventId: Long, tsMicros: Long)
+
+  /** Running per-bucket state: the "scheduler bookkeeping" the reference
+    * leaves to downstream consumers (README.md:17). */
+  final case class BucketBacklog(
+      bucket: String,
+      totalEvents: Long,
+      lastEventTsMicros: Long,
+      maxGapMicros: Long)
+
+  /** flatMapGroupsWithState per-bucket tracker: total routed events, last
+    * event time, and the largest inter-event gap (an SLA proxy). Works in
+    * both streaming (Update mode) and batch. */
+  def backlogTracker(events: Dataset[BucketEvent]): Dataset[BucketBacklog] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketBacklog, BucketBacklog](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[BucketEvent], state: GroupState[BucketBacklog]) =>
+          val prev = state.getOption.getOrElse(BucketBacklog(bucket, 0L, Long.MinValue, 0L))
+          var total = prev.totalEvents
+          var lastTs = prev.lastEventTsMicros
+          var maxGap = prev.maxGapMicros
+          rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+            if (lastTs != Long.MinValue && e.tsMicros - lastTs > maxGap)
+              maxGap = e.tsMicros - lastTs
+            lastTs = math.max(lastTs, e.tsMicros)
+            total += 1
+          }
+          val next = BucketBacklog(bucket, total, lastTs, maxGap)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  // ---- FAIR-pool priority scheduling ------------------------------------
+
+  /** The Spark-native expression of bucket priority at execution time: a
+    * FAIR pool per bucket with weight = allocation percent, so a 70%-bucket
+    * query gets ~7× the task slots of a 10%-bucket query under contention.
+    *
+    * Usage: call [[allocationFileXml]] / [[writeAllocationFile]] BEFORE
+    * building the session, set `spark.scheduler.mode=FAIR` and
+    * `spark.scheduler.allocation.file=<path>`; then wrap each per-bucket
+    * query body in [[inBucketPool]].
+    */
+  object PriorityPools {
+    def allocationFileXml(cfg: BucketPriorityConfig): String = {
+      val pools = cfg.buckets.zip(cfg.allocation).map { case (b, a) =>
+        s"""  <pool name="$b">
+           |    <schedulingMode>FAIR</schedulingMode>
+           |    <weight>$a</weight>
+           |    <minShare>0</minShare>
+           |  </pool>""".stripMargin
+      }.mkString("\n")
+      s"<?xml version=\"1.0\"?>\n<allocations>\n$pools\n</allocations>\n"
+    }
+
+    def writeAllocationFile(cfg: BucketPriorityConfig, dir: String): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(dir, s"fairscheduler-${cfg.topic}.xml")
+      java.nio.file.Files.writeString(p, allocationFileXml(cfg))
+      p
+    }
+
+    /** Run `body` (e.g. a writeStream.start) inside the bucket's pool. */
+    def inBucketPool[T](spark: SparkSession, bucket: String)(body: => T): T = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", bucket)
+      try body
+      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
+
+    /** The Kafka-source `assign` option for a per-bucket streaming query:
+      * JSON listing exactly the bucket's partitions (the §2.1 `assign`
+      * operational mapping). */
+    def assignJson(cfg: BucketPriorityConfig, numPartitions: Int, bucket: String): String = {
+      val parts = BucketLayout.layout(cfg, numPartitions).toMap.getOrElse(bucket, Seq.empty)
+      s"""{"${cfg.topic}":[${parts.mkString(",")}]}"""
+    }
+  }
+}

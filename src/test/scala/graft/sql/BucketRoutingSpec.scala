@@ -1,0 +1,87 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.BucketPriorityConfig
+
+/** DataFrame-level parity with the reference partitioner behavior tests
+  * (BucketPriorityPartitionerTest.java:110-567). */
+class BucketRoutingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val c8020 =
+    BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(80, 20)).toOption.get
+
+  private def msgs(perBucket: Int, buckets: String*) =
+    buckets.flatMap(b => (0 until perBucket).map(i => (s"$b-$i", b)))
+      .zipWithIndex.map { case ((key, b), seq) => (key, b, seq.toLong) }
+      .toDF("key", "expected_bucket", "seq")
+
+  test("round-robin uniformity: 80/20 x 10, 32 msgs/bucket -> exactly 4 and 16 per partition (PartitionerTest:344-419)") {
+    val routed = BucketRouting.route(msgs(32, "B1", "B2"), c8020, 10, col("key"), col("seq"))
+    val counts = routed.groupBy("bucket", "pt").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val b1 = counts.filter(_._1 == "B1")
+    val b2 = counts.filter(_._1 == "B2")
+    assert(b1.map(_._2).sorted == (0 to 7))
+    assert(b1.forall(_._3 == 4), s"B1 should have exactly 4 per partition: $b1")
+    assert(b2.map(_._2).sorted == (8 to 9))
+    assert(b2.forall(_._3 == 16), s"B2 should have exactly 16 per partition: $b2")
+  }
+
+  test("over-allocation 55/40/5: empty bucket's traffic routes to -1 and is discarded (PartitionerTest:186-262)") {
+    val cfg = BucketPriorityConfig("orders", Seq("B1", "B2", "B3"), Seq(55, 40, 5)).toOption.get
+    val routed = BucketRouting.route(msgs(10, "B1", "B2", "B3"), cfg, 10, col("key"), col("seq"))
+    val b3 = routed.filter(col("bucket") === "B3")
+    assert(b3.count() == 10)
+    assert(b3.filter(col("pt") === -1).count() == 10)
+    assert(BucketRouting.discard(routed).filter(col("bucket") === "B3").count() == 0)
+    // surviving buckets stay in range
+    val okRanges = routed.filter(col("bucket") === "B1").select("pt").as[Int].collect()
+    assert(okRanges.forall(p => p >= 0 && p <= 5))
+  }
+
+  test("resize: same stream routed at 20 partitions uses the grown layout (PartitionerTest:422-567)") {
+    val routed = BucketRouting.route(msgs(32, "B1", "B2"), c8020, 20, col("key"), col("seq"))
+    val b1 = routed.filter(col("bucket") === "B1").select("pt").as[Int].collect()
+    val b2 = routed.filter(col("bucket") === "B2").select("pt").as[Int].collect()
+    assert(b1.toSet == (0 to 15).toSet)
+    assert(b2.toSet == (16 to 19).toSet)
+    assert(b1.groupBy(identity).values.map(_.size).forall(_ == 2)) // 32/16
+    assert(b2.groupBy(identity).values.map(_.size).forall(_ == 8)) // 32/4
+  }
+
+  test("bucket_of key shapes (README.md:65-75): first token, trim, unknown/null fall through") {
+    val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30)).toOption.get
+    val df = Seq(
+      "Platinum", "Platinum-001", "Platinum-Group01-001",
+      " Gold -2", // trimmed token
+      "Silver-1", // unknown bucket
+      null
+    ).toDF("key")
+    val got = df.select(BucketRouting.bucketOf(col("key"), cfg).as("b")).as[String].collect().toSeq
+    assert(got == Seq("Platinum", "Platinum", "Platinum", "Gold", null, null))
+  }
+
+  test("delimiter is a regex, as in the reference's String.split") {
+    val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30),
+      delimiter = "\\|").toOption.get
+    val df = Seq("Platinum|001", "Gold|x|y").toDF("key")
+    val got = df.select(BucketRouting.bucketOf(col("key"), cfg).as("b")).as[String].collect().toSeq
+    assert(got == Seq("Platinum", "Gold"))
+  }
+
+  test("routeUniform keeps <=1 skew per partition within each bucket") {
+    val routed = BucketRouting.routeUniform(msgs(32, "B1", "B2"), c8020, 10, col("key"))
+    val counts = routed.groupBy("bucket", "pt").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    Seq("B1", "B2").foreach { b =>
+      val cs = counts.filter(_._1 == b).map(_._3)
+      assert(cs.max - cs.min <= 1, s"$b skew: ${cs.toSeq}")
+    }
+    // every routed partition within the bucket's range
+    assert(counts.filter(_._1 == "B1").forall(c => c._2 >= 0 && c._2 <= 7))
+    assert(counts.filter(_._1 == "B2").forall(c => c._2 >= 8 && c._2 <= 9))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.core.BucketPriorityConfig
+import graft.streaming.PriorityStreams._
+
+class PriorityStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cfg =
+    BucketPriorityConfig("events", Seq("purchase", "signup"), Seq(70, 30)).toOption.get
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("micro-batch routing: MemoryStream -> routeStream -> memory sink") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val routed = routeStream(
+      in.toDF().toDF("key", "event_id"), cfg, 10, col("key"))
+    in.addData((1 to 20).map(i => (s"purchase-$i", i.toLong)) ++
+      (1 to 10).map(i => (s"signup-$i", i.toLong)) ++
+      Seq(("view-1", 99L), ("garbage", 98L)))
+    val q = routed.writeStream.format("memory").queryName("routed_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("routed_out")
+    assert(out.count() == 30) // view/garbage discarded
+    // purchase → [0..6] (70% of 10), signup → [7..9]
+    assert(out.filter($"bucket" === "purchase").select("pt").as[Int].collect().forall(p => p >= 0 && p <= 6))
+    assert(out.filter($"bucket" === "signup").select("pt").as[Int].collect().forall(p => p >= 7 && p <= 9))
+  }
+
+  test("kafka frame shape: key/value binary + int partition") {
+    val df = Seq(("purchase-1", "payload", 1L)).toDF("key", "value", "event_id")
+    val routed = routeStream(df, cfg, 10, col("key"))
+    val kf = toKafkaFrame(routed, col("key"), col("value"))
+    assert(kf.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("key", "binary"), ("value", "binary"), ("partition", "integer")))
+  }
+
+  test("tumbling window agg with watermark drops late rows in append mode") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val agg = bucketWindowAgg(
+      in.toDF().toDF("key", "ts", "value"), cfg, col("key"), "ts",
+      windowDur = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    in.addData(
+      ("purchase-1", ts("2024-01-01 00:01:00"), 1.0),
+      ("purchase-2", ts("2024-01-01 00:05:00"), 2.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    in.addData(("purchase-3", ts("2024-01-01 01:00:00"), 4.0))
+    q.processAllAvailable()
+    // late row for the long-closed 00:00 window: must be dropped
+    in.addData(("purchase-4", ts("2024-01-01 00:02:00"), 100.0))
+    q.processAllAvailable()
+    // one more advance so anything incorrectly accepted would emit
+    in.addData(("purchase-5", ts("2024-01-01 02:00:00"), 8.0))
+    q.processAllAvailable(); q.stop()
+    // closed first window emitted with only the 2 on-time rows
+    assert(spark.table("win_out").filter($"w_start" === ts("2024-01-01 00:00:00"))
+      .select("n").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("session windows: 2 sessions for a user with a >gap pause") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:03:00")),
+      (1L, ts("2024-01-01 00:20:00")), // > 5 min gap → new session
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = sessionize(df, "ts", "user_id", gap = "5 minutes")
+      .orderBy("user_id", "s_start")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val dd = dedupWithinWatermark(in.toDF().toDF("event_id", "ts"), "ts", Seq("event_id"))
+    val q = dd.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:30")),
+      (2L, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("backlog tracker accumulates per-bucket totals and max gap (batch mode)") {
+    val events = Seq(
+      BucketEvent("purchase", 1, 1000L),
+      BucketEvent("purchase", 2, 5000L),
+      BucketEvent("purchase", 3, 6000L),
+      BucketEvent("signup", 4, 100L)).toDS()
+    val out = backlogTracker(events).collect().map(b => b.bucket -> b).toMap
+    assert(out("purchase").totalEvents == 3)
+    assert(out("purchase").lastEventTsMicros == 6000L)
+    assert(out("purchase").maxGapMicros == 4000L)
+    assert(out("signup").totalEvents == 1)
+  }
+
+  test("FAIR pool xml: one pool per bucket, weight = allocation") {
+    val xml = PriorityPools.allocationFileXml(cfg)
+    assert(xml.contains("<pool name=\"purchase\">"))
+    assert(xml.contains("<weight>70</weight>"))
+    assert(xml.contains("<pool name=\"signup\">"))
+    assert(xml.contains("<weight>30</weight>"))
+  }
+
+  test("per-bucket kafka assign json lists exactly the bucket's partitions") {
+    assert(PriorityPools.assignJson(cfg, 10, "purchase") == """{"events":[0,1,2,3,4,5,6]}""")
+    assert(PriorityPools.assignJson(cfg, 10, "signup") == """{"events":[7,8,9]}""")
+  }
+}
