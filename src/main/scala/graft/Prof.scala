@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+    for (q <- Seq("dedup_exact","dedup_minhash_lsh","ngram_jaccard_pairs","ivf_topk","bucket_discarded")) {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -180,20 +180,31 @@ object TextQueries {
     // candidate pairs share ≥1 band key; verified with exact Jaccard ≥ 0.5.
     "dedup_minhash_lsh" -> Q(
       fn = (s, dir) => {
+        // cached: the shingle set is consumed by the signature pass AND both
+        // sides of the verify join — without it every branch re-runs the
+        // parquet scan + tokenize + shingle HOF (per-doc data is tiny; at
+        // cluster scale this is a persist(DISK_AND_MEMORY) of ~doc_count rows)
         val sh = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .withColumn("shingles", expr(shinglesExpr))
           .select("doc_id", "shingles")
-        val withSig = (0 until NumHashes).foldLeft(sh) { (df, k) =>
-          df.withColumn(s"sig$k",
-            expr(s"array_min(transform(shingles, sh -> md5(concat('$k:', sh))))"))
-        }
-        val bands = (0 until NumHashes / BandSize).map { b =>
-          withSig.select(col("doc_id"),
-            md5(concat_ws("|", lit(b.toString), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
-              .as("bk"))
-        }.reduce(_ unionAll _)
+          .cache()
+        // signatures via explode + min-agg: the md5s run inside whole-stage
+        // codegen instead of interpreted higher-order lambdas, and the
+        // shuffle is by doc_id (uniform). Values are identical to
+        // array_min(transform(...)) — min over the same md5 strings.
+        val exS = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val withSig = exS.groupBy("doc_id").agg(
+          min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
+          (1 until NumHashes).map(k =>
+            min(md5(concat(lit(s"$k:"), col("sh")))).as(s"sig$k")): _*)
+        // all band keys in ONE pass over the signatures (a unionAll of 4
+        // selects would recompute the signature aggregation 4 times)
+        val bands = withSig.select(col("doc_id"),
+            explode(array((0 until NumHashes / BandSize).map { b =>
+              md5(concat_ws("|", lit(b.toString), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+            }: _*)).as("bk"))
         val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -241,17 +252,31 @@ object TextQueries {
     // n-gram Jaccard without LSH, the brute-force twin of the query above.
     "ngram_jaccard_pairs" -> Q(
       fn = (s, dir) => {
+        // Scalable shape: instead of all-pairs × full-array intersections
+        // (O(pairs · |shingles|) interpreted work), explode shingles once and
+        // count matches with an equi-join on (source, shingle) — only pairs
+        // that actually share shingles are materialized, which is also the
+        // only shape that survives 100 TB. |A∪B| = |A| + |B| − |A∩B|.
         val sh = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .withColumn("shingles", expr(shinglesExpr))
           .select("doc_id", "source", "shingles")
-        val a = sh.select(col("source"), col("doc_id").as("a_id"), col("shingles").as("sa"))
-        val b = sh.select(col("source"), col("doc_id").as("b_id"), col("shingles").as("sb"))
-        a.join(b, Seq("source")).filter(col("a_id") < col("b_id"))
+          .cache() // feeds sizes (joined twice) and the exploded self-join
+        val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+        val ex = sh.select(col("source"), col("doc_id"), explode(col("shingles")).as("sh"))
+          .cache() // consumed by both sides of the self-join
+        val inter = ex.as("a").join(ex.as("b"),
+            col("a.source") === col("b.source") && col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.source").as("source"),
+            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
           .withColumn("jacc",
-            size(array_intersect(col("sa"), col("sb"))).cast("double")
-              / size(array_union(col("sa"), col("sb"))))
+            col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
           .filter(col("jacc") >= 0.2)
           .select("source", "a_id", "b_id", "jacc")
           .orderBy("source", "a_id", "b_id")
