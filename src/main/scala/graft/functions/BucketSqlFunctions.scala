@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+
+import graft.core.BucketPriorityConfig
+
+/** §2.5: expose the bucket operators on the SQL surface.
+  *
+  * `bucket_of` is the same split+trim+isin expression tree as
+  * [[graft.sql.BucketRouting.bucketOf]], built from catalyst nodes directly:
+  * a function-registry lambda must return an evaluable tree, and Column→
+  * Expression bridging yields a lazily-converted node the analyzer won't
+  * revisit inside a registered function. Equivalence of the two forms is
+  * asserted by VectorFunctionsSpec.
+  */
+object BucketSqlFunctions {
+
+  /** bucket_of(key) as a catalyst tree:
+    * CASE WHEN key IS NOT NULL AND trim(split(key, delim)[0]) IN (buckets)
+    * THEN trim(split(key, delim)[0]) END */
+  def bucketOfExpr(key: Expression, cfg: BucketPriorityConfig): Expression = {
+    val split = StringSplit(key, Literal(cfg.delimiter), Literal(-1))
+    val first = StringTrim(GetArrayItem(split, Literal(0)))
+    val cond = And(IsNotNull(key), In(first, cfg.buckets.map(b => Literal(b))))
+    CaseWhen(Seq((cond, first)), None)
+  }
+
+  /** Register `bucket_of(key)` bound to `cfg` in this session's function
+    * registry. Re-registering with a new config replaces the binding. */
+  def registerBucketOf(spark: SparkSession, cfg: BucketPriorityConfig): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bucket_of",
+      exprs => bucketOfExpr(exprs.head, cfg),
+      "built-in")
+
+  /** Register everything the SQL surface offers. */
+  def registerAll(spark: SparkSession, cfg: BucketPriorityConfig): Unit = {
+    registerBucketOf(spark, cfg)
+    VectorFunctions.registerSql(spark)
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions.cosineSimilarity
 
 /** §2.4 similarity search over `embeddings.embedding` (64-d float vectors).
   *
@@ -43,9 +44,7 @@ object SimilarityQueries {
         val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val scored = broadcast(q).crossJoin(c)
           .filter(col("qid") =!= col("cid"))
-          .withColumn("sim",
-            expr(dotExpr("qv", "cv")) /
-              (sqrt(expr(dotExpr("qv", "qv"))) * sqrt(expr(dotExpr("cv", "cv")))))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
         scored.withColumn("rk", row_number().over(w))
@@ -76,9 +75,7 @@ object SimilarityQueries {
         val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("av"))
         val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))
-          .withColumn("sim",
-            expr(dotExpr("av", "bv")) /
-              (sqrt(expr(dotExpr("av", "av"))) * sqrt(expr(dotExpr("bv", "bv")))))
+          .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
           .filter(col("sim") >= 0.35)
           .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
           .orderBy("a_id", "b_id")
@@ -103,8 +100,7 @@ object SimilarityQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val cents = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-        def cosTo(v1: String, v2: String) =
-          expr(dotExpr(v1, v2)) / (sqrt(expr(dotExpr(v1, v1))) * sqrt(expr(dotExpr(v2, v2))))
+        def cosTo(v1: String, v2: String) = cosineSimilarity(col(v1), col(v2))
         // inverted lists: each vector → nearest centroid
         val wAssign = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cid")).orderBy(col("csim").desc, col("cent_id"))

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.BucketPriorityConfig
+import graft.functions.VectorFunctions.cosineSimilarity
+
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f))
+  ).toDF("id", "a", "b")
+
+  test("cosine_similarity matches the HOF left-fold formulation bit-exactly") {
+    val hofDot =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    def hofNorm(c: String) =
+      s"sqrt(aggregate(zip_with($c, $c, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    val rows = vecs.select(
+      col("id"),
+      cosineSimilarity(col("a"), col("b")).as("fused"),
+      (expr(hofDot) / (expr(hofNorm("a")) * expr(hofNorm("b")))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: fused=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 1.0)
+    assert(rows.find(_.getLong(0) == 2L).get.getDouble(1) == 0.0)
+  }
+
+  test("null inputs propagate null") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(cosineSimilarity(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration: cosine_similarity and bucket_of usable from spark.sql") {
+    val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30)).toOption.get
+    BucketSqlFunctions.registerAll(spark, cfg)
+    vecs.createOrReplaceTempView("vecs_sql_test")
+    val sim = spark.sql(
+      "SELECT cosine_similarity(a, b) AS s FROM vecs_sql_test WHERE id = 1")
+      .as[Double].collect()(0)
+    assert(sim == 1.0)
+    val b = spark.sql("SELECT bucket_of('Platinum-001') AS b").collect()(0).getString(0)
+    assert(b == "Platinum")
+    val none = spark.sql("SELECT bucket_of('Silver-001') AS b").collect()(0)
+    assert(none.isNullAt(0))
+  }
+}
