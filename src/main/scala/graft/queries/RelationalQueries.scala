@@ -391,6 +391,69 @@ object RelationalQueries {
           | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
           |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
 
+    // ---- session windows (batch twin of §2.3; DuckDB oracle is the
+    // classic gaps-and-islands formulation) -------------------------------
+    "q_session_window" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("sw.start").as("s_start"), col("sw.end").as("s_end"), col("n"))
+          .orderBy("user_id", "s_start")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |o AS (SELECT user_id, ts,
+          |        CASE WHEN LAG(ts) OVER w IS NULL
+          |               OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          |        -- >= : Spark merges half-open [t, t+gap) intervals, so a
+          |        -- gap of exactly 30 minutes starts a NEW session
+          |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sess AS (SELECT user_id, ts,
+          |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM o)
+          |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, s_start""".stripMargin)),
+
+    // ---- sliding windows: every event lands in length/slide windows -----
+    "q_sliding_window" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+          .orderBy("w_start", "event_type")
+      },
+      oracle = Some(
+        """WITH starts AS (
+          |  SELECT event_type, time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start FROM events
+          |  UNION ALL
+          |  SELECT event_type, time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '6 hours' FROM events)
+          |SELECT w_start, event_type, COUNT(*) AS n
+          |FROM starts GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // ---- JSON as a first-class map column -------------------------------
+    "q_json_map" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events").filter(col("event_id") < 1000)
+          .select(
+            col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType)).as("m"))
+          .select(
+            col("event_id"),
+            array_join(map_keys(col("m")), ",").as("keys"),
+            element_at(col("m"), "k").as("k_value"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       regexp_extract(props, '"(\w+)":', 1) AS keys,
+          |       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_value
+          |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
+
     // ---- null semantics: nullif/coalesce/CASE ---------------------------
     "q_null_handling" -> Q(
       fn = (s, dir) => {

@@ -292,6 +292,74 @@ object TextQueries {
            |         / len(list_distinct(a.shingles || b.shingles)) >= 0.2
            |ORDER BY a.source, a_id, b_id""".stripMargin)),
 
+    // ---- heuristic language ID: stopword-list scoring -------------------
+    // (honest n-gram/stopword operator; this synthetic corpus shares one
+    // vocabulary across langs, so predictions degenerate to the tie-break —
+    // the operator and its oracle are exact regardless)
+    "lang_id" -> Q(
+      fn = (s, dir) => {
+        val lists = Seq(
+          "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+          "de" -> Seq("der", "die", "das", "und", "nicht"),
+          "es" -> Seq("el", "la", "los", "de", "y", "que"),
+          "fr" -> Seq("le", "la", "les", "et", "des", "une"))
+        val withScores = lists.foldLeft(
+          Tables.load(s, dir, "documents").withColumn("toks", split(col("text"), " "))) {
+          case (df, (lang, words)) =>
+            df.withColumn(s"n_$lang",
+              expr(s"size(filter(toks, t -> t IN (${sqList(words)})))"))
+        }
+        withScores.select(
+            col("doc_id"),
+            when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") && col("n_en") >= col("n_fr"), "en")
+              .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr"), "de")
+              .when(col("n_es") >= col("n_fr"), "es")
+              .otherwise("fr").as("predicted"),
+            greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")).as("score"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val lists = Seq(
+          "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+          "de" -> Seq("der", "die", "das", "und", "nicht"),
+          "es" -> Seq("el", "la", "los", "de", "y", "que"),
+          "fr" -> Seq("le", "la", "les", "et", "des", "une"))
+        val scoreCols = lists.map { case (l, ws) =>
+          s"len(list_filter(toks, t -> t IN (${sqList(ws)}))) AS n_$l"
+        }.mkString(",\n       ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sc AS (SELECT doc_id,
+           |       $scoreCols
+           |FROM t)
+           |SELECT doc_id,
+           |       CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+           |            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+           |            WHEN n_es >= n_fr THEN 'es'
+           |            ELSE 'fr' END AS predicted,
+           |       CAST(greatest(n_en, n_de, n_es, n_fr) AS INTEGER) AS score
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- multimodal decode via mapPartitions (stubbed codec) ------------
+    "multimodal_decode" -> Q(
+      fn = (s, dir) => {
+        graft.functions.MultimodalFunctions
+          .decodeFeatures(Tables.load(s, dir, "documents"))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents)
+          |SELECT doc_id,
+          |       CAST(nb AS INTEGER) AS n_bytes,
+          |       CAST(nb % 640 AS INTEGER) AS fake_width,
+          |       CAST(nb % 480 AS INTEGER) AS fake_height,
+          |       3 AS channels,
+          |       list_reduce(list_transform(range(1, least(length(text), 64) + 1),
+          |                                  i -> ascii(substring(text, i, 1))),
+          |                   (a, b) -> a + b) / 64.0 / 255.0 AS sharpness
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ------
     // The "decode" is a deterministic stub (no media libs in this container):
     // metadata is derived purely from the bytes, identically on both engines.

@@ -108,6 +108,21 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(out("signup").totalEvents == 1)
   }
 
+  test("stream-static join: stream enriched with a static dimension") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    in.addData((1L, "purchase"), (2L, "view"), (3L, "error"))
+    val joined = in.toDF().toDF("user_id", "event_type")
+      .join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_out").orderBy("user_id")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+  }
+
   test("FAIR pool xml: one pool per bucket, weight = allocation") {
     val xml = PriorityPools.allocationFileXml(cfg)
     assert(xml.contains("<pool name=\"purchase\">"))
