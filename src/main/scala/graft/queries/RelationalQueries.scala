@@ -102,6 +102,72 @@ object RelationalQueries {
           |  ON n_nationkey = c_nationkey
           |ORDER BY n_name""".stripMargin)),
 
+    // ---- right outer join ------------------------------------------------
+    "q_right_outer" -> Q(
+      fn = (s, dir) => {
+        val big = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        val c = Tables.load(s, dir, "customer")
+        big.join(c, col("o_custkey") === col("c_custkey"), "right")
+          .groupBy("c_mktsegment")
+          .agg(count(col("o_orderkey")).as("n_big_orders"), count(lit(1)).as("n_rows"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some(
+        """SELECT c_mktsegment, COUNT(o_orderkey) AS n_big_orders, COUNT(*) AS n_rows
+          |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+          |RIGHT JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- full outer join -------------------------------------------------
+    "q_full_outer" -> Q(
+      fn = (s, dir) => {
+        val cn = Tables.load(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val sn = Tables.load(s, dir, "supplier")
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      oracle = Some(
+        """WITH cn AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+          |     sn AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+          |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+          |       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+          |FROM cn FULL JOIN sn ON c_nationkey = s_nationkey
+          |ORDER BY nationkey""".stripMargin)),
+
+    // ---- math scalar functions ------------------------------------------
+    // (no libm-dependent fns: ln/exp rounding differs across engines;
+    // abs/floor/ceil/%/sign/sqrt/round on binary doubles are IEEE-exact)
+    "q_math_funcs" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            abs(col("c_acctbal")).as("abs_bal"),
+            floor(col("c_acctbal")).as("floor_bal"),
+            ceil(col("c_acctbal")).as("ceil_bal"),
+            (col("c_custkey") % 7).as("mod7"),
+            signum(col("c_acctbal")).as("sign_bal"),
+            sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+            round(col("c_acctbal"), 1).as("round1"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey,
+          |       abs(c_acctbal) AS abs_bal,
+          |       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+          |       CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+          |       c_custkey % 7 AS mod7,
+          |       CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
+          |       sqrt(abs(c_acctbal)) AS sqrt_bal,
+          |       round(c_acctbal, 1) AS round1
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // ---- cross join ------------------------------------------------------
     "q_cross_join" -> Q(
       fn = (s, dir) => {

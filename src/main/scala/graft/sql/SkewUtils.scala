@@ -1,0 +1,53 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (the 100 TB story: a handful of buckets or
+  * users carrying most of the traffic would pin single reducers).
+  *
+  * Spark's AQE skew-join handles sort-merge skew automatically when stats
+  * reveal it; these utilities cover the cases AQE can't: replicated
+  * broadcast-free joins against a *known-small* right side with a skewed
+  * key, and pre-aggregation under a skewed group key.
+  */
+object SkewUtils {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Salted equi-join: left rows are scattered over `salts` sub-keys (any
+    * assignment works — correctness is invariant), the right side is
+    * replicated once per salt, and the join key becomes (key, salt), so a
+    * hot key's rows spread over `salts` reducers instead of one.
+    * Result == plain inner join on `key`. Right side should be small
+    * (replication factor = salts). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedLeft = left.withColumn(SaltCol,
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val replicatedRight = right.withColumn(SaltCol,
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedLeft.join(replicatedRight, Seq(key, SaltCol)).drop(SaltCol)
+  }
+
+  /** Two-phase aggregation under a skewed group key: phase 1 aggregates on
+    * (key, salt) — spreading a hot key over `salts` partial groups — and
+    * phase 2 combines the partials per key. `partial` and `merge` must form
+    * a semigroup (sum/sum, count/sum, min/min, max/max...). */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      salts: Int,
+      partial: Column => Column,
+      merge: Column => Column,
+      valueCol: String,
+      resultName: String
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn(SaltCol, pmod(hash(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col(SaltCol))
+      .agg(partial(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(merge(col("__partial")).as(resultName))
+  }
+}

@@ -108,6 +108,46 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(out("signup").totalEvents == 1)
   }
 
+  test("foreachBatch: routing applied per micro-batch (the Kafka-sink deployment shape)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    in.addData((1 to 10).map(i => (s"purchase-$i", i.toLong)): _*)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val q = in.toDF().toDF("key", "event_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val routed = routeStream(batch, cfg, 10, col("key"))
+        val kafkaFrame = toKafkaFrame(routed, col("key"), col("event_id").cast("string"))
+        // stand-in for kafkaFrame.write.format("kafka"): collect (no broker here)
+        collected ++= routed.select("bucket", "pt").collect()
+          .map(r => (r.getString(0), r.getInt(1)))
+        assert(kafkaFrame.columns.toSeq == Seq("key", "value", "partition"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(collected.size == 10)
+    assert(collected.forall { case (b, p) => b == "purchase" && p >= 0 && p <= 6 })
+  }
+
+  test("rate source drives the routing pipeline (bench/load shape)") {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "5000").load()
+    val keyed = rate.withColumn("key",
+      concat(when(col("value") % 2 === 0, "purchase").otherwise("signup"),
+        lit("-"), col("value")))
+    val routed = routeStream(keyed, cfg, 10, col("key"))
+    val q = routed.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.table("rate_out").isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250); q.processAllAvailable()
+    }
+    q.stop()
+    val out = spark.table("rate_out")
+    assert(out.count() > 0, "rate source produced no rows within 15s")
+    assert(out.filter($"bucket" === "purchase").select("pt").as[Int].collect().forall(p => p >= 0 && p <= 6))
+  }
+
   test("stream-static join: stream enriched with a static dimension") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, String)]
