@@ -16,17 +16,25 @@ import graft.streaming.PriorityStreams
 object PriorityPipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    val cfg = BucketPriorityConfig("events",
+      Seq("purchase", "signup", "error", "click"), Seq(40, 30, 20, 10)).toOption.get
+
+    // FAIR scheduling is a context-creation-time choice: write the per-bucket
+    // allocation file BEFORE building the session (§2.1 assign → pools)
+    val poolFile = PriorityStreams.PriorityPools.writeAllocationFile(
+      cfg, System.getProperty("java.io.tmpdir"))
+
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("priority-pipeline-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", poolFile.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val cfg = BucketPriorityConfig("events",
-      Seq("purchase", "signup", "error", "click"), Seq(40, 30, 20, 10)).toOption.get
 
     // ---- batch: deterministic routing + discard + accounting ----
     val ev = Tables.load(spark, sfDir, "events")
@@ -77,11 +85,17 @@ object PriorityPipelineDemo {
     PriorityStreams.backlogTracker(bucketEvents).orderBy("bucket").show()
 
     // ---- FAIR pools: the execution-time priority mapping ----
-    println("== FAIR scheduler pools (weight = allocation) ==")
-    println(PriorityStreams.PriorityPools.allocationFileXml(cfg))
+    println("== FAIR scheduler pools (weight = allocation), live on this context ==")
     cfg.buckets.foreach { b =>
-      println(s"$b assign json: " + PriorityStreams.PriorityPools.assignJson(cfg, 10, b))
+      // run one job inside each bucket's pool; report the live pool weight
+      PriorityStreams.PriorityPools.inBucketPool(spark, b) {
+        BucketRouting.discard(routed).filter(col("bucket") === b).count()
+      }
+      val pool = spark.sparkContext.getPoolForName(b)
+      println(s"pool=$b weight=${pool.map(_.weight).getOrElse(-1)} " +
+        s"assign=${PriorityStreams.PriorityPools.assignJson(cfg, 10, b)}")
     }
+    println(s"scheduling mode: ${spark.sparkContext.getSchedulingMode}")
     spark.stop()
   }
 }

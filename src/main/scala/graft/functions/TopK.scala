@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k accumulator (SURVEY §2.5's `TypedImperativeAggregate` escape
+  * hatch, realized as the public `Aggregator` API): keeps the k best
+  * (score desc, id asc) pairs per group in a bounded buffer, so a grouped
+  * top-k needs no full sort and no row_number window — the buffer IS the
+  * map-side partial aggregate, and merge is a k-way bounded merge.
+  *
+  * At 100 TB this is the difference between shuffling every scored pair to
+  * sort it, and shuffling at most k rows per group per map task.
+  */
+object TopK {
+
+  final case class Scored(cid: Long, sim: Double)
+
+  final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def best(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortBy(s => (-s.sim, s.cid)).take(k)
+
+    override def zero: Seq[Scored] = Seq.empty
+    override def reduce(buf: Seq[Scored], item: Scored): Seq[Scored] =
+      if (buf.size < k) best(buf :+ item)
+      else {
+        val worst = buf.last // buf kept sorted best-first
+        if (item.sim > worst.sim || (item.sim == worst.sim && item.cid < worst.cid))
+          best(buf :+ item)
+        else buf
+      }
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = best(a ++ b)
+    override def finish(buf: Seq[Scored]): Seq[Scored] = best(buf)
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** DataFrame-facing UDAF: `topK(10)(col("cid"), col("sim"))` → array<struct>. */
+  def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k), Encoders.product[Scored])
+}

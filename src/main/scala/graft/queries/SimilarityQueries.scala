@@ -66,6 +66,38 @@ object SimilarityQueries {
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
       headline = true),
 
+    // ---- same top-k via the typed bounded-buffer aggregator --------------
+    // (identical output contract and oracle as similarity_topk: two engine
+    // paths — window row_number vs typed Aggregator — one ground truth)
+    "similarity_topk_agg" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+        scored.groupBy("qid")
+          .agg(graft.functions.TopK.topK(TopK)(col("cid"), col("sim")).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), col("col.cid").as("cid"),
+            round(col("col.sim"), 6).as("sim"), (col("pos") + 1).cast("int").as("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT qid, cid,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
+           |  FROM q CROSS JOIN c WHERE qid != cid),
+           |ranked AS (
+           |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM scored)
+           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
+
     // ---- embedding-cosine near-duplicate pairs --------------------------
     // (corpus embeddings are near-orthogonal random vectors — max pairwise
     // cosine ≈ 0.44 — so the threshold is 0.35 to exercise non-empty output)
