@@ -124,6 +124,21 @@ object Queries {
            |       COUNT(*) AS n
            |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)),
 
+    // Same bucket distribution through the SQL entry point: registered
+    // bucket_of function + spark.sql (§2.5 / §3 lifecycle EP1-as-SQL).
+    "bucket_of_sql" -> Q(
+      fn = (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        graft.functions.BucketSqlFunctions.registerBucketOf(s, evenCfg)
+        s.sql(
+          """SELECT bucket_of(concat(event_type, '-', event_id)) AS bucket, COUNT(*) AS n
+            |FROM events GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin)
+      },
+      oracle = Some(
+        s"""SELECT CASE WHEN event_type IN (${inList(evenCfg.buckets)}) THEN event_type END AS bucket,
+           |       COUNT(*) AS n
+           |FROM events GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
+
     // Discarded-traffic accounting: how many messages does the over-allocated
     // config silently drop, per event_type (DiscardPartitioner intent).
     "bucket_discarded" -> Q(

@@ -190,15 +190,17 @@ object TextQueries {
           .withColumn("shingles", expr(shinglesExpr))
           .select("doc_id", "shingles")
           .cache()
-        // signatures via explode + min-agg: the md5s run inside whole-stage
-        // codegen instead of interpreted higher-order lambdas, and the
-        // shuffle is by doc_id (uniform). Values are identical to
-        // array_min(transform(...)) — min over the same md5 strings.
+        // signatures via explode + min-agg, with ONE md5 per shingle: the 8
+        // "independent" hash functions are disjoint 4-hex-char slices of the
+        // 32-char digest (16-bit minhashes). Plenty for banding — false
+        // band collisions are killed by the exact-Jaccard verify — at 1/8th
+        // the hashing cost, and the md5 runs inside whole-stage codegen.
         val exS = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("h"))
         val withSig = exS.groupBy("doc_id").agg(
-          min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
+          min(substring(col("h"), 1, 4)).as("sig0"),
           (1 until NumHashes).map(k =>
-            min(md5(concat(lit(s"$k:"), col("sh")))).as(s"sig$k")): _*)
+            min(substring(col("h"), 4 * k + 1, 4)).as(s"sig$k")): _*)
         // all band keys in ONE pass over the signatures (a unionAll of 4
         // selects would recompute the signature aggregation 4 times)
         val bands = withSig.select(col("doc_id"),
@@ -221,7 +223,7 @@ object TextQueries {
       },
       oracle = Some {
         val sigs = (0 until NumHashes).map(k =>
-          s"list_min(list_transform(shingles, s -> md5('$k:' || s))) AS sig$k").mkString(",\n       ")
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
         val bandSelects = (0 until NumHashes / BandSize).map(b =>
           s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
           .mkString("\n  UNION ALL\n  ")
