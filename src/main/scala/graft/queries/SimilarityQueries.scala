@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -121,6 +122,61 @@ object SimilarityQueries {
            |WHERE ${duckDot("a.embedding", "b.embedding")}
            |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.35
            |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- random-hyperplane LSH ANN ---------------------------------------
+    // 8 signed projections → 8-bit signature → candidates share the exact
+    // signature bucket → exact cosine inside the bucket. The hyperplanes are
+    // "random" but derived deterministically from md5 so Scala and DuckDB
+    // construct the identical planes (component ji = +1 iff first hex char
+    // of md5("j:i") >= '8').
+    "lsh_topk" -> Q(
+      fn = (s, dir) => {
+        def planeLit(j: Int) = typedlit((0 until 64).map { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          if (hex.charAt(0) >= '8') 1.0f else -1.0f
+        })
+        def sigOf(embCol: Column): Column = concat((0 until 8).map { j =>
+          val dot = aggregate(
+            zip_with(embCol, planeLit(j), (x, p) => x.cast("double") * p.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+          when(dot > 0, "1").otherwise("0")
+        }: _*)
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), sigOf(col("embedding")).as("sig"))
+          .cache()
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("sig"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        broadcast(q).join(c, Seq("sig"))
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some {
+        val sigSql = (0 until 8).map { j =>
+          s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+             |  i -> CAST(embedding[i] AS DOUBLE) *
+             |       (CASE WHEN substring(md5('$j' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
+             |             THEN 1.0 ELSE -1.0 END)),
+             |  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
+        }.mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS qv, sig FROM e WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv, sig FROM e),
+           |scored AS (
+           |  SELECT qid, cid,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
+           |  FROM q JOIN c USING (sig) WHERE qid != cid),
+           |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
+           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+      }),
 
     // ---- IVF-bucketed ANN: coarse quantize → probe best lists ------------
     // Deterministic IVF: centroids are the first 16 vectors; every vector is

@@ -28,6 +28,41 @@ object TextQueries {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches Jaccard ≳ 0.5 reliably
 
+  /** 32-bit SimHash per doc over its distinct 3-token shingles: per shingle
+    * md5; bit i = majority vote of hex-char i's top nibble bit (char ∈
+    * '89abcdef' ⟺ >= '8' bytewise). Shingles — not single tokens — because
+    * this corpus shares one small vocabulary: token-level fingerprints are
+    * correlated across unrelated docs and banding degenerates toward
+    * all-pairs; shingles are distinctive, so unrelated docs sit ~16 bits
+    * apart and only true near-dups fall inside the hamming threshold. */
+  private def simhashDF(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.Tables.load(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shinglesExpr))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", md5(col("sh")))
+      .select(col("doc_id") +: (1 to 32).map(i =>
+        when(expr(s"substring(h, $i, 1) >= '8'"), 1).otherwise(-1).as(s"b$i")): _*)
+      .groupBy("doc_id")
+      .agg(sum(col("b1")).as("s1"),
+        (2 to 32).map(i => sum(col(s"b$i")).as(s"s$i")): _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(i => when(col(s"s$i") > 0, "1").otherwise("0")): _*)
+          .as("simhash"))
+  }
+
+  /** DuckDB CTE computing the same 32-bit fingerprints as [[simhashDF]]. */
+  private val simhashSqlCte: String = {
+    val bits = (1 to 32).map(i =>
+      s"CASE WHEN SUM(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shs AS (SELECT doc_id, UNNEST($shinglesSqlDuck) AS sh FROM t WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, md5(sh) AS h FROM shs),
+       |fp AS (SELECT doc_id, $bits AS simhash FROM h GROUP BY doc_id)""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- exact dedup: survivor per normalized-text hash ------------------
@@ -142,37 +177,58 @@ object TextQueries {
           |       list_min(list_transform(range(len(toks) - 4), i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS fingerprint
           |FROM t WHERE len(toks) >= 5 ORDER BY doc_id""".stripMargin)),
 
-    // ---- SimHash-style 16-hex fingerprint --------------------------------
-    // Per token: md5; per hex position 1..16: majority vote over tokens of
-    // (nibble bit 3). Gives a 16-bit locality-sensitive signature computed
-    // identically on both engines (full 64-bit version is the same plumbing
-    // × 4 bits; 16 bits keeps the oracle tractable).
+    // ---- SimHash 32-bit fingerprint --------------------------------------
     "simhash_fingerprint" -> Q(
+      fn = (s, dir) => simhashDF(s, dir).orderBy("doc_id"),
+      oracle = Some(
+        s"""$simhashSqlCte
+           |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin)),
+
+    // ---- SimHash near-dup pairs via banded hamming search ---------------
+    // 4 bands of 8 bits: a pair at hamming distance ≤ 3 differs in at most
+    // 3 bands, so it shares ≥ 1 exact band — the band equi-join is LOSSLESS
+    // for the d ≤ 3 threshold (no all-pairs scan).
+    "simhash_pairs" -> Q(
       fn = (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-        d.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .withColumn("h", md5(col("tok")))
-          // nibble bit 3 set ⟺ hex char ∈ '89abcdef' ⟺ char >= '8' bytewise
-          .select(col("doc_id") +: (1 to 16).map(i =>
-            when(expr(s"substring(h, $i, 1) >= '8'"), 1)
-              .otherwise(-1).as(s"b$i")): _*)
-          .groupBy("doc_id")
-          .agg(sum(col("b1")).as("s1"),
-            (2 to 16).map(i => sum(col(s"b$i")).as(s"s$i")): _*)
-          .select(col("doc_id"),
-            concat((1 to 16).map(i => when(col(s"s$i") > 0, "1").otherwise("0")): _*)
-              .as("simhash"))
-          .orderBy("doc_id")
+        val fp = simhashDF(s, dir).cache()
+        val bands = fp.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), substring(col("simhash"), 8 * b + 1, 8).as("bv"))): _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+        val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val hamming = (1 to 32).map(i =>
+          when(expr(s"substring(fa, $i, 1) != substring(fb, $i, 1)"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(fp.select(col("doc_id").as("a_id"), col("simhash").as("fa")), Seq("a_id"))
+          .join(fp.select(col("doc_id").as("b_id"), col("simhash").as("fb")), Seq("b_id"))
+          .withColumn("hamming", hamming)
+          .filter(col("hamming") <= 3)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
       },
       oracle = Some {
-        val bits = (1 to 16).map(i =>
-          s"CASE WHEN SUM(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
-          .mkString(" || ")
-        s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-           |h AS (SELECT doc_id, md5(tok) AS h FROM tok)
-           |SELECT doc_id, $bits AS simhash
-           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        val hammingSql = (1 to 32).map(i =>
+          s"CASE WHEN substring(a.simhash, $i, 1) != substring(b.simhash, $i, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, substring(simhash, ${8 * b + 1}, 8) AS bv FROM fp")
+          .mkString("\n  UNION ALL\n  ")
+        s"""$simhashSqlCte,
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+           |)
+           |SELECT a_id, b_id, CAST($hammingSql AS INTEGER) AS hamming
+           |FROM cand JOIN fp a ON a.doc_id = a_id JOIN fp b ON b.doc_id = b_id
+           |WHERE $hammingSql <= 3
+           |ORDER BY a_id, b_id""".stripMargin
       }),
 
     // ---- MinHash + LSH near-duplicate pairs ------------------------------
