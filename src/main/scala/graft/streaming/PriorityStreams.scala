@@ -136,6 +136,51 @@ object PriorityStreams {
       }
   }
 
+  /** Same tracker on Spark 4's `transformWithState` API — the successor to
+    * flatMapGroupsWithState, with named state variables, TTL, and timers.
+    * State here is one `ValueState[BucketBacklog]` per bucket. */
+  final class BacklogProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BucketEvent, BucketBacklog] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[BucketBacklog] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BucketBacklog](
+        "backlog", org.apache.spark.sql.Encoders.product[BucketBacklog], TTLConfig.NONE)
+
+    override def handleInputRows(
+        bucket: String,
+        rows: Iterator[BucketEvent],
+        timerValues: TimerValues): Iterator[BucketBacklog] = {
+      val prev =
+        if (state.exists()) state.get()
+        else BucketBacklog(bucket, 0L, Long.MinValue, 0L)
+      var total = prev.totalEvents
+      var lastTs = prev.lastEventTsMicros
+      var maxGap = prev.maxGapMicros
+      rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+        if (lastTs != Long.MinValue && e.tsMicros - lastTs > maxGap)
+          maxGap = e.tsMicros - lastTs
+        lastTs = math.max(lastTs, e.tsMicros)
+        total += 1
+      }
+      val next = BucketBacklog(bucket, total, lastTs, maxGap)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** [[backlogTracker]] on the transformWithState runtime. */
+  def backlogTrackerTws(events: Dataset[BucketEvent]): Dataset[BucketBacklog] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new BacklogProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

@@ -163,6 +163,34 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(out == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
   }
 
+  test("transformWithState backlog tracker agrees with flatMapGroupsWithState (streaming)") {
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      BucketEvent("purchase", 1, 1000L),
+      BucketEvent("purchase", 2, 5000L),
+      BucketEvent("purchase", 3, 6000L),
+      BucketEvent("signup", 4, 100L))
+    val in = MemoryStream[BucketEvent]
+    in.addData(events: _*)
+    // transformWithState needs a multi-column-family store: RocksDB
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = backlogTrackerTws(in.toDS()).writeStream
+      .format("memory").queryName("tws_out").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val tws = spark.table("tws_out").as[BucketBacklog]
+      .collect().map(b => b.bucket -> b).toMap
+    val fmgs = backlogTracker(events.toDS()).collect().map(b => b.bucket -> b).toMap
+    assert(tws == fmgs)
+    assert(tws("purchase").maxGapMicros == 4000L)
+  }
+
   test("FAIR pool xml: one pool per bucket, weight = allocation") {
     val xml = PriorityPools.allocationFileXml(cfg)
     assert(xml.contains("<pool name=\"purchase\">"))
