@@ -520,6 +520,65 @@ object RelationalQueries {
           |       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_value
           |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
 
+    // ---- bitwise operators ----------------------------------------------
+    "q_bitwise" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events").filter(col("event_id") < 500)
+          .select(
+            col("event_id"),
+            col("event_id").bitwiseAND(255).as("b_and"),
+            col("event_id").bitwiseOR(1024).as("b_or"),
+            col("event_id").bitwiseXOR(255).as("b_xor"),
+            shiftleft(col("event_id"), 2).as("b_shl"),
+            shiftright(col("event_id"), 1).as("b_shr"),
+            bit_count(col("event_id")).as("b_pop"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       event_id & 255 AS b_and,
+          |       event_id | 1024 AS b_or,
+          |       xor(event_id, 255) AS b_xor,
+          |       event_id << 2 AS b_shl,
+          |       event_id >> 1 AS b_shr,
+          |       CAST(bit_count(event_id) AS INTEGER) AS b_pop
+          |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
+    // ---- ordered string aggregation -------------------------------------
+    "q_listagg" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some(
+        """SELECT o_orderstatus,
+          |       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+          |       COUNT(*) AS n
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- value-based RANGE window frame (1h trailing sum per user) ------
+    "q_range_frame" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.load(s, dir, "events").filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), dec("value").as("v"))
+          .withColumn("trailing_1h", sum(col("v")).over(w).cast("double"))
+          .select("user_id", "event_id", "trailing_1h")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (
+          |         PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+          |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+          |FROM events WHERE user_id < 10
+          |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- null semantics: nullif/coalesce/CASE ---------------------------
     "q_null_handling" -> Q(
       fn = (s, dir) => {

@@ -72,6 +72,21 @@ class BucketRoutingSpec extends SparkTestBase {
     assert(got == Seq("Platinum", "Gold"))
   }
 
+  test("routed write: repartition by pt + partitionBy lands each routed partition in its own dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-routed").toString
+    val routed = BucketRouting.discard(
+      BucketRouting.route(msgs(32, "B1", "B2"), c8020, 10, col("key"), col("seq")))
+    // the file-sink analogue of "the Kafka sink honors the partition column"
+    routed.repartition(10, col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(tmp)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("pt=")).sorted
+    assert(dirs.toSeq == (0 to 9).map(p => s"pt=$p"))
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 64)
+    assert(back.filter(col("pt") >= 8).count() == 32) // B2's share
+  }
+
   test("routeUniform keeps <=1 skew per partition within each bucket") {
     val routed = BucketRouting.routeUniform(msgs(32, "B1", "B2"), c8020, 10, col("key"))
     val counts = routed.groupBy("bucket", "pt").count()
