@@ -357,7 +357,8 @@ object RelationalQueries {
             length(col("p_name")).as("name_len"),
             regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
             regexp_replace(col("p_type"), "[AEIOU]", "_").as("devoweled"),
-            concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+            concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+            col("p_name").like("%ar%").as("has_ar"))
           .orderBy("p_partkey")
       },
       oracle = Some(
@@ -365,7 +366,8 @@ object RelationalQueries {
           |       CAST(length(p_name) AS INTEGER) AS name_len,
           |       regexp_extract(p_type, '^(\w+)', 1) AS first_word,
           |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
-          |       p_brand || '|' || p_type AS joined
+          |       p_brand || '|' || p_type AS joined,
+          |       p_name LIKE '%ar%' AS has_ar
           |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
 
     // ---- date/time functions --------------------------------------------
@@ -505,19 +507,22 @@ object RelationalQueries {
         Tables.load(s, dir, "events").filter(col("event_id") < 1000)
           .select(
             col("event_id"),
+            col("props"),
             from_json(col("props"), org.apache.spark.sql.types.MapType(
               org.apache.spark.sql.types.StringType,
               org.apache.spark.sql.types.IntegerType)).as("m"))
           .select(
             col("event_id"),
             array_join(map_keys(col("m")), ",").as("keys"),
-            element_at(col("m"), "k").as("k_value"))
+            element_at(col("m"), "k").as("k_value"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_via_path"))
           .orderBy("event_id")
       },
       oracle = Some(
         """SELECT event_id,
           |       regexp_extract(props, '"(\w+)":', 1) AS keys,
-          |       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_value
+          |       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_value,
+          |       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_via_path
           |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
 
     // ---- bitwise operators ----------------------------------------------

@@ -199,9 +199,10 @@ object TextQueries {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        val hamming = (1 to 32).map(i =>
-          when(expr(s"substring(fa, $i, 1) != substring(fb, $i, 1)"), 1).otherwise(0))
-          .reduce(_ + _)
+        // hamming = popcount(xor) on the bit-packed signatures — one codegen'd
+        // op instead of 32 substring comparisons per candidate pair
+        val hamming = expr(
+          "CAST(bit_count(CAST(conv(fa, 2, 10) AS BIGINT) ^ CAST(conv(fb, 2, 10) AS BIGINT)) AS INT)")
         cand
           .join(fp.select(col("doc_id").as("a_id"), col("simhash").as("fa")), Seq("a_id"))
           .join(fp.select(col("doc_id").as("b_id"), col("simhash").as("fb")), Seq("b_id"))

@@ -70,6 +70,23 @@ class PriorityStreamsSpec extends SparkTestBase {
       .select("n").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("update mode: windowed agg re-emits growing counts per batch") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val agg = bucketWindowAgg(
+      in.toDF().toDF("key", "ts", "value"), cfg, col("key"), "ts",
+      windowDur = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("upd_out")
+      .outputMode("update").start()
+    in.addData(("purchase-1", ts("2024-01-01 00:01:00"), 1.0))
+    q.processAllAvailable()
+    in.addData(("purchase-2", ts("2024-01-01 00:02:00"), 2.0))
+    q.processAllAvailable(); q.stop()
+    // update mode emits the window's row once per batch it changed in: n=1 then n=2
+    val ns = spark.table("upd_out").select("n").as[Long].collect().sorted.toSeq
+    assert(ns == Seq(1L, 2L))
+  }
+
   test("session windows: 2 sessions for a user with a >gap pause") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00")),
