@@ -525,6 +525,91 @@ object RelationalQueries {
           |       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_via_path
           |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
 
+    // ---- as-of join ------------------------------------------------------
+    // For each purchase: the most recent prior-or-same-instant view by the
+    // same user. Spark composes it from a tagged union + last(ignoreNulls)
+    // over an ordered window (no custom plan needed — SURVEY preference (a));
+    // the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so two entirely
+    // different formulations must agree.
+    "q_asof_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        // right side deduped to one row per (user, ts) for determinism
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val tagged = views.select(col("user_id"), col("ts"),
+            col("view_id"), unix_micros(col("ts")).as("view_us"),
+            lit(null).cast("bigint").as("purchase_id"), lit(0).as("kind"))
+          .unionByName(purchases.select(col("user_id"), col("ts"),
+            lit(null).cast("bigint").as("view_id"), lit(null).cast("bigint").as("view_us"),
+            col("event_id").as("purchase_id"), lit(1).as("kind")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind")) // view sorts before purchase at equal ts
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("asof_view", last(col("view_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(
+            col("purchase_id").as("event_id"), col("user_id"),
+            col("asof_view").as("view_id"),
+            (unix_micros(col("ts")) - col("asof_view_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, MAX(event_id) AS view_id
+          |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id, v.view_id,
+          |       epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
+          |FROM p ASOF LEFT JOIN v
+          |  ON p.user_id = v.user_id AND p.pts >= v.vts
+          |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- pivot -----------------------------------------------------------
+    "q_pivot" -> Q(
+      fn = (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .count()
+        types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """SELECT user_id,
+          |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- unpivot / melt --------------------------------------------------
+    "q_unpivot" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "measure", "val")
+          .orderBy("l_orderkey", "l_linenumber", "measure")
+      },
+      oracle = Some(
+        """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+          |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM li
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM li
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+          |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
     // ---- bitwise operators ----------------------------------------------
     "q_bitwise" -> Q(
       fn = (s, dir) => {
