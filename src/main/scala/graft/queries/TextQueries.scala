@@ -419,6 +419,53 @@ object TextQueries {
           |                   (a, b) -> a + b) / 64.0 / 255.0 AS sharpness
           |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ---- the full curation pipeline as ONE query -------------------------
+    // documents → exact-dedup survivors → quality gate → length gate →
+    // per-source corpus stats. The end-to-end shape of a training-data
+    // pipeline, entirely declarative so Catalyst plans it as a whole
+    // (semi-join against survivors, no materialization between stages).
+    "pipeline_curation" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val survivors = docs
+          .groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        docs
+          .join(survivors, Seq("doc_id"), "left_semi")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN (${sqList(stopwords)})))"))
+          .withColumn("quality", round(
+            lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0), 6))
+          .filter(col("quality") >= 0.55 && col("n_tokens").between(20, 100))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("quality").cast("decimal(10,6)")).cast("double").as("sum_quality"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH survivors AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(LOWER(TRIM(text)))),
+           |scored AS (
+           |  SELECT d.source, len(string_split(d.text, ' ')) AS n_tokens,
+           |         round(0.4 * least(1.0, CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 50.0)
+           |             + 0.3 * (1.0 - CAST(len(list_filter(string_split(d.text, ' '), t -> t IN (${sqList(stopwords)}))) AS DOUBLE)
+           |                            / len(string_split(d.text, ' ')))
+           |             + 0.3 * least(1.0, CAST(length(d.text) AS DOUBLE) / 200.0), 6) AS quality
+           |  FROM documents d
+           |  WHERE EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = d.doc_id))
+           |SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS total_tokens,
+           |       CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
+           |FROM scored
+           |WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 100
+           |GROUP BY source ORDER BY source""".stripMargin),
+      headline = true),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ------
     // The "decode" is a deterministic stub (no media libs in this container):
     // metadata is derived purely from the bytes, identically on both engines.
