@@ -42,6 +42,11 @@ object TextQueries {
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h", md5(col("sh")))
+      // 32 when/sum columns, NOT a typed vote-counting aggregator: benched
+      // both — the declarative sums stay inside whole-stage codegen as
+      // primitive longs, while an Aggregator[String, Array[Int], String]
+      // pays object-hash aggregation + encoder round-trips per row and came
+      // out ~2x slower at sf0.1. Declarative wins; keep it.
       .select(col("doc_id") +: (1 to 32).map(i =>
         when(expr(s"substring(h, $i, 1) >= '8'"), 1).otherwise(-1).as(s"b$i")): _*)
       .groupBy("doc_id")
