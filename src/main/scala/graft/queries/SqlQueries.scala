@@ -67,6 +67,49 @@ object SqlQueries {
       """SELECT p_partkey, p_name FROM part
         |ORDER BY p_partkey LIMIT 20 OFFSET 40""".stripMargin),
 
+    // TPC-H Q3-style: shipping-priority revenue top-10
+    "q3_shipping_priority" -> sqlQ(
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin),
+
+    // TPC-H Q10-style: returned-item revenue per customer, top-20
+    "q10_returned_items" -> sqlQ(
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       n_name
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+
+    // TPC-H Q18-style: large-volume orders (HAVING-filtered IN subquery)
+    "q18_large_orders" -> sqlQ(
+      """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       SUM(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 120)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin),
+
     // CTE + UNION ALL in the common subset
     "q_cte_union" -> sqlQ(
       """WITH big AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders WHERE o_totalprice > 300000 GROUP BY 1),

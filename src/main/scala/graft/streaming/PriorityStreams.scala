@@ -224,5 +224,22 @@ object PriorityStreams {
       val parts = BucketLayout.layout(cfg, numPartitions).toMap.getOrElse(bucket, Seq.empty)
       s"""{"${cfg.topic}":[${parts.mkString(",")}]}"""
     }
+
+    /** Full reader options for one bucket's streaming query:
+      * `spark.readStream.format("kafka").options(kafkaSourceOptions(...))`.
+      * (This container ships no Kafka connector or broker, so the wiring is
+      * exercised as a pure function; on a real cluster it is the complete
+      * per-bucket consumer configuration.) */
+    def kafkaSourceOptions(
+        cfg: BucketPriorityConfig,
+        numPartitions: Int,
+        bucket: String,
+        bootstrapServers: String,
+        startingOffsets: String = "earliest"
+    ): Map[String, String] = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "assign" -> assignJson(cfg, numPartitions, bucket),
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false")
   }
 }

@@ -220,4 +220,11 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(PriorityPools.assignJson(cfg, 10, "purchase") == """{"events":[0,1,2,3,4,5,6]}""")
     assert(PriorityPools.assignJson(cfg, 10, "signup") == """{"events":[7,8,9]}""")
   }
+
+  test("per-bucket kafka reader options carry the assignment and bootstrap") {
+    val opts = PriorityPools.kafkaSourceOptions(cfg, 10, "signup", "broker1:9092,broker2:9092")
+    assert(opts("assign") == """{"events":[7,8,9]}""")
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("startingOffsets") == "earliest")
+  }
 }
