@@ -321,6 +321,54 @@ object RelationalQueries {
           |SELECT 'purchase_or_error' AS tag, COUNT(*) AS n FROM (SELECT * FROM p UNION SELECT * FROM e) t
           |ORDER BY tag""".stripMargin)),
 
+    // ---- bag semantics: INTERSECT ALL / EXCEPT ALL ----------------------
+    "q_set_ops_all" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def types(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+        // multiset intersection/difference of per-event user occurrence bags
+        val inter = types("purchase").intersectAll(types("error"))
+          .groupBy("user_id").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val exc = types("purchase").exceptAll(types("error"))
+          .groupBy("user_id").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        inter.unionAll(exc).select("op", "user_id", "n").orderBy("op", "user_id")
+      },
+      oracle = Some(
+        """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+          |     e AS (SELECT user_id FROM events WHERE event_type = 'error'),
+          |i AS (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM e),
+          |x AS (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM e)
+          |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n FROM i GROUP BY 2
+          |UNION ALL
+          |SELECT 'except_all' AS op, user_id, COUNT(*) AS n FROM x GROUP BY 2
+          |ORDER BY op, user_id""".stripMargin)),
+
+    // ---- array construction / manipulation functions --------------------
+    "q_array_funcs" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            expr("array_join(slice(sort_array(toks), 1, 3), ',')").as("first3_sorted"),
+            array_contains(col("toks"), "data").as("has_data"),
+            size(array_distinct(col("toks"))).as("n_distinct"),
+            element_at(col("toks"), -1).as("last_tok"),
+            expr("size(flatten(array(toks, toks)))").as("doubled_len"),
+            expr("size(sequence(1, size(toks)))").as("seq_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100)
+          |SELECT doc_id,
+          |       array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+          |       list_contains(toks, 'data') AS has_data,
+          |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+          |       toks[-1] AS last_tok,
+          |       CAST(len(flatten([toks, toks])) AS INTEGER) AS doubled_len,
+          |       CAST(len(range(1, len(toks) + 1)) AS INTEGER) AS seq_len
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- exact distinct -------------------------------------------------
     "q_count_distinct" -> Q(
       fn = (s, dir) => {

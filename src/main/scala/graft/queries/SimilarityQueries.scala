@@ -21,10 +21,6 @@ import graft.functions.VectorFunctions.cosineSimilarity
   */
 object SimilarityQueries {
 
-  /** Spark SQL left-fold dot product of two float arrays, in double. */
-  private def dotExpr(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-
   /** DuckDB left-fold dot product (list_reduce folds left; the first element
     * seeds the accumulator, and 0.0 + v1 == v1 exactly, so the fold matches
     * Spark's zero-seeded aggregate bit-for-bit). */
