@@ -25,7 +25,16 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view so `spark.sql` works against sfDir. */
+  // last (session, sfDir) registered — avoids re-reading 10 parquet footers
+  // on every spark.sql-based query in a Verify/Bench run
+  private val lastRegistered =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)]()
+
+  /** Register every table as a temp view so `spark.sql` works against sfDir.
+    * Idempotent and memoized per (session, sfDir). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (lastRegistered.get() != ((spark, sfDir))) {
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      lastRegistered.set((spark, sfDir))
+    }
 }
