@@ -48,6 +48,8 @@ object ConfigError {
       extends ConfigError(s"Allocation '$raw' is not an integer percentage")
   final case class BadSum(sum: Int)
       extends ConfigError(s"Bucket allocations must sum to exactly 100, got $sum")
+  final case class BadAllocation(value: Int)
+      extends ConfigError(s"Each bucket allocation must be between 1 and 100, got $value")
   final case class DuplicateBucket(name: String)
       extends ConfigError(s"Bucket '$name' is declared more than once")
 }
@@ -71,6 +73,11 @@ object BucketPriorityConfig {
     else if (buckets.distinct.size != buckets.size)
       Left(ConfigError.DuplicateBucket(
         buckets.diff(buckets.distinct).headOption.getOrElse(buckets.head)))
+    else if (allocation.exists(a => a < 1 || a > 100))
+      // the reference only checks the sum (Partitioner:38-42); negative or
+      // oversized per-bucket percentages would hit its undefined-behavior
+      // territory (negative Math.round sizes), so reject them up front
+      Left(ConfigError.BadAllocation(allocation.find(a => a < 1 || a > 100).get))
     else if (allocation.sum != 100) Left(ConfigError.BadSum(allocation.sum))
     else {
       // Descending allocation, stable for ties (reference sorts once at

@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.DoubleType
   * }}}
   *
   * and fuse it into the codegen'd [[CosineSimilarity]] expression (one tight
-  * loop, ~10× fewer virtual calls; bit-identical result — both are
-  * left-folds in double). Users who write the declarative HOF form get the
-  * fast path automatically.
+  * loop, ~10× fewer virtual calls; bit-identical result on well-formed
+  * inputs — both are left-folds in double, and [[CosineSimilarity]] mirrors
+  * the HOF form's null semantics: unequal lengths or null elements ⇒ NULL).
+  *
+  * The match is strict about WHICH lambda variables feed the arithmetic:
+  * the multiply must consume the zip lambda's own (x, y) in order, and the
+  * merge must be acc + v over its own two variables — (x, y) -> x * x or
+  * (acc, v) -> acc + acc are different computations and are left alone.
   *
   * Register per-session via `spark.experimental.extraOptimizations +=
   * FuseCosineRule` or cluster-wide with [[GraftExtensions]]
@@ -24,17 +29,31 @@ import org.apache.spark.sql.types.DoubleType
   */
 object FuseCosineRule extends Rule[LogicalPlan] {
 
+  /** Unwrap a double-cast of a lambda variable. */
+  private def castedVar(e: Expression): Option[NamedLambdaVariable] = e match {
+    case c @ Cast(v: NamedLambdaVariable, _, _, _) if c.dataType == DoubleType => Some(v)
+    case _ => None
+  }
+
   /** Is `e` the canonical double left-fold dot product? Returns its two
     * array inputs when it is. */
   private def asDotFold(e: Expression): Option[(Expression, Expression)] = e match {
     case ArrayAggregate(
-        ZipWith(left, right, LambdaFunction(Multiply(xc: Cast, yc: Cast, _), _, _)),
-        zero, LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+        ZipWith(left, right,
+          LambdaFunction(Multiply(mx, my, _),
+            Seq(zl: NamedLambdaVariable, zr: NamedLambdaVariable), _)),
+        zero,
+        LambdaFunction(Add(al: NamedLambdaVariable, ar: NamedLambdaVariable, _),
+          Seq(accArg: NamedLambdaVariable, vArg: NamedLambdaVariable), _),
         // finish lambda must be the identity (the default)
         LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
-        if zero.foldable && zero.dataType == DoubleType &&
-          zero.eval() == 0.0 &&
-          xc.dataType == DoubleType && yc.dataType == DoubleType &&
+        if zero.foldable && zero.dataType == DoubleType && zero.eval() == 0.0 &&
+          // multiply consumes the zip lambda's OWN variables, in order
+          castedVar(mx).exists(_.exprId == zl.exprId) &&
+          castedVar(my).exists(_.exprId == zr.exprId) &&
+          // merge is acc + v over its own two distinct variables
+          Set(al.exprId, ar.exprId) == Set(accArg.exprId, vArg.exprId) &&
+          al.exprId != ar.exprId &&
           fin.exprId == finArg.exprId =>
       Some((left, right))
     case _ => None
@@ -44,14 +63,13 @@ object FuseCosineRule extends Rule[LogicalPlan] {
     x.canonicalized == y.canonicalized
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
+    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
       (asDotFold(dot), asDotFold(na), asDotFold(nb)) match {
         case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
             if sameArray(a, a1) && sameArray(a1, a2) &&
               sameArray(b, b1) && sameArray(b1, b2) =>
           CosineSimilarity(a, b)
-        case _ =>
-          Divide(dot, Multiply(Sqrt(na), Sqrt(nb)))
+        case _ => d // not the pattern: leave the ORIGINAL node (and its EvalMode) intact
       }
   }
 }

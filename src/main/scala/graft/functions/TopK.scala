@@ -18,6 +18,8 @@ object TopK {
   final case class Scored(cid: Long, sim: Double)
 
   final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0, s"top-k needs k > 0, got $k") // fail at driver, not as an executor NoSuchElementException
+
     private def best(xs: Seq[Scored]): Seq[Scored] =
       xs.sortBy(s => (-s.sim, s.cid)).take(k)
 

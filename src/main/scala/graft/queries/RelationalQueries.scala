@@ -487,7 +487,7 @@ object RelationalQueries {
           |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
-    // ---- range (theta) join: events within 5s per user ------------------
+    // ---- range (theta) join: event pairs within 1 hour per user ---------
     "q_range_join" -> Q(
       fn = (s, dir) => {
         val ev = Tables.load(s, dir, "events")

@@ -21,10 +21,18 @@ object SkewUtils {
     * hot key's rows spread over `salts` reducers instead of one.
     * Result == plain inner join on `key`. Right side should be small
     * (replication factor = salts). */
+  /** Deterministic per-row salt: hash of the full row content. Task retries
+    * recompute the SAME salt for the same row (a monotonically_increasing_id
+    * salt changes on re-execution — the SPARK-23207 class of silent
+    * lost/duplicated rows after a shuffle-stage retry). Identical duplicate
+    * rows share a salt, which only matters if a hot key's rows are also
+    * byte-identical. */
+  private def rowSalt(df: DataFrame, salts: Int) =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(salts))
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedLeft = left.withColumn(SaltCol,
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedLeft = left.withColumn(SaltCol, rowSalt(left, salts))
     val replicatedRight = right.withColumn(SaltCol,
       explode(array((0 until salts).map(lit(_)): _*)))
     saltedLeft.join(replicatedRight, Seq(key, SaltCol)).drop(SaltCol)
@@ -44,7 +52,7 @@ object SkewUtils {
       resultName: String
   ): DataFrame = {
     require(salts > 0, "salts must be positive")
-    df.withColumn(SaltCol, pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn(SaltCol, rowSalt(df, salts))
       .groupBy(col(key), col(SaltCol))
       .agg(partial(col(valueCol)).as("__partial"))
       .groupBy(col(key))

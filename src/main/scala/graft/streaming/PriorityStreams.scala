@@ -60,7 +60,8 @@ object PriorityStreams {
       tsCol: String,
       windowDur: String,
       slide: Option[String] = None,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      valueCol: Column = col("value")
   ): DataFrame = {
     val bucketed = df
       .withColumn("bucket", BucketRouting.bucketOf(keyCol, cfg))
@@ -72,7 +73,7 @@ object PriorityStreams {
     }
     bucketed
       .groupBy(w.as("w"), col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("bucket"), col("n"), col("sum_value"))
   }
@@ -194,8 +195,10 @@ object PriorityStreams {
     */
   object PriorityPools {
     def allocationFileXml(cfg: BucketPriorityConfig): String = {
+      def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace("\"", "&quot;")
       val pools = cfg.buckets.zip(cfg.allocation).map { case (b, a) =>
-        s"""  <pool name="$b">
+        s"""  <pool name="${esc(b)}">
            |    <schedulingMode>FAIR</schedulingMode>
            |    <weight>$a</weight>
            |    <minShare>0</minShare>

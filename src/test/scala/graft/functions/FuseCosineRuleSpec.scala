@@ -49,6 +49,30 @@ class FuseCosineRuleSpec extends SparkTestBase {
     }
   }
 
+  test("a fold multiplying the WRONG lambda variables is not fused") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseCosineRule
+    try {
+      // numerator is Σ x·x over zip_with(a, b, ...) — NOT a dot product of a and b
+      def squareFold(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      def dot(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+        .filter(col("vec_id") < 2)
+        .crossJoin(emb.select(col("embedding").as("b")).limit(3))
+      val q = pairs.selectExpr(
+        s"${squareFold("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")})) AS notcos")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+        "x*x fold must NOT be rewritten into a dot product")
+      q.collect()
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
   test("non-cosine divisions are left untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FuseCosineRule

@@ -40,6 +40,17 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("unequal lengths and null elements yield NULL (HOF-equivalent semantics)") {
+    val unequal = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f)))
+      .toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b"))).collect()(0)
+    assert(unequal.isNullAt(0))
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b"))).collect()(0)
+    assert(withNullElem.isNullAt(0))
+  }
+
   test("SQL registration: cosine_similarity and bucket_of usable from spark.sql") {
     val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30)).toOption.get
     BucketSqlFunctions.registerAll(spark, cfg)
