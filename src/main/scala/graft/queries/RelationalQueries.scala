@@ -321,6 +321,25 @@ object RelationalQueries {
           |SELECT 'purchase_or_error' AS tag, COUNT(*) AS n FROM (SELECT * FROM p UNION SELECT * FROM e) t
           |ORDER BY tag""".stripMargin)),
 
+    // ---- outer explode: empty arrays keep their row with NULL -----------
+    // (digit tokens: this corpus has none, so every array is empty — the
+    // pointed difference between explode, which drops the row, and
+    // explode_outer, which keeps it)
+    "q_explode_outer" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 50)
+          .withColumn("digits", expr("regexp_extract_all(text, '[0-9]+', 0)"))
+          .select(col("doc_id"), size(col("digits")).as("n_digits"),
+            explode_outer(col("digits")).as("digit"))
+          .orderBy(col("doc_id"), col("digit").asc_nulls_first)
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS digits
+          |           FROM documents WHERE doc_id < 50)
+          |SELECT doc_id, CAST(len(digits) AS INTEGER) AS n_digits,
+          |       UNNEST(CASE WHEN digits IS NULL OR len(digits) = 0 THEN [NULL] ELSE digits END) AS digit
+          |FROM t ORDER BY doc_id, digit ASC NULLS FIRST""".stripMargin)),
+
     // ---- bag semantics: INTERSECT ALL / EXCEPT ALL ----------------------
     "q_set_ops_all" -> Q(
       fn = (s, dir) => {
