@@ -110,6 +110,33 @@ object SqlQueries {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin),
 
+    // TPC-H Q4-style: orders with a late shipment (correlated EXISTS);
+    // adapted to this schema — "late" = any line shipped > 90 days after
+    // the order date (no commit/receipt dates in the corpus)
+    "q4_late_orders" -> sqlQ(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL '90' DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q14-style: promo revenue share (ratio of exact decimal sums in
+    // double — both operands exact, so the division is deterministic)
+    "q14_promo_share" -> sqlQ(
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(37,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_pct,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin),
+
     // CTE + UNION ALL in the common subset
     "q_cte_union" -> sqlQ(
       """WITH big AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders WHERE o_totalprice > 300000 GROUP BY 1),
