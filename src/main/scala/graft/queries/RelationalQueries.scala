@@ -636,6 +636,66 @@ object RelationalQueries {
           |  ON p.user_id = v.user_id AND p.pts >= v.vts
           |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- as-of join with tolerance: match only within a 2h lookback -----
+    "q_asof_tolerance" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val tagged = views.select(col("user_id"), col("ts"),
+            col("view_id"), unix_micros(col("ts")).as("view_us"),
+            lit(null).cast("bigint").as("purchase_id"), lit(0).as("kind"))
+          .unionByName(purchases.select(col("user_id"), col("ts"),
+            lit(null).cast("bigint").as("view_id"), lit(null).cast("bigint").as("view_us"),
+            col("event_id").as("purchase_id"), lit(1).as("kind")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("asof_view", last(col("view_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .withColumn("gap_us", unix_micros(col("ts")) - col("asof_view_us"))
+          // tolerance: matches older than 2h are dropped back to NULL
+          .select(
+            col("purchase_id").as("event_id"), col("user_id"),
+            when(col("gap_us") <= 7200000000L, col("asof_view")).as("view_id"),
+            when(col("gap_us") <= 7200000000L, col("gap_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, MAX(event_id) AS view_id
+          |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id,
+          |       CASE WHEN epoch_us(p.pts) - epoch_us(v.vts) <= 7200000000 THEN v.view_id END AS view_id,
+          |       CASE WHEN epoch_us(p.pts) - epoch_us(v.vts) <= 7200000000
+          |            THEN epoch_us(p.pts) - epoch_us(v.vts) END AS gap_us
+          |FROM p ASOF LEFT JOIN v
+          |  ON p.user_id = v.user_id AND p.pts >= v.vts
+          |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- min_by / max_by (argmin-argmax aggregates) ---------------------
+    "q_minby_maxby" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            min_by(col("event_type"), col("event_id")).as("first_type"),
+            max_by(col("event_type"), col("event_id")).as("last_type"),
+            max_by(col("value"), col("event_id")).as("last_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """SELECT user_id,
+          |       arg_min(event_type, event_id) AS first_type,
+          |       arg_max(event_type, event_id) AS last_type,
+          |       arg_max("value", event_id) AS last_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- pivot -----------------------------------------------------------
     "q_pivot" -> Q(
       fn = (s, dir) => {

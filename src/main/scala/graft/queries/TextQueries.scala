@@ -85,6 +85,33 @@ object TextQueries {
           |ORDER BY doc_id""".stripMargin),
       headline = true),
 
+    // ---- dedup with a keep-longest survivor policy -----------------------
+    // Same normalized-hash grouping as dedup_exact with an arg_max survivor
+    // policy (longest copy, doc_id tie-break). Note: exact-hash groups have
+    // identical text, so lengths tie and the tie-break decides — the policy
+    // axis only bites when the same aggregation runs over NEAR-dup clusters
+    // (e.g. minhash band groups); this query pins the composite-key
+    // arg_max machinery both engines must agree on.
+    "dedup_keep_longest" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(
+            // composite (n_chars desc-wins, doc_id asc tie-break) packed into
+            // one bigint key — portable where struct ordering keys are not
+            max_by(col("doc_id"),
+              col("n_chars") * lit(1000000000000L) + (lit(999999999999L) - col("doc_id")))
+              .as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT arg_max(doc_id, n_chars * 1000000000000 + (999999999999 - doc_id)) AS doc_id,
+          |       COUNT(*) AS n_copies
+          |FROM documents GROUP BY md5(LOWER(TRIM(text)))
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- text stats: tokens, lengths, stopword ratio ---------------------
     "text_stats" -> Q(
       fn = (s, dir) => {

@@ -165,6 +165,27 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(out.filter($"bucket" === "purchase").select("pt").as[Int].collect().forall(p => p >= 0 && p <= 6))
   }
 
+  test("stream-stream join with event-time bounds joins only in-window pairs") {
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    views.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    buys.addData(
+      (1L, ts("2024-01-01 00:10:00")), // within 30min of the view → joins
+      (2L, ts("2024-01-01 05:00:00"))) // 5h later → outside the bound
+    val v = views.toDF().toDF("user_id", "view_ts").withWatermark("view_ts", "1 hour")
+    val b = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "1 hour")
+    val joined = v.join(b,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj2_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj2_out").select("user_id").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // only the in-window pair
+  }
+
   test("stream-static join: stream enriched with a static dimension") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, String)]
