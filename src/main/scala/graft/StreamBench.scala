@@ -53,7 +53,7 @@ object StreamBench {
         array(lit("purchase"), lit("signup"), lit("error"), lit("click"), lit("view")),
         (pmod(col("value"), lit(5)) + 1).cast("int")),
       lit("-"), col("value")).as("key"))
-    val routed = PriorityStreams.routeStream(keyed, cfg, 10, col("key"))
+    val routed = PriorityStreams.routeStream(keyed, cfg, 10, col("key"), discardUnroutable = true)
     @volatile var streamed = 0L
     val q = routed.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -54,7 +54,10 @@ object BucketAssign {
     val bucketTopicConsumers = subscriptions.collect {
       case (cid, sub) if sub.topics.contains(cfg.topic) => cid -> sub
     }
-    bucketTopicConsumers.keys.toSeq.sorted.foreach { cid =>
+    // every group member gets an entry, possibly empty — Kafka's
+    // AbstractPartitionAssignor/RangeAssignor initialize all members even
+    // when their topics have no metadata yet
+    subscriptions.keys.toSeq.sorted.foreach { cid =>
       result(cid) = mutable.Buffer.empty
     }
     partitionsPerTopic.get(cfg.topic).foreach { n =>
@@ -77,10 +80,13 @@ object BucketAssign {
     // -- other topics: fallback (RangeAssignor semantics) ------------------
     // RangeAssignor (public Kafka semantics): per topic, consumers sorted;
     // each gets n/k contiguous partitions, the first n%k consumers one extra.
+    // The reference routes each consumer to EXACTLY ONE branch
+    // (BucketPriorityAssignor.java:106-122): a bucket-topic subscriber is
+    // never handed to the fallback, even for its other topics.
     val otherTopics = partitionsPerTopic.keys.filterNot(_ == cfg.topic)
     otherTopics.foreach { topic =>
       val consumers = subscriptions.collect {
-        case (cid, sub) if sub.topics.contains(topic) => cid
+        case (cid, sub) if sub.topics.contains(topic) && !sub.topics.contains(cfg.topic) => cid
       }.toSeq.sorted
       if (consumers.nonEmpty) {
         val n = partitionsPerTopic(topic)

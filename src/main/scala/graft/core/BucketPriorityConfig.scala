@@ -65,14 +65,18 @@ object BucketPriorityConfig {
       delimiter: String = DefaultDelimiter,
       consumerBucket: String = ""
   ): Either[ConfigError, BucketPriorityConfig] = {
+    // the reference trims bucket names at configure time
+    // (BucketPriorityPartitioner.java:46, BucketPriorityAssignor.java:62) —
+    // its own tests pass comma-separated lists like "B1, B2, B3"
+    val trimmed = if (buckets == null) buckets else buckets.map(_.trim)
     if (topic == null || topic.isEmpty) Left(ConfigError.MissingKey("topic"))
-    else if (buckets == null || buckets.isEmpty) Left(ConfigError.MissingKey("buckets"))
+    else if (trimmed == null || trimmed.isEmpty) Left(ConfigError.MissingKey("buckets"))
     else if (allocation == null || allocation.isEmpty) Left(ConfigError.MissingKey("allocation"))
-    else if (buckets.size != allocation.size)
-      Left(ConfigError.LengthMismatch(buckets.size, allocation.size))
-    else if (buckets.distinct.size != buckets.size)
+    else if (trimmed.size != allocation.size)
+      Left(ConfigError.LengthMismatch(trimmed.size, allocation.size))
+    else if (trimmed.distinct.size != trimmed.size)
       Left(ConfigError.DuplicateBucket(
-        buckets.diff(buckets.distinct).headOption.getOrElse(buckets.head)))
+        trimmed.diff(trimmed.distinct).headOption.getOrElse(trimmed.head)))
     else if (allocation.exists(a => a < 1 || a > 100))
       // the reference only checks the sum (Partitioner:38-42); negative or
       // oversized per-bucket percentages would hit its undefined-behavior
@@ -82,7 +86,7 @@ object BucketPriorityConfig {
     else {
       // Descending allocation, stable for ties (reference sorts once at
       // configure time: BucketPriorityPartitioner.java:49-58).
-      val ordered = buckets.zip(allocation).sortBy { case (_, a) => -a }
+      val ordered = trimmed.zip(allocation).sortBy { case (_, a) => -a }
       Right(new BucketPriorityConfig(
         topic, ordered.map(_._1), ordered.map(_._2), delimiter, consumerBucket))
     }

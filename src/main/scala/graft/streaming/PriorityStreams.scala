@@ -29,27 +29,35 @@ object PriorityStreams {
   /** Priority routing inside a stream: shuffle-free [[BucketRouting.routeUniform]]
     * (a streaming micro-batch has no global order column; per-task round-robin
     * preserves the reference's ≤1-skew uniformity invariant, see
-    * BucketRouting scaladoc). Unroutable rows are discarded (DiscardPartitioner
-    * intent) when `discardUnroutable = true`, else left with null partition. */
+    * BucketRouting scaladoc).
+    *
+    * `discardUnroutable = false` (the default, matching the reference: an
+    * unroutable message falls through to engine-default placement via
+    * UNKNOWN_PARTITION, KIP-794) keeps unroutable rows with `pt` null and
+    * empty-bucket rows with `pt` −1 — [[toKafkaFrame]] maps both to a null
+    * partition so the sink places them. `discardUnroutable = true` is the
+    * documented DiscardPartitioner intent (README.md:77-84): drop them. */
   def routeStream(
       df: DataFrame,
       cfg: BucketPriorityConfig,
       numPartitions: Int,
       keyCol: Column,
-      discardUnroutable: Boolean = true
+      discardUnroutable: Boolean = false
   ): DataFrame = {
     val routed = BucketRouting.routeUniform(df, cfg, numPartitions, keyCol)
     if (discardUnroutable) BucketRouting.discard(routed) else routed
   }
 
   /** Shape a routed frame for the Kafka sink: (key, value, partition) with
-    * Kafka wire types. The `partition` column carries the §2.1 route result,
-    * which the Kafka sink honors verbatim. */
+    * Kafka wire types. Routed rows carry their assigned partition; unroutable
+    * (null) and empty-bucket (−1) rows get a NULL partition so the Kafka sink
+    * applies engine-default placement — a literal −1 would make the producer
+    * throw IllegalArgumentException. */
   def toKafkaFrame(routed: DataFrame, keyCol: Column, valueCol: Column): DataFrame =
     routed.select(
       keyCol.cast("binary").as("key"),
       valueCol.cast("binary").as("value"),
-      col("pt").cast("int").as("partition"))
+      when(col("pt") >= 0, col("pt")).cast("int").as("partition"))
 
   /** Tumbling (or sliding, when `slide` is set) per-bucket counts and value
     * sums with a watermark bounding state. */
@@ -111,6 +119,31 @@ object PriorityStreams {
       lastEventTsMicros: Long,
       maxGapMicros: Long)
 
+  /** One state-advance shared by BOTH tracker runtimes so they cannot drift.
+    * The group's events are materialized ONCE into an array and sorted in
+    * place (event-time order is part of the max-gap semantics; a
+    * sortWithinPartitions upstream would let this become a pure single
+    * pass). */
+  private def advanceBacklog(prev: BucketBacklog, rows: Iterator[BucketEvent]): BucketBacklog = {
+    val arr = rows.toArray
+    scala.util.Sorting.stableSort(arr,
+      (a: BucketEvent, b: BucketEvent) =>
+        a.tsMicros < b.tsMicros || (a.tsMicros == b.tsMicros && a.eventId < b.eventId))
+    var total = prev.totalEvents
+    var lastTs = prev.lastEventTsMicros
+    var maxGap = prev.maxGapMicros
+    var i = 0
+    while (i < arr.length) {
+      val e = arr(i)
+      if (lastTs != Long.MinValue && e.tsMicros - lastTs > maxGap)
+        maxGap = e.tsMicros - lastTs
+      lastTs = math.max(lastTs, e.tsMicros)
+      total += 1
+      i += 1
+    }
+    BucketBacklog(prev.bucket, total, lastTs, maxGap)
+  }
+
   /** flatMapGroupsWithState per-bucket tracker: total routed events, last
     * event time, and the largest inter-event gap (an SLA proxy). Works in
     * both streaming (Update mode) and batch. */
@@ -122,16 +155,7 @@ object PriorityStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (bucket: String, rows: Iterator[BucketEvent], state: GroupState[BucketBacklog]) =>
           val prev = state.getOption.getOrElse(BucketBacklog(bucket, 0L, Long.MinValue, 0L))
-          var total = prev.totalEvents
-          var lastTs = prev.lastEventTsMicros
-          var maxGap = prev.maxGapMicros
-          rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
-            if (lastTs != Long.MinValue && e.tsMicros - lastTs > maxGap)
-              maxGap = e.tsMicros - lastTs
-            lastTs = math.max(lastTs, e.tsMicros)
-            total += 1
-          }
-          val next = BucketBacklog(bucket, total, lastTs, maxGap)
+          val next = advanceBacklog(prev, rows)
           state.update(next)
           Iterator(next)
       }
@@ -156,16 +180,7 @@ object PriorityStreams {
       val prev =
         if (state.exists()) state.get()
         else BucketBacklog(bucket, 0L, Long.MinValue, 0L)
-      var total = prev.totalEvents
-      var lastTs = prev.lastEventTsMicros
-      var maxGap = prev.maxGapMicros
-      rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
-        if (lastTs != Long.MinValue && e.tsMicros - lastTs > maxGap)
-          maxGap = e.tsMicros - lastTs
-        lastTs = math.max(lastTs, e.tsMicros)
-        total += 1
-      }
-      val next = BucketBacklog(bucket, total, lastTs, maxGap)
+      val next = advanceBacklog(prev, rows)
       state.update(next)
       Iterator(next)
     }
@@ -213,17 +228,21 @@ object PriorityStreams {
       p
     }
 
-    /** Run `body` (e.g. a writeStream.start) inside the bucket's pool. */
+    /** Run `body` (e.g. a writeStream.start) inside the bucket's pool,
+      * restoring whatever pool the calling thread was already in. */
     def inBucketPool[T](spark: SparkSession, bucket: String)(body: => T): T = {
+      val prev = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", bucket)
       try body
-      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prev)
     }
 
     /** The Kafka-source `assign` option for a per-bucket streaming query:
       * JSON listing exactly the bucket's partitions (the §2.1 `assign`
       * operational mapping). */
     def assignJson(cfg: BucketPriorityConfig, numPartitions: Int, bucket: String): String = {
+      require(cfg.buckets.contains(bucket),
+        s"unknown bucket '$bucket' — configured buckets: ${cfg.buckets.mkString(", ")}")
       val parts = BucketLayout.layout(cfg, numPartitions).toMap.getOrElse(bucket, Seq.empty)
       s"""{"${cfg.topic}":[${parts.mkString(",")}]}"""
     }

@@ -65,6 +65,29 @@ class BucketAssignSpec extends AnyFunSuite {
     assert(r("good").map(_.partition).sorted == (0 until 8))
   }
 
+  test("mixed subscription: a bucket-topic consumer is NOT handed to the fallback (Assignor:106-122)") {
+    val subs = Map(
+      "c1" -> Subscription(Seq("orders", "misc"), Some("B1")), // bucket consumer, also subscribes misc
+      "c2" -> Subscription(Seq("misc"), None))
+    val r = BucketAssign.assign(c8020, Map("orders" -> 10, "misc" -> 4), subs)
+    // reference: each consumer goes to exactly one branch — c1 gets only
+    // bucket-topic partitions, c2 gets ALL of misc via the fallback
+    assert(r("c1").forall(_.topic == "orders"))
+    assert(r("c2").map(_.partition).sorted == Seq(0, 1, 2, 3))
+    assert(r("c2").forall(_.topic == "misc"))
+  }
+
+  test("every subscriber gets an entry even when its topic has no metadata yet") {
+    val subs = Map("lonely" -> Subscription(Seq("not-yet-created"), None))
+    val r = BucketAssign.assign(c8020, Map("orders" -> 10), subs)
+    assert(r.contains("lonely") && r("lonely").isEmpty)
+  }
+
+  test("bucket names are trimmed at config time (reference configure(), Partitioner:46)") {
+    val cfg = graft.core.BucketPriorityConfig("t", Seq("B1", " B2", " B3"), Seq(50, 30, 20)).toOption.get
+    assert(cfg.buckets.toSet == Set("B1", "B2", "B3"))
+  }
+
   test("every assigned partition belongs to the consumer's declared bucket") {
     val cfg = BucketPriorityConfig("t", Seq("a", "b", "c"), Seq(50, 30, 20)).toOption.get
     val subs = Map(

@@ -22,7 +22,7 @@ class PriorityStreamsSpec extends SparkTestBase {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Long)]
     val routed = routeStream(
-      in.toDF().toDF("key", "event_id"), cfg, 10, col("key"))
+      in.toDF().toDF("key", "event_id"), cfg, 10, col("key"), discardUnroutable = true)
     in.addData((1 to 20).map(i => (s"purchase-$i", i.toLong)) ++
       (1 to 10).map(i => (s"signup-$i", i.toLong)) ++
       Seq(("view-1", 99L), ("garbage", 98L)))
@@ -36,12 +36,18 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(out.filter($"bucket" === "signup").select("pt").as[Int].collect().forall(p => p >= 7 && p <= 9))
   }
 
-  test("kafka frame shape: key/value binary + int partition") {
-    val df = Seq(("purchase-1", "payload", 1L)).toDF("key", "value", "event_id")
+  test("kafka frame shape: key/value binary + int partition; -1 and null become engine placement") {
+    val df = Seq(
+      ("purchase-1", "payload", 1L), // routable
+      ("view-9", "payload", 2L)      // unroutable → null partition
+    ).toDF("key", "value", "event_id")
     val routed = routeStream(df, cfg, 10, col("key"))
     val kf = toKafkaFrame(routed, col("key"), col("value"))
     assert(kf.schema.map(f => (f.name, f.dataType.typeName)) ==
       Seq(("key", "binary"), ("value", "binary"), ("partition", "integer")))
+    val parts = kf.select("partition").collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(parts.count(_.isDefined) == 1 && parts.count(_.isEmpty) == 1)
+    assert(parts.flatten.forall(p => p >= 0 && p <= 6)) // never -1 into the producer
   }
 
   test("tumbling window agg with watermark drops late rows in append mode") {
@@ -132,7 +138,7 @@ class PriorityStreamsSpec extends SparkTestBase {
     val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     val q = in.toDF().toDF("key", "event_id").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val routed = routeStream(batch, cfg, 10, col("key"))
+        val routed = routeStream(batch, cfg, 10, col("key"), discardUnroutable = true)
         val kafkaFrame = toKafkaFrame(routed, col("key"), col("event_id").cast("string"))
         // stand-in for kafkaFrame.write.format("kafka"): collect (no broker here)
         collected ++= routed.select("bucket", "pt").collect()
