@@ -33,10 +33,15 @@ object Bench {
     // operator mix; the min reflects steady-state engine throughput and is
     // stable across bench invocations. A failing query reports -1, never a
     // time-to-exception masquerading as a (fast!) result.
+    //
+    // queryExecution.toRdd forces the FULL physical plan: wrapping in
+    // count() would let the optimizer prune unreferenced aggregate
+    // expressions and eliminate the final sort, under-measuring queries
+    // whose cost lives in exactly those operators.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)

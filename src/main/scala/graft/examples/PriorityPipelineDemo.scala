@@ -46,8 +46,7 @@ object PriorityPipelineDemo {
 
     // ---- scale variant: shuffle-free routing ----
     println("== batch: routeUniform (per-task round-robin) skew check ==")
-    BucketRouting.routeUniform(ev, cfg, 10, key)
-      .filter(col("pt").isNotNull && col("pt") =!= -1)
+    BucketRouting.discard(BucketRouting.routeUniform(ev, cfg, 10, key))
       .groupBy("bucket").agg(
         countDistinct(col("pt")).as("partitions_used"),
         count(lit(1)).as("n"))
@@ -67,8 +66,7 @@ object PriorityPipelineDemo {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val streamRouted = PriorityStreams.routeStream(streamIn, cfg, 10, key)
     val windowed = PriorityStreams.bucketWindowAgg(
-      streamRouted.withColumn("value", col("value")),
-      cfg, key, "ts", windowDur = "6 hours", watermark = "1 hour")
+      streamRouted, cfg, key, "ts", windowDur = "6 hours", watermark = "1 hour")
     val q = windowed.writeStream.format("memory").queryName("demo_windows")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

@@ -31,7 +31,11 @@ object BucketSqlFunctions {
   def registerBucketOf(spark: SparkSession, cfg: BucketPriorityConfig): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bucket_of",
-      exprs => bucketOfExpr(exprs.head, cfg),
+      exprs => {
+        require(exprs.length == 1,
+          s"bucket_of requires exactly 1 argument, got ${exprs.length}")
+        bucketOfExpr(exprs.head, cfg)
+      },
       "built-in")
 
   /** Register everything the SQL surface offers. */

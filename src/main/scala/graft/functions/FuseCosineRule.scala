@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Optimizer rule: recognize the higher-order-function cosine formulation
   *
@@ -62,11 +62,22 @@ object FuseCosineRule extends Rule[LogicalPlan] {
   private def sameArray(x: Expression, y: Expression): Boolean =
     x.canonicalized == y.canonicalized
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
+    // Only LEGACY division is fused: under ANSI the HOF form THROWS
+    // DIVIDE_BY_ZERO for a zero-norm vector while the fused loop would
+    // return NaN — an optimizer rule must not change observable semantics.
+    // (Spark 4.1 wraps the mode in NumericEvalContext.)
+    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), ctx: NumericEvalContext)
+        if ctx.evalMode == EvalMode.LEGACY =>
       (asDotFold(dot), asDotFold(na), asDotFold(nb)) match {
         case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
-            if sameArray(a, a1) && sameArray(a1, a2) &&
+            if isFloatArray(a) && isFloatArray(b) && // CosineSimilarity reads getFloat
+              sameArray(a, a1) && sameArray(a1, a2) &&
               sameArray(b, b1) && sameArray(b1, b2) =>
           CosineSimilarity(a, b)
         case _ => d // not the pattern: leave the ORIGINAL node (and its EvalMode) intact

@@ -20,18 +20,24 @@ object TopK {
   final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k > 0, s"top-k needs k > 0, got $k") // fail at driver, not as an executor NoSuchElementException
 
+    private def better(a: Scored, b: Scored): Boolean =
+      a.sim > b.sim || (a.sim == b.sim && a.cid < b.cid)
+
     private def best(xs: Seq[Scored]): Seq[Scored] =
       xs.sortBy(s => (-s.sim, s.cid)).take(k)
 
+    /** O(k) ordered insert into the sorted-best-first buffer (a full re-sort
+      * per accepted row would make the map-side hot loop O(k log k)/row). */
+    private def insert(buf: Seq[Scored], item: Scored): Seq[Scored] = {
+      val (front, back) = buf.span(better(_, item))
+      ((front :+ item) ++ back).take(k)
+    }
+
     override def zero: Seq[Scored] = Seq.empty
     override def reduce(buf: Seq[Scored], item: Scored): Seq[Scored] =
-      if (buf.size < k) best(buf :+ item)
-      else {
-        val worst = buf.last // buf kept sorted best-first
-        if (item.sim > worst.sim || (item.sim == worst.sim && item.cid < worst.cid))
-          best(buf :+ item)
-        else buf
-      }
+      if (buf.size < k) insert(buf, item)
+      else if (better(item, buf.last)) insert(buf, item)
+      else buf
     override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = best(a ++ b)
     override def finish(buf: Seq[Scored]): Seq[Scored] = best(buf)
     override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()

@@ -69,6 +69,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -77,9 +79,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double x = (double) $a.getFloat($i);
-         |    double y = (double) $b.getFloat($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -102,6 +104,10 @@ object VectorFunctions {
   def registerSql(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      },
       "built-in")
 }

@@ -7,7 +7,9 @@ import graft.SparkTestBase
 class FuseCosineRuleSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val hofCosine = {
+  // def, not val: Divide captures its EvalMode from the session conf at
+  // parse time, so the expression must be built AFTER any ansi toggle
+  private def hofCosine = {
     def dot(a: String, b: String) =
       s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     expr(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))")
@@ -21,6 +23,11 @@ class FuseCosineRuleSpec extends SparkTestBase {
   test("the HOF cosine pattern is rewritten to the fused expression") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FuseCosineRule
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    // fusion is deliberately LEGACY-only: under ANSI the HOF form throws
+    // DIVIDE_BY_ZERO for zero-norm vectors, which the fused loop cannot
+    // replicate without changing observable semantics
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     try {
       // a file source, not a local Seq: ConvertToLocalRelation would eval the
       // whole projection before the plan can be inspected
@@ -44,6 +51,27 @@ class FuseCosineRuleSpec extends SparkTestBase {
       val local = vecs.select(hofCosine.as("sim")).as[Double].collect()
       assert(math.abs(local(1) - 1.0) < 1e-15)
     } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
+  test("ANSI-mode divisions are left unfused (divide-by-zero semantics preserved)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseCosineRule
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+        .filter(col("vec_id") < 2)
+        .crossJoin(emb.select(col("embedding").as("b")).limit(3))
+      val q = pairs.select(hofCosine.as("sim"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+        "ANSI divide must not be fused")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
     }
