@@ -137,6 +137,24 @@ object SqlQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin),
 
+    // correlated LATERAL subquery
+    "q_lateral" -> sqlQ(
+      """SELECT n_name, t.n_cust, t.max_bal
+        |FROM nation, LATERAL (
+        |  SELECT COUNT(*) AS n_cust, MAX(c_acctbal) AS max_bal
+        |  FROM customer WHERE c_nationkey = n_nationkey) t
+        |WHERE t.n_cust > 0
+        |ORDER BY n_name""".stripMargin),
+
+    // inline VALUES table joined against real data
+    "q_values_inline" -> sqlQ(
+      """SELECT v.tier, COUNT(*) AS n
+        |FROM customer
+        |JOIN (VALUES ('BUILDING', 'premium'), ('AUTOMOBILE', 'standard'),
+        |             ('MACHINERY', 'standard')) AS v(seg, tier)
+        |  ON c_mktsegment = v.seg
+        |GROUP BY v.tier ORDER BY v.tier""".stripMargin),
+
     // CTE + UNION ALL in the common subset
     "q_cte_union" -> sqlQ(
       """WITH big AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders WHERE o_totalprice > 300000 GROUP BY 1),
