@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * and fuse it into the codegen'd [[CosineSimilarity]] expression (one tight
   * loop, ~10× fewer virtual calls; bit-identical result on well-formed
   * inputs — both are left-folds in double, and [[CosineSimilarity]] mirrors
-  * the HOF form's null semantics: unequal lengths or null elements ⇒ NULL).
+  * the HOF form's null semantics: unequal lengths, null elements, or a
+  * zero divisor (empty / zero-norm vectors under legacy Divide) ⇒ NULL).
   *
   * The match is strict about WHICH lambda variables feed the arithmetic:
   * the multiply must consume the zip lambda's own (x, y) in order, and the
@@ -69,9 +70,13 @@ object FuseCosineRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // Only LEGACY division is fused: under ANSI the HOF form THROWS
-    // DIVIDE_BY_ZERO for a zero-norm vector while the fused loop would
-    // return NaN — an optimizer rule must not change observable semantics.
-    // (Spark 4.1 wraps the mode in NumericEvalContext.)
+    // DIVIDE_BY_ZERO for a zero-norm vector, which CosineSimilarity never
+    // does — an optimizer rule must not change observable semantics. In
+    // LEGACY mode the equivalence is exact: legacy Divide returns NULL on a
+    // zero divisor and CosineSimilarity mirrors that (NULL when
+    // sqrt(na)*sqrt(nb) == 0.0 — empty arrays, zero-norm, underflow).
+    // Property-tested in FuseCosineRuleSpec. (Spark 4.1 wraps the mode in
+    // NumericEvalContext.)
     case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), ctx: NumericEvalContext)
         if ctx.evalMode == EvalMode.LEGACY =>
       (asDotFold(dot), asDotFold(na), asDotFold(nb)) match {

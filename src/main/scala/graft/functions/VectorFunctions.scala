@@ -40,9 +40,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
-  // Null semantics mirror the HOF formulation (so FuseCosineRule is a true
-  // equivalence): arrays of different lengths (zip_with null-pads, the fold
-  // propagates null) or any null element ⇒ NULL, not a fabricated score.
+  // Null semantics mirror the HOF formulation under LEGACY division (so
+  // FuseCosineRule is a true equivalence): arrays of different lengths
+  // (zip_with null-pads, the fold propagates null) or any null element ⇒
+  // NULL; and a zero divisor — empty array, zero-norm vector, or norm
+  // underflow — ⇒ NULL, exactly as legacy Divide returns NULL whenever its
+  // divisor compares == 0 (DivModLike.eval, all numeric types incl. double).
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -59,7 +62,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -71,6 +75,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -84,7 +89,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

@@ -402,16 +402,30 @@ object RelationalQueries {
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // ---- approximate distinct (HLL): rows-only check (sketch values are
-    // engine-specific by design, so no value oracle exists) ---------------
+    // ---- approximate distinct (HLL) --------------------------------------
+    // The HLL estimate is engine-specific by design, so the oracle checks it
+    // indirectly: the exact distinct count is oracled exactly, and the
+    // estimate is folded into a deterministic within_tolerance boolean
+    // (|approx − exact| / exact ≤ 3·rsd) that the oracle emits as literal
+    // TRUE. The estimate is thereby driver-verified without requiring
+    // bit-identical sketches.
     "q_approx_distinct" -> Q(
       fn = (s, dir) => {
         Tables.load(s, dir, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.02).as("approx"))
+          .select(
+            col("event_type"),
+            col("exact_users"),
+            (abs(col("approx") - col("exact_users")).cast("double") /
+              col("exact_users").cast("double") <= 0.06).as("within_tolerance"))
           .orderBy("event_type")
       },
-      oracle = None),
+      oracle = Some(
+        """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_tolerance
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- string functions -----------------------------------------------
     "q_string_funcs" -> Q(
@@ -487,7 +501,7 @@ object RelationalQueries {
       },
       oracle = Some(
         """WITH t AS (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k FROM events)
-          |SELECT event_type, SUM(k) AS sum_k,
+          |SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
           |       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
           |       COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),

@@ -170,7 +170,7 @@ object TextQueries {
           .orderBy("lang", "source")
       },
       oracle = Some(
-        """SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+        """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
     // ---- heuristic quality score (length/stopword mix, deterministic) ----
@@ -501,7 +501,7 @@ object TextQueries {
            |             + 0.3 * least(1.0, CAST(length(d.text) AS DOUBLE) / 200.0), 6) AS quality
            |  FROM documents d
            |  WHERE EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = d.doc_id))
-           |SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS total_tokens,
+           |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            |       CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
            |FROM scored
            |WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 100

@@ -101,6 +101,121 @@ class FuseCosineRuleSpec extends SparkTestBase {
     }
   }
 
+  // ---- equivalence properties (fused ≡ unfused on adversarial inputs) ----
+
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import org.scalacheck.rng.Seed
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+  import org.apache.spark.sql.Row
+
+  private val floatArrayType = ArrayType(FloatType, containsNull = true)
+
+  private val genElem: Gen[java.lang.Float] = Gen.frequency(
+    8 -> Gen.choose(-2.0f, 2.0f).map(java.lang.Float.valueOf),
+    2 -> Gen.const(java.lang.Float.valueOf(0.0f)),
+    1 -> Gen.const(java.lang.Float.valueOf(Float.MinPositiveValue)),
+    1 -> Gen.const(java.lang.Float.valueOf(Float.NaN)),
+    1 -> Gen.const(java.lang.Float.valueOf(Float.PositiveInfinity)),
+    1 -> Gen.const(null: java.lang.Float))
+
+  private val genVec: Gen[Seq[java.lang.Float]] = Gen.frequency(
+    1 -> Gen.const(Seq.empty[java.lang.Float]),                               // empty
+    1 -> Gen.choose(1, 6).map(n => Seq.fill(n)(java.lang.Float.valueOf(0f))), // zero-norm
+    6 -> Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genElem)))
+
+  private val genPair: Gen[(Seq[java.lang.Float], Seq[java.lang.Float])] = for {
+    a <- genVec
+    b <- Gen.frequency(
+      3 -> Gen.listOfN(a.size, genElem),                                      // same length
+      2 -> genVec,                                                            // often different length
+      1 -> Gen.const(a.map(x =>
+        if (x == null) null else java.lang.Float.valueOf(0f))),               // zero-norm partner
+      1 -> Gen.const(a))                                                      // identical
+  } yield (a, b)
+
+  /** Reference model of the HOF formulation under LEGACY division:
+    * zip_with null-pads unequal lengths, double(null)*double(y) is null, the
+    * + fold propagates null, and Divide returns NULL on a divisor == 0. */
+  private def hofLegacyModel(
+      a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Option[Double] = {
+    def fold(x: Seq[java.lang.Float], y: Seq[java.lang.Float]): Option[Double] = {
+      val m = math.max(x.size, y.size)
+      var acc: Option[Double] = Some(0.0)
+      for (i <- 0 until m) {
+        val p = if (i < x.size) Option(x(i)) else None
+        val q = if (i < y.size) Option(y(i)) else None
+        val prod = for (pp <- p; qq <- q) yield pp.toDouble * qq.toDouble
+        acc = for (a0 <- acc; v <- prod) yield a0 + v
+      }
+      acc
+    }
+    for {
+      d  <- fold(a, b)
+      na <- fold(a, a)
+      nb <- fold(b, b)
+      denom = math.sqrt(na) * math.sqrt(nb)
+      r <- if (denom == 0.0) None else Some(d / denom)
+    } yield r
+  }
+
+  private def bits(v: Option[Double]): Option[Long] =
+    v.map(java.lang.Double.doubleToLongBits)
+
+  test("property: CosineSimilarity.eval ≡ HOF-legacy semantics on adversarial vectors") {
+    val p = Prop.forAll(genPair) { case (a, b) =>
+      val e = CosineSimilarity(
+        Literal.create(a, floatArrayType), Literal.create(b, floatArrayType))
+      val got = Option(e.eval(null)).map(_.asInstanceOf[Double])
+      bits(got) == bits(hofLegacyModel(a, b))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fused plan ≡ unfused plan bit-for-bit on an adversarial batch (codegen path)") {
+    val pairs = Gen.listOfN(400, genPair)
+      .pureApply(Gen.Parameters.default, Seed(42L))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("a", floatArrayType),
+      StructField("b", floatArrayType)))
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) => Row(i, a, b) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cosprop").toString
+    // through parquet: a file source so the rule genuinely rewrites a
+    // non-local plan and the fused expression runs inside codegen
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      def run(fuse: Boolean): Seq[(Int, Option[Long])] = {
+        if (fuse) spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ FuseCosineRule
+        try {
+          val q = spark.read.parquet(tmp)
+            .select(col("id"), hofCosine.as("sim")).orderBy("id")
+          if (fuse) {
+            val opt = q.queryExecution.optimizedPlan.toString
+            assert(opt.contains("cosine_similarity"), s"rule did not fire:\n$opt")
+          }
+          q.collect().toSeq.map(r =>
+            (r.getInt(0), if (r.isNullAt(1)) None
+             else Some(java.lang.Double.doubleToLongBits(r.getDouble(1)))))
+        } finally {
+          if (fuse) spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+        }
+      }
+      val fused = run(fuse = true)
+      val plain = run(fuse = false)
+      assert(fused.size == 400)
+      fused.zip(plain).foreach { case (f, p) =>
+        assert(f == p, s"fused/unfused divergence at id ${f._1}: $f vs $p")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("non-cosine divisions are left untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FuseCosineRule
