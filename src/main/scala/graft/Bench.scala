@@ -46,10 +46,17 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // per-query times as integer milliseconds ("qunit":"ms"): keeps the
+    // whole line under ~2 KB so the driver's capture never truncates the
+    // JSON mid-object (round 1 lost 16 of 82 entries to full-precision
+    // doubles). The headline value stays in seconds per the contract.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalR = math.round(total * 1000) / 1000.0
+    val sf = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }
