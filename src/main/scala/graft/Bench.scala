@@ -29,20 +29,29 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("bucket_of_dist")(spark, sfDir).count()
 
-    // min of 2 runs: the first run of a query pays JIT/codegen for its
+    // min of 3 runs: the first run of a query pays JIT/codegen for its
     // operator mix; the min reflects steady-state engine throughput and is
-    // stable across bench invocations. A failing query reports -1, never a
-    // time-to-exception masquerading as a (fast!) result.
+    // stable across bench invocations (min-of-2 left enough run-to-run noise
+    // on a loaded box to fake 3-5x regressions in round 2). A failing query
+    // reports -1, never a time-to-exception masquerading as a (fast!) result.
     //
     // queryExecution.toRdd forces the FULL physical plan: wrapping in
     // count() would let the optimizer prune unreferenced aggregate
     // expressions and eliminate the final sort, under-measuring queries
     // whose cost lives in exactly those operators.
+    //
+    // clearCache() after every run: queries that .cache() intermediates
+    // (simhash_pairs, dedup_minhash_lsh, ngram_jaccard_pairs, lsh_topk) must
+    // not leave blocks behind — a surviving cache contaminates the next
+    // query's memory pressure AND lets a repeat run skip the build cost it
+    // is supposed to measure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => -1.0 }
+        spark.catalog.clearCache()
+        t
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
