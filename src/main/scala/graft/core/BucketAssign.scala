@@ -77,28 +77,26 @@ object BucketAssign {
       }
     }
 
-    // -- other topics: fallback (RangeAssignor semantics) ------------------
-    // RangeAssignor (public Kafka semantics): per topic, consumers sorted;
-    // each gets n/k contiguous partitions, the first n%k consumers one extra.
+    // -- other topics: delegated wholesale to the configured fallback ------
     // The reference routes each consumer to EXACTLY ONE branch
     // (BucketPriorityAssignor.java:106-122): a bucket-topic subscriber is
-    // never handed to the fallback, even for its other topics.
-    val otherTopics = partitionsPerTopic.keys.filterNot(_ == cfg.topic)
-    otherTopics.foreach { topic =>
-      val consumers = subscriptions.collect {
-        case (cid, sub) if sub.topics.contains(topic) && !sub.topics.contains(cfg.topic) => cid
-      }.toSeq.sorted
-      if (consumers.nonEmpty) {
-        val n = partitionsPerTopic(topic)
-        val base = n / consumers.size
-        val extra = n % consumers.size
-        var next = 0
-        consumers.zipWithIndex.foreach { case (cid, idx) =>
-          val take = base + (if (idx < extra) 1 else 0)
-          val buf = result.getOrElseUpdate(cid, mutable.Buffer.empty)
-          (next until next + take).foreach(p => buf += TopicPartition(topic, p))
-          next += take
-        }
+    // never handed to the fallback, even for its other topics. Everyone else
+    // goes to the configured fallback assignor in ONE call with the full
+    // partition metadata, and the fallback's assignments are merged in
+    // (BucketPriorityAssignor.java:140-147 — `fallback.assign(...)` +
+    // `putAll`). The delegated consumers cannot touch cfg.topic's partitions:
+    // by construction none of them subscribes to it.
+    val otherSubscriptions = subscriptions.filter {
+      case (_, sub) => !sub.topics.contains(cfg.topic)
+    }
+    if (otherSubscriptions.nonEmpty) {
+      // instantiation was validated at configure time; a Left here means the
+      // classpath changed under a live config — surface it loudly
+      val fallback = cfg.newFallbackAssignor().fold(
+        err => throw new IllegalStateException(err.message), identity)
+      fallback.assign(partitionsPerTopic, otherSubscriptions).foreach {
+        case (cid, tps) =>
+          result.getOrElseUpdate(cid, mutable.Buffer.empty) ++= tps
       }
     }
 

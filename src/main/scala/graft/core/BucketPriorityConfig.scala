@@ -11,7 +11,13 @@ package graft.core
   *     surrounding whitespace ignored;
   *   - allocations must sum to exactly 100;
   *   - `delimiter` defaults to `"-"` and is a REGEX (it feeds String.split);
-  *   - the consumer-side `bucket` declaration defaults to `""`.
+  *   - the consumer-side `bucket` declaration defaults to `""`;
+  *   - `fallbackAssignor` names the [[FallbackAssignor]] class delegated the
+  *     non-bucket-topic consumers (default [[RangeFallbackAssignor]]), and
+  *     must be instantiable at configure time — reference
+  *     BucketPriorityConfig.java:36-38,54-56,82-88 (CLASS config, default
+  *     RangeAssignor) and BucketPriorityAssignor.java:52-59 (instantiation
+  *     failure is an InvalidConfigurationException).
   *
   * Construction is only possible through [[BucketPriorityConfig.apply]] /
   * [[BucketPriorityConfig.fromRaw]], which return `Either` instead of throwing,
@@ -27,13 +33,20 @@ final case class BucketPriorityConfig private (
     buckets: Seq[String],
     allocation: Seq[Int],
     delimiter: String,
-    consumerBucket: String
+    consumerBucket: String,
+    fallbackAssignor: String
 ) {
   /** allocation percent per bucket, in the descending order of `buckets`. */
   def allocationOf(bucket: String): Option[Int] =
     buckets.zip(allocation).collectFirst { case (b, a) if b == bucket => a }
 
   def numBuckets: Int = buckets.size
+
+  /** Fresh fallback instance. Safe to `.toOption.get`-free: the class was
+    * validated instantiable when this config was constructed, so a Left here
+    * means the classpath changed underneath a live config. */
+  def newFallbackAssignor(): Either[ConfigError, FallbackAssignor] =
+    FallbackAssignor.instantiate(fallbackAssignor)
 }
 
 sealed abstract class ConfigError(val message: String)
@@ -52,6 +65,10 @@ object ConfigError {
       extends ConfigError(s"Each bucket allocation must be between 1 and 100, got $value")
   final case class DuplicateBucket(name: String)
       extends ConfigError(s"Bucket '$name' is declared more than once")
+  // reference wording: BucketPriorityAssignor.java:57-58
+  final case class InvalidFallbackAssignor(className: String, cause: String)
+      extends ConfigError(
+        s"The fallback assignor configured is invalid: '$className' ($cause)")
 }
 
 object BucketPriorityConfig {
@@ -63,7 +80,8 @@ object BucketPriorityConfig {
       buckets: Seq[String],
       allocation: Seq[Int],
       delimiter: String = DefaultDelimiter,
-      consumerBucket: String = ""
+      consumerBucket: String = "",
+      fallbackAssignor: String = FallbackAssignor.DefaultClassName
   ): Either[ConfigError, BucketPriorityConfig] = {
     // the reference trims bucket names at configure time
     // (BucketPriorityPartitioner.java:46, BucketPriorityAssignor.java:62) —
@@ -83,12 +101,16 @@ object BucketPriorityConfig {
       // territory (negative Math.round sizes), so reject them up front
       Left(ConfigError.BadAllocation(allocation.find(a => a < 1 || a > 100).get))
     else if (allocation.sum != 100) Left(ConfigError.BadSum(allocation.sum))
-    else {
-      // Descending allocation, stable for ties (reference sorts once at
-      // configure time: BucketPriorityPartitioner.java:49-58).
-      val ordered = trimmed.zip(allocation).sortBy { case (_, a) => -a }
-      Right(new BucketPriorityConfig(
-        topic, ordered.map(_._1), ordered.map(_._2), delimiter, consumerBucket))
+    else FallbackAssignor.instantiate(fallbackAssignor) match {
+      // configure-time instantiation check, reference Assignor.java:52-59
+      case Left(err) => Left(err)
+      case Right(_) =>
+        // Descending allocation, stable for ties (reference sorts once at
+        // configure time: BucketPriorityPartitioner.java:49-58).
+        val ordered = trimmed.zip(allocation).sortBy { case (_, a) => -a }
+        Right(new BucketPriorityConfig(
+          topic, ordered.map(_._1), ordered.map(_._2), delimiter, consumerBucket,
+          fallbackAssignor))
     }
   }
 
@@ -100,7 +122,8 @@ object BucketPriorityConfig {
       buckets: Seq[String],
       allocation: Seq[String],
       delimiter: String = DefaultDelimiter,
-      consumerBucket: String = ""
+      consumerBucket: String = "",
+      fallbackAssignor: String = FallbackAssignor.DefaultClassName
   ): Either[ConfigError, BucketPriorityConfig] = {
     val parsed = allocation.map { raw =>
       val cleaned = Option(raw).getOrElse("").replace("%", "").trim
@@ -109,7 +132,8 @@ object BucketPriorityConfig {
     }
     parsed.collectFirst { case Left(e) => e } match {
       case Some(e) => Left(e)
-      case None    => apply(topic, buckets, parsed.map(_.toOption.get), delimiter, consumerBucket)
+      case None    => apply(topic, buckets, parsed.map(_.toOption.get), delimiter,
+        consumerBucket, fallbackAssignor)
     }
   }
 

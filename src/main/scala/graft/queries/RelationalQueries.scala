@@ -409,9 +409,9 @@ object RelationalQueries {
     // (|approx − exact| / exact ≤ 5·rsd) that the oracle emits as literal
     // TRUE. The estimate is thereby driver-verified without requiring
     // bit-identical sketches. 5·rsd, not 3: HLL++'s bias-corrected error is
-    // not a hard 3-sigma bound at every cardinality (observed max relative
-    // error across sf0.001-0.1 is < 0.04 = 2·rsd; 0.10 keeps slack without
-    // accepting a broken sketch). greatest(exact, 1): a group whose user_id
+    // not a hard 3-sigma bound at every cardinality (the previous 3·rsd gate
+    // did pass at sf0.001-0.1, so observed error is ≤ 0.06; 0.10 keeps slack
+    // without accepting a broken sketch). greatest(exact, 1): a group whose user_id
     // values are all NULL has exact = approx = 0, and 0/1 = 0 keeps the
     // boolean TRUE instead of NULL (legacy) / DIVIDE_BY_ZERO (ANSI).
     "q_approx_distinct" -> Q(

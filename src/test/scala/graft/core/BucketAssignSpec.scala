@@ -3,6 +3,27 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 import BucketAssign.{Subscription, TopicPartition}
 
+/** All-to-one test fallback: proves BucketAssign delegates to the CONFIGURED
+  * class, not to hard-coded range semantics. Top-level with a no-arg
+  * constructor so reflective instantiation works. */
+class GrabAllFallbackAssignor extends FallbackAssignor {
+  override def assign(
+      partitionsPerTopic: Map[String, Int],
+      subscriptions: Map[String, Subscription]
+  ): Map[String, Seq[TopicPartition]] = {
+    val first = subscriptions.keys.toSeq.sorted.head
+    subscriptions.keys.map { cid =>
+      cid -> (if (cid == first)
+        partitionsPerTopic.toSeq.sortBy(_._1).flatMap { case (t, n) =>
+          if (subscriptions.values.exists(_.topics.contains(t)))
+            (0 until n).map(TopicPartition(t, _))
+          else Seq.empty
+        }
+      else Seq.empty[TopicPartition])
+    }.toMap
+  }
+}
+
 /** Parity with the reference assignor tests (BucketPriorityAssignorTest.java). */
 class BucketAssignSpec extends AnyFunSuite {
 
@@ -75,6 +96,39 @@ class BucketAssignSpec extends AnyFunSuite {
     assert(r("c1").forall(_.topic == "orders"))
     assert(r("c2").map(_.partition).sorted == Seq(0, 1, 2, 3))
     assert(r("c2").forall(_.topic == "misc"))
+  }
+
+  test("invalid fallback assignor class fails at configure time (AssignorTest:93-111)") {
+    // the reference passes its own TEST class — present on the classpath but
+    // not an assignor — and expects InvalidConfigurationException
+    val notAnAssignor = BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(80, 20),
+      fallbackAssignor = classOf[BucketAssignSpec].getName)
+    assert(notAnAssignor.swap.toOption.exists(
+      _.isInstanceOf[ConfigError.InvalidFallbackAssignor]))
+    val noSuchClass = BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(80, 20),
+      fallbackAssignor = "graft.core.DoesNotExist")
+    assert(noSuchClass.swap.toOption.exists(
+      _.isInstanceOf[ConfigError.InvalidFallbackAssignor]))
+    assert(noSuchClass.swap.toOption.get.message.contains(
+      "The fallback assignor configured is invalid"))
+  }
+
+  test("default fallback is range semantics; configured class is what runs") {
+    assert(c8020.fallbackAssignor == FallbackAssignor.DefaultClassName)
+    // same topology as the multi-topic test, but with the all-to-one fallback:
+    // the delegated consumers' split must change while bucket assignment and
+    // the one-branch-per-consumer rule stay intact
+    val cfg = BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(80, 20),
+      fallbackAssignor = classOf[GrabAllFallbackAssignor].getName).toOption.get
+    val subs = Map(
+      "b0" -> Subscription(Seq("orders"), Some("B1")),
+      "r0" -> Subscription(Seq("plain"), None),
+      "r1" -> Subscription(Seq("plain"), None))
+    val r = BucketAssign.assign(cfg, Map("orders" -> 6, "plain" -> 6), subs)
+    assert(r("r0").map(_.partition).sorted == Seq(0, 1, 2, 3, 4, 5)) // all-to-one
+    assert(r("r0").forall(_.topic == "plain")) // never touches the bucket topic
+    assert(r("r1").isEmpty)
+    assert(r("b0").map(_.partition).sorted == Seq(0, 1, 2, 3, 4))
   }
 
   test("every subscriber gets an entry even when its topic has no metadata yet") {
