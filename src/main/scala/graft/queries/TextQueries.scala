@@ -60,11 +60,22 @@ object TextQueries {
           val shift = (7 - p) * 4 + 3  // that nibble's top bit
           sum(shiftright(col(s"c$c"), shift).bitwiseAND(1)).as(s"s$i")
         }: _*)
-      // majority vote: Σ(±1) > 0 ⟺ 2·ones − n > 0
-      .select(col("doc_id"),
+      // majority vote: Σ(±1) > 0 ⟺ 2·ones − n > 0. Alongside the canonical
+      // bitstring, emit each 8-bit band as a packed int (b0..b3, bit 7-p for
+      // char position p): simhash_pairs joins bands and XOR-popcounts
+      // hamming on ints instead of re-parsing the bitstring with conv —
+      // Catalyst prunes these columns wherever only `simhash` is consumed.
+      .select(Seq(
+        col("doc_id"),
         concat((1 to 32).map(i =>
           when(col(s"s$i") * 2 > col("n_sh"), "1").otherwise("0")): _*)
-          .as("simhash"))
+          .as("simhash")) ++
+        (0 until 4).map { c =>
+          (0 until 8).map { p =>
+            val i = 8 * c + p + 1
+            when(col(s"s$i") * 2 > col("n_sh"), 1 << (7 - p)).otherwise(0)
+          }.reduce(_ + _).as(s"b$c")
+        }: _*)
   }
 
   /** DuckDB CTE computing the same 32-bit fingerprints as [[simhashDF]]. */
@@ -221,7 +232,7 @@ object TextQueries {
 
     // ---- SimHash 32-bit fingerprint --------------------------------------
     "simhash_fingerprint" -> Q(
-      fn = (s, dir) => simhashDF(s, dir).orderBy("doc_id"),
+      fn = (s, dir) => simhashDF(s, dir).select("doc_id", "simhash").orderBy("doc_id"),
       oracle = Some(
         s"""$simhashSqlCte
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin)),
@@ -233,21 +244,26 @@ object TextQueries {
     "simhash_pairs" -> Q(
       fn = (s, dir) => {
         val fp = simhashDF(s, dir).cache()
+        // band keys and hamming both run on the packed ints simhashDF
+        // already computed — no substring band values, no conv re-parse of
+        // the bitstring on the (much larger) candidate-pair side
         val bands = fp.select(col("doc_id"),
           explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), substring(col("simhash"), 8 * b + 1, 8).as("bv"))): _*)).as("bs"))
+            struct(lit(b).as("band"), col(s"b$b").as("bv"))): _*)).as("bs"))
           .select(col("doc_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
         val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        // hamming = popcount(xor) on the bit-packed signatures — one codegen'd
-        // op instead of 32 substring comparisons per candidate pair
-        val hamming = expr(
-          "CAST(bit_count(CAST(conv(fa, 2, 10) AS BIGINT) ^ CAST(conv(fb, 2, 10) AS BIGINT)) AS INT)")
+        // hamming = Σ popcount(xor) over the four 8-bit band ints — pure
+        // codegen'd integer ops per candidate pair
+        val hamming = (0 until 4)
+          .map(c => expr(s"bit_count(fa$c ^ fb$c)")).reduce(_ + _).cast("int")
         cand
-          .join(fp.select(col("doc_id").as("a_id"), col("simhash").as("fa")), Seq("a_id"))
-          .join(fp.select(col("doc_id").as("b_id"), col("simhash").as("fb")), Seq("b_id"))
+          .join(fp.select(col("doc_id").as("a_id") +:
+            (0 until 4).map(c => col(s"b$c").as(s"fa$c")): _*), Seq("a_id"))
+          .join(fp.select(col("doc_id").as("b_id") +:
+            (0 until 4).map(c => col(s"b$c").as(s"fb$c")): _*), Seq("b_id"))
           .withColumn("hamming", hamming)
           .filter(col("hamming") <= 3)
           .select("a_id", "b_id", "hamming")
