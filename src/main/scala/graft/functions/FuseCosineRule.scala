@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * and fuse it into the codegen'd [[CosineSimilarity]] expression (one tight
   * loop, ~10× fewer virtual calls; bit-identical result on well-formed
   * inputs — both are left-folds in double, and [[CosineSimilarity]] mirrors
-  * the HOF form's null semantics: unequal lengths, null elements, or a
-  * zero divisor (empty / zero-norm vectors under legacy Divide) ⇒ NULL).
+  * the HOF form's semantics mode-for-mode: unequal lengths or null elements
+  * ⇒ NULL, and a zero divisor (empty / zero-norm vectors) ⇒ NULL under
+  * LEGACY, DIVIDE_BY_ZERO under ANSI — so fusion fires under Spark 4's
+  * ANSI default too).
   *
   * The match is strict about WHICH lambda variables feed the arithmetic:
   * the multiply must consume the zip lambda's own (x, y) in order, and the
@@ -69,22 +71,24 @@ object FuseCosineRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // Only LEGACY division is fused: under ANSI the HOF form THROWS
-    // DIVIDE_BY_ZERO for a zero-norm vector, which CosineSimilarity never
-    // does — an optimizer rule must not change observable semantics. In
-    // LEGACY mode the equivalence is exact: legacy Divide returns NULL on a
-    // zero divisor and CosineSimilarity mirrors that (NULL when
-    // sqrt(na)*sqrt(nb) == 0.0 — empty arrays, zero-norm, underflow).
-    // Property-tested in FuseCosineRuleSpec. (Spark 4.1 wraps the mode in
-    // NumericEvalContext.)
+    // LEGACY and ANSI divisions both fuse, each into a CosineSimilarity of
+    // the SAME eval mode, so observable semantics are preserved: legacy
+    // Divide returns NULL on a zero divisor (empty arrays, zero-norm,
+    // underflow) and the LEGACY fused loop mirrors that; ANSI Divide throws
+    // DIVIDE_BY_ZERO there and the ANSI fused loop throws the identical
+    // error. The lambda arithmetic itself is mode-independent — double
+    // multiply/add/cast never raise under ANSI. TRY divisions are left
+    // alone (rare, and TryEval wrapping differs structurally anyway).
+    // Property-tested in FuseCosineRuleSpec for both modes. (Spark 4.1
+    // wraps the mode in NumericEvalContext.)
     case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), ctx: NumericEvalContext)
-        if ctx.evalMode == EvalMode.LEGACY =>
+        if ctx.evalMode == EvalMode.LEGACY || ctx.evalMode == EvalMode.ANSI =>
       (asDotFold(dot), asDotFold(na), asDotFold(nb)) match {
         case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
             if isFloatArray(a) && isFloatArray(b) && // CosineSimilarity reads getFloat
               sameArray(a, a1) && sameArray(a1, a2) &&
               sameArray(b, b1) && sameArray(b1, b2) =>
-          CosineSimilarity(a, b)
+          CosineSimilarity(a, b, ctx.evalMode)
         case _ => d // not the pattern: leave the ORIGINAL node (and its EvalMode) intact
       }
   }

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EvalMode, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused cosine similarity over two float-array columns, as a native
@@ -20,8 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * is ~64× fewer virtual calls: the HOF version interprets a lambda per
   * element; this compiles to a tight Java loop inside whole-stage codegen.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class CosineSimilarity(
+    left: Expression,
+    right: Expression,
+    evalMode: EvalMode.Value = EvalMode.LEGACY)
     extends BinaryExpression {
+
+  // Mirrors Divide's mode surface (Divide captures EvalMode at parse time;
+  // so does the SQL registration below): ANSI throws DIVIDE_BY_ZERO on a
+  // zero divisor — empty array, zero-norm, underflow — LEGACY and TRY
+  // return NULL. This keeps FuseCosineRule semantics-preserving in BOTH
+  // modes, so the fusion also fires under Spark 4's ANSI default.
+  private def failOnError: Boolean = evalMode == EvalMode.ANSI
 
   override def dataType: DataType = DoubleType
 
@@ -40,12 +51,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
-  // Null semantics mirror the HOF formulation under LEGACY division (so
+  // Null semantics mirror the HOF formulation under the SAME eval mode (so
   // FuseCosineRule is a true equivalence): arrays of different lengths
   // (zip_with null-pads, the fold propagates null) or any null element ⇒
-  // NULL; and a zero divisor — empty array, zero-norm vector, or norm
-  // underflow — ⇒ NULL, exactly as legacy Divide returns NULL whenever its
-  // divisor compares == 0 (DivModLike.eval, all numeric types incl. double).
+  // NULL in every mode; a zero divisor — empty array, zero-norm vector, or
+  // norm underflow — ⇒ NULL under LEGACY/TRY exactly as legacy Divide
+  // (DivModLike.eval, all numeric types incl. double), and DIVIDE_BY_ZERO
+  // under ANSI exactly as ANSI Divide.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -63,11 +75,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
+    if (denom == 0.0) {
+      if (failOnError) throw Bridge.divideByZeroError(origin.context) else null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val onZeroDenom = if (failOnError) {
+        val errCtx = ctx.addReferenceObj(
+          "errCtx", origin.context, "org.apache.spark.QueryContext")
+        s"throw org.apache.spark.sql.graftbridge.Bridge.divideByZeroError($errCtx);"
+      } else s"${ev.isNull} = true;"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
@@ -91,7 +110,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  if (!${ev.isNull}) {
          |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |    if ($denom == 0.0) {
-         |      ${ev.isNull} = true;
+         |      $onZeroDenom
          |    } else {
          |      ${ev.value} = $dot / $denom;
          |    }
@@ -106,18 +125,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Column-API entry point. */
+  /** Column-API entry point — pinned LEGACY (NULL on zero norm) so library
+    * query results are mode-independent and stay hash-identical to the
+    * DuckDB oracles; the SQL surface below follows the session mode the way
+    * `/` does. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `cosine_similarity(a, b)` for the SQL surface. */
+  /** Register `cosine_similarity(a, b)` for the SQL surface. Like Divide,
+    * the eval mode is captured from the session conf at PARSE time. */
   def registerSql(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => {
         require(exprs.length == 2,
           s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
-        CosineSimilarity(exprs(0), exprs(1))
+        CosineSimilarity(exprs(0), exprs(1), EvalMode.fromSQLConf(SQLConf.get))
       },
       "built-in")
 }

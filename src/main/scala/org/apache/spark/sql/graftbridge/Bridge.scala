@@ -14,4 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** ANSI division-by-zero error, exactly the exception `Divide` raises
+    * (QueryExecutionErrors is `private[sql]`; codegen calls this via the
+    * static forwarder `org.apache.spark.sql.graftbridge.Bridge.divideByZeroError`). */
+  def divideByZeroError(context: org.apache.spark.QueryContext): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(context)
 }

@@ -57,7 +57,7 @@ class FuseCosineRuleSpec extends SparkTestBase {
     }
   }
 
-  test("ANSI-mode divisions are left unfused (divide-by-zero semantics preserved)") {
+  test("ANSI-mode HOF cosine fuses too, with identical results (Spark 4 default)") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ FuseCosineRule
     val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
@@ -66,15 +66,58 @@ class FuseCosineRuleSpec extends SparkTestBase {
       val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
         .filter(col("vec_id") < 2)
-        .crossJoin(emb.select(col("embedding").as("b")).limit(3))
+        .crossJoin(emb.select(col("embedding").as("b")).limit(5))
       val q = pairs.select(hofCosine.as("sim"))
-      assert(!q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
-        "ANSI divide must not be fused")
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cosine_similarity"),
+        s"expected ANSI fusion in optimized plan:\n$optimized")
+      val fusedVals = q.as[Double].collect().toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+      val plainVals = pairs.select(hofCosine.as("sim")).as[Double].collect().toSeq
+      assert(fusedVals == plainVals)
     } finally {
       spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
     }
+  }
+
+  test("ANSI: zero-norm vector raises DIVIDE_BY_ZERO in fused AND unfused plans") {
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zeronorm").toString
+    Seq((1, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(tmp)
+    def runOnce(fuse: Boolean): Throwable = {
+      if (fuse) spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseCosineRule
+      try {
+        val q = spark.read.parquet(tmp).select(hofCosine.as("sim"))
+        if (fuse) {
+          val opt = q.queryExecution.optimizedPlan.toString
+          assert(opt.contains("cosine_similarity"), s"rule did not fire:\n$opt")
+        }
+        intercept[Throwable] { q.collect() }
+      } finally {
+        if (fuse) spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+      }
+    }
+    try {
+      // both sides raise the same error condition (wrapped in Spark's task
+      // failure chain, so walk the causes for the arithmetic root)
+      def rootArithmetic(t: Throwable): Option[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .find(c => c.isInstanceOf[ArithmeticException] ||
+            c.getMessage != null && c.getMessage.contains("DIVIDE_BY_ZERO"))
+      val fusedErr = rootArithmetic(runOnce(fuse = true))
+      val plainErr = rootArithmetic(runOnce(fuse = false))
+      assert(fusedErr.isDefined, "fused plan did not raise an arithmetic error")
+      assert(plainErr.isDefined, "unfused plan did not raise an arithmetic error")
+      assert(fusedErr.get.getMessage.contains("DIVIDE_BY_ZERO"), fusedErr.get.getMessage)
+      assert(plainErr.get.getMessage.contains("DIVIDE_BY_ZERO"), plainErr.get.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
   test("a fold multiplying the WRONG lambda variables is not fused") {
@@ -168,6 +211,50 @@ class FuseCosineRuleSpec extends SparkTestBase {
         Literal.create(a, floatArrayType), Literal.create(b, floatArrayType))
       val got = Option(e.eval(null)).map(_.asInstanceOf[Double])
       bits(got) == bits(hofLegacyModel(a, b))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** The ANSI model: identical to LEGACY except a zero divisor reached with
+    * non-null folds THROWS (like ANSI Divide) instead of yielding NULL. */
+  private def hofAnsiModel(a: Seq[java.lang.Float], b: Seq[java.lang.Float])
+      : Either[String, Option[Double]] = {
+    def fold(x: Seq[java.lang.Float], y: Seq[java.lang.Float]): Option[Double] = {
+      val m = math.max(x.size, y.size)
+      var acc: Option[Double] = Some(0.0)
+      for (i <- 0 until m) {
+        val p = if (i < x.size) Option(x(i)) else None
+        val q = if (i < y.size) Option(y(i)) else None
+        val prod = for (pp <- p; qq <- q) yield pp.toDouble * qq.toDouble
+        acc = for (a0 <- acc; v <- prod) yield a0 + v
+      }
+      acc
+    }
+    (fold(a, b), fold(a, a), fold(b, b)) match {
+      case (Some(d), Some(na), Some(nb)) =>
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) Left("DIVIDE_BY_ZERO") else Right(Some(d / denom))
+      case _ => Right(None)
+    }
+  }
+
+  test("property: ANSI CosineSimilarity.eval ≡ ANSI HOF semantics (throws on zero divisor)") {
+    import org.apache.spark.sql.catalyst.expressions.EvalMode
+    val p = Prop.forAll(genPair) { case (a, b) =>
+      val e = CosineSimilarity(
+        Literal.create(a, floatArrayType), Literal.create(b, floatArrayType),
+        EvalMode.ANSI)
+      val got =
+        try Right(Option(e.eval(null)).map(_.asInstanceOf[Double]))
+        catch { case ex: ArithmeticException =>
+          Left(if (ex.getMessage.contains("DIVIDE_BY_ZERO")) "DIVIDE_BY_ZERO"
+               else ex.getMessage) }
+      (got, hofAnsiModel(a, b)) match {
+        case (Left(x), Left(y))   => x == y
+        case (Right(x), Right(y)) => bits(x) == bits(y)
+        case _                    => false
+      }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
     assert(res.passed, res.status.toString)
