@@ -66,7 +66,41 @@ object StreamBench {
     val streamSecs = (System.nanoTime() - s0) / 1e9
     val streamRps = streamed / streamSecs
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed}""")
+    // ---- routed write e2e: route -> partitioned parquet sink ----
+    // The file-system twin of the Kafka partitioned-topic write (toKafkaFrame
+    // carries `partition`; a file sink expresses the same layout as pt=N
+    // directories). Timed end-to-end, then the per-partition counts are
+    // checked against bucket_layout proportions — each of the 4 routable
+    // event types is exactly 1/5 of the input, so bucket b's rows must land
+    // ONLY in b's partitions, evenly (routeUniform round-robin, skew ≤ tasks).
+    val writeRows = 5_000_000L
+    val writeIn = spark.range(writeRows).select(
+      concat(
+        element_at(
+          array(lit("purchase"), lit("signup"), lit("error"), lit("click"), lit("view")),
+          (pmod(col("id"), lit(5)) + 1).cast("int")),
+        lit("-"), col("id")).as("key"))
+    val sink = java.nio.file.Files.createTempDirectory("graft-routed-sink").toString
+    val w0 = System.nanoTime()
+    BucketRouting.discard(BucketRouting.routeUniform(writeIn, cfg, 10, col("key")))
+      .write.mode("overwrite").partitionBy("pt").parquet(sink)
+    val writeSecs = (System.nanoTime() - w0) / 1e9
+    val written = writeRows / 5 * 4 // "view" is unroutable and discarded
+    val writeRps = written / writeSecs
+    val counts = spark.read.parquet(sink).groupBy("pt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lay = graft.core.BucketLayout.layout(cfg, 10).toMap
+    val inTasks = spark.sparkContext.defaultParallelism
+    cfg.buckets.foreach { b =>
+      val parts = lay(b)
+      val perPart = parts.map(counts)
+      assert(perPart.sum == writeRows / 5, s"$b total ${perPart.sum} != ${writeRows / 5}")
+      val expected = writeRows / 5.0 / parts.size
+      perPart.foreach(c => assert(math.abs(c - expected) <= inTasks,
+        s"$b per-partition counts $perPart drifted from $expected (> $inTasks)"))
+    }
+
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass"}""")
     spark.stop()
   }
 }

@@ -87,6 +87,30 @@ class BucketRoutingSpec extends SparkTestBase {
     assert(back.filter(col("pt") >= 8).count() == 32) // B2's share
   }
 
+  test("routed write: per-partition file counts track bucket_layout proportions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-routed-prop").toString
+    // 800 msgs/bucket through the shuffle-free router into a partitioned
+    // sink: each B1 partition (8 of 10) should hold ~100 rows, each B2
+    // partition (2 of 10) ~400 — the layout made observable as directory
+    // sizes, the file-system twin of Kafka per-partition message counts
+    val routed = BucketRouting.discard(
+      BucketRouting.routeUniform(msgs(800, "B1", "B2"), c8020, 10, col("key")))
+    routed.write.mode("overwrite").partitionBy("pt").parquet(tmp)
+    val counts = spark.read.parquet(tmp).groupBy("pt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lay = graft.core.BucketLayout.layout(c8020, 10).toMap
+    assert(counts.keySet == (0 to 9).toSet)
+    Seq("B1", "B2").foreach { b =>
+      val parts = lay(b)
+      val perPart = parts.map(counts)
+      assert(perPart.sum == 800, s"$b total: ${perPart.sum}")
+      val expected = 800.0 / parts.size
+      // routeUniform round-robins per task; worst-case skew = #input tasks
+      perPart.foreach(c => assert(math.abs(c - expected) <= 8,
+        s"$b per-partition counts $perPart drifted from $expected"))
+    }
+  }
+
   test("routeUniform keeps <=1 skew per partition within each bucket") {
     val routed = BucketRouting.routeUniform(msgs(32, "B1", "B2"), c8020, 10, col("key"))
     val counts = routed.groupBy("bucket", "pt").count()
