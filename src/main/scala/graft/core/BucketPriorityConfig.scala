@@ -65,6 +65,15 @@ object ConfigError {
       extends ConfigError(s"Each bucket allocation must be between 1 and 100, got $value")
   final case class DuplicateBucket(name: String)
       extends ConfigError(s"Bucket '$name' is declared more than once")
+  // the reference trims names into its bucket map without rejecting "" —
+  // but a key consisting entirely of delimiter matches splits to length 0
+  // in Java (trailing empties dropped) and would never reach an ""-named
+  // bucket anyway, while Spark's split keeps empties and WOULD. Rejecting
+  // "" up front (reference-UB territory, like negative allocations) makes
+  // bucket_of's outcome identical to String.split+containsKey on every key
+  // — property-tested in BucketRoutingSpec.
+  final case class EmptyBucketName()
+      extends ConfigError("Bucket names must be non-empty after trimming")
   // reference wording: BucketPriorityAssignor.java:57-58
   final case class InvalidFallbackAssignor(className: String, cause: String)
       extends ConfigError(
@@ -95,6 +104,7 @@ object BucketPriorityConfig {
     else if (trimmed.distinct.size != trimmed.size)
       Left(ConfigError.DuplicateBucket(
         trimmed.diff(trimmed.distinct).headOption.getOrElse(trimmed.head)))
+    else if (trimmed.exists(_.isEmpty)) Left(ConfigError.EmptyBucketName())
     else if (allocation.exists(a => a < 1 || a > 100))
       // the reference only checks the sum (Partitioner:38-42); negative or
       // oversized per-bucket percentages would hit its undefined-behavior

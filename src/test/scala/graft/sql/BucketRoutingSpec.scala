@@ -72,6 +72,62 @@ class BucketRoutingSpec extends SparkTestBase {
     assert(got == Seq("Platinum", "Gold"))
   }
 
+  // Property parity for the delimiter-as-regex contract: the reference
+  // splits keys with java String.split(delimiter), takes token 0 trimmed
+  // when the array is non-empty, and routes only if it names a bucket
+  // (BucketPriorityPartitioner.java:68-78). Spark's split keeps trailing
+  // empty tokens where String.split drops them (a key consisting ENTIRELY
+  // of delimiter matches is [] in Java but ["", ...] in Spark) — with empty
+  // bucket names rejected at config time the two agree on the ROUTING
+  // OUTCOME for every key, which is what this property pins, over
+  // metacharacter delimiters (".", "|", "[0-9]") × adversarial keys
+  // (leading/trailing delimiters, whitespace, nulls, bucket-like noise).
+  test("property: bucket_of == reference String.split routing for regex delimiters") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val bucketNames = Seq("Platinum", "Gold", "a.b", "0042")
+    val genDelim = Gen.oneOf("-", "\\|", ".", "|", "--", "\\.", "x",
+      "[0-9]", "\\s", "(?:-)", "a|b")
+    val genKeyPart = Gen.oneOf("Platinum", "Gold", "", "a.b", "x|y", "(z)",
+      "0042", " Platinum", "Gold ", "a-b-c", "...", "---")
+    val genKey: Gen[String] = Gen.frequency(
+      9 -> (for {
+        parts <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genKeyPart))
+        sep <- Gen.oneOf("-", "|", ".", "", " ")
+      } yield parts.mkString(sep)),
+      1 -> Gen.const(null: String))
+    val p = Prop.forAll(genDelim, Gen.listOfN(8, genKey)) { (delim, keys) =>
+      val cfg = BucketPriorityConfig("t", bucketNames, Seq(40, 30, 20, 10),
+        delimiter = delim).toOption.get
+      // the reference's partition() body, verbatim as a model
+      val expected = keys.map {
+        case null => null
+        case k =>
+          val toks = k.split(delim)
+          if (toks.length >= 1 && bucketNames.contains(toks(0).trim)) toks(0).trim
+          else null
+      }
+      val got = keys.toDF("key")
+        .select(BucketRouting.bucketOf(col("key"), cfg).as("b"))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("empty bucket names are rejected at config time (split-parity guard)") {
+    val r = BucketPriorityConfig("t", Seq("B1", " "), Seq(70, 30))
+    assert(r.swap.toOption.exists(_.isInstanceOf[graft.core.ConfigError.EmptyBucketName]))
+    // the key corner the guard exists for: a key that is ALL delimiter
+    // matches is length-0 in Java but ["", ""] in Spark — with no ""-bucket
+    // configurable, both route to "no bucket"
+    val cfg = c8020
+    val got = Seq("--", "-", "B1-1").toDF("key")
+      .select(BucketRouting.bucketOf(col("key"), cfg).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq(null, null, "B1"))
+  }
+
   test("routed write: repartition by pt + partitionBy lands each routed partition in its own dir") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-routed").toString
     val routed = BucketRouting.discard(
