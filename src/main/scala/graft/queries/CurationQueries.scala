@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators beyond dedup (§2.4 north-star surface):
+  * benchmark decontamination, deterministic stratified sampling, token-window
+  * chunking, and vocabulary statistics — the remaining verbs of a 100 TB
+  * LLM-data pipeline, each with an exact DuckDB oracle.
+  *
+  * Scale shapes: decontamination is explode + shingle equi-join (semi/anti)
+  * — never a cross join; sampling is a stateless hash predicate (no shuffle
+  * at all until the final count); chunking is a per-row generator; vocab
+  * top-k aggregates then TakeOrdered's k rows before the (tiny) rank window.
+  */
+object CurationQueries {
+
+  /** 5-token distinct shingles (the doc_fingerprint granularity). */
+  private val shingles5 =
+    "array_distinct(transform(sequence(0, size(toks) - 5), i -> array_join(slice(toks, i + 1, 5), ' ')))"
+  private val shingles5Duck =
+    "list_distinct(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i + 1 : i + 5], ' ')))"
+
+  val all: Map[String, Q] = Map(
+
+    // ---- benchmark decontamination --------------------------------------
+    // The held-out "benchmark" set is synthetic (doc_id % 97 == 0); a corpus
+    // doc is contaminated iff it shares ANY 5-token shingle with a benchmark
+    // doc. Candidate generation is an equi-join on the shingle itself
+    // (explode → semi-join → distinct) — at 100 TB the benchmark shingle set
+    // is small and broadcastable, so the corpus side never shuffles.
+    "decontaminate" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+        val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+        val cont = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(bench, Seq("s"), "left_semi")
+          .select("doc_id").distinct()
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .join(cont.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("contaminated").isNotNull, 1).otherwise(0)).as("n_contaminated"),
+            sum(when(col("contaminated").isNull, 1).otherwise(0)).as("n_kept"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, UNNEST($shingles5Duck) AS s FROM t WHERE len(toks) >= 5),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           |cont AS (SELECT DISTINCT doc_id FROM sh
+           |         WHERE doc_id % 97 != 0 AND s IN (SELECT s FROM bench))
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+           |WHERE d.doc_id % 97 != 0
+           |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      headline = true),
+
+    // ---- deterministic stratified sampling ------------------------------
+    // Per-source Bernoulli rates (src0-4: 100%, src5-9: 50%, src10-14: 25%,
+    // src15-19: 10%) decided by the first 4 hex chars of md5(doc_id) against
+    // a string threshold — reproducible on any engine, no RNG state, no
+    // shuffle before the accounting agg. ('g' compares above every hex char,
+    // so it is the always-keep threshold.)
+    "sample_stratified" -> Q(
+      fn = (s, dir) => {
+        val grp = expr("int(substring(source, 4, 8)) div 5")
+        val threshold = when(grp === 0, "g").when(grp === 1, "8000")
+          .when(grp === 2, "4000").otherwise("199a")
+        Tables.load(s, dir, "documents")
+          .withColumn("keep",
+            substring(md5(col("doc_id").cast("string")), 1, 4) < threshold)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1).otherwise(0)).as("n_sampled"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """SELECT source, COUNT(*) AS n_total,
+          |       CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          |         (CASE CAST(substring(source, 4) AS INT) // 5
+          |               WHEN 0 THEN 'g' WHEN 1 THEN '8000'
+          |               WHEN 2 THEN '4000' ELSE '199a' END)
+          |         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- token-window chunking ------------------------------------------
+    // 50-token windows at stride 40 (10-token overlap) — the standard
+    // pretraining chunker. Pure per-row generator: parallelism-preserving,
+    // no shuffle until the final sort; chunk identity is the md5 of the
+    // joined window so downstream exact-dedup composes directly.
+    "chunk_documents" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(toks) - 1) div 40)")).as("i"),
+            col("toks"))
+          .select(
+            col("doc_id"),
+            col("i").cast("int").as("chunk_idx"),
+            expr("size(slice(toks, int(i * 40 + 1), 50))").as("n_chunk_tokens"),
+            expr("md5(array_join(slice(toks, int(i * 40 + 1), 50), ' '))").as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |c AS (SELECT doc_id, UNNEST(range((len(toks) - 1) // 40 + 1)) AS i, toks FROM t)
+          |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+          |       CAST(len(toks[i * 40 + 1 : i * 40 + 50]) AS INTEGER) AS n_chunk_tokens,
+          |       md5(array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ')) AS chunk_hash
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- corpus vocabulary top-k ----------------------------------------
+    // Token frequencies with deterministic rank (count desc, token asc).
+    // Scale shape: partial+final hash agg, then orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition top-k, no global sort); the rank
+    // window runs on at most k rows.
+    "vocab_topk" -> Q(
+      fn = (s, dir) => {
+        val cnt = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(100)
+        cnt.withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("int"))
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH ex AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+          |cnt AS (SELECT token, COUNT(*) AS n FROM ex GROUP BY token),
+          |rk AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM cnt)
+          |SELECT token, n, CAST(rank AS INTEGER) AS rank FROM rk
+          |WHERE rank <= 100 ORDER BY rank""".stripMargin))
+  )
+}
