@@ -41,20 +41,22 @@ object SimilarityQueries {
     if (hex.charAt(0) >= '8') 1.0f else -1.0f
   })
 
-  /** Sign-bit string of the projections onto hyperplanes `js`. */
+  /** Sign-bit string of the projections onto hyperplanes `js`. Each dot is
+    * the codegen'd [[graft.functions.FloatVectorDot]] — bit-identical to the
+    * `aggregate(zip_with(...))` fold (and the DuckDB `list_reduce` oracle),
+    * but a tight loop instead of 64 interpreted lambda calls per plane;
+    * the 36 projections of the near-dup signature were the dominant per-row
+    * cost of dedup_embedding_cosine under the HOF form. */
   private def hyperplaneSig(embCol: Column, js: Seq[Int]): Column =
     concat(js.map { j =>
-      val dot = aggregate(
-        zip_with(embCol, planeLit(j), (x, p) => x.cast("double") * p.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, "1").otherwise("0")
+      when(graft.functions.VectorFunctions.floatDot(embCol, planeLit(j)) > 0, "1")
+        .otherwise("0")
     }: _*)
 
   /** Same fold as [[graft.functions.VectorFunctions.cosineSimilarity]]'s
     * denominator input: ‖v‖² as a double left-fold. */
   private def norm2(embCol: Column): Column =
-    aggregate(zip_with(embCol, embCol, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.floatDot(embCol, embCol)
 
   private val NumBands = 6
   private val BandBits = 6

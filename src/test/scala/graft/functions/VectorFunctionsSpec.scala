@@ -51,6 +51,30 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(withNullElem.isNullAt(0))
   }
 
+  test("FloatVectorDot == the HOF left-fold bit-for-bit (codegen path, real data)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 50)
+    def hofDot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val rows = emb.select(
+      col("vec_id"),
+      VectorFunctions.floatDot(col("embedding"), col("embedding")).as("fast"),
+      hofDot("embedding", "embedding").as("hof")).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: fast=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+    // HOF null semantics: unequal lengths and null elements => NULL
+    val unequal = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b").select(VectorFunctions.floatDot(col("a"), col("b"))).collect()(0)
+    assert(unequal.isNullAt(0))
+    val nullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b").select(VectorFunctions.floatDot(col("a"), col("b"))).collect()(0)
+    assert(nullElem.isNullAt(0))
+  }
+
   test("SQL registration: cosine_similarity and bucket_of usable from spark.sql") {
     val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30)).toOption.get
     BucketSqlFunctions.registerAll(spark, cfg)
