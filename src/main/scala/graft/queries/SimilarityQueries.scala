@@ -72,15 +72,21 @@ object SimilarityQueries {
     * entered the corpus). */
   def lshNearDupPairs(emb0: org.apache.spark.sql.DataFrame, threshold: Double)
       : org.apache.spark.sql.DataFrame = {
-    // cached: consumed by the band-signature pass and both verify sides
+    // cached WITH the band signatures: the 36 hyperplane projections run
+    // once per row at cache build instead of once per side of the band
+    // self-join; both band branches and both verify sides then scan the
+    // same in-memory relation
     val emb = emb0
       .filter(norm2(col("embedding")) > 0)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id") +: col("embedding") +:
+        (0 until NumBands).map { b =>
+          hyperplaneSig(col("embedding"), b * BandBits until (b + 1) * BandBits)
+            .as(s"sig$b")
+        }: _*)
       .cache()
     val bands = emb.select(col("vec_id"),
         explode(array((0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            hyperplaneSig(col("embedding"), b * BandBits until (b + 1) * BandBits).as("sig"))
+          struct(lit(b).as("band"), col(s"sig$b").as("sig"))
         }: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
