@@ -29,14 +29,17 @@ object StreamBench {
     val cfg = BucketPriorityConfig("events",
       Seq("purchase", "signup", "error", "click"), Seq(40, 30, 20, 10)).toOption.get
 
+    // one key scheme for all three workloads (batch, stream, routed write):
+    // 4 routable event types + unroutable "view", each exactly 1/5 of ids
+    def keyedFrom(id: org.apache.spark.sql.Column) = concat(
+      element_at(
+        array(lit("purchase"), lit("signup"), lit("error"), lit("click"), lit("view")),
+        (pmod(id, lit(5)) + 1).cast("int")),
+      lit("-"), id).as("key")
+
     // ---- batch: 20M synthetic keyed rows through routeUniform ----
     val rows = 20_000_000L
-    val batch = spark.range(rows).select(
-      concat(
-        element_at(
-          array(lit("purchase"), lit("signup"), lit("error"), lit("click"), lit("view")),
-          (pmod(col("id"), lit(5)) + 1).cast("int")),
-        lit("-"), col("id")).as("key"))
+    val batch = spark.range(rows).select(keyedFrom(col("id")))
     batch.count() // materialize the input plan once (warm)
     val t0 = System.nanoTime()
     val routedCount = BucketRouting.discard(
@@ -48,11 +51,7 @@ object StreamBench {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", "2000000")
       .option("numPartitions", cpus).load()
-    val keyed = rate.select(concat(
-      element_at(
-        array(lit("purchase"), lit("signup"), lit("error"), lit("click"), lit("view")),
-        (pmod(col("value"), lit(5)) + 1).cast("int")),
-      lit("-"), col("value")).as("key"))
+    val keyed = rate.select(keyedFrom(col("value")))
     val routed = PriorityStreams.routeStream(keyed, cfg, 10, col("key"), discardUnroutable = true)
     @volatile var streamed = 0L
     val q = routed.writeStream
@@ -74,12 +73,7 @@ object StreamBench {
     // event types is exactly 1/5 of the input, so bucket b's rows must land
     // ONLY in b's partitions, evenly (routeUniform round-robin, skew ≤ tasks).
     val writeRows = 5_000_000L
-    val writeIn = spark.range(writeRows).select(
-      concat(
-        element_at(
-          array(lit("purchase"), lit("signup"), lit("error"), lit("click"), lit("view")),
-          (pmod(col("id"), lit(5)) + 1).cast("int")),
-        lit("-"), col("id")).as("key"))
+    val writeIn = spark.range(writeRows).select(keyedFrom(col("id")))
     val sink = java.nio.file.Files.createTempDirectory("graft-routed-sink").toString
     val w0 = System.nanoTime()
     BucketRouting.discard(BucketRouting.routeUniform(writeIn, cfg, 10, col("key")))
@@ -93,7 +87,9 @@ object StreamBench {
     val inTasks = spark.sparkContext.defaultParallelism
     cfg.buckets.foreach { b =>
       val parts = lay(b)
-      val perPart = parts.map(counts)
+      // getOrElse: an empty partition must fail the layout ASSERT below
+      // (the regression this check exists for), not a map lookup
+      val perPart = parts.map(p => counts.getOrElse(p, 0L))
       assert(perPart.sum == writeRows / 5, s"$b total ${perPart.sum} != ${writeRows / 5}")
       val expected = writeRows / 5.0 / parts.size
       perPart.foreach(c => assert(math.abs(c - expected) <= inTasks,

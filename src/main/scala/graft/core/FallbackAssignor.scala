@@ -38,7 +38,11 @@ object FallbackAssignor {
           className, s"${other.getClass.getName} is not a FallbackAssignor"))
       }
     } catch {
-      case e: ReflectiveOperationException =>
+      // LinkageError covers ExceptionInInitializerError / NoClassDefFoundError
+      // — a static initializer that throws must surface as the config error,
+      // not escape BucketPriorityConfig.apply's no-throw contract
+      case e @ (_: ReflectiveOperationException | _: LinkageError |
+                _: SecurityException) =>
         Left(ConfigError.InvalidFallbackAssignor(className, e.toString))
     }
 }

@@ -102,6 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      // builder runs at parse time — capture the session's eval mode then,
+      // exactly like Divide and VectorFunctions.registerSql, so the
+      // extensions path and the temp-function path agree mode-for-mode
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1),
+        EvalMode.fromSQLConf(org.apache.spark.sql.internal.SQLConf.get))))
   }
 }

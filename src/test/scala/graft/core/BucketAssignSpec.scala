@@ -24,6 +24,18 @@ class GrabAllFallbackAssignor extends FallbackAssignor {
   }
 }
 
+/** Static-init failure fixture for the configure-time validation test. */
+class ExplodingInitAssignor extends FallbackAssignor {
+  ExplodingInitAssignor.boom()
+  override def assign(
+      partitionsPerTopic: Map[String, Int],
+      subscriptions: Map[String, Subscription]
+  ): Map[String, Seq[TopicPartition]] = Map.empty
+}
+object ExplodingInitAssignor {
+  def boom(): Unit = throw new RuntimeException("constructor failure fixture")
+}
+
 /** Parity with the reference assignor tests (BucketPriorityAssignorTest.java). */
 class BucketAssignSpec extends AnyFunSuite {
 
@@ -111,6 +123,12 @@ class BucketAssignSpec extends AnyFunSuite {
       _.isInstanceOf[ConfigError.InvalidFallbackAssignor]))
     assert(noSuchClass.swap.toOption.get.message.contains(
       "The fallback assignor configured is invalid"))
+    // a static initializer that throws must surface as the config error too
+    // (ExceptionInInitializerError is an Error, not an Exception)
+    val initThrows = BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(80, 20),
+      fallbackAssignor = classOf[ExplodingInitAssignor].getName)
+    assert(initThrows.swap.toOption.exists(
+      _.isInstanceOf[ConfigError.InvalidFallbackAssignor]))
   }
 
   test("default fallback is range semantics; configured class is what runs") {
