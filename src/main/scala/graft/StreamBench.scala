@@ -47,6 +47,16 @@ object StreamBench {
     val batchSecs = (System.nanoTime() - t0) / 1e9
     val batchRps = routedCount / batchSecs
 
+    // A/B: the same routing as a first-class physical operator
+    // (AssignPartitionsExec over UnsafeRows — no Row encoder round-trip)
+    val n0 = System.nanoTime()
+    val nativeCount = BucketRouting.discard(
+      BucketRouting.routeUniformNative(batch, cfg, 10, col("key"))).count()
+    val nativeSecs = (System.nanoTime() - n0) / 1e9
+    val nativeRps = nativeCount / nativeSecs
+    assert(nativeCount == routedCount,
+      s"native router count $nativeCount != mapPartitions $routedCount")
+
     // ---- streaming: rate source through routeStream ----
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", "2000000")
@@ -96,7 +106,7 @@ object StreamBench {
         s"$b per-partition counts $perPart drifted from $expected (> $inTasks)"))
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass"}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass"}""")
     spark.stop()
   }
 }

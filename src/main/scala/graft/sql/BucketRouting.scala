@@ -129,6 +129,31 @@ object BucketRouting {
     }
   }
 
+  /** [[routeUniform]] as a first-class Catalyst operator (§2.5 preference
+    * (c)): same per-(task, bucket) counter semantics, but executed by
+    * [[graft.plans.AssignPartitionsExec]] directly over `UnsafeRow`s —
+    * no Row encoder round-trip. Registers [[graft.plans.GraftStrategy]] on
+    * the session idempotently (or use `GraftExtensions` cluster-wide). */
+  def routeUniformNative(
+      df: DataFrame,
+      cfg: BucketPriorityConfig,
+      numPartitions: Int,
+      keyCol: Column
+  ): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    val ranges: Map[String, (Int, Int)] = BucketLayout.ranges(cfg, numPartitions).toMap
+    val withBucket = df.withColumn("bucket", bucketOf(keyCol, cfg))
+    val childPlan = org.apache.spark.sql.graftbridge.Bridge.logicalPlan(withBucket)
+    val bucketAttr = childPlan.output.find(_.name == "bucket").get
+    val ptAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "pt", org.apache.spark.sql.types.IntegerType, nullable = true)()
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      graft.plans.AssignPartitions(ranges, bucketAttr, ptAttr, childPlan))
+  }
+
   /** `discard` fallback: keep only routable rows (documented intent of
     * DiscardPartitioner.java:15-18 — unroutable messages are never written). */
   def discard(df: DataFrame): DataFrame =

@@ -15,6 +15,20 @@ object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw logical plan (classic `Dataset.ofRows` is
+    * `private[sql]`) — the entry point for custom logical nodes like
+    * [[graft.plans.AssignPartitions]]. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** ANSI division-by-zero error, exactly the exception `Divide` raises
     * (QueryExecutionErrors is `private[sql]`; codegen calls this via the
     * static forwarder `org.apache.spark.sql.graftbridge.Bridge.divideByZeroError`). */
