@@ -61,6 +61,32 @@ object SimilarityQueries {
   private val NumBands = 6
   private val BandBits = 6
 
+  /** DuckDB CTEs `e` (norm-filtered), `bands`, `cand` — the oracle mirror of
+    * [[lshNearDupPairs]]'s candidate generation, shared by the pair and
+    * cluster queries. (The threshold only enters the final verify, so `cand`
+    * is threshold-independent; the param is kept for self-documentation.) */
+  private def lshPairsSqlCtes(threshold: Double): String = {
+    def sigSql(b: Int) = (b * BandBits until (b + 1) * BandBits).map { j =>
+      s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+         |  i -> CAST(embedding[i] AS DOUBLE) *
+         |       (CASE WHEN substring(md5('$j' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
+         |             THEN 1.0 ELSE -1.0 END)),
+         |  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+    val bandSelects = (0 until NumBands)
+      .map(b => s"SELECT vec_id, $b AS band, ${sigSql(b)} AS sig FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE ${duckDot("embedding", "embedding")} > 0),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+       |)""".stripMargin
+  }
+
   /** Banded-LSH near-duplicate pairs over a (vec_id, embedding) frame:
     * 6-band × 6-bit hyperplane signatures → per-band equi-join candidates →
     * exact-cosine verify at `threshold`. Public so specs can drive it with
@@ -183,34 +209,77 @@ object SimilarityQueries {
     // oracle runs the identical algorithm, so the gate compares exactly.
     "dedup_embedding_cosine" -> Q(
       fn = (s, dir) => lshNearDupPairs(Tables.load(s, dir, "embeddings"), 0.35),
-      oracle = Some {
-        def sigSql(b: Int) = (b * BandBits until (b + 1) * BandBits).map { j =>
-          s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-             |  i -> CAST(embedding[i] AS DOUBLE) *
-             |       (CASE WHEN substring(md5('$j' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
-             |             THEN 1.0 ELSE -1.0 END)),
-             |  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
-        }.mkString(" || ")
-        val bandSelects = (0 until NumBands)
-          .map(b => s"SELECT vec_id, $b AS band, ${sigSql(b)} AS sig FROM e")
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-           |           WHERE ${duckDot("embedding", "embedding")} > 0),
-           |bands AS (
-           |  $bandSelects
-           |),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-           |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
-           |)
+      oracle = Some(
+        s"""WITH ${lshPairsSqlCtes(0.35)}
            |SELECT a_id, b_id,
            |       round(${duckDot("a.embedding", "b.embedding")}
            |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})), 6) AS sim
            |FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
            |WHERE ${duckDot("a.embedding", "b.embedding")}
            |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.35
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- near-dup CLUSTERS: connected components over the LSH pair graph -
+    // The missing verb after pair-finding: group mutually-near documents so
+    // one survivor per CLUSTER can be kept (A~B, B~C ⇒ {A,B,C} even when
+    // A~C wasn't found). Spark side is iterative min-label propagation —
+    // each round a join + min-agg, the textbook large-graph CC shape
+    // (GraphX/GraphFrames do the same under the hood), converging in
+    // O(component diameter) rounds; the driver loop only reads a scalar
+    // convergence count per round. Oracle: DuckDB recursive CTE computing
+    // the transitive closure — exponentially sized on big components, fine
+    // at gate scale, which is exactly why the Spark side does NOT use it.
+    // Threshold 0.40 (vs the pair query's 0.35): at 0.35 the random-tail
+    // graph nearly percolates (an 807-node component at sf0.1) — a
+    // data-realism artifact of the synthetic corpus, not a shape problem,
+    // but it makes the closure-based oracle quadratic; 0.40 keeps clusters
+    // near-dup-tight (max size 8 at sf0.1).
+    "dedup_clusters" -> Q(
+      fn = (s, dir) => {
+        val pairs = lshNearDupPairs(Tables.load(s, dir, "embeddings"), 0.40)
+          .select(col("a_id"), col("b_id"))
+        // localCheckpoint, not cache: each round's plan references the
+        // previous round's, so without lineage TRUNCATION the logical plan
+        // doubles per round and analysis cost explodes on deeper graphs
+        // (the standard iterative-algorithm discipline; eager=true also
+        // materializes, so the loop's scalar read is the only other action)
+        val sym = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("src", "dst").localCheckpoint(true)
+        var labels = sym.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")).localCheckpoint(true)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 30) {
+          val prop = sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("label"))
+          val next = labels.union(prop)
+            .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
+          val changes = next.as("n")
+            .join(labels.as("o"), col("n.id") === col("o.id"))
+            .filter(col("n.label") =!= col("o.label")).count()
+          labels = next
+          converged = changes == 0
+          rounds += 1
+        }
+        labels.select(col("id").as("vec_id"), col("label").as("cluster"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE ${lshPairsSqlCtes(0.40)},
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+           |  WHERE ${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.40),
+           |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+           |        UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(s, d) AS (
+           |  SELECT s, d FROM sym
+           |  UNION
+           |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
+           |)
+           |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
+           |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin)),
 
     // ---- random-hyperplane LSH ANN ---------------------------------------
     // 8 signed projections → 8-bit signature → candidates share the exact
