@@ -31,14 +31,19 @@ import graft.core.{BucketLayout, BucketPriorityConfig}
   * is identical; the exact message→partition byte order is defined by
   * `seqCol` instead of arrival time (SURVEY §7 risk register).
   *
-  * Scale note (100 TB): [[route]] uses a window partitioned by bucket — with
-  * a handful of buckets every bucket is one shuffle partition, which is the
-  * correct *deterministic* semantics but skews at cluster scale. For massive
-  * streams use [[routeUniform]], which keeps the same ≤1-skew uniformity
-  * guarantee without any shuffle by round-robining per Spark task (offset by
-  * a per-task salt), at the cost of a non-reproducible message→partition
-  * order — exactly the guarantee profile of the reference under concurrent
-  * producer threads (its AtomicInteger order is scheduling-dependent too).
+  * Scale note (100 TB): [[route]] is deterministic AND scale-safe — the
+  * round-robin counter is computed with a window salted to
+  * `(bucket, hash(seq) mod S)` so each bucket spreads over S reducers
+  * instead of one, then per-salt offsets (a tiny broadcast aggregate)
+  * stitch the salt-local row numbers into one bijection 1..N per bucket.
+  * Any bijection yields the identical per-partition allocation (partition
+  * load is `(rn-1) % size` over a permutation of 1..N — multiset-invariant),
+  * so the reference's uniformity contract (≤1 skew within a bucket) holds
+  * exactly, while the row→partition map stays a pure function of the key
+  * and seq values. For shuffle-FREE routing of massive streams use
+  * [[routeUniform]], which round-robins per Spark task — the guarantee
+  * profile of the reference under concurrent producer threads (its
+  * AtomicInteger order is scheduling-dependent too).
   */
 object BucketRouting {
 
@@ -58,28 +63,63 @@ object BucketRouting {
     *
     * Adds `bucket` (nullable string) and `pt` (nullable int):
     *   - known bucket, non-empty range → assigned partition (round-robin over
-    *     the bucket's contiguous range, ordered by `seqCol`);
+    *     the bucket's contiguous range, a deterministic function of `seqCol`);
     *   - known bucket, EMPTY range     → −1 (to be discarded);
     *   - no bucket                     → null (engine-default placement).
+    *
+    * Two-level salted counter (no by-bucket single-reducer window): rows get
+    * a salt `pmod(hash(seq), salts)`, a `row_number` window runs per
+    * `(bucket, salt)` — S reducers per bucket — and per-salt offsets from a
+    * tiny `(bucket, salt) → count` aggregate (≤ buckets×salts rows,
+    * broadcast) stitch the locals into a bijection 1..N per bucket. The
+    * per-partition allocation `(rn-1) % size` over any 1..N bijection is
+    * multiset-identical, so results match a global seq-ordered counter
+    * exactly; only the (unobservable) internal visit order differs. Costs
+    * one extra pass over the routed side for the count aggregate — the price
+    * of determinism at cluster scale; [[routeUniform]] is the zero-shuffle
+    * alternative when reproducibility isn't needed.
     */
   def route(
       df: DataFrame,
       cfg: BucketPriorityConfig,
       numPartitions: Int,
       keyCol: Column,
-      seqCol: Column
+      seqCol: Column,
+      salts: Int = 16
   ): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1: $salts")
     val ranges = BucketLayout.ranges(cfg, numPartitions) // (name,(start,size))
     val bucket = bucketOf(keyCol, cfg)
-    val withBucket = df.withColumn("bucket", bucket)
+    val withSalt = df
+      .withColumn("bucket", bucket)
+      .withColumn("__salt", pmod(hash(seqCol), lit(salts)))
     val start = bucketCase(col("bucket"), ranges.map { case (n, (s, _)) => (n, s) })
     val size = bucketCase(col("bucket"), ranges.map { case (n, (_, z)) => (n, z) })
-    val rn = row_number().over(Window.partitionBy(col("bucket")).orderBy(seqCol))
-    withBucket.withColumn(
-      "pt",
-      when(col("bucket").isNull, lit(null).cast("int"))
-        .when(size === 0, lit(-1))
-        .otherwise(start + (rn - lit(1)) % size))
+    val localRn = row_number()
+      .over(Window.partitionBy(col("bucket"), col("__salt")).orderBy(seqCol))
+    // Per-(bucket, salt) counts → exclusive running offset within the bucket.
+    // The window below runs over the AGGREGATE (≤ buckets×salts rows), not
+    // the data — single-partition there is fine.
+    val offsets = withSalt
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket"), col("__salt")).agg(count(lit(1)).as("__cnt"))
+      .withColumn(
+        "__off",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("__salt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("__salt"), col("__off"))
+    withSalt
+      .withColumn("__rn", localRn)
+      .join(broadcast(offsets), Seq("bucket", "__salt"), "left")
+      .withColumn(
+        "pt",
+        when(col("bucket").isNull, lit(null).cast("int"))
+          .when(size === 0, lit(-1))
+          .otherwise((start + (col("__off") + col("__rn") - lit(1)) % size).cast("int")))
+      .select((df.columns.map(col) :+ col("bucket") :+ col("pt")): _*)
   }
 
   /** Shuffle-free routing for cluster scale: one round-robin counter per
