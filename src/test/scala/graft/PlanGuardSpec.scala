@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-regression guard: machine-checks the "plans you'd want at 100×" bar
+  * over EVERY query in [[SparkEntry.queries]], so a scale-killer can't creep
+  * back in unnoticed (the reference bar is the O(1) hot path of
+  * BucketPriorityPartitioner.java:62-94 — nothing in this engine should be
+  * worse than linear-with-good-constants per partition).
+  *
+  * Rules (each with its documented whitelist):
+  *   R1 no CartesianProduct / BroadcastNestedLoopJoin — except queries whose
+  *      nested-loop side is provably tiny (a broadcast of ≤k query points /
+  *      centroids / a 5×25 demo cross join);
+  *   R2 no global (empty-partitionSpec) Window unless its input subtree is
+  *      bounded by a global limit ≤ [[MaxGlobalWindowRows]];
+  *   R3 no Window partitioned ONLY by the low-cardinality routing column
+  *      (`bucket`) over un-aggregated input — with a handful of buckets that
+  *      is one reducer per bucket carrying the whole table (the round-3
+  *      scale-killer, now fixed by salting in BucketRouting.route);
+  *   R4 no shuffle Exchange feeding directly into another shuffle Exchange
+  *      (a re-shuffle that a sane plan always fuses or reuses).
+  *
+  * AQE is disabled while BUILDING these plans (never executed) so every
+  * Exchange is visible statically; production runs keep AQE on.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  /** R2 bound: a global window is fine over ≤ this many rows. */
+  private val MaxGlobalWindowRows = 10000
+
+  /** R1 whitelist — nested-loop joins whose non-streamed side is provably
+    * tiny at any corpus scale (size is set by the QUERY, not the data):
+    *   - q_cross_join: the intended 5-region × 25-nation demo product;
+    *   - similarity_topk / similarity_topk_agg: broadcast of the ≤5-row
+    *     query-vector side against the corpus — the standard brute-force
+    *     ANN baseline shape;
+    *   - lsh_topk: same ≤5-row broadcast query side (bucketed candidates);
+    *   - ivf_topk: broadcast of k=16 centroids for assignment + the tiny
+    *     (queries × centroids) probe product.
+    */
+  private val nestedLoopOk: Set[String] =
+    Set("q_cross_join", "similarity_topk", "similarity_topk_agg", "lsh_topk", "ivf_topk")
+
+  // One analysis+optimization pass per query, shared by every rule below.
+  // Plans are built, never executed (dedup_clusters' builder runs its own
+  // tiny convergence jobs — that's its documented construction cost).
+  private lazy val plans: Map[String, SparkPlan] = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, SfDir).queryExecution.executedPlan
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  /** All nodes of the plan including subquery plans. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }
+
+  /** Is this window's input bounded by a global limit ≤ k rows? */
+  private def limitBounded(w: WindowExec): Boolean =
+    w.child.collectWithSubqueries {
+      case g: GlobalLimitExec if g.limit <= MaxGlobalWindowRows => g
+      case t: TakeOrderedAndProjectExec if t.limit <= MaxGlobalWindowRows => t
+    }.nonEmpty
+
+  /** Does the window's input subtree aggregate (rows already reduced to
+    * group cardinality) before the window runs? */
+  private def aggregated(w: WindowExec): Boolean =
+    w.child.collectWithSubqueries {
+      case n if n.nodeName.contains("Aggregate") => n
+    }.nonEmpty
+
+  test("R1: no cartesian products or nested-loop joins outside the tiny-side whitelist") {
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      if (nestedLoopOk(name)) Nil
+      else nodes(p).collect {
+        case j: CartesianProductExec => s"$name: ${j.nodeName}"
+        case j: BroadcastNestedLoopJoinExec => s"$name: ${j.nodeName}"
+      }
+    }
+    assert(offenders.isEmpty, s"cartesian/nested-loop joins found:\n${offenders.mkString("\n")}")
+  }
+
+  test("R1b: whitelisted queries still exist (stale whitelist guard)") {
+    val gone = nestedLoopOk.filterNot(SparkEntry.queries.contains)
+    assert(gone.isEmpty, s"whitelist names no longer in SparkEntry.queries: $gone")
+  }
+
+  test("R2: global windows only over limit-bounded inputs") {
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      nodes(p).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !limitBounded(w) =>
+          s"$name: global Window over unbounded input"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("R3: no bucket-only window over un-aggregated input (routing scale-killer)") {
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      nodes(p).collect {
+        case w: WindowExec
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(_.references.map(_.name).forall(_ == "bucket")) &&
+              !aggregated(w) =>
+          s"$name: Window partitioned only by `bucket` over raw input"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("R3 negative control: the guard fires on the pre-round-4 bucket-only window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the shape route() shipped before salting: row_number over a window
+      // partitioned by the low-cardinality bucket column on raw rows
+      val df = Tables.load(spark, SfDir, "events")
+        .withColumn("bucket", col("event_type"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("event_id"))))
+      val bad = nodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(_.references.map(_.name).forall(_ == "bucket")) &&
+              !aggregated(w) => w
+      }
+      assert(bad.nonEmpty, "guard failed to flag a bucket-only window over raw input")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("R4: no shuffle exchange feeding directly into another shuffle exchange") {
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      nodes(p).collect {
+        case e: ShuffleExchangeLike if e.children.exists(_.isInstanceOf[ShuffleExchangeLike]) =>
+          s"$name: Exchange directly under Exchange"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
