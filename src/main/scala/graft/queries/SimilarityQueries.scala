@@ -95,9 +95,30 @@ object SimilarityQueries {
     * on BOTH engines (Spark's cosine yields NULL on zero norm and drops the
     * pair; DuckDB's yields NaN which compares GREATER than any threshold —
     * without the filter the engines would diverge if a zero vector ever
-    * entered the corpus). */
+    * entered the corpus).
+    *
+    * Cache lifecycle: the signature frame stays `.cache()`d after the call
+    * (it backs the lazily-returned DataFrame, so this function cannot
+    * unpersist it). Callers that own a session long-term should use
+    * [[lshNearDupPairsWithHandle]] and unpersist the handle once done with
+    * the result (as dedup_clusters does), or `spark.catalog.clearCache()`. */
   def lshNearDupPairs(emb0: org.apache.spark.sql.DataFrame, threshold: Double)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    lshNearDupPairsWithHandle(emb0, threshold)._1
+
+  /** [[lshNearDupPairs]] plus the cached signature frame, so callers can
+    * `_2.unpersist()` after their final action over `_1`. */
+  def lshNearDupPairsWithHandle(emb0: org.apache.spark.sql.DataFrame, threshold: Double)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (pairs, emb) = lshNearDupPairsUnsorted(emb0, threshold)
+    (pairs.orderBy("a_id", "b_id"), emb)
+  }
+
+  /** Pair pipeline WITHOUT the final global sort — for consumers like
+    * [[all]]'s dedup_clusters that feed the pairs into further processing
+    * where a total order would be a wasted range-exchange + sort. */
+  private def lshNearDupPairsUnsorted(emb0: org.apache.spark.sql.DataFrame, threshold: Double)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // cached WITH the band signatures: the 36 hyperplane projections run
     // once per row at cache build instead of once per side of the band
     // self-join; both band branches and both verify sides then scan the
@@ -119,13 +140,13 @@ object SimilarityQueries {
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    cand
+    val pairs = cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("av")), Seq("a_id"))
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("bv")), Seq("b_id"))
       .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
-      .orderBy("a_id", "b_id")
+    (pairs, emb)
   }
 
   val all: Map[String, Q] = Map(
@@ -236,8 +257,9 @@ object SimilarityQueries {
     // near-dup-tight (max size 8 at sf0.1).
     "dedup_clusters" -> Q(
       fn = (s, dir) => {
-        val pairs = lshNearDupPairs(Tables.load(s, dir, "embeddings"), 0.40)
-          .select(col("a_id"), col("b_id"))
+        val (pairsDf, sigCache) =
+          lshNearDupPairsUnsorted(Tables.load(s, dir, "embeddings"), 0.40)
+        val pairs = pairsDf.select(col("a_id"), col("b_id"))
         // localCheckpoint, not cache: each round's plan references the
         // previous round's, so without lineage TRUNCATION the logical plan
         // doubles per round and analysis cost explodes on deeper graphs
@@ -246,22 +268,40 @@ object SimilarityQueries {
         val sym = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("src", "dst").localCheckpoint(true)
+        sigCache.unpersist() // pairs are materialized in sym; drop the LSH cache
         var labels = sym.select(col("src").as("id")).distinct()
           .withColumn("label", col("id")).localCheckpoint(true)
+        // Per round ONE join + ONE agg (the minimal distributed-CC round):
+        // the edge set is augmented with (label(v) → v), so min-label
+        // propagation over it folds in POINTER JUMPING (v adopts its label's
+        // label — the parallel-CC shortcut toward O(log diameter) rounds)
+        // in the same shuffle as the neighbor min. Because label(u) ≤ u
+        // always, the agg's min over N(v) ∪ {label(v)} already includes the
+        // old-label bound — no `least(old, …)` join needed. Convergence:
+        // labels are per-node monotone non-increasing, so the label SUM is
+        // strictly decreasing until the fixpoint — compare a decimal sum
+        // (overflow-proof at any id range) of the materialized checkpoint
+        // between rounds: a join-free scalar read instead of the round-3
+        // version's full old-vs-new re-join.
+        var prevSum: Option[java.math.BigDecimal] = null
         var converged = false
         var rounds = 0
-        while (!converged && rounds < 30) {
-          val prop = sym.join(labels, sym("src") === labels("id"))
-            .select(col("dst").as("id"), col("label"))
-          val next = labels.union(prop)
-            .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
-          val changes = next.as("n")
-            .join(labels.as("o"), col("n.id") === col("o.id"))
-            .filter(col("n.label") =!= col("o.label")).count()
+        val MaxRounds = 50
+        while (!converged && rounds < MaxRounds) {
+          val aug = sym.union(labels.select(col("label").as("src"), col("id").as("dst")))
+          val next = aug.join(labels.as("l"), aug("src") === col("l.id"))
+            .groupBy(aug("dst").as("id")).agg(min(col("l.label")).as("label"))
+            .localCheckpoint(true)
+          val curSum = Option( // None on an empty (edge-free) graph
+            next.agg(sum(col("label").cast("decimal(28,0)"))).head().getDecimal(0))
+          converged = prevSum != null && prevSum == curSum
+          prevSum = curSum
           labels = next
-          converged = changes == 0
           rounds += 1
         }
+        // Silent early exit would return WRONG labels on a graph whose
+        // component diameter exceeds the cap — fail loudly instead.
+        require(converged, s"dedup_clusters: CC did not converge in $MaxRounds rounds")
         labels.select(col("id").as("vec_id"), col("label").as("cluster"))
           .orderBy("vec_id")
       },
