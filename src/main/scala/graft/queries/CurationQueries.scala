@@ -17,8 +17,10 @@ import graft.Tables
   */
 object CurationQueries {
 
-  /** 5-token distinct shingles (the doc_fingerprint granularity). */
-  private val shingles5 =
+  /** 5-token distinct shingles (the doc_fingerprint granularity). Shared
+    * with [[graft.streaming.PriorityStreams.decontaminateStream]] so the
+    * streaming twin provably shingles identically to this batch oracle. */
+  private[graft] val shingles5 =
     "array_distinct(transform(sequence(0, size(toks) - 5), i -> array_join(slice(toks, i + 1, 5), ' ')))"
   private val shingles5Duck =
     "list_distinct(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i + 1 : i + 5], ' ')))"

@@ -106,6 +106,38 @@ object PriorityStreams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** §2.3 stream-static join carrying a north-star operator: streaming
+    * benchmark DECONTAMINATION. Incoming documents are shingled (the same
+    * 5-token shingles as the batch `decontaminate` query — one shared
+    * expression, [[graft.queries.CurationQueries.shingles5]]), then
+    * LEFT SEMI stream-static joined against the static held-out benchmark
+    * shingle set. The static side is broadcast — at 100 TB the corpus
+    * streams past it with no shuffle, the exact shape of the batch twin.
+    *
+    * Emits one row per CONTAMINATED document: `(doc_id, tsCol)`, in append
+    * mode. Downstream keeps a doc iff its id never arrives here (anti-join
+    * in the serving store). State: the shingle explode is stateless; the
+    * per-doc dedup (a doc with k shared shingles must alert once, not k
+    * times) is `dropDuplicatesWithinWatermark` on `doc_id`, so state holds
+    * only contaminated ids inside the watermark horizon — proportional to
+    * the contamination rate, not the corpus. */
+  def decontaminateStream(
+      docs: DataFrame,
+      benchShingles: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col(tsCol), col("doc_id"),
+        explode(expr(graft.queries.CurationQueries.shingles5)).as("s"))
+    sh.join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id", tsCol)
+  }
+
   // ---- stateful per-bucket backlog / SLA tracker -------------------------
 
   /** One input event, already bucketed. */

@@ -235,6 +235,40 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(tws("purchase").maxGapMicros == 4000L)
   }
 
+  test("stream-static decontamination flags exactly the batch twin's contaminated docs") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // batch twin (the oracle-checked decontaminate query's candidate logic):
+    // bench = shingles of held-out docs (doc_id % 97 == 0); contaminated =
+    // corpus docs sharing any shingle
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks) - 5), i -> array_join(slice(toks, i + 1, 5), ' ')))")).as("s"))
+    val bench = sh.filter($"doc_id" % 97 === 0).select("s").distinct()
+    val expected = sh.filter($"doc_id" % 97 =!= 0)
+      .join(bench, Seq("s"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(expected.nonEmpty, "sf0.01 corpus should have contaminated docs")
+    // streaming side: corpus docs arrive over two micro-batches
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val flagged = decontaminateStream(
+      in.toDF().toDF("doc_id", "text", "ts"), bench)
+    val q = flagged.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    in.addData(b1.map { case (id, t) => (id, t, ts("2024-01-01 00:00:01")) })
+    q.processAllAvailable()
+    in.addData(b2.map { case (id, t) => (id, t, ts("2024-01-01 00:00:02")) })
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("decon_out").select("doc_id").as[Long].collect()
+    assert(got.length == got.distinct.length, "a doc must be flagged once, not per shingle")
+    assert(got.toSet == expected)
+  }
+
   test("FAIR pool xml: one pool per bucket, weight = allocation") {
     val xml = PriorityPools.allocationFileXml(cfg)
     assert(xml.contains("<pool name=\"purchase\">"))
