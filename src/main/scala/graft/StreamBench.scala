@@ -106,7 +106,106 @@ object StreamBench {
         s"$b per-partition counts $perPart drifted from $expected (> $inTasks)"))
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass"}""")
+    // ---- state scale: backlogTrackerTws over 1M distinct keys (RocksDB) ----
+    // Evidence the §2.3 stateful row holds beyond toy key counts: 2M events
+    // over 1,000,000 distinct keys (each key updated twice, so the
+    // read-modify-write path is exercised, not just inserts) through the
+    // transformWithState tracker on the RocksDB state store provider.
+    val StateKeys = 1_000_000
+    val stateEvents = 2L * StateKeys
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (stateSecs, stateRowsTotal) = try {
+      import spark.implicits._
+      // file-backed stream (a MemoryStream java-serializes each 500k-row
+      // block to every task — driver-heap-bound; files are the honest
+      // at-scale source anyway): ids 0..2M-1, key = id mod 1M, so each
+      // key's two events land ~1M ids apart → different files → different
+      // micro-batches → the read-modify-write path, not just inserts
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-tws-src").toString
+      spark.range(stateEvents).select(
+        format_string("k%07d", pmod(col("id"), lit(StateKeys))).as("bucket"),
+        col("id").as("eventId"),
+        col("id").as("tsMicros"))
+        .repartitionByRange(8, col("eventId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("bucket STRING, eventId BIGINT, tsMicros BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.BucketEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-bench").toString
+      @volatile var emitted = 0L
+      val st0 = System.nanoTime()
+      val sq = PriorityStreams.backlogTrackerTws(events)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.BucketBacklog], _: Long) =>
+          emitted += b.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val secs = (System.nanoTime() - st0) / 1e9
+      val rowsTotal = sq.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      // update-mode emits one row per (key, batch-with-that-key): at least
+      // one per key, at most one per event
+      assert(emitted >= StateKeys && emitted <= stateEvents,
+        s"tws emitted $emitted outside [$StateKeys, $stateEvents]")
+      assert(rowsTotal == StateKeys, s"state rows $rowsTotal != $StateKeys keys")
+      (secs, rowsTotal)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val stateRps = stateEvents / stateSecs
+
+    // ---- skew mitigation A/B/C: 90%-hot-key join, plain vs salted vs AQE ----
+    // 10M-row fact with 90% of rows on key 0 joined to a 100k-row dim, with
+    // broadcast DISABLED so the join is a real shuffle (at 100 TB the dim
+    // outgrows broadcast; this measures the reducer-skew story, which a
+    // broadcast would simply hide). Plain SMJ pins the hot key's 9M rows on
+    // one reducer; SkewUtils.saltedJoin spreads them over 32; AQE's skew
+    // join splits the hot partition at runtime (thresholds lowered so the
+    // optimization actually fires at bench scale).
+    val factRows = 10_000_000L
+    val fact = spark.range(factRows).select(
+      when(pmod(col("id"), lit(10)) < 9, 0L).otherwise(pmod(col("id"), lit(100000))).as("key"),
+      col("id").as("v"))
+    val dim = spark.range(100000).select(col("id").as("key"), (col("id") * 2).as("payload"))
+    fact.count(); dim.count() // warm input plans
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    def timedJoin(skewJoin: Boolean, salted: Boolean): (Double, Long) = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      try {
+        val joined =
+          if (salted) graft.sql.SkewUtils.saltedJoin(fact, dim, "key", 32)
+          else fact.join(dim, "key")
+        val t = System.nanoTime()
+        val n = joined.count()
+        ((System.nanoTime() - t) / 1e9, n)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+    val (plainSecs, plainN) = timedJoin(skewJoin = false, salted = false)
+    val (saltedSecs, saltedN) = timedJoin(skewJoin = false, salted = true)
+    val (aqeSecs, aqeN) = timedJoin(skewJoin = true, salted = false)
+    assert(plainN == factRows && saltedN == factRows && aqeN == factRows,
+      s"skew join counts diverged: plain=$plainN salted=$saltedN aqe=$aqeN")
+    assert(saltedSecs < plainSecs,
+      f"salted join ($saltedSecs%.1fs) must beat the skew-pinned plain join ($plainSecs%.1fs)")
+
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f}""")
     spark.stop()
   }
 }
