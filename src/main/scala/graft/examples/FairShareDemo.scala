@@ -77,9 +77,11 @@ object FairShareDemo {
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
-    // drain straggler listener events before reading the totals (the bus is
-    // private[spark]; a short sleep is enough for a local bus to flush)
-    Thread.sleep(1000)
+    // drain straggler listener events before reading the totals — a timed
+    // sleep can miss late onTaskEnd events on a loaded box and fail the
+    // asserts below spuriously; the bus's own waitUntilEmpty (via the
+    // private[spark] bridge) is deterministic
+    org.apache.spark.sql.graftbridge.Bridge.waitUntilListenerBusEmpty(spark)
 
     val times = cfg.buckets.map(b => b -> poolTime.getOrElse(b, 0L)).toMap
     val total = times.values.sum.toDouble

@@ -181,13 +181,29 @@ object BucketRouting {
       keyCol: Column
   ): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    // synchronized check-then-append: two concurrent callers racing here
+    // could otherwise each read the same list and one would overwrite the
+    // other's (or a user's concurrently-added) strategy
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    }
     val ranges: Map[String, (Int, Int)] = BucketLayout.ranges(cfg, numPartitions).toMap
     val withBucket = df.withColumn("bucket", bucketOf(keyCol, cfg))
     val childPlan = org.apache.spark.sql.graftbridge.Bridge.logicalPlan(withBucket)
-    val bucketAttr = childPlan.output.find(_.name == "bucket").get
+    // resolve the attribute withColumn just produced: exact name when unique
+    // (withColumn guarantees one column named "bucket" whether it appended
+    // or replaced); positional last as the fallback for resolvers that kept
+    // a pre-existing differently-cased name — never bind some other column
+    val bucketAttr = childPlan.output.filter(_.name == "bucket") match {
+      case Seq(a) => a
+      case _ =>
+        val last = childPlan.output.last
+        require(last.name.equalsIgnoreCase("bucket"),
+          s"cannot locate the routed bucket column in ${childPlan.output.map(_.name)}")
+        last
+    }
     val ptAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "pt", org.apache.spark.sql.types.IntegerType, nullable = true)()
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,

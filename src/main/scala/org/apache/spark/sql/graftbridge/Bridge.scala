@@ -29,6 +29,13 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Block until every queued listener event has been delivered
+    * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`) — lets programs
+    * that assert on listener-accumulated metrics drain deterministically
+    * instead of sleeping and hoping stragglers arrived. */
+  def waitUntilListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** ANSI division-by-zero error, exactly the exception `Divide` raises
     * (QueryExecutionErrors is `private[sql]`; codegen calls this via the
     * static forwarder `org.apache.spark.sql.graftbridge.Bridge.divideByZeroError`). */
