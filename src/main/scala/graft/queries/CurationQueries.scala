@@ -143,6 +143,79 @@ object CurationQueries {
           |cnt AS (SELECT token, COUNT(*) AS n FROM ex GROUP BY token),
           |rk AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM cnt)
           |SELECT token, n, CAST(rank AS INTEGER) AS rank FROM rk
-          |WHERE rank <= 100 ORDER BY rank""".stripMargin))
+          |WHERE rank <= 100 ORDER BY rank""".stripMargin)),
+
+    // ---- within-document repetition filter (Gopher-style) ---------------
+    // Duplicate-bigram ratio per doc (1 − distinct/total 2-grams) — the
+    // MassiveText/Gopher "repetitive document" signal. Pure per-row
+    // expressions (NO explode: transform + array_distinct inside codegen),
+    // so the corpus streams straight into the per-source agg — zero shuffle
+    // before it, the cheapest possible 100 TB quality-filter shape.
+    // Float parity: per-doc ratios are rounded to 6 dp and SUMMED AS
+    // DECIMAL (order-independent, exact) before the final double division.
+    "repetition_filter" -> Q(
+      fn = (s, dir) => {
+        val ratio = round(
+          lit(1.0) - col("d2").cast("double") / col("n2"), 6)
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .withColumn("n2", size(col("toks")) - 1)
+          .withColumn("d2", size(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))))
+          .withColumn("ratio", ratio)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("ratio") > 0.10, 1).otherwise(0)).as("n_flagged"),
+            round(sum(col("ratio").cast("decimal(10,6)")).cast("double") / count(lit(1)), 6)
+              .as("avg_repetition"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT source, len(toks) - 1 AS n2,
+          |        len(list_distinct(list_transform(range(len(toks) - 1),
+          |          i -> toks[i + 1] || ' ' || toks[i + 2]))) AS d2
+          |      FROM t WHERE len(toks) >= 2),
+          |r AS (SELECT source, round(1.0 - CAST(d2 AS DOUBLE) / n2, 6) AS ratio FROM g)
+          |SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(CASE WHEN ratio > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          |       round(CAST(SUM(CAST(ratio AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS avg_repetition
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- rare-token rate vs the corpus top-k vocabulary ------------------
+    // Fraction of each source's tokens OUTSIDE the corpus top-20 vocab — the
+    // OOV/quality signal behind frequency-based vocab pruning. Scale shape:
+    // wordcount partial+final agg → TakeOrderedAndProject(20) → tiny top-k
+    // BROADCAST left join back onto the token stream (the corpus side never
+    // shuffles for membership), then one per-source agg. Deterministic
+    // top-k tie-break (count desc, token asc) on both engines.
+    "rare_token_rate" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(20)
+          .select(col("tok"), lit(1).as("is_top"))
+        toks.join(broadcast(top), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("is_top").isNull, 1).otherwise(0)).as("n_rare"))
+          .withColumn("rare_rate",
+            round(col("n_rare").cast("double") / col("n_tokens"), 6))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |top AS (SELECT tok FROM (
+          |  SELECT tok, COUNT(*) AS c FROM t GROUP BY tok ORDER BY c DESC, tok LIMIT 20)),
+          |a AS (SELECT source, COUNT(*) AS n_tokens,
+          |        CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM top) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          |      FROM t GROUP BY source)
+          |SELECT source, n_tokens, n_rare,
+          |       round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_rate
+          |FROM a ORDER BY source""".stripMargin))
   )
 }
