@@ -81,8 +81,10 @@ object Bench {
       val warm = ts.drop(1)
       n -> (warm.max / warm.min)
     }.sortBy(_._2)
+    // nearest-rank percentile: ceil(p*n)-1 (floor(p*n) over-indexes by one
+    // exactly when p*n is integral — e.g. n=10 would report the max as p90)
     def pct(p: Double) = if (ratios.isEmpty) 1.0
-      else ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))._2
+      else ratios(math.max(0, math.min(ratios.size - 1, math.ceil(p * ratios.size).toInt - 1)))._2
     def r2(d: Double) = math.round(d * 100) / 100.0
     val worst = ratios.takeRight(3).reverse.map { case (n, _) =>
       val ms = runs.toMap.apply(n).map(t => math.round(t * 1000))

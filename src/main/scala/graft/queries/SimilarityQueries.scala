@@ -294,7 +294,13 @@ object SimilarityQueries {
             .localCheckpoint(true)
           val curSum = Option( // None on an empty (edge-free) graph
             next.agg(sum(col("label").cast("decimal(28,0)"))).head().getDecimal(0))
-          converged = prevSum != null && prevSum == curSum
+          // value comparison via compareTo: BigDecimal.equals is
+          // scale-sensitive (2 != 2.00) and must not decide convergence
+          converged = prevSum != null && ((prevSum, curSum) match {
+            case (None, None)       => true
+            case (Some(a), Some(b)) => a.compareTo(b) == 0
+            case _                  => false
+          })
           prevSum = curSum
           labels = next
           rounds += 1

@@ -88,38 +88,48 @@ object BucketRouting {
       salts: Int = 16
   ): DataFrame = {
     require(salts >= 1, s"salts must be >= 1: $salts")
+    val SaltCol = "__graft_route_salt"
+    val RnCol = "__graft_route_rn"
+    val OffCol = "__graft_route_off"
+    Seq(SaltCol, RnCol, OffCol).foreach(c =>
+      require(!df.columns.contains(c), s"input must not carry internal column $c"))
     val ranges = BucketLayout.ranges(cfg, numPartitions) // (name,(start,size))
     val bucket = bucketOf(keyCol, cfg)
     val withSalt = df
       .withColumn("bucket", bucket)
-      .withColumn("__salt", pmod(hash(seqCol), lit(salts)))
+      .withColumn(SaltCol, pmod(hash(seqCol), lit(salts)))
     val start = bucketCase(col("bucket"), ranges.map { case (n, (s, _)) => (n, s) })
     val size = bucketCase(col("bucket"), ranges.map { case (n, (_, z)) => (n, z) })
     val localRn = row_number()
-      .over(Window.partitionBy(col("bucket"), col("__salt")).orderBy(seqCol))
+      .over(Window.partitionBy(col("bucket"), col(SaltCol)).orderBy(seqCol))
     // Per-(bucket, salt) counts → exclusive running offset within the bucket.
     // The window below runs over the AGGREGATE (≤ buckets×salts rows), not
     // the data — single-partition there is fine.
     val offsets = withSalt
       .filter(col("bucket").isNotNull)
-      .groupBy(col("bucket"), col("__salt")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("bucket"), col(SaltCol)).agg(count(lit(1)).as("__cnt"))
       .withColumn(
-        "__off",
+        OffCol,
         coalesce(
           sum(col("__cnt")).over(
-            Window.partitionBy(col("bucket")).orderBy(col("__salt"))
+            Window.partitionBy(col("bucket")).orderBy(col(SaltCol))
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("bucket"), col("__salt"), col("__off"))
+      .select(col("bucket"), col(SaltCol), col(OffCol))
+    // final projection from withSalt's column list (not df's): withColumn
+    // semantics are preserved whether "bucket" was appended or replaced a
+    // pre-existing column in place, so re-routing a routed frame stays legal
+    val outCols =
+      withSalt.columns.filterNot(c => c == SaltCol || c == "pt").map(col) :+ col("pt")
     withSalt
-      .withColumn("__rn", localRn)
-      .join(broadcast(offsets), Seq("bucket", "__salt"), "left")
+      .withColumn(RnCol, localRn)
+      .join(broadcast(offsets), Seq("bucket", SaltCol), "left")
       .withColumn(
         "pt",
         when(col("bucket").isNull, lit(null).cast("int"))
           .when(size === 0, lit(-1))
-          .otherwise((start + (col("__off") + col("__rn") - lit(1)) % size).cast("int")))
-      .select((df.columns.map(col) :+ col("bucket") :+ col("pt")): _*)
+          .otherwise((start + (col(OffCol) + col(RnCol) - lit(1)) % size).cast("int")))
+      .select(outCols: _*)
   }
 
   /** Shuffle-free routing for cluster scale: one round-robin counter per

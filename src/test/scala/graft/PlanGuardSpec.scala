@@ -50,25 +50,55 @@ class PlanGuardSpec extends SparkTestBase {
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
   // tiny convergence jobs — that's its documented construction cost).
+  //
+  // KNOWN BLIND SPOT: dedup_clusters' returned plan reads a localCheckpoint,
+  // which severs the LSH pair pipeline and the per-round CC join/agg plans
+  // from the final executedPlan — R1-R4 cannot see inside the loop. The
+  // expensive interior is therefore guarded EXPLICITLY: the shared pair
+  // pipeline is added to `plans` below under a synthetic name, and
+  // SimilarityQueriesSpec asserts its no-cartesian property independently.
   private lazy val plans: Map[String, SparkPlan] = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, SfDir).queryExecution.executedPlan
+    try {
+      val queryPlans = SparkEntry.queries.map { case (name, fn) =>
+        name -> fn(spark, SfDir).queryExecution.executedPlan
+      }
+      val pairPipeline = graft.queries.SimilarityQueries
+        .lshNearDupPairs(Tables.load(spark, SfDir, "embeddings"), 0.40)
+      queryPlans + ("__dedup_clusters_pair_pipeline" ->
+        pairPipeline.queryExecution.executedPlan)
     }
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache() // the pair pipeline caches its signatures
+    }
   }
 
   /** All nodes of the plan including subquery plans. */
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p.collectWithSubqueries { case n => n }
 
-  /** Is this window's input bounded by a global limit ≤ k rows? */
-  private def limitBounded(w: WindowExec): Boolean =
-    w.child.collectWithSubqueries {
-      case g: GlobalLimitExec if g.limit <= MaxGlobalWindowRows => g
-      case t: TakeOrderedAndProjectExec if t.limit <= MaxGlobalWindowRows => t
-    }.nonEmpty
+  /** Is this window's input bounded by a global limit ≤ k rows? Walks the
+    * DIRECT unary chain below the window only — a limit hiding on one
+    * branch of a join (e.g. a broadcast dim.limit(20) under an unbounded
+    * fact scan) must NOT qualify, since the window still sees the unbounded
+    * side's rows. */
+  private def limitBounded(w: WindowExec): Boolean = {
+    var node: SparkPlan = w.child
+    while (node.children.size == 1) {
+      node match {
+        case g: GlobalLimitExec if g.limit <= MaxGlobalWindowRows => return true
+        case t: TakeOrderedAndProjectExec if t.limit <= MaxGlobalWindowRows => return true
+        case _ =>
+      }
+      node = node.children.head
+    }
+    node match {
+      case t: TakeOrderedAndProjectExec if t.limit <= MaxGlobalWindowRows => true
+      case _ => false
+    }
+  }
 
   /** Does the window's input subtree aggregate (rows already reduced to
     * group cardinality) before the window runs? */

@@ -167,6 +167,18 @@ class BucketRoutingSpec extends SparkTestBase {
     }
   }
 
+  test("route is re-entrant: an already-routed frame can be routed again (r4 salted-select regression)") {
+    val once = BucketRouting.discard(
+      BucketRouting.route(msgs(8, "B1", "B2"), c8020, 10, col("key"), col("seq")))
+    val twice = BucketRouting.route(once, c8020, 20, col("key"), col("seq"))
+    assert(twice.columns.count(_ == "bucket") == 1, twice.columns.toSeq)
+    assert(twice.columns.count(_ == "pt") == 1, twice.columns.toSeq)
+    // discard()'s col("pt") must not be ambiguous and the relayout must hold
+    val counts = BucketRouting.discard(twice).groupBy("bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("B1" -> 8L, "B2" -> 8L))
+  }
+
   test("routeUniform keeps <=1 skew per partition within each bucket") {
     val routed = BucketRouting.routeUniform(msgs(32, "B1", "B2"), c8020, 10, col("key"))
     val counts = routed.groupBy("bucket", "pt").count()

@@ -244,8 +244,9 @@ class PriorityStreamsSpec extends SparkTestBase {
     // corpus docs sharing any shingle
     val sh = docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(toks) - 5), i -> array_join(slice(toks, i + 1, 5), ' ')))")).as("s"))
+      // the SAME shared shingle expression production uses — a drifting
+      // inline copy here would make this spec verify the wrong thing
+      .select(col("doc_id"), explode(expr(graft.queries.CurationQueries.shingles5)).as("s"))
     val bench = sh.filter($"doc_id" % 97 === 0).select("s").distinct()
     val expected = sh.filter($"doc_id" % 97 =!= 0)
       .join(bench, Seq("s"), "left_semi")
