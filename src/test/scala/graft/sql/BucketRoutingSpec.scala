@@ -179,6 +179,58 @@ class BucketRoutingSpec extends SparkTestBase {
     assert(counts == Map("B1" -> 8L, "B2" -> 8L))
   }
 
+  // The salted router's output contract in closed form: for a bucket with n
+  // messages and a range of z partitions, ANY bijection rn: rows → 1..n
+  // gives partition start+j exactly ceil((n-j)/z)-at-j counts — i.e. the
+  // first (n % z) partitions of the range get ⌈n/z⌉, the rest ⌊n/z⌋. This
+  // property pins that against random allocations/partition counts/loads,
+  // so a future rewrite can't silently change the allocation pattern.
+  test("property: salted route per-partition counts match the closed-form round-robin model") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      nBuckets <- Gen.choose(1, 4)
+      cuts <- Gen.pick(nBuckets - 1, 1 until 100)
+      parts <- Gen.choose(nBuckets, 16)
+      loads <- Gen.listOfN(nBuckets, Gen.choose(0, 40))
+      salts <- Gen.oneOf(1, 3, 16)
+    } yield {
+      // composition of 100 into nBuckets positive parts (allocations must
+      // sum to exactly 100 by config contract)
+      val sorted = cuts.toList.sorted
+      val allocs = (sorted :+ 100).zip(0 :: sorted).map { case (b, a) => b - a }
+      (allocs, parts, loads, salts)
+    }
+    val p = Prop.forAll(genCase) { case (allocs, parts, loads, salts) =>
+      val names = allocs.indices.map(i => s"P$i")
+      BucketPriorityConfig("t", names, allocs).toOption match {
+        case None => false // a composition of 100 must always be valid
+        case Some(cfg) =>
+          val rows = names.zip(loads).flatMap { case (b, n) =>
+            (0 until n).map(i => (s"$b-$i", b))
+          }.zipWithIndex.map { case ((k, b), seq) => (k, b, seq.toLong) }
+          if (rows.isEmpty) true
+          else {
+            val routed = BucketRouting.route(
+              rows.toDF("key", "expected_bucket", "seq"), cfg, parts,
+              col("key"), col("seq"), salts)
+            val got = BucketRouting.discard(routed).groupBy("bucket", "pt").count()
+              .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+            val ranges = graft.core.BucketLayout.ranges(cfg, parts).toMap
+            val expected = names.zip(loads).flatMap { case (b, n) =>
+              val (start, z) = ranges(b)
+              if (z == 0 || n == 0) Nil
+              else (0 until math.min(z, n)).map { j =>
+                (b, start + j) -> (n / z + (if (j < n % z) 1L else 0L))
+              }
+            }.toMap
+            got == expected
+          }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("routeUniform keeps <=1 skew per partition within each bucket") {
     val routed = BucketRouting.routeUniform(msgs(32, "B1", "B2"), c8020, 10, col("key"))
     val counts = routed.groupBy("bucket", "pt").count()
