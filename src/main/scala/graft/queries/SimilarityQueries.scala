@@ -436,6 +436,57 @@ object SimilarityQueries {
            |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
            |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
-      })
+      }),
+
+    // ---- int8 vector quantization + reconstruction error -----------------
+    // The compression step of a FAISS-style ANN pipeline: per-vector
+    // symmetric int8 quantization (scale = 127/max|x|, q = round(x·scale))
+    // with the relative L2 reconstruction error reported per vector. PURE
+    // per-row math — no join, no shuffle before the final sort — so at
+    // 100 TB this is a map-only pass that rewrites the embedding column at
+    // scan speed. Float parity: every step is deterministic double IEEE ops
+    // (max, one division, per-element multiply+round, left-fold sums shared
+    // with the duckDot pattern), so the oracle matches bit-for-bit before
+    // the final 6 dp rounding.
+    "embedding_quantize" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "embeddings")
+          .withColumn("maxabs",
+            array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))
+          .filter(col("maxabs") > 0)
+          .withColumn("scale", lit(127.0) / col("maxabs"))
+          .withColumn("qv",
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"))
+          .withColumn("num",
+            expr("""aggregate(
+                   |  zip_with(embedding, qv,
+                   |    (a, b) -> (CAST(a AS DOUBLE) - b / scale) * (CAST(a AS DOUBLE) - b / scale)),
+                   |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+          .withColumn("den", norm2(col("embedding")))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            round(sqrt(col("num")) / sqrt(col("den")), 6).as("rel_err"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |  FROM embeddings),
+           |s AS (SELECT vec_id, embedding, CAST(127 AS DOUBLE) / maxabs AS scale
+           |      FROM e WHERE maxabs > 0),
+           |q AS (SELECT vec_id, embedding, scale,
+           |        list_transform(embedding,
+           |          x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+           |      FROM s),
+           |n AS (SELECT vec_id, scale,
+           |        list_reduce(list_transform(range(1, len(embedding) + 1),
+           |          i -> (CAST(embedding[i] AS DOUBLE) - qv[i] / scale)
+           |             * (CAST(embedding[i] AS DOUBLE) - qv[i] / scale)),
+           |          (acc, v) -> acc + v) AS num,
+           |        ${duckDot("embedding", "embedding")} AS den
+           |      FROM q)
+           |SELECT vec_id, round(scale, 6) AS scale,
+           |       round(sqrt(num) / sqrt(den), 6) AS rel_err
+           |FROM n ORDER BY vec_id""".stripMargin))
   )
 }
