@@ -61,6 +61,41 @@ object SimilarityQueries {
   private val NumBands = 6
   private val BandBits = 6
 
+  /** Symmetric int8 quantization columns: `maxabs`, `scale` (= 127/max|x|),
+    * `qv` (int8 codes as ints) — shared by embedding_quantize and
+    * quantized_topk so both queries provably quantize identically. */
+  private def quantized(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb
+      .withColumn("maxabs",
+        array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"))
+
+  /** Exact integer dot product of two int8 code vectors (≤ 127²·64 < 2^20,
+    * so the bigint fold is exact — perfect cross-engine parity). */
+  private def intDot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** DuckDB mirror of [[intDot]]. */
+  private def duckIntDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS BIGINT) * $b[i]), (acc, v) -> acc + v)"
+
+  /** DuckDB CTEs `s` (scale) and `q` (int8 codes) — the oracle mirror of
+    * [[quantized]], shared by the quantization queries. */
+  private val duckQuantizedCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, embedding, CAST(127 AS DOUBLE) / maxabs AS scale
+       |      FROM e WHERE maxabs > 0),
+       |q AS (SELECT vec_id, embedding, scale,
+       |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+       |      FROM s)""".stripMargin
+
   /** DuckDB CTEs `e` (norm-filtered), `bands`, `cand` — the oracle mirror of
     * [[lshNearDupPairs]]'s candidate generation, shared by the pair and
     * cluster queries. (The threshold only enters the final verify, so `cand`
@@ -450,13 +485,7 @@ object SimilarityQueries {
     // the final 6 dp rounding.
     "embedding_quantize" -> Q(
       fn = (s, dir) => {
-        Tables.load(s, dir, "embeddings")
-          .withColumn("maxabs",
-            array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))
-          .filter(col("maxabs") > 0)
-          .withColumn("scale", lit(127.0) / col("maxabs"))
-          .withColumn("qv",
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"))
+        quantized(Tables.load(s, dir, "embeddings"))
           .withColumn("num",
             expr("""aggregate(
                    |  zip_with(embedding, qv,
@@ -468,16 +497,7 @@ object SimilarityQueries {
           .orderBy("vec_id")
       },
       oracle = Some(
-        s"""WITH e AS (
-           |  SELECT vec_id, embedding,
-           |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-           |  FROM embeddings),
-           |s AS (SELECT vec_id, embedding, CAST(127 AS DOUBLE) / maxabs AS scale
-           |      FROM e WHERE maxabs > 0),
-           |q AS (SELECT vec_id, embedding, scale,
-           |        list_transform(embedding,
-           |          x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
-           |      FROM s),
+        s"""WITH $duckQuantizedCtes,
            |n AS (SELECT vec_id, scale,
            |        list_reduce(list_transform(range(1, len(embedding) + 1),
            |          i -> (CAST(embedding[i] AS DOUBLE) - qv[i] / scale)
@@ -487,6 +507,47 @@ object SimilarityQueries {
            |      FROM q)
            |SELECT vec_id, round(scale, 6) AS scale,
            |       round(sqrt(num) / sqrt(den), 6) AS rel_err
-           |FROM n ORDER BY vec_id""".stripMargin))
+           |FROM n ORDER BY vec_id""".stripMargin)),
+
+    // ---- ANN over the int8 codes (quantized search + exact parity) -------
+    // Search on the COMPRESSED vectors: cosine over int8 codes, where the
+    // integer dot products are exact in a bigint fold (≤ 127²·64 < 2^20) —
+    // the memory-bound regime of a 100 TB ANN serving tier (4× smaller
+    // vectors than float32 ⇒ 4× more candidates per scan). Same output
+    // contract as similarity_topk; ranking is fully deterministic because
+    // the only floats are one division and two sqrts over exact integers.
+    "quantized_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = quantized(Tables.load(s, dir, "embeddings"))
+          .withColumn("qnorm", intDot("qv", "qv"))
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qnorm").as("na"))
+        val c = emb.select(col("vec_id").as("cid"), col("qv").as("qb"), col("qnorm").as("nb"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("qsim",
+            intDot("qa", "qb").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"), round(col("qsim"), 6).as("qsim"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some(
+        s"""WITH $duckQuantizedCtes,
+           |nq AS (SELECT vec_id, qv, ${duckIntDot("qv", "qv")} AS qnorm FROM q),
+           |scored AS (
+           |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+           |         CAST(${duckIntDot("a.qv", "b.qv")} AS DOUBLE)
+           |           / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE))) AS qsim
+           |  FROM nq a CROSS JOIN nq b
+           |  WHERE a.vec_id < $NumQueries AND a.vec_id != b.vec_id),
+           |ranked AS (
+           |  SELECT qid, cid, qsim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qsim DESC, cid) AS rk
+           |  FROM scored)
+           |SELECT qid, cid, round(qsim, 6) AS qsim, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
   )
 }

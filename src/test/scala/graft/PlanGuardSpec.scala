@@ -45,7 +45,8 @@ class PlanGuardSpec extends SparkTestBase {
     *     (queries × centroids) probe product.
     */
   private val nestedLoopOk: Set[String] =
-    Set("q_cross_join", "similarity_topk", "similarity_topk_agg", "lsh_topk", "ivf_topk")
+    Set("q_cross_join", "similarity_topk", "similarity_topk_agg", "lsh_topk", "ivf_topk",
+      "quantized_topk") // same ≤5-row broadcast query side as similarity_topk
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
