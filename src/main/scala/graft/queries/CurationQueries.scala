@@ -216,6 +216,36 @@ object CurationQueries {
           |      FROM t GROUP BY source)
           |SELECT source, n_tokens, n_rare,
           |       round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_rate
+          |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- per-source length distribution ----------------------------------
+    // Exact interpolated quantiles of document length — the curation
+    // dashboard's "is this source's length profile sane" primitive. Both
+    // engines implement the R-7 (linear-interpolation) estimator: Spark's
+    // exact `percentile` and DuckDB's `quantile_cont` compute
+    // pos = p·(n−1), v = a + (pos − ⌊pos⌋)·(b − a) — identical double math
+    // over int inputs, rounded to 6 dp belt-and-braces. Scale note: exact
+    // percentile collects each group's values — fine for per-SOURCE groups
+    // (thousands of groups × bounded lengths); for billions of rows per
+    // group switch to percentile_approx and a tolerance-checked oracle.
+    "length_quantiles" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"))
+          .select(col("source"),
+            round(col("qs").getItem(0), 6).as("p25"),
+            round(col("qs").getItem(1), 6).as("p50"),
+            round(col("qs").getItem(2), 6).as("p75"),
+            round(col("qs").getItem(3), 6).as("p95"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH a AS (SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS qs
+          |           FROM documents GROUP BY source)
+          |SELECT source,
+          |       round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
+          |       round(qs[3], 6) AS p75, round(qs[4], 6) AS p95
           |FROM a ORDER BY source""".stripMargin))
   )
 }
