@@ -218,6 +218,74 @@ object PriorityStreams {
     }
   }
 
+  /** An event-timestamped routed event (timer operators need a real
+    * timestamp column to watermark). */
+  final case class TimedEvent(bucket: String, eventId: Long, ts: java.sql.Timestamp)
+
+  /** A bucket that went quiet: no event for `gap` past its last event time
+    * (by watermark). The "priority bucket starved / producer died" alert a
+    * bucket-priority deployment wants from its scheduler bookkeeping. */
+  final case class BucketIdle(bucket: String, lastEventTs: java.sql.Timestamp, events: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS (the Spark 4 stateful API
+    * surface beyond value state): per bucket, every batch re-arms a timer at
+    * lastEventTs + gap; when the WATERMARK passes it with no newer event,
+    * the expired timer fires once, emits a [[BucketIdle]] alert, and clears
+    * the bucket's state — so state size tracks ACTIVE buckets only, the
+    * timer-based analogue of TTL. */
+  final class IdleBucketProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TimedEvent, BucketIdle] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]( // (lastEventTsMs, count)
+        "idle", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        bucket: String,
+        rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[BucketIdle] = {
+      val (prevTs, prevN) = if (state.exists()) state.get() else (Long.MinValue, 0L)
+      var lastTs = prevTs
+      var n = prevN
+      rows.foreach { e => lastTs = math.max(lastTs, e.ts.getTime); n += 1 }
+      state.update((lastTs, n))
+      // re-arm: one live timer per bucket at lastTs + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(lastTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        bucket: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[BucketIdle] = {
+      val out =
+        if (state.exists()) {
+          val (lastTs, n) = state.get()
+          Iterator.single(BucketIdle(bucket, new java.sql.Timestamp(lastTs), n))
+        } else Iterator.empty
+      state.clear() // idle bucket evicted: state holds active buckets only
+      out
+    }
+  }
+
+  /** Idle-bucket alerts over a watermarked event stream. `gap` must not
+    * exceed the watermark delay semantics the caller configures upstream
+    * via [[org.apache.spark.sql.Dataset.withWatermark]] on `ts`. */
+  def idleBuckets(events: Dataset[TimedEvent], gapMs: Long): Dataset[BucketIdle] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new IdleBucketProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** [[backlogTracker]] on the transformWithState runtime. */
   def backlogTrackerTws(events: Dataset[BucketEvent]): Dataset[BucketBacklog] = {
     import events.sparkSession.implicits._

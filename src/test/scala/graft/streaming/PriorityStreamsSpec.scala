@@ -235,6 +235,47 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(tws("purchase").maxGapMicros == 4000L)
   }
 
+  test("event-time timers: idle bucket fires once after the gap, state evicted") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long, Timestamp)]
+    val events = in.toDF().toDF("bucket", "eventId", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[PriorityStreams.TimedEvent]
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = PriorityStreams.idleBuckets(events, gapMs = 60_000) // 1 minute
+        .writeStream.format("memory").queryName("idle_out")
+        .outputMode("append").start()
+      // batch 1: two purchase events, one signup
+      in.addData(
+        ("purchase", 1L, ts("2024-01-01 00:00:10")),
+        ("purchase", 2L, ts("2024-01-01 00:00:40")),
+        ("signup", 3L, ts("2024-01-01 00:00:50")))
+      q.processAllAvailable()
+      assert(spark.table("idle_out").isEmpty) // watermark hasn't passed any gap
+      // batch 2: signup stays active; purchase goes quiet. Watermark moves to
+      // 00:03:00, far past purchase's 00:00:40 + 60s => its timer fires.
+      in.addData(("signup", 4L, ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      // batch 3: advance watermark past signup's gap too
+      in.addData(("click", 5L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable(); q.stop()
+      val idles = spark.table("idle_out").as[PriorityStreams.BucketIdle]
+        .collect().map(i => i.bucket -> i).toMap
+      // purchase idled exactly once at its true last event time with count 2
+      assert(idles.keySet == Set("purchase", "signup"))
+      assert(idles("purchase").lastEventTs == ts("2024-01-01 00:00:40"))
+      assert(idles("purchase").events == 2)
+      assert(idles("signup").lastEventTs == ts("2024-01-01 00:03:00"))
+      assert(idles("signup").events == 2)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static decontamination flags exactly the batch twin's contaminated docs") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.01"
