@@ -36,45 +36,29 @@ object TextQueries {
     * all-pairs; shingles are distinctive, so unrelated docs sit ~16 bits
     * apart and only true near-dups fall inside the hamming threshold. */
   private def simhashDF(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // Whole-document vote loop in ONE codegen'd expression
+    // (functions.SimhashFingerprint): no explode to (doc, shingle) rows, no
+    // shuffle for the vote aggregate — the fingerprint pass is map-only.
+    // (History: round 1 shipped explode + md5 + 33-sum agg; a typed
+    // vote-counting Aggregator benched ~2× slower than those declarative
+    // sums, and a per-doc HOF fold 2-3× slower still. The native expression
+    // beats all three — profiled ~4× on the fingerprint query at sf0.1.)
+    // The canonical bitstring and the four 8-bit band ints (b0..b3, used by
+    // simhash_pairs' band join + xor/popcount hamming) are pure bit
+    // arithmetic over the packed fingerprint; Catalyst prunes the band
+    // columns wherever only `simhash` is consumed.
     graft.Tables.load(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(shinglesExpr))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", md5(col("sh")))
-      // Bit votes via packed integers: parse the digest 8 hex chars at a
-      // time (conv base-16) and extract each nibble's top bit with
-      // shift+mask — pure long arithmetic in whole-stage codegen instead of
-      // 32 substring+string-compare columns. Equivalent by construction:
-      // hex char >= '8' ⟺ bit 3 of its nibble is set. (A typed
-      // vote-counting Aggregator was also benched: ~2x SLOWER than
-      // declarative sums — encoder round-trips dominate. Declarative wins.)
-      .select(col("doc_id") +: (0 until 4).map(c =>
-        expr(s"cast(conv(substring(h, ${8 * c + 1}, 8), 16, 10) as bigint)").as(s"c$c")): _*)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_sh"),
-        (1 to 32).map { i =>
-          val c = (i - 1) / 8          // which 8-hex-char chunk
-          val p = (i - 1) % 8          // char position within the chunk
-          val shift = (7 - p) * 4 + 3  // that nibble's top bit
-          sum(shiftright(col(s"c$c"), shift).bitwiseAND(1)).as(s"s$i")
-        }: _*)
-      // majority vote: Σ(±1) > 0 ⟺ 2·ones − n > 0. Alongside the canonical
-      // bitstring, emit each 8-bit band as a packed int (b0..b3, bit 7-p for
-      // char position p): simhash_pairs joins bands and XOR-popcounts
-      // hamming on ints instead of re-parsing the bitstring with conv —
-      // Catalyst prunes these columns wherever only `simhash` is consumed.
+      .withColumn("fp",
+        graft.functions.SimhashFunctions.simhashFingerprint(expr(shinglesExpr)))
       .select(Seq(
         col("doc_id"),
-        concat((1 to 32).map(i =>
-          when(col(s"s$i") * 2 > col("n_sh"), "1").otherwise("0")): _*)
-          .as("simhash")) ++
+        lpad(conv(col("fp"), 10, 2), 32, "0").as("simhash")) ++
         (0 until 4).map { c =>
-          (0 until 8).map { p =>
-            val i = 8 * c + p + 1
-            when(col(s"s$i") * 2 > col("n_sh"), 1 << (7 - p)).otherwise(0)
-          }.reduce(_ + _).as(s"b$c")
+          // band c covers hex chars 8c+1..8c+8 = fingerprint bits 31-8c
+          // down to 24-8c (char i ↔ bit 32-i), MSB-first within the band
+          shiftright(col("fp"), 24 - 8 * c).bitwiseAND(255).cast("int").as(s"b$c")
         }: _*)
   }
 
