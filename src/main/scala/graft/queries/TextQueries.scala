@@ -25,7 +25,10 @@ object TextQueries {
   private val shinglesSqlDuck =
     "list_distinct(list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1 : i + 3], ' ')))"
 
-  private val NumHashes = 8
+  // must equal MinhashUtil.NumHashes: the native signature expression emits
+  // exactly that many slices, and concat_ws would silently SKIP a null
+  // getItem on an out-of-range band index rather than fail
+  private val NumHashes = graft.functions.MinhashUtil.NumHashes
   private val BandSize = 2 // 4 bands of 2 → catches Jaccard ≳ 0.5 reliably
 
   /** 32-bit SimHash per doc over its distinct 3-token shingles: per shingle
@@ -289,22 +292,20 @@ object TextQueries {
           .withColumn("shingles", expr(shinglesExpr))
           .select("doc_id", "shingles")
           .cache()
-        // signatures via explode + min-agg, with ONE md5 per shingle: the 8
-        // "independent" hash functions are disjoint 4-hex-char slices of the
-        // 32-char digest (16-bit minhashes). Plenty for banding — false
-        // band collisions are killed by the exact-Jaccard verify — at 1/8th
-        // the hashing cost, and the md5 runs inside whole-stage codegen.
-        val exS = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-          .select(col("doc_id"), md5(col("sh")).as("h"))
-        val withSig = exS.groupBy("doc_id").agg(
-          min(substring(col("h"), 1, 4)).as("sig0"),
-          (1 until NumHashes).map(k =>
-            min(substring(col("h"), 4 * k + 1, 4)).as(s"sig$k")): _*)
-        // all band keys in ONE pass over the signatures (a unionAll of 4
-        // selects would recompute the signature aggregation 4 times)
+        // signatures as ONE codegen'd map-side expression (same rewrite as
+        // SimhashFingerprint): one md5 per shingle, the 8 "independent"
+        // hash functions are disjoint 4-hex-char slices of the digest
+        // (16-bit minhashes — plenty for banding, false band collisions are
+        // killed by the exact-Jaccard verify). No explode, no min-agg
+        // shuffle: signatures materialize in the same pass that reads the
+        // cached shingles.
+        val withSig = sh.select(col("doc_id"),
+          graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+        // all band keys in ONE pass over the signatures
         val bands = withSig.select(col("doc_id"),
             explode(array((0 until NumHashes / BandSize).map { b =>
-              md5(concat_ws("|", lit(b.toString), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+              md5(concat_ws("|", lit(b.toString),
+                col("sigs").getItem(2 * b), col("sigs").getItem(2 * b + 1)))
             }: _*)).as("bk"))
         val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
           .filter(col("x.doc_id") < col("y.doc_id"))
