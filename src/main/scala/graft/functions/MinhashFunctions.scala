@@ -21,9 +21,6 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinhashUtil {
   val NumHashes = 8
 
-  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
-
   private val hexChars = "0123456789abcdef".toCharArray
 
   /** @return the 8 minhash slices, or null to signal a null element or an
@@ -32,13 +29,11 @@ object MinhashUtil {
   def signature(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val md = digests.get()
     val mins = Array.fill(NumHashes)(Int.MaxValue)
     var s = 0
     while (s < n) {
       if (shingles.isNullAt(s)) return null
-      md.reset()
-      val digest = md.digest(shingles.getUTF8String(s).getBytes)
+      val digest = Md5Pool.get().digest(shingles.getUTF8String(s).getBytes)
       var k = 0
       while (k < NumHashes) {
         // digest bytes 2k, 2k+1 are hex chars [4k, 4k+4): a 16-bit value
@@ -66,10 +61,14 @@ object MinhashUtil {
   * [[SimhashFingerprint]]: the explode to (doc, shingle) rows plus the 8-way
   * min shuffle aggregate becomes one tight JVM loop per document, map-only.
   *
-  * Null semantics: null array ⇒ NULL (nullIntolerant); null element or empty
-  * array ⇒ NULL (the old min-agg produced no row for an empty group;
-  * callers filter to ≥ 3 tokens so this is unreachable via the query
-  * surface). */
+  * Null semantics: null array ⇒ NULL (nullIntolerant); empty array ⇒ NULL
+  * (the old min-agg produced no row for an empty group); a null ELEMENT ⇒
+  * NULL for the whole document — STRICTER than the min-agg, which skipped
+  * null slices and still signed the doc from the rest. All unreachable via
+  * the query surface (≥ 3 token filter, transform-built shingles).
+  * CALLERS MUST DROP NULL SIGNATURES before deriving band keys:
+  * `concat_ws` silently skips nulls, so unfiltered null signatures would
+  * all collide on the same degenerate band keys. */
 case class MinhashSignature(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -16,22 +16,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * i (1..32) votes +1 if ≥ '8' (⟺ bit 3 of that nibble), else −1; fingerprint
   * bit (32−i) is set iff the vote sum is > 0. Result is the 32-bit
   * fingerprint as an unsigned value in a long. */
-object SimhashUtil {
+/** One thread-local MD5 digest shared by the text-hash expressions. */
+private[functions] object Md5Pool {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = { val md = digests.get(); md.reset(); md }
+}
+
+object SimhashUtil {
 
   /** @return the fingerprint, or -1 to signal a null element (the caller
     *         maps it to SQL NULL — a real fingerprint is always in
     *         [0, 2^32), so -1 is out of band). */
   def fingerprint(shingles: ArrayData): Long = {
-    val md = digests.get()
     val votes = new Array[Int](32)
     val n = shingles.numElements()
     var s = 0
     while (s < n) {
       if (shingles.isNullAt(s)) return -1L
-      md.reset()
-      val digest = md.digest(shingles.getUTF8String(s).getBytes)
+      val digest = Md5Pool.get().digest(shingles.getUTF8String(s).getBytes)
       var i = 0
       while (i < 32) {
         // hex char i = high nibble of byte i/2 when i is even, low when odd;
@@ -65,9 +68,12 @@ object SimhashUtil {
   * shingles, char ≥ '8' test), so the DuckDB oracle is unchanged.
   *
   * Null semantics: null array ⇒ NULL (nullIntolerant); any null shingle
-  * element ⇒ NULL (mirrors md5(null) poisoning that row's vote pipeline).
-  * Empty array ⇒ fingerprint 0 (all votes 0, no bit set) — unreachable
-  * through the query surface, which filters to ≥ 3 tokens first. */
+  * element ⇒ NULL for the whole document — STRICTER than the aggregate
+  * formulation, where md5(null) only dropped that row's vote and the doc
+  * was still fingerprinted from its remaining shingles. Empty array ⇒
+  * fingerprint 0 (all votes 0, no bit set). Both corners are unreachable
+  * through the query surface, which filters to ≥ 3 tokens and builds
+  * shingles with transform (never null elements) first. */
 case class SimhashFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -219,33 +219,47 @@ object CurationQueries {
           |FROM a ORDER BY source""".stripMargin)),
 
     // ---- per-source length distribution ----------------------------------
-    // Exact interpolated quantiles of document length — the curation
+    // Exact R-7 interpolated quantiles of document length — the curation
     // dashboard's "is this source's length profile sane" primitive. Both
-    // engines implement the R-7 (linear-interpolation) estimator: Spark's
-    // exact `percentile` and DuckDB's `quantile_cont` compute
-    // pos = p·(n−1), v = a + (pos − ⌊pos⌋)·(b − a) — identical double math
-    // over int inputs, rounded to 6 dp belt-and-braces. Scale note: exact
-    // percentile collects each group's values — fine for per-SOURCE groups
-    // (thousands of groups × bounded lengths); for billions of rows per
-    // group switch to percentile_approx and a tolerance-checked oracle.
+    // sides SPELL OUT the same interpolation over the same sorted array —
+    // pos = p·(n−1), v = lo + (pos − ⌊pos⌋)·(hi − lo) — instead of trusting
+    // the engines' builtins to share an expression tree (Spark's Percentile
+    // computes the weighted two-product form, DuckDB's quantile_cont the
+    // lerp form: mathematically equal, but 1-ulp apart on adversarial
+    // inputs, which a 6 dp rounding boundary could expose). Scale note:
+    // sort_array over a per-SOURCE group is fine (thousands of groups ×
+    // bounded lengths); for billions of rows per group switch to
+    // percentile_approx and a tolerance-checked oracle.
     "length_quantiles" -> Q(
       fn = (s, dir) => {
+        // Spark [] is 0-based (DuckDB's is 1-based — its side adds 1)
+        def q(p: Double, name: String) = round(expr(
+          s"""lens[int(floor($p * (size(lens) - 1)))]
+             |+ ($p * (size(lens) - 1) - floor($p * (size(lens) - 1)))
+             |  * (lens[int(ceil($p * (size(lens) - 1)))]
+             |     - lens[int(floor($p * (size(lens) - 1)))])""".stripMargin), 6)
+          .as(name)
         Tables.load(s, dir, "documents")
           .groupBy("source")
-          .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"))
+          .agg(sort_array(collect_list(col("n_chars").cast("double"))).as("lens"))
           .select(col("source"),
-            round(col("qs").getItem(0), 6).as("p25"),
-            round(col("qs").getItem(1), 6).as("p50"),
-            round(col("qs").getItem(2), 6).as("p75"),
-            round(col("qs").getItem(3), 6).as("p95"))
+            q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.95, "p95"))
           .orderBy("source")
       },
-      oracle = Some(
-        """WITH a AS (SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS qs
-          |           FROM documents GROUP BY source)
-          |SELECT source,
-          |       round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
-          |       round(qs[3], 6) AS p75, round(qs[4], 6) AS p95
-          |FROM a ORDER BY source""".stripMargin))
+      oracle = Some {
+        def q(p: Double, name: String) =
+          s"""round(lens[CAST(floor($p * (len(lens) - 1)) AS INTEGER) + 1]
+             |+ ($p * (len(lens) - 1) - floor($p * (len(lens) - 1)))
+             |  * (lens[CAST(ceil($p * (len(lens) - 1)) AS INTEGER) + 1]
+             |     - lens[CAST(floor($p * (len(lens) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+            .stripMargin
+        s"""WITH a AS (SELECT source,
+           |             list_sort(list(CAST(n_chars AS DOUBLE))) AS lens
+           |           FROM documents GROUP BY source)
+           |SELECT source,
+           |       ${q(0.25, "p25")}, ${q(0.5, "p50")},
+           |       ${q(0.75, "p75")}, ${q(0.95, "p95")}
+           |FROM a ORDER BY source""".stripMargin
+      })
   )
 }

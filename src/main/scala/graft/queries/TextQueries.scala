@@ -299,8 +299,13 @@ object TextQueries {
         // killed by the exact-Jaccard verify). No explode, no min-agg
         // shuffle: signatures materialize in the same pass that reads the
         // cached shingles.
+        // .filter(isNotNull): a null signature (empty/null-element shingle
+        // set) must VANISH from banding like the old min-agg's empty group —
+        // concat_ws skips nulls, so unfiltered null sigs would all collide
+        // on the same degenerate band keys (O(m²) spurious candidates)
         val withSig = sh.select(col("doc_id"),
-          graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+            graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+          .filter(col("sigs").isNotNull)
         // all band keys in ONE pass over the signatures
         val bands = withSig.select(col("doc_id"),
             explode(array((0 until NumHashes / BandSize).map { b =>

@@ -29,6 +29,18 @@ class MinhashFunctionsSpec extends SparkTestBase {
     assert(got == cases.map(modelSignature))
   }
 
+  test("interpreted eval (Expression.eval) agrees with the model") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val shingles = Seq("x y z", "y z w", "z w v")
+    val e = MinhashSignature(Literal.create(shingles, ArrayType(StringType)))
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until MinhashUtil.NumHashes).map(got.getUTF8String(_).toString)
+      == modelSignature(shingles))
+    assert(MinhashSignature(Literal.create(Seq.empty[String], ArrayType(StringType)))
+      .eval(null) == null)
+  }
+
   test("null semantics: null array, null element, and empty array are all NULL") {
     val df = Seq(
       (1, Seq("a b c")),

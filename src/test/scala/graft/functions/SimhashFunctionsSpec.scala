@@ -36,13 +36,19 @@ class SimhashFunctionsSpec extends SparkTestBase {
     assert(got == cases.map(modelFingerprint))
   }
 
-  test("interpreted eval agrees with codegen") {
-    // a filter on a literal-free projection goes through codegen; eval via
-    // the expression directly
+  test("interpreted eval (Expression.eval, incl. null mapping) agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // Expression.eval → nullSafeEval: the path constant folding and
+    // fallback-mode evaluation use (the DataFrame tests above run codegen)
     val shingles = Seq("x y z", "y z w")
-    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      shingles.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
-    assert(SimhashUtil.fingerprint(arr) == modelFingerprint(shingles))
+    val e = SimhashFingerprint(Literal.create(shingles, ArrayType(StringType)))
+    assert(e.eval(null) == modelFingerprint(shingles))
+    val withNull = SimhashFingerprint(
+      Literal.create(Seq("a", null, "b"), ArrayType(StringType, containsNull = true)))
+    assert(withNull.eval(null) == null) // the fp < 0 → NULL mapping
+    val nullArr = SimhashFingerprint(Literal.create(null, ArrayType(StringType)))
+    assert(nullArr.eval(null) == null)
   }
 
   test("null semantics: null array -> null; null element -> null; empty -> 0") {
