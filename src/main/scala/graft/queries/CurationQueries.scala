@@ -218,6 +218,43 @@ object CurationQueries {
           |       round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_rate
           |FROM a ORDER BY source""".stripMargin)),
 
+    // ---- unigram LM quality score (CCNet-style perplexity proxy) ---------
+    // Per-doc average log-probability under the corpus unigram model — the
+    // cheap end of the LM-based quality-scoring family (CCNet/KenLM use
+    // 5-gram models; the pipeline shape is identical). Scale shape:
+    // wordcount agg → 1-row total (broadcast) → tiny vocab broadcast-joined
+    // back onto the token stream → per-doc agg; the corpus side never
+    // shuffles before the doc-level aggregate. Float parity: ln() agrees
+    // bit-for-bit between engines on this vocab (probed), and per-token
+    // logs are rounded to 6 dp and summed AS DECIMAL so the per-doc sum is
+    // order-independent; the only remaining float op is one final division.
+    "unigram_logprob" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = vocab.agg(sum(col("n")).as("tt"))
+        val v = vocab.crossJoin(broadcast(total))
+          .select(col("tok"),
+            round(log(col("n") / col("tt")), 6).cast("decimal(12,6)").as("logp6"))
+        toks.join(broadcast(v), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("logp6")).as("sl"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("sl").cast("double") / col("n_tokens"), 6).as("logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+          |tot AS (SELECT SUM(n) AS tt FROM c),
+          |v AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / tt), 6) AS DECIMAL(12,6)) AS logp6
+          |      FROM c, tot),
+          |a AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp6) AS sl
+          |      FROM t JOIN v USING (tok) GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE) / n_tokens, 6) AS logprob
+          |FROM a ORDER BY doc_id""".stripMargin)),
+
     // ---- per-source length distribution ----------------------------------
     // Exact R-7 interpolated quantiles of document length — the curation
     // dashboard's "is this source's length profile sane" primitive. Both
