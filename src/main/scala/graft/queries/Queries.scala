@@ -141,10 +141,14 @@ object Queries {
 
     // Discarded-traffic accounting: how many messages does the over-allocated
     // config silently drop, per event_type (DiscardPartitioner intent).
+    // routeUniform, not route: whether a row is discarded depends ONLY on
+    // its bucket (null → null pt, empty range → −1), never on the
+    // round-robin counter — so the shuffle-free router gives the identical
+    // discarded set without the deterministic router's window passes.
     "bucket_discarded" -> Q(
       fn = (s, dir) => {
-        val routed = BucketRouting.route(
-          Tables.load(s, dir, "events"), overCfg, NumPartitions, eventKey, col("event_id"))
+        val routed = BucketRouting.routeUniform(
+          Tables.load(s, dir, "events"), overCfg, NumPartitions, eventKey)
         routed.filter(col("pt").isNull || col("pt") === -1)
           .groupBy("event_type").agg(count(lit(1)).as("n"))
           .orderBy("event_type")
