@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The rolling-fingerprint loop as one static call, shared by the
+  * interpreted and codegen paths of [[MinWindowMd5]].
+  *
+  * Semantics (identical to
+  * `array_min(transform(sequence(0, n - w), i -> md5(array_join(slice(toks, i+1, w), ' '))))`
+  * and the DuckDB mirror): md5 of every space-joined `width`-token window,
+  * minimum digest returned as 32 lowercase hex chars. Lexicographic order
+  * on the hex string equals unsigned byte order on the digest, so the min
+  * is tracked on raw bytes and formatted once. */
+object WindowMd5Util {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** @return min-window digest hex, or null to signal a null token or
+    *         fewer than `width` tokens (no window — the query surface
+    *         filters those out upstream). */
+  def minWindowMd5(toks: ArrayData, width: Int): UTF8String = {
+    val n = toks.numElements()
+    if (n < width) return null
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      words(i) = toks.getUTF8String(i).toString
+      i += 1
+    }
+    var best: Array[Byte] = null
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= n - width) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val d = Md5Pool.get().digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = hexChars((best(i) >> 4) & 0xf)
+      hex(2 * i + 1) = hexChars(best(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+}
+
+/** Minimum md5 over every `width`-token window of an `array<string>` column
+  * as a single map-side expression (SURVEY §2.5 preference (b)) — third
+  * instance of the text-hash rewrite: the HOF form interprets two lambda
+  * layers (slice + array_join allocation, then md5) per window; this is one
+  * tight loop per document with a reused StringBuilder and thread-local
+  * digest.
+  *
+  * Null semantics: null array ⇒ NULL (nullIntolerant); null token or fewer
+  * than `width` tokens ⇒ NULL — the query surface filters to ≥ width tokens
+  * and split() never yields null tokens. */
+case class MinWindowMd5(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, s"width must be >= 1: $width")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_window_md5"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowMd5Util.minWindowMd5(a.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val fp = ctx.freshName("fp")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $fp =
+         |  graft.functions.WindowMd5Util.minWindowMd5($a, $width);
+         |if ($fp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $fp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowMd5Functions {
+  /** Column-API entry point. */
+  def minWindowMd5(toks: Column, width: Int): Column =
+    Bridge.column(MinWindowMd5(Bridge.expression(toks), width))
+}

@@ -207,7 +207,9 @@ object TextQueries {
           .filter(size(col("toks")) >= 5)
           .select(
             col("doc_id"),
-            expr("array_min(transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' '))))")
+            // one codegen'd loop per doc (see MinWindowMd5) — replaces the
+            // two interpreted HOF lambda layers per window
+            graft.functions.WindowMd5Functions.minWindowMd5(col("toks"), 5)
               .as("fingerprint"))
           .orderBy("doc_id")
       },
