@@ -27,26 +27,28 @@ object WindowMd5Util {
   def minWindowMd5(toks: ArrayData, width: Int): UTF8String = {
     val n = toks.numElements()
     if (n < width) return null
-    val words = new Array[String](n)
+    // raw UTF8String bytes, NOT a java String round-trip: toString would
+    // replace ill-formed UTF-8 with U+FFFD and diverge from array_join's
+    // (and the DuckDB oracle's) byte-concatenation semantics
+    val words = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) return null
-      words(i) = toks.getUTF8String(i).toString
+      words(i) = toks.getUTF8String(i).getBytes
       i += 1
     }
     var best: Array[Byte] = null
-    val sb = new java.lang.StringBuilder
+    val buf = new java.io.ByteArrayOutputStream(256)
     i = 0
     while (i <= n - width) {
-      sb.setLength(0)
+      buf.reset()
       var j = 0
       while (j < width) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
+        if (j > 0) buf.write(' ')
+        buf.write(words(i + j), 0, words(i + j).length)
         j += 1
       }
-      val d = Md5Pool.get().digest(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = Md5Pool.get().digest(buf.toByteArray)
       if (best == null || unsignedLess(d, best)) best = d
       i += 1
     }

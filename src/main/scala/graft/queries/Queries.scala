@@ -141,14 +141,18 @@ object Queries {
 
     // Discarded-traffic accounting: how many messages does the over-allocated
     // config silently drop, per event_type (DiscardPartitioner intent).
-    // routeUniform, not route: whether a row is discarded depends ONLY on
-    // its bucket (null → null pt, empty range → −1), never on the
-    // round-robin counter — so the shuffle-free router gives the identical
-    // discarded set without the deterministic router's window passes.
+    // routeUniformNative, not route: whether a row is discarded depends ONLY
+    // on its bucket (null → null pt, empty range → −1), never on the
+    // round-robin counter — the shuffle-free UnsafeRow router gives the
+    // identical discarded set without the deterministic router's window
+    // passes. The input is pre-pruned to the two consumed columns so the
+    // parquet scan stays narrow (the router's per-row pass would otherwise
+    // pin the full 6-column schema).
     "bucket_discarded" -> Q(
       fn = (s, dir) => {
-        val routed = BucketRouting.routeUniform(
-          Tables.load(s, dir, "events"), overCfg, NumPartitions, eventKey)
+        val routed = BucketRouting.routeUniformNative(
+          Tables.load(s, dir, "events").select("event_type", "event_id"),
+          overCfg, NumPartitions, eventKey)
         routed.filter(col("pt").isNull || col("pt") === -1)
           .groupBy("event_type").agg(count(lit(1)).as("n"))
           .orderBy("event_type")
