@@ -42,5 +42,41 @@ object BucketSqlFunctions {
   def registerAll(spark: SparkSession, cfg: BucketPriorityConfig): Unit = {
     registerBucketOf(spark, cfg)
     VectorFunctions.registerSql(spark)
+    registerTextHash(spark)
+  }
+
+  /** Register the text-hash expressions (`simhash_fingerprint(shingles)`,
+    * `minhash_signature(shingles)`, `min_window_md5(toks, width)`) for the
+    * SQL surface — the session-level twin of their GraftExtensions
+    * injections. */
+  def registerTextHash(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_fingerprint",
+      exprs => {
+        require(exprs.length == 1,
+          s"simhash_fingerprint requires exactly 1 argument, got ${exprs.length}")
+        SimhashFingerprint(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => {
+        require(exprs.length == 1,
+          s"minhash_signature requires exactly 1 argument, got ${exprs.length}")
+        MinhashSignature(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_window_md5",
+      exprs => {
+        require(exprs.length == 2,
+          s"min_window_md5 requires exactly 2 arguments, got ${exprs.length}")
+        MinWindowMd5(exprs.head, exprs(1) match {
+          case Literal(w: Int, _) => w
+          case other => throw new IllegalArgumentException(
+            s"min_window_md5 width must be an integer literal, got $other")
+        })
+      },
+      "built-in")
   }
 }

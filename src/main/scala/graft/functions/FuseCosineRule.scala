@@ -108,5 +108,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // extensions path and the temp-function path agree mode-for-mode
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1),
         EvalMode.fromSQLConf(org.apache.spark.sql.internal.SQLConf.get))))
+    // the round-4 text-hash expressions, cluster-wide
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_fingerprint"),
+      new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fingerprint"),
+      (exprs: Seq[Expression]) => SimhashFingerprint(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => MinhashSignature(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("min_window_md5"),
+      new ExpressionInfo(classOf[MinWindowMd5].getName, "min_window_md5"),
+      (exprs: Seq[Expression]) => MinWindowMd5(exprs.head,
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
+          case other => throw new IllegalArgumentException(
+            s"min_window_md5 width must be an integer literal, got $other")
+        })))
   }
 }

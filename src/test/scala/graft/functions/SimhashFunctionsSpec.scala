@@ -67,6 +67,25 @@ class SimhashFunctionsSpec extends SparkTestBase {
     assert(withNullElem.collect()(0).isNullAt(0))
   }
 
+  test("SQL surface: registered text-hash functions match the Column API") {
+    BucketSqlFunctions.registerTextHash(spark)
+    val df = Seq((1L, "a b c d e f g")).toDF("id", "text")
+    df.createOrReplaceTempView("th_docs")
+    val viaSql = spark.sql(
+      """SELECT simhash_fingerprint(array('a b c', 'b c d')) AS fp,
+        |       minhash_signature(array('a b c', 'b c d')) AS sig,
+        |       min_window_md5(split(text, ' '), 5) AS mw
+        |FROM th_docs""".stripMargin).collect()(0)
+    val viaCols = df.select(
+      SimhashFunctions.simhashFingerprint(array(lit("a b c"), lit("b c d"))).as("fp"),
+      MinhashFunctions.minhashSignature(array(lit("a b c"), lit("b c d"))).as("sig"),
+      WindowMd5Functions.minWindowMd5(split(col("text"), " "), 5).as("mw"))
+      .collect()(0)
+    assert(viaSql.getLong(0) == viaCols.getLong(0))
+    assert(viaSql.getSeq[String](1) == viaCols.getSeq[String](1))
+    assert(viaSql.getString(2) == viaCols.getString(2))
+  }
+
   test("rejects non-array<string> input at analysis time") {
     val ex = intercept[Exception] {
       Seq(Tuple1(Seq(1, 2))).toDF("xs")
