@@ -244,7 +244,8 @@ object Queries {
 
   val all: Map[String, Q] =
     bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ SqlQueries.all ++ CurationQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
+      TpchQueries.all
 
   def headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }.toSeq.sorted
 }
