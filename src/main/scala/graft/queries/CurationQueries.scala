@@ -255,6 +255,47 @@ object CurationQueries {
           |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE) / n_tokens, 6) AS logprob
           |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // ---- sequence packing (concat-and-chunk, added r5) -------------------
+    // Assign documents to fixed 256-token training packs: concatenate each
+    // stream in doc_id order and a doc joins the pack where its first token
+    // lands — the standard pretraining packer. Streams are (source, 200-doc
+    // block): the block bound caps window-group size, mirroring how a
+    // production packer seals packs per input shard instead of threading one
+    // cumsum through 100 TB — so the ordered-cumsum window parallelizes
+    // across shards by construction. Integer-only arithmetic throughout
+    // (token counts, `div`), so parity is exact with no float discipline.
+    "pack_sequences" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy("source", "blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .withColumn("n_toks", size(split(col("text"), " ")))
+          .withColumn("blk", expr("doc_id div 200"))
+          .withColumn("cum", sum(col("n_toks")).over(w))
+          .withColumn("pack", expr("(cum - n_toks) div 256"))
+          .groupBy(col("source"), col("blk").cast("int").as("blk"),
+            col("pack").cast("int").as("pack"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "blk", "pack")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, source, doc_id // 200 AS blk,
+          |             len(string_split(text, ' ')) AS n_toks FROM documents),
+          |c AS (SELECT doc_id, source, blk, n_toks,
+          |        SUM(n_toks) OVER (PARTITION BY source, blk ORDER BY doc_id
+          |                          ROWS UNBOUNDED PRECEDING) AS cum
+          |      FROM t)
+          |SELECT source, CAST(blk AS INTEGER) AS blk,
+          |       CAST((cum - n_toks) // 256 AS INTEGER) AS pack,
+          |       COUNT(*) AS n_docs,
+          |       CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
+          |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // ---- per-source length distribution ----------------------------------
     // Exact R-7 interpolated quantiles of document length — the curation
     // dashboard's "is this source's length profile sane" primitive. Both
