@@ -64,7 +64,7 @@ object SimilarityQueries {
   /** Symmetric int8 quantization columns: `maxabs`, `scale` (= 127/max|x|),
     * `qv` (int8 codes as ints) — shared by embedding_quantize and
     * quantized_topk so both queries provably quantize identically. */
-  private def quantized(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def quantized(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     emb
       .withColumn("maxabs",
         array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))

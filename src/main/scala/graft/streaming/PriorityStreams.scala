@@ -138,6 +138,44 @@ object PriorityStreams {
       .select("doc_id", tsCol)
   }
 
+  /** §2.3 stream-stream join (added r5): correlate two event streams on a
+    * shared key within an event-time bound — right events joined to left
+    * events at most `within` later. Watermarks on BOTH sides plus the
+    * two-sided time-range condition are what let Spark compute a state
+    * eviction horizon: each side's join state is bounded by
+    * watermark + `within`, never the whole stream — the only stream-stream
+    * join shape that survives 100 TB/day. Caller supplies distinct column
+    * names per side (Spark's streaming joiner cannot disambiguate
+    * same-named columns across sides). */
+  def correlateWithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    left.withWatermark(leftTs, watermark).join(
+      right.withWatermark(rightTs, watermark),
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
+  /** Streaming int8 quantization (added r5): the embedding-compression leg
+    * of the ANN pipeline run at ingest time. Applies the IDENTICAL
+    * quantization expressions as the batch `embedding_quantize` /
+    * `quantized_topk` oracle queries
+    * ([[graft.queries.SimilarityQueries.quantized]] — one shared function,
+    * so stream and batch provably cannot drift) to a stream of embedding
+    * rows. Stateless per-row map: no state store, no shuffle, no watermark
+    * needed — each vector leaves with its `scale` and int8 `qv` codes and
+    * is ready for the quantized ANN serving index. Zero-vector rows are
+    * dropped (not quantizable), matching the batch twin. */
+  def quantizeStream(embs: DataFrame): DataFrame =
+    graft.queries.SimilarityQueries.quantized(embs).drop("maxabs")
+
   // ---- stateful per-bucket backlog / SLA tracker -------------------------
 
   /** One input event, already bucketed. */

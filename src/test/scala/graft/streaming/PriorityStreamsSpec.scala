@@ -179,12 +179,12 @@ class PriorityStreamsSpec extends SparkTestBase {
     buys.addData(
       (1L, ts("2024-01-01 00:10:00")), // within 30min of the view → joins
       (2L, ts("2024-01-01 05:00:00"))) // 5h later → outside the bound
-    val v = views.toDF().toDF("user_id", "view_ts").withWatermark("view_ts", "1 hour")
-    val b = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "1 hour")
-    val joined = v.join(b,
-      col("user_id") === col("buy_user") &&
-        col("buy_ts") >= col("view_ts") &&
-        col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    val joined = correlateWithin(
+      views.toDF().toDF("user_id", "view_ts"),
+      buys.toDF().toDF("buy_user", "buy_ts"),
+      leftKey = "user_id", rightKey = "buy_user",
+      leftTs = "view_ts", rightTs = "buy_ts",
+      within = "30 minutes", watermark = "1 hour")
     val q = joined.writeStream.format("memory").queryName("ssj2_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
@@ -309,6 +309,30 @@ class PriorityStreamsSpec extends SparkTestBase {
     val got = spark.table("decon_out").select("doc_id").as[Long].collect()
     assert(got.length == got.distinct.length, "a doc must be flagged once, not per shingle")
     assert(got.toSet == expected)
+  }
+
+  test("streaming quantization emits exactly the batch twin's scale and codes") {
+    implicit val sql = spark.sqlContext
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // batch twin: the oracle-checked quantization (same shared function)
+    val expected = graft.queries.SimilarityQueries.quantized(emb)
+      .select($"vec_id", $"scale", $"qv").as[(Long, Double, Seq[Int])]
+      .collect().map { case (id, sc, q) => id -> ((sc, q)) }.toMap
+    assert(expected.nonEmpty)
+    // streaming side: vectors arrive over two micro-batches
+    val rows = emb.as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = quantizeStream(in.toDF().toDF("vec_id", "embedding"))
+      .select("vec_id", "scale", "qv")
+      .writeStream.format("memory").queryName("quant_out")
+      .outputMode("append").start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val got = spark.table("quant_out").as[(Long, Double, Seq[Int])]
+      .collect().map { case (id, sc, qv) => id -> ((sc, qv)) }.toMap
+    assert(got == expected)
   }
 
   test("FAIR pool xml: one pool per bucket, weight = allocation") {
