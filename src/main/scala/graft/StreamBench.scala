@@ -23,6 +23,9 @@ object StreamBench {
       .appName("graft-stream-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bucketed-table leg target (in-memory catalog; keep it off the repo)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -205,7 +208,50 @@ object StreamBench {
     assert(saltedSecs < plainSecs,
       f"salted join ($saltedSecs%.1fs) must beat the skew-pinned plain join ($plainSecs%.1fs)")
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f}""")
+    // ---- bucketed co-located join A/B (added r5) ----
+    // The storage-layer shuffle-elimination story: both sides written
+    // pre-hashed into 32 buckets on the join key, so every later join on
+    // that key reads co-located buckets and plans with ZERO shuffle
+    // exchange — the write pays the shuffle once, every downstream join
+    // skips it. At 100 TB this is the difference between re-shuffling the
+    // fact table per query and never shuffling it again. 20M-row fact ⋈
+    // 2M-row dim with broadcast disabled (at scale the dim outgrows
+    // broadcast; that regime is what bucketing exists for).
+    val bjFactRows = 20_000_000L
+    val bjFact = spark.range(bjFactRows)
+      .select(pmod(col("id"), lit(2_000_000L)).as("k"), col("id").as("v"))
+    val bjDim = spark.range(2_000_000L).select(col("id").as("k2"), (col("id") * 3).as("w"))
+    val bjDir = java.nio.file.Files.createTempDirectory("graft-bj").toString
+    bjFact.write.mode("overwrite").parquet(s"$bjDir/fact")
+    bjDim.write.mode("overwrite").parquet(s"$bjDir/dim")
+    val bw0 = System.nanoTime()
+    bjFact.write.bucketBy(32, "k").sortBy("k").mode("overwrite").saveAsTable("bench_fact_b")
+    bjDim.write.bucketBy(32, "k2").sortBy("k2").mode("overwrite").saveAsTable("bench_dim_b")
+    val bucketedWriteSecs = (System.nanoTime() - bw0) / 1e9
+    val (bjPlainSecs, bjBucketedSecs) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p0 = System.nanoTime()
+      val nPlain = spark.read.parquet(s"$bjDir/fact")
+        .join(spark.read.parquet(s"$bjDir/dim"), col("k") === col("k2")).count()
+      val pSecs = (System.nanoTime() - p0) / 1e9
+      val bucketedJoin = spark.table("bench_fact_b")
+        .join(spark.table("bench_dim_b"), col("k") === col("k2"))
+      val bjPlan = bucketedJoin.queryExecution.executedPlan.toString
+      assert(!bjPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$bjPlan")
+      val b0 = System.nanoTime()
+      val nBucketed = bucketedJoin.count()
+      val bSecs = (System.nanoTime() - b0) / 1e9
+      assert(nPlain == bjFactRows && nBucketed == bjFactRows,
+        s"bucketed-join counts diverged: plain=$nPlain bucketed=$nBucketed")
+      (pSecs, bSecs)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bench_fact_b")
+      spark.sql("DROP TABLE IF EXISTS bench_dim_b")
+    }
+
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
