@@ -273,13 +273,20 @@ object CurationQueries {
           .withColumn("blk", expr("doc_id div 200"))
           .withColumn("cum", sum(col("n_toks")).over(w))
           .withColumn("pack", expr("(cum - n_toks) div 256"))
-          .groupBy(col("source"), col("blk").cast("int").as("blk"),
-            col("pack").cast("int").as("pack"))
+          // group on the RAW (source, blk, pack): the window's (source, blk)
+          // hash partitioning is a subset of these keys, so the aggregate
+          // reuses it with no second exchange — casting inside groupBy would
+          // change the grouping expressions and force a re-shuffle of the
+          // whole doc stream (verified via explain)
+          .groupBy("source", "blk", "pack")
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_toks")).as("pack_tokens"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
+          .select(col("source"), col("blk").cast("int").as("blk"),
+            col("pack").cast("int").as("pack"),
+            col("n_docs"), col("pack_tokens"), col("first_doc"), col("last_doc"))
           .orderBy("source", "blk", "pack")
       },
       oracle = Some(
