@@ -316,6 +316,37 @@ object TpchQueries {
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin),
 
+    // ---- TPC-H Q15: top supplier by quarterly revenue ---------------------
+    // The revenue "view" is one shuffle agg on l_suppkey; the argmax is a
+    // 1-row max broadcast-joined back (never a global sort) — at 100 TB the
+    // fact scan aggregates map-side first and only |suppliers| rows reach
+    // the reducers. The equality filter compares EXACT DECIMALS (doubles
+    // would make "the" max ambiguous under reordered partial sums).
+    "q15_top_supplier" -> Q(
+      fn = (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+          .groupBy("l_suppkey").agg(sum(vol).as("total_rev"))
+        val mx = rev.agg(max(col("total_rev")).as("mx"))
+        rev.join(broadcast(mx), col("total_rev") === col("mx"))
+          .join(broadcast(Tables.load(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some(
+        """WITH revenue AS (
+          |  SELECT l_suppkey,
+          |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+          |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+          |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)),
+
     // ---- TPC-H Q22: wealthy customers without large orders ----------------
     // Adapted: every customer has orders in this corpus, so "dormant" =
     // no order above 250000. Uncorrelated exact-average scalar subquery +
