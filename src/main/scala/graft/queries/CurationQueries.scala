@@ -96,6 +96,99 @@ object CurationQueries {
           |         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
           |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- temperature-based source rebalancing (added r5) -----------------
+    // Multilingual/multi-source training mixes downsample dominant sources
+    // toward uniform with a temperature: keep rate k_s = (N_min/N_s)^(1-α),
+    // here α = 0.5 ⇒ k_s = sqrt(N_min/N_s) — the smallest source keeps
+    // everything, a 100× larger source keeps 10%. Deterministic per-row
+    // Bernoulli: u = (doc_id · 2654435761) mod 2³² (Knuth multiplicative
+    // hash — pure int64 arithmetic, identical on any engine) kept iff
+    // u < floor(k_s · 2³²). Float discipline: the only float ops are one
+    // division and one sqrt (both IEEE correctly-rounded ⇒ bit-identical
+    // cross-engine; no libm pow anywhere), then an exact floor to int64.
+    // Scale shape: the per-source count agg is tiny and broadcast back; the
+    // corpus side is a stateless predicate — no shuffle at 100 TB beyond
+    // the final accounting agg.
+    "sample_temperature" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val mn = counts.agg(min(col("n_src")).as("n_min"))
+        val rates = counts.crossJoin(broadcast(mn))
+          .withColumn("keep_rate", sqrt(col("n_min").cast("double") / col("n_src")))
+          .withColumn("cut", floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
+          .select("source", "keep_rate", "cut")
+        docs.select(col("source"),
+            pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("u"))
+          .join(broadcast(rates), Seq("source"))
+          .groupBy("source", "keep_rate")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("u") < col("cut"), 1).otherwise(0)).as("n_kept"))
+          .select(col("source"), col("n_total"), col("n_kept"),
+            round(col("keep_rate"), 6).as("keep_rate"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+          |m AS (SELECT MIN(n_src) AS n_min FROM c),
+          |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / n_src) AS keep_rate,
+          |             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_src) * 4294967296.0) AS BIGINT) AS cut
+          |      FROM c, m)
+          |SELECT d.source, COUNT(*) AS n_total,
+          |       CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 4294967296 < r.cut
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       round(r.keep_rate, 6) AS keep_rate
+          |FROM documents d JOIN r ON d.source = r.source
+          |GROUP BY d.source, r.keep_rate ORDER BY d.source""".stripMargin)),
+
+    // ---- per-document TF-IDF key terms (added r5) ------------------------
+    // Top-3 characteristic terms per document: score = tf · ln(N/df) — the
+    // classic keyword-extraction / relevance primitive. Scale shape: tf is
+    // one (doc, term) hash agg; df FALLS OUT of tf (count of its rows per
+    // term — no second pass over the corpus); the vocab-sized idf table
+    // broadcasts back onto tf; the final top-k is a per-doc window over ≤
+    // |doc vocab| rows. Float parity: ln is probed bit-identical (the
+    // unigram_logprob discipline); per-term scores round to 6 dp and
+    // multiply tf AS DECIMAL — exact, order-independent ranking keys.
+    "tfidf_topterms" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("term"),
+            round(log(col("n_docs").cast("double") / col("df")), 6)
+              .cast("decimal(12,6)").as("idf6"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(idf), Seq("term"))
+          .withColumn("score", col("tf").cast("decimal(12,0)") * col("idf6"))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"),
+            col("score").cast("double").as("score"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+          |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |idf AS (SELECT term, CAST(round(ln(CAST(n_docs AS DOUBLE) / COUNT(*)), 6) AS DECIMAL(12,6)) AS idf6
+          |        FROM tf, nd GROUP BY term, n_docs),
+          |scored AS (
+          |  SELECT doc_id, tf.term, CAST(tf AS DECIMAL(12,0)) * idf6 AS score
+          |  FROM tf JOIN idf ON tf.term = idf.term),
+          |ranked AS (
+          |  SELECT doc_id, term, score,
+          |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          |  FROM scored)
+          |SELECT doc_id, term, CAST(score AS DOUBLE) AS score, CAST(rank AS INTEGER) AS rank
+          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- token-window chunking ------------------------------------------
     // 50-token windows at stride 40 (10-token overlap) — the standard
     // pretraining chunker. Pure per-row generator: parallelism-preserving,

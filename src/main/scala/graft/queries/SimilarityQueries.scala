@@ -509,6 +509,95 @@ object SimilarityQueries {
            |       round(sqrt(num) / sqrt(den), 6) AS rel_err
            |FROM n ORDER BY vec_id""".stripMargin)),
 
+    // ---- product-quantization ANN (PQ codes + ADC scoring) ---------------
+    // The third point of the FAISS compression ladder (flat → int8 → PQ):
+    // split each 64-d vector into m=8 subvectors of 8 dims, encode each
+    // subvector as the id of its nearest codebook centroid (here: the first
+    // 16 vectors' subvectors — deterministic "training", like ivf_topk's
+    // coarse centroids), and rank candidates by Asymmetric Distance
+    // Computation: the query precomputes its m×16 subspace-distance table
+    // and a candidate's distance is the sum of 8 TABLE LOOKUPS — no float
+    // math against the full vector at scan time. 64 floats → 8 nibbles-worth
+    // of codes (32× compression at real codebook sizes).
+    // Scale shape: codebook and ADC tables are broadcast (m·16 rows); encode
+    // is explode + broadcast join + per-(vec,subspace) argmin — the shuffle
+    // carries ONE row per (vec, subspace), never all-pairs; the final scan
+    // is codes ⋈ broadcast(ADC) + a sum-agg — candidates stream map-side.
+    // Float parity: per-subspace L2² is a zero-seeded left fold of exact
+    // double ops; per-subspace distances are rounded to 6 dp and summed AS
+    // DECIMAL over the 8 subspaces, so the ranking key is order-independent
+    // and bit-identical on both engines.
+    "pq_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        def l2(a: String, b: String): Column = expr(
+          s"""aggregate(zip_with($a, $b,
+             |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+             |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
+          src.select(col("vec_id").as(idCol),
+              explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+            .select(col(idCol), col("j"),
+              expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
+        val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+        // encode: nearest codebook entry per (vector, subspace)
+        val wCode = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid"), col("j")).orderBy(col("d2"), col("cent_id"))
+        val codes = subspaces(emb, "cid", "subv")
+          .join(broadcast(cents), Seq("j"))
+          .withColumn("d2", l2("subv", "centv"))
+          .withColumn("crk", row_number().over(wCode))
+          .filter(col("crk") === 1)
+          .select(col("cid"), col("j"), col("cent_id").as("code"))
+        // ADC table: query × subspace × codebook entry, rounded + exact-sum
+        val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
+          .join(broadcast(cents), Seq("j"))
+          .select(col("qid"), col("j"), col("cent_id").as("code"),
+            round(l2("qsubv", "centv"), 6).cast("decimal(16,6)").as("qd2"))
+        val dist = codes.join(broadcast(adc), Seq("j", "code"))
+          .filter(col("qid") =!= col("cid"))
+          .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+        dist.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"),
+            col("adist").cast("double").as("adist"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some {
+        def duckL2(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH js AS (SELECT UNNEST(range(8)) AS j),
+           |cents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
+           |          FROM embeddings, js WHERE vec_id < 16),
+           |vecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
+           |         FROM embeddings, js),
+           |codes AS (
+           |  SELECT cid, j, cent_id AS code FROM (
+           |    SELECT v.cid, v.j, c.cent_id,
+           |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
+           |                              ORDER BY ${duckL2("v.subv", "c.centv")}, c.cent_id) AS crk
+           |    FROM vecs v JOIN cents c ON v.j = c.j) t
+           |  WHERE crk = 1),
+           |adc AS (
+           |  SELECT q.cid AS qid, q.j, c.cent_id AS code,
+           |         CAST(round(${duckL2("q.subv", "c.centv")}, 6) AS DECIMAL(16,6)) AS qd2
+           |  FROM vecs q JOIN cents c ON q.j = c.j WHERE q.cid < $NumQueries),
+           |dist AS (
+           |  SELECT qid, cid, SUM(qd2) AS adist
+           |  FROM codes JOIN adc USING (j, code)
+           |  WHERE qid != cid GROUP BY qid, cid),
+           |ranked AS (
+           |  SELECT qid, cid, adist,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk
+           |  FROM dist)
+           |SELECT qid, cid, CAST(adist AS DOUBLE) AS adist, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+      }),
+
     // ---- ANN over the int8 codes (quantized search + exact parity) -------
     // Search on the COMPRESSED vectors: cosine over int8 codes, where the
     // integer dot products are exact in a bigint fold (≤ 127²·64 < 2^20) —

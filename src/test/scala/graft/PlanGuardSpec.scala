@@ -47,7 +47,9 @@ class PlanGuardSpec extends SparkTestBase {
   private val nestedLoopOk: Set[String] =
     Set("q_cross_join", "similarity_topk", "similarity_topk_agg", "lsh_topk", "ivf_topk",
       "quantized_topk", // same ≤5-row broadcast query side as similarity_topk
-      "unigram_logprob") // broadcast of the 1-row corpus-total aggregate
+      "unigram_logprob", // broadcast of the 1-row corpus-total aggregate
+      "tfidf_topterms", // broadcast of the 1-row doc-count aggregate
+      "sample_temperature") // broadcast of the 1-row min-source-count aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Invariant tests for the round-5 curation/privacy/PQ operators — the
+  * DuckDB oracle pins exact values at the gate; these pin the *semantic
+  * contracts* that survive any corpus: conservation (nothing lost or
+  * double-counted), ordering, and bounds.
+  */
+class CurationQueriesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sample_temperature: min source keeps everything; rates monotone in size") {
+    val rows = graft.SparkEntry.queries("sample_temperature")(spark, dir)
+      .select("source", "n_total", "n_kept", "keep_rate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, kept, rate) =>
+      assert(rate > 0 && rate <= 1.0, s"$src rate $rate out of (0,1]")
+      assert(kept <= total, s"$src kept $kept > total $total")
+    }
+    val minTotal = rows.map(_._2).min
+    rows.filter(_._2 == minTotal).foreach { case (src, total, kept, rate) =>
+      assert(rate == 1.0 && kept == total, s"min source $src must keep all: $kept/$total rate $rate")
+    }
+    // bigger source ⇒ smaller-or-equal keep rate (k_s = sqrt(N_min/N_s))
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, t1, _, r1), (_, t2, _, r2)) =>
+        if (t1 < t2) assert(r2 <= r1, s"rate not monotone: n=$t1→$r1 but n=$t2→$r2")
+      case _ =>
+    }
+  }
+
+  test("tfidf_topterms: per-doc ranks contiguous, scores non-increasing") {
+    val rows = graft.SparkEntry.queries("tfidf_topterms")(spark, dir)
+      .select("doc_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rs.length),
+        s"doc $doc ranks not contiguous: ${byRank.map(_._3).toSeq}")
+      assert(rs.length <= 3, s"doc $doc has ${rs.length} terms")
+      byRank.sliding(2).foreach {
+        case Array((_, s1, _), (_, s2, _)) => assert(s1 >= s2, s"doc $doc scores increase")
+        case _ =>
+      }
+    }
+  }
+
+  test("pseudonymize_events: conservation and suppression accounting") {
+    val ev = graft.Tables.load(spark, dir, "events")
+    val totalEvents = ev.count()
+    val totalUsers = ev.select("user_id").distinct().count()
+    val out = graft.SparkEntry.queries("pseudonymize_events")(spark, dir)
+      .select("pseudo", "n_users", "n_events").collect()
+    // exactly one suppressed roll-up row, NULL pseudonym
+    val (sup, kept) = out.partition(_.isNullAt(0))
+    assert(sup.length == 1, s"expected one roll-up row, got ${sup.length}")
+    // nothing lost, nothing double-counted
+    assert(out.map(_.getLong(1)).sum == totalUsers)
+    assert(out.map(_.getLong(2)).sum == totalEvents)
+    // the release never carries a raw id: pseudonyms are 12-char hex
+    kept.foreach { r =>
+      assert(r.getString(0).matches("[0-9a-f]{12}"), s"bad pseudonym ${r.getString(0)}")
+      assert(r.getLong(1) == 1L)
+    }
+  }
+
+  test("pack_sequences: token conservation and contiguous packs per stream") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .withColumn("n_toks", size(split(col("text"), " ")))
+    val totalToks = docs.agg(sum("n_toks")).head().getLong(0)
+    val packs = graft.SparkEntry.queries("pack_sequences")(spark, dir)
+      .select("source", "blk", "pack", "n_docs", "pack_tokens").collect()
+    // every token of every doc lands in exactly one pack
+    assert(packs.map(_.getLong(4)).sum == totalToks)
+    assert(packs.map(_.getLong(3)).sum == docs.count())
+    // packs within a (source, blk) stream are contiguous from 0
+    packs.groupBy(r => (r.getString(0), r.getInt(1))).foreach { case (k, rs) =>
+      val ids = rs.map(_.getInt(2)).sorted.toSeq
+      assert(ids == (0 until rs.length), s"stream $k packs not contiguous: $ids")
+    }
+  }
+
+  test("pq_topk: well-formed ranking, deterministic across invocations") {
+    val run1 = graft.SparkEntry.queries("pq_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val run2 = graft.SparkEntry.queries("pq_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(run1.sameElements(run2), "pq_topk not deterministic")
+    val byQ = run1.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to 10), s"query $qid ranks")
+      val byRank = rs.sortBy(_._4)
+      byRank.sliding(2).foreach {
+        case Array((_, _, d1, _), (_, _, d2, _)) =>
+          assert(d1 <= d2, s"query $qid ADC distances decrease with rank")
+        case _ =>
+      }
+      rs.foreach { case (_, cid, d, _) =>
+        assert(d >= 0, s"negative ADC distance $d")
+        assert(cid != qid, "self match")
+      }
+    }
+  }
+}
