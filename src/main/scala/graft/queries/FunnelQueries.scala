@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence analytics (§2.2/§2.4, added r5) — the consumer-side verbs
+  * of the reference's event domain (its buckets exist to prioritize exactly
+  * these event streams: reference README.md:9-17): ordered funnels and
+  * cohort retention.
+  *
+  * Both are strict event-time semantics: a funnel step counts only if it
+  * happens AFTER the user's previous step (min-ts per step, joined forward),
+  * and retention day-k means activity inside [t0+k, t0+k+1) relative to the
+  * user's own first event, not a calendar bucket.
+  */
+object FunnelQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // ---- ordered 3-step funnel ------------------------------------------
+    // click → signup → purchase with strict ordering: each step's frame is
+    // one per-user min-ts agg (≤ |users| rows) joined onto the next step's
+    // filtered event scan. Scale shape: the event side is scanned once per
+    // step with the step's type filter PUSHED to parquet; the per-user
+    // frames are broadcastable at any realistic user count, so the fact
+    // side never shuffles — and each agg is partial+final on user_id.
+    "funnel_steps" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val sg = ev.filter(col("event_type") === "signup")
+          .join(broadcast(c), Seq("user_id")).filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(sg), Seq("user_id")).filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        c.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("step"), col("n_users"))
+          .unionByName(
+            sg.agg(count(lit(1)).as("n_users")).select(lit("2_signup").as("step"), col("n_users")))
+          .unionByName(
+            p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("step"), col("n_users")))
+          .orderBy("step")
+      },
+      oracle = Some(
+        """WITH c AS (SELECT user_id, MIN(ts) AS t1 FROM events
+          |           WHERE event_type = 'click' GROUP BY user_id),
+          |s AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          |      JOIN c ON e.user_id = c.user_id
+          |      WHERE e.event_type = 'signup' AND e.ts > c.t1 GROUP BY e.user_id),
+          |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          |      JOIN s ON e.user_id = s.user_id
+          |      WHERE e.event_type = 'purchase' AND e.ts > s.t2 GROUP BY e.user_id)
+          |SELECT '1_click' AS step, COUNT(*) AS n_users FROM c
+          |UNION ALL SELECT '2_signup', COUNT(*) FROM s
+          |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+          |ORDER BY step""".stripMargin)),
+
+    // ---- cohort retention (day-1 / day-7, user-relative windows) ---------
+    // Cohort = calendar day of the user's first event; retained day-k =
+    // any activity in [t0+k, t0+k+1). Scale shape: ONE per-user min-ts agg
+    // broadcast back onto the stream, per-user flag agg (partial+final on
+    // user_id), then a tiny per-cohort roll-up — two shuffles total, both
+    // keyed on user_id/cohort, never event-wide.
+    "retention_cohorts" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+        def win(k: Int) =
+          col("ts") >= col("t0") + expr(s"INTERVAL $k DAY") &&
+            col("ts") < col("t0") + expr(s"INTERVAL ${k + 1} DAY")
+        val perUser = ev.join(broadcast(t0), Seq("user_id"))
+          .groupBy(col("user_id"), col("t0").cast("date").as("cohort"))
+          .agg(
+            max(when(win(1), 1).otherwise(0)).as("d1"),
+            max(when(win(7), 1).otherwise(0)).as("d7"))
+        perUser.groupBy("cohort")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("d1")).as("n_d1"), sum(col("d7")).as("n_d7"))
+          .orderBy("cohort")
+      },
+      oracle = Some(
+        """WITH t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+          |f AS (SELECT e.user_id, CAST(t.t0 AS DATE) AS cohort,
+          |        MAX(CASE WHEN e.ts >= t.t0 + INTERVAL 1 DAY
+          |                  AND e.ts <  t.t0 + INTERVAL 2 DAY THEN 1 ELSE 0 END) AS d1,
+          |        MAX(CASE WHEN e.ts >= t.t0 + INTERVAL 7 DAY
+          |                  AND e.ts <  t.t0 + INTERVAL 8 DAY THEN 1 ELSE 0 END) AS d7
+          |      FROM events e JOIN t0 t ON e.user_id = t.user_id
+          |      GROUP BY e.user_id, CAST(t.t0 AS DATE))
+          |SELECT cohort, COUNT(*) AS n_users,
+          |       CAST(SUM(d1) AS BIGINT) AS n_d1, CAST(SUM(d7) AS BIGINT) AS n_d7
+          |FROM f GROUP BY cohort ORDER BY cohort""".stripMargin))
+  )
+}
