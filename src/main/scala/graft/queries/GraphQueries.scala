@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over corpus-derived graphs (§2.4, added r5).
+  *
+  * [[graft.queries.SimilarityQueries]]'s dedup_clusters covers the
+  * connected-components family; this adds the PageRank family via TextRank
+  * (Mihalcea & Tarau 2004): keyword extraction as PageRank over the
+  * word-adjacency graph — the graph-centrality member of the
+  * keyword/quality-scoring toolbox next to the frequency one
+  * (tfidf_topterms).
+  *
+  * Float discipline: every per-edge/per-node value lives on the proven
+  * 6 dp decimal grid (the unigram_logprob pattern): doubles enter via
+  * `round(x, 6) :: DECIMAL`, sums run over exact decimals
+  * (order-independent), and the only double ops are correctly-rounded
+  * IEEE divisions/multiplications — so five chained iterations stay
+  * bit-identical across engines.
+  */
+object GraphQueries {
+
+  private val Damping = 0.85
+  /** Written as the literal 0.15, NOT computed as 1.0 − 0.85 (= 0.1500…02
+    * in binary): both engines must see the same double. In the SQL both
+    * constants are wrapped in CAST(… AS DOUBLE) — DuckDB parses bare
+    * decimal literals as DECIMAL and would otherwise run exact decimal
+    * division where Spark runs double division. */
+  private val OneMinusD = 0.15
+  private val Iterations = 5
+  private val TopK = 20
+
+  val all: Map[String, Q] = Map(
+
+    // ---- TextRank keywords (PageRank over the bigram graph) --------------
+    // Nodes = corpus vocabulary; directed edge a→b weighted by the adjacent
+    // bigram count; share(a→b) = w/outw(a); 5 damped iterations
+    // pr' = (1-d)/N + d·Σ_in round(pr·share, 6), uniform init. Dangling
+    // tokens (no out-edges) leak their rank — the standard simplification,
+    // identical on both engines. Scale shape: the expensive part is the ONE
+    // corpus pass building bigram counts (explode + hash agg); the graph
+    // itself is vocabulary-sized, so each iteration is a broadcastable
+    // join + tiny agg — at 100 TB the corpus scan dominates and the
+    // iterations are noise (the opposite profile of dedup_clusters, whose
+    // graph is corpus-sized).
+    "textrank_keywords" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bigrams = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+        val edges = bigrams.groupBy("a", "b").agg(count(lit(1)).as("w"))
+        val outw = edges.groupBy("a").agg(sum(col("w")).as("outw"))
+        val shared = edges.join(outw, Seq("a"))
+          .select(col("a"), col("b"),
+            round(col("w").cast("double") / col("outw"), 6)
+              .cast("decimal(10,6)").as("share"))
+        val nodes = docs.select(explode(split(col("text"), " ")).as("tok")).distinct()
+        val ncount = nodes.agg(count(lit(1)).as("n"))
+        def iterate(pr: DataFrame): DataFrame = {
+          val contrib = pr.join(shared, pr("tok") === shared("a"))
+            .select(col("b").as("tok"),
+              round(col("pr").cast("double") * col("share").cast("double"), 6)
+                .cast("decimal(12,6)").as("c"))
+            .groupBy("tok").agg(sum(col("c")).as("acc"))
+          nodes.crossJoin(broadcast(ncount)).join(contrib, Seq("tok"), "left")
+            .select(col("tok"),
+              round(
+                lit(OneMinusD) / col("n") +
+                  lit(Damping) * coalesce(col("acc"), lit(0).cast("decimal(12,6)")).cast("double"),
+                6).cast("decimal(12,6)").as("pr"))
+        }
+        var pr: DataFrame = nodes.crossJoin(broadcast(ncount))
+          .select(col("tok"),
+            round(lit(1.0) / col("n"), 6).cast("decimal(12,6)").as("pr"))
+        for (_ <- 1 to Iterations) pr = iterate(pr)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("tok"))
+        pr.orderBy(col("pr").desc, col("tok")).limit(TopK)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("tok"), col("pr").cast("double").as("pr"))
+          .orderBy("rank")
+      },
+      oracle = Some {
+        val base =
+          """t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            |bi AS (SELECT UNNEST(list_transform(range(len(toks) - 1),
+            |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+            |       FROM t WHERE len(toks) >= 2),
+            |edges AS (SELECT a, b, COUNT(*) AS w FROM bi GROUP BY a, b),
+            |outw AS (SELECT a, SUM(w) AS outw FROM edges GROUP BY a),
+            |shared AS (SELECT e.a, e.b,
+            |             CAST(round(CAST(e.w AS DOUBLE) / o.outw, 6) AS DECIMAL(10,6)) AS share
+            |           FROM edges e JOIN outw o ON e.a = o.a),
+            |nodes AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+            |nc AS (SELECT COUNT(*) AS n FROM nodes),
+            |pr0 AS (SELECT tok, CAST(round(CAST(1 AS DOUBLE) / n, 6) AS DECIMAL(12,6)) AS pr
+            |        FROM nodes CROSS JOIN nc)""".stripMargin
+        val iters = (1 to Iterations).map { i =>
+          s"""pr$i AS (
+             |  SELECT nodes.tok,
+             |         CAST(round(CAST($OneMinusD AS DOUBLE) / nc.n +
+             |           CAST($Damping AS DOUBLE) * CAST(COALESCE(s.acc, CAST(0 AS DECIMAL(12,6))) AS DOUBLE), 6)
+             |           AS DECIMAL(12,6)) AS pr
+             |  FROM nodes CROSS JOIN nc
+             |  LEFT JOIN (SELECT sh.b AS tok,
+             |               SUM(CAST(round(CAST(p.pr AS DOUBLE) * CAST(sh.share AS DOUBLE), 6)
+             |                   AS DECIMAL(12,6))) AS acc
+             |             FROM pr${i - 1} p JOIN shared sh ON p.tok = sh.a
+             |             GROUP BY sh.b) s ON nodes.tok = s.tok)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $base,
+           |$iters,
+           |ranked AS (SELECT tok, pr,
+           |             ROW_NUMBER() OVER (ORDER BY pr DESC, tok) AS rank
+           |           FROM pr$Iterations)
+           |SELECT CAST(rank AS INTEGER) AS rank, tok, CAST(pr AS DOUBLE) AS pr
+           |FROM ranked WHERE rank <= $TopK ORDER BY rank""".stripMargin
+      })
+  )
+}

@@ -49,7 +49,8 @@ class PlanGuardSpec extends SparkTestBase {
       "quantized_topk", // same ≤5-row broadcast query side as similarity_topk
       "unigram_logprob", // broadcast of the 1-row corpus-total aggregate
       "tfidf_topterms", // broadcast of the 1-row doc-count aggregate
-      "sample_temperature") // broadcast of the 1-row min-source-count aggregate
+      "sample_temperature", // broadcast of the 1-row min-source-count aggregate
+      "textrank_keywords") // broadcast of the 1-row node-count aggregate (×6 iterations)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

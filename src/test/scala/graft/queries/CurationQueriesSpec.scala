@@ -86,6 +86,22 @@ class CurationQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("textrank_keywords: probability-like ranks, deterministic ordering") {
+    val rows = graft.SparkEntry.queries("textrank_keywords")(spark, dir)
+      .select("rank", "tok", "pr").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length), "ranks not contiguous")
+    rows.sliding(2).foreach {
+      case Array((_, _, p1), (_, _, p2)) => assert(p1 >= p2, "pr not non-increasing")
+      case _ =>
+    }
+    // each pr is a damped probability share: strictly positive, below 1;
+    // the top-20 sum stays ≤ 1 + rounding slack (rank only leaks at
+    // dangling nodes, never appears from nowhere)
+    rows.foreach { case (_, tok, p) => assert(p > 0 && p < 1, s"$tok pr $p") }
+    assert(rows.map(_._3).sum <= 1.000001, s"top-k pr mass > 1")
+  }
+
   test("pq_topk: well-formed ranking, deterministic across invocations") {
     val run1 = graft.SparkEntry.queries("pq_topk")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
