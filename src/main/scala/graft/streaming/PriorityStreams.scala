@@ -335,6 +335,84 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming funnel (per-user step state machine) --------------------
+
+  /** One funnel-relevant event. */
+  final case class FunnelEvent(userId: Long, eventType: String, ts: java.sql.Timestamp)
+
+  /** A user advancing to `step` (1=click, 2=signup, 3=purchase) at `ts`. */
+  final case class FunnelAdvance(userId: Long, step: Int, ts: java.sql.Timestamp)
+
+  /** Streaming twin of the batch `funnel_steps` query (added r5): a per-user
+    * state machine over `transformWithState`. State is (currentStep,
+    * stepTsMicros); each batch's events are sorted by event time and replayed
+    * against the strict-ordering rule (a step counts only with ts STRICTLY
+    * after the previous step's ts — the identical comparison as the batch
+    * query's `ts > t1` joins). Emits one [[FunnelAdvance]] row per
+    * advancement, so downstream per-step user counts are
+    * `count(distinct userId) where step >= k`.
+    *
+    * Exactness contract: for event-time-ordered arrival (within a batch the
+    * processor sorts; across batches ts must not regress per user) the
+    * emitted advancements match the batch query's min-ts semantics exactly —
+    * spec-verified against `funnel_steps` on the same finite input. Late
+    * events that would have advanced an earlier step are dropped by
+    * arrival-order processing, the standard watermark trade-off.
+    * Scale: state is 2 longs per user seen (completed users keep a terminal
+    * marker so re-arrivals cannot double-count; bound it with TTL in
+    * production), keyed by user — RocksDB-backed at cluster scale like the
+    * backlog tracker. */
+  final class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelAdvance] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Int, Long)]( // (step reached, its ts micros)
+        "funnel", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private val NextType = Map(0 -> "click", 1 -> "signup", 2 -> "purchase")
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelAdvance] = {
+      val arr = rows.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: FunnelEvent, b: FunnelEvent) => a.ts.getTime < b.ts.getTime)
+      var (step, stepTs) = if (state.exists()) state.get() else (0, Long.MinValue)
+      val out = Seq.newBuilder[FunnelAdvance]
+      var i = 0
+      while (i < arr.length && step < 3) {
+        val e = arr(i)
+        if (NextType(step) == e.eventType && (step == 0 || e.ts.getTime > stepTs)) {
+          step += 1
+          stepTs = e.ts.getTime
+          out += FunnelAdvance(userId, step, e.ts)
+        }
+        i += 1
+      }
+      // completed users keep their terminal (3, ts) state: clearing it would
+      // let a later event restart the machine and double-count a conversion
+      // (TTL / timer eviction is the production way to bound it)
+      state.update((step, stepTs))
+      out.result().iterator
+    }
+  }
+
+  /** Funnel advancements over a stream of events, Update mode. */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(
+        new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

@@ -235,6 +235,44 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(tws("purchase").maxGapMicros == 4000L)
   }
 
+  test("streaming funnel == batch funnel_steps on the same event-time-ordered input") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the real events table, event-time-ordered, split into two micro-batches
+    // at the time midpoint — advancement must carry state across batches
+    val evs = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .orderBy("ts")
+      .as[(Long, String, Timestamp)].collect()
+    val mid = evs(evs.length / 2)._3
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = funnelStream(
+        in.toDF().toDF("userId", "eventType", "ts").as[FunnelEvent])
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)))
+      q.processAllAvailable(); q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val advances = spark.table("funnel_out")
+      .select("userId", "step").as[(Long, Int)].collect().toSet
+    val streamCounts = (1 to 3).map(k => k -> advances.count(_._2 == k)).toMap
+    val batch = graft.SparkEntry.queries("funnel_steps")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(streamCounts(1).toLong == batch("1_click"))
+    assert(streamCounts(2).toLong == batch("2_signup"))
+    assert(streamCounts(3).toLong == batch("3_purchase"))
+  }
+
   test("event-time timers: idle bucket fires once after the gap, state evicted") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Long, Timestamp)]
