@@ -216,6 +216,61 @@ object CurationQueries {
           |       md5(array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ')) AS chunk_hash
           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // ---- cross-document chunk overlap (added r5) -------------------------
+    // Exact-substring dedup at chunk granularity (the tractable 100 TB
+    // stand-in for suffix-array substring dedup, Lee et al. 2022): a doc's
+    // overlap rate = fraction of its 50-token chunks whose hash appears in
+    // ≥ 2 DISTINCT documents. Scale shape: chunk explode → one hash agg for
+    // per-chunk doc counts → equi-join back on chunk_hash (both sides
+    // partitioned by the SAME key — one exchange each, no broadcast of a
+    // corpus-sized table) → per-doc agg → per-source roll-up with a
+    // decimal-exact average. Chunk identity is the same md5 as
+    // chunk_documents, so the two operators compose.
+    "dedup_chunk_overlap" -> Q(
+      fn = (s, dir) => {
+        val chunks = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(0, (size(toks) - 1) div 40)")).as("i"),
+            col("toks"))
+          .select(col("doc_id"), col("source"),
+            expr("md5(array_join(slice(toks, int(i * 40 + 1), 50), ' '))").as("chunk_hash"))
+        val freq = chunks.groupBy("chunk_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+        val perDoc = chunks.join(freq, Seq("chunk_hash"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs_with") >= 2, 1).otherwise(0)).as("n_shared"))
+          .withColumn("rate",
+            round(col("n_shared").cast("double") / col("n_chunks"), 6))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rate") > 0.5, 1).otherwise(0)).as("n_flagged"),
+            round(sum(col("rate").cast("decimal(10,6)")).cast("double") / count(lit(1)), 6)
+              .as("avg_overlap"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+          |ch AS (SELECT doc_id, source,
+          |         md5(array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ')) AS chunk_hash
+          |       FROM (SELECT doc_id, source, toks,
+          |               UNNEST(range((len(toks) - 1) // 40 + 1)) AS i FROM t)),
+          |freq AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs_with
+          |         FROM ch GROUP BY chunk_hash),
+          |perdoc AS (
+          |  SELECT doc_id, source, COUNT(*) AS n_chunks,
+          |         SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_shared
+          |  FROM ch JOIN freq USING (chunk_hash)
+          |  GROUP BY doc_id, source),
+          |r AS (SELECT source,
+          |        round(CAST(n_shared AS DOUBLE) / n_chunks, 6) AS rate
+          |      FROM perdoc)
+          |SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(CASE WHEN rate > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          |       round(CAST(SUM(CAST(rate AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS avg_overlap
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- corpus vocabulary top-k ----------------------------------------
     // Token frequencies with deterministic rank (count desc, token asc).
     // Scale shape: partial+final hash agg, then orderBy+limit compiles to
