@@ -418,15 +418,20 @@ object SimilarityQueries {
         val cents = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
         def cosTo(v1: String, v2: String) = cosineSimilarity(col(v1), col(v2))
-        // inverted lists: each vector → nearest centroid
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cid")).orderBy(col("csim").desc, col("cent_id"))
+        // inverted lists: each vector → nearest centroid. argmax as a
+        // min(struct(−csim, cent_id)) aggregate (r5): the 16-centroid
+        // product collapses map-side instead of shuffling 16 rows per
+        // vector into a window sort; double negation is exact, so the
+        // (csim desc, cent_id asc) tie-break matches the oracle's
+        // ROW_NUMBER bit-for-bit. first(cv) is deterministic: one cv per
+        // cid group by construction.
         val lists = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
           .crossJoin(broadcast(cents))
           .withColumn("csim", cosTo("cv", "centv"))
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") === 1)
-          .select(col("cid"), col("cv"), col("cent_id").as("list_id"))
+          .groupBy("cid")
+          .agg(min(struct(negate(col("csim")).as("negsim"), col("cent_id"))).as("m"),
+            first(col("cv")).as("cv"))
+          .select(col("cid"), col("cv"), col("m.cent_id").as("list_id"))
         // queries probe their 4 nearest lists
         val q = emb.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -540,15 +545,19 @@ object SimilarityQueries {
             .select(col(idCol), col("j"),
               expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
         val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
-        // encode: nearest codebook entry per (vector, subspace)
-        val wCode = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cid"), col("j")).orderBy(col("d2"), col("cent_id"))
+        // encode: nearest codebook entry per (vector, subspace). The argmin
+        // is a min(struct(d2, cent_id)) AGGREGATE, not a window: the
+        // vectors × codebook product (16 rows per (vec, subspace)) collapses
+        // in the map-side partial agg, so the exchange carries ONE row per
+        // (vec, subspace) — a window would shuffle all 16, a 16× difference
+        // that matters at 100 TB. Lexicographic struct ordering gives the
+        // identical (d2 asc, cent_id asc) tie-break as the oracle's
+        // ROW_NUMBER.
         val codes = subspaces(emb, "cid", "subv")
           .join(broadcast(cents), Seq("j"))
-          .withColumn("d2", l2("subv", "centv"))
-          .withColumn("crk", row_number().over(wCode))
-          .filter(col("crk") === 1)
-          .select(col("cid"), col("j"), col("cent_id").as("code"))
+          .groupBy("cid", "j")
+          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
+          .select(col("cid"), col("j"), col("m.cent_id").as("code"))
         // ADC table: query × subspace × codebook entry, rounded + exact-sum
         val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
           .join(broadcast(cents), Seq("j"))
