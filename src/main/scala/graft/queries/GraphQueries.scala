@@ -59,6 +59,13 @@ object GraphQueries {
           .select(col("e.a").as("a"), col("e.b").as("b"))
         val edges = bigrams.groupBy("a", "b").agg(count(lit(1)).as("w"))
         val outw = edges.groupBy("a").agg(sum(col("w")).as("outw"))
+        // NOT cached, deliberately: the iteration plan references `shared`
+        // 5× and `nodes` 6×, but Spark's ReusedExchange already
+        // deduplicates the identical corpus subtrees inside the one job,
+        // while .cache() here measured 3× SLOWER (1.75 → 4.9 s at sf0.1 —
+        // InMemoryRelation scans break whole-stage fusion around every
+        // iteration join and add build/lookup overhead far exceeding the
+        // KB-sized reuse it buys).
         val shared = edges.join(outw, Seq("a"))
           .select(col("a"), col("b"),
             round(col("w").cast("double") / col("outw"), 6)
