@@ -165,6 +165,60 @@ object StreamBench {
     }
     val stateRps = stateEvents / stateSecs
 
+    // ---- funnel state machine over 1M users (RocksDB, added r5) ----------
+    // The per-user streaming funnel at production key counts: 3M events =
+    // 1M users × (click → signup → purchase). Files are partitioned BY USER
+    // (a file stream's batch order is not id-ordered, and the funnel's
+    // strict-ordering semantics drop steps that arrive before their
+    // predecessor — the documented watermark trade-off), so each user's
+    // events share a batch and the processor's in-batch event-time sort
+    // makes every conversion land; cross-batch state read-modify-write is
+    // the tws leg's job. Checks are exact: every event advances its user
+    // (3M advancement rows), final state = 1M keys.
+    val FunnelUsers = 1_000_000L
+    val funnelEvents = 3L * FunnelUsers
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (funnelSecs, funnelStateKeys, funnelAdvances) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-funnel-src").toString
+      spark.range(funnelEvents).select(
+        pmod(col("id"), lit(FunnelUsers)).as("userId"),
+        element_at(array(lit("click"), lit("signup"), lit("purchase")),
+          expr(s"int(id div $FunnelUsers)") + 1).as("eventType"),
+        timestamp_micros(col("id")).as("ts"))
+        .repartition(8, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("userId BIGINT, eventType STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.FunnelEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-bench").toString
+      @volatile var advances = 0L
+      val f0 = System.nanoTime()
+      val fq = PriorityStreams.funnelStream(events)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.FunnelAdvance], _: Long) =>
+          advances += b.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      fq.awaitTermination()
+      val secs = (System.nanoTime() - f0) / 1e9
+      val keys = fq.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      assert(advances == funnelEvents,
+        s"funnel advances $advances != $funnelEvents (every event must advance its user)")
+      assert(keys == FunnelUsers, s"funnel state keys $keys != $FunnelUsers")
+      (secs, keys, advances)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val funnelRps = funnelEvents / funnelSecs
+
     // ---- skew mitigation A/B/C: 90%-hot-key join, plain vs salted vs AQE ----
     // 10M-row fact with 90% of rows on key 0 joined to a 100k-row dim, with
     // broadcast DISABLED so the join is a real shuffle (at 100 TB the dim
@@ -251,7 +305,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
