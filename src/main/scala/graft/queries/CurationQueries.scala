@@ -165,7 +165,11 @@ object CurationQueries {
               .cast("decimal(12,6)").as("idf6"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term"))
-        tf.join(broadcast(idf), Seq("term"))
+        // no broadcast HINT on idf: it is vocabulary-sized, not constant-
+        // sized — size-based join selection broadcasts it at any realistic
+        // vocab and falls back to a shuffle join on term if the vocab ever
+        // outgrows the threshold (a forced hint would OOM the driver there)
+        tf.join(idf, Seq("term"))
           .withColumn("score", col("tf").cast("decimal(12,0)") * col("idf6"))
           .withColumn("rank", row_number().over(w).cast("int"))
           .filter(col("rank") <= 3)
