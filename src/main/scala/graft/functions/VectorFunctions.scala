@@ -192,6 +192,78 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared L2 distance over two float-array columns: the double
+  * left-fold `aggregate(zip_with(a, b, (x, y) -> (dx)·(dx)), 0.0, +)` with
+  * dx = double(x) − double(y), as one tight loop — identical accumulation
+  * order, so bit-identical to the HOF form and DuckDB's `list_reduce`
+  * mirror. Added r5 for product quantization, where the interpreted HOF
+  * fold runs once per (vector, subspace, codebook entry) — m·k = 128
+  * lambda-interpreted folds per encoded vector. Null semantics mirror the
+  * HOF form: unequal lengths or any null element ⇒ NULL. */
+case class FloatVectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vector_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API entry point — pinned LEGACY (NULL on zero norm) so library
     * query results are mode-independent and stay hash-identical to the
@@ -204,6 +276,11 @@ object VectorFunctions {
     * the HOF left-fold). */
   def floatDot(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd squared L2 distance over two float-array columns
+    * (bit-identical to the HOF left-fold of per-element squared deltas). */
+  def floatL2Sq(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorL2Sq(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register `cosine_similarity(a, b)` for the SQL surface. Like Divide,
     * the eval mode is captured from the session conf at PARSE time. */

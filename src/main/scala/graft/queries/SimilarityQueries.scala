@@ -535,10 +535,12 @@ object SimilarityQueries {
     "pq_topk" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        def l2(a: String, b: String): Column = expr(
-          s"""aggregate(zip_with($a, $b,
-             |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-             |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        // codegen'd FloatVectorL2Sq (r5): same zero-seeded left fold as the
+        // HOF `aggregate(zip_with(...))` form — bit-identical, but one tight
+        // loop instead of m·k = 128 interpreted lambda folds per encoded
+        // vector (the dominant per-row encode cost)
+        def l2(a: String, b: String): Column =
+          graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
         def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
           src.select(col("vec_id").as(idCol),
               explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))

@@ -75,6 +75,34 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(nullElem.isNullAt(0))
   }
 
+  test("FloatVectorL2Sq == the HOF left-fold bit-for-bit (codegen path, real data)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 50)
+    // sliced subvectors, exactly how pq_topk drives it
+    val pairs = emb.select(
+      expr("slice(embedding, 1, 8)").as("a"),
+      expr("slice(embedding, 9, 8)").as("b"))
+    def hofL2(a: String, b: String) = expr(
+      s"""aggregate(zip_with($a, $b,
+         |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val rows = pairs.select(
+      VectorFunctions.floatL2Sq(col("a"), col("b")).as("fast"),
+      hofL2("a", "b").as("hof")).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    val unequal = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b").select(VectorFunctions.floatL2Sq(col("a"), col("b"))).collect()(0)
+    assert(unequal.isNullAt(0))
+    val nullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b").select(VectorFunctions.floatL2Sq(col("a"), col("b"))).collect()(0)
+    assert(nullElem.isNullAt(0))
+  }
+
   test("SQL registration: cosine_similarity and bucket_of usable from spark.sql") {
     val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30)).toOption.get
     BucketSqlFunctions.registerAll(spark, cfg)
