@@ -17,8 +17,9 @@ object Prof {
     for (q <- names; i <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9 // capture BEFORE clearCache, like Bench
       spark.catalog.clearCache()
-      println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"$q run$i: $secs%.2f s")
     }
     spark.stop()
   }

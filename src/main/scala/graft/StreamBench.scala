@@ -177,6 +177,10 @@ object StreamBench {
     // (3M advancement rows), final state = 1M keys.
     val FunnelUsers = 1_000_000L
     val funnelEvents = 3L * FunnelUsers
+    // capture OUR OWN previous provider: relying on the tws leg's
+    // already-restored `prevProvider` would silently break if the legs are
+    // reordered or the tws leg's restore changes
+    val prevProvider2 = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val (funnelSecs, funnelStateKeys, funnelAdvances) = try {
@@ -213,7 +217,7 @@ object StreamBench {
         s"funnel advances $advances != $funnelEvents (every event must advance its user)")
       assert(keys == FunnelUsers, s"funnel state keys $keys != $FunnelUsers")
       (secs, keys, advances)
-    } finally prevProvider match {
+    } finally prevProvider2 match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }

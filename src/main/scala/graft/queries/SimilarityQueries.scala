@@ -423,13 +423,18 @@ object SimilarityQueries {
         // product collapses map-side instead of shuffling 16 rows per
         // vector into a window sort; double negation is exact, so the
         // (csim desc, cent_id asc) tie-break matches the oracle's
-        // ROW_NUMBER bit-for-bit. first(cv) is deterministic: one cv per
-        // cid group by construction.
+        // ROW_NUMBER bit-for-bit. A NULL csim (zero-norm centroid under
+        // LEGACY cosine) must sort LAST like the replaced window's
+        // desc-nulls-last — structs order NULL fields FIRST, so coalesce
+        // to +∞ keeps null-sim centroids from ever winning the argmin.
+        // first(cv) is deterministic: one cv per cid group by construction.
         val lists = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
           .crossJoin(broadcast(cents))
           .withColumn("csim", cosTo("cv", "centv"))
           .groupBy("cid")
-          .agg(min(struct(negate(col("csim")).as("negsim"), col("cent_id"))).as("m"),
+          .agg(min(struct(
+              coalesce(negate(col("csim")), lit(Double.PositiveInfinity)).as("negsim"),
+              col("cent_id"))).as("m"),
             first(col("cv")).as("cv"))
           .select(col("cid"), col("cv"), col("m.cent_id").as("list_id"))
         // queries probe their 4 nearest lists
