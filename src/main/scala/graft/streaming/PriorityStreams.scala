@@ -413,6 +413,83 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming heavy hitters (Space-Saving top-k per bucket) -----------
+
+  /** One tokenized event for frequency tracking. */
+  final case class TokenEvent(bucket: String, token: String)
+
+  /** A heavy hitter: `cnt` is an overestimate by at most `err` (Space-Saving
+    * guarantee: true_count ∈ [cnt − err, cnt]). */
+  final case class HeavyHitter(bucket: String, token: String, cnt: Long, err: Long)
+
+  /** Streaming top-k frequent tokens per bucket via the Space-Saving
+    * algorithm (Metwally et al. 2005) on `transformWithState` (added r5):
+    * per bucket, at most `m` counters live in a `MapState`; an unseen token
+    * arriving with all counters occupied evicts the minimum counter and
+    * inherits its count as the error bound. State is O(m) per bucket
+    * FOREVER — the frequency analogue of the watermark bound, and the only
+    * top-k shape that survives an unbounded token domain at 100 TB/day.
+    * Guarantees: counts overestimate by ≤ err; any token with true count
+    * > N/m is guaranteed present; with ≤ m distinct tokens ever seen the
+    * counts are EXACT (err 0) — which is what the spec pins against the
+    * batch groupBy count. Each batch emits the current top-k (Update mode),
+    * ranked (cnt desc, token asc). */
+  final class SpaceSavingProcessor(m: Int, k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TokenEvent, HeavyHitter] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, (Long, Long)](
+        "ss", // token -> (count, err)
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        bucket: String,
+        rows: Iterator[TokenEvent],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      // load the ≤ m counters once, mutate in memory, write back the diff
+      val cur = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      counters.iterator().foreach { case (t, v) => cur(t) = v }
+      val evicted = scala.collection.mutable.HashSet.empty[String]
+      rows.foreach { e =>
+        cur.get(e.token) match {
+          case Some((c, err)) => cur(e.token) = (c + 1, err)
+          case None if cur.size < m => cur(e.token) = (1L, 0L)
+          case None =>
+            // evict the min counter (token asc tie-break for determinism);
+            // the newcomer inherits its count as the overestimation bound
+            val (minTok, (minC, _)) = cur.minBy { case (t, (c, _)) => (c, t) }
+            cur.remove(minTok)
+            evicted += minTok
+            cur(e.token) = (minC + 1, minC)
+        }
+      }
+      evicted.filterNot(cur.contains).foreach(counters.removeKey)
+      cur.foreach { case (t, v) => counters.updateValue(t, v) }
+      cur.toSeq
+        .sortBy { case (t, (c, _)) => (-c, t) }
+        .take(k)
+        .iterator
+        .map { case (t, (c, err)) => HeavyHitter(bucket, t, c, err) }
+    }
+  }
+
+  /** Per-bucket streaming heavy hitters, Update mode: each batch re-emits
+    * the bucket's current top-`k` of at most `m` tracked counters. */
+  def heavyHittersStream(events: Dataset[TokenEvent], m: Int, k: Int): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new SpaceSavingProcessor(m, k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

@@ -273,6 +273,55 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(streamCounts(3).toLong == batch("3_purchase"))
   }
 
+  test("space-saving heavy hitters: exact when distinct tokens <= m, bounded state otherwise") {
+    implicit val sql = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ---- exact regime: 6 distinct tokens, m=16 — counts must equal the
+      // batch groupBy count, err 0, across two micro-batches
+      val zipf = Seq("a" -> 30, "b" -> 20, "c" -> 12, "d" -> 7, "e" -> 4, "f" -> 2)
+      val events = zipf.flatMap { case (t, n) => Seq.fill(n)(TokenEvent("buck", t)) }
+      val (first, second) = events.splitAt(events.length / 2)
+      val in = MemoryStream[TokenEvent]
+      @volatile var last: Array[HeavyHitter] = Array.empty
+      val q = heavyHittersStream(in.toDS(), m = 16, k = 4)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+          val rows = b.collect(); if (rows.nonEmpty) last = rows; ()
+        }
+        .outputMode("update").start()
+      in.addData(first); q.processAllAvailable()
+      in.addData(second); q.processAllAvailable(); q.stop()
+      val expected = zipf.sortBy { case (t, n) => (-n, t) }.take(4)
+      assert(last.map(h => (h.token, h.cnt)).toSeq == expected.map { case (t, n) => (t, n.toLong) })
+      assert(last.forall(_.err == 0L), "exact regime must carry zero error")
+
+      // ---- bounded regime: 100 distinct tokens, m=10 — at most m counters
+      // survive, the true heavy hitter is present, counts only overestimate
+      val hot = Seq.fill(50)(TokenEvent("b2", "HOT"))
+      val tail = (1 to 100).map(i => TokenEvent("b2", f"t$i%03d"))
+      val in2 = MemoryStream[TokenEvent]
+      @volatile var last2: Array[HeavyHitter] = Array.empty
+      val q2 = heavyHittersStream(in2.toDS(), m = 10, k = 10)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+          val rows = b.collect(); if (rows.nonEmpty) last2 = rows; ()
+        }
+        .outputMode("update").start()
+      in2.addData(scala.util.Random.shuffle(hot ++ tail)); q2.processAllAvailable(); q2.stop()
+      assert(last2.length <= 10)
+      val hotRow = last2.find(_.token == "HOT")
+      assert(hotRow.isDefined, s"true heavy hitter missing from ${last2.map(_.token).toSeq}")
+      assert(hotRow.get.cnt >= 50, "space-saving must never undercount")
+      assert(hotRow.get.cnt - hotRow.get.err <= 50, "cnt - err must lower-bound the true count")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("event-time timers: idle bucket fires once after the gap, state evicted") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Long, Timestamp)]
