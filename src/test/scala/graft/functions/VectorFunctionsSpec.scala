@@ -103,6 +103,54 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(nullElem.isNullAt(0))
   }
 
+  test("property: FloatVectorL2Sq.eval ≡ HOF left-fold semantics on adversarial vectors") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val floatArrayType = ArrayType(FloatType, containsNull = true)
+    val genElem: Gen[java.lang.Float] = Gen.frequency(
+      8 -> Gen.choose(-2.0f, 2.0f).map(java.lang.Float.valueOf),
+      2 -> Gen.const(java.lang.Float.valueOf(0.0f)),
+      1 -> Gen.const(java.lang.Float.valueOf(Float.MinPositiveValue)),
+      1 -> Gen.const(java.lang.Float.valueOf(Float.NaN)),
+      1 -> Gen.const(java.lang.Float.valueOf(Float.PositiveInfinity)),
+      1 -> Gen.const(null: java.lang.Float))
+    val genVec: Gen[Seq[java.lang.Float]] =
+      Gen.frequency(
+        1 -> Gen.const(Seq.empty[java.lang.Float]),
+        6 -> Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genElem)))
+    val genPair = for {
+      a <- genVec
+      b <- Gen.frequency(
+        3 -> Gen.listOfN(a.size, genElem), // same length
+        2 -> genVec,                       // often different length
+        1 -> Gen.const(a))                 // identical (distance 0)
+    } yield (a, b)
+    // HOF model: zip_with null-pads unequal lengths, (null − y)² is null,
+    // the + fold propagates null
+    def model(a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Option[Double] = {
+      val m = math.max(a.size, b.size)
+      var acc: Option[Double] = Some(0.0)
+      for (i <- 0 until m) {
+        val p = if (i < a.size) Option(a(i)) else None
+        val q = if (i < b.size) Option(b(i)) else None
+        val sq = for (pp <- p; qq <- q) yield {
+          val d = pp.toDouble - qq.toDouble; d * d
+        }
+        acc = for (a0 <- acc; v <- sq) yield a0 + v
+      }
+      acc
+    }
+    def bits(v: Option[Double]) = v.map(java.lang.Double.doubleToLongBits)
+    val p = Prop.forAll(genPair) { case (a, b) =>
+      val e = FloatVectorL2Sq(
+        Literal.create(a, floatArrayType), Literal.create(b, floatArrayType))
+      bits(Option(e.eval(null)).map(_.asInstanceOf[Double])) == bits(model(a, b))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SQL registration: cosine_similarity and bucket_of usable from spark.sql") {
     val cfg = BucketPriorityConfig("t", Seq("Platinum", "Gold"), Seq(70, 30)).toOption.get
     BucketSqlFunctions.registerAll(spark, cfg)
