@@ -57,6 +57,36 @@ object FunnelQueries {
           |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
           |ORDER BY step""".stripMargin)),
 
+    // ---- per-event trailing feature window (added r5) --------------------
+    // Online feature engineering's bread-and-butter: each event sees the
+    // aggregate of its user's previous ≤3 event values (count + exact
+    // decimal sum; the first event's window is empty ⇒ NULL sum on both
+    // engines). Deterministic frame order is (ts, event_id). Scale shape:
+    // one hash partition by user, per-user sort — the standard sessionized
+    // feature-backfill plan; the STREAMING twin (featureWindowStream,
+    // ListState on transformWithState) is spec-pinned equal on the same
+    // in-order input.
+    "feature_window" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-3, -1)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            count(col("value")).over(w).as("n_ctx"),
+            sum(col("value").cast("decimal(10,2)")).over(w)
+              .cast("double").as("ctx_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       COUNT(value) OVER w AS n_ctx,
+          |       CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE) AS ctx_sum
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+          |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- cohort retention (day-1 / day-7, user-relative windows) ---------
     // Cohort = calendar day of the user's first event; retained day-k =
     // any activity in [t0+k, t0+k+1). Scale shape: ONE per-user min-ts agg

@@ -413,6 +413,71 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming feature window (per-user trailing context) --------------
+
+  /** One valued event for feature backfill. */
+  final case class ValuedEvent(userId: Long, eventId: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** An event with its user's trailing-context features: count and exact
+    * decimal-cents sum of the previous ≤ `n` event values. */
+  final case class FeatureRow(userId: Long, eventId: Long, nCtx: Long,
+      ctxSumCents: Option[Long])
+
+  /** Streaming twin of the batch `feature_window` query (added r5): a
+    * bounded per-user trailing buffer on `transformWithState`'s LIST state.
+    * Each batch's events are processed in (ts, eventId) order; every event
+    * emits the count and sum (in exact cents, so stream and batch cannot
+    * drift through double re-summation order) of the user's previous ≤ n
+    * values, then enters the buffer, which is trimmed to the newest n.
+    * State is O(n) per user forever — the online-feature analogue of the
+    * batch plan's ROWS BETWEEN n PRECEDING AND 1 PRECEDING frame. Same
+    * in-order-arrival contract as the funnel (in-batch sort; across
+    * batches ts must not regress per user). */
+  final class FeatureWindowProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValuedEvent, FeatureRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Long]( // newest-last cents values
+        "ctx", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[ValuedEvent],
+        timerValues: TimerValues): Iterator[FeatureRow] = {
+      val arr = rows.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: ValuedEvent, b: ValuedEvent) =>
+          a.ts.getTime < b.ts.getTime ||
+            (a.ts.getTime == b.ts.getTime && a.eventId < b.eventId))
+      val ctx = scala.collection.mutable.ArrayBuffer.empty[Long]
+      buf.get().foreach(ctx += _)
+      val out = Seq.newBuilder[FeatureRow]
+      arr.foreach { e =>
+        out += FeatureRow(userId, e.eventId, ctx.length.toLong,
+          if (ctx.isEmpty) None else Some(ctx.sum))
+        // exact cents: value is a 2-decimal money double on this corpus
+        ctx += math.round(e.value * 100)
+        if (ctx.length > n) ctx.remove(0, ctx.length - n)
+      }
+      buf.put(ctx.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Per-user trailing feature windows over a stream, Update mode. */
+  def featureWindowStream(events: Dataset[ValuedEvent], n: Int): Dataset[FeatureRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(
+        new FeatureWindowProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming heavy hitters (Space-Saving top-k per bucket) -----------
 
   /** One tokenized event for frequency tracking. */

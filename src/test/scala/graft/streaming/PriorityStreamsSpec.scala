@@ -273,6 +273,47 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(streamCounts(3).toLong == batch("3_purchase"))
   }
 
+  test("streaming feature window == batch feature_window on the same in-order input") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[(Long, Long, Timestamp, Double)].collect()
+    val mid = evs(evs.length / 2)._3
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Timestamp, Double)]
+      val q = featureWindowStream(
+        in.toDF().toDF("userId", "eventId", "ts", "value").as[ValuedEvent], n = 3)
+        .writeStream.format("memory").queryName("fw_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)))
+      q.processAllAvailable(); q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("fw_out")
+      .select("userId", "eventId", "nCtx", "ctxSumCents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // batch twin: ctx_sum is an exact decimal-cents sum cast to double, so
+    // round(x*100) recovers the cents losslessly
+    val batch = graft.SparkEntry.queries("feature_window")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(math.round(r.getDouble(3) * 100)))).toSet
+    assert(streamed.size == batch.size)
+    assert(streamed == batch,
+      s"stream/batch diverged; examples: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
   test("space-saving heavy hitters: exact when distinct tokens <= m, bounded state otherwise") {
     implicit val sql = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
