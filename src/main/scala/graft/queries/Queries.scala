@@ -245,7 +245,7 @@ object Queries {
   val all: Map[String, Q] =
     bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
-      TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all
+      TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all ++ TrainQueries.all
 
   def headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }.toSeq.sorted
 }

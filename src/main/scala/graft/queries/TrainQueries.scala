@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.floatL2Sq
+
+/** Training-loop computations (§2.4, added r5): the in-engine halves of
+  * model/tokenizer training — one Lloyd iteration for centroid learning and
+  * the pair-count core of a BPE vocabulary-learning step.
+  *
+  * Both follow the same float discipline as the rest of the engine: the
+  * only cross-row reductions are exact decimal sums of 6 dp-rounded
+  * doubles, so distributed aggregation order cannot move a single bit.
+  */
+object TrainQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // ---- one k-means (Lloyd) iteration over the embeddings ---------------
+    // Assignment: nearest of the 16 seed centroids (the ivf_topk codebook)
+    // by squared L2 — codegen'd FloatVectorL2Sq, argmin as the map-side
+    // min(struct) aggregate. Update: the new centroid is the per-DIMENSION
+    // mean of the members — computed by posexploding member vectors and
+    // decimal-summing per (cluster, dim), because element-wise array
+    // aggregation in a distributed group-by has no deterministic order and
+    // double sums would diverge run-to-run AND engine-to-engine. Output is
+    // the flattened (cluster, dim, n_members, c_sum DECIMAL) table — 16×64
+    // rows; the mean is c_sum/n_members on the consumer side. The sum stays
+    // DECIMAL all the way out: a final round(sum/n, 6) double division
+    // measured ONE half-way cell (of 1024) where Spark's exact-BigDecimal
+    // HALF_UP and DuckDB's round() disagree — so this is the suite's one
+    // deliberately all-decimal output.
+    // Scale shape: assignment is a broadcast join + per-vector argmin agg;
+    // the update shuffle carries (cluster, dim) partial sums — 64 rows per
+    // cluster per partition after map-side combine, independent of corpus
+    // size. Iterating = re-running with the previous output as centroids.
+    "kmeans_step" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val assigned = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .groupBy("vec_id")
+          .agg(min(struct(
+              floatL2Sq(col("embedding"), col("centv")).as("d2"),
+              col("cent_id"))).as("m"),
+            first(col("embedding")).as("embedding"))
+          .select(col("m.cent_id").as("cluster"), col("embedding"))
+        assigned
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim")
+          .agg(count(lit(1)).as("n_members"),
+            sum(round(col("v").cast("double"), 6).cast("decimal(16,6)")).as("s6"))
+          .select(col("cluster"), col("dim"), col("n_members"),
+            col("s6").cast("decimal(20,6)").as("c_sum"))
+          .orderBy("cluster", "dim")
+      },
+      oracle = Some {
+        val l2 =
+          """list_reduce(list_transform(range(1, 65),
+            |  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            |     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))),
+            |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
+           |               FROM embeddings WHERE vec_id < 16),
+           |assigned AS (
+           |  SELECT cluster, embedding FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $l2, c.cent_id) AS rk
+           |    FROM embeddings e CROSS JOIN cents c) t
+           |  WHERE rk = 1),
+           |flat AS (
+           |  SELECT cluster, CAST(u.i - 1 AS INTEGER) AS dim,
+           |         CAST(round(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(16,6)) AS v6
+           |  FROM assigned, UNNEST(range(1, 65)) AS u(i))
+           |SELECT cluster, dim, COUNT(*) AS n_members,
+           |       CAST(SUM(v6) AS DECIMAL(20,6)) AS c_sum
+           |FROM flat GROUP BY cluster, dim
+           |ORDER BY cluster, dim""".stripMargin
+      }),
+
+    // ---- BPE vocabulary learning: the top merge candidates ---------------
+    // The first iteration of byte-pair-encoding training: count adjacent
+    // SYMBOL pairs (initial symbols = characters) across the corpus and
+    // rank merge candidates. The full trainer repeats this after applying
+    // the top merge; the per-iteration engine work — explode words to
+    // char pairs, global hash agg, top-k — is exactly this query. Scale
+    // shape: one corpus pass, partial+final agg on the pair, then
+    // TakeOrderedAndProject for the top-25.
+    "bpe_top_merges" -> Q(
+      fn = (s, dir) => {
+        val words = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+        val pairs = words
+          .select(explode(expr(
+            """transform(sequence(1, length(w) - 1),
+              |  i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"""
+              .stripMargin)).as("pair"))
+        val topped = pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(25)
+        topped.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("pair"))).cast("int"))
+          .select(col("rank"), col("pair"), col("n"))
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+          |p AS (SELECT UNNEST(list_transform(range(1, len(w)),
+          |        i -> substring(w, CAST(i AS INTEGER), 1) || ' ' || substring(w, CAST(i AS INTEGER) + 1, 1))) AS pair
+          |      FROM w WHERE len(w) >= 2),
+          |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+          |rk AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM c)
+          |SELECT CAST(rank AS INTEGER) AS rank, pair, n FROM rk
+          |WHERE rank <= 25 ORDER BY rank""".stripMargin))
+  )
+}

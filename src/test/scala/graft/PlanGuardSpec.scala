@@ -50,7 +50,8 @@ class PlanGuardSpec extends SparkTestBase {
       "unigram_logprob", // broadcast of the 1-row corpus-total aggregate
       "tfidf_topterms", // broadcast of the 1-row doc-count aggregate
       "sample_temperature", // broadcast of the 1-row min-source-count aggregate
-      "textrank_keywords") // broadcast of the 1-row node-count aggregate (×6 iterations)
+      "textrank_keywords", // broadcast of the 1-row node-count aggregate (×6 iterations)
+      "kmeans_step") // broadcast of the 16-row centroid codebook (assignment product)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
