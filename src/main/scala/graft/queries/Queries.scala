@@ -21,6 +21,15 @@ import graft.sql.BucketRouting
   * bit-identical, unlike double summation which varies with partial-sum
   * order. Integral-valued doubles (l_quantity) sum exactly in binary and
   * need no cast.
+  *
+  * Cache lifecycle contract: a few query fns `.cache()` an intermediate
+  * that several branches of the same plan consume (LSH signatures, simhash
+  * fingerprints, shingle sets). These caches are QUERY-SCOPED: Bench and
+  * the driver clear the catalog cache between queries, and specs clean up
+  * after themselves. A library caller embedding a query long-term owns the
+  * cache lifecycle — `spark.catalog.clearCache()` after the final action,
+  * or the `*WithHandle` variants (see
+  * [[SimilarityQueries.lshNearDupPairsWithHandle]]) where provided.
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
