@@ -25,6 +25,28 @@ class ZOrderSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(0L, 1L, 2L, 3L, 12L, (1L << 32) - 1))
   }
 
+  test("property: zValue is a bijection on the 16-bit grid (round-trips bits)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genCoord = Gen.choose(0L, (1L << ZOrder.Bits) - 1)
+    // de-interleave model: even bits → x, odd bits → y
+    def unz(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until ZOrder.Bits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val p = Prop.forAll(genCoord, genCoord) { (x, y) =>
+      val z = Seq((x, y)).toDF("x", "y")
+        .select(ZOrder.zValue(col("x"), col("y"))).as[Long].collect()(0)
+      unz(z) == ((x, y))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("z-ordered layout scans fewer rows than 1-dim sort for a 2-dim predicate") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
