@@ -146,7 +146,13 @@ object PriorityStreams {
     * watermark + `within`, never the whole stream — the only stream-stream
     * join shape that survives 100 TB/day. Caller supplies distinct column
     * names per side (Spark's streaming joiner cannot disambiguate
-    * same-named columns across sides). */
+    * same-named columns across sides).
+    *
+    * `joinType` (added r5): `"inner"` (default) emits only correlated
+    * pairs; `"left_outer"` ADDITIONALLY emits each left event with NULL
+    * right columns once the watermark proves no in-window partner can
+    * still arrive — the "view that never converted" record, produced with
+    * the same bounded state. */
   def correlateWithin(
       left: DataFrame,
       right: DataFrame,
@@ -155,13 +161,15 @@ object PriorityStreams {
       leftTs: String,
       rightTs: String,
       within: String,
-      watermark: String = "1 hour"
+      watermark: String = "1 hour",
+      joinType: String = "inner"
   ): DataFrame =
     left.withWatermark(leftTs, watermark).join(
       right.withWatermark(rightTs, watermark),
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      joinType)
 
   /** Streaming int8 quantization (added r5): the embedding-compression leg
     * of the ANN pipeline run at ingest time. Applies the IDENTICAL

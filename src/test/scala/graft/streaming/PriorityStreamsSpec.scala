@@ -192,6 +192,34 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(out == Seq(1L)) // only the in-window pair
   }
 
+  test("left-outer correlateWithin emits unmatched left rows after the watermark closes their window") {
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = correlateWithin(
+      views.toDF().toDF("user_id", "view_ts"),
+      buys.toDF().toDF("buy_user", "buy_ts"),
+      leftKey = "user_id", rightKey = "buy_user",
+      leftTs = "view_ts", rightTs = "buy_ts",
+      within = "30 minutes", watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjlo_out")
+      .outputMode("append").start()
+    views.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    buys.addData((1L, ts("2024-01-01 00:10:00"))) // user 1 converts; user 2 never does
+    q.processAllAvailable()
+    // advance BOTH watermarks far past user 2's window so the joiner can
+    // prove no partner can arrive, then emit the null-padded row
+    views.addData((99L, ts("2024-01-01 03:00:00")))
+    buys.addData((99L, ts("2024-01-01 09:00:00")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssjlo_out")
+      .select(col("user_id"), col("buy_user"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.toSet.contains((1L, Some(1L))), s"matched pair missing: ${out.toSeq}")
+    assert(out.toSet.contains((2L, None)),
+      s"unmatched left row not emitted after watermark: ${out.toSeq}")
+  }
+
   test("stream-static join: stream enriched with a static dimension") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -312,6 +340,63 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(streamed.size == batch.size)
     assert(streamed == batch,
       s"stream/batch diverged; examples: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
+  test("checkpoint recovery: a restarted funnel stream resumes state, no double counting") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .orderBy("ts")
+      .as[(Long, String, Timestamp)].collect()
+    val mid = evs(evs.length / 2)._3
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-funnel-recover").toString
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    import spark.implicits._
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("userId BIGINT, eventType STRING, ts TIMESTAMP")
+        .parquet(srcDir).as[FunnelEvent]
+      val q = funnelStream(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelAdvance], _: Long) =>
+          b.collect().foreach(a => collected.synchronized { collected += ((a.userId, a.step)) }); ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+    }
+    try {
+      // run 1: first-half files, then STOP — per-user state survives only
+      // in the checkpoint (file source tracks processed files there too)
+      evs.filter(e => !e._3.after(mid)).toSeq
+        .toDF("userId", "eventType", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      runOnce()
+      // run 2: append second-half files, a NEW query on the SAME
+      // checkpoint — recovery must resume the state store and process
+      // ONLY the new files
+      evs.filter(e => e._3.after(mid)).toSeq
+        .toDF("userId", "eventType", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      runOnce()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // recovered run must produce exactly the uninterrupted result: each
+    // (user, step) advancement once, counts equal to the batch funnel
+    val advances = collected.toSet
+    assert(collected.size == advances.size, "restart double-counted an advancement")
+    val batch = graft.SparkEntry.queries("funnel_steps")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(advances.count(_._2 == 1).toLong == batch("1_click"))
+    assert(advances.count(_._2 == 2).toLong == batch("2_signup"))
+    assert(advances.count(_._2 == 3).toLong == batch("3_purchase"))
   }
 
   test("space-saving heavy hitters: exact when distinct tokens <= m, bounded state otherwise") {
