@@ -389,7 +389,7 @@ object CurationQueries {
         val v = vocab.crossJoin(broadcast(total))
           .select(col("tok"),
             round(log(col("n") / col("tt")), 6).cast("decimal(12,6)").as("logp6"))
-        toks.join(broadcast(v), Seq("tok"))
+        toks.join(v, Seq("tok")) // unhinted: vocab-sized (see tfidf)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum(col("logp6")).as("sl"))
           .select(col("doc_id"), col("n_tokens"),

@@ -23,18 +23,20 @@ object FunnelQueries {
     // one per-user min-ts agg (≤ |users| rows) joined onto the next step's
     // filtered event scan. Scale shape: the event side is scanned once per
     // step with the step's type filter PUSHED to parquet; the per-user
-    // frames are broadcastable at any realistic user count, so the fact
-    // side never shuffles — and each agg is partial+final on user_id.
+    // frames carry NO broadcast hint — size-based selection broadcasts
+    // them while they fit and falls back to a user_id-keyed shuffle join
+    // beyond that (a forced hint would OOM the driver at a 100M-user
+    // corpus); each agg is partial+final on user_id.
     "funnel_steps" -> Q(
       fn = (s, dir) => {
         val ev = Tables.load(s, dir, "events")
         val c = ev.filter(col("event_type") === "click")
           .groupBy("user_id").agg(min("ts").as("t1"))
         val sg = ev.filter(col("event_type") === "signup")
-          .join(broadcast(c), Seq("user_id")).filter(col("ts") > col("t1"))
+          .join(c, Seq("user_id")).filter(col("ts") > col("t1"))
           .groupBy("user_id").agg(min("ts").as("t2"))
         val p = ev.filter(col("event_type") === "purchase")
-          .join(broadcast(sg), Seq("user_id")).filter(col("ts") > col("t2"))
+          .join(sg, Seq("user_id")).filter(col("ts") > col("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))
         c.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("step"), col("n_users"))
           .unionByName(
@@ -90,9 +92,9 @@ object FunnelQueries {
     // ---- cohort retention (day-1 / day-7, user-relative windows) ---------
     // Cohort = calendar day of the user's first event; retained day-k =
     // any activity in [t0+k, t0+k+1). Scale shape: ONE per-user min-ts agg
-    // broadcast back onto the stream, per-user flag agg (partial+final on
-    // user_id), then a tiny per-cohort roll-up — two shuffles total, both
-    // keyed on user_id/cohort, never event-wide.
+    // joined back onto the stream (unhinted — broadcast while it fits, else
+    // a user_id-keyed shuffle join), per-user flag agg (partial+final on
+    // user_id), then a tiny per-cohort roll-up.
     "retention_cohorts" -> Q(
       fn = (s, dir) => {
         val ev = Tables.load(s, dir, "events")
@@ -100,7 +102,7 @@ object FunnelQueries {
         def win(k: Int) =
           col("ts") >= col("t0") + expr(s"INTERVAL $k DAY") &&
             col("ts") < col("t0") + expr(s"INTERVAL ${k + 1} DAY")
-        val perUser = ev.join(broadcast(t0), Seq("user_id"))
+        val perUser = ev.join(t0, Seq("user_id"))
           .groupBy(col("user_id"), col("t0").cast("date").as("cohort"))
           .agg(
             max(when(win(1), 1).otherwise(0)).as("d1"),

@@ -329,7 +329,10 @@ object TpchQueries {
           .groupBy("l_suppkey").agg(sum(vol).as("total_rev"))
         val mx = rev.agg(max(col("total_rev")).as("mx"))
         rev.join(broadcast(mx), col("total_rev") === col("mx"))
-          .join(broadcast(Tables.load(s, dir, "supplier")),
+          // supplier unhinted: both sides of this join are |suppliers|-sized,
+          // so beyond the broadcast threshold the right plan is a co-keyed
+          // shuffle join, which size-based selection picks automatically
+          .join(Tables.load(s, dir, "supplier"),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             col("total_rev").cast("double").as("total_rev"))
