@@ -43,8 +43,12 @@ object TrainQueries {
         val assigned = emb.select(col("vec_id"), col("embedding"))
           .crossJoin(broadcast(cents))
           .groupBy("vec_id")
+          // NULL d2 (malformed centroid: short array / null element) must
+          // sort LAST like the oracle's NULLS LAST ranking — structs order
+          // NULL fields FIRST, so coalesce to +∞ (the ivf_topk discipline)
           .agg(min(struct(
-              floatL2Sq(col("embedding"), col("centv")).as("d2"),
+              coalesce(floatL2Sq(col("embedding"), col("centv")),
+                lit(Double.PositiveInfinity)).as("d2"),
               col("cent_id"))).as("m"),
             first(col("embedding")).as("embedding"))
           .select(col("m.cent_id").as("cluster"), col("embedding"))

@@ -44,10 +44,14 @@ object ZOrder {
     * one-off layout job whose cost every later selective scan amortizes. */
   def zOrderBy(df: DataFrame, xGrid: Column, yGrid: Column,
       numFiles: Int): DataFrame = {
+    // helper column name must not collide with a user column — a fixed
+    // "__z" would silently overwrite and then DROP a real __z column
+    val zCol = Iterator.from(0).map(i => s"__z$i")
+      .dropWhile(df.columns.contains).next()
     val z = zValue(xGrid, yGrid)
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    df.withColumn(zCol, z)
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
   }
 }

@@ -524,25 +524,30 @@ object PriorityStreams {
         bucket: String,
         rows: Iterator[TokenEvent],
         timerValues: TimerValues): Iterator[HeavyHitter] = {
-      // load the ≤ m counters once, mutate in memory, write back the diff
+      // load the ≤ m counters once, mutate in memory, write back ONLY the
+      // touched keys (a full rewrite would issue m state-store updates per
+      // batch even when one token arrived — needless write amplification)
       val cur = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
       counters.iterator().foreach { case (t, v) => cur(t) = v }
       val evicted = scala.collection.mutable.HashSet.empty[String]
+      val touched = scala.collection.mutable.HashSet.empty[String]
       rows.foreach { e =>
         cur.get(e.token) match {
-          case Some((c, err)) => cur(e.token) = (c + 1, err)
-          case None if cur.size < m => cur(e.token) = (1L, 0L)
+          case Some((c, err)) => cur(e.token) = (c + 1, err); touched += e.token
+          case None if cur.size < m => cur(e.token) = (1L, 0L); touched += e.token
           case None =>
             // evict the min counter (token asc tie-break for determinism);
             // the newcomer inherits its count as the overestimation bound
             val (minTok, (minC, _)) = cur.minBy { case (t, (c, _)) => (c, t) }
             cur.remove(minTok)
             evicted += minTok
+            touched -= minTok
             cur(e.token) = (minC + 1, minC)
+            touched += e.token
         }
       }
       evicted.filterNot(cur.contains).foreach(counters.removeKey)
-      cur.foreach { case (t, v) => counters.updateValue(t, v) }
+      touched.filter(cur.contains).foreach(t => counters.updateValue(t, cur(t)))
       cur.toSeq
         .sortBy { case (t, (c, _)) => (-c, t) }
         .take(k)

@@ -6,6 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One lazily-created local session shared across a suite. */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
+
+  /** Run `body` with the given session confs set, restoring each key's
+    * previous value (or unsetting it) afterwards — the session is shared
+    * across suites, so every temporary conf change must be scoped. */
+  def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Run `body` on the RocksDB state-store provider (transformWithState
+    * requires it), restoring the previous provider afterwards. */
+  def withRocksDB[T](body: => T): T =
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(body)
 }
 
 object SparkTestBase {

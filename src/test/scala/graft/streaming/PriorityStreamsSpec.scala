@@ -245,16 +245,11 @@ class PriorityStreamsSpec extends SparkTestBase {
     val in = MemoryStream[BucketEvent]
     in.addData(events: _*)
     // transformWithState needs a multi-column-family store: RocksDB
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = backlogTrackerTws(in.toDS()).writeStream
-      .format("memory").queryName("tws_out").outputMode("update")
-      .trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable(); q.stop()
-    prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withRocksDB {
+      val q = backlogTrackerTws(in.toDS()).writeStream
+        .format("memory").queryName("tws_out").outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
     }
     val tws = spark.table("tws_out").as[BucketBacklog]
       .collect().map(b => b.bucket -> b).toMap
@@ -275,10 +270,7 @@ class PriorityStreamsSpec extends SparkTestBase {
       .as[(Long, String, Timestamp)].collect()
     val mid = evs(evs.length / 2)._3
     val in = MemoryStream[(Long, String, Timestamp)]
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val q = funnelStream(
         in.toDF().toDF("userId", "eventType", "ts").as[FunnelEvent])
         .writeStream.format("memory").queryName("funnel_out")
@@ -287,9 +279,6 @@ class PriorityStreamsSpec extends SparkTestBase {
       q.processAllAvailable()
       in.addData(evs.filter(e => e._3.after(mid)))
       q.processAllAvailable(); q.stop()
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     val advances = spark.table("funnel_out")
       .select("userId", "step").as[(Long, Int)].collect().toSet
@@ -309,10 +298,7 @@ class PriorityStreamsSpec extends SparkTestBase {
       .orderBy("ts", "event_id")
       .as[(Long, Long, Timestamp, Double)].collect()
     val mid = evs(evs.length / 2)._3
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val in = MemoryStream[(Long, Long, Timestamp, Double)]
       val q = featureWindowStream(
         in.toDF().toDF("userId", "eventId", "ts", "value").as[ValuedEvent], n = 3)
@@ -322,9 +308,6 @@ class PriorityStreamsSpec extends SparkTestBase {
       q.processAllAvailable()
       in.addData(evs.filter(e => e._3.after(mid)))
       q.processAllAvailable(); q.stop()
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     val streamed = spark.table("fw_out")
       .select("userId", "eventId", "nCtx", "ctxSumCents")
@@ -353,9 +336,6 @@ class PriorityStreamsSpec extends SparkTestBase {
     val mid = evs(evs.length / 2)._3
     val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft-funnel-recover").toString
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     import spark.implicits._
     def runOnce(): Unit = {
@@ -370,7 +350,7 @@ class PriorityStreamsSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt).outputMode("update").start()
       q.processAllAvailable(); q.stop()
     }
-    try {
+    withRocksDB {
       // run 1: first-half files, then STOP — per-user state survives only
       // in the checkpoint (file source tracks processed files there too)
       evs.filter(e => !e._3.after(mid)).toSeq
@@ -384,9 +364,6 @@ class PriorityStreamsSpec extends SparkTestBase {
         .toDF("userId", "eventType", "ts")
         .coalesce(1).write.mode("append").parquet(srcDir)
       runOnce()
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     // recovered run must produce exactly the uninterrupted result: each
     // (user, step) advancement once, counts equal to the batch funnel
@@ -401,10 +378,7 @@ class PriorityStreamsSpec extends SparkTestBase {
 
   test("space-saving heavy hitters: exact when distinct tokens <= m, bounded state otherwise") {
     implicit val sql = spark.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       // ---- exact regime: 6 distinct tokens, m=16 — counts must equal the
       // batch groupBy count, err 0, across two micro-batches
       val zipf = Seq("a" -> 30, "b" -> 20, "c" -> 12, "d" -> 7, "e" -> 4, "f" -> 2)
@@ -442,9 +416,6 @@ class PriorityStreamsSpec extends SparkTestBase {
       assert(hotRow.isDefined, s"true heavy hitter missing from ${last2.map(_.token).toSeq}")
       assert(hotRow.get.cnt >= 50, "space-saving must never undercount")
       assert(hotRow.get.cnt - hotRow.get.err <= 50, "cnt - err must lower-bound the true count")
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -454,10 +425,7 @@ class PriorityStreamsSpec extends SparkTestBase {
     val events = in.toDF().toDF("bucket", "eventId", "ts")
       .withWatermark("ts", "0 seconds")
       .as[PriorityStreams.TimedEvent]
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val q = PriorityStreams.idleBuckets(events, gapMs = 60_000) // 1 minute
         .writeStream.format("memory").queryName("idle_out")
         .outputMode("append").start()
@@ -483,9 +451,6 @@ class PriorityStreamsSpec extends SparkTestBase {
       assert(idles("purchase").events == 2)
       assert(idles("signup").lastEventTs == ts("2024-01-01 00:03:00"))
       assert(idles("signup").events == 2)
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
