@@ -540,6 +540,46 @@ object TextQueries {
           |       md5(text) AS content_hash,
           |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
           |       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- multimodal frame sampling (added r5) ----------------------------
+    // The video half of the multimodal plumbing: treat the binary payload as
+    // fixed-size 256-byte "frames" and sample every 4th one — the standard
+    // frame-subsampling step before a vision encoder. All REAL Spark-side
+    // mechanics (binary substring, per-frame identity hash, generator
+    // explode bounded by payload length); only the payload itself is the
+    // honest stub (UTF-8 of the text — the corpus is ASCII, so the DuckDB
+    // oracle mirrors byte offsets with character offsets, the
+    // multimodal_meta discipline). Scale shape: pure per-row generator —
+    // parallelism-preserving, no shuffle before the final sort; sampled
+    // frame bytes stream straight to the (stub) decoder without
+    // materializing unsampled frames.
+    "multimodal_framesample" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("blob", encode(col("text"), "UTF-8"))
+          .withColumn("nb", octet_length(col("blob")))
+          .select(col("doc_id"), col("blob"),
+            explode(expr("sequence(0, (nb - 1) div 256)")).as("i"))
+          .filter(col("i") % 4 === 0)
+          .select(
+            col("doc_id"),
+            col("i").cast("int").as("frame_idx"),
+            (col("i") * 256).as("byte_off"),
+            octet_length(expr("substring(blob, int(i * 256 + 1), 256)"))
+              .as("n_frame_bytes"),
+            md5(expr("substring(blob, int(i * 256 + 1), 256)")).as("frame_hash"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      oracle = Some(
+        """WITH f AS (SELECT doc_id, text,
+          |             UNNEST(range((octet_length(encode(text)) - 1) // 256 + 1)) AS i
+          |           FROM documents)
+          |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+          |       CAST(i * 256 AS BIGINT) AS byte_off,
+          |       CAST(octet_length(encode(substring(text, CAST(i * 256 + 1 AS INTEGER), 256))) AS INTEGER) AS n_frame_bytes,
+          |       md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS frame_hash
+          |FROM f WHERE i % 4 = 0
+          |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }
