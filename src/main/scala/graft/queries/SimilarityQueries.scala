@@ -304,8 +304,16 @@ object SimilarityQueries {
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("src", "dst").localCheckpoint(true)
         sigCache.unpersist() // pairs are materialized in sym; drop the LSH cache
-        var labels = sym.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")).localCheckpoint(true)
+        // Round 1 for free (r5): with identity labels, one propagation
+        // round yields label(v) = min({v} ∪ N(v)) — computable as a pure
+        // union + min-agg over the edge list, no join and no separate
+        // identity-labels checkpoint. The loop below therefore starts at
+        // round 2, two driver jobs cheaper than materializing identity
+        // labels and joining them.
+        var labels = sym.select(col("dst").as("id"), col("src").as("label"))
+          .union(sym.select(col("src").as("id"), col("src").as("label")))
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
         // Per round ONE join + ONE agg (the minimal distributed-CC round):
         // the edge set is augmented with (label(v) → v), so min-label
         // propagation over it folds in POINTER JUMPING (v adopts its label's
