@@ -25,12 +25,14 @@ object TrainQueries {
     // decimal-summing per (cluster, dim), because element-wise array
     // aggregation in a distributed group-by has no deterministic order and
     // double sums would diverge run-to-run AND engine-to-engine. Output is
-    // the flattened (cluster, dim, n_members, c_sum DECIMAL) table — 16×64
-    // rows; the mean is c_sum/n_members on the consumer side. The sum stays
-    // DECIMAL all the way out: a final round(sum/n, 6) double division
-    // measured ONE half-way cell (of 1024) where Spark's exact-BigDecimal
-    // HALF_UP and DuckDB's round() disagree — so this is the suite's one
-    // deliberately all-decimal output.
+    // the flattened (cluster, dim, n_members, c_sum) table — 16×64
+    // rows; the mean is c_sum/n_members on the consumer side. The sum is
+    // DECIMAL internally; the OUTPUT casts it to double: the exact decimal
+    // → double conversion is correctly rounded and bit-identical on any
+    // IEEE-754 engine, unlike a round(sum/n, 6) division (which measured
+    // ONE half-way cell of 1024 where Spark's exact-BigDecimal HALF_UP and
+    // DuckDB's round() disagree) or an all-decimal output (whose textual
+    // canonicalization proved driver-hash-fragile in r5).
     // Scale shape: assignment is a broadcast join + per-vector argmin agg;
     // the update shuffle carries (cluster, dim) partial sums — 64 rows per
     // cluster per partition after map-side combine, independent of corpus
@@ -58,7 +60,7 @@ object TrainQueries {
           .agg(count(lit(1)).as("n_members"),
             sum(round(col("v").cast("double"), 6).cast("decimal(16,6)")).as("s6"))
           .select(col("cluster"), col("dim"), col("n_members"),
-            col("s6").cast("decimal(20,6)").as("c_sum"))
+            col("s6").cast("decimal(20,6)").cast("double").as("c_sum"))
           .orderBy("cluster", "dim")
       },
       oracle = Some {
@@ -81,7 +83,7 @@ object TrainQueries {
            |         CAST(round(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(16,6)) AS v6
            |  FROM assigned, UNNEST(range(1, 65)) AS u(i))
            |SELECT cluster, dim, COUNT(*) AS n_members,
-           |       CAST(SUM(v6) AS DECIMAL(20,6)) AS c_sum
+           |       CAST(CAST(SUM(v6) AS DECIMAL(20,6)) AS DOUBLE) AS c_sum
            |FROM flat GROUP BY cluster, dim
            |ORDER BY cluster, dim""".stripMargin
       }),
