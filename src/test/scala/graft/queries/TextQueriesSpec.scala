@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Scale-shape guarantees for the n-gram Jaccard candidate join (r6).
+  *
+  * The 100 TB risk this pins: a shingle appearing in d documents contributes
+  * d² rows to the candidate self-join — boilerplate shingles ("all rights
+  * reserved …") have d in the millions on a web corpus, a quadratic blowup
+  * concentrated on a handful of reducer keys. The df cap drops those
+  * shingles BEFORE the join (candidate generation only — verification
+  * against the full shingle arrays stays exact, and the uncapped DuckDB
+  * oracle stays green because near-dup pairs share rare shingles).
+  */
+class TextQueriesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ngram candidate join drops shingles above the df cap (no d² blowup)") {
+    import spark.implicits._
+    // 60 docs all sharing one boilerplate shingle; docs 0 and 1 also share a
+    // rare one. Without the cap the join would emit 60·59/2 = 1770 pairs off
+    // the hot key; with it, only the rare-shingle pair survives.
+    val docs = (0 until 60).map { i =>
+      val own = if (i < 2) "alpha beta gamma" else s"tok$i x y"
+      (i.toLong, "web", Seq("all rights reserved", own))
+    }.toDF("doc_id", "source", "shingles")
+    val cand = TextQueries.ngramCandidates(docs, TextQueries.NgramDfCap)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(cand == Set((0L, 1L)), s"expected only the rare pair, got $cand")
+  }
+
+  test("hot-shingle correction keeps reported jacc exact for capped pairs") {
+    import spark.implicits._
+    // docs 0 and 1 share two HOT shingles (df = 30 > cap) and two cold
+    // ones; true jacc = |{H1,H2,r1,r2}| / |union of 6| = 2/3. The capped
+    // self-join only sees the cold overlap (n_cold = 2) — the per-doc hot
+    // lists must add the other 2 back, or the reported jacc would be
+    // 2/(5+5-2) = 0.25.
+    val hotDocs = (2 until 30).map(i =>
+      (i.toLong, "web", Seq("H one 1", "H two 2", s"u$i x y")))
+    val docs = (Seq(
+      (0L, "web", Seq("H one 1", "H two 2", "r one 1", "r two 2", "r three 3")),
+      (1L, "web", Seq("H one 1", "H two 2", "r one 1", "r two 2", "r four 4"))) ++ hotDocs)
+      .toDF("doc_id", "source", "shingles")
+    val out = TextQueries.ngramJaccardPairs(docs, TextQueries.NgramDfCap, 0.2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((0L, 1L, 4.0 / 6.0)), s"got $out")
+  }
+
+  test("df cap is candidate-invariant on the corpus (near-dups share rare shingles)") {
+    // Measured: every qualifying pair at sf0.001/0.01/0.1 shares a shingle
+    // with df <= 2, far under the cap of 8 — so even the CANDIDATE set
+    // (stronger than the final output) is unchanged by capping. If corpus
+    // regeneration ever plants near-dups that only share hot shingles, this
+    // fails loudly instead of the oracle silently losing pairs.
+    val sh = graft.Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(TextQueries.shinglesExpr))
+      .select("doc_id", "source", "shingles")
+    def pairs(cap: Int) = TextQueries.ngramCandidates(sh, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = pairs(TextQueries.NgramDfCap)
+    val uncapped = pairs(Int.MaxValue)
+    assert(capped == uncapped,
+      s"cap dropped candidates: ${uncapped.diff(capped).take(5)}")
+    assert(capped.nonEmpty)
+  }
+}
