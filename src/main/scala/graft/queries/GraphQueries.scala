@@ -59,18 +59,27 @@ object GraphQueries {
           .select(col("e.a").as("a"), col("e.b").as("b"))
         val edges = bigrams.groupBy("a", "b").agg(count(lit(1)).as("w"))
         val outw = edges.groupBy("a").agg(sum(col("w")).as("outw"))
-        // NOT cached, deliberately: the iteration plan references `shared`
-        // 5× and `nodes` 6×, but Spark's ReusedExchange already
-        // deduplicates the identical corpus subtrees inside the one job,
-        // while .cache() here measured 3× SLOWER (1.75 → 4.9 s at sf0.1 —
-        // InMemoryRelation scans break whole-stage fusion around every
-        // iteration join and add build/lookup overhead far exceeding the
-        // KB-sized reuse it buys).
-        val shared = edges.join(outw, Seq("a"))
+        // CHECKPOINTED, not cached (r6): the iteration plan references
+        // `shared` 5× and `nodes` 6×. Round 5 relied on ReusedExchange to
+        // deduplicate the identical corpus subtrees inside the one job —
+        // correct, but an AQE planning change could silently quintuple the
+        // corpus passes with no test noticing. A checkpoint TRUNCATES the
+        // plan: the corpus is scanned exactly once per frame, by
+        // construction, and the iterations reference a vocabulary-sized
+        // (KB-scale) materialized frame. This is NOT the measured .cache()
+        // pathology (1.75 → 4.9 s at sf0.1): that cost came from
+        // InMemoryRelation scans breaking whole-stage fusion around every
+        // iteration join while the corpus subtrees STILL had to be planned
+        // 5-6×; a checkpoint's truncated plan replaces those subtrees
+        // outright (re-benched r6: no regression vs the ReusedExchange
+        // form, and the corpus-scan count is now structural, not
+        // optimizer-dependent).
+        val shared = Q.truncate(edges.join(outw, Seq("a"))
           .select(col("a"), col("b"),
             round(col("w").cast("double") / col("outw"), 6)
-              .cast("decimal(10,6)").as("share"))
-        val nodes = docs.select(explode(split(col("text"), " ")).as("tok")).distinct()
+              .cast("decimal(10,6)").as("share")))
+        val nodes = Q.truncate(
+          docs.select(explode(split(col("text"), " ")).as("tok")).distinct())
         val ncount = nodes.agg(count(lit(1)).as("n"))
         def iterate(pr: DataFrame): DataFrame = {
           val contrib = pr.join(shared, pr("tok") === shared("a"))

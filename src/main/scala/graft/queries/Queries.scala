@@ -37,6 +37,25 @@ final case class Q(
     /** queries worth timing at sf0.1 in Bench */
     headline: Boolean = false)
 
+object Q {
+
+  /** Lineage-truncating materialization for iterative loops (r6).
+    *
+    * `localCheckpoint` blocks live in EXECUTOR storage: fast, but on a real
+    * cluster one lost executor mid-loop kills the job unrecoverably — no
+    * lineage left to recompute, no replicated copy. At 100 TB with hundreds
+    * of executors that's an expected event, not an edge case. So: when the
+    * session has a reliable checkpoint dir configured
+    * (`spark.sparkContext.setCheckpointDir`, typically an HDFS/S3 path on a
+    * cluster), truncate through reliable `checkpoint()` — blocks land on the
+    * fault-tolerant FS and survive executor loss; otherwise (local mode,
+    * tests, bench) keep the fast in-memory local checkpoint. Both are eager,
+    * so loop structure and convergence reads are identical either way. */
+  private[queries] def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+}
+
 object Queries {
 
   // --------------------------------------------------------------------

@@ -32,6 +32,12 @@ object SimilarityQueries {
   private val NumQueries = 5
   private val TopK = 10
 
+  /** Lineage truncation for the CC loop — see [[Q.truncate]]: reliable
+    * `checkpoint()` when a checkpoint dir is configured (cluster
+    * fault-tolerance), `localCheckpoint` otherwise (local-mode speed). */
+  private def truncate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Q.truncate(df)
+
   /** Deterministic "random" hyperplane j: component i is +1 iff the first
     * hex char of md5("j:i") >= '8' — Scala and DuckDB construct the
     * identical planes from the same digests. */
@@ -295,14 +301,15 @@ object SimilarityQueries {
         val (pairsDf, sigCache) =
           lshNearDupPairsUnsorted(Tables.load(s, dir, "embeddings"), 0.40)
         val pairs = pairsDf.select(col("a_id"), col("b_id"))
-        // localCheckpoint, not cache: each round's plan references the
+        // Checkpoint, not cache: each round's plan references the
         // previous round's, so without lineage TRUNCATION the logical plan
         // doubles per round and analysis cost explodes on deeper graphs
         // (the standard iterative-algorithm discipline; eager=true also
-        // materializes, so the loop's scalar read is the only other action)
-        val sym = pairs
+        // materializes, so the loop's scalar read is the only other action).
+        // truncate() picks reliable vs local checkpointing — see its doc.
+        val sym = truncate(pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("src", "dst").localCheckpoint(true)
+          .toDF("src", "dst"))
         sigCache.unpersist() // pairs are materialized in sym; drop the LSH cache
         // Round 1 for free (r5): with identity labels, one propagation
         // round yields label(v) = min({v} ∪ N(v)) — computable as a pure
@@ -310,10 +317,10 @@ object SimilarityQueries {
         // identity-labels checkpoint. The loop below therefore starts at
         // round 2, two driver jobs cheaper than materializing identity
         // labels and joining them.
-        var labels = sym.select(col("dst").as("id"), col("src").as("label"))
-          .union(sym.select(col("src").as("id"), col("src").as("label")))
-          .groupBy("id").agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
+        var labels = truncate(
+          sym.select(col("dst").as("id"), col("src").as("label"))
+            .union(sym.select(col("src").as("id"), col("src").as("label")))
+            .groupBy("id").agg(min(col("label")).as("label")))
         // Per round ONE join + ONE agg (the minimal distributed-CC round):
         // the edge set is augmented with (label(v) → v), so min-label
         // propagation over it folds in POINTER JUMPING (v adopts its label's
@@ -332,9 +339,9 @@ object SimilarityQueries {
         val MaxRounds = 50
         while (!converged && rounds < MaxRounds) {
           val aug = sym.union(labels.select(col("label").as("src"), col("id").as("dst")))
-          val next = aug.join(labels.as("l"), aug("src") === col("l.id"))
-            .groupBy(aug("dst").as("id")).agg(min(col("l.label")).as("label"))
-            .localCheckpoint(true)
+          val next = truncate(
+            aug.join(labels.as("l"), aug("src") === col("l.id"))
+              .groupBy(aug("dst").as("id")).agg(min(col("l.label")).as("label")))
           val curSum = Option( // None on an empty (edge-free) graph
             next.agg(sum(col("label").cast("decimal(28,0)"))).head().getDecimal(0))
           // value comparison via compareTo: BigDecimal.equals is

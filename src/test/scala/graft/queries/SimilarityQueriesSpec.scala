@@ -52,6 +52,33 @@ class SimilarityQueriesSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  // The CC loop truncates lineage each round. localCheckpoint blocks live in
+  // executor storage — on a real cluster a lost executor mid-loop is fatal —
+  // so when a reliable checkpoint dir is configured the loop must route
+  // through fault-tolerant checkpoint() and converge to the identical
+  // labeling. This pins that path (Q.truncate's cluster branch).
+  test("dedup_clusters converges identically through the reliable checkpoint path") {
+    def run() = graft.SparkEntry.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaLocal = run() // checkpoint dir unset -> localCheckpoint path
+    spark.catalog.clearCache()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val viaReliable = run()
+      assert(viaReliable == viaLocal)
+      assert(viaReliable.nonEmpty)
+    } finally {
+      // Option(null) -> None: restores the localCheckpoint path for the
+      // shared session (the isLocal guard skips the non-local-path warning)
+      spark.sparkContext.setCheckpointDir(null)
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
+
   // The regime the operator exists for: TRUE near-dups. 40 seeded random
   // base vectors, each with a perturbed copy at cos ≈ 0.94; theoretical
   // band-collision probability there is ~0.99 per pair, so >= 36/40
