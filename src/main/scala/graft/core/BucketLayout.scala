@@ -71,4 +71,16 @@ object BucketLayout {
     layout(cfg, numPartitions).map { case (name, parts) =>
       (name, (parts.headOption.getOrElse(-1), parts.size))
     }
+
+  /** Round-robin slot of counter value `c` within a bucket of `size`
+    * partitions — the reference's `Utils.toPositive(nextValue) % size`
+    * (Bucket.java:22-29, Kafka's `Utils.toPositive` = `i & 0x7fffffff`).
+    * The mask (NOT a plain `%`, NOT `floorMod`) is what makes the counter
+    * survive Int wraparound exactly like the reference: after 2³¹
+    * increments in one task's bucket `c` goes negative, `c % size` would
+    * step OUTSIDE the bucket's range, while `(c & 0x7fffffff) % size`
+    * re-enters the cycle at the same slot the reference's producer would.
+    * Implausible per-task volume — but at 100 TB "implausible per task" is
+    * weaker than it sounds, and parity is one mask. */
+  @inline def counterSlot(c: Int, size: Int): Int = (c & 0x7fffffff) % size
 }

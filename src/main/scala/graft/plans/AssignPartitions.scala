@@ -89,7 +89,7 @@ final case class AssignPartitionsExec(
           case Some((startP, size)) =>
             val c = counters.getOrElseUpdate(b, pid)
             counters(b) = c + 1
-            ptRow.update(0, startP + (c % size))
+            ptRow.update(0, startP + graft.core.BucketLayout.counterSlot(c, size))
         }
         project(joined(row, ptRow))
       }

@@ -172,7 +172,7 @@ object BucketRouting {
             case Some((startP, size)) =>
               val c = counters.getOrElseUpdate(b, pid)
               counters(b) = c + 1
-              startP + (c % size)
+              startP + BucketLayout.counterSlot(c, size)
           }
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pt)
       }

@@ -54,6 +54,30 @@ class RoutePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("counterSlot survives Int wraparound exactly like Utils.toPositive (Bucket.java:22-29)") {
+    // reference semantics replayed in plain Java arithmetic
+    def referenceSlot(c: Int, size: Int): Int = (c & 0x7fffffff) % size
+    for (size <- Seq(1, 2, 3, 7, 16, 100)) {
+      // seed a counter near Int.MaxValue and step THROUGH the wraparound:
+      // every slot stays in [0, size) and equals the reference's sequence,
+      // including the discontinuity at MinValue (where a raw `c % size`
+      // would go negative and route outside the bucket's range)
+      var c = Int.MaxValue - 3
+      var steps = 0
+      while (steps < 8) {
+        val slot = BucketLayout.counterSlot(c, size)
+        assert(slot >= 0 && slot < size, s"slot $slot out of range for c=$c size=$size")
+        assert(slot == referenceSlot(c, size))
+        c += 1 // wraps to Int.MinValue after MaxValue, like the reference's AtomicInteger
+        steps += 1
+      }
+      // the poster-child values
+      assert(BucketLayout.counterSlot(Int.MaxValue, size) == Int.MaxValue % size)
+      assert(BucketLayout.counterSlot(Int.MinValue, size) == 0) // toPositive(MinValue) = 0
+      assert(BucketLayout.counterSlot(-1, size) == Int.MaxValue % size)
+    }
+  }
+
   test("property: assign covers exactly the subscribed consumers' buckets") {
     check(Prop.forAll(genConfig, Gen.choose(1, 64), Gen.choose(1, 5)) {
       (cfg, extra, consumersPerBucket) =>
