@@ -101,12 +101,18 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
         s""""queries":${msJson(results.sortBy(_._1))},"noise":$noise,"sf":"$sf"}"""
-    val fw = new java.io.PrintWriter("BENCH_FULL.json")
+    // resolved against SPARK_GRAFT_OUT_DIR when set (the launch cwd is not a
+    // contract — an sbt fork or external runner can start the JVM anywhere),
+    // and the printed line carries the ABSOLUTE path so the pointer can
+    // never dangle
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props.getOrElse("user.dir", "."))
+    val fullFile = new java.io.File(outDir, "BENCH_FULL.json").getAbsoluteFile
+    val fw = new java.io.PrintWriter(fullFile)
     try fw.println(fullJson) finally fw.close()
     println(
       s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"queries":$qs,"noise":$noise,""" +
-        s""""full":"BENCH_FULL.json","sf":"$sf"}""")
+        s""""full":"${fullFile.getPath}","sf":"$sf"}""")
     spark.stop()
   }
 }

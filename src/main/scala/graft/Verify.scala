@@ -39,10 +39,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Subset runs write the oracle map to a DISTINCT file: filtering
+    // oracle_sql.json itself would let a dev subset run pointed at a
+    // previously-full outDir clobber the complete map while the other
+    // queries' parquet dumps remain — a later driver compare over that dir
+    // would silently lose coverage for the unfiltered queries.
+    val oracleFile = if (only.isEmpty) "oracle_sql.json" else "oracle_sql.subset.json"
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

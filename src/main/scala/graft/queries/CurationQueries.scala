@@ -102,8 +102,15 @@ object CurationQueries {
     // here α = 0.5 ⇒ k_s = sqrt(N_min/N_s) — the smallest source keeps
     // everything, a 100× larger source keeps 10%. Deterministic per-row
     // Bernoulli: u = (doc_id · 2654435761) mod 2³² (Knuth multiplicative
-    // hash — pure int64 arithmetic, identical on any engine) kept iff
-    // u < floor(k_s · 2³²). Float discipline: the only float ops are one
+    // hash) kept iff u < floor(k_s · 2³²). The product is computed via a
+    // 16-bit SPLIT of a = doc_id mod 2³² (a·b mod 2³² =
+    // (a₀·b + (a₁·b mod 2¹⁶)·2¹⁶) mod 2³², a = a₁·2¹⁶ + a₀): a naive
+    // doc_id · 2654435761 overflows int64 at doc_id ≳ 3.47e9 — Spark
+    // (non-ANSI) wraps silently where DuckDB raises, exactly at the
+    // 100 TB doc counts this query targets — and even pre-reducing
+    // mod 2³² leaves a (2³²−1)·b ≈ 1.14e19 > Long.Max product. With the
+    // split every intermediate is < 1.8e14: identical bits on any engine,
+    // for ALL int64 doc_ids. Float discipline: the only float ops are one
     // division and one sqrt (both IEEE correctly-rounded ⇒ bit-identical
     // cross-engine; no libm pow anywhere), then an exact floor to int64.
     // Scale shape: the per-source count agg is tiny and broadcast back; the
@@ -118,8 +125,12 @@ object CurationQueries {
           .withColumn("keep_rate", sqrt(col("n_min").cast("double") / col("n_src")))
           .withColumn("cut", floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
           .select("source", "keep_rate", "cut")
-        docs.select(col("source"),
-            pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("u"))
+        val a = pmod(col("doc_id"), lit(4294967296L))
+        val knuthU = pmod(
+          pmod(a, lit(65536L)) * lit(2654435761L) +
+            pmod(shiftright(a, 16) * lit(2654435761L), lit(65536L)) * lit(65536L),
+          lit(4294967296L))
+        docs.select(col("source"), knuthU.as("u"))
           .join(broadcast(rates), Seq("source"))
           .groupBy("source", "keep_rate")
           .agg(
@@ -134,12 +145,19 @@ object CurationQueries {
           |m AS (SELECT MIN(n_src) AS n_min FROM c),
           |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / n_src) AS keep_rate,
           |             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_src) * 4294967296.0) AS BIGINT) AS cut
-          |      FROM c, m)
+          |      FROM c, m),
+          |a AS (SELECT source, doc_id,
+          |             ((doc_id % 4294967296) + 4294967296) % 4294967296 AS am
+          |      FROM documents),
+          |u AS (SELECT source,
+          |             ((am % 65536) * 2654435761
+          |              + ((am // 65536) * 2654435761 % 65536) * 65536) % 4294967296 AS u
+          |      FROM a)
           |SELECT d.source, COUNT(*) AS n_total,
-          |       CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 4294967296 < r.cut
+          |       CAST(SUM(CASE WHEN d.u < r.cut
           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |       round(r.keep_rate, 6) AS keep_rate
-          |FROM documents d JOIN r ON d.source = r.source
+          |FROM u d JOIN r ON d.source = r.source
           |GROUP BY d.source, r.keep_rate ORDER BY d.source""".stripMargin)),
 
     // ---- per-document TF-IDF key terms (added r5) ------------------------

@@ -370,6 +370,15 @@ object PriorityStreams {
     * marker so re-arrivals cannot double-count; bound it with TTL in
     * production), keyed by user — RocksDB-backed at cluster scale like the
     * backlog tracker. */
+  /** Full-precision event time in MICROSECONDS. `Timestamp.getTime` alone
+    * truncates to milliseconds — two events microseconds apart (Spark's
+    * native timestamp resolution) would compare "simultaneous" in the
+    * stream while the batch twin's full-precision comparison orders them,
+    * silently dropping advancements. The sub-millisecond residue lives in
+    * the nanos field. */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   final class FunnelProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelAdvance] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
@@ -388,16 +397,19 @@ object PriorityStreams {
         rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelAdvance] = {
       val arr = rows.toArray
+      // full-precision sort + comparison (Timestamp.compareTo sees nanos):
+      // the batch twin compares native-resolution timestamps, so the stream
+      // must too — getTime-based ordering loses the sub-millisecond digits
       scala.util.Sorting.stableSort(arr,
-        (a: FunnelEvent, b: FunnelEvent) => a.ts.getTime < b.ts.getTime)
+        (a: FunnelEvent, b: FunnelEvent) => a.ts.compareTo(b.ts) < 0)
       var (step, stepTs) = if (state.exists()) state.get() else (0, Long.MinValue)
       val out = Seq.newBuilder[FunnelAdvance]
       var i = 0
       while (i < arr.length && step < 3) {
         val e = arr(i)
-        if (NextType(step) == e.eventType && (step == 0 || e.ts.getTime > stepTs)) {
+        if (NextType(step) == e.eventType && (step == 0 || tsMicros(e.ts) > stepTs)) {
           step += 1
-          stepTs = e.ts.getTime
+          stepTs = tsMicros(e.ts)
           out += FunnelAdvance(userId, step, e.ts)
         }
         i += 1
@@ -456,10 +468,12 @@ object PriorityStreams {
         rows: Iterator[ValuedEvent],
         timerValues: TimerValues): Iterator[FeatureRow] = {
       val arr = rows.toArray
+      // full-precision (ts, eventId) order — see FunnelProcessor's sort note
       scala.util.Sorting.stableSort(arr,
-        (a: ValuedEvent, b: ValuedEvent) =>
-          a.ts.getTime < b.ts.getTime ||
-            (a.ts.getTime == b.ts.getTime && a.eventId < b.eventId))
+        (a: ValuedEvent, b: ValuedEvent) => {
+          val c = a.ts.compareTo(b.ts)
+          c < 0 || (c == 0 && a.eventId < b.eventId)
+        })
       val ctx = scala.collection.mutable.ArrayBuffer.empty[Long]
       buf.get().foreach(ctx += _)
       val out = Seq.newBuilder[FeatureRow]
@@ -506,8 +520,21 @@ object PriorityStreams {
     * > N/m is guaranteed present; with ≤ m distinct tokens ever seen the
     * counts are EXACT (err 0) — which is what the spec pins against the
     * batch groupBy count. Each batch emits the current top-k (Update mode),
-    * ranked (cnt desc, token asc). */
-  final class SpaceSavingProcessor(m: Int, k: Int)
+    * ranked (cnt desc, token asc).
+    *
+    * `ttl` (r6): O(m)-per-bucket state still accumulates one MapState PER
+    * BUCKET forever — a bucket that stops receiving traffic (a retired
+    * event type, a deleted tenant) parks its m counters in RocksDB for the
+    * life of the query. An optional processing-time TTL reclaims them: each
+    * counter expires `ttl` after its last update, so an abandoned bucket's
+    * state drains to zero while any active bucket's hot counters refresh on
+    * every arrival. Semantics under TTL are the documented Space-Saving
+    * RESET: an expired token re-arrives as unseen (count restarts — the
+    * standard sliding-freshness trade; leave ttl None for lifetime-exact
+    * tracking). Requires TimeMode.ProcessingTime — [[heavyHittersStream]]
+    * picks the mode from the option. */
+  final class SpaceSavingProcessor(m: Int, k: Int,
+      ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, TokenEvent, HeavyHitter] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
     @transient private var counters: org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
@@ -518,7 +545,7 @@ object PriorityStreams {
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(
         bucket: String,
@@ -557,14 +584,25 @@ object PriorityStreams {
   }
 
   /** Per-bucket streaming heavy hitters, Update mode: each batch re-emits
-    * the bucket's current top-`k` of at most `m` tracked counters. */
-  def heavyHittersStream(events: Dataset[TokenEvent], m: Int, k: Int): Dataset[HeavyHitter] = {
+    * the bucket's current top-`k` of at most `m` tracked counters. With
+    * `ttl` set, counters idle longer than the TTL are reclaimed (abandoned
+    * buckets drain to zero state) — see [[SpaceSavingProcessor]]. Note:
+    * with TTL the engine schedules micro-batches CONTINUOUSLY even when no
+    * data arrives (processing-time state makes shouldRunAnotherBatch true —
+    * the clock must advance to expire entries); pair it with a processing
+    * -time trigger interval in production rather than the default
+    * as-fast-as-possible trigger. */
+  def heavyHittersStream(events: Dataset[TokenEvent], m: Int, k: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[HeavyHitter] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.bucket)
       .transformWithState(
-        new SpaceSavingProcessor(m, k),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new SpaceSavingProcessor(m, k, ttl),
+        // state TTL is defined against the processing-time clock; without a
+        // TTL the processor needs no clock at all
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
 

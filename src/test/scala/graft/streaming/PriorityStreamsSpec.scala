@@ -419,6 +419,49 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("space-saving heavy hitters: TTL reclaims idle counters, fresh ones survive") {
+    implicit val sql = spark.sqlContext
+    withRocksDB {
+      // Under TimeMode.ProcessingTime the engine schedules batches
+      // CONTINUOUSLY to advance the TTL clock (shouldRunAnotherBatch is
+      // true whenever processing-time state exists) — so neither
+      // processAllAvailable nor Trigger.AvailableNow ever settles. Each
+      // step therefore runs a short-lived query against a shared
+      // checkpoint, POLLS the foreachBatch capture for the expected
+      // output, and stops the query explicitly. The restart between steps
+      // additionally pins that TTL expiry survives recovery.
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+      val in = MemoryStream[TokenEvent]
+      @volatile var last: Array[HeavyHitter] = Array.empty
+      def step(expect: Array[HeavyHitter] => Boolean): Unit = {
+        val q = heavyHittersStream(in.toDS(), m = 16, k = 16,
+            ttl = Some(java.time.Duration.ofMillis(800)))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+            val rows = b.collect(); if (rows.nonEmpty) last = rows; ()
+          }
+          .outputMode("update").start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (!expect(last) && System.nanoTime() < deadline) Thread.sleep(100)
+        } finally q.stop()
+        assert(expect(last), s"step did not reach expected output: ${last.toSeq}")
+      }
+      // step 1: two tokens tracked
+      in.addData(Seq.fill(5)(TokenEvent("buck", "old")) :+ TokenEvent("buck", "also"))
+      step(_.map(_.token).toSet == Set("old", "also"))
+      // idle past the TTL: the step-1 counters must expire
+      Thread.sleep(2000)
+      // step 2: a new token arrives — expired counters are gone, so the
+      // emitted state is exactly the newcomer with a fresh (1, 0) counter,
+      // NOT m-full state evicting a minimum
+      in.addData(TokenEvent("buck", "fresh"))
+      step(_.map(h => (h.token, h.cnt, h.err)).toSeq == Seq(("fresh", 1L, 0L)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("event-time timers: idle bucket fires once after the gap, state evicted") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Long, Timestamp)]

@@ -46,7 +46,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # subset Verify runs write oracle_sql.subset.json (never clobbering a
+    # full dir's oracle_sql.json); prefer it when present
+    import os
+    subset = f"{out_dir}/oracle_sql.subset.json"
+    oracle = json.load(open(subset if os.path.exists(subset) else f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
