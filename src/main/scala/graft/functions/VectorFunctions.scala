@@ -264,6 +264,88 @@ case class FloatVectorL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over float OR double array columns, mixed freely
+  * (added r6 for the multi-iteration k-means loop: the data side stays
+  * `array<float>` while derived centroids are `array<double>` means).
+  * Same fold order and null semantics as [[FloatVectorL2Sq]] — left-to-right
+  * double accumulation, NULL on length mismatch or null element — so it is
+  * bit-identical to the `aggregate(zip_with(...))` HOF form and DuckDB's
+  * `list_reduce` on the same values. Element types are resolved at PLAN
+  * time, so codegen emits the exact getter per side (no per-element
+  * branching in the loop). */
+case class VectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemOk(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_l2sq"
+
+  private def isFloat(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = isFloat(left); val rf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${get(a, isFloat(left))} - ${get(b, isFloat(right))};
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API entry point — pinned LEGACY (NULL on zero norm) so library
     * query results are mode-independent and stay hash-identical to the
@@ -281,6 +363,11 @@ object VectorFunctions {
     * (bit-identical to the HOF left-fold of per-element squared deltas). */
   def floatL2Sq(a: Column, b: Column): Column =
     Bridge.column(FloatVectorL2Sq(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd squared L2 distance over float-or-double array columns,
+    * mixed freely (see [[VectorL2Sq]]). */
+  def l2Sq(a: Column, b: Column): Column =
+    Bridge.column(VectorL2Sq(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register `cosine_similarity(a, b)` for the SQL surface. Like Divide,
     * the eval mode is captured from the session conf at PARSE time. */

@@ -67,6 +67,90 @@ object CurationQueries {
            |GROUP BY d.source ORDER BY d.source""".stripMargin),
       headline = true),
 
+    // ---- per-document contamination score (added r6) ---------------------
+    // The scored refinement of `decontaminate`'s binary verdict: what
+    // FRACTION of a doc's distinct 5-token shingles appear in the held-out
+    // benchmark set? Pipelines threshold this (e.g. drop > 10% overlap,
+    // audit 1-10%) rather than hard-dropping on a single shared shingle.
+    // Scale shape identical to decontaminate: one corpus shingle pass, the
+    // benchmark side is small and broadcastable, per-doc agg carries two
+    // ints; the ratio is exact-int division cast to double.
+    "contamination_score" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+          .distinct() // per-doc DISTINCT shingles: the score denominator
+        val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(bench.withColumn("hit", lit(1)), Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("hit").isNotNull, 1).otherwise(0)).as("n_overlap"))
+          .withColumn("score",
+            round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, s FROM (
+           |         SELECT doc_id, UNNEST($shingles5Duck) AS s FROM t WHERE len(toks) >= 5)),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+           |SELECT doc_id, COUNT(*) AS n_shingles,
+           |       CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |       round(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / COUNT(*), 6) AS score
+           |FROM sh LEFT JOIN bench b USING (s)
+           |WHERE doc_id % 97 != 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- domain mixture weights (added r6) -------------------------------
+    // The sampling-weight half of multi-source training-mix design
+    // (`sample_temperature` is the per-row EXECUTION half): per-source
+    // token shares p_s and temperature-flattened mixture weights
+    // w_s = √p_s / Σ√p_t (α = 0.5 — the same no-libm-pow discipline).
+    // Float parity: shares are exact-int divisions; √ is IEEE
+    // correctly-rounded; the normalizing sum runs over 6 dp DECIMALS
+    // (exact, order-independent — a double Σ over sources would depend on
+    // aggregation order); the final division is one correctly-rounded
+    // double op. Scale shape: one corpus pass for the per-source agg,
+    // 1-row total and the per-source weight table broadcast — the corpus
+    // is never shuffled.
+    "mix_weights" -> Q(
+      fn = (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).as("n_tokens"))
+        val tot = tok.agg(sum(col("n_tokens")).as("t_total"))
+        val withW = tok.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("t_total"))
+          .withColumn("w6", round(sqrt(col("share")), 6).cast("decimal(10,6)"))
+        val wsum = withW.agg(sum(col("w6")).as("wsum"))
+        withW.crossJoin(broadcast(wsum))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 6).as("share"),
+            round(col("w6").cast("double") / col("wsum").cast("double"), 6).as("weight"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH tok AS (SELECT source, COUNT(*) AS n_docs,
+          |              SUM(len(string_split(text, ' '))) AS n_tokens
+          |            FROM documents GROUP BY source),
+          |tot AS (SELECT SUM(n_tokens) AS t_total FROM tok),
+          |w AS (SELECT source, n_docs, n_tokens,
+          |             CAST(n_tokens AS DOUBLE) / t_total AS share,
+          |             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t_total), 6)
+          |                  AS DECIMAL(10,6)) AS w6
+          |      FROM tok, tot),
+          |ws AS (SELECT SUM(w6) AS wsum FROM w)
+          |SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+          |       round(CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight
+          |FROM w, ws ORDER BY source""".stripMargin)),
+
     // ---- deterministic stratified sampling ------------------------------
     // Per-source Bernoulli rates (src0-4: 100%, src5-9: 50%, src10-14: 25%,
     // src15-19: 10%) decided by the first 4 hex chars of md5(doc_id) against

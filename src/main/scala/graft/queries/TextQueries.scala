@@ -81,10 +81,11 @@ object TextQueries {
     * The hs joins are deliberately NOT broadcast-hinted: at web scale
     * every doc carrying boilerplate is in `hs`, which can be a large
     * fraction of the corpus — it equi-joins on doc id instead. */
-  private[queries] def ngramJaccardPairs(
-      sh: org.apache.spark.sql.DataFrame,
-      dfCap: Int,
-      minJacc: Double): org.apache.spark.sql.DataFrame = {
+  /** Per-pair intersection statistics (source, a_id, b_id, n_inter, sz_a,
+    * sz_b) for all pairs sharing ≥1 cold shingle — the shared core of the
+    * Jaccard and containment queries. */
+  private[queries] def ngramPairStats(
+      sh: org.apache.spark.sql.DataFrame, dfCap: Int): org.apache.spark.sql.DataFrame = {
     val ex = ngramExploded(sh)
     val hot = ngramHot(ex, dfCap)
     val cold = ex.join(broadcast(hot), Seq("source", "sh"), "left_anti")
@@ -106,11 +107,18 @@ object TextQueries {
       .withColumn("n_inter", col("n_cold") +
         size(array_intersect(
           coalesce(col("hs_a"), emptyArr), coalesce(col("hs_b"), emptyArr))))
+      .select("source", "a_id", "b_id", "n_inter", "sz_a", "sz_b")
+  }
+
+  private[queries] def ngramJaccardPairs(
+      sh: org.apache.spark.sql.DataFrame,
+      dfCap: Int,
+      minJacc: Double): org.apache.spark.sql.DataFrame =
+    ngramPairStats(sh, dfCap)
       .withColumn("jacc",
         col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jacc") >= minJacc)
       .select("source", "a_id", "b_id", "jacc")
-  }
 
   /** 32-bit SimHash per doc over its distinct 3-token shingles: per shingle
     * md5; bit i = majority vote of hex-char i's top nibble bit (char ∈
@@ -474,6 +482,45 @@ object TextQueries {
            |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            |         / len(list_distinct(a.shingles || b.shingles)) >= 0.2
+           |ORDER BY a.source, a_id, b_id""".stripMargin)),
+
+    // ---- n-gram CONTAINMENT pairs (added r6) -----------------------------
+    // Asymmetric near-dup detection: containment(A in B) = |A∩B| / |A|
+    // catches a short document swallowed whole by a longer one — a case
+    // Jaccard misses entirely (a 10-shingle doc inside a 1000-shingle doc
+    // has jacc ≈ 0.01 but containment 1.0). The RefinedWeb/Dolma-style
+    // sub-document dup signal. Same capped candidate generation and exact
+    // intersection counts as ngram_jaccard_pairs ([[ngramPairStats]]);
+    // reported pairs carry both directions' containment, qualifying when
+    // either reaches 0.5. Planted near-dups on this corpus sit at ~1.0.
+    "ngram_containment_pairs" -> Q(
+      fn = (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles", expr(shinglesExpr))
+          .select("doc_id", "source", "shingles")
+          .cache()
+        ngramPairStats(sh, NgramDfCap)
+          .withColumn("cont_a", col("n_inter").cast("double") / col("sz_a"))
+          .withColumn("cont_b", col("n_inter").cast("double") / col("sz_b"))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+          .select(col("source"), col("a_id"), col("b_id"),
+            round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+          .orderBy("source", "a_id", "b_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, source, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3)
+           |SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+           |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(a.shingles), 6) AS cont_a,
+           |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(b.shingles), 6) AS cont_b
+           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE greatest(
+           |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles),
+           |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(b.shingles)) >= 0.5
            |ORDER BY a.source, a_id, b_id""".stripMargin)),
 
     // ---- heuristic language ID: stopword-list scoring -------------------

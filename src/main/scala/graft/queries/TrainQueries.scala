@@ -88,6 +88,89 @@ object TrainQueries {
            |ORDER BY cluster, dim""".stripMargin
       }),
 
+    // ---- multi-iteration k-means training (added r6) ---------------------
+    // Three chained Lloyd iterations — the real training LOOP, not just one
+    // step: assign → update → re-derive centroids → repeat, with the final
+    // iteration's update table as output (same shape as kmeans_step).
+    // Float discipline across rounds: iteration-0 centroids are the 16 seed
+    // vectors cast to double arrays; each later round's centroid is the
+    // per-dimension mean CAST(exact-decimal-sum AS DOUBLE) / n — one
+    // correctly-rounded division, so every number feeding round k+1 is
+    // bit-identical on both engines, and the L2 fold (codegen'd
+    // VectorL2Sq, float data × double centroids) accumulates left-to-right
+    // exactly like DuckDB's list_reduce. Centroid arrays are reassembled
+    // deterministically: array_sort over (dim, mean) structs / list(...
+    // ORDER BY dim). Scale shape: each round is a broadcast of the 16-row
+    // centroid table + one corpus pass + a (cluster, dim) partial-sum
+    // shuffle (64 rows/cluster/partition after map-side combine) — 3
+    // rounds = 3 corpus scans, which is the honest cost of Lloyd; at
+    // 100 TB you persist the (vec, cluster) assignment per round and the
+    // scans pipeline map-side.
+    "kmeans_train" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import graft.functions.VectorFunctions.l2Sq
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        var cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centv"))
+        var update: DataFrame = null
+        for (_ <- 1 to 3) {
+          val assigned = emb
+            .crossJoin(broadcast(cents))
+            .groupBy("vec_id")
+            .agg(min(struct(
+                coalesce(l2Sq(col("embedding"), col("centv")),
+                  lit(Double.PositiveInfinity)).as("d2"),
+                col("cent_id"))).as("m"),
+              first(col("embedding")).as("embedding"))
+            .select(col("m.cent_id").as("cluster"), col("embedding"))
+          update = assigned
+            .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+            .groupBy("cluster", "dim")
+            .agg(count(lit(1)).as("n_members"),
+              sum(round(col("v").cast("double"), 6).cast("decimal(16,6)")).as("s6"))
+          cents = update
+            .withColumn("m", col("s6").cast("decimal(20,6)").cast("double") / col("n_members"))
+            .groupBy(col("cluster").as("cent_id"))
+            .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
+              .as("centv"))
+        }
+        update.select(col("cluster"), col("dim"), col("n_members"),
+            col("s6").cast("decimal(20,6)").cast("double").as("c_sum"))
+          .orderBy("cluster", "dim")
+      },
+      oracle = Some {
+        def l2(e: String, c: String) =
+          s"""list_reduce(list_transform(range(1, 65),
+             |  i -> ($e[i] - $c[i]) * ($e[i] - $c[i])),
+             |  (acc, v) -> acc + v)""".stripMargin
+        val iters = (1 to 3).map { k =>
+          s"""a$k AS (
+             |  SELECT cluster, emb FROM (
+             |    SELECT e.vec_id, e.emb, c.cent_id AS cluster,
+             |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |                              ORDER BY ${l2("e.emb", "c.centv")}, c.cent_id) AS rk
+             |    FROM e CROSS JOIN c${k - 1} c) t
+             |  WHERE rk = 1),
+             |f$k AS (
+             |  SELECT cluster, CAST(u.i - 1 AS INTEGER) AS dim,
+             |         CAST(round(emb[u.i], 6) AS DECIMAL(16,6)) AS v6
+             |  FROM a$k, UNNEST(range(1, 65)) AS u(i)),
+             |u$k AS (SELECT cluster, dim, COUNT(*) AS n, CAST(SUM(v6) AS DECIMAL(20,6)) AS s
+             |        FROM f$k GROUP BY cluster, dim),
+             |c$k AS (SELECT cluster AS cent_id, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centv
+             |        FROM u$k GROUP BY cluster)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |           FROM embeddings),
+           |c0 AS (SELECT vec_id AS cent_id, emb AS centv FROM e WHERE vec_id < 16),
+           |$iters
+           |SELECT cluster, dim, n AS n_members, CAST(s AS DOUBLE) AS c_sum
+           |FROM u3 ORDER BY cluster, dim""".stripMargin
+      }),
+
     // ---- BPE vocabulary learning: the top merge candidates ---------------
     // The first iteration of byte-pair-encoding training: count adjacent
     // SYMBOL pairs (initial symbols = characters) across the corpus and

@@ -51,7 +51,9 @@ class PlanGuardSpec extends SparkTestBase {
       "tfidf_topterms", // broadcast of the 1-row doc-count aggregate
       "sample_temperature", // broadcast of the 1-row min-source-count aggregate
       "textrank_keywords", // broadcast of the 1-row node-count aggregate (×6 iterations)
-      "kmeans_step") // broadcast of the 16-row centroid codebook (assignment product)
+      "kmeans_step", // broadcast of the 16-row centroid codebook (assignment product)
+      "kmeans_train", // same ≤16-row centroid broadcast, once per Lloyd round (×3)
+      "mix_weights") // broadcasts of the 1-row token-total and 1-row weight-sum aggregates
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

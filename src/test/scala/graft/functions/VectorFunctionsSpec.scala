@@ -103,6 +103,42 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(nullElem.isNullAt(0))
   }
 
+  test("VectorL2Sq: mixed float/double arrays == HOF fold; float/float == FloatVectorL2Sq") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 50)
+    // the kmeans_train shape: float data vs double centroids
+    val pairs = emb.select(
+      col("embedding").as("a"),
+      expr("transform(reverse(embedding), x -> CAST(x AS DOUBLE))").as("bd"),
+      expr("reverse(embedding)").as("bf"))
+    val rows = pairs.select(
+      VectorFunctions.l2Sq(col("a"), col("bd")).as("mixed"),
+      expr("""aggregate(zip_with(a, bd,
+          |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("hof"),
+      VectorFunctions.l2Sq(col("a"), col("bf")).as("ff"),
+      VectorFunctions.floatL2Sq(col("a"), col("bf")).as("legacy")).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"mixed=${r.getDouble(0)} hof=${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"ff=${r.getDouble(2)} legacy=${r.getDouble(3)}")
+    }
+    // double/double and null semantics
+    val dd = Seq((Seq(1.0, 2.0), Seq(3.0, 1.0)))
+      .toDF("a", "b").select(VectorFunctions.l2Sq(col("a"), col("b"))).collect()(0)
+    assert(dd.getDouble(0) == 5.0)
+    val unequal = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b").select(VectorFunctions.l2Sq(col("a"), col("b"))).collect()(0)
+    assert(unequal.isNullAt(0))
+    val nullElem = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b").select(VectorFunctions.l2Sq(col("a"), col("b"))).collect()(0)
+    assert(nullElem.isNullAt(0))
+  }
+
   test("property: FloatVectorL2Sq.eval ≡ HOF left-fold semantics on adversarial vectors") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.apache.spark.sql.catalyst.expressions.Literal
