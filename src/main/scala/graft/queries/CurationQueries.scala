@@ -509,6 +509,54 @@ object CurationQueries {
           |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE) / n_tokens, 6) AS logprob
           |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-doc bigram log-probability (added r6) -----------------------
+    // The order-2 refinement of unigram_logprob — the CCNet/KenLM-proxy
+    // quality score one step up: per doc, the mean ln p(w_i | w_{i-1})
+    // under the corpus MLE bigram model p(b|a) = C(a,b) / C(a,·). The
+    // context total C(a,·) FALLS OUT of the bigram agg (sum over its rows
+    // per first token — no second corpus pass, the tfidf df trick). Float
+    // discipline: per-edge ln is probed bit-identical cross-engine,
+    // 6 dp-rounded into DECIMAL; per-doc sums are exact; one final
+    // correctly-rounded double division. Scale shape: one corpus bigram
+    // pass; the model is bigram-vocabulary-sized and joins unhinted (AQE
+    // broadcasts when it fits); per-doc agg carries two numbers.
+    "bigram_logprob" -> Q(
+      fn = (s, dir) => {
+        val bi = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("doc_id"), col("e.a").as("a"), col("e.b").as("b"))
+        val counts = bi.groupBy("a", "b").agg(count(lit(1)).as("nb"))
+        val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
+        val model = counts.join(ctx, Seq("a"))
+          .select(col("a"), col("b"),
+            round(log(col("nb") / col("na")), 6).cast("decimal(12,6)").as("logp6"))
+        bi.join(model, Seq("a", "b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("logp6")).as("sl"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sl").cast("double") / col("n_bigrams"), 6).as("logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |bi AS (SELECT doc_id, UNNEST(list_transform(range(len(toks) - 1),
+          |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+          |       FROM t WHERE len(toks) >= 2),
+          |c AS (SELECT a, b, COUNT(*) AS nb FROM bi GROUP BY a, b),
+          |cx AS (SELECT a, SUM(nb) AS na FROM c GROUP BY a),
+          |m AS (SELECT c.a, c.b,
+          |             CAST(round(ln(CAST(nb AS DOUBLE) / na), 6) AS DECIMAL(12,6)) AS logp6
+          |      FROM c JOIN cx ON c.a = cx.a),
+          |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp6) AS sl
+          |        FROM bi JOIN m ON bi.a = m.a AND bi.b = m.b GROUP BY doc_id)
+          |SELECT doc_id, n_bigrams, round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS logprob
+          |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- sequence packing (concat-and-chunk, added r5) -------------------
     // Assign documents to fixed 256-token training packs: concatenate each
     // stream in doc_id order and a doc joins the pack where its first token

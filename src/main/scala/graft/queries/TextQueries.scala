@@ -308,6 +308,74 @@ object TextQueries {
           |       list_min(list_transform(range(len(toks) - 4), i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS fingerprint
           |FROM t WHERE len(toks) >= 5 ORDER BY doc_id""".stripMargin)),
 
+    // ---- winnowing fingerprint SETS (added r6) ---------------------------
+    // MOSS winnowing (Schleimer, Wilkerson & Aiken 2003): per doc, hash
+    // every 5-token shingle, slide a window of 4 consecutive hashes, keep
+    // each window's MINIMUM, dedup. Guarantees: any shared run of ≥ 8
+    // tokens between two docs yields at least one shared fingerprint —
+    // the ROBUST local-dedup primitive (doc_fingerprint's single global
+    // min is the degenerate w = ∞ case). Map-only per doc; the exploded
+    // (doc, fp) table is the copy-detection index a downstream equi-join
+    // consumes (same shape as the LSH band tables — never all-pairs).
+    "winnowing_fingerprints" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8) // k=5 shingles, window w=4
+          .withColumn("hs", expr(
+            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+          .withColumn("fps", expr(
+            "array_distinct(transform(sequence(0, size(hs) - 4), j -> array_min(slice(hs, j + 1, 4))))"))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .orderBy("doc_id", "fp")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |h AS (SELECT doc_id,
+          |             list_transform(range(len(toks) - 4),
+          |               i -> md5(array_to_string(toks[i + 1 : i + 5], ' '))) AS hs
+          |      FROM t WHERE len(toks) >= 8),
+          |f AS (SELECT doc_id,
+          |             UNNEST(list_distinct(list_transform(range(len(hs) - 3),
+          |               j -> list_min(hs[j + 1 : j + 4])))) AS fp
+          |      FROM h)
+          |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin)),
+
+    // ---- multimodal exact dedup accounting (added r6) --------------------
+    // Exact dedup over the opaque BINARY payload (md5 of the bytes — the
+    // modality-agnostic twin of dedup_exact's normalized-text hash): per
+    // source, how many blobs, how many are redundant copies of a
+    // globally-seen payload (keeper = min doc_id), and how many bytes
+    // deduplicating would reclaim. Scale shape: one hash agg on the digest
+    // + a co-partitioned join back on it (both shuffles carry the 16-byte
+    // hash, never the payload), then a tiny per-source roll-up.
+    "multimodal_dedup" -> Q(
+      fn = (s, dir) => {
+        val b = Tables.load(s, dir, "documents")
+          .withColumn("blob", encode(col("text"), "UTF-8"))
+          .select(col("source"), col("doc_id"),
+            md5(col("blob")).as("h"), octet_length(col("blob")).as("nb"))
+        val keep = b.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+        b.join(keep, Seq("h"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_blobs"),
+            sum(when(col("doc_id") =!= col("keeper"), 1).otherwise(0)).as("n_dups"),
+            sum(when(col("doc_id") =!= col("keeper"), col("nb")).otherwise(0))
+              .cast("bigint").as("bytes_reclaimable"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH b AS (SELECT source, doc_id, md5(text) AS h,
+          |                  octet_length(encode(text)) AS nb
+          |           FROM documents),
+          |k AS (SELECT h, MIN(doc_id) AS keeper FROM b GROUP BY h)
+          |SELECT source, COUNT(*) AS n_blobs,
+          |       CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+          |       CAST(SUM(CASE WHEN doc_id != keeper THEN nb ELSE 0 END) AS BIGINT) AS bytes_reclaimable
+          |FROM b JOIN k USING (h)
+          |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- SimHash 32-bit fingerprint --------------------------------------
     "simhash_fingerprint" -> Q(
       fn = (s, dir) => simhashDF(s, dir).select("doc_id", "simhash").orderBy("doc_id"),
