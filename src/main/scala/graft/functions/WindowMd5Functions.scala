@@ -62,7 +62,7 @@ object WindowMd5Util {
     UTF8String.fromString(new String(hex))
   }
 
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+  private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
       val ai = a(i) & 0xff
@@ -72,6 +72,105 @@ object WindowMd5Util {
     }
     false
   }
+
+  private[functions] def toHex(d: Array[Byte]): UTF8String = {
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      hex(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  /** MOSS winnowing selection: md5 every `k`-token window, slide a window
+    * of `w` consecutive digests, keep each window's minimum, dedup
+    * (first-occurrence order, like `array_distinct`). Digests are computed
+    * ONCE — the declarative two-layer HOF form re-evaluates the whole
+    * n-digest transform inside every window's `slice` after Catalyst
+    * collapses the projections, going O(n²·md5) per document (measured
+    * 173 s for the query at sf0.1; this loop runs it in well under a
+    * second). Returns null for a null token or fewer than w windows. */
+  def winnow(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = n - k + 1 // number of k-gram digests
+    if (m < w) return null
+    val words = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      words(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val digests = new Array[Array[Byte]](m)
+    val buf = new java.io.ByteArrayOutputStream(256)
+    i = 0
+    while (i < m) {
+      buf.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) buf.write(' ')
+        buf.write(words(i + j), 0, words(i + j).length)
+        j += 1
+      }
+      digests(i) = Md5Pool.get().digest(buf.toByteArray)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.math.BigInteger]()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var j = 0
+    while (j <= m - w) {
+      var best = digests(j)
+      var t = 1
+      while (t < w) {
+        if (unsignedLess(digests(j + t), best)) best = digests(j + t)
+        t += 1
+      }
+      if (seen.add(new java.math.BigInteger(1, best))) out += toHex(best)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** [[WindowMd5Util.winnow]] as a map-side expression (§2.5 preference (b),
+  * added r6): per-window minima of k-gram digests, deduped — the MOSS
+  * winnowing fingerprint SET. Null semantics mirror [[MinWindowMd5]]. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowMd5Util.winnow(a.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val fp = ctx.freshName("fps")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $fp =
+         |  graft.functions.WindowMd5Util.winnow($a, $k, $w);
+         |if ($fp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $fp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Minimum md5 over every `width`-token window of an `array<string>` column
@@ -123,4 +222,8 @@ object WindowMd5Functions {
   /** Column-API entry point. */
   def minWindowMd5(toks: Column, width: Int): Column =
     Bridge.column(MinWindowMd5(Bridge.expression(toks), width))
+
+  /** Column-API entry point for the winnowing fingerprint set. */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(toks), k, w))
 }

@@ -314,19 +314,24 @@ object TextQueries {
     // each window's MINIMUM, dedup. Guarantees: any shared run of ≥ 8
     // tokens between two docs yields at least one shared fingerprint —
     // the ROBUST local-dedup primitive (doc_fingerprint's single global
-    // min is the degenerate w = ∞ case). Map-only per doc; the exploded
-    // (doc, fp) table is the copy-detection index a downstream equi-join
-    // consumes (same shape as the LSH band tables — never all-pairs).
+    // min is the degenerate w = ∞ case). Map-only per doc via the
+    // codegen'd WinnowFingerprints expression — the declarative two-layer
+    // HOF form (transform over windows of array_min(slice(hs, …))) goes
+    // QUADRATIC after Catalyst collapses the hs projection into every
+    // window's slice (each window re-evaluates the whole n-digest
+    // transform: measured 173 s at sf0.1 vs sub-second for the one-loop
+    // expression, the doc_fingerprint/MinWindowMd5 lesson replayed one
+    // structure up). The exploded (doc, fp) table is the copy-detection
+    // index a downstream equi-join consumes (same shape as the LSH band
+    // tables — never all-pairs).
     "winnowing_fingerprints" -> Q(
       fn = (s, dir) => {
         Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 8) // k=5 shingles, window w=4
-          .withColumn("hs", expr(
-            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
-          .withColumn("fps", expr(
-            "array_distinct(transform(sequence(0, size(hs) - 4), j -> array_min(slice(hs, j + 1, 4))))"))
-          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .select(col("doc_id"),
+            explode(graft.functions.WindowMd5Functions.winnowFingerprints(
+              col("toks"), 5, 4)).as("fp"))
           .orderBy("doc_id", "fp")
       },
       oracle = Some(
