@@ -26,12 +26,17 @@ object ExtensionsProbe {
         |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
         |       simhash_fingerprint(array('a b c', 'b c d')) AS fp,
         |       minhash_signature(array('a b c', 'b c d')) AS sig,
-        |       min_window_md5(array('a', 'b', 'c', 'd', 'e', 'f'), 5) AS mw""".stripMargin)
+        |       min_window_md5(array('a', 'b', 'c', 'd', 'e', 'f'), 5) AS mw,
+        |       vector_l2sq(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                   array(CAST(0.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS l2,
+        |       winnow_fingerprints(array('a', 'b', 'c', 'd', 'e', 'f', 'g', 'h'), 5, 4) AS wf""".stripMargin)
       .collect()(0)
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12, s"cosine: ${row.getDouble(0)}")
     assert(row.getLong(1) >= 0 && row.getLong(1) <= 0xffffffffL, s"fp: ${row.getLong(1)}")
     assert(row.getSeq[String](2).length == graft.functions.MinhashUtil.NumHashes)
     assert(row.getString(3).length == 32)
+    assert(row.getDouble(4) == 5.0, s"l2: ${row.getDouble(4)}")
+    assert(row.getSeq[String](5).nonEmpty && row.getSeq[String](5).forall(_.length == 32))
 
     // the native router plans AssignPartitionsExec in this session (the
     // strategy is available both via the extension injection and the

@@ -78,5 +78,26 @@ object BucketSqlFunctions {
         })
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_l2sq",
+      exprs => {
+        require(exprs.length == 2,
+          s"vector_l2sq requires exactly 2 arguments, got ${exprs.length}")
+        VectorL2Sq(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      exprs => {
+        require(exprs.length == 3,
+          s"winnow_fingerprints requires exactly 3 arguments, got ${exprs.length}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprints $name must be an integer literal, got $other")
+        }
+        WinnowFingerprints(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+      },
+      "built-in")
   }
 }

@@ -126,5 +126,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"min_window_md5 width must be an integer literal, got $other")
         })))
+    // the round-6 expressions, cluster-wide
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vector_l2sq"),
+      new ExpressionInfo(classOf[VectorL2Sq].getName, "vector_l2sq"),
+      (exprs: Seq[Expression]) => VectorL2Sq(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprints $name must be an integer literal, got $other")
+        }
+        WinnowFingerprints(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+      }))
   }
 }

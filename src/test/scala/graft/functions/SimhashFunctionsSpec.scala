@@ -74,16 +74,24 @@ class SimhashFunctionsSpec extends SparkTestBase {
     val viaSql = spark.sql(
       """SELECT simhash_fingerprint(array('a b c', 'b c d')) AS fp,
         |       minhash_signature(array('a b c', 'b c d')) AS sig,
-        |       min_window_md5(split(text, ' '), 5) AS mw
+        |       min_window_md5(split(text, ' '), 5) AS mw,
+        |       winnow_fingerprints(split(text, ' '), 5, 2) AS wf,
+        |       vector_l2sq(array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                   array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS l2
         |FROM th_docs""".stripMargin).collect()(0)
     val viaCols = df.select(
       SimhashFunctions.simhashFingerprint(array(lit("a b c"), lit("b c d"))).as("fp"),
       MinhashFunctions.minhashSignature(array(lit("a b c"), lit("b c d"))).as("sig"),
-      WindowMd5Functions.minWindowMd5(split(col("text"), " "), 5).as("mw"))
+      WindowMd5Functions.minWindowMd5(split(col("text"), " "), 5).as("mw"),
+      WindowMd5Functions.winnowFingerprints(split(col("text"), " "), 5, 2).as("wf"),
+      VectorFunctions.l2Sq(
+        array(lit(1.0f), lit(3.0f)), array(lit(0.0), lit(1.0))).as("l2"))
       .collect()(0)
     assert(viaSql.getLong(0) == viaCols.getLong(0))
     assert(viaSql.getSeq[String](1) == viaCols.getSeq[String](1))
     assert(viaSql.getString(2) == viaCols.getString(2))
+    assert(viaSql.getSeq[String](3) == viaCols.getSeq[String](3))
+    assert(viaSql.getDouble(4) == viaCols.getDouble(4) && viaSql.getDouble(4) == 5.0)
   }
 
   test("rejects non-array<string> input at analysis time") {
