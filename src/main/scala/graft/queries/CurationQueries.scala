@@ -509,6 +509,44 @@ object CurationQueries {
           |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE) / n_tokens, 6) AS logprob
           |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-doc token entropy (added r6) --------------------------------
+    // Shannon entropy of the doc's own token distribution,
+    // H = −Σ (c/n)·ln(c/n) — the information-density quality signal:
+    // near-zero for degenerate repetition ("spam spam spam"), high for
+    // diverse text; complements repetition_filter (bigram structure) and
+    // unigram_logprob (corpus-relative likelihood) with a corpus-FREE
+    // per-doc measure. Float parity: p = c/n and ln are correctly-rounded
+    // IEEE ops on exact ints, each term rounds to the 6 dp decimal grid,
+    // per-doc sums are exact decimals, one final negate/cast. Scale shape:
+    // one (doc, tok) hash agg, a per-doc roll-up, and a doc-keyed join —
+    // all linear, no corpus-wide state at all.
+    "token_entropy" -> Q(
+      fn = (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val totals = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        tf.join(totals, Seq("doc_id"))
+          .select(col("doc_id"), col("n"),
+            round(col("c") / col("n") * log(col("c") / col("n")), 6)
+              .cast("decimal(12,6)").as("term"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_tokens"), sum(col("term")).as("st"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(-col("st").cast("double"), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+          |n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+          |terms AS (SELECT tf.doc_id, n.n,
+          |                 CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n), 6)
+          |                      AS DECIMAL(12,6)) AS term
+          |          FROM tf JOIN n ON tf.doc_id = n.doc_id)
+          |SELECT doc_id, MAX(n) AS n_tokens, round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
+          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- per-doc bigram log-probability (added r6) -----------------------
     // The order-2 refinement of unigram_logprob — the CCNet/KenLM-proxy
     // quality score one step up: per doc, the mean ln p(w_i | w_{i-1})
