@@ -18,6 +18,39 @@ object FunnelQueries {
 
   val all: Map[String, Q] = Map(
 
+    // ---- per-bucket per-window admission quota (added r6) ----------------
+    // The throttling half of bucket priority (the reference's buckets
+    // prioritize; quotas BOUND): admit the first N=50 events per
+    // (event_type, day) in strict (ts, event_id) order, report
+    // admitted/dropped per window. Row-level semantics are a row_number
+    // over the (bucket, day) partition — bounded per key by one day's
+    // traffic, never a global sort; the accounting agg reuses the window's
+    // partitioning. Streaming twin: PriorityStreams.quotaStream (spec-pinned
+    // equal on the same events).
+    "quota_admit" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "day").orderBy("ts", "event_id")
+        Tables.load(s, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("event_type", "day")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("rn") <= 50, 1).otherwise(0)).as("n_admitted"),
+            sum(when(col("rn") > 50, 1).otherwise(0)).as("n_dropped"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH r AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |                  ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+          |                                     ORDER BY ts, event_id) AS rn
+          |           FROM events)
+          |SELECT event_type, day, COUNT(*) AS n_events,
+          |       CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+          |       CAST(SUM(CASE WHEN rn > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+          |FROM r GROUP BY event_type, day ORDER BY event_type, day""".stripMargin)),
+
     // ---- ordered 3-step funnel ------------------------------------------
     // click → signup → purchase with strict ordering: each step's frame is
     // one per-user min-ts agg (≤ |users| rows) joined onto the next step's

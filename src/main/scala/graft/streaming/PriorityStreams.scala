@@ -606,6 +606,71 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming admission quota (per bucket × event-time day) -----------
+
+  /** One event competing for quota. */
+  final case class QuotaEvent(bucket: String, eventId: Long, ts: java.sql.Timestamp)
+
+  /** Admission decision for one event. */
+  final case class QuotaDecision(bucket: String, dayStartMs: Long, eventId: Long,
+      admitted: Boolean)
+
+  /** Streaming twin of the batch `quota_admit` query (added r6): admit the
+    * first `n` events per (bucket, UTC day), keyed by exactly that pair so
+    * the counter state is ONE long per active window — the throttling half
+    * of bucket priority. In-batch events are processed in full-precision
+    * (ts, eventId) order (the funnel contract: across batches, arrival
+    * order per key must not regress event time). State is one counter per
+    * (bucket, day) forever unless bounded — pass a TTL-style cleanup via
+    * the state store's own retention in production, or re-key by fewer
+    * windows; the spec exercises the single-window equality against the
+    * oracle-checked batch query. */
+  final class QuotaProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(String, Long), QuotaEvent, QuotaDecision] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[QuotaEvent],
+        timerValues: TimerValues): Iterator[QuotaDecision] = {
+      val arr = rows.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: QuotaEvent, b: QuotaEvent) => {
+          val c = a.ts.compareTo(b.ts)
+          c < 0 || (c == 0 && a.eventId < b.eventId)
+        })
+      var admitted = if (count.exists()) count.get() else 0L
+      val out = arr.map { e =>
+        val ok = admitted < n
+        if (ok) admitted += 1
+        QuotaDecision(key._1, key._2, e.eventId, ok)
+      }
+      count.update(admitted)
+      out.iterator
+    }
+  }
+
+  /** UTC day start of a timestamp in epoch millis (session tz is UTC, so
+    * this matches the batch query's `to_date(ts)` bucketing). */
+  def dayStartMs(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 86400000L) * 86400000L
+
+  /** Per-(bucket, day) streaming admission quota, Update mode. */
+  def quotaStream(events: Dataset[QuotaEvent], n: Int): Dataset[QuotaDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.bucket, dayStartMs(e.ts)))
+      .transformWithState(
+        new QuotaProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

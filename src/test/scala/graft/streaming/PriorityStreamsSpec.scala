@@ -290,6 +290,48 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(streamCounts(3).toLong == batch("3_purchase"))
   }
 
+  test("streaming quota == batch quota_admit on the same event-time-ordered input") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // real events, split at the time midpoint: windows straddling the split
+    // must carry their admitted-counter across micro-batches
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .orderBy("ts")
+      .as[(String, Long, Timestamp)].collect()
+    val mid = evs(evs.length / 2)._3
+    val in = MemoryStream[(String, Long, Timestamp)]
+    withRocksDB {
+      val q = quotaStream(
+        in.toDF().toDF("bucket", "eventId", "ts").as[PriorityStreams.QuotaEvent], n = 50)
+        .writeStream.format("memory").queryName("quota_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)))
+      q.processAllAvailable(); q.stop()
+    }
+    // one decision per event, then the same accounting as the batch query
+    val decisions = spark.table("quota_out")
+      .select("bucket", "dayStartMs", "eventId", "admitted")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(decisions.length == evs.length)
+    val streamAgg = decisions.groupBy(d => (d._1, d._2)).map { case (k, ds) =>
+      k -> (ds.count(_._4), ds.count(!_._4))
+    }
+    val batch = graft.SparkEntry.queries("quota_admit")(spark, dir)
+      .select(col("event_type"),
+        unix_timestamp(col("day").cast("timestamp")) * 1000, // UTC session: date -> day-start ms
+        col("n_admitted"), col("n_dropped"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (bucket, dayMs, nAdm, nDrop) =>
+      val (sAdm, sDrop) = streamAgg((bucket, dayMs))
+      assert(sAdm.toLong == nAdm && sDrop.toLong == nDrop,
+        s"($bucket, $dayMs): stream ($sAdm, $sDrop) != batch ($nAdm, $nDrop)")
+    }
+  }
+
   test("streaming feature window == batch feature_window on the same in-order input") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
