@@ -290,6 +290,37 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(streamCounts(3).toLong == batch("3_purchase"))
   }
 
+  test("funnel orders microsecond-spaced events like the batch twin (full ts precision)") {
+    implicit val sql = spark.sqlContext
+    // Three same-millisecond events, microseconds apart, arriving SHUFFLED:
+    // click @ .000001, signup @ .000002, purchase @ .000003. A
+    // milliseconds-truncating comparison (Timestamp.getTime) sees them as
+    // simultaneous — the strict `ts > stepTs` check then rejects signup and
+    // purchase and the funnel stalls at step 1; full-precision compareTo
+    // (nanos field) must advance all three steps.
+    def microTs(micro: Int): Timestamp = {
+      val t = new Timestamp(1700000000000L) // fixed millisecond
+      t.setNanos(micro * 1000)
+      t
+    }
+    val events = Seq(
+      FunnelEvent(7L, "purchase", microTs(3)),
+      FunnelEvent(7L, "click", microTs(1)),
+      FunnelEvent(7L, "signup", microTs(2)))
+    val in = MemoryStream[FunnelEvent]
+    withRocksDB {
+      val q = funnelStream(in.toDS())
+        .writeStream.format("memory").queryName("funnel_micro_out")
+        .outputMode("update").start()
+      in.addData(events)
+      q.processAllAvailable(); q.stop()
+    }
+    val steps = spark.table("funnel_micro_out")
+      .select("userId", "step").as[(Long, Int)].collect().toSet
+    assert(steps == Set((7L, 1), (7L, 2), (7L, 3)),
+      s"micro-spaced funnel advancements: $steps")
+  }
+
   test("streaming quota == batch quota_admit on the same event-time-ordered input") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
