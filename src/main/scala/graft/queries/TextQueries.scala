@@ -308,6 +308,84 @@ object TextQueries {
           |       list_min(list_transform(range(len(toks) - 4), i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS fingerprint
           |FROM t WHERE len(toks) >= 5 ORDER BY doc_id""".stripMargin)),
 
+    // ---- BM25 retrieval scoring (added r6) -------------------------------
+    // The classic retrieval primitive over the corpus: BM25 (Robertson
+    // idf, k1 = 1.2, b = 0.75) for three fixed multi-term queries, top-20
+    // docs each. Float parity: idf = ln((N − df + 0.5)/(df + 0.5)) uses
+    // only the probed-identical ln and correctly-rounded +−/ on exact
+    // ints; the tf norm is the IDENTICAL parenthesization on both engines
+    // (every intermediate is one correctly-rounded IEEE op); per-term
+    // scores round to the 6 dp decimal grid so the per-(query, doc) sum
+    // is exact and order-independent. Scale shape: one (doc, term) agg;
+    // df and dl fall out of it; the query-term table is a literal
+    // broadcast; ranking is a per-query window over scored docs.
+    "bm25_topk" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val qterms = Seq(
+          (1, "hash"), (1, "join"), (1, "merge"),
+          (2, "window"), (2, "sort"), (2, "order"),
+          (3, "stream"), (3, "batch"), (3, "spark")).toDF("qid", "term")
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+        val tfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+        val terms = tfq
+          .join(broadcast(dfq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .join(broadcast(qterms), Seq("term"))
+          .withColumn("avgdl", col("n_toks").cast("double") / col("n_docs"))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .withColumn("norm",
+            (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          .select(col("qid"), col("doc_id"),
+            round(col("idf") * col("norm"), 6).cast("decimal(12,6)").as("t6"))
+        val scored = terms.groupBy("qid", "doc_id")
+          .agg(sum(col("t6")).cast("double").as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 20)
+          .select("qid", "rank", "doc_id", "score")
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(
+        """WITH q(qid, term) AS (VALUES
+          |  (1, 'hash'), (1, 'join'), (1, 'merge'),
+          |  (2, 'window'), (2, 'sort'), (2, 'order'),
+          |  (3, 'stream'), (3, 'batch'), (3, 'spark')),
+          |t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+          |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+          |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_toks FROM dl),
+          |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+          |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+          |terms AS (
+          |  SELECT q.qid, tf.doc_id,
+          |         CAST(round(
+          |           ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+          |           * ((tf * CAST(2.2 AS DOUBLE)) /
+          |              (tf + CAST(1.2 AS DOUBLE) *
+          |                (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+          |                  * (dl / (CAST(n_toks AS DOUBLE) / n_docs))))), 6)
+          |           AS DECIMAL(12,6)) AS t6
+          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+          |       CROSS JOIN stats JOIN q USING (term)),
+          |scored AS (SELECT qid, doc_id, CAST(SUM(t6) AS DOUBLE) AS score
+          |           FROM terms GROUP BY qid, doc_id),
+          |ranked AS (SELECT qid, doc_id, score,
+          |                  ROW_NUMBER() OVER (PARTITION BY qid
+          |                                     ORDER BY score DESC, doc_id) AS rank
+          |           FROM scored)
+          |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score
+          |FROM ranked WHERE rank <= 20 ORDER BY qid, rank""".stripMargin)),
+
     // ---- winnowing fingerprint SETS (added r6) ---------------------------
     // MOSS winnowing (Schleimer, Wilkerson & Aiken 2003): per doc, hash
     // every 5-token shingle, slide a window of 4 consecutive hashes, keep

@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkTestBase {
       "textrank_keywords", // broadcast of the 1-row node-count aggregate (×6 iterations)
       "kmeans_step", // broadcast of the 16-row centroid codebook (assignment product)
       "kmeans_train", // same ≤16-row centroid broadcast, once per Lloyd round (×3)
-      "mix_weights") // broadcasts of the 1-row token-total and 1-row weight-sum aggregates
+      "mix_weights", // broadcasts of the 1-row token-total and 1-row weight-sum aggregates
+      "bm25_topk") // broadcast of the 1-row (n_docs, n_toks) corpus-stats aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
