@@ -78,11 +78,15 @@ object CurationQueries {
     "contamination_score" -> Q(
       fn = (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // per-doc DISTINCT shingles (the score denominator) deduped
+        // MAP-SIDE via array_distinct BEFORE the explode — a post-explode
+        // .distinct() computes the same rows through a corpus-wide shuffle
+        // (measured ~25% of the query at sf0.1); after this the
+        // (doc_id, s) rows are unique by construction
         val sh = docs
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
-          .distinct() // per-doc DISTINCT shingles: the score denominator
+          .select(col("doc_id"), explode(array_distinct(expr(shingles5))).as("s"))
         val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
         sh.filter(col("doc_id") % 97 =!= 0)
           .join(bench.withColumn("hit", lit(1)), Seq("s"), "left")
@@ -560,7 +564,12 @@ object CurationQueries {
     // broadcasts when it fits); per-doc agg carries two numbers.
     "bigram_logprob" -> Q(
       fn = (s, dir) => {
-        val bi = Tables.load(s, dir, "documents")
+        // ONE corpus pass: the per-(doc, a, b) multiplicity agg feeds
+        // everything — nb = Σ c per (a, b), na = Σ nb per a, and the
+        // per-doc score joins the (doc-distinct-bigram)-sized tf3 frame,
+        // not the raw corpus bigram stream, weighting each logp6 by its
+        // exact int multiplicity (decimal × bigint is exact).
+        val tf3 = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(expr(
@@ -568,14 +577,15 @@ object CurationQueries {
               |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
               .stripMargin)).as("e"))
           .select(col("doc_id"), col("e.a").as("a"), col("e.b").as("b"))
-        val counts = bi.groupBy("a", "b").agg(count(lit(1)).as("nb"))
+          .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c"))
+        val counts = tf3.groupBy("a", "b").agg(sum(col("c")).as("nb"))
         val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
         val model = counts.join(ctx, Seq("a"))
           .select(col("a"), col("b"),
             round(log(col("nb") / col("na")), 6).cast("decimal(12,6)").as("logp6"))
-        bi.join(model, Seq("a", "b"))
+        tf3.join(model, Seq("a", "b"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("logp6")).as("sl"))
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
           .select(col("doc_id"), col("n_bigrams"),
             round(col("sl").cast("double") / col("n_bigrams"), 6).as("logprob"))
           .orderBy("doc_id")
@@ -585,13 +595,14 @@ object CurationQueries {
           |bi AS (SELECT doc_id, UNNEST(list_transform(range(len(toks) - 1),
           |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
           |       FROM t WHERE len(toks) >= 2),
-          |c AS (SELECT a, b, COUNT(*) AS nb FROM bi GROUP BY a, b),
-          |cx AS (SELECT a, SUM(nb) AS na FROM c GROUP BY a),
-          |m AS (SELECT c.a, c.b,
+          |tf3 AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bi GROUP BY doc_id, a, b),
+          |cnt AS (SELECT a, b, SUM(c) AS nb FROM tf3 GROUP BY a, b),
+          |cx AS (SELECT a, SUM(nb) AS na FROM cnt GROUP BY a),
+          |m AS (SELECT cnt.a, cnt.b,
           |             CAST(round(ln(CAST(nb AS DOUBLE) / na), 6) AS DECIMAL(12,6)) AS logp6
-          |      FROM c JOIN cx ON c.a = cx.a),
-          |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp6) AS sl
-          |        FROM bi JOIN m ON bi.a = m.a AND bi.b = m.b GROUP BY doc_id)
+          |      FROM cnt JOIN cx ON cnt.a = cx.a),
+          |agg AS (SELECT doc_id, SUM(c) AS n_bigrams, SUM(logp6 * c) AS sl
+          |        FROM tf3 JOIN m ON tf3.a = m.a AND tf3.b = m.b GROUP BY doc_id)
           |SELECT doc_id, n_bigrams, round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS logprob
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
