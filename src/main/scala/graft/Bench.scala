@@ -109,10 +109,16 @@ object Bench {
     val fullFile = new java.io.File(outDir, "BENCH_FULL.json").getAbsoluteFile
     val fw = new java.io.PrintWriter(fullFile)
     try fw.println(fullJson) finally fw.close()
-    println(
+    val line =
       s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"queries":$qs,"noise":$noise,""" +
-        s""""full":"${fullFile.getPath}","sf":"$sf"}""")
+        s""""full":"${fullFile.getPath}","sf":"$sf"}"""
+    // stdout ONLY — sbt merges the forked process's stderr back into its
+    // own stdout, so printing the line to both streams would duplicate it
+    // and break the one-JSON-line contract. When a capture misses the
+    // line (r4/r5 driver artifacts carried parsed:null), BENCH_FULL.json
+    // is the committed source of truth.
+    println(line)
     spark.stop()
   }
 }
