@@ -551,6 +551,71 @@ object CurationQueries {
           |SELECT doc_id, MAX(n) AS n_tokens, round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- top collocations by PMI (added r6) ------------------------------
+    // Pointwise mutual information of adjacent token pairs,
+    // PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = nb/B over
+    // bigram occurrences and p(a) = c/T over tokens — the classic
+    // collocation/phrase-mining primitive (the "New York" detector that
+    // feeds phrase-aware tokenizers). Support floor nb ≥ 20 kills the
+    // low-count PMI explosion. Float parity: the ratio is a fixed
+    // left-to-right chain of correctly-rounded double ops + the probed ln;
+    // ranking keys are 6 dp-rounded with a pair tie-break. Scale shape:
+    // bigram + unigram aggs off one corpus pass each, two vocab-sized
+    // joins (unhinted), TakeOrderedAndProject for the top-25.
+    "pmi_top_pairs" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val uni = toks
+          .select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val tTot = uni.agg(sum(col("c")).as("tt"))
+        val bi = toks
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= 20)
+        val bTot = bi.agg(sum(col("nb")).as("bt"))
+        val pmi = bi
+          .join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+          .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+          .crossJoin(broadcast(bTot))
+          .crossJoin(broadcast(tTot))
+          .withColumn("pmi", round(log(
+            (col("nb").cast("double") / col("bt")) /
+              ((col("ca").cast("double") / col("tt")) * (col("cb").cast("double") / col("tt")))), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("a"), col("b"))
+        pmi.orderBy(col("pmi").desc, col("a"), col("b")).limit(25)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("a"), col("b"), col("nb"), col("pmi"))
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |uni AS (SELECT UNNEST(toks) AS tok FROM t),
+          |u AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+          |tt AS (SELECT SUM(c) AS tt FROM u),
+          |bix AS (SELECT UNNEST(list_transform(range(len(toks) - 1),
+          |          i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+          |        FROM t WHERE len(toks) >= 2),
+          |bi AS (SELECT a, b, COUNT(*) AS nb FROM bix GROUP BY a, b HAVING COUNT(*) >= 20),
+          |bt AS (SELECT SUM(nb) AS bt FROM bi),
+          |pmi AS (
+          |  SELECT bi.a, bi.b, bi.nb,
+          |         round(ln((CAST(nb AS DOUBLE) / bt.bt) /
+          |           ((CAST(ua.c AS DOUBLE) / tt.tt) * (CAST(ub.c AS DOUBLE) / tt.tt))), 6) AS pmi
+          |  FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
+          |       CROSS JOIN bt CROSS JOIN tt),
+          |rk AS (SELECT a, b, nb, pmi,
+          |              ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank FROM pmi)
+          |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
+          |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+
     // ---- per-doc bigram log-probability (added r6) -----------------------
     // The order-2 refinement of unigram_logprob — the CCNet/KenLM-proxy
     // quality score one step up: per doc, the mean ln p(w_i | w_{i-1})
