@@ -54,6 +54,56 @@ object Q {
   private[queries] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Min-label connected components over a SYMMETRIC (src, dst) edge frame
+    * (extracted r6 from dedup_clusters so the embedding and text near-dup
+    * graphs share one loop). Returns (id, label) for every node in the
+    * graph. Per round ONE join + ONE agg: the edge set is augmented with
+    * (label(v) → v), so min-label propagation over it folds in pointer
+    * jumping (v adopts its label's label) in the same shuffle as the
+    * neighbor min. Because label(u) ≤ u always, the agg's min over
+    * N(v) ∪ {label(v)} already includes the old-label bound. Convergence:
+    * labels are per-node monotone non-increasing, so the label SUM (exact
+    * decimal, overflow-proof) is strictly decreasing until the fixpoint —
+    * a join-free scalar read per round. Lineage is truncated through
+    * [[truncate]] (reliable checkpoint on clusters, localCheckpoint in
+    * local mode). Fails loudly if the diameter exceeds the round cap. */
+  private[queries] def connectedComponents(symRaw: DataFrame): DataFrame = {
+    val sym = truncate(symRaw.toDF("src", "dst"))
+    // Round 1 for free: with identity labels, one propagation round yields
+    // label(v) = min({v} ∪ N(v)) — a pure union + min-agg over the edge
+    // list, no join and no separate identity-labels materialization.
+    var labels = truncate(
+      sym.select(col("dst").as("id"), col("src").as("label"))
+        .union(sym.select(col("src").as("id"), col("src").as("label")))
+        .groupBy("id").agg(min(col("label")).as("label")))
+    var prevSum: Option[java.math.BigDecimal] = null
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 50
+    while (!converged && rounds < MaxRounds) {
+      val aug = sym.union(labels.select(col("label").as("src"), col("id").as("dst")))
+      val next = truncate(
+        aug.join(labels.as("l"), aug("src") === col("l.id"))
+          .groupBy(aug("dst").as("id")).agg(min(col("l.label")).as("label")))
+      val curSum = Option( // None on an empty (edge-free) graph
+        next.agg(sum(col("label").cast("decimal(28,0)"))).head().getDecimal(0))
+      // value comparison via compareTo: BigDecimal.equals is scale-sensitive
+      // (2 != 2.00) and must not decide convergence
+      converged = prevSum != null && ((prevSum, curSum) match {
+        case (None, None)       => true
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case _                  => false
+      })
+      prevSum = curSum
+      labels = next
+      rounds += 1
+    }
+    // Silent early exit would return WRONG labels on a graph whose
+    // component diameter exceeds the cap — fail loudly instead.
+    require(converged, s"connectedComponents: no fixpoint in $MaxRounds rounds")
+    labels
+  }
 }
 
 object Queries {

@@ -301,63 +301,17 @@ object SimilarityQueries {
         val (pairsDf, sigCache) =
           lshNearDupPairsUnsorted(Tables.load(s, dir, "embeddings"), 0.40)
         val pairs = pairsDf.select(col("a_id"), col("b_id"))
-        // Checkpoint, not cache: each round's plan references the
-        // previous round's, so without lineage TRUNCATION the logical plan
-        // doubles per round and analysis cost explodes on deeper graphs
-        // (the standard iterative-algorithm discipline; eager=true also
-        // materializes, so the loop's scalar read is the only other action).
-        // truncate() picks reliable vs local checkpointing — see its doc.
-        val sym = truncate(pairs
+        // The symmetric edge list is checkpointed inside connectedComponents
+        // (lineage truncation; reliable checkpoint on clusters — Q.truncate),
+        // after which the LSH signature cache can drop. The min-label loop
+        // itself (1 join + 1 agg per round, pointer jumping folded into the
+        // same shuffle, join-free decimal-sum convergence, loud
+        // non-convergence failure) lives in [[Q.connectedComponents]],
+        // shared r6 with the text-side dedup_minhash_clusters.
+        val sym = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("src", "dst"))
-        sigCache.unpersist() // pairs are materialized in sym; drop the LSH cache
-        // Round 1 for free (r5): with identity labels, one propagation
-        // round yields label(v) = min({v} ∪ N(v)) — computable as a pure
-        // union + min-agg over the edge list, no join and no separate
-        // identity-labels checkpoint. The loop below therefore starts at
-        // round 2, two driver jobs cheaper than materializing identity
-        // labels and joining them.
-        var labels = truncate(
-          sym.select(col("dst").as("id"), col("src").as("label"))
-            .union(sym.select(col("src").as("id"), col("src").as("label")))
-            .groupBy("id").agg(min(col("label")).as("label")))
-        // Per round ONE join + ONE agg (the minimal distributed-CC round):
-        // the edge set is augmented with (label(v) → v), so min-label
-        // propagation over it folds in POINTER JUMPING (v adopts its label's
-        // label — the parallel-CC shortcut toward O(log diameter) rounds)
-        // in the same shuffle as the neighbor min. Because label(u) ≤ u
-        // always, the agg's min over N(v) ∪ {label(v)} already includes the
-        // old-label bound — no `least(old, …)` join needed. Convergence:
-        // labels are per-node monotone non-increasing, so the label SUM is
-        // strictly decreasing until the fixpoint — compare a decimal sum
-        // (overflow-proof at any id range) of the materialized checkpoint
-        // between rounds: a join-free scalar read instead of the round-3
-        // version's full old-vs-new re-join.
-        var prevSum: Option[java.math.BigDecimal] = null
-        var converged = false
-        var rounds = 0
-        val MaxRounds = 50
-        while (!converged && rounds < MaxRounds) {
-          val aug = sym.union(labels.select(col("label").as("src"), col("id").as("dst")))
-          val next = truncate(
-            aug.join(labels.as("l"), aug("src") === col("l.id"))
-              .groupBy(aug("dst").as("id")).agg(min(col("l.label")).as("label")))
-          val curSum = Option( // None on an empty (edge-free) graph
-            next.agg(sum(col("label").cast("decimal(28,0)"))).head().getDecimal(0))
-          // value comparison via compareTo: BigDecimal.equals is
-          // scale-sensitive (2 != 2.00) and must not decide convergence
-          converged = prevSum != null && ((prevSum, curSum) match {
-            case (None, None)       => true
-            case (Some(a), Some(b)) => a.compareTo(b) == 0
-            case _                  => false
-          })
-          prevSum = curSum
-          labels = next
-          rounds += 1
-        }
-        // Silent early exit would return WRONG labels on a graph whose
-        // component diameter exceeds the cap — fail loudly instead.
-        require(converged, s"dedup_clusters: CC did not converge in $MaxRounds rounds")
+        val labels = Q.connectedComponents(sym)
+        sigCache.unpersist() // pairs are materialized in the CC checkpoint
         labels.select(col("id").as("vec_id"), col("label").as("cluster"))
           .orderBy("vec_id")
       },

@@ -41,6 +41,56 @@ object TextQueries {
     * corpus size). */
   private[queries] val NgramDfCap = 8
 
+  /** The MinHash+LSH near-dup PAIR pipeline (extracted r6 so the pair query
+    * and dedup_minhash_clusters share it): codegen'd signatures → banded
+    * equi-join candidates → exact-Jaccard verify at 0.5. Returns the
+    * UNSORTED (a_id, b_id, jacc) frame plus the shingle cache handle.
+    *
+    * The shingle set is cached: it feeds the signature pass AND both sides
+    * of the verify join — without it every branch re-runs the parquet scan
+    * + tokenize + shingle HOF (at cluster scale this is a
+    * persist(DISK_AND_MEMORY) of ~doc_count rows). Signatures are ONE
+    * codegen'd map-side expression (same rewrite as SimhashFingerprint):
+    * one md5 per shingle, the 8 "independent" hash functions are disjoint
+    * 4-hex-char digest slices (16-bit minhashes — plenty for banding,
+    * false band collisions are killed by the exact verify). No explode, no
+    * min-agg shuffle. `.filter(isNotNull)`: a null signature (empty/null
+    * shingle set) must VANISH from banding like the old min-agg's empty
+    * group — concat_ws skips nulls, so unfiltered null sigs would all
+    * collide on one degenerate band key (O(m²) spurious candidates). */
+  private[queries] def minhashPairsWithHandle(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sh = Tables.load(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shinglesExpr))
+      .select("doc_id", "shingles")
+      .cache()
+    val withSig = sh.select(col("doc_id"),
+        graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+      .filter(col("sigs").isNotNull)
+    // all band keys in ONE pass over the signatures
+    val bands = withSig.select(col("doc_id"),
+        explode(array((0 until NumHashes / BandSize).map { b =>
+          md5(concat_ws("|", lit(b.toString),
+            col("sigs").getItem(2 * b), col("sigs").getItem(2 * b + 1)))
+        }: _*)).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .withColumn("jacc",
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jacc") >= 0.5)
+      .select("a_id", "b_id", "jacc")
+    (pairs, sh)
+  }
+
   /** Exploded (source, doc_id, shingle) rows of a shingle frame. */
   private def ngramExploded(sh: org.apache.spark.sql.DataFrame) =
     sh.select(col("source"), col("doc_id"), explode(col("shingles")).as("sh"))
@@ -524,49 +574,9 @@ object TextQueries {
     // candidate pairs share ≥1 band key; verified with exact Jaccard ≥ 0.5.
     "dedup_minhash_lsh" -> Q(
       fn = (s, dir) => {
-        // cached: the shingle set is consumed by the signature pass AND both
-        // sides of the verify join — without it every branch re-runs the
-        // parquet scan + tokenize + shingle HOF (per-doc data is tiny; at
-        // cluster scale this is a persist(DISK_AND_MEMORY) of ~doc_count rows)
-        val sh = Tables.load(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("shingles", expr(shinglesExpr))
-          .select("doc_id", "shingles")
-          .cache()
-        // signatures as ONE codegen'd map-side expression (same rewrite as
-        // SimhashFingerprint): one md5 per shingle, the 8 "independent"
-        // hash functions are disjoint 4-hex-char slices of the digest
-        // (16-bit minhashes — plenty for banding, false band collisions are
-        // killed by the exact-Jaccard verify). No explode, no min-agg
-        // shuffle: signatures materialize in the same pass that reads the
-        // cached shingles.
-        // .filter(isNotNull): a null signature (empty/null-element shingle
-        // set) must VANISH from banding like the old min-agg's empty group —
-        // concat_ws skips nulls, so unfiltered null sigs would all collide
-        // on the same degenerate band keys (O(m²) spurious candidates)
-        val withSig = sh.select(col("doc_id"),
-            graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
-          .filter(col("sigs").isNotNull)
-        // all band keys in ONE pass over the signatures
-        val bands = withSig.select(col("doc_id"),
-            explode(array((0 until NumHashes / BandSize).map { b =>
-              md5(concat_ws("|", lit(b.toString),
-                col("sigs").getItem(2 * b), col("sigs").getItem(2 * b + 1)))
-            }: _*)).as("bk"))
-        val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        cand
-          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
-          .withColumn("jacc",
-            size(array_intersect(col("sa"), col("sb"))).cast("double")
-              / size(array_union(col("sa"), col("sb"))))
-          .filter(col("jacc") >= 0.5)
-          .select("a_id", "b_id", "jacc")
-          .orderBy("a_id", "b_id")
+        val (pairs, shCache) = minhashPairsWithHandle(s, dir)
+        shCache // query-scoped cache (see Q's cache-lifecycle contract)
+        pairs.orderBy("a_id", "b_id")
       },
       oracle = Some {
         val sigs = (0 until NumHashes).map(k =>
@@ -595,6 +605,61 @@ object TextQueries {
            |ORDER BY a_id, b_id""".stripMargin
       },
       headline = true),
+
+    // ---- text near-dup CLUSTERS: CC over the MinHash pair graph (r6) -----
+    // The text-side twin of dedup_clusters (embeddings): group mutually
+    // near-duplicate DOCUMENTS so one survivor per cluster can be kept
+    // (A~B, B~C ⇒ {A,B,C} even when A~C's band collision was missed).
+    // Pair generation is the shared [[minhashPairsWithHandle]] pipeline;
+    // the min-label propagation loop is the shared [[Q.connectedComponents]]
+    // (1 join + 1 agg per round, pointer jumping in-shuffle, reliable
+    // checkpoint on clusters). Oracle: recursive-CTE transitive closure
+    // over the same verified pair set — exponential on big components,
+    // fine at gate scale, which is exactly why the Spark side doesn't use
+    // it.
+    "dedup_minhash_clusters" -> Q(
+      fn = (s, dir) => {
+        val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
+        val pairs = pairsDf.select(col("a_id"), col("b_id"))
+        val labels = Q.connectedComponents(
+          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        shCache.unpersist() // pairs are materialized in the CC checkpoint
+        labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+           |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+           |        UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(s, d) AS (
+           |  SELECT s, d FROM sym
+           |  UNION
+           |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
+           |)
+           |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+           |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- n-gram Jaccard similarity over a candidate window ---------------
     // All-pairs within each source (sources are small groups) — exact
