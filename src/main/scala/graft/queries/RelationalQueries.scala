@@ -715,6 +715,57 @@ object RelationalQueries {
           |       arg_max("value", event_id) AS last_value
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- boolean / conditional-count aggregates (added r6) ---------------
+    "q_bool_aggs" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            count_if(col("value") > 100).as("n_over100"),
+            bool_and(col("value") >= 0).as("all_nonneg"),
+            bool_or(col("value") > 490).as("any_huge"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """SELECT event_type,
+          |       CAST(SUM(CASE WHEN "value" > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_over100,
+          |       bool_and("value" >= 0) AS all_nonneg,
+          |       bool_or("value" > 490) AS any_huge
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- IGNORE NULLS value windows (added r6) ---------------------------
+    // Carry-forward of the last non-null observation — the gap-filling
+    // primitive (LOCF): per user, the value of their LAST purchase in
+    // (ts, event_id) order, read through last_value(..., IGNORE NULLS)
+    // over the full partition frame; users with no purchase carry NULL.
+    "q_ignore_nulls" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Tables.load(s, dir, "events")
+          .withColumn("purchase_value",
+            when(col("event_type") === "purchase", col("value")))
+          .withColumn("last_purchase",
+            last(col("purchase_value"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            first(col("last_purchase"), ignoreNulls = false).as("last_purchase"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT user_id, ts, event_id,
+          |                  CASE WHEN event_type = 'purchase' THEN "value" END AS pv
+          |           FROM events),
+          |w AS (SELECT user_id,
+          |             LAST_VALUE(pv IGNORE NULLS) OVER (
+          |               PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_purchase
+          |      FROM t)
+          |SELECT user_id, COUNT(*) AS n_events, ANY_VALUE(last_purchase) AS last_purchase
+          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- pivot -----------------------------------------------------------
     "q_pivot" -> Q(
       fn = (s, dir) => {

@@ -17,6 +17,19 @@ object SqlQueries {
 
   val all: Map[String, Q] = Map(
 
+    // FILTER (WHERE …) aggregate clause (added r6) — one pass computing
+    // conditional aggregates without CASE scaffolding; identical text on
+    // both engines pins the SQL front-end's FILTER support. Money sum
+    // through exact DECIMAL, output as correctly-rounded DOUBLE.
+    "q_filter_clause" -> sqlQ(
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_rows,
+        |       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_highdisc,
+        |       COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // correlated scalar subquery: customers above their nation's mean balance
     "q_scalar_subquery" -> sqlQ(
       """SELECT c_custkey, c_acctbal FROM customer c
