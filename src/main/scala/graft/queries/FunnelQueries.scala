@@ -18,6 +18,61 @@ object FunnelQueries {
 
   val all: Map[String, Q] = Map(
 
+    // ---- calendar resample + LOCF gap-fill (added r6) --------------------
+    // The time-series feature-engineering staple: regularize each user's
+    // irregular purchase events onto the corpus's daily calendar grid and
+    // carry the last observation forward across gap days (LOCF). Per
+    // (user, day): purchase count and the day-end purchase value, where
+    // "day-end" = the day's last purchase by event_id and gap days inherit
+    // the most recent prior day's value (NULL before a user's first
+    // purchase — LOCF never invents data). Scale shape: the observation agg
+    // is one shuffle on (user, day); the grid is users × days — generated,
+    // never shuffled (a 1-row global-bounds broadcast + a per-user
+    // sequence() explode), so grid size is |users|·|days| rows of three
+    // columns, not a corpus-sized product; the LOCF window partitions by
+    // user over |days|-sized partitions. Value parity is trivially exact:
+    // LOCF copies source doubles, no arithmetic touches them.
+    "resample_locf" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val obs = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            max_by(col("value"), col("event_id")).as("day_last"))
+        val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+          to_date(max(col("ts"))).as("d1"))
+        val grid = ev.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        grid.join(obs, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            last(col("day_last"), ignoreNulls = true).over(w).as("locf_value"))
+          .orderBy("user_id", "day")
+      },
+      oracle = Some(
+        """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, "value", event_id
+          |           FROM events WHERE event_type = 'purchase'),
+          |obs AS (SELECT user_id, day, COUNT(*) AS n_purchases,
+          |               arg_max("value", event_id) AS day_last
+          |        FROM p GROUP BY user_id, day),
+          |b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+          |      FROM events),
+          |grid AS (SELECT u.user_id,
+          |                CAST(UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+          |                                            CAST(b.d1 AS TIMESTAMP),
+          |                                            INTERVAL 1 DAY)) AS DATE) AS day
+          |         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN b)
+          |SELECT g.user_id, g.day,
+          |       COALESCE(o.n_purchases, 0) AS n_purchases,
+          |       last_value(o.day_last IGNORE NULLS) OVER (
+          |         PARTITION BY g.user_id ORDER BY g.day) AS locf_value
+          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+          |ORDER BY g.user_id, g.day""".stripMargin)),
+
     // ---- per-bucket per-window admission quota (added r6) ----------------
     // The throttling half of bucket priority (the reference's buckets
     // prioritize; quotas BOUND): admit the first N=50 events per

@@ -331,6 +331,81 @@ object SimilarityQueries {
            |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
            |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin)),
 
+    // ---- SemDeDup: cluster-then-prune semantic dedup (added r6) ----------
+    // The published cluster-restricted semantic dedup (SemDeDup, Abbas et
+    // al. 2023, arXiv:2303.09540): k-means-cluster the embeddings, then
+    // search for near-duplicate pairs ONLY within a cluster — the pairwise
+    // cost drops from O(n²) to O(Σ per-cluster size²), which is the whole
+    // trick. Assignment here is one deterministic Lloyd assignment to the
+    // 16 seed centroids (the ivf_topk/kmeans codebook convention; a real
+    // run chains kmeans_train first and picks k ∝ corpus size so per-
+    // cluster membership stays bounded — that k choice, not this query
+    // shape, is what keeps the self-join subquadratic at 100 TB). A vector
+    // is REMOVED when an earlier (lower vec_id) member of its cluster is
+    // within cosine ≥ 0.35 — the keep-one-per-dup-set rule made
+    // deterministic. Output: the removed vectors with their cluster, how
+    // many earlier near-dups doomed them, and the strongest such tie.
+    // Scale shape: assignment is a 16-row broadcast + map-side min(struct)
+    // argmin; the self-join shuffles BOTH sides once on the cluster key
+    // (co-partitioned equi-join, no cartesian); the argmin subtree feeds
+    // both join sides via ReusedExchange (one corpus pass). Float parity:
+    // fused codegen cosine = DuckDB's left-fold list_reduce bit-for-bit,
+    // so the raw 0.35 comparison and max(sim) agree exactly.
+    "semdedup" -> Q(
+      fn = (s, dir) => {
+        import graft.functions.VectorFunctions.floatL2Sq
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val assigned = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .groupBy("vec_id")
+          .agg(min(struct(
+              coalesce(floatL2Sq(col("embedding"), col("centv")),
+                lit(Double.PositiveInfinity)).as("d2"),
+              col("cent_id"))).as("m"),
+            first(col("embedding")).as("embedding"))
+          .select(col("vec_id"), col("m.cent_id").as("cluster"), col("embedding"))
+        val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+          col("embedding").as("av"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+          col("embedding").as("bv"))
+        a.join(b, Seq("cluster"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
+          .filter(col("sim") >= 0.35)
+          .groupBy(col("cluster"), col("b_id").as("removed_id"))
+          .agg(count(lit(1)).as("n_near"), round(max(col("sim")), 6).as("max_sim"))
+          .orderBy("cluster", "removed_id")
+      },
+      oracle = Some {
+        val l2 =
+          """list_reduce(list_transform(range(1, 65),
+            |  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            |     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))),
+            |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
+           |               FROM embeddings WHERE vec_id < 16),
+           |assigned AS (
+           |  SELECT vec_id, embedding, cluster FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $l2, c.cent_id) AS rk
+           |    FROM embeddings e CROSS JOIN cents c) t
+           |  WHERE rk = 1),
+           |pairs AS (
+           |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+           |         ${duckDot("a.embedding", "b.embedding")}
+           |           / (sqrt(${duckDot("a.embedding", "a.embedding")})
+           |            * sqrt(${duckDot("b.embedding", "b.embedding")})) AS sim
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           |SELECT cluster, b_id AS removed_id, COUNT(*) AS n_near,
+           |       round(MAX(sim), 6) AS max_sim
+           |FROM pairs WHERE sim >= 0.35
+           |GROUP BY cluster, b_id ORDER BY cluster, removed_id""".stripMargin
+      }),
+
     // ---- random-hyperplane LSH ANN ---------------------------------------
     // 8 signed projections → 8-bit signature → candidates share the exact
     // signature bucket → exact cosine inside the bucket. The hyperplanes are

@@ -55,7 +55,9 @@ class PlanGuardSpec extends SparkTestBase {
       "kmeans_train", // same ≤16-row centroid broadcast, once per Lloyd round (×3)
       "mix_weights", // broadcasts of the 1-row token-total and 1-row weight-sum aggregates
       "bm25_topk", // broadcast of the 1-row (n_docs, n_toks) corpus-stats aggregate
-      "pmi_top_pairs") // broadcasts of the 1-row bigram-total and token-total aggregates
+      "pmi_top_pairs", // broadcasts of the 1-row bigram-total and token-total aggregates
+      "semdedup", // broadcast of the 16-row centroid codebook (assignment product)
+      "resample_locf") // broadcast of the 1-row calendar-bounds aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
