@@ -105,4 +105,44 @@ class SimilarityQueriesSpec extends SparkTestBase {
     assert(recall >= 0.9, s"planted recall $recall (${found.size}/$n)")
     spark.catalog.clearCache()
   }
+
+  // The SemDeDup keep-rule guarantee: after pruning, no two SURVIVING
+  // same-cluster vectors are near-duplicates. (A kept vector by definition
+  // has no earlier in-cluster near-dup at all, so for kept a < kept b the
+  // pair (a, b) cannot be near — this is the property that makes the
+  // removed set a valid dedup, not just a pair listing.) Also pins the
+  // determinism anchor: the lowest-vec_id member of every cluster survives.
+  test("semdedup: survivors are pairwise non-near within a cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    // independent assignment model: window argmin over the cross product
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    val assigned = emb.crossJoin(cents)
+      .withColumn("d2", graft.functions.VectorFunctions.floatL2Sq(
+        col("embedding"), col("centv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"))
+    val removed = graft.SparkEntry.queries("semdedup")(spark, dir)
+      .select("removed_id").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty)
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val nearPairs = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
+      .filter(col("sim") >= 0.35)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivorNear = nearPairs.filter { case (x, y) => !removed(x) && !removed(y) }
+    assert(survivorNear.isEmpty, s"near survivor pairs: ${survivorNear.take(5).toSeq}")
+    // the earliest member of each cluster can have no earlier near-dup
+    val clusterMin = assigned.groupBy("cluster").agg(min("vec_id").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(clusterMin.intersect(removed).isEmpty,
+      s"cluster-minimum vectors removed: ${clusterMin.intersect(removed).take(5)}")
+    spark.catalog.clearCache()
+  }
 }
