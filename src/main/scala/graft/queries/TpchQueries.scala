@@ -363,6 +363,99 @@ object TpchQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin)
+        |ORDER BY c_nationkey""".stripMargin),
+
+    // ---- TPC-H Q2: minimum-cost supplier (added r6 — completes the tier) --
+    // The classic correlated-min subquery, adapted: with no partsupp table
+    // the (part, supplier) relation and its cost come from lineitem —
+    // supplycost := MIN(extendedprice) over the pair's lineitems (exact
+    // decimal, no division). Decorrelated by hand the way Catalyst would:
+    // the per-part regional minimum is an aggregate joined back on
+    // (partkey, cost) — both joins equi-keyed on partkey, so the ps → minc
+    // → winner chain reuses one partkey partitioning; the region-restricted
+    // supplier dim broadcasts. The sort key (acctbal DESC, n_name, s_name,
+    // partkey) is a total order (names unique per supplier, one row per
+    // (part, supplier)), so LIMIT 100 is deterministic.
+    "q2_min_cost_supplier" -> Q(
+      fn = (s, dir) => {
+        val ps = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .agg(min(dec("l_extendedprice")).as("supplycost"))
+        val eu = Tables.load(s, dir, "supplier")
+          .join(Tables.load(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val eups = ps.join(broadcast(eu), col("suppkey") === col("s_suppkey"))
+        val minc = eups.groupBy("partkey").agg(min(col("supplycost")).as("supplycost"))
+        eups.join(minc, Seq("partkey", "supplycost"))
+          .join(
+            Tables.load(s, dir, "part")
+              .filter(col("p_size") <= 10 && col("p_type") === "LARGE"),
+            col("partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_type"),
+            col("supplycost").cast("double").as("supplycost"))
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      oracle = Some(
+        """WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+          |                   MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+          |            FROM lineitem GROUP BY 1, 2),
+          |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+          |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |                     JOIN region ON n_regionkey = r_regionkey
+          |       WHERE r_name = 'EUROPE'),
+          |eups AS (SELECT ps.partkey, ps.supplycost, s.s_suppkey, s.s_name, s.s_acctbal, s.n_name
+          |         FROM ps JOIN eu s ON s.s_suppkey = ps.suppkey),
+          |minc AS (SELECT partkey, MIN(supplycost) AS mc FROM eups GROUP BY 1)
+          |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+          |       CAST(e.supplycost AS DOUBLE) AS supplycost
+          |FROM eups e JOIN minc m ON e.partkey = m.partkey AND e.supplycost = m.mc
+          |            JOIN part p ON p.p_partkey = e.partkey
+          |WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+          |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+          |LIMIT 100""".stripMargin)),
+
+    // ---- TPC-H Q11: important stock (added r6 — completes the tier) -------
+    // Per-part value within one region's suppliers, keeping parts above the
+    // HAVING-threshold scalar subquery. Adapted: value := SUM(extendedprice)
+    // off lineitem; the synthetic corpus is value-flat, so the classic
+    // fixed-fraction cut is replaced by "above 1.5x the mean part value",
+    // cross-multiplied (2*n*val > 3*total) so the comparison is exact
+    // integer x decimal arithmetic — no division anywhere, bit-identical on
+    // both engines. Scale shape: one fact agg on partkey, a 1-row total
+    // broadcast, a scan-thin filter — the classic Q11 plan minus partsupp.
+    "q11_important_stock" -> Q(
+      fn = (s, dir) => {
+        val value = Tables.load(s, dir, "lineitem")
+          .join(broadcast(Tables.load(s, dir, "supplier")
+              .join(Tables.load(s, dir, "nation"),
+                col("s_nationkey") === col("n_nationkey"))
+              .join(Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(dec("l_extendedprice")).as("value"))
+        val tot = value.agg(sum(col("value")).as("t"), count(lit(1)).as("n"))
+        value.crossJoin(broadcast(tot))
+          .filter(col("value") * col("n") * 2 > col("t") * 3)
+          .select(col("partkey"), col("value").cast("double").as("value"))
+          .orderBy(desc("value"), col("partkey"))
+      },
+      oracle = Some(
+        """WITH val AS (SELECT l_partkey AS partkey,
+          |                    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+          |             FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+          |                           JOIN nation ON n_nationkey = s_nationkey
+          |                           JOIN region ON r_regionkey = n_regionkey
+          |             WHERE r_name = 'EUROPE' GROUP BY 1),
+          |tot AS (SELECT SUM(val) AS t, COUNT(*) AS n FROM val)
+          |SELECT partkey, CAST(val AS DOUBLE) AS value FROM val, tot
+          |WHERE val * n * 2 > t * 3
+          |ORDER BY val DESC, partkey""".stripMargin))
   )
 }
