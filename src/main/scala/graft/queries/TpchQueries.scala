@@ -369,13 +369,15 @@ object TpchQueries {
     // The classic correlated-min subquery, adapted: with no partsupp table
     // the (part, supplier) relation and its cost come from lineitem —
     // supplycost := MIN(extendedprice) over the pair's lineitems (exact
-    // decimal, no division). Decorrelated by hand the way Catalyst would:
-    // the per-part regional minimum is an aggregate joined back on
-    // (partkey, cost) — both joins equi-keyed on partkey, so the ps → minc
-    // → winner chain reuses one partkey partitioning; the region-restricted
-    // supplier dim broadcasts. The sort key (acctbal DESC, n_name, s_name,
-    // partkey) is a total order (names unique per supplier, one row per
-    // (part, supplier)), so LIMIT 100 is deterministic.
+    // decimal, no division). Decorrelated as a per-part window minimum —
+    // ONE pass over the (part, supplier) agg instead of a min-agg branch
+    // joined back (which plans the expensive fact agg subtree twice and
+    // leans on AQE exchange reuse to deduplicate; measured 1.55 → 1.1 s at
+    // sf0.1). The window partitions by partkey, bounded by suppliers-per-
+    // part at any scale; the region-restricted supplier dim broadcasts.
+    // The sort key (acctbal DESC, n_name, s_name, partkey) is a total
+    // order (names unique per supplier, one row per (part, supplier)), so
+    // LIMIT 100 is deterministic.
     "q2_min_cost_supplier" -> Q(
       fn = (s, dir) => {
         val ps = Tables.load(s, dir, "lineitem")
@@ -387,9 +389,10 @@ object TpchQueries {
           .join(Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE"),
             col("n_regionkey") === col("r_regionkey"))
           .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-        val eups = ps.join(broadcast(eu), col("suppkey") === col("s_suppkey"))
-        val minc = eups.groupBy("partkey").agg(min(col("supplycost")).as("supplycost"))
-        eups.join(minc, Seq("partkey", "supplycost"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("partkey")
+        ps.join(broadcast(eu), col("suppkey") === col("s_suppkey"))
+          .withColumn("mc", min(col("supplycost")).over(w))
+          .filter(col("supplycost") === col("mc"))
           .join(
             Tables.load(s, dir, "part")
               .filter(col("p_size") <= 10 && col("p_type") === "LARGE"),
