@@ -698,6 +698,68 @@ object RelationalQueries {
           |ORDER BY p.event_id""".stripMargin)),
 
     // ---- min_by / max_by (argmin-argmax aggregates) ---------------------
+    // ---- join-key skew diagnostics (added r6) ----------------------------
+    // The pre-join audit behind the salting decision (SkewUtils): per key
+    // column — total rows, distinct keys, the heaviest key's share, the
+    // top-10 keys' combined share, and the Herfindahl concentration index
+    // HHI = Σ(cᵢ/n)². Everything reduces to exact integer/decimal sums
+    // (c² through DECIMAL(38,0) — a raw int64 square overflows at the
+    // 3×10⁹-row keys this is FOR) with one correctly-rounded double
+    // division each at the end, so parity needs no float discipline. Scale
+    // shape: one hash agg per key column, a 10-row TakeOrdered, two 1-row
+    // broadcasts — the fact tables are shuffled once each, as (key, count)
+    // partials.
+    "skew_profile" -> Q(
+      fn = (s, dir) => {
+        def profile(counts: DataFrame, label: String): DataFrame = {
+          val stats = counts.agg(
+            sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_count"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("sumsq"))
+          val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+            .agg(sum(col("c")).as("top10"))
+          stats.crossJoin(broadcast(top10))
+            .select(lit(label).as("key_table"),
+              col("n_rows"), col("n_keys"), col("max_count"),
+              round(col("max_count").cast("double") / col("n_rows").cast("double"), 6)
+                .as("max_share"),
+              round(col("top10").cast("double") / col("n_rows").cast("double"), 6)
+                .as("top10_share"),
+              round(col("sumsq").cast("double") /
+                (col("n_rows").cast("double") * col("n_rows").cast("double")), 6)
+                .as("hhi"))
+        }
+        val uc = Tables.load(s, dir, "events")
+          .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c"))
+        val pc = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+        profile(uc, "events.user_id")
+          .unionByName(profile(pc, "lineitem.l_partkey"))
+          .orderBy("key_table")
+      },
+      oracle = Some(
+        """WITH uc AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+          |pc AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+          |prof AS (
+          |  SELECT 'events.user_id' AS key_table,
+          |         CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+          |         MAX(c) AS max_count,
+          |         SUM(CAST(c AS DECIMAL(38,0)) * c) AS sumsq,
+          |         (SELECT SUM(c) FROM (SELECT c FROM uc ORDER BY c DESC, k LIMIT 10)) AS top10
+          |  FROM uc
+          |  UNION ALL
+          |  SELECT 'lineitem.l_partkey',
+          |         CAST(SUM(c) AS BIGINT), COUNT(*), MAX(c),
+          |         SUM(CAST(c AS DECIMAL(38,0)) * c),
+          |         (SELECT SUM(c) FROM (SELECT c FROM pc ORDER BY c DESC, k LIMIT 10))
+          |  FROM pc)
+          |SELECT key_table, n_rows, n_keys, max_count,
+          |       round(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS max_share,
+          |       round(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+          |       round(CAST(sumsq AS DOUBLE)
+          |             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi
+          |FROM prof ORDER BY key_table""".stripMargin)),
+
     "q_minby_maxby" -> Q(
       fn = (s, dir) => {
         Tables.load(s, dir, "events")

@@ -58,7 +58,8 @@ class PlanGuardSpec extends SparkTestBase {
       "pmi_top_pairs", // broadcasts of the 1-row bigram-total and token-total aggregates
       "semdedup", // broadcast of the 16-row centroid codebook (assignment product)
       "resample_locf", // broadcast of the 1-row calendar-bounds aggregate
-      "q11_important_stock") // broadcast of the 1-row (total, count) threshold aggregate
+      "q11_important_stock", // broadcast of the 1-row (total, count) threshold aggregate
+      "skew_profile") // broadcasts of the two 1-row top-10-share aggregates
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
