@@ -73,6 +73,89 @@ object FunnelQueries {
           |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
           |ORDER BY g.user_id, g.day""".stripMargin)),
 
+    // ---- snapshot diff: the CDC primitive (added r6) ---------------------
+    // Two activity snapshots (users active in a 6-hour window, with their
+    // event counts as the payload) diffed into the four change-data-capture
+    // classes: added (only in the later snapshot), removed (only in the
+    // earlier), changed (payload differs), unchanged. The full-outer join
+    // on the entity key IS the diff — the shape behind incremental
+    // lakehouse table maintenance (MERGE source classification). Scale
+    // shape: both snapshot aggs shuffle once on user_id and the join reuses
+    // that same partitioning (co-partitioned full outer, no broadcast
+    // needed at any scale); the class roll-up is 4 rows.
+    "snapshot_diff" -> Q(
+      fn = (s, dir) => {
+        def snap(d0: String, d1: String, n: String) =
+          Tables.load(s, dir, "events")
+            .filter(col("ts") >= lit(d0).cast("timestamp") &&
+              col("ts") < lit(d1).cast("timestamp"))
+            .groupBy("user_id").agg(count(lit(1)).as(n))
+        val w1 = snap("2024-01-10 00:00:00", "2024-01-10 06:00:00", "n1")
+        val w2 = snap("2024-01-24 00:00:00", "2024-01-24 06:00:00", "n2")
+        w1.join(w2, Seq("user_id"), "full_outer")
+          .withColumn("class",
+            when(col("n1").isNull, "added")
+              .when(col("n2").isNull, "removed")
+              .when(col("n1") === col("n2"), "unchanged")
+              .otherwise("changed"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col("n1")), lit(0L)).as("rows_before"),
+            coalesce(sum(col("n2")), lit(0L)).as("rows_after"))
+          .orderBy("class")
+      },
+      oracle = Some(
+        """WITH w1 AS (SELECT user_id, COUNT(*) AS n1 FROM events
+          |            WHERE ts >= TIMESTAMP '2024-01-10'
+          |              AND ts < TIMESTAMP '2024-01-10 06:00:00' GROUP BY 1),
+          |w2 AS (SELECT user_id, COUNT(*) AS n2 FROM events
+          |       WHERE ts >= TIMESTAMP '2024-01-24'
+          |         AND ts < TIMESTAMP '2024-01-24 06:00:00' GROUP BY 1),
+          |j AS (SELECT COALESCE(w1.user_id, w2.user_id) AS user_id, n1, n2
+          |      FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id)
+          |SELECT CASE WHEN n1 IS NULL THEN 'added' WHEN n2 IS NULL THEN 'removed'
+          |            WHEN n1 = n2 THEN 'unchanged' ELSE 'changed' END AS class,
+          |       COUNT(*) AS n_users,
+          |       CAST(COALESCE(SUM(n1), 0) AS BIGINT) AS rows_before,
+          |       CAST(COALESCE(SUM(n2), 0) AS BIGINT) AS rows_after
+          |FROM j GROUP BY 1 ORDER BY class""".stripMargin)),
+
+    // ---- SCD-2 interval build (added r6) ---------------------------------
+    // Slowly-changing-dimension type 2 off the event stream: per user,
+    // compress the purchase-value history to its CHANGE POINTS (keep a row
+    // only where the value differs from the previous observation) and emit
+    // validity intervals [valid_from, valid_to) via lead(), the open
+    // current row carrying valid_to = NULL. Two windows over the same
+    // (user_id)-partitioned (ts, event_id) order — one exchange + one sort
+    // feed both (the filter between them preserves order and partitioning).
+    // Values pass through untouched, so parity needs no float discipline.
+    "scd2_intervals" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("pv", lag(col("value"), 1).over(w))
+          .filter(col("pv").isNull || col("value") =!= col("pv"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("ts").as("valid_from"), col("valid_to"),
+            col("value"), col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      oracle = Some(
+        """WITH p AS (SELECT user_id, ts, event_id, "value",
+          |                  lag("value") OVER (PARTITION BY user_id
+          |                                     ORDER BY ts, event_id) AS pv
+          |           FROM events WHERE event_type = 'purchase'),
+          |ch AS (SELECT user_id, ts, event_id, "value"
+          |       FROM p WHERE pv IS NULL OR "value" != pv)
+          |SELECT user_id, ts AS valid_from,
+          |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+          |       "value",
+          |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |         AS is_current
+          |FROM ch ORDER BY user_id, valid_from""".stripMargin)),
+
     // ---- per-bucket per-window admission quota (added r6) ----------------
     // The throttling half of bucket priority (the reference's buckets
     // prioritize; quotas BOUND): admit the first N=50 events per
