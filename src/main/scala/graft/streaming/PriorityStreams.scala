@@ -606,6 +606,87 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming SCD-2 materializer (per-entity change capture) ----------
+
+  /** One valued observation for change capture. */
+  final case class Scd2Event(userId: Long, eventId: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** An SCD-2 validity-interval record. Update-mode upsert key is
+    * (userId, validFrom): a change CLOSES the previous interval (re-emits it
+    * with validTo + isCurrent = false, superseding the earlier open row) and
+    * OPENS the new one. */
+  final case class Scd2Row(userId: Long, validFrom: java.sql.Timestamp,
+      validTo: Option[java.sql.Timestamp], value: Double, isCurrent: Boolean)
+
+  /** Streaming twin of the batch `scd2_intervals` query: the CDC
+    * materializer that turns a value stream into slowly-changing-dimension
+    * type-2 history incrementally. State per entity is (current value,
+    * current validFrom micros); each batch's rows replay in full-precision
+    * (ts, eventId) order; on a change the processor emits the close of the
+    * open interval and the new open row — after upserting by
+    * (userId, validFrom), the sink holds exactly the batch query's interval
+    * table (spec-pinned on the real events table across a mid-stream batch
+    * split). Scale: one tuple of state per entity, RocksDB-backed; late
+    * events that would reorder history are dropped by arrival-order
+    * processing — the standard watermark trade-off, same as the funnel. */
+  final class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Scd2Event, Scd2Row] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Double, Long)]( // (value, validFrom micros)
+        "scd2", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    /** Exact inverse of [[tsMicros]] for micro-precision inputs. */
+    private def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[Scd2Event],
+        timerValues: TimerValues): Iterator[Scd2Row] = {
+      val arr = rows.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: Scd2Event, b: Scd2Event) =>
+          { val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.eventId < b.eventId) })
+      var cur = if (state.exists()) Some(state.get()) else None
+      val out = Seq.newBuilder[Scd2Row]
+      var i = 0
+      while (i < arr.length) {
+        val e = arr(i)
+        if (cur.forall(_._1 != e.value)) {
+          cur.foreach { case (v, from) => // close the open interval
+            out += Scd2Row(userId, fromMicros(from), Some(e.ts), v, isCurrent = false)
+          }
+          out += Scd2Row(userId, e.ts, None, e.value, isCurrent = true)
+          cur = Some((e.value, tsMicros(e.ts)))
+        }
+        i += 1
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+  }
+
+  /** SCD-2 interval records over a value stream, Update mode (upsert by
+    * (userId, validFrom)). */
+  def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(
+        new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming admission quota (per bucket × event-time day) -----------
 
   /** One event competing for quota. */

@@ -321,6 +321,45 @@ class PriorityStreamsSpec extends SparkTestBase {
       s"micro-spaced funnel advancements: $steps")
   }
 
+  test("streaming SCD-2 upserts == batch scd2_intervals on the same ordered input") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // real purchases, split at the time midpoint: an interval OPENED in
+    // batch 1 must be CLOSED by batch 2's first change for that user
+    val evs = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy("ts")
+      .as[(Long, Long, Timestamp, Double)].collect()
+    val mid = evs(evs.length / 2)._3
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    withRocksDB {
+      val q = scd2Stream(
+        in.toDF().toDF("userId", "eventId", "ts", "value")
+          .as[PriorityStreams.Scd2Event])
+        .writeStream.format("memory").queryName("scd2_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)))
+      q.processAllAvailable(); q.stop()
+    }
+    // upsert by (userId, validFrom): the LAST emission for a key wins
+    // (memory sink appends in emission order within and across batches)
+    val upserted = spark.table("scd2_out")
+      .select("userId", "validFrom", "validTo", "value", "isCurrent")
+      .as[(Long, Timestamp, Option[Timestamp], Double, Boolean)].collect()
+      .zipWithIndex
+      .groupBy(r => (r._1._1, r._1._2)).map { case (_, rs) => rs.maxBy(_._2)._1 }
+      .toSet
+    val batch = graft.SparkEntry.queries("scd2_intervals")(spark, dir)
+      .select("user_id", "valid_from", "valid_to", "value", "is_current")
+      .as[(Long, Timestamp, Option[Timestamp], Double, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(upserted == batch,
+      s"stream-batch diff: ${(upserted diff batch).take(3)} / ${(batch diff upserted).take(3)}")
+  }
+
   test("streaming quota == batch quota_admit on the same event-time-ordered input") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
