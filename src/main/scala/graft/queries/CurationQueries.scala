@@ -761,6 +761,99 @@ object CurationQueries {
            |       ${q(0.25, "p25")}, ${q(0.5, "p50")},
            |       ${q(0.75, "p75")}, ${q(0.95, "p95")}
            |FROM a ORDER BY source""".stripMargin
-      })
+      }),
+
+    // ---- shingle novelty vs earlier corpus (added r6) --------------------
+    // Per doc: the fraction of its distinct 5-token shingles first seen in
+    // THIS doc (first = minimum doc_id over the corpus) — the novelty curve
+    // behind dataset-ordering / incremental-crawl value estimates: novelty
+    // ~1 is fresh content, ~0 is re-crawled boilerplate. Scale shape: ONE
+    // shingle explode, one exchange — per-shingle first-seen is a window
+    // minimum over the shingle partition (bounded by a shingle's document
+    // frequency), not a min-agg joined back (which explodes the corpus
+    // TWICE: the partial agg before the agg's exchange breaks canonical
+    // equality, so ReusedExchange cannot dedup the two branches — measured
+    // 2.06 → 1.3 s at sf0.1); per-doc roll-up carries two ints. Exact-int
+    // ratio, one final correctly-rounded division.
+    "ngram_novelty" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+          .withColumn("fd", min(col("doc_id")).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("fd") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, UNNEST($shingles5Duck) AS s
+           |       FROM t WHERE len(toks) >= 5),
+           |first_seen AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s)
+           |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+           |       CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_novel,
+           |       round(CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / COUNT(*), 6) AS novelty
+           |FROM sh JOIN first_seen f USING (s)
+           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
+
+    // ---- per-source data card (added r6) ---------------------------------
+    // The datasheet/data-card roll-up: one row per source with the release
+    // metadata a dataset consumer reads first — doc count, exact-dup count
+    // (docs minus distinct text digests, the dedup_exact headline), language
+    // spread and dominant language, token volume, and mean doc length. One
+    // corpus pass computes every per-doc input; the dominant language is a
+    // deterministic (count DESC, lang ASC) rank over the tiny
+    // (source, lang) table. Scale shape: one per-source hash agg (distinct
+    // digest counting expands map-side like any count-distinct), a
+    // (source, lang)-sized rank window, one join of two source-keyed tiny
+    // tables. Exact-int everything; one final division.
+    "source_datacard" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_toks"), md5(col("text")).as("digest"))
+        val core = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (count(lit(1)) - countDistinct(col("digest"))).as("n_dup_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_toks")).as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n").desc, col("lang"))
+        val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        core.join(topLang, Seq("source"))
+          .withColumn("avg_tokens",
+            round(col("n_tokens").cast("double") / col("n_docs"), 6))
+          .select("source", "n_docs", "n_dup_docs", "n_langs", "top_lang",
+            "n_tokens", "avg_tokens")
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
+          |                  md5(text) AS digest
+          |           FROM documents),
+          |core AS (SELECT source, COUNT(*) AS n_docs,
+          |                COUNT(*) - COUNT(DISTINCT digest) AS n_dup_docs,
+          |                COUNT(DISTINCT lang) AS n_langs,
+          |                CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+          |         FROM d GROUP BY source),
+          |lc AS (SELECT source, lang, COUNT(*) AS n FROM d GROUP BY source, lang),
+          |tl AS (SELECT source, lang AS top_lang FROM (
+          |         SELECT source, lang, ROW_NUMBER() OVER (
+          |           PARTITION BY source ORDER BY n DESC, lang) AS rk FROM lc)
+          |       WHERE rk = 1)
+          |SELECT c.source, c.n_docs, c.n_dup_docs, c.n_langs, t.top_lang,
+          |       c.n_tokens,
+          |       round(CAST(c.n_tokens AS DOUBLE) / c.n_docs, 6) AS avg_tokens
+          |FROM core c JOIN tl t USING (source) ORDER BY c.source""".stripMargin))
   )
 }
