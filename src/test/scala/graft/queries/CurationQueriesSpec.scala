@@ -128,4 +128,42 @@ class CurationQueriesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("ngram_novelty: first doc fully novel; novel counts partition the shingle space") {
+    val rows = graft.SparkEntry.queries("ngram_novelty")(spark, dir)
+      .select("doc_id", "n_shingles", "n_novel", "novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the minimum doc_id can only contain first-seen shingles
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0 && first._2 == first._3, s"first doc not fully novel: $first")
+    rows.foreach { case (d, n, nov, sc) =>
+      assert(nov >= 0 && nov <= n, s"doc $d: novel $nov outside [0, $n]")
+      assert(sc >= 0.0 && sc <= 1.0, s"doc $d: score $sc outside [0,1]")
+    }
+    // every distinct shingle is first-seen in exactly one doc
+    val distinctShingles = graft.Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(explode(expr(CurationQueries.shingles5)).as("s"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles,
+      s"sum of novel counts ${rows.map(_._3).sum} != distinct shingles $distinctShingles")
+  }
+
+  test("source_datacard: conservation against the raw documents table") {
+    val cards = graft.SparkEntry.queries("source_datacard")(spark, dir)
+      .select("source", "n_docs", "n_dup_docs", "n_langs", "top_lang", "n_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(cards.map(_._2).sum == docs.count())
+    val langs = docs.select("lang").distinct().count()
+    cards.foreach { case (src, nDocs, nDup, nLangs, top, nToks) =>
+      assert(nDup >= 0 && nDup < nDocs, s"$src dup count $nDup vs $nDocs docs")
+      assert(nLangs >= 1 && nLangs <= langs, s"$src langs $nLangs")
+      assert(top.nonEmpty && nToks > 0)
+    }
+  }
 }
