@@ -698,6 +698,31 @@ object RelationalQueries {
           |ORDER BY p.event_id""".stripMargin)),
 
     // ---- min_by / max_by (argmin-argmax aggregates) ---------------------
+    // ---- equi-width value histogram (added r6) ---------------------------
+    // The profiling verb next to quantiles: fixed-width bins (width 50 from
+    // 0) per event_type, with per-bin bounds — the shape behind data-
+    // profiling dashboards and CBO histogram statistics. bin = floor(v/50)
+    // is one correctly-rounded double division + floor, bit-identical on
+    // both engines for identical stored doubles; everything else is exact
+    // ints. Scale: one hash agg on (event_type, bin) — map-side combine
+    // collapses to n_types × n_bins rows per partition.
+    "value_histogram" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .withColumn("bin", floor(col("value") / 50.0).cast("int"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("bin_min"), max(col("value")).as("bin_max"))
+          .withColumn("bin_lo", col("bin") * 50.0)
+          .select("event_type", "bin", "bin_lo", "n", "bin_min", "bin_max")
+          .orderBy("event_type", "bin")
+      },
+      oracle = Some(
+        """SELECT event_type, CAST(FLOOR("value" / 50.0) AS INTEGER) AS bin,
+          |       CAST(CAST(FLOOR("value" / 50.0) AS INTEGER) * 50.0 AS DOUBLE) AS bin_lo,
+          |       COUNT(*) AS n, MIN("value") AS bin_min, MAX("value") AS bin_max
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
+
     // ---- join-key skew diagnostics (added r6) ----------------------------
     // The pre-join audit behind the salting decision (SkewUtils): per key
     // column — total rows, distinct keys, the heaviest key's share, the
