@@ -661,6 +661,78 @@ object TextQueries {
            |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- cluster survivorship: the merge-policy half of dedup (added r6) -
+    // After near-dup clustering, CHOOSE the representative: per cluster the
+    // longest document wins (doc_id as the deterministic tie-break — the
+    // quality-based generalization of dedup_keep_longest's exact-hash
+    // groups), and the accounting reports members and reclaimable chars.
+    // The argmax is a map-side min/max(struct) aggregate over the
+    // (doc, cluster, n_chars) join — no window, no second shuffle beyond
+    // the label join's. Labels come from the same MinHash pair graph + CC
+    // loop as dedup_minhash_clusters, so the three dedup verbs (pairs →
+    // clusters → survivors) provably compose.
+    "dedup_survivorship" -> Q(
+      fn = (s, dir) => {
+        val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
+        val pairs = pairsDf.select(col("a_id"), col("b_id"))
+        val labels = Q.connectedComponents(
+          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        shCache.unpersist()
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+          .join(docs, Seq("doc_id"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("m"),
+            sum(col("n_chars")).as("total_chars"))
+          .select(col("cluster"), (-col("m.negid")).as("survivor_id"),
+            col("n_members"), (col("total_chars") - col("m.nc")).as("reclaimed_chars"))
+          .orderBy("cluster")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+           |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+           |        UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(s, d) AS (
+           |  SELECT s, d FROM sym
+           |  UNION
+           |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
+           |),
+           |labels AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+           |           FROM reach GROUP BY s),
+           |j AS (SELECT l.cluster, l.doc_id, d.n_chars
+           |      FROM labels l JOIN documents d USING (doc_id)),
+           |rk AS (SELECT cluster, doc_id, n_chars, ROW_NUMBER() OVER (
+           |         PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk FROM j),
+           |agg AS (SELECT cluster, COUNT(*) AS n_members,
+           |               CAST(SUM(n_chars) AS BIGINT) AS total FROM j GROUP BY cluster)
+           |SELECT a.cluster, r.doc_id AS survivor_id, a.n_members,
+           |       CAST(a.total - r.n_chars AS BIGINT) AS reclaimed_chars
+           |FROM agg a JOIN rk r ON r.cluster = a.cluster AND r.rk = 1
+           |ORDER BY a.cluster""".stripMargin
+      }),
+
     // ---- n-gram Jaccard similarity over a candidate window ---------------
     // All-pairs within each source (sources are small groups) — exact
     // n-gram Jaccard without LSH, the brute-force twin of the query above.
