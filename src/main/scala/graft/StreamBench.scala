@@ -223,6 +223,57 @@ object StreamBench {
     }
     val funnelRps = funnelEvents / funnelSecs
 
+    // ---- SCD-2 materializer over 1M entities (RocksDB, added r6) ---------
+    // The CDC state machine at production key counts: 2M events = 1M users
+    // × 2 observations with distinct values, files partitioned BY USER like
+    // the funnel leg (each user's history shares a batch; cross-batch
+    // read-modify-write is exercised by the tws leg). Every event is a
+    // change, so the emission count is exact: open + (close + open) = 3
+    // rows per user.
+    val Scd2Users = 1_000_000L
+    val scd2Events = 2L * Scd2Users
+    val prevProvider3 = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (scd2Secs, scd2StateKeys, scd2Rows) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-scd2-src").toString
+      spark.range(scd2Events).select(
+        pmod(col("id"), lit(Scd2Users)).as("userId"),
+        col("id").as("eventId"),
+        timestamp_micros(col("id")).as("ts"),
+        expr(s"CAST(1 + id div $Scd2Users AS DOUBLE)").as("value"))
+        .repartition(8, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("userId BIGINT, eventId BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.Scd2Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-bench").toString
+      @volatile var rows = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.scd2Stream(events)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.Scd2Row], _: Long) =>
+          rows += b.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(rows == 3L * Scd2Users,
+        s"scd2 emissions $rows != ${3L * Scd2Users} (open + close+open per user)")
+      assert(keys == Scd2Users, s"scd2 state keys $keys != $Scd2Users")
+      (secs, keys, rows)
+    } finally prevProvider3 match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val scd2Rps = scd2Events / scd2Secs
+
     // ---- skew mitigation A/B/C: 90%-hot-key join, plain vs salted vs AQE ----
     // 10M-row fact with 90% of rows on key 0 joined to a 100k-row dim, with
     // broadcast DISABLED so the join is a real shuffle (at 100 TB the dim
@@ -309,7 +360,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
