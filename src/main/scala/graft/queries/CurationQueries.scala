@@ -120,7 +120,9 @@ object CurationQueries {
     // correctly-rounded; the normalizing sum runs over 6 dp DECIMALS
     // (exact, order-independent — a double Σ over sources would depend on
     // aggregation order); the final division is one correctly-rounded
-    // double op. Scale shape: one corpus pass for the per-source agg,
+    // double op emitted BARE — a trailing round(double, 6) hash-failed in
+    // r6 (Spark rounds the shortest-decimal repr, DuckDB the binary value;
+    // near-grid-midpoint values diverge). Scale shape: one corpus pass,
     // 1-row total and the per-source weight table broadcast — the corpus
     // is never shuffled.
     "mix_weights" -> Q(
@@ -136,8 +138,8 @@ object CurationQueries {
         val wsum = withW.agg(sum(col("w6")).as("wsum"))
         withW.crossJoin(broadcast(wsum))
           .select(col("source"), col("n_docs"), col("n_tokens"),
-            round(col("share"), 6).as("share"),
-            round(col("w6").cast("double") / col("wsum").cast("double"), 6).as("weight"))
+            col("share"),
+            (col("w6").cast("double") / col("wsum").cast("double")).as("weight"))
           .orderBy("source")
       },
       oracle = Some(
@@ -151,8 +153,8 @@ object CurationQueries {
           |                  AS DECIMAL(10,6)) AS w6
           |      FROM tok, tot),
           |ws AS (SELECT SUM(w6) AS wsum FROM w)
-          |SELECT source, n_docs, n_tokens, round(share, 6) AS share,
-          |       round(CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight
+          |SELECT source, n_docs, n_tokens, share,
+          |       CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight
           |FROM w, ws ORDER BY source""".stripMargin)),
 
     // ---- deterministic stratified sampling ------------------------------
@@ -485,7 +487,9 @@ object CurationQueries {
     // shuffles before the doc-level aggregate. Float parity: ln() agrees
     // bit-for-bit between engines on this vocab (probed), and per-token
     // logs are rounded to 6 dp and summed AS DECIMAL so the per-doc sum is
-    // order-independent; the only remaining float op is one final division.
+    // order-independent; the only remaining float op is one final division,
+    // emitted BARE (its r6 trailing round(double, 6) survived only by luck
+    // of the data — the same pattern hash-failed on the bigram twin).
     "unigram_logprob" -> Q(
       fn = (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
@@ -499,7 +503,7 @@ object CurationQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum(col("logp6")).as("sl"))
           .select(col("doc_id"), col("n_tokens"),
-            round(col("sl").cast("double") / col("n_tokens"), 6).as("logprob"))
+            (col("sl").cast("double") / col("n_tokens")).as("logprob"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -510,7 +514,7 @@ object CurationQueries {
           |      FROM c, tot),
           |a AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp6) AS sl
           |      FROM t JOIN v USING (tok) GROUP BY doc_id)
-          |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE) / n_tokens, 6) AS logprob
+          |SELECT doc_id, n_tokens, CAST(sl AS DOUBLE) / n_tokens AS logprob
           |FROM a ORDER BY doc_id""".stripMargin)),
 
     // ---- per-doc token entropy (added r6) --------------------------------
@@ -519,9 +523,13 @@ object CurationQueries {
     // near-zero for degenerate repetition ("spam spam spam"), high for
     // diverse text; complements repetition_filter (bigram structure) and
     // unigram_logprob (corpus-relative likelihood) with a corpus-FREE
-    // per-doc measure. Float parity: p = c/n and ln are correctly-rounded
-    // IEEE ops on exact ints, each term rounds to the 6 dp decimal grid,
-    // per-doc sums are exact decimals, one final negate/cast. Scale shape:
+    // per-doc measure. Algebra: H = −Σ (c/n)·ln(c/n) = −(Σ c·ln(c/n))/n,
+    // so the only ln is over the exact-int ratio c/n. Float parity (the r6
+    // hash-fail fix): round ONLY the bare ln to the 6 dp decimal grid —
+    // never a double product — then weight by the exact bigint c
+    // (decimal × int is exact), sum as exact decimal, and emit ONE bare
+    // correctly-rounded division with no final round (round(double, 6) on
+    // output diverges cross-engine near grid midpoints). Scale shape:
     // one (doc, tok) hash agg, a per-doc roll-up, and a doc-keyed join —
     // all linear, no corpus-wide state at all.
     "token_entropy" -> Q(
@@ -532,12 +540,12 @@ object CurationQueries {
         val totals = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
         tf.join(totals, Seq("doc_id"))
           .select(col("doc_id"), col("n"),
-            round(col("c") / col("n") * log(col("c") / col("n")), 6)
-              .cast("decimal(12,6)").as("term"))
+            (round(log(col("c") / col("n")), 6).cast("decimal(12,6)") * col("c"))
+              .as("term"))
           .groupBy("doc_id")
           .agg(max(col("n")).as("n_tokens"), sum(col("term")).as("st"))
           .select(col("doc_id"), col("n_tokens"),
-            round(-col("st").cast("double"), 6).as("entropy"))
+            (-col("st").cast("double") / col("n_tokens")).as("entropy"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -545,10 +553,11 @@ object CurationQueries {
           |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
           |n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
           |terms AS (SELECT tf.doc_id, n.n,
-          |                 CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n), 6)
-          |                      AS DECIMAL(12,6)) AS term
+          |                 CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
+          |                      AS DECIMAL(12,6)) * c AS term
           |          FROM tf JOIN n ON tf.doc_id = n.doc_id)
-          |SELECT doc_id, MAX(n) AS n_tokens, round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
+          |SELECT doc_id, MAX(n) AS n_tokens,
+          |       -CAST(SUM(term) AS DOUBLE) / MAX(n) AS entropy
           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- top collocations by PMI (added r6) ------------------------------
@@ -624,7 +633,9 @@ object CurationQueries {
     // per first token — no second corpus pass, the tfidf df trick). Float
     // discipline: per-edge ln is probed bit-identical cross-engine,
     // 6 dp-rounded into DECIMAL; per-doc sums are exact; one final
-    // correctly-rounded double division. Scale shape: one corpus bigram
+    // correctly-rounded double division emitted BARE (a trailing
+    // round(double, 6) hash-failed in r6 — shortest-decimal vs binary-value
+    // rounding). Scale shape: one corpus bigram
     // pass; the model is bigram-vocabulary-sized and joins unhinted (AQE
     // broadcasts when it fits); per-doc agg carries two numbers.
     "bigram_logprob" -> Q(
@@ -652,7 +663,7 @@ object CurationQueries {
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
           .select(col("doc_id"), col("n_bigrams"),
-            round(col("sl").cast("double") / col("n_bigrams"), 6).as("logprob"))
+            (col("sl").cast("double") / col("n_bigrams")).as("logprob"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -668,7 +679,7 @@ object CurationQueries {
           |      FROM cnt JOIN cx ON cnt.a = cx.a),
           |agg AS (SELECT doc_id, SUM(c) AS n_bigrams, SUM(logp6 * c) AS sl
           |        FROM tf3 JOIN m ON tf3.a = m.a AND tf3.b = m.b GROUP BY doc_id)
-          |SELECT doc_id, n_bigrams, round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS logprob
+          |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS logprob
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // ---- sequence packing (concat-and-chunk, added r5) -------------------

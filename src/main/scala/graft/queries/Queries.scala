@@ -22,6 +22,17 @@ import graft.sql.BucketRouting
   * order. Integral-valued doubles (l_quantity) sum exactly in binary and
   * need no cast.
   *
+  * NEVER `round(double, 6)` a computed double as the FINAL output column:
+  * Spark rounds via `BigDecimal.valueOf(double)` (the shortest decimal
+  * representation) while DuckDB rounds the true binary value, so values
+  * near a 6 dp grid midpoint diverge in the last digit — this hash-failed
+  * bigram_logprob/token_entropy/mix_weights in r6. The proven grid is:
+  * round ONLY a bare probed-identical op (`ln`, sqrt, one division) to
+  * 6 dp, cast to DECIMAL, optionally weight by an exact int, sum exactly,
+  * and emit the final double as ONE bare correctly-rounded op (cast or
+  * division) with NO trailing round. A round on a raw double that passes
+  * today passes by luck of the data, not by construction.
+  *
   * Cache lifecycle contract: a few query fns `.cache()` an intermediate
   * that several branches of the same plan consume (LSH signatures, simhash
   * fingerprints, shingle sets). These caches are QUERY-SCOPED: Bench and
