@@ -23,6 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window in the repo runs over a ≤k-row post-limit
+    // rank frame or a ≤ buckets×salts offsets aggregate (audited r6/r7 at
+    // the call sites) — WindowExec's single-partition warning is noise here
+    // and would otherwise repeat hundreds of times per bench run.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warm-up: touch every table (file listing + footer reads + codegen of a
     // trivial agg) and run one light query end-to-end.

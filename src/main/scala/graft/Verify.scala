@@ -44,7 +44,12 @@ object Verify {
     // previously-full outDir clobber the complete map while the other
     // queries' parquet dumps remain — a later driver compare over that dir
     // would silently lose coverage for the unfiltered queries.
+    // ... and the converse order: a FULL run must remove any stale subset
+    // file, or check_oracle.py (which prefers the subset when present)
+    // would silently gate only the old subset against a fresh full dump.
     val oracleFile = if (only.isEmpty) "oracle_sql.json" else "oracle_sql.subset.json"
+    if (only.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.subset.json"))
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

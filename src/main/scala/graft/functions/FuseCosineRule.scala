@@ -130,7 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vector_l2sq"),
       new ExpressionInfo(classOf[VectorL2Sq].getName, "vector_l2sq"),
-      (exprs: Seq[Expression]) => VectorL2Sq(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"vector_l2sq requires exactly 2 arguments, got ${exprs.length}")
+        VectorL2Sq(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),

@@ -394,6 +394,8 @@ object CurationQueries {
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token")).limit(100)
+        // Global (unpartitioned) rank window — WindowExec warns, but the
+        // frame is the ≤100-row post-limit result, not the data: benign.
         cnt.withColumn("rank",
             row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("int"))
           .orderBy("rank")

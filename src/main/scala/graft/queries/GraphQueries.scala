@@ -98,6 +98,8 @@ object GraphQueries {
           .select(col("tok"),
             round(lit(1.0) / col("n"), 6).cast("decimal(12,6)").as("pr"))
         for (_ <- 1 to Iterations) pr = iterate(pr)
+        // Global rank window over the ≤TopK-row post-limit frame — the
+        // WindowExec single-partition warning it triggers is benign.
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pr").desc, col("tok"))
         pr.orderBy(col("pr").desc, col("tok")).limit(TopK)

@@ -213,6 +213,34 @@ object Queries {
            |       COUNT(*) AS n
            |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)),
 
+    // Delimiter-as-REGEX parity, oracle-checked (the reference passes the
+    // delimiter straight to String.split — BucketPriorityPartitioner.java:71
+    // — and so do we, to Spark's split; BucketRoutingSpec pins the property
+    // against a JVM model, this query pins it against DuckDB's
+    // string_split_regex). The char class [-.] is load-bearing: keys use
+    // '-' or '.' as the first separator depending on event_id parity, so a
+    // literal-minus reading would mis-bucket every odd-id key.
+    "bucket_of_regex_delim" -> Q(
+      fn = (s, dir) => {
+        val cfg = BucketPriorityConfig("events", evenCfg.buckets,
+          evenCfg.allocation, delimiter = "[-.]").toOption.get
+        val key = concat(col("event_type"),
+          when(pmod(col("event_id"), lit(2)) === 0, lit("-")).otherwise(lit(".")),
+          col("user_id"), lit("."), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(BucketRouting.bucketOf(key, cfg).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket").asc_nulls_first)
+      },
+      oracle = Some(
+        s"""WITH k AS (SELECT event_type ||
+           |             CASE WHEN event_id % 2 = 0 THEN '-' ELSE '.' END ||
+           |             user_id || '.' || event_id AS key FROM events),
+           |b AS (SELECT TRIM(string_split_regex(key, '[-.]')[1]) AS tok FROM k)
+           |SELECT CASE WHEN tok IN (${inList(evenCfg.buckets)}) THEN tok END AS bucket,
+           |       COUNT(*) AS n
+           |FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)),
+
     // Same bucket distribution through the SQL entry point: registered
     // bucket_of function + spark.sql (§2.5 / §3 lifecycle EP1-as-SQL).
     "bucket_of_sql" -> Q(

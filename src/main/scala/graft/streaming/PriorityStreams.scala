@@ -385,8 +385,14 @@ object PriorityStreams {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
 
     override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      // State name carries the ts UNIT ("_us"): the stored stepTs changed
+      // meaning from epoch-millis to epoch-micros in r6, and a resume from a
+      // pre-change checkpoint would silently reinterpret old millisecond
+      // values as micros (~1000x too small), letting the strict ">" guard
+      // admit re-deliveries. A distinct name makes such a resume fail loudly
+      // (unknown state variable) instead of corrupting funnel advancement.
       state = getHandle.getValueState[(Int, Long)]( // (step reached, its ts micros)
-        "funnel", org.apache.spark.sql.Encoders.tuple(
+        "funnel_us", org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaLong),
         TTLConfig.NONE)
 
