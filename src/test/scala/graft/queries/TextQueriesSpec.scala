@@ -50,23 +50,30 @@ class TextQueriesSpec extends SparkTestBase {
     assert(out == Set((0L, 1L, 4.0 / 6.0)), s"got $out")
   }
 
-  test("df cap is candidate-invariant on the corpus (near-dups share rare shingles)") {
+  test("df cap is candidate-invariant at EVERY gated sf (near-dups share rare shingles)") {
     // Measured: every qualifying pair at sf0.001/0.01/0.1 shares a shingle
     // with df <= 2, far under the cap of 8 — so even the CANDIDATE set
     // (stronger than the final output) is unchanged by capping. If corpus
     // regeneration ever plants near-dups that only share hot shingles, this
-    // fails loudly instead of the oracle silently losing pairs.
-    val sh = graft.Tables.load(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(TextQueries.shinglesExpr))
-      .select("doc_id", "source", "shingles")
-    def pairs(cap: Int) = TextQueries.ngramCandidates(sh, cap)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val capped = pairs(TextQueries.NgramDfCap)
-    val uncapped = pairs(Int.MaxValue)
-    assert(capped == uncapped,
-      s"cap dropped candidates: ${uncapped.diff(capped).take(5)}")
-    assert(capped.nonEmpty)
+    // fails loudly instead of the oracle silently losing pairs. A dup
+    // CLUSTER of > cap docs would make all its shared shingles hot (df ≈
+    // cluster size — see NgramDfCap scaladoc), which is exactly the shape
+    // this would catch, so it runs at every sf the driver gates, not just
+    // the smallest (r7, advisor finding).
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val sh = graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(TextQueries.shinglesExpr))
+        .select("doc_id", "source", "shingles")
+      def pairs(cap: Int) = TextQueries.ngramCandidates(sh, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val capped = pairs(TextQueries.NgramDfCap)
+      val uncapped = pairs(Int.MaxValue)
+      assert(capped == uncapped,
+        s"$sfDir: cap dropped candidates: ${uncapped.diff(capped).take(5)}")
+      assert(capped.nonEmpty, s"$sfDir: no candidates at all")
+    }
   }
 }
