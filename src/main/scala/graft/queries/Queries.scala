@@ -362,7 +362,8 @@ object Queries {
   val all: Map[String, Q] =
     bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
-      TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all ++ TrainQueries.all
+      TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all ++ TrainQueries.all ++
+      SelectionQueries.all
 
   def headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }.toSeq.sorted
 }

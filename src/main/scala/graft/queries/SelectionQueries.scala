@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-SELECTION operators for training-set construction (round 7): which
+  * documents to keep, how to weight them, how to order them, and how to
+  * split them — the decision layer that sits on top of the §2.4 curation
+  * verbs. Each derives from a published method:
+  *
+  *   - `dsir_weights`       — Data Selection via Importance Resampling
+  *                            (Xie et al. 2023): per-doc log importance
+  *                            ratio of a target-domain LM vs the raw-corpus
+  *                            LM over bag-of-token features.
+  *   - `quality_buckets`    — CCNet-style (Wenzek et al. 2020) per-language
+  *                            head/middle/tail terciles by corpus-relative
+  *                            unigram log-likelihood (the perplexity proxy).
+  *   - `dup_ngram_ratio`    — per-doc duplicated-text diagnostic in the
+  *                            spirit of Lee et al. 2022 ("Deduplicating
+  *                            Training Data Makes Language Models Better"):
+  *                            the fraction of a doc's 5-gram occurrences
+  *                            that also occur in some OTHER document.
+  *   - `shuffle_deterministic` — seeded, reproducible global training order
+  *                            via hash permutation, ranked WITHOUT a global
+  *                            single-reducer sort.
+  *   - `train_split`        — deterministic hash-based train/val/test
+  *                            assignment, audited per source.
+  *
+  * Float parity follows the proven grid (see [[Queries]] scaladoc): `ln` of
+  * one exact-int division rounded to the 6 dp decimal grid, weighted by
+  * exact counts, summed as decimal, and every emitted double is ONE bare
+  * correctly-rounded op (a cast or a division) — never a trailing
+  * `round(double, 6)`.
+  */
+object SelectionQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // ---- DSIR importance weights (Xie et al. 2023) -----------------------
+    // log w(doc) = (1/n) Σ_tok c_tok · [ln p_target(tok) − ln p_raw(tok)]
+    // with add-1 smoothing over the raw vocabulary, target domain = the
+    // English slice (stand-in for "Wikipedia-like" in the paper; any
+    // predicate works). Docs with high weight look more target-like and
+    // get resampled in.
+    //
+    // Scale shape: ONE corpus token agg carries BOTH counts — cr = count,
+    // ct = conditional count over the target predicate — so there is no
+    // raw⋈target vocab join at all; the vocab join back to (doc, tok)
+    // counts is vocab-sized and deliberately un-hinted (broadcasts at
+    // gate scale, shuffle-joins co-partitioned beyond the threshold, same
+    // as tfidf); stats is a 1-row broadcast. No corpus-wide state beyond
+    // the vocab — linear at 100 TB.
+    //
+    // Float parity: each ln's argument is ONE division of exact bigints
+    // (cast to double — correctly rounded on both engines); the two 6 dp
+    // rounded lns subtract EXACTLY as decimals; × exact count c is exact;
+    // the decimal sum is order-independent; the final avg is one bare
+    // double division. No raw-double round anywhere.
+    "dsir_weights" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val stats = vocab.agg(
+          sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+          count(lit(1)).as("v"))
+        val scored = vocab.crossJoin(broadcast(stats)).select(
+          col("tok"),
+          (round(log((col("ct") + 1).cast("double") / (col("tt") + col("v"))), 6)
+            .cast("decimal(12,6)")
+            - round(log((col("cr") + 1).cast("double") / (col("tr") + col("v"))), 6)
+              .cast("decimal(12,6)")).as("d6"))
+        toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .join(scored, Seq("tok")) // un-hinted: vocab-sized (see tfidf)
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("d6") * col("c")).as("sd"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("sd").cast("double") / col("n_tokens")).as("dsir_logratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |vocab AS (SELECT tok, COUNT(*) AS cr,
+          |                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          |          FROM t GROUP BY tok),
+          |stats AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt,
+          |                 COUNT(*) AS v FROM vocab),
+          |scored AS (SELECT tok,
+          |                  CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tt + v)), 6) AS DECIMAL(12,6))
+          |                - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (tr + v)), 6) AS DECIMAL(12,6)) AS d6
+          |           FROM vocab, stats),
+          |dc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+          |SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |       CAST(SUM(d6 * c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dsir_logratio
+          |FROM dc JOIN scored ON dc.tok = scored.tok
+          |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin),
+      headline = true),
+
+    // ---- CCNet-style per-language quality terciles -----------------------
+    // Rank each language's documents by corpus-relative avg unigram
+    // log-likelihood (the unigram_logprob score — CCNet uses a KenLM
+    // perplexity; the unigram LM is its order-1 case) and cut into
+    // head/middle/tail terciles.
+    //
+    // Scale shape: `ntile(3) OVER (PARTITION BY lang ...)` would move each
+    // whole language to ONE reducer — a scale-killer with ~30 languages at
+    // 100 TB. Instead the rank is computed in two passes: documents group
+    // by (lang, g) where g = floor(logprob) — integer-valued and therefore
+    // CONTIGUOUS in the sort order — rank locally inside each (lang, g)
+    // shard, and stitch shard offsets (a per-(lang, g) count aggregate,
+    // tiny: #langs × #integer-logprob-values rows) into the global
+    // per-lang rank. The tercile is then pure arithmetic on (rank, count)
+    // reproducing SQL NTILE semantics exactly (first n%3 buckets take the
+    // extra row). At finer skew, widen g to floor(logprob·10) — the
+    // stitching is unchanged. NtileFormulaSpec pins the formula against
+    // Spark's own ntile; the DuckDB oracle pins it cross-engine.
+    //
+    // Float parity: logprob is the proven unigram_logprob emission (exact
+    // decimal sum → one bare division); ORDER on bit-identical doubles is
+    // bit-identical; floor() of one is exact.
+    "quality_buckets" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = vocab.agg(sum(col("n")).as("tt"))
+        val v = vocab.crossJoin(broadcast(total)).select(col("tok"),
+          round(log(col("n") / col("tt")), 6).cast("decimal(12,6)").as("logp6"))
+        val lp = toks.join(v, Seq("tok"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("nt"), sum(col("logp6")).as("sl"))
+          .select(col("doc_id"), col("lang"),
+            (col("sl").cast("double") / col("nt")).as("logprob"))
+          .withColumn("g", floor(col("logprob")))
+        // shard-local rank (descending logprob = best first) ...
+        val rn = lp.withColumn("rn", row_number().over(
+          Window.partitionBy("lang", "g")
+            .orderBy(col("logprob").desc, col("doc_id"))))
+        // ... + shard offsets. The offsets window runs over #langs ×
+        // #distinct-floor(logprob) rows (tiny by construction) — the
+        // per-lang frame is NOT single-partition-over-the-data.
+        val offsets = lp.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.partitionBy("lang").orderBy(col("g").desc)
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val counts = lp.groupBy("lang").agg(count(lit(1)).as("n"))
+        rn.join(broadcast(offsets), Seq("lang", "g"))
+          .join(broadcast(counts), Seq("lang"))
+          .withColumn("r", col("off") + col("rn"))
+          // SQL NTILE(3): base = n div 3, rem = n mod 3; first `rem`
+          // buckets hold base+1 rows.
+          .withColumn("bucket",
+            when(col("r") <= (floor(col("n") / 3) + 1) * (col("n") % 3),
+              floor((col("r") - 1) / (floor(col("n") / 3) + 1)) + 1)
+              .otherwise(
+                col("n") % 3 + floor(
+                  (col("r") - (floor(col("n") / 3) + 1) * (col("n") % 3) - 1)
+                    / floor(col("n") / 3)) + 1))
+          .select(col("doc_id"), col("lang"), col("logprob"),
+            when(col("bucket") === 1, "head")
+              .when(col("bucket") === 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+          |tot AS (SELECT SUM(n) AS tt FROM c),
+          |v AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / tt), 6) AS DECIMAL(12,6)) AS logp6
+          |      FROM c, tot),
+          |lp AS (SELECT doc_id, lang, CAST(SUM(logp6) AS DOUBLE) / COUNT(*) AS logprob
+          |       FROM t JOIN v USING (tok) GROUP BY doc_id, lang),
+          |b AS (SELECT doc_id, lang, logprob,
+          |             ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id) AS bucket
+          |      FROM lp)
+          |SELECT doc_id, lang, logprob,
+          |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+          |FROM b ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // ---- duplicated 5-gram occurrence ratio (Lee et al. 2022 diagnostic) -
+    // For each doc: the fraction of its 5-gram OCCURRENCES (with
+    // multiplicity) whose 5-gram also appears in at least one OTHER
+    // document — the "how much of this doc is corpus-duplicated text"
+    // signal that motivates substring-level dedup.
+    //
+    // Scale shape: occurrences carry md5 DIGESTS, never the 5-gram text, so
+    // the shuffles stay narrow (the doc_fingerprint discipline); cross-doc
+    // df is a two-level agg — (gram, doc) distinct then gram count — and
+    // the df table joins back un-hinted (vocab-sized). "Appears in another
+    // doc" = doc-frequency ≥ 2 OR (df = 1 AND the doc repeats it... no:
+    // df counts DISTINCT docs, so df ≥ 2 exactly captures "some other doc
+    // has it"). All counts exact ints; the ratio is one bare division.
+    "dup_ngram_ratio" -> Q(
+      fn = (s, dir) => {
+        val occ = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+            .as("gh"))
+        val df = occ.select("gh", "doc_id").distinct()
+          .groupBy("gh").agg(count(lit(1)).as("df"))
+        occ.join(df, Seq("gh")) // un-hinted: vocab-sized
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_ngrams")).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |occ AS (SELECT doc_id,
+          |               UNNEST(list_transform(range(len(toks) - 4),
+          |                                     i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+          |        FROM d WHERE len(toks) >= 5),
+          |df AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh)
+          |SELECT occ.doc_id, COUNT(*) AS n_ngrams,
+          |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+          |FROM occ JOIN df USING (gh)
+          |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin),
+      headline = true),
+
+    // ---- seeded deterministic global shuffle ------------------------------
+    // Reproducible training order: position = rank of md5(seed ∥ doc_id)
+    // — a fixed pseudorandom permutation any worker can recompute.
+    //
+    // Scale shape: a bare `row_number() OVER (ORDER BY k)` is a
+    // single-reducer global sort — the classic scale-killer. Here the rank
+    // is stitched: the first hex char of the key is a CONTIGUOUS prefix of
+    // the key order, so ranking inside each of the 16 prefix shards and
+    // adding per-shard offsets (a 16-row aggregate) reproduces the global
+    // rank exactly. Widen the prefix to 2–3 chars (256/4096 shards) as the
+    // corpus grows; the stitching is unchanged. Same construction as the
+    // salted router window (BucketRouting.route).
+    "shuffle_deterministic" -> Q(
+      fn = (s, dir) => {
+        val keyed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit("shuffle:42:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard", substring(col("k"), 1, 1))
+        val rn = keyed.withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))))
+        // 16-row offsets frame: the global-window warning does not apply
+        // (≤16 rows by construction).
+        val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("shard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        rn.join(broadcast(offsets), Seq("shard"))
+          .select(col("doc_id"), (col("off") + col("rn")).as("pos"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |       row_number() OVER (ORDER BY md5(concat('shuffle:42:', CAST(doc_id AS VARCHAR))), doc_id) AS pos
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic stratified train/val/test split --------------------
+    // Assignment by the first two hex chars of md5("split:" ∥ doc_id):
+    // 00–cb → train (204/256 ≈ 79.7%), cc–e5 → val (26/256 ≈ 10.2%),
+    // e6–ff → test (26/256 ≈ 10.2%). Pure string comparison on the
+    // lowercase hex — no hex→int parsing to disagree on — and the doc's
+    // assignment never changes as the corpus grows (the property that
+    // makes hash splits the standard over random ones). Audited per
+    // source: counts, token mass, and the realized fraction.
+    //
+    // Scale shape: a stateless map-side predicate + one (source, split)
+    // agg; the per-source totals join is ≤ #sources rows, broadcast.
+    "train_split" -> Q(
+      fn = (s, dir) => {
+        val assigned = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+          .withColumn("split",
+            when(col("h2") < "cc", "train")
+              .when(col("h2") < "e6", "val").otherwise("test"))
+        val bySplit = assigned.groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        val totals = assigned.groupBy("source").agg(count(lit(1)).as("tot"))
+        bySplit.join(broadcast(totals), Seq("source"))
+          .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+            (col("n_docs").cast("double") / col("tot")).as("frac"))
+          .orderBy("source", "split")
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT source, n_chars,
+          |         CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc' THEN 'train'
+          |              WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM documents),
+          |b AS (SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          |      FROM a GROUP BY source, split),
+          |t AS (SELECT source, COUNT(*) AS tot FROM a GROUP BY source)
+          |SELECT b.source, b.split, b.n_docs, b.n_chars,
+          |       CAST(b.n_docs AS DOUBLE) / t.tot AS frac
+          |FROM b JOIN t ON b.source = t.source
+          |ORDER BY b.source, b.split""".stripMargin)))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Invariant tests for the round-7 data-selection operators. The DuckDB
+  * oracle pins exact values at the gate; these pin the semantic contracts
+  * the oracle can't see: the stitched-rank construction ≡ the single-reducer
+  * form it replaces, split stability under corpus growth, and the
+  * directional meaning of the scores.
+  */
+class SelectionQueriesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quality_buckets: stitched tercile ≡ Spark's own ntile(3)") {
+    // The scale-safe (lang, floor(logprob)) shard-rank + offset + arithmetic
+    // bucket must reproduce ntile(3) OVER (PARTITION BY lang ORDER BY
+    // logprob DESC, doc_id) exactly — same frame Spark would build.
+    val got = graft.SparkEntry.queries("quality_buckets")(spark, dir)
+      .select("doc_id", "lang", "logprob", "ppl_bucket")
+    val naive = got.withColumn("nt", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("logprob").desc, col("doc_id"))))
+      .withColumn("expect",
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail"))
+    val mismatches = naive.filter(col("expect") =!= col("ppl_bucket")).count()
+    assert(mismatches == 0, s"$mismatches docs bucketed differently from ntile(3)")
+    // every (lang) slice has all three buckets at this corpus size, and
+    // head logprobs dominate tail logprobs within a language
+    val stats = naive.groupBy("lang", "ppl_bucket")
+      .agg(min("logprob").as("lo"), max("logprob").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    stats.keys.map(_._1).foreach { lang =>
+      val (headLo, _, _) = stats((lang, "head"))
+      val (_, tailHi, _) = stats((lang, "tail"))
+      assert(headLo >= tailHi, s"$lang: head min $headLo < tail max $tailHi")
+    }
+  }
+
+  test("quality_buckets: tercile sizes differ by at most one per language") {
+    val sizes = graft.SparkEntry.queries("quality_buckets")(spark, dir)
+      .groupBy("lang", "ppl_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    sizes.foreach { case (lang, ns) =>
+      assert(ns.size == 3, s"$lang has ${ns.size} buckets")
+      assert(ns.max - ns.min <= 1, s"$lang tercile sizes $ns differ by >1")
+    }
+  }
+
+  test("shuffle_deterministic: exact permutation, equal to the naive global rank") {
+    val got = graft.SparkEntry.queries("shuffle_deterministic")(spark, dir)
+    val n = got.count()
+    // positions are exactly 1..N with no gaps or repeats
+    val agg = got.agg(min("pos"), max("pos"), countDistinct("pos")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n,
+      s"pos not a permutation of 1..$n: $agg")
+    // stitched shard rank ≡ the single-reducer row_number it replaces
+    val naive = got
+      .withColumn("k", md5(concat(lit("shuffle:42:"), col("doc_id").cast("string"))))
+      .withColumn("expect", row_number().over(Window.orderBy(col("k"), col("doc_id"))))
+    assert(naive.filter(col("pos") =!= col("expect")).count() == 0,
+      "stitched rank differs from global row_number")
+  }
+
+  test("train_split: deterministic, stable under corpus growth, ≈80/10/10") {
+    val assignAt = (d: String) =>
+      graft.Tables.load(spark, d, "documents")
+        .withColumn("h2",
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+        .withColumn("split",
+          when(col("h2") < "cc", "train").when(col("h2") < "e6", "val")
+            .otherwise("test"))
+        .select("doc_id", "split")
+    // a doc's assignment is a pure function of doc_id: growing the corpus
+    // (sf0.001 → sf0.01) never reassigns a surviving doc — the property
+    // that makes hash splits the standard over random ones
+    val small = assignAt(dir).withColumnRenamed("split", "s1")
+    val large = assignAt("/root/testdata/sf0.01").withColumnRenamed("split", "s2")
+    assert(small.join(large, "doc_id").filter(col("s1") =!= col("s2")).count() == 0,
+      "split assignment changed between corpus sizes")
+    // realized global fractions near the designed 204/26/26 out of 256
+    val fr = graft.SparkEntry.queries("train_split")(spark, dir)
+      .groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = fr.values.sum.toDouble
+    assert(math.abs(fr("train") / total - 204.0 / 256) < 0.06, s"train frac ${fr("train") / total}")
+    assert(math.abs(fr("val") / total - 26.0 / 256) < 0.05, s"val frac ${fr("val") / total}")
+    assert(math.abs(fr("test") / total - 26.0 / 256) < 0.05, s"test frac ${fr("test") / total}")
+  }
+
+  test("dsir_weights: English (target-domain) docs score higher on average") {
+    val w = graft.SparkEntry.queries("dsir_weights")(spark, dir)
+      .join(graft.Tables.load(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+    val means = w.groupBy(col("lang") === "en")
+      .agg(avg("dsir_logratio").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} not above non-en mean ${means(false)}")
+    // target-domain mean must be positive (docs from the target look
+    // more target-like than the corpus average), non-target negative
+    assert(means(true) > 0, s"en mean ${means(true)} <= 0")
+    assert(means(false) < 0, s"non-en mean ${means(false)} >= 0")
+  }
+
+  test("dup_ngram_ratio: bounds on the real corpus") {
+    val r = graft.SparkEntry.queries("dup_ngram_ratio")(spark, dir)
+    assert(r.count() > 0)
+    assert(r.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
+    assert(r.filter(col("n_dup") > col("n_ngrams")).count() == 0)
+    // the synthetic corpus plants near-dups: at least some docs share grams
+    assert(r.filter(col("n_dup") > 0).count() > 0, "no shared 5-grams found at all")
+  }
+
+  test("dup_ngram_ratio: verbatim duplicate ⇒ 1.0, unique doc ⇒ 0.0, repeat-within-doc ⇒ 0.0") {
+    // constructed corpus: the oracle pins corpus values; this pins the
+    // DEFINITION — df counts distinct docs, so a doc's own internal
+    // repetition never marks it duplicated
+    val tmp = java.nio.file.Files.createTempDirectory("dupngram").toString
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "s0", 15L), // duplicated verbatim as doc 2
+      (2L, "a b c d e f g h", "en", "s0", 15L),
+      (3L, "p q r s t u v w", "en", "s0", 15L), // unique
+      (4L, "x y x y x y x y x y", "en", "s0", 19L)) // self-repeating only
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("dup_ngram_ratio")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0, s"verbatim pair not 1.0: $got")
+    assert(got(3L) == 0.0, s"unique doc not 0.0: $got")
+    assert(got(4L) == 0.0, s"self-repetition counted as corpus duplication: $got")
+  }
+}
