@@ -133,6 +133,13 @@ object SelectionQueries {
         val total = vocab.agg(sum(col("n")).as("tt"))
         val v = vocab.crossJoin(broadcast(total)).select(col("tok"),
           round(log(col("n") / col("tt")), 6).cast("decimal(12,6)").as("logp6"))
+        // lp has THREE consumers (shard rank, shard offsets, lang counts)
+        // and ReuseCheck shows the corpus pipeline re-planned for each (13
+        // scans) — but `.cache()` here measured ~40% SLOWER at sf0.1
+        // (0.96 → 1.4 s warm; the textrank lesson again: InMemoryRelation
+        // materialization + broken whole-stage fusion cost more than the
+        // re-planned aggs, which are post-shuffle and cheap). At 100 TB
+        // persist lp EXPLICITLY to storage between stages instead.
         val lp = toks.join(v, Seq("tok"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("nt"), sum(col("logp6")).as("sl"))
@@ -201,18 +208,26 @@ object SelectionQueries {
     // has it"). All counts exact ints; the ratio is one bare division.
     "dup_ngram_ratio" -> Q(
       fn = (s, dir) => {
-        val occ = Tables.load(s, dir, "documents")
+        // One corpus explode collapsed straight to (doc, gram) counts; tf
+        // serves BOTH the cross-doc df aggregate and the join back. df ≥ 2
+        // over tf's (gram → row count) is exactly "distinct docs ≥ 2"
+        // because tf is one row per (doc, gram); per-doc occurrence totals
+        // are Σc, so nothing needs the raw occurrence stream again — the
+        // df side aggregates ~2× fewer rows than the occurrence form it
+        // replaced. `.cache()` on tf measured SLOWER (1.5 → 2.0 s at
+        // sf0.1, the textrank lesson); at 100 TB persist tf explicitly.
+        val tf = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
             .as("gh"))
-        val df = occ.select("gh", "doc_id").distinct()
-          .groupBy("gh").agg(count(lit(1)).as("df"))
-        occ.join(df, Seq("gh")) // un-hinted: vocab-sized
+          .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        tf.join(df, Seq("gh")) // un-hinted: vocab-sized
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_ngrams"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .agg(sum(col("c")).as("n_ngrams"),
+            sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
           .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
             (col("n_dup").cast("double") / col("n_ngrams")).as("dup_ratio"))
           .orderBy("doc_id")
