@@ -27,6 +27,12 @@ import graft.Tables
   *                            single-reducer sort.
   *   - `train_split`        — deterministic hash-based train/val/test
   *                            assignment, audited per source.
+  *   - `source_overlap`     — pairwise cross-source 5-gram Jaccard matrix
+  *                            (the Dodge et al. 2021 datacard overlap
+  *                            table): which sources duplicate each other.
+  *   - `token_budget_plan`  — epoch allocation at a fixed token budget
+  *                            under the mix_weights mixture (Muennighoff
+  *                            et al. 2023): flags over-repeated sources.
   *
   * Float parity follows the proven grid (see [[Queries]] scaladoc): `ln` of
   * one exact-int division rounded to the 6 dp decimal grid, weighted by
@@ -322,5 +328,129 @@ object SelectionQueries {
           |SELECT b.source, b.split, b.n_docs, b.n_chars,
           |       CAST(b.n_docs AS DOUBLE) / t.tot AS frac
           |FROM b JOIN t ON b.source = t.source
-          |ORDER BY b.source, b.split""".stripMargin)))
+          |ORDER BY b.source, b.split""".stripMargin)),
+
+    // ---- cross-source overlap matrix --------------------------------------
+    // The datacard-level contamination diagnostic published alongside every
+    // major open corpus (e.g. the C4/Pile/RealNews overlap tables in Dodge
+    // et al. 2021 "Documenting Large Webtext Corpora"): for every PAIR of
+    // sources, how much verbatim 5-gram material they share, as a Jaccard
+    // over each source's distinct shingle set. contamination_score answers
+    // "is THIS doc tainted by the benchmark"; this answers "which SOURCES
+    // duplicate each other", the input to mix design (double-counting a
+    // source pair that is 40% shared inflates its effective weight).
+    //
+    // Scale shape: one corpus pass → per-shingle SORTED SOURCE SET
+    // (collect_set under the gh-keyed agg — map-side partial sets dedup
+    // before the only shuffle, which is vocab-keyed, not corpus-keyed).
+    // The set is bounded by n_sources (≤20 — a curated list, not data),
+    // so both downstream views are cheap array explodes of that one agg:
+    // ordered pairs (≤ S(S−1)/2 = 190 structs per shingle) for the
+    // intersection counts, elements for the per-source set sizes. There
+    // is NO self-join at all — the shape a naive "distinct ⋈ distinct on
+    // gh" plan would re-scan the corpus 6× for (measured via ReuseCheck)
+    // collapses into one aggregation read twice. Final assembly joins are
+    // S-row broadcasts.
+    //
+    // Float parity: counts are exact ints; jaccard is ONE bare division
+    // of exact ints (n_a + n_b − n_shared is int arithmetic).
+    "source_overlap" -> Q(
+      fn = (s, dir) => {
+        val byGh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+            .as("gh"))
+          .groupBy("gh")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        val sizes = byGh.select(explode(col("srcs")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        byGh.filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (x, i) ->
+              |  transform(slice(srcs, i + 2, size(srcs)),
+              |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a_src"), col("p.b").as("b_src"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("a_src"), col("n").as("n_a"))), Seq("a_src"))
+          .join(broadcast(sizes.select(col("source").as("b_src"), col("n").as("n_b"))), Seq("b_src"))
+          .select(col("a_src"), col("b_src"), col("n_a"), col("n_b"), col("n_shared"),
+            (col("n_shared").cast("double")
+              / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+          .orderBy("a_src", "b_src")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          |sh AS (SELECT DISTINCT source, gh FROM (
+          |        SELECT source, UNNEST(list_transform(range(len(toks) - 4),
+          |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+          |        FROM d WHERE len(toks) >= 5)),
+          |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+          |ov AS (SELECT x.source AS a_src, y.source AS b_src, COUNT(*) AS n_shared
+          |       FROM sh x JOIN sh y ON x.gh = y.gh AND x.source < y.source
+          |       GROUP BY 1, 2)
+          |SELECT a_src, b_src, sa.n AS n_a, sb.n AS n_b, n_shared,
+          |       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+          |FROM ov JOIN sz sa ON sa.source = a_src JOIN sz sb ON sb.source = b_src
+          |ORDER BY a_src, b_src""".stripMargin)),
+
+    // ---- token-budget / epoch-allocation plan -----------------------------
+    // The data-recipe arithmetic from data-constrained scaling (Muennighoff
+    // et al. 2023, "Scaling Data-Constrained Language Models"): given a
+    // training budget T tokens and the temperature-flattened mixture
+    // weights w_s (the EXACT mix_weights construction, α = 0.5), each
+    // source is allocated T·w_s tokens and therefore repeats for
+    // epochs_s = T·w_s / n_s. Flattening over-weights small sources, so
+    // their epochs exceed the ~4-epoch useful-repetition ceiling the paper
+    // measures — the over_cap flag is the signal to re-temper or cap.
+    // T = 2× the corpus (one-epoch-plus, the data-constrained regime; a
+    // caller parameterizes it).
+    //
+    // Scale shape: identical to mix_weights — one corpus pass for the
+    // per-source token agg, 1-row totals broadcast twice; the corpus is
+    // never shuffled. Float parity: w6 grid + exact decimal Σ as proven in
+    // mix_weights; budget/alloc/epochs are per-row scalar double chains —
+    // IEEE ops on identical expression trees are bit-identical on both
+    // engines; over_cap is a comparison on that deterministic double,
+    // emitted as an exact 0/1 BIGINT.
+    "token_budget_plan" -> Q(
+      fn = (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+        val tot = tok.agg(sum(col("n_tokens")).as("t_total"))
+        val withW = tok.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("t_total"))
+          .withColumn("w6", round(sqrt(col("share")), 6).cast("decimal(10,6)"))
+        val wsum = withW.agg(sum(col("w6")).as("wsum"))
+        withW.crossJoin(broadcast(wsum))
+          .withColumn("weight", col("w6").cast("double") / col("wsum").cast("double"))
+          .withColumn("alloc_tokens",
+            (lit(2.0d) * col("t_total").cast("double")) * col("weight"))
+          .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
+          .select(col("source"), col("n_tokens"), col("weight"),
+            col("alloc_tokens"), col("epochs"),
+            when(col("epochs") > lit(4.0d), 1L).otherwise(0L).as("over_cap"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH tok AS (SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+          |            FROM documents GROUP BY source),
+          |tot AS (SELECT SUM(n_tokens) AS t_total FROM tok),
+          |w AS (SELECT source, n_tokens, t_total,
+          |             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t_total), 6)
+          |                  AS DECIMAL(10,6)) AS w6
+          |      FROM tok, tot),
+          |ws AS (SELECT SUM(w6) AS wsum FROM w),
+          |p AS (SELECT source, n_tokens,
+          |             CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight,
+          |             (2.0 * CAST(t_total AS DOUBLE))
+          |               * (CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE)) AS alloc_tokens
+          |      FROM w, ws)
+          |SELECT source, n_tokens, weight, alloc_tokens,
+          |       alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs,
+          |       CAST(CASE WHEN alloc_tokens / CAST(n_tokens AS DOUBLE) > 4.0
+          |                 THEN 1 ELSE 0 END AS BIGINT) AS over_cap
+          |FROM p ORDER BY source""".stripMargin)))
 }

@@ -59,7 +59,10 @@ class PlanGuardSpec extends SparkTestBase {
       "semdedup", // broadcast of the 16-row centroid codebook (assignment product)
       "resample_locf", // broadcast of the 1-row calendar-bounds aggregate
       "q11_important_stock", // broadcast of the 1-row (total, count) threshold aggregate
-      "skew_profile") // broadcasts of the two 1-row top-10-share aggregates
+      "skew_profile", // broadcasts of the two 1-row top-10-share aggregates
+      "dsir_weights", // broadcast of the 1-row corpus-stats aggregate
+      "quality_buckets", // broadcast of the 1-row vocab-total aggregate (×2 consumers)
+      "token_budget_plan") // 1-row token-total (×2 consumers) + 1-row weight-sum broadcasts
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -133,14 +136,30 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("R1b: whitelisted queries still exist (stale whitelist guard)") {
-    val gone = nestedLoopOk.filterNot(SparkEntry.queries.contains)
+    val gone = (nestedLoopOk ++ globalWindowOk).filterNot(SparkEntry.queries.contains)
     assert(gone.isEmpty, s"whitelist names no longer in SparkEntry.queries: $gone")
   }
+
+  /** R2 whitelist — global windows whose input cardinality is bounded by the
+    * QUERY's construction rather than a literal limit (which the static
+    * walk in [[limitBounded]] can prove):
+    *   - shuffle_deterministic: the per-shard offset window runs over the
+    *     16-row output of the hex-prefix aggregate (group key =
+    *     substring(md5, 1, 1), domain ≤ 16 by construction — the whole
+    *     point of the stitched rank is that ONLY this 16-row frame is
+    *     single-reducer, never the corpus).
+    */
+  private val globalWindowOk: Set[String] = Set("shuffle_deterministic")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
       nodes(p).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !limitBounded(w) =>
+        // the whitelist only excuses a window that actually sits over an
+        // aggregate (the bounded-by-construction shape) — an un-aggregated
+        // global window in a whitelisted query still fails
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !limitBounded(w) &&
+              !(globalWindowOk(name) && aggregated(w)) =>
           s"$name: global Window over unbounded input"
       }
     }

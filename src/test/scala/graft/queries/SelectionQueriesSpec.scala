@@ -134,4 +134,70 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(got(3L) == 0.0, s"unique doc not 0.0: $got")
     assert(got(4L) == 0.0, s"self-repetition counted as corpus duplication: $got")
   }
+
+  test("source_overlap: matrix invariants on the real corpus") {
+    val r = graft.SparkEntry.queries("source_overlap")(spark, dir).collect()
+    assert(r.nonEmpty, "no overlapping source pairs found at all")
+    r.foreach { row =>
+      val (a, b) = (row.getString(0), row.getString(1))
+      val (na, nb, sh) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      val j = row.getDouble(5)
+      assert(a < b, s"pair not canonically ordered: $a, $b")
+      assert(sh >= 1 && sh <= math.min(na, nb), s"shared $sh outside [1, min($na,$nb)]")
+      assert(j > 0 && j <= 1, s"jaccard $j outside (0, 1]")
+    }
+  }
+
+  test("source_overlap: known jaccard on a constructed corpus; disjoint pair absent") {
+    // s0 = {gh(a b c d e)}; s1 = {gh(a b c d e), gh(p q r s t)};
+    // s2 = {gh(v w x y z)} disjoint from both
+    val tmp = java.nio.file.Files.createTempDirectory("srcov").toString
+    val docs = Seq(
+      (1L, "a b c d e", "en", "s0", 9L),
+      (2L, "a b c d e", "en", "s1", 9L),
+      (3L, "p q r s t", "en", "s1", 9L),
+      (4L, "v w x y z", "en", "s2", 9L))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("source_overlap")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(("s0", "s1")), s"unexpected pairs: ${got.keySet}")
+    assert(got(("s0", "s1")) == ((1L, 2L, 1L, 0.5)), s"wrong overlap row: $got")
+  }
+
+  test("token_budget_plan: weights normalize, epochs ∝ 1/√share, cap flag consistent") {
+    val r = graft.SparkEntry.queries("token_budget_plan")(spark, dir).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getDouble(2),
+        row.getDouble(3), row.getDouble(4), row.getLong(5)))
+    assert(r.length > 1)
+    val wsum = r.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"weights sum to $wsum, not 1")
+    r.foreach { case (src, n, w, alloc, epochs, cap) =>
+      assert(epochs == alloc / n, s"$src: epochs $epochs != alloc/n ${alloc / n}")
+      assert(cap == (if (epochs > 4.0) 1L else 0L), s"$src: over_cap $cap vs epochs $epochs")
+    }
+    // temperature flattening ⇒ epochs decrease as source size grows
+    // (epochs ∝ 1/√n up to the 6 dp weight grid; compare well-separated ns)
+    for {
+      (_, na, _, _, ea, _) <- r
+      (_, nb, _, _, eb, _) <- r
+      if na.toDouble * 1.01 < nb.toDouble
+    } assert(ea >= eb, s"epochs not monotone: n=$na e=$ea vs n=$nb e=$eb")
+  }
+
+  test("token_budget_plan: skewed corpus trips over_cap on the small source only") {
+    val tmp = java.nio.file.Files.createTempDirectory("tokbud").toString
+    // big source ~500 tokens, small source 5 — flattening over-allocates
+    // the small one far past 4 epochs at the 2× budget
+    val big = (1L to 100L).map(i => (i, "w1 w2 w3 w4 w5", "en", "sbig", 14L))
+    val docs = big :+ (101L, "u1 u2 u3 u4 u5", "en", "ssmall", 14L)
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("token_budget_plan")(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getLong(5))).toMap
+    assert(got("ssmall")._2 == 1L, s"small source not flagged: $got")
+    assert(got("sbig")._2 == 0L, s"big source wrongly flagged: $got")
+    assert(got("ssmall")._1 > got("sbig")._1)
+  }
 }
