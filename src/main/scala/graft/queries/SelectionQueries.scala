@@ -33,6 +33,17 @@ import graft.Tables
   *   - `token_budget_plan`  — epoch allocation at a fixed token budget
   *                            under the mix_weights mixture (Muennighoff
   *                            et al. 2023): flags over-repeated sources.
+  *   - `gopher_rules`       — Gopher-style boolean quality rule gates
+  *                            (Rae et al. 2021 §A.1.1): word count bounds,
+  *                            mean word length, alpha-word fraction, symbol
+  *                            ratio, stopword floor — every comparison done
+  *                            in exact integer arithmetic (cross-multiplied
+  *                            ratios), so there is no float surface at all.
+  *   - `source_kl`          — per-source unigram KL divergence to the corpus
+  *                            distribution: how distinctive each domain is,
+  *                            the quantitative input to mixture re-weighting
+  *                            (the D_KL(p_s ‖ p_corpus) column of a
+  *                            datacard).
   *
   * Float parity follows the proven grid (see [[Queries]] scaladoc): `ln` of
   * one exact-int division rounded to the 6 dp decimal grid, weighted by
@@ -41,6 +52,12 @@ import graft.Tables
   * `round(double, 6)`.
   */
 object SelectionQueries {
+
+  /** Gopher's canonical "must contain ≥2 of" stopword list
+    * (Rae et al. 2021 §A.1.1), quoted for both SQL surfaces. */
+  private val GopherStopSql: String =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"'$w'").mkString(", ")
 
   val all: Map[String, Q] = Map(
 
@@ -452,5 +469,128 @@ object SelectionQueries {
           |       alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs,
           |       CAST(CASE WHEN alloc_tokens / CAST(n_tokens AS DOUBLE) > 4.0
           |                 THEN 1 ELSE 0 END AS BIGINT) AS over_cap
-          |FROM p ORDER BY source""".stripMargin)))
+          |FROM p ORDER BY source""".stripMargin)),
+
+    // ---- Gopher quality rule gates (Rae et al. 2021 §A.1.1) --------------
+    // Boolean per-document filters, emitted individually (for rule-level
+    // datacard accounting) plus the conjunction. The thresholds are the
+    // paper's where the corpus exercises them (mean word length ∈ [3, 10],
+    // ≥80% alpha words, ≤10% symbol ratio, ≥2 canonical stopwords) and
+    // corpus-calibrated for the word-count band.
+    //
+    // Float parity: NONE NEEDED. Every ratio threshold is cross-multiplied
+    // into exact integer comparisons (5·n_alpha ≥ 4·n_words instead of
+    // n_alpha/n_words ≥ 0.8), so the whole operator is int64 arithmetic —
+    // the strongest possible cross-engine contract.
+    //
+    // Scale shape: a single stateless projection over the corpus — no
+    // shuffle, no join, no agg; predicate-pushdown and column-pruning
+    // friendly (only `text` is read beyond the key). At 100 TB this is the
+    // map phase of the ingest pass.
+    "gopher_rules" -> Q(
+      fn = (s, dir) => {
+        val m = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          // words are single-space separated: chars-in-words = len - (n-1)
+          .withColumn("n_wchars",
+            (length(col("text")) - (col("n_words") - 1)).cast("long"))
+          .withColumn("n_alpha",
+            expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long"))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN ($GopherStopSql)))").cast("long"))
+          .withColumn("n_sym",
+            (length(col("text"))
+              - length(translate(col("text"), "#…", ""))).cast("long"))
+        m.select(
+            col("doc_id"), col("n_words"),
+            (col("n_words") >= 20L && col("n_words") <= 90L).as("r_count"),
+            (col("n_wchars") >= lit(3L) * col("n_words")
+              && col("n_wchars") <= lit(10L) * col("n_words")).as("r_meanlen"),
+            (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+            (lit(10L) * col("n_sym") <= col("n_words")).as("r_symbol"),
+            (col("n_stop") >= 2L).as("r_stop"))
+          .withColumn("pass",
+            col("r_count") && col("r_meanlen") && col("r_alpha")
+              && col("r_symbol") && col("r_stop"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+           |                  length(text) AS nc FROM documents),
+           |m AS (SELECT doc_id,
+           |             CAST(len(toks) AS BIGINT) AS n_words,
+           |             CAST(nc - (len(toks) - 1) AS BIGINT) AS n_wchars,
+           |             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+           |             CAST(len(list_filter(toks, w -> w IN ($GopherStopSql))) AS BIGINT) AS n_stop,
+           |             CAST(nc - length(replace(replace(text, '#', ''), '…', '')) AS BIGINT) AS n_sym
+           |      FROM t)
+           |SELECT doc_id, n_words,
+           |       n_words >= 20 AND n_words <= 90 AS r_count,
+           |       n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words AS r_meanlen,
+           |       5 * n_alpha >= 4 * n_words AS r_alpha,
+           |       10 * n_sym <= n_words AS r_symbol,
+           |       n_stop >= 2 AS r_stop,
+           |       (n_words >= 20 AND n_words <= 90)
+           |         AND (n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words)
+           |         AND (5 * n_alpha >= 4 * n_words)
+           |         AND (10 * n_sym <= n_words)
+           |         AND (n_stop >= 2) AS pass
+           |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-source unigram KL divergence to the corpus ------------------
+    // D_KL(p_source ‖ p_corpus) = Σ_t (c_st/n_s)·[ln(c_st/n_s) − ln(c_t/n_c)]
+    // — the "how far is this domain from the mixture" number that motivates
+    // per-source temperature in mix_weights. No smoothing needed: the
+    // source distribution's support is a subset of the corpus support by
+    // construction, so every term is finite.
+    //
+    // Scale shape: ONE corpus token pass aggregated by (source, tok); the
+    // per-source totals (#sources rows) broadcast back; the corpus term
+    // counts derive from the SAME (source, tok) agg grouped by tok (vocab-
+    // sized — never a second corpus pass), joined un-hinted like tfidf; the
+    // grand total is a 1-row broadcast. Linear in corpus size, state is
+    // vocab-sized.
+    //
+    // Float parity: the proven unigram_logprob grid — each ln takes ONE
+    // exact-int division, is rounded to the 6 dp decimal grid, the two
+    // grid values subtract exactly, × exact count c_st stays exact, the
+    // decimal sum is order-independent, and the final normalize is one
+    // bare double division.
+    "source_kl" -> Q(
+      fn = (s, dir) => {
+        val st = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+        val vocab = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+        val tot = vocab.agg(sum(col("c_t")).as("n_c"))
+        st.join(broadcast(srcTot), Seq("source"))
+          .join(vocab, Seq("tok")) // un-hinted: vocab-sized (see tfidf)
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_s"),
+            (col("c_st")
+              * (round(log(col("c_st").cast("double") / col("n_s")), 6)
+                  .cast("decimal(12,6)")
+                - round(log(col("c_t").cast("double") / col("n_c")), 6)
+                  .cast("decimal(12,6)"))).as("k6"))
+          .groupBy("source", "n_s")
+          .agg(sum(col("k6")).as("sk"))
+          .select(col("source"), col("n_s").as("n_tokens"),
+            (col("sk").cast("double") / col("n_s")).as("kl_nats"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |st AS (SELECT source, tok, COUNT(*) AS c_st FROM t GROUP BY source, tok),
+          |srct AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+          |vocab AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_c FROM vocab)
+          |SELECT st.source, n_s AS n_tokens,
+          |       CAST(SUM(c_st * (CAST(round(ln(CAST(c_st AS DOUBLE) / n_s), 6) AS DECIMAL(12,6))
+          |                      - CAST(round(ln(CAST(c_t AS DOUBLE) / n_c), 6) AS DECIMAL(12,6))))
+          |            AS DOUBLE) / n_s AS kl_nats
+          |FROM st JOIN srct USING (source) JOIN vocab USING (tok), tot
+          |GROUP BY st.source, n_s ORDER BY st.source""".stripMargin)))
+
 }

@@ -29,6 +29,13 @@ object SimilarityQueries {
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
 
+  /** DuckDB left-fold squared-L2 over full-length vectors — the same
+    * zero-seeded fold order as the codegen'd
+    * [[graft.functions.VectorFunctions.floatL2Sq]] (first term seeds the
+    * accumulator; 0.0 + v1 == v1 exactly). */
+  private def duckL2Full(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
   private val NumQueries = 5
   private val TopK = 10
 
@@ -254,6 +261,88 @@ object SimilarityQueries {
            |  FROM scored)
            |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) --
+    // Two retrievers over the same candidate pool — cosine (angle) and
+    // euclidean (magnitude-sensitive; the rankings genuinely differ because
+    // the synthetic vectors are NOT normalized) — each keeps its top-k, and
+    // the union is re-ranked by RRF(d) = Σ_r 1/(60 + rank_r(d)), the
+    // standard no-tuning rank fusion (k = 60 per the paper). The shape
+    // generalizes to BM25 ⊕ dense hybrid search: any set of per-retriever
+    // (qid, cid, rank) lists fuses the same way.
+    //
+    // Scale shape: ONE scored pass (both metrics are codegen'd expressions
+    // over the same broadcast-q × candidates product — no second scan, no
+    // self-join: the two ranks come from two windows over the SAME qid
+    // partitioning, one shuffle), then the fusion is pure arithmetic on the
+    // ≤ 2k surviving rows per query. At 100 TB the scored pass swaps to an
+    // ANN candidate source (ivf/lsh_topk) per retriever; fusion unchanged.
+    //
+    // Float parity: each RRF term is ONE correctly-rounded double division
+    // 1.0/(60+rank) of exact ints, and their sum is one correctly-rounded
+    // add — identical expression trees on both engines, no round() anywhere.
+    // Ranking orders bit-identical doubles with cid tie-break.
+    "rrf_fusion" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+          .withColumn("d2",
+            graft.functions.VectorFunctions.floatL2Sq(col("qv"), col("cv")))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
+        val fused = scored
+          .withColumn("rc", row_number().over(wc))
+          .withColumn("rl", row_number().over(wl))
+          .filter(col("rc") <= TopK || col("rl") <= TopK)
+          .select(col("qid"), col("cid"),
+            when(col("rc") <= TopK, col("rc")).as("cos_rank"),
+            when(col("rl") <= TopK, col("rl")).as("l2_rank"))
+          .withColumn("rrf",
+            coalesce(lit(1.0d) / (lit(60) + col("cos_rank")), lit(0.0d))
+              + coalesce(lit(1.0d) / (lit(60) + col("l2_rank")), lit(0.0d)))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid"))
+        fused.withColumn("rrf_rank", row_number().over(wr).cast("int"))
+          .filter(col("rrf_rank") <= TopK)
+          .select(col("qid"), col("cid"), col("rrf"),
+            col("cos_rank").cast("int").as("cos_rank"),
+            col("l2_rank").cast("int").as("l2_rank"), col("rrf_rank"))
+          .orderBy("qid", "rrf_rank")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT qid, cid,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim,
+           |         ${duckL2Full("qv", "cv")} AS d2
+           |  FROM q CROSS JOIN c WHERE qid != cid),
+           |ranked AS (
+           |  SELECT qid, cid,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rc,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rl
+           |  FROM scored),
+           |fused AS (
+           |  SELECT qid, cid,
+           |         CASE WHEN rc <= $TopK THEN rc END AS cos_rank,
+           |         CASE WHEN rl <= $TopK THEN rl END AS l2_rank,
+           |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + CASE WHEN rc <= $TopK THEN rc END), CAST(0.0 AS DOUBLE))
+           |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + CASE WHEN rl <= $TopK THEN rl END), CAST(0.0 AS DOUBLE)) AS rrf
+           |  FROM ranked WHERE rc <= $TopK OR rl <= $TopK),
+           |rr AS (
+           |  SELECT qid, cid, rrf, cos_rank, l2_rank,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rrf_rank
+           |  FROM fused)
+           |SELECT qid, cid, rrf, CAST(cos_rank AS INTEGER) AS cos_rank,
+           |       CAST(l2_rank AS INTEGER) AS l2_rank, CAST(rrf_rank AS INTEGER) AS rrf_rank
+           |FROM rr WHERE rrf_rank <= $TopK ORDER BY qid, rrf_rank""".stripMargin)),
 
     // ---- embedding-cosine near-duplicate pairs (banded hyperplane LSH) --
     // Candidate generation is a 6-band × 6-bit signature equi-join — the

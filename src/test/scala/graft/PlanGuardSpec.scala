@@ -62,7 +62,9 @@ class PlanGuardSpec extends SparkTestBase {
       "skew_profile", // broadcasts of the two 1-row top-10-share aggregates
       "dsir_weights", // broadcast of the 1-row corpus-stats aggregate
       "quality_buckets", // broadcast of the 1-row vocab-total aggregate (×2 consumers)
-      "token_budget_plan") // 1-row token-total (×2 consumers) + 1-row weight-sum broadcasts
+      "token_budget_plan", // 1-row token-total (×2 consumers) + 1-row weight-sum broadcasts
+      "source_kl", // broadcast of the 1-row corpus-grand-total aggregate
+      "rrf_fusion") // broadcast of the ≤5-row query-vector side (similarity_topk shape)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -200,4 +200,95 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(got("sbig")._2 == 0L, s"big source wrongly flagged: $got")
     assert(got("ssmall")._1 > got("sbig")._1)
   }
+
+  test("gopher_rules: pass ≡ conjunction; every rule exercised or vacuous by corpus design") {
+    val got = graft.SparkEntry.queries("gopher_rules")(spark, dir)
+    val bad = got.filter(col("pass") =!= (col("r_count") && col("r_meanlen")
+      && col("r_alpha") && col("r_symbol") && col("r_stop"))).count()
+    assert(bad == 0, s"$bad rows where pass != AND(rules)")
+    // the synthetic corpus is all-lowercase words with no symbols: the two
+    // character-class rules are vacuously true, the other three discriminate
+    val agg = got.agg(
+      sum(when(col("r_alpha"), 0).otherwise(1)).as("alpha_viol"),
+      sum(when(col("r_symbol"), 0).otherwise(1)).as("sym_viol"),
+      countDistinct(col("r_count")).as("count_vals"),
+      countDistinct(col("r_stop")).as("stop_vals")).head()
+    assert(agg.getLong(0) == 0 && agg.getLong(1) == 0)
+    assert(agg.getLong(2) == 2, "r_count never fires on this corpus")
+    assert(agg.getLong(3) == 2, "r_stop never fires on this corpus")
+  }
+
+  test("gopher_rules: constructed violations trip exactly the intended rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    val normal = "the data and " + Seq.fill(27)("word").mkString(" ") // 30 words, 2 stops
+    val docs = Seq(
+      (1L, normal, "en", "s", 0L),                                      // passes all
+      (2L, Seq.fill(30)("supercalifragilistic").mkString(" "), "en", "s", 0L), // meanlen > 10
+      (3L, "the and " + Seq.fill(28)("w").mkString(" "), "en", "s", 0L), // meanlen < 3
+      (4L, ("the and ### ## " + Seq.fill(26)("word").mkString(" ")), "en", "s", 0L), // 5 syms / 30 words
+      (5L, Seq.fill(30)("word").mkString(" "), "en", "s", 0L),           // no stopwords
+      (6L, "the and word", "en", "s", 0L))                               // 3 words < 20
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("gopher_rules")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    // (r_count, r_meanlen, r_alpha, r_symbol, r_stop, pass)
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L)._2 == false && got(2L)._6 == false, s"long words not flagged: ${got(2L)}")
+    assert(got(3L)._2 == false, s"1-char words not flagged: ${got(3L)}")
+    assert(got(4L)._4 == false, s"10% symbol ratio not flagged: ${got(4L)}")
+    assert(got(5L)._5 == false, s"0 stopwords not flagged: ${got(5L)}")
+    assert(got(6L)._1 == false, s"3-word doc not flagged: ${got(6L)}")
+  }
+
+  test("source_kl: non-negative (Gibbs), totals consistent, uniform source ⇒ ~0") {
+    val got = graft.SparkEntry.queries("source_kl")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // KL ≥ 0 up to the 6dp ln grid (each ln carries ≤ 5e-7 rounding, the
+    // count-weighted average keeps the bound)
+    got.foreach { case (s, _, kl) => assert(kl >= -1e-5, s"$s: KL $kl < 0") }
+    val corpusToks = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    assert(got.map(_._2).sum == corpusToks, "per-source token totals don't sum to corpus")
+    // constructed: a source with the corpus's own distribution scores ~0,
+    // a concentrated source scores clearly positive
+    val tmp = java.nio.file.Files.createTempDirectory("srckl").toString
+    val mirror = (1L to 50L).map(i => (i, "a b c d", "en", "smirror", 0L))
+    val skewed = (51L to 100L).map(i => (i, "a a a a", "en", "sskew", 0L))
+    spark.createDataFrame(mirror ++ skewed)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kl = graft.SparkEntry.queries("source_kl")(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("sskew") > 0.1, s"concentrated source KL too small: $kl")
+    assert(kl("sskew") > kl("smirror") + 0.1, s"skewed not > mirror: $kl")
+  }
+
+  test("rrf_fusion: rank bookkeeping and agreement with similarity_topk") {
+    val got = graft.SparkEntry.queries("rrf_fusion")(spark, dir)
+    // exactly top-10 per query, rrf strictly within (0, 2/61]
+    val perQ = got.groupBy("qid").agg(count(lit(1)).as("n"),
+      min("rrf_rank").as("lo"), max("rrf_rank").as("hi")).collect()
+    perQ.foreach { r => assert(r.getLong(1) == 10 && r.getInt(2) == 1 && r.getInt(3) == 10) }
+    val mm = got.agg(min("rrf"), max("rrf")).head()
+    assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) <= 2.0 / 61.0 + 1e-12)
+    // every fused row came from at least one retriever's top-10
+    assert(got.filter(col("cos_rank").isNull && col("l2_rank").isNull).count() == 0)
+    // rrf_rank is the descending-rrf order (cid tie-break)
+    val disorder = got.withColumn("expect", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid"))))
+      .filter(col("rrf_rank") =!= col("expect")).count()
+    assert(disorder == 0, s"$disorder rows out of rrf order")
+    // the cosine leg must agree with similarity_topk's ranking verbatim
+    val cosLeg = got.filter(col("cos_rank").isNotNull)
+      .select(col("qid"), col("cid"), col("cos_rank"))
+    val ref = graft.SparkEntry.queries("similarity_topk")(spark, dir)
+      .select(col("qid"), col("cid"), col("rk"))
+    assert(cosLeg.join(ref, Seq("qid", "cid"))
+      .filter(col("cos_rank") =!= col("rk")).count() == 0,
+      "cos_rank disagrees with similarity_topk")
+    assert(cosLeg.join(ref, Seq("qid", "cid"), "left_anti").count() == 0,
+      "cosine top-10 row missing from similarity_topk")
+  }
 }
