@@ -197,7 +197,8 @@ object SimilarityQueries {
     (pairs, emb)
   }
 
-  val all: Map[String, Q] = Map(
+  /** Every retriever/dedup entry except the composed eval below. */
+  private val base: Map[String, Q] = Map(
 
     // ---- brute-force cosine top-k ---------------------------------------
     "similarity_topk" -> Q(
@@ -788,4 +789,50 @@ object SimilarityQueries {
            |SELECT qid, cid, round(qsim, 6) AS qsim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
   )
+
+  // ---- ANN quality eval: recall@k of the approximate retrievers ---------
+  // The missing closing number for any ANN deployment: per query, what
+  // fraction of the TRUE cosine top-10 does each sub-quadratic retriever
+  // (IVF probe-4, 8-bit hyperplane LSH) actually return? Composed from the
+  // SAME Q entries the gate already checks — Spark legs reuse the
+  // retrievers' DataFrame builders, the oracle nests their exact SQL as
+  // CTEs — so the eval can never drift from the retrievers it measures.
+  // Defined OUTSIDE the base map: composing inside the map literal would
+  // read half-initialized entries (Scala val init order).
+  //
+  // Scale shape: each leg is the retriever's own plan plus a broadcast-
+  // sized join of two ≤(5×10)-row top-k lists and a 5-row agg — the eval
+  // overhead is constant whatever the corpus size.
+  //
+  // Float parity: n_hit is an exact int; recall is ONE bare
+  // correctly-rounded double division by the constant k.
+  val all: Map[String, Q] = base + ("recall_at_k" -> Q(
+    fn = (s, dir) => {
+      val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
+      def leg(name: String) = {
+        val approx = base(name).fn(s, dir)
+          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(name).as("method"), col("qid"), col("n_hit"),
+            (col("n_hit").cast("double") / lit(TopK)).as("recall"))
+      }
+      leg("ivf_topk").unionAll(leg("lsh_topk")).orderBy("method", "qid")
+    },
+    oracle = Some {
+      def leg(name: String) =
+        s"""SELECT '$name' AS method, e.qid,
+           |       CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |FROM exact e LEFT JOIN a_$name a ON e.qid = a.qid AND e.cid = a.cid
+           |GROUP BY e.qid""".stripMargin
+      s"""WITH exact AS (${base("similarity_topk").oracle.get}),
+         |a_ivf_topk AS (${base("ivf_topk").oracle.get}),
+         |a_lsh_topk AS (${base("lsh_topk").oracle.get}),
+         |r AS (${leg("ivf_topk")}
+         |UNION ALL
+         |${leg("lsh_topk")})
+         |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
+         |FROM r ORDER BY method, qid""".stripMargin
+    }))
 }
