@@ -591,6 +591,84 @@ object SelectionQueries {
           |                      - CAST(round(ln(CAST(c_t AS DOUBLE) / n_c), 6) AS DECIMAL(12,6))))
           |            AS DOUBLE) / n_s AS kl_nats
           |FROM st JOIN srct USING (source) JOIN vocab USING (tok), tot
-          |GROUP BY st.source, n_s ORDER BY st.source""".stripMargin)))
+          |GROUP BY st.source, n_s ORDER BY st.source""".stripMargin)),
+
+    // ---- source centroid similarity in embedding space -------------------
+    // The semantic complement of source_overlap's lexical Jaccard: pairwise
+    // cosine between per-source MEAN embeddings (documents ⋈ embeddings on
+    // doc_id = vec_id — sources without embedded docs drop out). Two
+    // domains can share no 5-grams yet be semantically near; this matrix
+    // catches that for mix design / redundant-source pruning (the SemDeDup
+    // idea lifted from documents to whole domains).
+    //
+    // Float parity — FULLY EXACT until the last four scalar ops: each float
+    // element quantizes to exact micro-units (floor(x·1e6) — one correctly-
+    // rounded double multiply, then an exact floor; both engines identical),
+    // per-(source, dim) sums are exact BIGINTs, and because cosine is
+    // scale-invariant the ÷n of the mean cancels — the SUM vector IS the
+    // centroid. Pair dot/norm terms are exact DECIMAL(38,0) products of
+    // those bigints (≤ ~2.5e21 at 1000× this corpus — far inside 10^38)
+    // summed exactly, so aggregation order cannot matter; the final
+    // cos = dot / (√na · √nb) is one identical double chain on both
+    // engines. The 6dp ln-grid isn't even needed here.
+    //
+    // Scale shape: the doc⋈emb join is key-co-partitioned (both sides keyed
+    // by the doc id — bucketable at rest); the 64× posexplode feeds a
+    // (source, dim) partial agg, so the shuffle after map-side combine
+    // carries ≤ #sources × 64 rows regardless of corpus size; everything
+    // after is arithmetic on a ≤ S×64 table (S ≤ 20) — the pair join is
+    // broadcast-trivial. One corpus pass, constant driver state.
+    "source_centroid_sim" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val cent = docs.join(emb, Seq("doc_id"))
+          .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("source"), col("pos"),
+            floor(col("x").cast("double") * lit(1000000.0d)).as("micro"))
+          .groupBy("source", "pos").agg(sum(col("micro")).as("sv"))
+        val norms = cent.groupBy("source")
+          .agg(sum(col("sv").cast("decimal(19,0)") * col("sv").cast("decimal(19,0)")).as("n2"))
+        val a = cent.select(col("source").as("source_a"), col("pos"), col("sv").as("sa"))
+        val b = cent.select(col("source").as("source_b"), col("pos"), col("sv").as("sb"))
+        a.join(b, Seq("pos")).filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(sum(col("sa").cast("decimal(19,0)") * col("sb").cast("decimal(19,0)")).as("dot"))
+          .join(broadcast(norms.select(col("source").as("source_a"), col("n2").as("na"))), Seq("source_a"))
+          .join(broadcast(norms.select(col("source").as("source_b"), col("n2").as("nb"))), Seq("source_b"))
+          .filter(col("na") > 0 && col("nb") > 0)
+          .select(col("source_a"), col("source_b"),
+            (col("dot").cast("double")
+              / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+              .as("centroid_cos"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some(
+        """WITH j AS (
+          |  SELECT d.source, e.embedding
+          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          |el AS (
+          |  SELECT source, UNNEST(range(1, 65)) AS pos, embedding FROM j),
+          |cent AS (
+          |  SELECT source, pos,
+          |         CAST(SUM(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sv
+          |  FROM el GROUP BY source, pos),
+          |norms AS (
+          |  SELECT source, SUM(CAST(sv AS DECIMAL(19,0)) * CAST(sv AS DECIMAL(19,0))) AS n2
+          |  FROM cent GROUP BY source),
+          |pairs AS (
+          |  SELECT a.source AS source_a, b.source AS source_b,
+          |         SUM(CAST(a.sv AS DECIMAL(19,0)) * CAST(b.sv AS DECIMAL(19,0))) AS dot
+          |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.source < b.source
+          |  GROUP BY a.source, b.source)
+          |SELECT source_a, source_b,
+          |       CAST(dot AS DOUBLE)
+          |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS centroid_cos
+          |FROM pairs
+          |JOIN norms na ON na.source = source_a
+          |JOIN norms nb ON nb.source = source_b
+          |WHERE na.n2 > 0 AND nb.n2 > 0
+          |ORDER BY source_a, source_b""".stripMargin)))
 
 }

@@ -265,6 +265,32 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(kl("sskew") > kl("smirror") + 0.1, s"skewed not > mirror: $kl")
   }
 
+  test("source_centroid_sim: full matrix, bounds, and constructed identical/orthogonal sources") {
+    val got = graft.SparkEntry.queries("source_centroid_sim")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    // 20 sources → C(20,2) unordered pairs, each |cos| ≤ 1, a < b ordering
+    assert(got.length == 190, s"expected 190 pairs, got ${got.length}")
+    got.foreach { case ((a, b), c) =>
+      assert(a < b && math.abs(c) <= 1.0 + 1e-12, s"($a,$b): $c")
+    }
+    // constructed: s1 and s2 share the identical embedding → cos ≈ 1;
+    // s3 is axis-orthogonal to both → cos exactly 0
+    val tmp = java.nio.file.Files.createTempDirectory("centsim").toString
+    val v1 = Array.tabulate(64)(i => if (i < 32) 0.25f else 0.0f)
+    val v3 = Array.tabulate(64)(i => if (i >= 32) 0.25f else 0.0f)
+    spark.createDataFrame(Seq(
+        (1L, "x", "en", "s1", 1L), (2L, "x", "en", "s2", 1L), (3L, "x", "en", "s3", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.createDataFrame(Seq((1L, v1.toSeq, 0), (2L, v1.toSeq, 0), (3L, v3.toSeq, 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val m = graft.SparkEntry.queries("source_centroid_sim")(spark, tmp).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(m(("s1", "s2")) > 0.9999999, s"identical centroids: ${m(("s1", "s2"))}")
+    assert(m(("s1", "s3")) == 0.0 && m(("s2", "s3")) == 0.0, s"orthogonal: $m")
+  }
+
   test("rrf_fusion: rank bookkeeping and agreement with similarity_topk") {
     val got = graft.SparkEntry.queries("rrf_fusion")(spark, dir)
     // exactly top-10 per query, rrf strictly within (0, 2/61]
