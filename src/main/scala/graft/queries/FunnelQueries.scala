@@ -294,6 +294,63 @@ object FunnelQueries {
           |      GROUP BY e.user_id, CAST(t.t0 AS DATE))
           |SELECT cohort, COUNT(*) AS n_users,
           |       CAST(SUM(d1) AS BIGINT) AS n_d1, CAST(SUM(d7) AS BIGINT) AS n_d7
-          |FROM f GROUP BY cohort ORDER BY cohort""".stripMargin))
+          |FROM f GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    // ---- event-type distribution drift per time bucket (added r7) --------
+    // The monitoring verb over the reference's event domain: per 6-hour
+    // bucket, KL divergence of the bucket's event-type distribution against
+    // the whole-corpus distribution — the "did the traffic mix shift this
+    // window" number that pages an on-call or re-triggers mix_weights
+    // downstream. A bucket's support is a subset of the global support by
+    // construction, so every term is finite (no smoothing needed). The
+    // streaming twin is the same aggregation under a watermarked
+    // window(ts, "6 hours") — the batch oracle pins the arithmetic.
+    //
+    // Scale shape: one events pass aggregated by (bucket, type) — partial
+    // agg collapses to ≤ buckets×types rows before the shuffle; the global
+    // type distribution derives from THAT agg (never a second pass); the
+    // grand total is a 1-row broadcast. Same shape as source_kl.
+    //
+    // Float parity: the proven 6dp-ln-grid — each ln of one exact-int
+    // division, grid values subtract exactly, × exact count, decimal sum,
+    // one bare final division.
+    "type_drift" -> Q(
+      fn = (s, dir) => {
+        val wt = Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours").getField("start").as("w_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c_wt"))
+        val wTot = wt.groupBy("w_start").agg(sum(col("c_wt")).as("n_w"))
+        val gt = wt.groupBy("event_type").agg(sum(col("c_wt")).as("c_t"))
+        val tot = gt.agg(sum(col("c_t")).as("n"))
+        wt.join(broadcast(wTot), Seq("w_start"))
+          .join(broadcast(gt), Seq("event_type"))
+          .crossJoin(broadcast(tot))
+          .select(col("w_start"), col("n_w"),
+            (col("c_wt")
+              * (round(log(col("c_wt").cast("double") / col("n_w")), 6)
+                  .cast("decimal(12,6)")
+                - round(log(col("c_t").cast("double") / col("n")), 6)
+                  .cast("decimal(12,6)"))).as("k6"))
+          .groupBy("w_start", "n_w")
+          .agg(sum(col("k6")).as("sk"))
+          .select(col("w_start"), col("n_w").as("n_events"),
+            (col("sk").cast("double") / col("n_w")).as("drift_nats"))
+          .orderBy("w_start")
+      },
+      oracle = Some(
+        """WITH wt AS (
+          |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start,
+          |         event_type, COUNT(*) AS c_wt
+          |  FROM events GROUP BY 1, 2),
+          |wtot AS (SELECT w_start, CAST(SUM(c_wt) AS BIGINT) AS n_w FROM wt GROUP BY w_start),
+          |gt AS (SELECT event_type, CAST(SUM(c_wt) AS BIGINT) AS c_t FROM wt GROUP BY event_type),
+          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gt)
+          |SELECT wt.w_start, n_w AS n_events,
+          |       CAST(SUM(c_wt * (CAST(round(ln(CAST(c_wt AS DOUBLE) / n_w), 6) AS DECIMAL(12,6))
+          |                      - CAST(round(ln(CAST(c_t AS DOUBLE) / n), 6) AS DECIMAL(12,6))))
+          |            AS DOUBLE) / n_w AS drift_nats
+          |FROM wt JOIN wtot USING (w_start) JOIN gt USING (event_type), tot
+          |GROUP BY wt.w_start, n_w ORDER BY wt.w_start""".stripMargin))
   )
 }

@@ -758,6 +758,61 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming distribution drift vs a reference mix -------------------
+
+  /** Streaming twin of the batch `type_drift` query: per event-time window,
+    * KL divergence of the window's event-type distribution against a STATIC
+    * reference distribution (in batch the reference is the corpus's own
+    * global mix; in a stream it is supplied — yesterday's mix, the trained
+    * mix, an SLA mix). One declarative watermarked window aggregation in
+    * append mode: the per-type counts are conditional sums inside a single
+    * groupBy(window) — no chained stateful aggs, state is one row per open
+    * window, and each closed window emits exactly once.
+    *
+    * `refLogProb6(t)` must be `round(ln(p_ref(t)), 6)` on the 6 dp decimal
+    * grid — the same grid the batch query puts its own global term on, so
+    * with p_ref = the batch corpus mix the stream reproduces the batch
+    * drift numbers EXACTLY (spec-pinned): counts are exact longs, grid
+    * values subtract exactly as decimals, and the final normalize is the
+    * same one bare double division. Events whose type is outside the
+    * reference taxonomy are counted in `n_other` (a drift monitor must
+    * surface novel types, not silently drop them) but carry no KL mass —
+    * the reference assigns them no probability.
+    */
+  def driftStream(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowDur: String,
+      refLogProb6: Map[String, java.math.BigDecimal],
+      watermark: String = "10 minutes"): DataFrame = {
+    val types = refLogProb6.keys.toSeq.sorted
+    val counts = types.map(t =>
+      sum(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"c_$t")) :+
+      sum(when(col(typeCol).isin(types: _*), 0L).otherwise(1L)).as("n_other")
+    val agged = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counts.head, counts.tail: _*)
+    val nW = types.map(t => col(s"c_$t")).reduce(_ + _)
+    // Σ_t c_t · (ln6(c_t/n_w) − ln6(p_ref(t))) over types present in the
+    // window — exact decimal arithmetic, same grid as the batch query.
+    val k6 = types.map { t =>
+      val c = col(s"c_$t")
+      when(c > 0L,
+        c * (round(log(c.cast("double") / col("n_w")), 6).cast("decimal(12,6)")
+          - lit(refLogProb6(t)).cast("decimal(12,6)")))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(12,6)") * lit(0L))
+    }.reduce(_ + _)
+    agged
+      .withColumn("n_w", nW)
+      .filter(col("n_w") > 0L)
+      .withColumn("k6", k6)
+      .select(col("w").getField("start").as("w_start"),
+        col("n_w").as("n_events"), col("n_other"),
+        (col("k6").cast("double") / col("n_w")).as("drift_nats"))
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

@@ -65,7 +65,8 @@ class PlanGuardSpec extends SparkTestBase {
       "token_budget_plan", // 1-row token-total (×2 consumers) + 1-row weight-sum broadcasts
       "source_kl", // broadcast of the 1-row corpus-grand-total aggregate
       "rrf_fusion", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
-      "recall_at_k") // composes similarity_topk + ivf_topk legs — their whitelisted broadcasts
+      "recall_at_k", // composes similarity_topk + ivf_topk legs — their whitelisted broadcasts
+      "type_drift") // broadcast of the 1-row grand-total aggregate (source_kl shape)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -687,4 +687,40 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
     assert(opts("startingOffsets") == "earliest")
   }
+
+  test("driftStream with the corpus mix as reference ≡ batch type_drift, exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("ts"), col("event_type"))
+    // reference = the batch corpus's own global mix, on the SAME 6dp grid
+    // the batch query uses for its global term
+    val ref = events.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .crossJoin(events.agg(count(lit(1)).as("n")))
+      .select(col("event_type"),
+        round(log(col("c").cast("double") / col("n")), 6)
+          .cast("decimal(12,6)").as("l6"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val expected = graft.SparkEntry.queries("type_drift")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val rows = events.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Timestamp, String)]
+    val q = PriorityStreams.driftStream(
+        in.toDF().toDF("ts", "event_type"), "ts", "event_type", "6 hours", ref,
+        watermark = "1 second")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    in.addData(rows: _*); q.processAllAvailable()
+    // sentinel far past the data pushes the watermark so every real window closes
+    val sentinel = new Timestamp(rows.map(_._1.getTime).max + 30L * 86400000L)
+    in.addData((sentinel, rows.head._2)); q.processAllAvailable(); q.stop()
+    val got = spark.table("drift_out")
+      .filter(col("w_start") < new Timestamp(sentinel.getTime - 86400000L))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(spark.table("drift_out").agg(sum("n_other")).head().getLong(0) == 0L)
+    assert(got == expected,
+      s"stream/batch drift mismatch: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
 }
