@@ -59,7 +59,8 @@ object SelectionQueries {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => s"'$w'").mkString(", ")
 
-  val all: Map[String, Q] = Map(
+  /** Every selection entry except the composed curriculum below. */
+  private val base: Map[String, Q] = Map(
 
     // ---- DSIR importance weights (Xie et al. 2023) -----------------------
     // log w(doc) = (1/n) Σ_tok c_tok · [ln p_target(tok) − ln p_raw(tok)]
@@ -671,4 +672,53 @@ object SelectionQueries {
           |WHERE na.n2 > 0 AND nb.n2 > 0
           |ORDER BY source_a, source_b""".stripMargin)))
 
+  // ---- easy-first curriculum schedule (composed) -------------------------
+  // Curriculum learning's data-ordering half (Bengio et al. 2009, applied
+  // to LLM pretraining data): emit a global training position where all
+  // head-tercile (easiest/most-fluent) documents come first, then middle,
+  // then tail, with a seeded deterministic shuffle INSIDE each tercile
+  // (adjacent docs must not correlate). Composed from the gated
+  // quality_buckets (the tercile) and the shuffle_deterministic stitch
+  // (the no-global-sort rank) — defined outside the base map literal for
+  // the same val-init reason as SimilarityQueries.recall_at_k.
+  //
+  // Scale shape: the rank is stitched over (tercile, md5-hex-prefix)
+  // shards — 3×16 bounded partitions, each windowed locally, offsets from
+  // a ≤48-row broadcast running sum — so no single-reducer global sort at
+  // any corpus size; quality_buckets' own stitch is already scale-safe.
+  //
+  // Float parity: none needed beyond quality_buckets' — the schedule is
+  // md5 + integer ranks.
+  val all: Map[String, Q] = base + ("curriculum_schedule" -> Q(
+    fn = (s, dir) => {
+      val q = base("quality_buckets").fn(s, dir)
+        .select(col("doc_id"), col("ppl_bucket"))
+        .withColumn("b",
+          when(col("ppl_bucket") === "head", 0)
+            .when(col("ppl_bucket") === "middle", 1).otherwise(2))
+        .withColumn("k",
+          md5(concat(lit("curriculum:42:"), col("doc_id").cast("string"))))
+        .withColumn("shard", substring(col("k"), 1, 1))
+      val rn = q.withColumn("rn", row_number().over(
+        Window.partitionBy("b", "shard").orderBy(col("k"), col("doc_id"))))
+      // ≤48-row offsets frame: the global window is bounded by construction
+      val offsets = q.groupBy("b", "shard").agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("b"), col("shard"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      rn.join(broadcast(offsets), Seq("b", "shard"))
+        .select(col("doc_id"), col("ppl_bucket"), (col("off") + col("rn")).as("pos"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH qb AS (${base("quality_buckets").oracle.get}),
+         |keyed AS (
+         |  SELECT doc_id, ppl_bucket,
+         |         CASE ppl_bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END AS b,
+         |         md5('curriculum:42:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM qb)
+         |SELECT doc_id, ppl_bucket,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY b, k, doc_id) AS BIGINT) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin)))
 }

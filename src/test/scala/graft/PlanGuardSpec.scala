@@ -66,7 +66,8 @@ class PlanGuardSpec extends SparkTestBase {
       "source_kl", // broadcast of the 1-row corpus-grand-total aggregate
       "rrf_fusion", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
       "recall_at_k", // composes similarity_topk + ivf_topk legs — their whitelisted broadcasts
-      "type_drift") // broadcast of the 1-row grand-total aggregate (source_kl shape)
+      "type_drift", // broadcast of the 1-row grand-total aggregate (source_kl shape)
+      "curriculum_schedule") // composes quality_buckets — its whitelisted 1-row broadcast
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -153,7 +154,10 @@ class PlanGuardSpec extends SparkTestBase {
     *     point of the stitched rank is that ONLY this 16-row frame is
     *     single-reducer, never the corpus).
     */
-  private val globalWindowOk: Set[String] = Set("shuffle_deterministic")
+  private val globalWindowOk: Set[String] = Set("shuffle_deterministic",
+    // curriculum_schedule: same stitch — its offset window runs over the
+    // ≤48-row (tercile × hex-prefix) aggregate, never the corpus.
+    "curriculum_schedule")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>

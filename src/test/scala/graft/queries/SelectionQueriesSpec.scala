@@ -265,6 +265,29 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(kl("sskew") > kl("smirror") + 0.1, s"skewed not > mirror: $kl")
   }
 
+  test("curriculum_schedule: permutation, strict tercile phases, stitched ≡ global rank") {
+    val got = graft.SparkEntry.queries("curriculum_schedule")(spark, dir)
+    val n = got.count()
+    val agg = got.agg(min("pos"), max("pos"), countDistinct("pos")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n,
+      s"pos not a permutation of 1..$n: $agg")
+    // every head doc trains before every middle doc before every tail doc
+    val phase = got.groupBy("ppl_bucket")
+      .agg(min("pos").as("lo"), max("pos").as("hi")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(phase("head")._2 < phase("middle")._1, s"head/middle overlap: $phase")
+    assert(phase("middle")._2 < phase("tail")._1, s"middle/tail overlap: $phase")
+    // the stitched shard rank equals the single-reducer global row_number
+    val naive = got
+      .withColumn("b", when(col("ppl_bucket") === "head", 0)
+        .when(col("ppl_bucket") === "middle", 1).otherwise(2))
+      .withColumn("k", md5(concat(lit("curriculum:42:"), col("doc_id").cast("string"))))
+      .withColumn("expect", row_number().over(
+        Window.orderBy(col("b"), col("k"), col("doc_id"))))
+    assert(naive.filter(col("pos") =!= col("expect")).count() == 0,
+      "stitched curriculum rank differs from global row_number")
+  }
+
   test("source_centroid_sim: full matrix, bounds, and constructed identical/orthogonal sources") {
     val got = graft.SparkEntry.queries("source_centroid_sim")(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
