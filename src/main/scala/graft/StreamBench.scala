@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -274,6 +276,61 @@ object StreamBench {
     }
     val scd2Rps = scd2Events / scd2Secs
 
+    // ---- streaming drift monitor: declarative windowed agg throughput -----
+    // driftStream over 10M events spread across 200 six-hour windows and 8
+    // event types. Update mode with an effectively-infinite watermark: file
+    // micro-batches arrive in arbitrary window order, so nothing may be
+    // declared late — every batch upserts its touched windows and the LAST
+    // upsert per window must carry the exact final counts (asserted below
+    // against the closed-form totals). State is one row per window (200) —
+    // the operator's whole point at 100 TB: state scales with open windows,
+    // never with events.
+    val DriftEvents = 10_000_000L
+    val DriftWindows = 200L
+    val driftTypes = (0 until 8).map(t => s"t$t")
+    val driftRef = driftTypes.map { t =>
+      t -> java.math.BigDecimal.valueOf(math.log(1.0 / 8))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }.toMap
+    val (driftSecs, driftFinal) = {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-drift-src").toString
+      // window id cycles fastest so every file touches every window
+      spark.range(DriftEvents).select(
+        timestamp_micros(pmod(col("id"), lit(DriftWindows)) * lit(21600000000L)
+          + (col("id") % 21600L) * lit(1000000L)).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(8)).cast("string")).as("event_type"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-bench").toString
+      val last = new java.util.concurrent.ConcurrentHashMap[java.sql.Timestamp, (Long, Long)]()
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.driftStream(
+          events, "ts", "event_type", "6 hours", driftRef, watermark = "3650 days")
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            last.put(r.getTimestamp(0), (r.getLong(1), r.getLong(2)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ((System.nanoTime() - t0) / 1e9, last)
+    }
+    assert(driftFinal.size == DriftWindows,
+      s"drift windows ${driftFinal.size} != $DriftWindows")
+    val driftTotals = driftFinal.values.asScala.toSeq
+    assert(driftTotals.map(_._1).sum == DriftEvents,
+      s"drift n_events sum ${driftTotals.map(_._1).sum} != $DriftEvents")
+    assert(driftTotals.forall(_._2 == 0L), "drift n_other != 0")
+    val driftRps = DriftEvents / driftSecs
+
     // ---- skew mitigation A/B/C: 90%-hot-key join, plain vs salted vs AQE ----
     // 10M-row fact with 90% of rows on key 0 joined to a 100k-row dim, with
     // broadcast DISABLED so the join is a real shuffle (at 100 TB the dim
@@ -360,7 +417,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
