@@ -58,6 +58,35 @@ object TextQueries {
     * shingle set) must VANISH from banding like the old min-agg's empty
     * group — concat_ws skips nulls, so unfiltered null sigs would all
     * collide on one degenerate band key (O(m²) spurious candidates). */
+  /** All LSH band keys of the minhash signature column `sigs`, one md5 per
+    * band — factored so the batch pair pipeline and the streaming
+    * index/alert twin ([[graft.streaming.PriorityStreams.nearDupAlertStream]])
+    * can never band differently. */
+  private[graft] def bandKeysCol: org.apache.spark.sql.Column =
+    array((0 until NumHashes / BandSize).map { b =>
+      md5(concat_ws("|", lit(b.toString),
+        col("sigs").getItem(2 * b), col("sigs").getItem(2 * b + 1)))
+    }: _*)
+
+  /** Banded minhash signature frame over any (doc_id, text, ...) input:
+    * every original column is kept, plus the `shingles` set and the
+    * exploded band key `bk`. Stateless projections only, so it applies
+    * identically to a static corpus (building the near-dup INDEX) and to a
+    * streaming micro-batch (the alert side) — the shared construction that
+    * makes online dedup against the index sound. */
+  private[graft] def bandedSignatures(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep = docs.columns.map(col).toSeq
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("sigs",
+        graft.functions.MinhashFunctions.minhashSignature(col("shingles")))
+      .filter(col("sigs").isNotNull)
+      .select(keep ++ Seq(col("shingles"), explode(bandKeysCol).as("bk")): _*)
+  }
+
   private[queries] def minhashPairsWithHandle(
       s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -70,12 +99,9 @@ object TextQueries {
     val withSig = sh.select(col("doc_id"),
         graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
       .filter(col("sigs").isNotNull)
-    // all band keys in ONE pass over the signatures
+    // all band keys in ONE pass over the signatures (shared bandKeysCol)
     val bands = withSig.select(col("doc_id"),
-        explode(array((0 until NumHashes / BandSize).map { b =>
-          md5(concat_ws("|", lit(b.toString),
-            col("sigs").getItem(2 * b), col("sigs").getItem(2 * b + 1)))
-        }: _*)).as("bk"))
+        explode(bandKeysCol).as("bk"))
     val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))

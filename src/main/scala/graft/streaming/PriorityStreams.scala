@@ -758,6 +758,52 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming near-duplicate alerts vs a static corpus index ----------
+
+  /** Build the near-dup INDEX from a static (doc_id, text, ...) corpus: the
+    * banded minhash signature frame (`doc_id`, `shingles`, band key `bk`).
+    * Persist/bucket it by `bk` at rest for the alert join. The SAME
+    * construction ([[graft.queries.TextQueries.bandedSignatures]]) runs on
+    * the stream side, so index and stream can never band differently. */
+  def nearDupIndex(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.bandedSignatures(docs)
+      .select(col("doc_id"), col("shingles"), col("bk"))
+
+  /** Online dedup: alert once per (incoming doc, indexed near-dup). The
+    * stream side computes shingles → minhash signature → band keys as a
+    * stateless projection per micro-batch; candidates come from a
+    * stream-static equi-join on the band key (the same subquadratic
+    * candidate generation as the batch `dedup_minhash_lsh` query — never a
+    * cartesian); exact Jaccard verifies candidates, so precision is 1. A
+    * true near-dup shares several bands → duplicate candidate rows; the
+    * final `dropDuplicatesWithinWatermark` collapses them, so state holds
+    * only ALERTED (doc, dup_of) pairs inside the watermark horizon —
+    * proportional to the dup rate, not the corpus (the index itself is
+    * static, outside the state store).
+    *
+    * At 100 TB: bucket the index by `bk` so the per-batch join is
+    * shuffle-free on the stream side; the index size is corpus-sized but
+    * the join touches only colliding buckets. */
+  def nearDupAlertStream(
+      docs: DataFrame,
+      tsCol: String,
+      index: DataFrame,
+      threshold: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    val stream = graft.queries.TextQueries.bandedSignatures(docs)
+      .withWatermark(tsCol, watermark)
+    val idx = index.select(col("doc_id").as("dup_of"),
+      col("shingles").as("dup_sh"), col("bk"))
+    stream.join(idx, Seq("bk"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .withColumn("jacc",
+        size(array_intersect(col("shingles"), col("dup_sh"))).cast("double")
+          / size(array_union(col("shingles"), col("dup_sh"))))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_id"), col(tsCol), col("dup_of"), col("jacc"))
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "dup_of"))
+  }
+
   // ---- streaming distribution drift vs a reference mix -------------------
 
   /** Streaming twin of the batch `type_drift` query: per event-time window,

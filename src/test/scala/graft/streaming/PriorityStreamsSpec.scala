@@ -688,6 +688,42 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(opts("startingOffsets") == "earliest")
   }
 
+  test("nearDupAlertStream: planted near-dup and exact copy alert once; unrelated doc silent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val index = PriorityStreams.nearDupIndex(corpus).cache()
+    val Array(tgt1, tgt2) = corpus.filter(col("doc_id").isin(7L, 11L))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    // near-dup: one token of doc 7 edited; exact copy of doc 11; unrelated noise
+    val edited = { val t = tgt1.split(" "); t(t.length / 2) = "zzznovel"; t.mkString(" ") }
+    val t0 = ts("2024-01-01 00:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = PriorityStreams.nearDupAlertStream(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", index)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    in.addData(
+      (100001L, edited, t0),
+      (100002L, tgt2, t0),
+      (100003L, Seq.tabulate(40)(i => s"nonsense$i").mkString(" "), t0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_out")
+      .select("doc_id", "dup_of", "jacc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.contains(100001L) && byDoc(100001L).exists(_._2 == 7L),
+      s"edited doc did not alert against doc 7: ${got.toSeq}")
+    assert(byDoc(100002L).exists(t => t._2 == 11L && t._3 == 1.0),
+      s"exact copy did not alert with jacc 1.0: ${got.toSeq}")
+    assert(!byDoc.contains(100003L), s"unrelated doc alerted: ${got.toSeq}")
+    // multi-band candidates collapsed: exactly one alert per (doc, dup_of)
+    assert(got.groupBy(t => (t._1, t._2)).forall(_._2.length == 1),
+      s"duplicate alerts not collapsed: ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("driftStream with the corpus mix as reference ≡ batch type_drift, exactly") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
