@@ -627,6 +627,79 @@ object CurationQueries {
           |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
           |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
 
+    // ---- windowed skip-gram PMI (added r7) -------------------------------
+    // pmi_top_pairs generalized from adjacent bigrams to a ±2 co-occurrence
+    // window — the word2vec/GloVe counting shape (Mikolov et al. 2013 train
+    // on exactly these skip-gram pairs; Levy & Goldberg 2014 show word2vec
+    // implicitly factorizes THIS windowed-PMI matrix). Ordered pairs at
+    // distances 1 and 2; PMI over pair occurrences with p(a)·p(b) from the
+    // unigram distribution. Support floor nb ≥ 40 (2× the adjacent floor —
+    // the window doubles pair mass) kills the low-count PMI explosion.
+    // Float parity: identical chain to pmi_top_pairs (one probed ln of a
+    // division ratio, 6 dp ranking keys, pair tie-break). Scale shape: the
+    // d=1 and d=2 pair streams are two map-side explodes of the SAME scan
+    // unioned BEFORE the one vocab²-bounded agg; two vocab-sized joins;
+    // TakeOrderedAndProject for the top-25. Widening the window only
+    // scales the map-side explode factor — no new shuffle at any W.
+    "skipgram_pmi" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val uni = toks
+          .select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val tTot = uni.agg(sum(col("c")).as("tt"))
+        def skipPairs(d: Int) = toks
+          .filter(size(col("toks")) >= d + 1)
+          .select(explode(expr(
+            s"""transform(sequence(0, size(toks) - ${d + 1}),
+               |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 1 + $d) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+        val bi = skipPairs(1).union(skipPairs(2))
+          .groupBy("a", "b").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= 40)
+        val bTot = bi.agg(sum(col("nb")).as("bt"))
+        val pmi = bi
+          .join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+          .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+          .crossJoin(broadcast(bTot))
+          .crossJoin(broadcast(tTot))
+          .withColumn("pmi", round(log(
+            (col("nb").cast("double") / col("bt")) /
+              ((col("ca").cast("double") / col("tt")) * (col("cb").cast("double") / col("tt")))), 6))
+        val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
+        pmi.orderBy(col("pmi").desc, col("a"), col("b")).limit(25)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("a"), col("b"), col("nb"), col("pmi"))
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |uni AS (SELECT UNNEST(toks) AS tok FROM t),
+          |u AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+          |tt AS (SELECT SUM(c) AS tt FROM u),
+          |b1 AS (SELECT UNNEST(list_transform(range(len(toks) - 1),
+          |          i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+          |       FROM t WHERE len(toks) >= 2),
+          |b2 AS (SELECT UNNEST(list_transform(range(len(toks) - 2),
+          |          i -> {'a': toks[i + 1], 'b': toks[i + 3]}), recursive := true)
+          |       FROM t WHERE len(toks) >= 3),
+          |bi AS (SELECT a, b, COUNT(*) AS nb
+          |       FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+          |       GROUP BY a, b HAVING COUNT(*) >= 40),
+          |bt AS (SELECT SUM(nb) AS bt FROM bi),
+          |pmi AS (
+          |  SELECT bi.a, bi.b, bi.nb,
+          |         round(ln((CAST(nb AS DOUBLE) / bt.bt) /
+          |           ((CAST(ua.c AS DOUBLE) / tt.tt) * (CAST(ub.c AS DOUBLE) / tt.tt))), 6) AS pmi
+          |  FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
+          |       CROSS JOIN bt CROSS JOIN tt),
+          |rk AS (SELECT a, b, nb, pmi,
+          |              ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank FROM pmi)
+          |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
+          |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+
     // ---- per-doc bigram log-probability (added r6) -----------------------
     // The order-2 refinement of unigram_logprob — the CCNet/KenLM-proxy
     // quality score one step up: per doc, the mean ln p(w_i | w_{i-1})

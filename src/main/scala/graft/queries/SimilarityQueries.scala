@@ -200,6 +200,58 @@ object SimilarityQueries {
   /** Every retriever/dedup entry except the composed eval below. */
   private val base: Map[String, Q] = Map(
 
+    // ---- embedding-table datacard / quality audit (added r7) -------------
+    // The pre-flight audit every ANN/dedup consumer above assumes has
+    // passed: per label — row count, dimension min/max (ragged arrays are
+    // a pipeline bug), NaN-bearing vectors, exact-zero vectors (both break
+    // cosine), and the L2-norm min/max/mean (norm collapse or blow-up is
+    // the classic symptom of a bad encoder checkpoint or truncated float
+    // ingest). Float parity: ‖v‖² is the SAME left-fold as the codegen
+    // cosine denominator (bit-identical to DuckDB's list_reduce), sqrt is
+    // probed correctly-rounded, norms hit the 6 dp grid before the exact
+    // decimal mean sum; min/max are comparisons only. Scale shape: one
+    // map-only pass, partial agg collapses to ≤ #labels rows pre-shuffle —
+    // the cheapest possible full-table audit at 100 TB.
+    "embedding_audit" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val rows = emb.select(
+          col("label"),
+          size(col("embedding")).as("dims"),
+          when(expr("exists(embedding, x -> isnan(x))"), 1L).otherwise(0L).as("has_nan"),
+          norm2(col("embedding")).as("n2"))
+          .withColumn("norm6", round(sqrt(col("n2")), 6))
+        rows.groupBy("label").agg(
+            count(lit(1)).as("n_vecs"),
+            min(col("dims")).as("dim_min"),
+            max(col("dims")).as("dim_max"),
+            sum(col("has_nan")).as("n_nan"),
+            sum(when(col("n2") === 0d, 1L).otherwise(0L)).as("n_zero"),
+            min(col("norm6")).as("norm_min"),
+            max(col("norm6")).as("norm_max"),
+            (sum(col("norm6").cast("decimal(16,6)")).cast("double")
+              / count(lit(1)).cast("double")).as("norm_mean"))
+          .orderBy("label")
+      },
+      oracle = Some(
+        s"""WITH rows_ AS (
+           |  SELECT label, len(embedding) AS dims,
+           |         CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+           |              THEN 1 ELSE 0 END AS has_nan,
+           |         ${duckDot("embedding", "embedding")} AS n2
+           |  FROM embeddings),
+           |g AS (SELECT label, dims, has_nan, n2, round(sqrt(n2), 6) AS norm6 FROM rows_)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |       CAST(MIN(dims) AS INTEGER) AS dim_min,
+           |       CAST(MAX(dims) AS INTEGER) AS dim_max,
+           |       CAST(SUM(has_nan) AS BIGINT) AS n_nan,
+           |       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           |       MIN(norm6) AS norm_min,
+           |       MAX(norm6) AS norm_max,
+           |       CAST(SUM(CAST(norm6 AS DECIMAL(16,6))) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS norm_mean
+           |FROM g GROUP BY label ORDER BY label""".stripMargin)),
+
     // ---- brute-force cosine top-k ---------------------------------------
     "similarity_topk" -> Q(
       fn = (s, dir) => {

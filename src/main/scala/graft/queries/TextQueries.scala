@@ -687,6 +687,87 @@ object TextQueries {
            |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- MinHash banding S-curve: empirical recall eval (added r7) -------
+    // The dedup twin of SimilarityQueries.recall_at_k: how many TRUE
+    // near-dup pairs does the 4-band×2-row MinHash banding actually catch,
+    // bucketed by exact Jaccard, next to the textbook collision curve
+    // P(candidate) = 1 − (1 − j²)⁴ (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+    // Truth = EXACT Jaccard ≥ 0.5 pairs from the shared df-capped
+    // candidate core ([[ngramPairStats]] with a constant source — corpus-
+    // wide, cap 32: global shingle df tops out at 25 on this corpus, spec-
+    // capped headroom, and shared-hot counts are corrected back in
+    // exactly); predicted = the gated dedup_minhash_lsh pipeline — BOTH
+    // sides reuse the SAME cached shingle frame, so the eval can never
+    // drift from the operators it measures. Recall and p_band are bare
+    // correctly-rounded chains (division; a fixed (1−j²)⁴ multiply chain
+    // — no libm pow). Scale note: like any recall eval, truth is
+    // quadratic in per-shingle df — at 100 TB you run it on a bounded
+    // sample slice; the LSH side under eval stays the production shape.
+    "lsh_recall_curve" -> Q(
+      fn = (s, dir) => {
+        val (lshPairs, sh) = minhashPairsWithHandle(s, dir)
+        val truth = ngramJaccardPairs(sh.withColumn("source", lit("_")), 32, 0.5)
+          .select(col("a_id"), col("b_id"), col("jacc"))
+        val hit = lshPairs.select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+        val curve = truth.join(hit, Seq("a_id", "b_id"), "left")
+          .withColumn("jbucket", floor(col("jacc") * lit(10.0)).cast("int"))
+          .groupBy("jbucket")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        val j = (col("jbucket").cast("double") + lit(0.5)) / lit(10.0)
+        val x = lit(1.0) - j * j
+        curve
+          .select(col("jbucket"), col("n_true"), col("n_caught"),
+            (col("n_caught").cast("double") / col("n_true").cast("double")).as("recall"),
+            (lit(1.0) - x * x * x * x).as("p_band"))
+          .orderBy("jbucket")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |shs AS (SELECT doc_id, UNNEST(shingles) AS g FROM sh),
+           |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+           |          FROM shs a JOIN shs b ON a.g = b.g AND a.doc_id < b.doc_id
+           |          GROUP BY a.doc_id, b.doc_id),
+           |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+           |truth AS (SELECT a_id, b_id,
+           |                 CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jacc
+           |          FROM inter
+           |          JOIN sizes sa ON sa.doc_id = a_id
+           |          JOIN sizes sb ON sb.doc_id = b_id
+           |          WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |         FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+           |lsh AS (SELECT a_id, b_id
+           |        FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
+           |        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |                / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+           |curve AS (SELECT CAST(floor(jacc * CAST(10 AS DOUBLE)) AS INTEGER) AS jbucket,
+           |                 COUNT(*) AS n_true,
+           |                 CAST(SUM(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+           |          FROM truth tr LEFT JOIN lsh l ON tr.a_id = l.a_id AND tr.b_id = l.b_id
+           |          GROUP BY 1),
+           |c2 AS (SELECT jbucket, n_true, n_caught,
+           |              (CAST(jbucket AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10 AS DOUBLE) AS j
+           |       FROM curve),
+           |x2 AS (SELECT jbucket, n_true, n_caught, CAST(1 AS DOUBLE) - j * j AS x FROM c2)
+           |SELECT jbucket, n_true, n_caught,
+           |       CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall,
+           |       CAST(1 AS DOUBLE) - x * x * x * x AS p_band
+           |FROM x2 ORDER BY jbucket""".stripMargin
+      }),
+
     // ---- cluster survivorship: the merge-policy half of dedup (added r6) -
     // After near-dup clustering, CHOOSE the representative: per cluster the
     // longest document wins (doc_id as the deterministic tie-break — the

@@ -88,6 +88,71 @@ object TrainQueries {
            |ORDER BY cluster, dim""".stripMargin
       }),
 
+    // ---- source × semantic-cluster mix profile (added r7) ----------------
+    // Where each SOURCE lands in embedding space: every document's vector
+    // assigned to its nearest seed centroid (the kmeans_step/ivf codebook),
+    // then counts and within-source shares per (source, cluster) — the
+    // cluster-membership histogram that cluster-aware mixing/diversity
+    // methods weight by (DoReMi-style domain reweighting applied to
+    // semantic clusters instead of named domains; SemDeDup's cluster view
+    // lifted to the source grain). A source collapsing into one cluster is
+    // semantically redundant no matter how many bytes it contributes; this
+    // table is the quantitative version of that judgment, complementing
+    // source_overlap (lexical) and source_centroid_sim (mean direction —
+    // which cannot see a source that SPREADS across clusters; the
+    // histogram can). Float parity: assignment is the kmeans_step argmin
+    // (codegen L2 fold, NULLS-LAST coalesce, cent_id tie-break); counts
+    // are exact; share is ONE correctly-rounded double division. Scale
+    // shape: broadcast of the 16-row codebook + one doc⋈emb equi-join;
+    // the (source, cluster) agg collapses map-side to ≤ sources×16 rows;
+    // share totals derive from those same rows (tiny broadcast join).
+    "cluster_source_mix" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val assigned = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .groupBy("vec_id")
+          .agg(min(struct(
+            coalesce(floatL2Sq(col("embedding"), col("centv")),
+              lit(Double.PositiveInfinity)).as("d2"),
+            col("cent_id"))).as("m"))
+          .select(col("vec_id").as("doc_id"), col("m.cent_id").as("cluster"))
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        val sc = docs.join(assigned, Seq("doc_id"))
+          .groupBy("source", "cluster").agg(count(lit(1)).as("n"))
+        val tot = sc.groupBy("source").agg(sum(col("n")).as("ns"))
+        sc.join(broadcast(tot), Seq("source"))
+          .select(col("source"), col("cluster"), col("n"),
+            (col("n").cast("double") / col("ns").cast("double")).as("share"))
+          .orderBy("source", "cluster")
+      },
+      oracle = Some {
+        val l2 =
+          """list_reduce(list_transform(range(1, 65),
+            |  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            |     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))),
+            |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
+           |               FROM embeddings WHERE vec_id < 16),
+           |assigned AS (
+           |  SELECT vec_id AS doc_id, cluster FROM (
+           |    SELECT e.vec_id, c.cent_id AS cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $l2, c.cent_id) AS rk
+           |    FROM embeddings e CROSS JOIN cents c) t
+           |  WHERE rk = 1),
+           |sc AS (SELECT d.source, a.cluster, COUNT(*) AS n
+           |       FROM documents d JOIN assigned a ON d.doc_id = a.doc_id
+           |       GROUP BY d.source, a.cluster),
+           |tot AS (SELECT source, SUM(n) AS ns FROM sc GROUP BY source)
+           |SELECT sc.source, sc.cluster, sc.n,
+           |       CAST(n AS DOUBLE) / CAST(ns AS DOUBLE) AS share
+           |FROM sc JOIN tot ON sc.source = tot.source
+           |ORDER BY sc.source, sc.cluster""".stripMargin
+      }),
+
     // ---- multi-iteration k-means training (added r6) ---------------------
     // Three chained Lloyd iterations — the real training LOOP, not just one
     // step: assign → update → re-derive centroids → repeat, with the final
