@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated corpus (/root/repo/TESTDATA.md).
   * One parquet file per table under the given scale-factor directory.
@@ -13,15 +13,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    // for: read it as epoch nanos and convert to a microsecond timestamp.
-    // The corpus carries whole-microsecond values, so this is lossless and
-    // matches what DuckDB sees after CAST(ts AS TIMESTAMP).
+    // events.ts has shipped as two physical parquet types across corpus
+    // generations; normalize both to a session-zone TimestampType so every
+    // downstream query (unix_micros, watermarks, Row.getTimestamp) sees one
+    // type:
+    //  - TIMESTAMP(NANOS): no native Spark type — read as epoch nanos
+    //    (nanosAsLong) and convert; the corpus carries whole microseconds,
+    //    so `div 1000` is lossless.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    //    TIMESTAMP_NTZ — cast to TimestampType. The session timezone is
+    //    pinned to UTC everywhere (SparkEntry/Verify/Bench/tests), so the
+    //    cast reinterprets the wall-clock value as the same UTC instant
+    //    DuckDB sees, bit-for-bit.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -55,15 +55,22 @@ object PriorityPipelineDemo {
     // ---- streaming: file source -> routeStream -> windowed agg ----
     import spark.implicits._
     // the file stream source wants a directory: read sfDir with a glob, using
-    // the RAW parquet schema (ts is epoch-nanos int64), then normalize like
+    // the RAW parquet schema (ts has shipped as both epoch-nanos int64 and
+    // micros TIMESTAMP_NTZ across corpus generations), then normalize like
     // Tables.load does
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val streamIn = spark.readStream
+    val streamRaw = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamIn = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        streamRaw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => streamRaw
+    }
     val streamRouted = PriorityStreams.routeStream(streamIn, cfg, 10, key)
     val windowed = PriorityStreams.bucketWindowAgg(
       streamRouted, cfg, key, "ts", windowDur = "6 hours", watermark = "1 hour")
