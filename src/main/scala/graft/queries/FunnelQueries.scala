@@ -351,6 +351,91 @@ object FunnelQueries {
           |                      - CAST(round(ln(CAST(c_t AS DOUBLE) / n), 6) AS DECIMAL(12,6))))
           |            AS DOUBLE) / n_w AS drift_nats
           |FROM wt JOIN wtot USING (w_start) JOIN gt USING (event_type), tot
-          |GROUP BY wt.w_start, n_w ORDER BY wt.w_start""".stripMargin))
+          |GROUP BY wt.w_start, n_w ORDER BY wt.w_start""".stripMargin)),
+
+    // ---- event-type Markov transition matrix (added r7) ------------------
+    // The sequence-modeling complement of funnel_steps: the first-order
+    // Markov model P(next_type | cur_type) over each user's event stream in
+    // strict (ts, event_id) order. This is the training target of
+    // next-event-prediction models and the sanity check behind funnel
+    // design (a funnel step pair with near-zero transition mass is dead).
+    // Semantics: transitions never cross users; the last event of a user
+    // has no successor and contributes nothing.
+    //
+    // Scale shape: ONE shuffle on user_id for the lead() window (per-user
+    // partitions — millions of small partitions, no skew), then the
+    // (cur, nxt) agg collapses to ≤ |types|² rows with map-side combine;
+    // the row-total join is over the same ≤ |types|² frame (broadcast).
+    // Float parity: counts are exact ints; prob is ONE bare
+    // correctly-rounded division per row — no round, per Queries.scala
+    // discipline.
+    "transition_matrix" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val seq = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+        val p = seq.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        val tot = p.groupBy("cur").agg(sum(col("c")).as("tot"))
+        p.join(broadcast(tot), Seq("cur"))
+          .select(col("cur"), col("nxt"), col("c"),
+            (col("c").cast("double") / col("tot")).as("prob"))
+          .orderBy("cur", "nxt")
+      },
+      oracle = Some(
+        """WITH seq AS (
+          |  SELECT user_id, event_type AS cur,
+          |         LEAD(event_type) OVER (PARTITION BY user_id
+          |                                ORDER BY ts, event_id) AS nxt
+          |  FROM events),
+          |p AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+          |      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+          |t AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS tot FROM p GROUP BY cur)
+          |SELECT p.cur, p.nxt, c, CAST(c AS DOUBLE) / tot AS prob
+          |FROM p JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin)),
+
+    // ---- per-user activity profile (added r7) ----------------------------
+    // The feature-engineering roll-up feeding churn/engagement models: per
+    // user, total events, distinct active days, the busiest day, the mean
+    // events-per-active-day, and burstiness = max_day / mean_day — the
+    // "everything in one session" vs "steady usage" discriminator
+    // (burstiness 1.0 = perfectly even).
+    //
+    // Scale shape: daily agg shuffles once on (user_id, day) with map-side
+    // combine, the per-user roll-up reuses the user_id-prefixed
+    // partitioning (no second full shuffle under AQE), output is
+    // |users|-sized. Float parity: mean_day is one bare division of exact
+    // ints; burstiness = max_day·active_days / n_events keeps the
+    // numerator an exact int product so the whole value is again ONE
+    // correctly-rounded division (never double/double).
+    "user_activity_profile" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("cd"))
+          .groupBy("user_id")
+          .agg(sum(col("cd")).as("n_events"),
+            count(lit(1)).as("active_days"),
+            max(col("cd")).as("max_day"))
+          .select(col("user_id"), col("n_events"), col("active_days"),
+            col("max_day"),
+            (col("n_events").cast("double") / col("active_days")).as("mean_day"),
+            ((col("max_day") * col("active_days")).cast("double") / col("n_events"))
+              .as("burstiness"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS cd
+          |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+          |SELECT user_id,
+          |       CAST(SUM(cd) AS BIGINT) AS n_events,
+          |       CAST(COUNT(*) AS BIGINT) AS active_days,
+          |       CAST(MAX(cd) AS BIGINT) AS max_day,
+          |       CAST(SUM(cd) AS DOUBLE) / COUNT(*) AS mean_day,
+          |       CAST(MAX(cd) * COUNT(*) AS DOUBLE) / SUM(cd) AS burstiness
+          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -38,6 +38,8 @@ object SimilarityQueries {
 
   private val NumQueries = 5
   private val TopK = 10
+  // hard_negatives: the rank band (TopK, NegHi] just below the retrieval top-k
+  private val NegHi = 30
 
   /** Lineage truncation for the CC loop — see [[Q.truncate]]: reliable
     * `checkpoint()` when a checkpoint dir is configured (cluster
@@ -839,7 +841,130 @@ object SimilarityQueries {
            |  SELECT qid, cid, qsim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qsim DESC, cid) AS rk
            |  FROM scored)
            |SELECT qid, cid, round(qsim, 6) AS qsim, CAST(rk AS INTEGER) AS rk
-           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
+
+    // ---- hard-negative mining for contrastive training (added r7) --------
+    // The data half of training embedding models (DPR/SimCSE practice):
+    // for each query vector, the candidates ranked just BELOW the top-k —
+    // similar enough to be informative, far enough to (probably) not be
+    // unlabeled positives. We take ranks 11–30 under exact cosine
+    // (immediately below similarity_topk's k=10) and carry a same_label
+    // flag: a hard negative sharing the anchor's label is a likely false
+    // negative, and the flag is what a curation pass filters on.
+    //
+    // Scale shape: identical to similarity_topk — the query side is
+    // broadcast, candidates stream map-side through the fused codegen
+    // cosine, and the rank window partitions by qid (per-query top-30
+    // buffers). At production query counts the window becomes the typed
+    // TopK aggregator (similarity_topk_agg) with k=30 — same contract.
+    // Float parity: the scoring/ranking spelling is byte-for-byte
+    // similarity_topk's (gated green at all SFs); ranks band-filtered
+    // AFTER ranking, so ties resolve identically on both engines.
+    "hard_negatives" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("label").as("clabel"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") > TopK && col("rk") <= NegHi)
+          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+            col("rk"), (col("qlabel") === col("clabel")).cast("int").as("same_label"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+           |           FROM embeddings WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv, label AS clabel FROM embeddings),
+           |scored AS (
+           |  SELECT qid, cid, qlabel, clabel,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
+           |  FROM q CROSS JOIN c WHERE qid != cid),
+           |ranked AS (
+           |  SELECT qid, cid, qlabel, clabel, sim,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM scored)
+           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk,
+           |       CAST(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS INTEGER) AS same_label
+           |FROM ranked WHERE rk > $TopK AND rk <= $NegHi ORDER BY qid, rk""".stripMargin)),
+
+    // ---- per-label embedding outliers (added r7) -------------------------
+    // The pruning half of embedding-space curation (embedding_audit is the
+    // datacard half): per label, the 3 vectors farthest (L2) from their
+    // label's centroid — mislabeled points, encoder failures, and
+    // out-of-distribution members surface here first.
+    //
+    // Float parity — exact until the last three scalar ops, the
+    // source_centroid_sim discipline extended to DISTANCES: elements
+    // quantize to exact micro-units; the centroid mean sv/n is never
+    // materialized as a double — instead each squared deviation is scaled
+    // by n² so (n·x − sv) is an exact BIGINT (|n·x| ≤ n·2²⁰, safe to
+    // ~4e12 vectors/label) and d2n = Σ(n·x − sv)² is an exact
+    // DECIMAL(38,0) (≤ 64·(2e15)² ≈ 2.6e32 at 1e9 vectors/label). RANKING
+    // uses d2n itself — exact integer comparisons, zero float influence —
+    // and the reported distance devolves to three correctly-rounded ops:
+    // cast, sqrt, divide by the exact n·1e6.
+    //
+    // Scale shape: one 64× posexplode feeding a (label, pos) partial agg
+    // (shuffle carries ≤ |labels|×64 rows after combine); the deviation
+    // join is against that broadcast-tiny centroid table; per-vector d2n
+    // is a map-side-combined agg on vec_id; the top-3 window partitions
+    // by label — at extreme per-label cardinality swap in the typed TopK
+    // aggregator, same contract.
+    "embedding_outliers" -> Q(
+      fn = (s, dir) => {
+        val m = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            floor(col("x").cast("double") * lit(1000000.0d)).cast("long").as("micro"))
+        val cent = m.groupBy("label", "pos")
+          .agg(sum(col("micro")).as("sv"), count(lit(1)).as("n"))
+        val d2 = m.join(broadcast(cent), Seq("label", "pos"))
+          .withColumn("diff", (col("n") * col("micro") - col("sv")).cast("decimal(19,0)"))
+          .groupBy("vec_id", "label", "n")
+          .agg(sum(col("diff") * col("diff")).as("d2n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(col("d2n").desc, col("vec_id"))
+        d2.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("label"), col("rk").cast("int").as("rk"), col("vec_id"),
+            (sqrt(col("d2n").cast("double"))
+              / (col("n").cast("double") * lit(1000000.0d))).as("dist"))
+          .orderBy("label", "rk")
+      },
+      oracle = Some(
+        """WITH el AS (
+          |  SELECT vec_id, label, UNNEST(range(1, 65)) AS pos, embedding
+          |  FROM embeddings),
+          |m AS (
+          |  SELECT vec_id, label, pos,
+          |         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+          |  FROM el),
+          |cent AS (
+          |  SELECT label, pos, CAST(SUM(micro) AS BIGINT) AS sv,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM m GROUP BY label, pos),
+          |d2 AS (
+          |  SELECT m.vec_id, m.label, n,
+          |         SUM(CAST(n * micro - sv AS DECIMAL(19,0))
+          |             * CAST(n * micro - sv AS DECIMAL(19,0))) AS d2n
+          |  FROM m JOIN cent ON m.label = cent.label AND m.pos = cent.pos
+          |  GROUP BY m.vec_id, m.label, n),
+          |rk AS (
+          |  SELECT label, vec_id, n, d2n,
+          |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2n DESC, vec_id) AS rk
+          |  FROM d2)
+          |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id,
+          |       sqrt(CAST(d2n AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000.0) AS dist
+          |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin))
   )
 
   // ---- ANN quality eval: recall@k of the approximate retrievers ---------

@@ -324,6 +324,47 @@ object TextQueries {
           |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- tokenizer fertility by source × lang (added r7) -----------------
+    // The tokenizer-efficiency datacard: fertility = BPE-ish subword tokens
+    // per whitespace word (the standard multilingual-tokenizer health
+    // number — a lang/source whose fertility runs high pays more sequence
+    // length per word of content) plus chars-per-token compression. Uses
+    // the SAME token regex as token_count_regex so the two surfaces can
+    // never disagree on what a token is.
+    //
+    // Scale shape: stateless per-row projection → one (source, lang) agg
+    // with map-side combine; output is |sources|×|langs|. Float parity:
+    // all sums are exact ints; the two ratios are each ONE bare
+    // correctly-rounded division.
+    "tokenizer_fertility" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).as("ws"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("bp"),
+            length(col("text")).as("ch"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("n_ws"),
+            sum(col("bp")).as("n_bpeish"),
+            sum(col("ch")).as("n_chars"))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_ws"),
+            col("n_bpeish"), col("n_chars"),
+            (col("n_bpeish").cast("double") / col("n_ws")).as("fertility"),
+            (col("n_chars").cast("double") / col("n_bpeish")).as("chars_per_token"))
+          .orderBy("source", "lang")
+      },
+      oracle = Some(
+        """SELECT source, lang, COUNT(*) AS n_docs,
+          |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
+          |       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpeish,
+          |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+          |       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+          |         / SUM(len(string_split(text, ' '))) AS fertility,
+          |       CAST(SUM(length(text)) AS DOUBLE)
+          |         / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS chars_per_token
+          |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
+
     // ---- corpus distribution by lang × source ----------------------------
     "lang_source_dist" -> Q(
       fn = (s, dir) => {

@@ -69,7 +69,8 @@ class PlanGuardSpec extends SparkTestBase {
       "type_drift", // broadcast of the 1-row grand-total aggregate (source_kl shape)
       "curriculum_schedule", // composes quality_buckets — its whitelisted 1-row broadcast
       "skipgram_pmi", // broadcasts of the 1-row pair-total and token-total aggregates
-      "cluster_source_mix") // broadcast of the 16-row centroid codebook (kmeans_step shape)
+      "cluster_source_mix", // broadcast of the 16-row centroid codebook (kmeans_step shape)
+      "hard_negatives") // broadcast of the ≤5-row query-vector side (similarity_topk shape)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

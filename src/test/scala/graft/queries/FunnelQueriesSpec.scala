@@ -47,4 +47,42 @@ class FunnelQueriesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("transition_matrix: rows are a proper conditional distribution; transition count conserved") {
+    val rows = graft.SparkEntry.queries("transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per cur-state: probs sum to 1 (counts are exact; one division each)
+    rows.groupBy(_._1).foreach { case (cur, rs) =>
+      val p = rs.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$cur row sums to $p")
+      rs.foreach { case (_, nxt, c, prob) =>
+        assert(prob > 0 && prob <= 1.0, s"$cur->$nxt prob $prob")
+        assert(c > 0)
+      }
+    }
+    // every user contributes exactly (events - 1) transitions
+    val ev = graft.Tables.load(spark, dir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      s"transition mass ${rows.map(_._3).sum} != $nEvents - $nUsers")
+  }
+
+  test("user_activity_profile: conservation and burstiness bounds") {
+    val rows = graft.SparkEntry.queries("user_activity_profile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nEvents = graft.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_._2).sum == nEvents, "per-user event counts must conserve the corpus")
+    rows.foreach { case (u, n, days, maxd, mean, burst) =>
+      assert(days >= 1 && days <= n, s"user $u days=$days n=$n")
+      assert(maxd >= 1 && maxd <= n, s"user $u maxd=$maxd")
+      assert(math.abs(mean - n.toDouble / days) < 1e-12, s"user $u mean_day $mean")
+      // burstiness = max/mean: 1 exactly when activity is even, <= days always
+      assert(burst >= 1.0 - 1e-12 && burst <= days.toDouble + 1e-12,
+        s"user $u burstiness $burst outside [1, days=$days]")
+    }
+  }
 }

@@ -174,4 +174,55 @@ class SimilarityQueriesSpec extends SparkTestBase {
     assert(byM("ivf_topk") > byM("lsh_topk") + 0.3, s"expected IVF ≫ LSH: $byM")
     spark.catalog.clearCache()
   }
+
+  test("hard_negatives: the exact rank band below the top-k, disjoint from it, scores dominated") {
+    val negs = graft.SparkEntry.queries("hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
+    val top = graft.SparkEntry.queries("similarity_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(negs.nonEmpty)
+    negs.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (11 to 30), s"qid $q band ${rs.map(_._4).sorted.toSeq}")
+      val topCids = top.filter(_._1 == q).map(_._2).toSet
+      assert(rs.forall(n => !topCids.contains(n._2)), s"qid $q negative also in top-10")
+      // every negative scores <= the weakest true positive (rank 10)
+      val weakest = top.filter(_._1 == q).map(_._3).min
+      rs.foreach { case (_, cid, sim, _, _) =>
+        assert(sim <= weakest + 1e-9, s"qid $q cid $cid sim $sim > weakest top-10 $weakest")
+      }
+      assert(rs.forall(n => n._5 == 0 || n._5 == 1))
+    }
+  }
+
+  test("embedding_outliers: three per label, distance non-increasing in rank, recomputed exactly") {
+    val out = graft.SparkEntry.queries("embedding_outliers")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (label, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"$label ranks ${rs.map(_._2).toSeq}")
+      val byRank = rs.sortBy(_._2)
+      byRank.sliding(2).foreach {
+        case Array((_, _, _, d1), (_, _, _, d2)) =>
+          assert(d1 >= d2, s"$label distances increase with rank: $d1 < $d2")
+        case _ =>
+      }
+      rs.foreach { case (_, _, _, d) => assert(d >= 0.0) }
+    }
+    // independent recompute of the winner for one label: naive double math
+    // agrees with the micro-quantized exact path to ~1e-5 relative
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val label0 = out.map(_._1).min
+    val mine = vecs.filter(_._2 == label0)
+    val cent = mine.map(_._3).transpose.map(xs => xs.sum / xs.length)
+    val naive = mine.map { case (id, _, v) =>
+      id -> math.sqrt(v.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum) }.toMap
+    val winner = out.filter(o => o._1 == label0 && o._2 == 1).head
+    val naiveTop = naive.maxBy { case (id, d) => (d, -id) }
+    assert(winner._3 == naiveTop._1,
+      s"$label0 winner ${winner._3} != naive argmax ${naiveTop._1}")
+    assert(math.abs(winner._4 - naiveTop._2) < 1e-4,
+      s"$label0 dist ${winner._4} vs naive ${naiveTop._2}")
+  }
 }

@@ -76,4 +76,23 @@ class TextQueriesSpec extends SparkTestBase {
       assert(capped.nonEmpty, s"$sfDir: no candidates at all")
     }
   }
+
+  test("tokenizer_fertility: totals conserve token_count_regex; ratios well-formed") {
+    val fert = graft.SparkEntry.queries("tokenizer_fertility")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(fert.nonEmpty)
+    // the same regex drives token_count_regex: corpus totals must agree
+    val tc = graft.SparkEntry.queries("token_count_regex")(spark, dir)
+      .collect().map(r => (r.getInt(1).toLong, r.getInt(2).toLong))
+    assert(fert.map(_._5).sum == tc.map(_._1).sum, "bpeish total mismatch")
+    assert(fert.map(_._4).sum == tc.map(_._2).sum, "ws total mismatch")
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    assert(fert.map(_._3).sum == nDocs)
+    fert.foreach { case (src_, lang, n, ws, bp, ch, f1, cpt) =>
+      assert(f1 >= 1.0, s"$src_/$lang fertility $f1 < 1 (regex splits, never merges)")
+      assert(math.abs(f1 - bp.toDouble / ws) < 1e-12)
+      assert(cpt > 0 && math.abs(cpt - ch.toDouble / bp) < 1e-12)
+    }
+  }
 }
