@@ -436,6 +436,112 @@ object FunnelQueries {
           |       CAST(MAX(cd) AS BIGINT) AS max_day,
           |       CAST(SUM(cd) AS DOUBLE) / COUNT(*) AS mean_day,
           |       CAST(MAX(cd) * COUNT(*) AS DOUBLE) / SUM(cd) AS burstiness
-          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- top session paths (added r7) ------------------------------------
+    // Clickstream path mining: sessionize each user's stream with the SAME
+    // 30-minute gap rule as q_session_window (a gap of exactly 30 min
+    // starts a new session — Spark merges half-open [t, t+gap) intervals),
+    // take each session's first ≤3 event types in strict (ts, event_id)
+    // order as the session's entry path, and count sessions per path —
+    // the "how do journeys start" table behind landing-flow design.
+    //
+    // Scale shape: ONE user_id shuffle serves both windows (gaps-and-
+    // islands break flags, then the running session id); the per-session
+    // agg reuses the (user_id)-prefixed partitioning; the final path agg
+    // collapses to ≤ |types|³ rows with map-side combine. The per-session
+    // collect_list is bounded by session length (a user's 30-min burst),
+    // not the corpus. Float surface: none — pure counts.
+    "session_paths" -> Q(
+      fn = (s, dir) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val sess = Tables.load(s, dir, "events")
+          .withColumn("brk",
+            when(lag(col("ts"), 1).over(wOrd).isNull
+              || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd))
+                   >= 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(wRun))
+        sess.groupBy("user_id", "sid")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(concat_ws(">",
+            slice(transform(col("evs"), e => e.getField("event_type")), 1, 3)).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+      },
+      oracle = Some(
+        """WITH t AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          |           FROM events),
+          |o AS (SELECT user_id, event_id, event_type, ts,
+          |        CASE WHEN LAG(ts) OVER w IS NULL
+          |               OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sess AS (SELECT user_id, event_id, event_type, ts,
+          |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                       ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM o),
+          |p AS (SELECT user_id, sid,
+          |             list(event_type ORDER BY ts, event_id) AS types
+          |      FROM sess GROUP BY user_id, sid)
+          |SELECT array_to_string(types[1:3], '>') AS path,
+          |       CAST(COUNT(*) AS BIGINT) AS n_sessions
+          |FROM p GROUP BY path
+          |ORDER BY n_sessions DESC, path""".stripMargin)),
+
+    // ---- daily volume anomalies, zero-float detection (added r7) ---------
+    // Operational monitoring over the event stream: per event type, flag
+    // days whose volume exceeds mean + 3σ across that type's active days.
+    // The DETECTION is exact integer arithmetic end-to-end — the q11/
+    // gopher_rules cross-multiplication discipline applied to variance:
+    // c > μ + 3σ  ⟺  d > 0 ∧ d² > 9·(n·Q − S²)  where d = n·c − S,
+    // S = Σc, Q = Σc² (all exact BIGINTs; d² and n·Q − S² compared as
+    // DECIMAL(38,0) — no float can flip a verdict). The reported z-score
+    // devolves to 2 correctly-rounded ops (sqrt of an exact cast, one
+    // division), zero when the type's volume is constant.
+    //
+    // Scale shape: daily agg shuffles once on (type, day) with map-side
+    // combine; per-type stats collapse to ≤ |types| rows and broadcast
+    // back. At 100 TB the window for "days" is a calendar dimension —
+    // both aggs stay tiny however large the corpus.
+    "daily_anomalies" -> Q(
+      fn = (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("ss"),
+            sum(col("c") * col("c")).as("q"))
+        daily.join(broadcast(stats), Seq("event_type"))
+          .withColumn("dev", (col("n") * col("c") - col("ss")).cast("decimal(38,0)"))
+          .withColumn("var_n2", (col("n") * col("q") - col("ss") * col("ss")).cast("decimal(38,0)"))
+          .select(col("event_type"), col("d"), col("c"),
+            when(col("var_n2") === 0, lit(0.0d))
+              .otherwise(col("dev").cast("double") / sqrt(col("var_n2").cast("double"))).as("z"),
+            (col("dev") > 0 && col("dev") * col("dev") > lit(9) * col("var_n2"))
+              .cast("int").as("is_anomaly"))
+          .orderBy("event_type", "d")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |stats AS (
+          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(c) AS BIGINT) AS ss, CAST(SUM(c * c) AS BIGINT) AS q
+          |  FROM daily GROUP BY event_type),
+          |j AS (
+          |  SELECT daily.event_type, d, c,
+          |         CAST(n * c - ss AS DECIMAL(38,0)) AS dev,
+          |         CAST(n * q - ss * ss AS DECIMAL(38,0)) AS var_n2
+          |  FROM daily JOIN stats USING (event_type))
+          |SELECT event_type, d, c,
+          |       CASE WHEN var_n2 = 0 THEN 0.0
+          |            ELSE CAST(dev AS DOUBLE) / sqrt(CAST(var_n2 AS DOUBLE)) END AS z,
+          |       CAST(CASE WHEN dev > 0 AND dev * dev > 9 * var_n2
+          |                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+          |FROM j ORDER BY event_type, d""".stripMargin))
   )
 }

@@ -365,6 +365,77 @@ object TextQueries {
           |         / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS chars_per_token
           |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
 
+    // ---- Zipf's-law fit over the rank-frequency curve (added r7) ---------
+    // The corpus-statistics law check: least-squares slope/intercept of
+    // ln(freq) against ln(rank) over the top-100 vocabulary — natural text
+    // runs slope ≈ −1 (Zipf 1949); a corpus whose slope collapses toward 0
+    // is synthetic/templated, one that steepens is boilerplate-dominated.
+    // The distributed-regression shape itself is the point: the 6 dp-
+    // rounded bare lns are lifted to exact integer MICRO-UNITS, so ALL
+    // sufficient statistics (ΣX, ΣY, ΣXY, ΣX²) are exact BIGINT sums —
+    // order-independent, reproducible on any partitioning — and the two
+    // 1e-12 scale factors CANCEL in the slope ratio, leaving one division
+    // of exact DECIMAL(38,0) integers. (A first attempt on decimal(12,6)
+    // points hash-failed: n·Σxy pushes past precision 38 and Spark's
+    // precision-loss truncation differs from DuckDB's — integers dodge
+    // the entire decimal-typing divergence surface.) The intercept is the
+    // one place a double (slope) re-enters arithmetic: a fixed 4-op chain
+    // spelled identically on both engines.
+    //
+    // Scale shape: vocab agg with map-side combine → TakeOrderedAndProject
+    // keeps only 100 rows; everything after runs on ≤100 rows (the rank
+    // window sits strictly over the limit — PlanGuard R2's bounded case).
+    "zipf_fit" -> Q(
+      fn = (s, dir) => {
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("t"))
+        val pts = vocab.orderBy(col("c").desc, col("t")).limit(100)
+          .withColumn("rank", row_number().over(w))
+          .select(
+            (round(log(col("rank").cast("double")), 6).cast("decimal(12,6)")
+              * lit(1000000)).cast("long").as("xm"),
+            (round(log(col("c").cast("double")), 6).cast("decimal(12,6)")
+              * lit(1000000)).cast("long").as("ym"))
+        pts
+          .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+            sum(col("xm") * col("ym")).as("sxy"), sum(col("xm") * col("xm")).as("sxx"))
+          .withColumn("slope",
+            (col("n").cast("decimal(3,0)") * col("sxy").cast("decimal(19,0)")
+              - col("sx").cast("decimal(18,0)") * col("sy").cast("decimal(18,0)")).cast("double")
+              / (col("n").cast("decimal(3,0)") * col("sxx").cast("decimal(19,0)")
+                - col("sx").cast("decimal(18,0)") * col("sx").cast("decimal(18,0)")).cast("double"))
+          .select(col("n").cast("int").as("n_terms"), col("slope"),
+            ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+              / (col("n").cast("double") * lit(1000000.0d))).as("intercept"))
+          .orderBy("n_terms")
+      },
+      oracle = Some(
+        """WITH v AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+          |u AS (SELECT t, COUNT(*) AS c FROM v GROUP BY t),
+          |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank FROM u
+          |      QUALIFY rank <= 100),
+          |p AS (SELECT
+          |        CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS xm,
+          |        CAST(CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS ym
+          |      FROM r),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |             CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+          |             CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+          |             CAST(SUM(xm * xm) AS BIGINT) AS sxx FROM p),
+          |sl AS (SELECT n, sx, sy,
+          |              CAST(CAST(n AS DECIMAL(3,0)) * CAST(sxy AS DECIMAL(19,0))
+          |                   - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DOUBLE)
+          |                / CAST(CAST(n AS DECIMAL(3,0)) * CAST(sxx AS DECIMAL(19,0))
+          |                   - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DOUBLE) AS slope
+          |       FROM a)
+          |SELECT CAST(n AS INTEGER) AS n_terms, slope,
+          |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * 1000000.0) AS intercept
+          |FROM sl ORDER BY n_terms""".stripMargin)),
+
     // ---- corpus distribution by lang × source ----------------------------
     "lang_source_dist" -> Q(
       fn = (s, dir) => {

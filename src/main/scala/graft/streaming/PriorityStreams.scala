@@ -758,6 +758,75 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming Markov transition extraction ----------------------------
+
+  /** One typed event in a user's stream. */
+  final case class TransEvent(userId: Long, eventId: Long,
+      ts: java.sql.Timestamp, eventType: String)
+
+  /** One observed cur→next transition. */
+  final case class Transition(userId: Long, cur: String, nxt: String)
+
+  /** Streaming twin of the batch `transition_matrix` extraction (added r7):
+    * per user, emit one (cur, nxt) record per adjacent pair in strict
+    * (ts, eventId) event order, so the downstream groupBy(cur, nxt) count —
+    * an ordinary agg, streaming or batch — maintains the Markov model
+    * INCREMENTALLY: transition counts only ever grow as events arrive,
+    * and the conditional distribution is always current without a corpus
+    * rescan. State is ONE row per user: the last event's (tsMicros,
+    * eventId, type). In-batch disorder is fully repaired by the in-batch
+    * sort; across batches the funnel contract applies (per user, arrival
+    * order must not regress event time). State name carries the ts unit
+    * (the funnel_us discipline — a resume from a differently-encoded
+    * checkpoint fails loudly instead of reinterpreting). */
+  final class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TransEvent, Transition] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long, String)]("last_evt_us",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[TransEvent],
+        timerValues: TimerValues): Iterator[Transition] = {
+      val arr = rows.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: TransEvent, b: TransEvent) => {
+          val c = a.ts.compareTo(b.ts)
+          c < 0 || (c == 0 && a.eventId < b.eventId)
+        })
+      val out = Seq.newBuilder[Transition]
+      var prev: Option[String] = if (last.exists()) Some(last.get()._3) else None
+      arr.foreach { e =>
+        prev.foreach(p => out += Transition(userId, p, e.eventType))
+        prev = Some(e.eventType)
+      }
+      if (arr.nonEmpty) {
+        val e = arr.last
+        last.update((tsMicros(e.ts), e.eventId, e.eventType))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-user transition extraction over a stream of events, Update mode. */
+  def transitionStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(
+        new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming near-duplicate alerts vs a static corpus index ----------
 
   /** Build the near-dup INDEX from a static (doc_id, text, ...) corpus: the

@@ -85,4 +85,40 @@ class FunnelQueriesSpec extends SparkTestBase {
         s"user $u burstiness $burst outside [1, days=$days]")
     }
   }
+
+  test("session_paths: mass equals session count; paths bounded at 3 hops") {
+    val rows = graft.SparkEntry.queries("session_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (path, n) =>
+      assert(n > 0)
+      val hops = path.split(">")
+      assert(hops.length >= 1 && hops.length <= 3, s"path '$path' has ${hops.length} hops")
+      assert(hops.forall(_.nonEmpty), s"empty hop in '$path'")
+    }
+    // one path per session: total mass = number of 30-min-gap sessions,
+    // recomputed via the oracle-checked session-window query
+    val nSessions = graft.SparkEntry.queries("q_session_window")(spark, dir).count()
+    assert(rows.map(_._2).sum == nSessions,
+      s"path mass ${rows.map(_._2).sum} != $nSessions sessions")
+  }
+
+  test("daily_anomalies: exact flag agrees with the float z at the 3-sigma rule") {
+    val rows = graft.SparkEntry.queries("daily_anomalies")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val nEvents = graft.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_._3).sum == nEvents, "daily counts must conserve the corpus")
+    rows.foreach { case (t, d, _, z, flag) =>
+      // the flag is decided in exact integers; z is its float shadow -
+      // they must agree away from the knife edge
+      if (flag == 1) assert(z > 3.0 - 1e-9, s"$t $d flagged but z=$z")
+      else assert(z < 3.0 + 1e-9, s"$t $d unflagged but z=$z")
+    }
+    // per type, z-scores sum to ~0 (sum of n*c - S over days is exactly 0)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s) < 1e-6, s"$t z-scores sum to $s")
+    }
+  }
 }

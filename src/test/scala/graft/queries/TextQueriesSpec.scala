@@ -95,4 +95,29 @@ class TextQueriesSpec extends SparkTestBase {
       assert(cpt > 0 && math.abs(cpt - ch.toDouble / bp) < 1e-12)
     }
   }
+
+  test("zipf_fit: slope negative, naive double regression agrees to 1e-6") {
+    val r = graft.SparkEntry.queries("zipf_fit")(spark, dir).collect().head
+    val (n, slope, intercept) = (r.getInt(0), r.getDouble(1), r.getDouble(2))
+    assert(n >= 2 && n <= 100)
+    assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
+    // independent naive recompute over the same top-n vocabulary
+    val vocab = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("t"))
+      .groupBy("t").count().collect().map(r2 => (r2.getString(0), r2.getLong(1)))
+    val top = vocab.sortBy { case (t, c) => (-c, t) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val nn = pts.length.toDouble
+    val naiveSlope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    val naiveIcpt = (sy - naiveSlope * sx) / nn
+    assert(pts.length == n)
+    assert(math.abs(slope - naiveSlope) < 1e-6, s"slope $slope vs naive $naiveSlope")
+    assert(math.abs(intercept - naiveIcpt) < 1e-6, s"intercept $intercept vs naive $naiveIcpt")
+  }
 }

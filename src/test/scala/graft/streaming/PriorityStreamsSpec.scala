@@ -759,4 +759,40 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(got == expected,
       s"stream/batch drift mismatch: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
+
+  test("streaming transition extraction == batch transition_matrix counts across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // event-time-ordered feed (the across-batch contract); split mid-stream
+    // so per-user last-event state must carry between micro-batches
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .as[(Long, Long, Timestamp, String)].collect()
+    val mid = evs(evs.length / 2)._3
+    withRocksDB {
+      val in = MemoryStream[(Long, Long, Timestamp, String)]
+      val q = transitionStream(
+        in.toDF().toDF("userId", "eventId", "ts", "eventType")
+          .as[PriorityStreams.TransEvent])
+        .writeStream.format("memory").queryName("trans_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)))
+      q.processAllAvailable(); q.stop()
+    }
+    val streamed = spark.table("trans_out")
+      .groupBy("cur", "nxt").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.SparkEntry.queries("transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch transition counts diverged: ${
+        (streamed.toSet diff batch.toSet).take(3)} vs ${(batch.toSet diff streamed.toSet).take(3)}")
+    // total transition mass: every user contributes exactly (events - 1)
+    val nUsers = evs.map(_._1).distinct.length
+    assert(streamed.values.sum == evs.length - nUsers)
+  }
 }
