@@ -276,6 +276,57 @@ object StreamBench {
     }
     val scd2Rps = scd2Events / scd2Secs
 
+    // ---- streaming Markov transition extraction: stateful throughput ------
+    // transitionStream over 3M events across 1,000,000 RocksDB-backed users
+    // (3 typed events per user in event-time order). Emission accounting is
+    // exact by construction: every user contributes exactly 2 transitions
+    // (e0→e1, e1→e2), so 2M output rows and 1M state keys or the leg fails.
+    // State is ONE row per user regardless of history length — the
+    // operator's scale contract.
+    val TransUsers = 1_000_000L
+    val transEvents = 3L * TransUsers
+    val prevProviderT = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (transSecs, transStateKeys, transRows) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-trans-src").toString
+      spark.range(transEvents).select(
+        pmod(col("id"), lit(TransUsers)).as("userId"),
+        col("id").as("eventId"),
+        timestamp_micros(col("id")).as("ts"),
+        concat(lit("e"), (col("id") / lit(TransUsers)).cast("long")).as("eventType"))
+        .repartition(8, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("userId BIGINT, eventId BIGINT, ts TIMESTAMP, eventType STRING")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.TransEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-trans-bench").toString
+      @volatile var rows = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.transitionStream(events)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.Transition], _: Long) =>
+          rows += b.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(rows == 2L * TransUsers,
+        s"transition emissions $rows != ${2L * TransUsers} (2 per user)")
+      assert(keys == TransUsers, s"transition state keys $keys != $TransUsers")
+      (secs, keys, rows)
+    } finally prevProviderT match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val transRps = transEvents / transSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -417,7 +468,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }

@@ -19,6 +19,49 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
   private def sqList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
+  /** The lang_id stopword lists — one shared constant drives the classifier
+    * (lang_id) AND its eval (lang_confusion) on both engines. */
+  private val langLists = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"))
+
+  /** documents + per-language stopword hit counts + the argmax prediction
+    * (ties break en > de > es > fr, mirrored exactly in the SQL CASE). */
+  private def langScored(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val withScores = langLists.foldLeft(
+      Tables.load(s, dir, "documents").withColumn("toks", split(col("text"), " "))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"n_$lang",
+          expr(s"size(filter(toks, t -> t IN (${sqList(words)})))"))
+    }
+    withScores.withColumn("predicted",
+      when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") && col("n_en") >= col("n_fr"), "en")
+        .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr"), "de")
+        .when(col("n_es") >= col("n_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /** DuckDB CTE chain ending in `pred(doc_id, lang, n_*, predicted)` —
+    * the oracle-side twin of [[langScored]]. */
+  private val langPredSqlCtes: String = {
+    val scoreCols = langLists.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN (${sqList(ws)}))) AS n_$l"
+    }.mkString(",\n       ")
+    s"""t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |       $scoreCols
+       |FROM t),
+       |pred AS (SELECT doc_id, lang, n_en, n_de, n_es, n_fr,
+       |       CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+       |            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+       |            WHEN n_es >= n_fr THEN 'es'
+       |            ELSE 'fr' END AS predicted
+       |FROM sc)""".stripMargin
+  }
+
   /** 3-token shingle list, distinct, as a Spark SQL expression. */
   private[queries] val shinglesExpr =
     "array_distinct(transform(sequence(0, size(toks) - 3), i -> array_join(slice(toks, i + 1, 3), ' ')))"
@@ -1036,47 +1079,48 @@ object TextQueries {
     // the operator and its oracle are exact regardless)
     "lang_id" -> Q(
       fn = (s, dir) => {
-        val lists = Seq(
-          "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
-          "de" -> Seq("der", "die", "das", "und", "nicht"),
-          "es" -> Seq("el", "la", "los", "de", "y", "que"),
-          "fr" -> Seq("le", "la", "les", "et", "des", "une"))
-        val withScores = lists.foldLeft(
-          Tables.load(s, dir, "documents").withColumn("toks", split(col("text"), " "))) {
-          case (df, (lang, words)) =>
-            df.withColumn(s"n_$lang",
-              expr(s"size(filter(toks, t -> t IN (${sqList(words)})))"))
-        }
-        withScores.select(
-            col("doc_id"),
-            when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") && col("n_en") >= col("n_fr"), "en")
-              .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr"), "de")
-              .when(col("n_es") >= col("n_fr"), "es")
-              .otherwise("fr").as("predicted"),
+        langScored(s, dir).select(
+            col("doc_id"), col("predicted"),
             greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")).as("score"))
           .orderBy("doc_id")
       },
-      oracle = Some {
-        val lists = Seq(
-          "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
-          "de" -> Seq("der", "die", "das", "und", "nicht"),
-          "es" -> Seq("el", "la", "los", "de", "y", "que"),
-          "fr" -> Seq("le", "la", "les", "et", "des", "une"))
-        val scoreCols = lists.map { case (l, ws) =>
-          s"len(list_filter(toks, t -> t IN (${sqList(ws)}))) AS n_$l"
-        }.mkString(",\n       ")
-        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |sc AS (SELECT doc_id,
-           |       $scoreCols
-           |FROM t)
-           |SELECT doc_id,
-           |       CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
-           |            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
-           |            WHEN n_es >= n_fr THEN 'es'
-           |            ELSE 'fr' END AS predicted,
+      oracle = Some(
+        s"""WITH $langPredSqlCtes
+           |SELECT doc_id, predicted,
            |       CAST(greatest(n_en, n_de, n_es, n_fr) AS INTEGER) AS score
-           |FROM sc ORDER BY doc_id""".stripMargin
-      }),
+           |FROM pred ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID confusion matrix (added r7) -------------------------
+    // The eval of the classifier above: declared `lang` label × lang_id
+    // prediction counts with per-label shares — the diagonal is recall, the
+    // off-diagonal mass shows WHERE the stopword heuristic leaks (and on
+    // this corpus it leaks plenty: docs are synthetic word salads). Shares
+    // Spark and oracle both derive from the SAME prediction rule
+    // (langScored / langPredSqlCtes), so the eval cannot drift from the
+    // classifier it measures — the recall_at_k discipline for text.
+    //
+    // Scale shape: the prediction is a stateless per-row projection; the
+    // confusion agg collapses map-side to ≤ |langs|² rows; label totals
+    // derive from those same rows (broadcast). Float parity: counts exact,
+    // share is ONE bare division.
+    "lang_confusion" -> Q(
+      fn = (s, dir) => {
+        val j = langScored(s, dir)
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val tot = j.groupBy("lang").agg(sum(col("n")).as("tt"))
+        j.join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("predicted"), col("n"),
+            (col("n").cast("double") / col("tt")).as("share"))
+          .orderBy("lang", "predicted")
+      },
+      oracle = Some(
+        s"""WITH $langPredSqlCtes,
+           |j AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+           |      FROM pred GROUP BY lang, predicted),
+           |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tt FROM j GROUP BY lang)
+           |SELECT lang, predicted, n, CAST(n AS DOUBLE) / tt AS share
+           |FROM j JOIN tot USING (lang) ORDER BY lang, predicted""".stripMargin)),
 
     // ---- multimodal decode via mapPartitions (stubbed codec) ------------
     "multimodal_decode" -> Q(

@@ -120,4 +120,26 @@ class TextQueriesSpec extends SparkTestBase {
     assert(math.abs(slope - naiveSlope) < 1e-6, s"slope $slope vs naive $naiveSlope")
     assert(math.abs(intercept - naiveIcpt) < 1e-6, s"intercept $intercept vs naive $naiveIcpt")
   }
+
+  test("lang_confusion: conserves docs, shares normalize, agrees with lang_id row-by-row") {
+    val conf = graft.SparkEntry.queries("lang_confusion")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(conf.nonEmpty)
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    assert(conf.map(_._3).sum == nDocs, "confusion mass must conserve the corpus")
+    conf.groupBy(_._1).foreach { case (lang, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$lang shares sum to $s")
+    }
+    // independent recompute from lang_id's own output joined to the labels
+    val preds = graft.SparkEntry.queries("lang_id")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labels = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val recount = labels.groupBy { case (id, lang) => (lang, preds(id)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    assert(conf.map(c => (c._1, c._2) -> c._3).toMap == recount,
+      "confusion counts != recount from lang_id output")
+  }
 }
