@@ -542,6 +542,62 @@ object FunnelQueries {
           |            ELSE CAST(dev AS DOUBLE) / sqrt(CAST(var_n2 AS DOUBLE)) END AS z,
           |       CAST(CASE WHEN dev > 0 AND dev * dev > 9 * var_n2
           |                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
-          |FROM j ORDER BY event_type, d""".stripMargin))
+          |FROM j ORDER BY event_type, d""".stripMargin)),
+
+    // ---- inter-arrival gap quantiles per event type (added r7) -----------
+    // The arrival-process characterization behind capacity planning and the
+    // reference's bucket sizing: per event type, exact R-7 quantiles
+    // (p50/p90/p99) of the microsecond gaps between consecutive events of
+    // that type in strict (ts, event_id) order. Long-tailed p99/p50 ratios
+    // mean bursty arrivals — the workload where priority buckets earn
+    // their keep. Same spelled-out lerp as length_quantiles on both
+    // engines; gaps are whole micros (exactly representable doubles), the
+    // window/lerp arithmetic is an identical op chain, so the 6 dp round
+    // rounds identical doubles.
+    //
+    // Scale shape: one shuffle on event_type for the lag window; the
+    // per-type sorted gap list is the EXACT-quantile contract this oracle
+    // checks — at production volume the drop-in replacement is
+    // approx_percentile over the same gap column (sketch-mergeable, no
+    // per-type list), with this query as its small-scale truth.
+    "gap_quantiles" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        def q(p: Double, name: String) = round(expr(
+          s"""gaps[int(floor($p * (size(gaps) - 1)))]
+             |+ ($p * (size(gaps) - 1) - floor($p * (size(gaps) - 1)))
+             |  * (gaps[int(ceil($p * (size(gaps) - 1)))]
+             |     - gaps[int(floor($p * (size(gaps) - 1)))])""".stripMargin), 6)
+          .as(name)
+        Tables.load(s, dir, "events")
+          .withColumn("gap",
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).cast("double"))
+          .filter(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            sort_array(collect_list(col("gap"))).as("gaps"))
+          .select(col("event_type"), col("n_gaps"),
+            q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        def q(p: Double, name: String) =
+          s"""round(gaps[CAST(floor($p * (len(gaps) - 1)) AS INTEGER) + 1]
+             |+ ($p * (len(gaps) - 1) - floor($p * (len(gaps) - 1)))
+             |  * (gaps[CAST(ceil($p * (len(gaps) - 1)) AS INTEGER) + 1]
+             |     - gaps[CAST(floor($p * (len(gaps) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+            .stripMargin
+        s"""WITH t AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |g AS (SELECT event_type,
+           |        CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           |          PARTITION BY event_type ORDER BY ts, event_id)) AS DOUBLE) AS gap
+           |      FROM t),
+           |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           |             list_sort(list(gap)) AS gaps
+           |      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+           |SELECT event_type, n_gaps, ${q(0.5, "p50")}, ${q(0.9, "p90")}, ${q(0.99, "p99")}
+           |FROM a ORDER BY event_type""".stripMargin
+      })
   )
 }

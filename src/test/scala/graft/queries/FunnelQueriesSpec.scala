@@ -121,4 +121,17 @@ class FunnelQueriesSpec extends SparkTestBase {
       assert(math.abs(s) < 1e-6, s"$t z-scores sum to $s")
     }
   }
+
+  test("gap_quantiles: quantiles monotone, gap mass = events minus one per type") {
+    val rows = graft.SparkEntry.queries("gap_quantiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val typeCounts = graft.Tables.load(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (t, n, p50, p90, p99) =>
+      assert(n == typeCounts(t) - 1, s"$t gaps $n != ${typeCounts(t)} - 1 events")
+      assert(p50 >= 0 && p50 <= p90 && p90 <= p99, s"$t quantiles not monotone: $p50 $p90 $p99")
+    }
+  }
 }
