@@ -67,6 +67,67 @@ object CurationQueries {
            |GROUP BY d.source ORDER BY d.source""".stripMargin),
       headline = true),
 
+    // ---- bloom-prefiltered decontamination (added r7) --------------------
+    // The 100 TB execution shape of `decontaminate`, result-identical by
+    // construction: the benchmark shingle set is aggregated into a bloom
+    // filter (1-row binary, broadcast — Spark's internal runtime-filter
+    // expressions surfaced via functions/BloomFunctions), the corpus
+    // shingle stream drops definite non-members MAP-SIDE (a bloom has no
+    // false negatives, so no true match can be lost), and only the ~fpp
+    // surviving sliver reaches the exact semi-join that kills false
+    // positives. The exact plan must move corpus shingles into the join;
+    // this one moves candidates only. Output contract == decontaminate —
+    // the oracle IS decontaminate's SQL, which is the point: a DuckDB
+    // oracle for "engine-side pushdown that provably doesn't change the
+    // answer".
+    //
+    // Honest cost note (measured sf0.1): 1.5 s vs the exact plan's 1.0 s —
+    // at gate scale the benchmark side broadcasts anyway, so the bloom
+    // build is pure overhead. The shape wins when the reference set is too
+    // big to broadcast (the exact plan then shuffles BOTH full shingle
+    // streams; this one shuffles bench + the ~fpp candidate sliver) —
+    // that crossover, not today's numbers, is why the operator exists.
+    "decontaminate_bloom" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+        val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+        val bloom = bench.agg(
+          graft.functions.BloomFunctions
+            .bloomFilterAgg(xxhash64(col("s")), 1000000L).as("bf"))
+        // might_contain binds its filter side once per query → scalar
+        // subquery, evaluated on the driver and shipped with the task
+        // binaries (the same shape Spark's own runtime join pruning emits)
+        val cont = sh.filter(col("doc_id") % 97 =!= 0)
+          .filter(graft.functions.BloomFunctions.mightContain(
+            graft.functions.BloomFunctions.scalar(bloom), xxhash64(col("s"))))
+          .join(bench, Seq("s"), "left_semi") // exact verify on the sliver
+          .select("doc_id").distinct()
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .join(cont.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("contaminated").isNotNull, 1).otherwise(0)).as("n_contaminated"),
+            sum(when(col("contaminated").isNull, 1).otherwise(0)).as("n_kept"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, UNNEST($shingles5Duck) AS s FROM t WHERE len(toks) >= 5),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           |cont AS (SELECT DISTINCT doc_id FROM sh
+           |         WHERE doc_id % 97 != 0 AND s IN (SELECT s FROM bench))
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+           |WHERE d.doc_id % 97 != 0
+           |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // ---- per-document contamination score (added r6) ---------------------
     // The scored refinement of `decontaminate`'s binary verdict: what
     // FRACTION of a doc's distinct 5-token shingles appear in the held-out

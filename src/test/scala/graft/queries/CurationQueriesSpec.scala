@@ -166,4 +166,17 @@ class CurationQueriesSpec extends SparkTestBase {
       assert(top.nonEmpty && nToks > 0)
     }
   }
+
+  test("decontaminate_bloom: result-identical to decontaminate, bloom prefilter engaged") {
+    val exact = graft.SparkEntry.queries("decontaminate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val bloom = graft.SparkEntry.queries("decontaminate_bloom")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact, "bloom-prefiltered plan must be result-identical (no false negatives)")
+    // the prefilter must actually be in the executed plan, not optimized away
+    val plan = graft.SparkEntry.queries("decontaminate_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "BloomFilterMightContain missing from the physical plan")
+  }
 }
