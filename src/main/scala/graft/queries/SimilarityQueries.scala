@@ -983,7 +983,7 @@ object SimilarityQueries {
   //
   // Float parity: n_hit is an exact int; recall is ONE bare
   // correctly-rounded double division by the constant k.
-  val all: Map[String, Q] = base + ("recall_at_k" -> Q(
+  val all: Map[String, Q] = base ++ Map("recall_at_k" -> Q(
     fn = (s, dir) => {
       val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
       def leg(name: String) = {
@@ -1011,5 +1011,54 @@ object SimilarityQueries {
          |${leg("lsh_topk")})
          |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
          |FROM r ORDER BY method, qid""".stripMargin
+    }),
+
+  // ---- ANN quality eval #2: mean reciprocal rank ------------------------
+  // recall_at_k's order-blind companion asks "how MUCH of the truth came
+  // back"; MRR asks "how SOON does the first true answer appear in the
+  // retriever's own ranking" — the number that matters when a downstream
+  // consumer reads results top-down (RAG context windows, dedup survivor
+  // picks). Per (retriever, query): best_rank = the retriever's smallest
+  // rank that lands in the true cosine top-10, rr = 1/best_rank (0 when
+  // nothing relevant returned). Same no-drift composition as recall_at_k:
+  // Spark legs reuse the gated retriever builders, the oracle nests their
+  // SQL as CTEs. Float parity: rr is ONE bare division of exact ints.
+  //
+  // Scale shape: each leg = the retriever's own plan + a semi-join of two
+  // ≤(5×10)-row lists + a ≤5-row agg — constant eval overhead.
+  "retrieval_mrr" -> Q(
+    fn = (s, dir) => {
+      val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
+      val qids = exact.select("qid").distinct()
+      def leg(name: String) = {
+        val hits = base(name).fn(s, dir).select(col("qid"), col("cid"), col("rk"))
+          .join(exact, Seq("qid", "cid"), "left_semi")
+          .groupBy("qid").agg(min(col("rk")).as("br"))
+        qids.join(hits, Seq("qid"), "left")
+          .select(lit(name).as("method"), col("qid"),
+            coalesce(col("br"), lit(0)).cast("int").as("best_rank"),
+            when(col("br").isNotNull, lit(1.0d) / col("br"))
+              .otherwise(lit(0.0d)).as("rr"))
+      }
+      leg("ivf_topk").unionAll(leg("lsh_topk")).orderBy("method", "qid")
+    },
+    oracle = Some {
+      def leg(name: String) =
+        s"""SELECT '$name' AS method, q.qid,
+           |       CAST(COALESCE(h.br, 0) AS INTEGER) AS best_rank,
+           |       CASE WHEN h.br IS NOT NULL THEN CAST(1 AS DOUBLE) / h.br
+           |            ELSE 0.0 END AS rr
+           |FROM q LEFT JOIN (
+           |  SELECT a.qid, MIN(a.rk) AS br FROM a_$name a
+           |  JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+           |  GROUP BY a.qid) h ON q.qid = h.qid""".stripMargin
+      s"""WITH exact AS (${base("similarity_topk").oracle.get}),
+         |a_ivf_topk AS (${base("ivf_topk").oracle.get}),
+         |a_lsh_topk AS (${base("lsh_topk").oracle.get}),
+         |q AS (SELECT DISTINCT qid FROM exact)
+         |SELECT * FROM (${leg("ivf_topk")}
+         |UNION ALL
+         |${leg("lsh_topk")})
+         |ORDER BY method, qid""".stripMargin
     }))
 }

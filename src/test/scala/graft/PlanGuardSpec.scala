@@ -66,6 +66,7 @@ class PlanGuardSpec extends SparkTestBase {
       "source_kl", // broadcast of the 1-row corpus-grand-total aggregate
       "rrf_fusion", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
       "recall_at_k", // composes similarity_topk + ivf_topk legs — their whitelisted broadcasts
+      "retrieval_mrr", // same composition as recall_at_k — the retrievers' whitelisted broadcasts
       "type_drift", // broadcast of the 1-row grand-total aggregate (source_kl shape)
       "curriculum_schedule", // composes quality_buckets — its whitelisted 1-row broadcast
       "skipgram_pmi", // broadcasts of the 1-row pair-total and token-total aggregates

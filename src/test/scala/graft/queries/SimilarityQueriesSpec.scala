@@ -225,4 +225,23 @@ class SimilarityQueriesSpec extends SparkTestBase {
     assert(math.abs(winner._4 - naiveTop._2) < 1e-4,
       s"$label0 dist ${winner._4} vs naive ${naiveTop._2}")
   }
+
+  test("retrieval_mrr: rr = 1/best_rank, positive exactly when recall_at_k found hits") {
+    val mrr = graft.SparkEntry.queries("retrieval_mrr")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    val rec = graft.SparkEntry.queries("recall_at_k")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(mrr.nonEmpty && mrr.keySet == rec.keySet)
+    mrr.foreach { case (k, (br, rr)) =>
+      if (br == 0) {
+        assert(rr == 0.0, s"$k: no hit but rr=$rr")
+        assert(rec(k) == 0L, s"$k: mrr saw no hit but recall_at_k counted ${rec(k)}")
+      } else {
+        assert(br >= 1 && br <= 10, s"$k: best_rank $br outside [1,10]")
+        assert(rr == 1.0 / br, s"$k: rr $rr != 1/$br")
+        assert(rec(k) > 0L, s"$k: mrr found rank $br but recall_at_k counted 0")
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
