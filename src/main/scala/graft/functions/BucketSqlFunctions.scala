@@ -99,5 +99,34 @@ object BucketSqlFunctions {
         WinnowFingerprints(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
       },
       "built-in")
+    // the bloom membership-prefilter pair (see functions/BloomFunctions —
+    // Spark ships these expressions for runtime join pruning but leaves
+    // them off the 4.1 SQL registry): bloom_filter_agg(xxhash64(x), items)
+    // builds the filter, might_contain(bf, xxhash64(x)) probes it (filter
+    // side must be a constant or scalar subquery)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => {
+        require(exprs.length == 2,
+          s"bloom_filter_agg requires exactly 2 arguments, got ${exprs.length}")
+        val items = exprs(1) match {
+          case Literal(n: Long, _) => n
+          case Literal(n: Int, _) => n.toLong
+          case other => throw new IllegalArgumentException(
+            s"bloom_filter_agg estimatedItems must be an integer literal, got $other")
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, items).toAggregateExpression()
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => {
+        require(exprs.length == 2,
+          s"might_contain requires exactly 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      },
+      "built-in")
   }
 }

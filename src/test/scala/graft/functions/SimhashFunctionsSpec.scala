@@ -102,4 +102,23 @@ class SimhashFunctionsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("array<string>") ||
       ex.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
+
+  test("SQL surface: bloom_filter_agg + might_contain match exact membership") {
+    import spark.implicits._
+    BucketSqlFunctions.registerTextHash(spark)
+    spark.range(1000).selectExpr("concat('k', id) AS s").createOrReplaceTempView("bl_all")
+    spark.sql("SELECT s FROM bl_all WHERE length(s) <= 3").createOrReplaceTempView("bl_ref")
+    spark.sql("SELECT bloom_filter_agg(xxhash64(s), 10000L) AS bf FROM bl_ref")
+      .createOrReplaceTempView("bl_bf")
+    val flagged = spark.sql(
+      """SELECT s FROM bl_all
+        |WHERE might_contain((SELECT bf FROM bl_bf), xxhash64(s))""".stripMargin)
+      .as[String].collect().toSet
+    val ref = spark.sql("SELECT s FROM bl_ref").as[String].collect().toSet
+    // no false negatives, ever
+    assert(ref.subsetOf(flagged), s"bloom lost ${(ref -- flagged).take(3)}")
+    // at 10k capacity over 100 items the fpp is tiny - allow a handful
+    assert((flagged -- ref).size <= 5,
+      s"implausible false-positive count ${(flagged -- ref).size}")
+  }
 }
