@@ -38,6 +38,17 @@ object ExtensionsProbe {
     assert(row.getDouble(4) == 5.0, s"l2: ${row.getDouble(4)}")
     assert(row.getSeq[String](5).nonEmpty && row.getSeq[String](5).forall(_.length == 32))
 
+    // the r7 bloom pair: build a filter over 3 keys, probe member + non-member
+    spark.sql("SELECT explode(array('a', 'b', 'c')) AS s").createOrReplaceTempView("ep_ref")
+    spark.sql("SELECT bloom_filter_agg(xxhash64(s), 100L) AS bf FROM ep_ref")
+      .createOrReplaceTempView("ep_bf")
+    val bl = spark.sql(
+      """SELECT might_contain((SELECT bf FROM ep_bf), xxhash64('b')) AS hit,
+        |       might_contain((SELECT bf FROM ep_bf), xxhash64('zzz')) AS miss""".stripMargin)
+      .collect()(0)
+    assert(bl.getBoolean(0), "bloom lost a member (impossible: no false negatives)")
+    assert(!bl.getBoolean(1), "bloom flagged 'zzz' (fpp ~0 at 100-capacity/3 items)")
+
     // the native router plans AssignPartitionsExec in this session (the
     // strategy is available both via the extension injection and the
     // method's own idempotent registration — indistinguishable here, and

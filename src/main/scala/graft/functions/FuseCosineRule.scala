@@ -146,5 +146,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowFingerprints(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
       }))
+    // the round-7 bloom membership-prefilter pair, cluster-wide (Spark
+    // ships these for runtime join pruning but leaves them off the 4.1
+    // SQL registry — see functions/BloomFunctions)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_filter_agg requires exactly 2 arguments, got ${exprs.length}")
+        val items = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Long, _) => n
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n.toLong
+          case other => throw new IllegalArgumentException(
+            s"bloom_filter_agg estimatedItems must be an integer literal, got $other")
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, items).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"might_contain requires exactly 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+      }))
   }
 }
