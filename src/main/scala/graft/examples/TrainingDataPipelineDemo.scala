@@ -90,6 +90,12 @@ object TrainingDataPipelineDemo {
       sum(col("n_docs")).as("docs_packed"),
       sum(col("pack_tokens")).as("tokens_packed")).show()
 
+    // 9. closing datacard (r7): is the curated corpus healthy?
+    println("== 9a. zipf_fit: rank-frequency law (natural text ≈ -1) ==")
+    q("zipf_fit").show()
+    println("== 9b. tokenizer_fertility: subwords per word by source × lang ==")
+    q("tokenizer_fertility").orderBy(col("fertility").desc).show(5)
+
     println(s"pipeline: $total raw -> ${clean.count()} curated survivors")
     spark.stop()
   }
