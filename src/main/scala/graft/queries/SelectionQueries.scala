@@ -689,7 +689,7 @@ object SelectionQueries {
   //
   // Float parity: none needed beyond quality_buckets' — the schedule is
   // md5 + integer ranks.
-  val all: Map[String, Q] = base + ("curriculum_schedule" -> Q(
+  val all: Map[String, Q] = base ++ Map("curriculum_schedule" -> Q(
     fn = (s, dir) => {
       val q = base("quality_buckets").fn(s, dir)
         .select(col("doc_id"), col("ppl_bucket"))
@@ -720,5 +720,44 @@ object SelectionQueries {
          |  FROM qb)
          |SELECT doc_id, ppl_bucket,
          |       CAST(ROW_NUMBER() OVER (ORDER BY b, k, doc_id) AS BIGINT) AS pos
-         |FROM keyed ORDER BY doc_id""".stripMargin)))
+         |FROM keyed ORDER BY doc_id""".stripMargin)),
+
+  // ---- quality × duplication cross-audit (composed, added r7) -----------
+  // The curation sanity check the CCNet and Lee-et-al lines both predict:
+  // lower-fluency terciles should carry MORE duplicated text (boilerplate
+  // is both dupy and low-quality). Per quality tercile: doc count and the
+  // corpus-level duplicated-occurrence rate Σn_dup / Σn_ngrams — composed
+  // from the gated quality_buckets and dup_ngram_ratio (builders reused,
+  // oracles nested as CTEs — the recall_at_k no-drift discipline), so this
+  // audit can never disagree with the operators it summarizes. Docs under
+  // 5 tokens are absent from dup_ngram_ratio and drop from the join on
+  // both engines identically.
+  //
+  // Float parity: the per-doc dup_ratio doubles are NEVER averaged (a
+  // double mean is aggregation-order-dependent); the tercile rate is
+  // recomputed from the exact integer count sums — one bare division.
+  // Scale shape: both inputs' own plans + a doc-keyed join and a 3-row agg.
+  "quality_dup_profile" -> Q(
+    fn = (s, dir) => {
+      val qb = base("quality_buckets").fn(s, dir).select(col("doc_id"), col("ppl_bucket"))
+      val dup = base("dup_ngram_ratio").fn(s, dir)
+        .select(col("doc_id"), col("n_ngrams"), col("n_dup"))
+      qb.join(dup, Seq("doc_id"))
+        .groupBy("ppl_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ngrams")).as("n_ngrams"),
+          sum(col("n_dup")).as("n_dup"))
+        .select(col("ppl_bucket"), col("n_docs"), col("n_ngrams"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_ngrams")).as("dup_rate"))
+        .orderBy("ppl_bucket")
+    },
+    oracle = Some(
+      s"""WITH qb AS (${base("quality_buckets").oracle.get}),
+         |dup AS (${base("dup_ngram_ratio").oracle.get})
+         |SELECT ppl_bucket, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_ngrams) AS BIGINT) AS n_ngrams,
+         |       CAST(SUM(n_dup) AS BIGINT) AS n_dup,
+         |       CAST(SUM(n_dup) AS DOUBLE) / SUM(n_ngrams) AS dup_rate
+         |FROM qb JOIN dup USING (doc_id)
+         |GROUP BY ppl_bucket ORDER BY ppl_bucket""".stripMargin)))
 }

@@ -69,6 +69,7 @@ class PlanGuardSpec extends SparkTestBase {
       "retrieval_mrr", // same composition as recall_at_k — the retrievers' whitelisted broadcasts
       "type_drift", // broadcast of the 1-row grand-total aggregate (source_kl shape)
       "curriculum_schedule", // composes quality_buckets — its whitelisted 1-row broadcast
+      "quality_dup_profile", // composes quality_buckets — same whitelisted 1-row broadcast
       "skipgram_pmi", // broadcasts of the 1-row pair-total and token-total aggregates
       "cluster_source_mix", // broadcast of the 16-row centroid codebook (kmeans_step shape)
       "hard_negatives") // broadcast of the ≤5-row query-vector side (similarity_topk shape)

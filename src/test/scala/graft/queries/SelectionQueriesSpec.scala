@@ -340,4 +340,20 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(cosLeg.join(ref, Seq("qid", "cid"), "left_anti").count() == 0,
       "cosine top-10 row missing from similarity_topk")
   }
+
+  test("quality_dup_profile: conserves the dup_ngram_ratio doc set; rates recomputed exactly") {
+    val prof = graft.SparkEntry.queries("quality_dup_profile")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(prof.map(_._1).sorted.toSeq == Seq("head", "middle", "tail"))
+    val dup = graft.SparkEntry.queries("dup_ngram_ratio")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every >= 5-token doc lands in exactly one tercile row
+    assert(prof.map(_._2).sum == dup.length, "doc mass mismatch vs dup_ngram_ratio")
+    assert(prof.map(_._3).sum == dup.map(_._2).sum, "ngram mass mismatch")
+    assert(prof.map(_._4).sum == dup.map(_._3).sum, "dup mass mismatch")
+    prof.foreach { case (b, _, ng, nd, rate) =>
+      assert(rate == nd.toDouble / ng, s"$b rate $rate != $nd/$ng")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
