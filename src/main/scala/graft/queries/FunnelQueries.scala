@@ -598,6 +598,71 @@ object FunnelQueries {
            |      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
            |SELECT event_type, n_gaps, ${q(0.5, "p50")}, ${q(0.9, "p90")}, ${q(0.99, "p99")}
            |FROM a ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // ---- daily-volume lag-1 autocorrelation (added r7) -------------------
+    // The time-series companion to daily_anomalies: per event type, the
+    // Pearson autocorrelation of consecutive observed-day volumes (row-lag
+    // over the day-ordered series — calendar gaps are treated as adjacent
+    // observations, which is the standard ACF-on-observed-series reading
+    // and keeps the operator total-order deterministic). r₁ ≈ 0 means
+    // memoryless arrivals; r₁ → 1 means trending load the priority buckets
+    // must be provisioned for, r₁ < 0 alternating/bursty days.
+    //
+    // Float discipline (q_stats_moments): all six sufficient statistics of
+    // the (prev, cur) pair series are exact integer sums of daily counts;
+    // cross terms go through DECIMAL(38,0)/HUGEINT so no float exists
+    // until the final fixed cast-sqrt-multiply-divide chain, identical on
+    // both engines. Degenerate constant series report 0 via an exact
+    // integer CASE, not a NaN whose bit pattern engines may disagree on.
+    //
+    // Scale shape: daily agg shuffles once on (type, day) with map-side
+    // combine; the lag window and moment agg run over ≤ |types|×|days|
+    // rows — calendar-dimension tiny at any corpus size.
+    "volume_autocorr" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("d"))
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val m = daily
+          .withColumn("prev", lag(col("c"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("prev")).as("sa"), sum(col("prev") * col("prev")).as("saa"),
+            sum(col("c")).as("sb"), sum(col("c") * col("c")).as("sbb"),
+            sum(col("prev") * col("c")).as("sab"))
+        val va = big(col("n")) * big(col("saa")) - big(col("sa")) * big(col("sa"))
+        val vb = big(col("n")) * big(col("sbb")) - big(col("sb")) * big(col("sb"))
+        val cv = (big(col("n")) * big(col("sab")) - big(col("sa")) * big(col("sb"))).cast("double")
+        m.select(col("event_type"), col("n").as("n_pairs"),
+            when(va === 0 || vb === 0, lit(0.0d))
+              .otherwise(cv / (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+              .as("autocorr_lag1"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |p AS (
+          |  SELECT event_type, c,
+          |         LAG(c) OVER (PARTITION BY event_type ORDER BY d) AS prev
+          |  FROM daily),
+          |m AS (
+          |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+          |         CAST(SUM(prev) AS HUGEINT) AS sa, CAST(SUM(prev * prev) AS HUGEINT) AS saa,
+          |         CAST(SUM(c) AS HUGEINT) AS sb, CAST(SUM(c * c) AS HUGEINT) AS sbb,
+          |         CAST(SUM(prev * c) AS HUGEINT) AS sab
+          |  FROM p WHERE prev IS NOT NULL GROUP BY event_type)
+          |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+          |       CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN 0.0
+          |            ELSE CAST(n * sab - sa * sb AS DOUBLE)
+          |                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+          |                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) END AS autocorr_lag1
+          |FROM m ORDER BY event_type""".stripMargin))
   )
 }

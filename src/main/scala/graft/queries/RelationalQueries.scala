@@ -970,6 +970,99 @@ object RelationalQueries {
           |       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
           |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<none>') AS seg_filled,
           |       CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class
-          |FROM customer ORDER BY c_custkey""".stripMargin))
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- statistical moments: exact-sum stddev / var / covar / corr ------
+    // The second-moment aggregates the surface had not yet exposed, built
+    // the only way they can be cross-engine-checkable: NOT the built-in
+    // stddev_samp()/corr() (both engines stream doubles in partial-sum
+    // order, so results drift with parallelism), but the daily_anomalies
+    // discipline lifted to two variables. value is put on its 2-dp grid
+    // and scaled to exact BIGINT cents; y = props.k is a small int. All
+    // six sufficient statistics (n, Σx, Σx², Σy, Σy², Σxy) are exact
+    // integer sums; the cross terms n·Σx²−(Σx)² etc. are computed as
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact on both — and every
+    // reported float is a fixed identical chain of correctly-rounded ops
+    // (two casts + one division, plus one sqrt each for stddev/corr). The
+    // cents scale factors are exact powers of 10 folded into double-exact
+    // integer denominators (n(n−1)·10⁴ < 2⁵³), so each output needs ONE
+    // division; corr's scale factors cancel entirely.
+    //
+    // Scale shape: ONE hash agg with map-side combine collapsing to
+    // ≤ |event_type| rows; the moment arithmetic runs on that tiny frame.
+    // Identical cost to the nondeterministic built-ins at 100 TB.
+    "q_stats_moments" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val m = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            (dec("value") * 100).cast("bigint").as("c"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"),
+            sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+            sum(col("c") * col("y")).as("sxy"))
+        val vx = (big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx"))).cast("double")
+        val vy = (big(col("n")) * big(col("syy")) - big(col("sy")) * big(col("sy"))).cast("double")
+        val cv = (big(col("n")) * big(col("sxy")) - big(col("sx")) * big(col("sy"))).cast("double")
+        m.select(col("event_type"), col("n"),
+            (vx / (col("n") * (col("n") - 1) * 10000L).cast("double")).as("var_x"),
+            sqrt(vx / (col("n") * (col("n") - 1) * 10000L).cast("double")).as("stddev_x"),
+            (cv / (col("n") * (col("n") - 1) * 100L).cast("double")).as("covar_xy"),
+            (cv / (sqrt(vx) * sqrt(vy))).as("corr_xy"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT event_type,
+          |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+          |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS y
+          |  FROM events),
+          |m AS (
+          |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+          |         CAST(SUM(c) AS HUGEINT) AS sx, CAST(SUM(c * c) AS HUGEINT) AS sxx,
+          |         CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(y * y) AS HUGEINT) AS syy,
+          |         CAST(SUM(c * y) AS HUGEINT) AS sxy
+          |  FROM t GROUP BY event_type)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |       CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) * 10000 AS DOUBLE) AS var_x,
+          |       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) * 10000 AS DOUBLE)) AS stddev_x,
+          |       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) * 100 AS DOUBLE) AS covar_xy,
+          |       CAST(n * sxy - sx * sy AS DOUBLE)
+          |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- distribution windows: percent_rank / cume_dist / ntile ----------
+    // The rank-normalizing window family (the primitives behind
+    // quality_buckets' tercile arithmetic, exposed directly). Ordering is
+    // the UNIQUE event_id, so rank semantics cannot depend on tie-breaking:
+    // percent_rank = (rank−1)/(n−1) and cume_dist = rank/n are single
+    // correctly-rounded divisions of exact small ints on both engines, and
+    // ntile's uneven-bucket rule (first n mod k tiles get the extra row) is
+    // the same standard-SQL rule in Spark and DuckDB.
+    //
+    // Scale shape: one shuffle on user_id; each partition is one user's
+    // events — bounded by per-user activity, never corpus-global. (The
+    // global variant of these is exactly what quality_buckets' stitched
+    // rank exists to avoid.)
+    "q_dist_window" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.load(s, dir, "events").filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("tile"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       percent_rank() OVER w AS pr,
+          |       cume_dist() OVER w AS cd,
+          |       CAST(ntile(4) OVER w AS INTEGER) AS tile
+          |FROM events WHERE user_id < 20
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+          |ORDER BY user_id, event_id""".stripMargin))
   )
 }
