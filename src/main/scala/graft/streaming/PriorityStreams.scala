@@ -928,6 +928,58 @@ object PriorityStreams {
         (col("k6").cast("double") / col("n_w")).as("drift_nats"))
   }
 
+  // ---- streaming volume anomalies vs reference daily statistics ----------
+
+  /** Streaming twin of the batch `daily_anomalies` query: per event-time
+    * window and event type, flag windows whose volume exceeds the
+    * reference mean + 3σ. In batch the reference statistics are the
+    * corpus's own per-type daily profile; in a stream they are supplied —
+    * last month's profile, the provisioned capacity model.
+    *
+    * `refStats(type) = (n, ss, q)`: day count, Σcount, Σcount² of the
+    * reference period — exact integers, so the batch query's
+    * cross-multiplied detection rule applies verbatim:
+    * `anomaly ⟺ dev > 0 ∧ dev² > 9·(n·q − ss²)` with `dev = n·c − ss`,
+    * compared as DECIMAL(38,0) — no float can flip a verdict, and with
+    * refStats taken from the batch corpus itself the emissions reproduce
+    * the batch rows EXACTLY (spec-pinned). The reported z is the same
+    * 2-op float shadow (sqrt of an exact cast, one division).
+    *
+    * One declarative watermarked window aggregation in append mode — state
+    * is one count per open (window, type), each closed window emits once;
+    * the reference table is a broadcast-sized static frame. Types outside
+    * the reference taxonomy are emitted with NULL z/is_anomaly (a volume
+    * monitor must surface novel types, not drop them — the driftStream
+    * `n_other` discipline), never scored against a stats row they lack.
+    */
+  def anomalyStream(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      refStats: Map[String, (Long, Long, Long)],
+      windowDur: String = "1 day",
+      watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ref = broadcast(
+      refStats.toSeq.map { case (t, (n, ss, q)) => (t, n, ss, q) }
+        .toDF(typeCol, "n", "ss", "q"))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(typeCol))
+      .agg(count(lit(1)).as("c"))
+      .join(ref, Seq(typeCol), "left")
+      .withColumn("dev", (col("n") * col("c") - col("ss")).cast("decimal(38,0)"))
+      .withColumn("var_n2", (col("n") * col("q") - col("ss") * col("ss")).cast("decimal(38,0)"))
+      .select(col(typeCol), col("w").getField("start").as("w_start"), col("c"),
+        when(col("n").isNull, lit(null).cast("double"))
+          .when(col("var_n2") === 0, lit(0.0d))
+          .otherwise(col("dev").cast("double") / sqrt(col("var_n2").cast("double"))).as("z"),
+        when(col("n").isNull, lit(null).cast("int"))
+          .otherwise((col("dev") > 0 && col("dev") * col("dev") > lit(9) * col("var_n2"))
+            .cast("int")).as("is_anomaly"))
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

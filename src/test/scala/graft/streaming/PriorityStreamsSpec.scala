@@ -760,6 +760,52 @@ class PriorityStreamsSpec extends SparkTestBase {
       s"stream/batch drift mismatch: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("anomalyStream with the corpus's own daily stats ≡ batch daily_anomalies, exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("ts"), col("event_type"))
+    // reference = the batch corpus's own per-type daily profile — the
+    // exact (n, Σc, Σc²) integers the batch query derives internally
+    val ref = events.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("ss"),
+        sum(col("c") * col("c")).as("q"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = graft.SparkEntry.queries("daily_anomalies")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val rows = events.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Timestamp, String)]
+    val q = PriorityStreams.anomalyStream(
+        in.toDF().toDF("ts", "event_type"), "ts", "event_type", ref,
+        watermark = "1 second")
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    in.addData(rows: _*); q.processAllAvailable()
+    // sentinel far past the data pushes the watermark so every real day
+    // closes; a second, later one closes the first sentinel's own window
+    val sentinel = new Timestamp(rows.map(_._1.getTime).max + 30L * 86400000L)
+    in.addData((sentinel, "not-a-type")); q.processAllAvailable()
+    in.addData((new Timestamp(sentinel.getTime + 30L * 86400000L), "click"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("anomaly_out")
+    val got = out
+      .filter(col("w_start") < new Timestamp(sentinel.getTime - 86400000L))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate.toString,
+        r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(got == expected,
+      s"stream/batch anomaly mismatch: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the unknown-type sentinel is SURFACED (novel types must not vanish)
+    // but unscored — no reference stats row to score it against
+    val novel = out.filter(col("event_type") === "not-a-type").collect()
+    assert(novel.length == 1 && novel.head.isNullAt(3) && novel.head.isNullAt(4),
+      s"novel type not surfaced unscored: ${novel.toSeq}")
+  }
+
   test("streaming transition extraction == batch transition_matrix counts across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
