@@ -306,6 +306,72 @@ object SelectionQueries {
           |       row_number() OVER (ORDER BY md5(concat('shuffle:42:', CAST(doc_id AS VARCHAR))), doc_id) AS pos
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic training-shard manifest ----------------------------
+    // The closing verb of dataset construction: plan the physical training
+    // shards (fixed whitespace-token budget each, per source; 128 at gate
+    // scale so shard boundaries are exercised at every sf — production
+    // sets this to the real pack length × batch multiple) a data loader will
+    // stream, with a content manifest per shard — doc/token counts and an
+    // md5 over the ordered member doc ids, the identity a resumable loader
+    // or a reproducibility audit checks against. Order within a source is
+    // the seeded hash permutation (shuffle_deterministic's key), so the
+    // manifest is a pure function of (corpus, seed): any worker, any day,
+    // any cluster re-derives byte-identical shards. Zero float surface.
+    //
+    // Scale shape: the per-source token cumsum is NOT a single-reducer
+    // window — the shuffle_deterministic stitch applied to SUMS: the first
+    // hex char of the key is a contiguous prefix of the key order, so a
+    // local cumsum inside each of the 16 (source, prefix) shards plus a
+    // broadcast ≤16-row-per-source offset table reproduces the global
+    // cumsum exactly (the oracle states the naive per-source window — row
+    // equality proves the stitch). The manifest digest aggregates ordered
+    // doc-id lists bounded by the shard size (~4096 tokens), never a whole
+    // source.
+    "shard_manifest" -> Q(
+      fn = (s, dir) => {
+        val target = 128L
+        val keyed = Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+            md5(concat(lit("shard:42:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("pfx", substring(col("k"), 1, 1))
+        val localCum = keyed.withColumn("lc",
+          sum(col("n_toks")).over(Window.partitionBy("source", "pfx")
+            .orderBy(col("k"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // ≤ 16 rows per source: the prefix totals stitch (broadcast)
+        val offsets = keyed.groupBy("source", "pfx")
+          .agg(sum(col("n_toks")).as("t"))
+          .withColumn("off",
+            coalesce(sum(col("t")).over(Window.partitionBy("source")
+              .orderBy(col("pfx")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "pfx", "off")
+        localCum.join(broadcast(offsets), Seq("source", "pfx"))
+          .withColumn("cum", col("off") + col("lc"))
+          .withColumn("shard_id", expr(s"(cum - n_toks) div $target"))
+          .groupBy("source", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("k"), col("doc_id").cast("string").as("d")))),
+              x => x.getField("d")), ",")).as("manifest_md5"))
+          .orderBy("source", "shard_id")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          |         md5(concat('shard:42:', CAST(doc_id AS VARCHAR))) AS k
+          |  FROM documents),
+          |c AS (
+          |  SELECT source, doc_id, n_toks, k,
+          |         SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+          |                           ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM d)
+          |SELECT source, (cum - n_toks) // 128 AS shard_id,
+          |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)) AS manifest_md5
+          |FROM c GROUP BY source, shard_id
+          |ORDER BY source, shard_id""".stripMargin)),
+
     // ---- deterministic stratified train/val/test split --------------------
     // Assignment by the first two hex chars of md5("split:" ∥ doc_id):
     // 00–cb → train (204/256 ≈ 79.7%), cc–e5 → val (26/256 ≈ 10.2%),

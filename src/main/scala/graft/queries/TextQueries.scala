@@ -923,6 +923,86 @@ object TextQueries {
            |FROM x2 ORDER BY jbucket""".stripMargin
       }),
 
+    // ---- incremental dedup: new crawl batch vs existing corpus (r7) ------
+    // The dedup workflow a LIVE corpus actually runs: yesterday's corpus is
+    // already deduped — today's batch (stand-in: doc_id ≡ 0 mod 10) must be
+    // checked against it without re-pairing the whole corpus. Two layers,
+    // cheapest first: (1) exact — md5(text) membership against the old
+    // digest set (a 16-byte-key semi-join); (2) near — the new docs'
+    // banded minhash signatures equi-joined against the OLD corpus's band
+    // index ([[bandedSignatures]], the same construction as the batch pair
+    // pipeline and nearDupAlertStream, so batch/incremental/online can
+    // never band differently), candidates verified by exact Jaccard ≥ 0.5.
+    // Per-source accounting partitions the batch: exact / near (excluding
+    // exact) / fresh.
+    //
+    // Scale shape: cost ∝ |new batch| × collision rate, never |corpus|² —
+    // the index side is corpus-sized but bucketed by band key at rest, so
+    // the per-batch join is shuffle-free on the stream side (the
+    // nearDupAlertStream note); the digest set shuffles 16-byte keys only.
+    "dedup_incremental" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val old = docs.filter(col("doc_id") % 10 =!= 0)
+        val neu = docs.filter(col("doc_id") % 10 === 0)
+        val exact = neu.select(col("doc_id"), md5(col("text")).as("dg"))
+          .join(old.select(md5(col("text")).as("dg")).distinct(), Seq("dg"), "left_semi")
+          .select("doc_id")
+        val oldIx = bandedSignatures(old)
+          .select(col("doc_id").as("o_id"), col("shingles").as("o_sh"), col("bk"))
+        val near = bandedSignatures(neu)
+          .join(oldIx, Seq("bk"))
+          .withColumn("jacc",
+            size(array_intersect(col("shingles"), col("o_sh"))).cast("double")
+              / size(array_union(col("shingles"), col("o_sh"))))
+          .filter(col("jacc") >= 0.5)
+          .select("doc_id").distinct()
+        neu.join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+          .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_new"),
+            sum(when(col("is_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("is_exact").isNull && col("is_near").isNotNull, 1L)
+              .otherwise(0L)).as("n_near"),
+            sum(when(col("is_exact").isNull && col("is_near").isNull, 1L)
+              .otherwise(0L)).as("n_fresh"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |exact AS (SELECT DISTINCT n.doc_id
+           |          FROM t n JOIN t o ON md5(n.text) = md5(o.text)
+           |          WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 != 0),
+           |cand AS (SELECT DISTINCT x.doc_id AS n_id, y.doc_id AS o_id
+           |         FROM bands x JOIN bands y ON x.bk = y.bk
+           |         WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0),
+           |near AS (SELECT DISTINCT n_id AS doc_id
+           |         FROM cand JOIN sh a ON a.doc_id = n_id JOIN sh b ON b.doc_id = o_id
+           |         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |                 / len(list_distinct(a.shingles || b.shingles)) >= 0.5)
+           |SELECT source, COUNT(*) AS n_new,
+           |       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           |       CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           |       CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+           |FROM t LEFT JOIN exact e ON t.doc_id = e.doc_id
+           |       LEFT JOIN near nr ON t.doc_id = nr.doc_id
+           |WHERE t.doc_id % 10 = 0
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ---- cluster survivorship: the merge-policy half of dedup (added r6) -
     // After near-dup clustering, CHOOSE the representative: per cluster the
     // longest document wins (doc_id as the deterministic tie-break — the
