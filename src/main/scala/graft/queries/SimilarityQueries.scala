@@ -964,7 +964,86 @@ object SimilarityQueries {
           |  FROM d2)
           |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id,
           |       sqrt(CAST(d2n AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000.0) AS dist
-          |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin))
+          |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin)),
+
+    // ---- distributed PCA: dominant component by power iteration (r7) -----
+    // The first principal DIRECTION of the embedding table — the spine of
+    // embedding whitening, spectral outlier pruning, and the "is the
+    // encoder collapsing to one axis" audit (a dominant loading ≈ 1 on one
+    // dim plus embedding_audit's norm stats is the collapse signature).
+    // Method: Gram matrix G = Σ v·vᵀ (the data-sized pass), then 5 power
+    // iterations v ← Gv/‖Gv‖ on the 64×64 result — the large-scale recipe
+    // (a cluster computes the Gram distributed and eigensolves the tiny
+    // matrix; here even the iterations stay declarative so both engines
+    // run the identical arithmetic).
+    //
+    // Float parity: elements micro-quantize to exact ints
+    // (embedding_outliers' grid), so G is EXACT integer sums; G is then
+    // normalized ONCE by max|G| (one correctly-rounded division per cell,
+    // 6 dp grid) so every iteration runs in bounded-precision exact
+    // decimals: w = A·v exact (DECIMAL(18,12) — |w| ≤ 64), Σw² exact, and
+    // the normalize is the proven cast-divide-round-to-grid chain. No
+    // accumulated float anywhere; both engines iterate bit-identically.
+    //
+    // Scale shape: the ONLY corpus-sized work is the Gram agg — a vec_id
+    // co-partitioned self-join whose 64² map-side blowup collapses to
+    // 4096 (i, j) keys via partial agg (the shuffle carries ≤ 4096 rows
+    // per partition, like skipgram_pmi's window factor). The iterations
+    // touch 64-row frames — constant cost at any corpus size.
+    "embedding_pca_power" -> Q(
+      fn = (s, dir) => {
+        val q = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("pos"),
+            floor(col("x").cast("double") * lit(1000000.0d)).cast("long").as("q"))
+        val gram = q.select(col("vec_id"), col("pos").as("ri"), col("q").as("qa"))
+          .join(q.select(col("vec_id"), col("pos").as("cj"), col("q").as("qb")), Seq("vec_id"))
+          .groupBy("ri", "cj")
+          .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("g"))
+        val gmax = gram.agg(max(abs(col("g"))).as("mx"))
+        val aMat = gram.crossJoin(broadcast(gmax))
+          .select(col("ri"), col("cj"),
+            round(col("g").cast("double") / col("mx").cast("double"), 6)
+              .cast("decimal(12,6)").as("av"))
+        var v = gram.select(col("ri").as("i")).distinct()
+          .select(col("i"), lit(0.125d).cast("decimal(12,6)").as("vv"))
+        for (_ <- 1 to 5) {
+          val w = aMat.join(v, aMat("cj") === v("i"))
+            .groupBy("ri")
+            .agg(sum(col("av") * col("vv")).cast("decimal(18,12)").as("w"))
+          val nrm = w.agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+          v = Q.truncate(w.crossJoin(broadcast(nrm))
+            .select(col("ri").as("i"),
+              round(col("w").cast("double") / col("nrm"), 6)
+                .cast("decimal(12,6)").as("vv")))
+        }
+        v.select(col("i").cast("int").as("dim"), col("vv").cast("double").as("loading"))
+          .orderBy("dim")
+      },
+      oracle = Some {
+        val iters = (1 to 5).map { t =>
+          val prev = s"v${t - 1}"
+          s"""w$t AS (SELECT ri AS i, CAST(SUM(av * vv) AS DECIMAL(18,12)) AS w
+             |        FROM aa JOIN $prev ON aa.cj = $prev.i GROUP BY ri),
+             |n$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w$t),
+             |v$t AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / nrm, 6) AS DECIMAL(12,6)) AS vv
+             |        FROM w$t, n$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH el AS (SELECT vec_id, UNNEST(range(1, 65)) AS pos, embedding FROM embeddings),
+           |m AS (SELECT vec_id, pos - 1 AS i,
+           |             CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+           |      FROM el),
+           |gram AS (SELECT a.i AS ri, b.i AS cj, CAST(SUM(a.q * b.q) AS HUGEINT) AS g
+           |         FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+           |gmax AS (SELECT MAX(abs(g)) AS mx FROM gram),
+           |aa AS (SELECT ri, cj,
+           |              CAST(round(CAST(g AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS DECIMAL(12,6)) AS av
+           |       FROM gram, gmax),
+           |v0 AS (SELECT DISTINCT ri AS i, CAST(0.125 AS DECIMAL(12,6)) AS vv FROM gram),
+           |$iters
+           |SELECT CAST(i AS INTEGER) AS dim, CAST(vv AS DOUBLE) AS loading
+           |FROM v5 ORDER BY dim""".stripMargin
+      })
   )
 
   // ---- ANN quality eval: recall@k of the approximate retrievers ---------
