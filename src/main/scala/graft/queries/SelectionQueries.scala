@@ -339,9 +339,15 @@ object SelectionQueries {
           sum(col("n_toks")).over(Window.partitionBy("source", "pfx")
             .orderBy(col("k"), col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        // ≤ 16 rows per source: the prefix totals stitch (broadcast)
-        val offsets = keyed.groupBy("source", "pfx")
-          .agg(sum(col("n_toks")).as("t"))
+        // ≤ 16 rows per source: the prefix totals stitch (broadcast). Each
+        // shard's total IS its last local cumsum (max lc), so the offsets
+        // share the window's definition rather than restating the sum.
+        // Catalyst still plans the two consumers separately (column
+        // pruning below the exchanges breaks canonical equality —
+        // ReuseCheck: scans=4); at 100 TB persist `localCum` explicitly so
+        // the corpus is tokenized once (the dup_ngram_ratio cache note).
+        val offsets = localCum.groupBy("source", "pfx")
+          .agg(max(col("lc")).as("t"))
           .withColumn("off",
             coalesce(sum(col("t")).over(Window.partitionBy("source")
               .orderBy(col("pfx")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

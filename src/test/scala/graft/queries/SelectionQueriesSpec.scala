@@ -356,4 +356,51 @@ class SelectionQueriesSpec extends SparkTestBase {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("shard_manifest: stitched cumsum ≡ single-window form; token mass conserved; shards contiguous") {
+    val man = graft.SparkEntry.queries("shard_manifest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(man.nonEmpty)
+    // token conservation: every whitespace token lands in exactly one shard
+    val corpusToks = graft.Tables.load(spark, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint"))).head().getLong(0)
+    assert(man.map(_._4).sum == corpusToks, "token mass not conserved")
+    // shard ids contiguous from 0 within each source
+    man.groupBy(_._1).foreach { case (src_, rows) =>
+      val ids = rows.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, s"$src_ shard ids not contiguous: $ids")
+    }
+    // the stitched (source, pfx)-sharded cumsum must equal the naive
+    // single-reducer per-source window it replaces — recompute the manifest
+    // with the naive window and compare whole rows including the digest
+    val naive = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+        md5(concat(lit("shard:42:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("cum", sum(col("n_toks")).over(
+        Window.partitionBy("source").orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard_id", expr("(cum - n_toks) div 128"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("k"), col("doc_id").cast("string").as("d")))),
+          x => x.getField("d")), ",")).as("manifest_md5"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(man.toSet == naive.toSet, "stitched manifest differs from the naive window form")
+  }
+
+  test("dedup_incremental: the three layers partition the new batch") {
+    val inc = graft.SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (src_, nNew, nEx, nNear, nFresh) =>
+      assert(nEx + nNear + nFresh == nNew, s"$src_: layers don't partition: $nEx+$nNear+$nFresh != $nNew")
+      assert(Seq(nNew, nEx, nNear, nFresh).forall(_ >= 0))
+    }
+    // batch size accounting: every new doc appears in exactly one source row
+    val nNewTotal = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(inc.map(_._2).sum == nNewTotal)
+  }
 }

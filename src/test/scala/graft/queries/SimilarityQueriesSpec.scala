@@ -244,4 +244,35 @@ class SimilarityQueriesSpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("embedding_pca_power: unit norm on the grid; agrees with a naive double power iteration") {
+    import org.apache.spark.sql.functions._
+    val v = graft.SparkEntry.queries("embedding_pca_power")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(v.length == 64)
+    // normalized on the 6 dp grid: ||v|| = 1 up to per-dim rounding (64 dims
+    // each rounded to 1e-6 → norm² off by at most ~2·64·1e-6)
+    val n2 = v.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-3, s"not unit norm: ||v||^2 = $n2")
+    // independent naive recompute: double-precision Gram off the raw floats
+    // (no quantization) + 5 plain-double power iterations must land within
+    // ~1 degree of the exact-decimal result — the quantization/grid noise
+    // is bounded far below the eigengap this corpus has
+    val rows = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val g = Array.ofDim[Double](64, 64)
+    rows.foreach { e =>
+      var i = 0
+      while (i < 64) { var j = 0; while (j < 64) { g(i)(j) += e(i) * e(j); j += 1 }; i += 1 }
+    }
+    var w = Array.fill(64)(0.125)
+    for (_ <- 1 to 5) {
+      val nw = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * w(j)).sum)
+      val nn = math.sqrt(nw.map(x => x * x).sum)
+      w = nw.map(_ / nn)
+    }
+    val cos = v.zip(w).map { case (a, b) => a * b }.sum /
+      (math.sqrt(n2) * math.sqrt(w.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.9998, s"exact-decimal PCA diverges from naive double PCA: cos=$cos")
+  }
 }
