@@ -663,6 +663,96 @@ object FunnelQueries {
           |            ELSE CAST(n * sab - sa * sb AS DOUBLE)
           |                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
           |                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) END AS autocorr_lag1
-          |FROM m ORDER BY event_type""".stripMargin))
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- deterministic bootstrap confidence interval (added r7) ----------
+    // Distributed uncertainty quantification done reproducibly: a 95% CI
+    // for the mean event value per type via the Poissonized bootstrap
+    // (each of B = 32 replicas weights every row by an independent
+    // Poisson(1) multiplicity — the classic one-pass bootstrap for
+    // distributed data, e.g. bag-of-little-bootstraps lineage). The
+    // "random" draws are DETERMINISTIC: the first 8 md5 hex chars of
+    // (replica, event_id) compared against the Poisson(1) CDF thresholds
+    // pre-scaled to 16⁸ and written as 8-char lowercase hex strings —
+    // lexicographic comparison ≡ numeric comparison (the train_split
+    // idiom), so the multiplicity is an exact string CASE on BOTH engines:
+    // no RNG state, no float draw, rerun-identical anywhere.
+    //
+    // Float parity: replica sums are exact integer (cents × multiplicity);
+    // each replica mean is ONE bare division; the CI bounds are the
+    // gap_quantiles lerp over the 32 sorted replica means (identical op
+    // chain). The point estimate is one bare division of exact ints.
+    //
+    // Scale shape: the 32× replica fan-out is map-side (explode feeding a
+    // partial agg that collapses to ≤ |types|×32 rows per partition before
+    // the shuffle); the per-type sorted list holds exactly 32 doubles.
+    // One corpus pass for the replicas, one for the point estimate.
+    "bootstrap_mean_ci" -> Q(
+      fn = (s, dir) => {
+        // P(Poisson(1) ≤ k)·16⁸ as zero-padded hex, k = 0..6; mult 7 beyond
+        val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+          "ff1025f5", "ffd90f3b", "fffa8b71")
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
+        val h8 = substring(md5(concat(lit("boot:"), col("b").cast("string"),
+          lit(":"), col("event_id").cast("string"))), 1, 8)
+        val mult = th.zipWithIndex.foldRight(lit(7L)) { case ((t, k), rest) =>
+          when(h8 < t, k.toLong).otherwise(rest)
+        }
+        val reps = e.withColumn("b", explode(sequence(lit(0), lit(31))))
+          .withColumn("mult", mult)
+          .groupBy("event_type", "b")
+          .agg(sum(col("mult") * col("c")).as("sm"), sum(col("mult")).as("n"))
+          .select(col("event_type"),
+            (col("sm").cast("double") / (col("n") * 100L).cast("double")).as("mb"))
+          .groupBy("event_type")
+          .agg(sort_array(collect_list(col("mb"))).as("ms"))
+        def lerp(p: Double, name: String) = round(expr(
+          s"""ms[int(floor($p * (size(ms) - 1)))]
+             |+ ($p * (size(ms) - 1) - floor($p * (size(ms) - 1)))
+             |  * (ms[int(ceil($p * (size(ms) - 1)))]
+             |     - ms[int(floor($p * (size(ms) - 1)))])""".stripMargin), 6)
+          .as(name)
+        val point = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("c")).cast("double")
+              / (count(lit(1)) * 100L).cast("double")).as("mean"))
+        point.join(broadcast(reps), Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("mean"),
+            lerp(0.025, "ci_lo"), lerp(0.975, "ci_hi"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+          "ff1025f5", "ffd90f3b", "fffa8b71")
+        val cases = th.zipWithIndex
+          .map { case (t, k) => s"WHEN h8 < '$t' THEN $k" }.mkString(" ")
+        def lerp(p: Double, name: String) =
+          s"""round(ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]
+             |+ ($p * (len(ms) - 1) - floor($p * (len(ms) - 1)))
+             |  * (ms[CAST(ceil($p * (len(ms) - 1)) AS INTEGER) + 1]
+             |     - ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+            .stripMargin
+        s"""WITH e AS (SELECT event_type, event_id,
+           |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |           FROM events),
+           |r AS (SELECT event_type, event_id, c, UNNEST(range(0, 32)) AS b FROM e),
+           |m AS (SELECT event_type, b, c,
+           |             substring(md5(concat('boot:', CAST(b AS VARCHAR), ':',
+           |                                  CAST(event_id AS VARCHAR))), 1, 8) AS h8
+           |      FROM r),
+           |rb AS (SELECT event_type, b,
+           |              CAST(SUM((CASE $cases ELSE 7 END) * c) AS DOUBLE)
+           |                / CAST(SUM(CASE $cases ELSE 7 END) * 100 AS DOUBLE) AS mb
+           |       FROM m GROUP BY event_type, b),
+           |ms AS (SELECT event_type, list_sort(list(mb)) AS ms FROM rb GROUP BY event_type),
+           |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |              CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE) AS mean
+           |       FROM e GROUP BY event_type)
+           |SELECT event_type, n_events, mean, ${lerp(0.025, "ci_lo")}, ${lerp(0.975, "ci_hi")}
+           |FROM pt JOIN ms USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      })
   )
 }

@@ -177,4 +177,24 @@ class FunnelQueriesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("bootstrap_mean_ci: CI brackets the mean and shrinks ~1/sqrt(n) with corpus growth") {
+    def ci(sfDir: String) = graft.SparkEntry.queries("bootstrap_mean_ci")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val small = ci("/root/testdata/sf0.001")
+    val big = ci("/root/testdata/sf0.01")
+    assert(small.nonEmpty && small.keySet == big.keySet)
+    for ((t, (n, mean, lo, hi)) <- small ++ big) {
+      assert(lo < hi, s"$t: degenerate CI [$lo, $hi]")
+      assert(lo <= mean && mean <= hi, s"$t: mean $mean outside CI [$lo, $hi] (n=$n)")
+    }
+    // 10× the data → the interval tightens (≈√10×; assert a loose 1.5×
+    // so resampling noise over 32 replicas can't flake the suite)
+    for (t <- small.keySet) {
+      val ws = small(t)._4 - small(t)._3
+      val wb = big(t)._4 - big(t)._3
+      assert(wb < ws / 1.5, s"$t: CI width did not shrink: sf0.001=$ws sf0.01=$wb")
+    }
+  }
 }
