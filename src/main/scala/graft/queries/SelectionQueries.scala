@@ -378,6 +378,80 @@ object SelectionQueries {
           |FROM c GROUP BY source, shard_id
           |ORDER BY source, shard_id""".stripMargin)),
 
+    // ---- source × language chi-squared independence test ------------------
+    // The datacard hypothesis test behind "are languages spread evenly
+    // across sources, or do domains specialize": Pearson's χ² over the
+    // source × lang contingency table, with Cramér's V as the
+    // scale-free effect size. A large V says the mixture designer cannot
+    // treat language balance and source balance as independent dials.
+    //
+    // Float discipline: the full grid (observed AND structurally-zero
+    // cells — χ² sums expected mass over every cell) is generated from
+    // the marginals; each cell's term is (n·O − r·c)²/(n·r·c) with the
+    // numerator an exact DECIMAL(38,0)/HUGEINT square, so per cell there
+    // are exactly two correctly-rounded casts + one division, then the
+    // 6 dp grid makes the ≤ S×L-term sum order-independent. χ², dof, and
+    // V are fixed identical chains on both engines.
+    //
+    // Scale shape: ONE (source, lang) hash agg over the corpus (map-side
+    // combine to ≤ S×L rows); marginals derive from that agg; the grid
+    // cross join is S×L ≤ 100 rows. Constant-size everything after the
+    // first agg.
+    "source_lang_chi2" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val o = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val r = o.groupBy("source").agg(sum(col("o")).as("r"))
+        val c0 = o.groupBy("lang").agg(sum(col("o")).as("c"))
+        val n = o.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
+        val grid = r.crossJoin(c0)
+          .join(o, Seq("source", "lang"), "left")
+          .crossJoin(broadcast(n))
+          .withColumn("obs", coalesce(col("o"), lit(0L)))
+          .withColumn("dev", big(col("n")) * big(col("obs")) - big(col("r")) * big(col("c")))
+        val terms = grid.select(
+          round((col("dev") * col("dev")).cast("double")
+            / (big(col("n")) * big(col("r")) * big(col("c"))).cast("double"), 6)
+            .cast("decimal(12,6)").as("t6"))
+        val dims = r.agg(count(lit(1)).as("ns")).crossJoin(c0.agg(count(lit(1)).as("nl")))
+        terms.agg(sum(col("t6")).as("s6"))
+          .crossJoin(broadcast(dims))
+          .crossJoin(broadcast(n.select(col("n"))))
+          .select(col("n").as("n_docs"), col("ns").as("n_sources"), col("nl").as("n_langs"),
+            ((col("ns") - 1) * (col("nl") - 1)).as("dof"),
+            col("s6").cast("double").as("chi2"),
+            sqrt(col("s6").cast("double")
+              / (col("n") * least(col("ns") - 1, col("nl") - 1)).cast("double"))
+              .as("cramers_v"))
+      },
+      oracle = Some(
+        """WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+          |           FROM documents GROUP BY source, lang),
+          |r AS (SELECT source, CAST(SUM(o) AS HUGEINT) AS r FROM o GROUP BY source),
+          |c AS (SELECT lang, CAST(SUM(o) AS HUGEINT) AS c FROM o GROUP BY lang),
+          |n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM o),
+          |grid AS (
+          |  SELECT r.source, c.lang, r.r, c.c, n.n,
+          |         CAST(COALESCE(o.o, 0) AS HUGEINT) AS obs
+          |  FROM r CROSS JOIN c
+          |       LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
+          |       CROSS JOIN n),
+          |terms AS (
+          |  SELECT CAST(round(
+          |           CAST((n * obs - r * c) * (n * obs - r * c) AS DOUBLE)
+          |             / CAST(n * r * c AS DOUBLE), 6) AS DECIMAL(12,6)) AS t6
+          |  FROM grid),
+          |dims AS (SELECT (SELECT COUNT(*) FROM r) AS ns, (SELECT COUNT(*) FROM c) AS nl)
+          |SELECT CAST(n AS BIGINT) AS n_docs,
+          |       CAST(ns AS BIGINT) AS n_sources, CAST(nl AS BIGINT) AS n_langs,
+          |       CAST((ns - 1) * (nl - 1) AS BIGINT) AS dof,
+          |       CAST(s6 AS DOUBLE) AS chi2,
+          |       sqrt(CAST(s6 AS DOUBLE)
+          |            / CAST(n * least(ns - 1, nl - 1) AS DOUBLE)) AS cramers_v
+          |FROM (SELECT CAST(SUM(t6) AS DECIMAL(38,6)) AS s6 FROM terms) t
+          |     CROSS JOIN dims CROSS JOIN n""".stripMargin)),
+
     // ---- deterministic stratified train/val/test split --------------------
     // Assignment by the first two hex chars of md5("split:" ∥ doc_id):
     // 00–cb → train (204/256 ≈ 79.7%), cc–e5 → val (26/256 ≈ 10.2%),

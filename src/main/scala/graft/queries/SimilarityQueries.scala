@@ -991,60 +991,127 @@ object SimilarityQueries {
     // per partition, like skipgram_pmi's window factor). The iterations
     // touch 64-row frames — constant cost at any corpus size.
     "embedding_pca_power" -> Q(
-      fn = (s, dir) => {
-        val q = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(col("vec_id"), col("pos"),
-            floor(col("x").cast("double") * lit(1000000.0d)).cast("long").as("q"))
-        val gram = q.select(col("vec_id"), col("pos").as("ri"), col("q").as("qa"))
-          .join(q.select(col("vec_id"), col("pos").as("cj"), col("q").as("qb")), Seq("vec_id"))
-          .groupBy("ri", "cj")
-          .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("g"))
-        val gmax = gram.agg(max(abs(col("g"))).as("mx"))
-        val aMat = gram.crossJoin(broadcast(gmax))
-          .select(col("ri"), col("cj"),
-            round(col("g").cast("double") / col("mx").cast("double"), 6)
-              .cast("decimal(12,6)").as("av"))
-        var v = gram.select(col("ri").as("i")).distinct()
-          .select(col("i"), lit(0.125d).cast("decimal(12,6)").as("vv"))
-        for (_ <- 1 to 5) {
-          val w = aMat.join(v, aMat("cj") === v("i"))
-            .groupBy("ri")
-            .agg(sum(col("av") * col("vv")).cast("decimal(18,12)").as("w"))
-          val nrm = w.agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-          v = Q.truncate(w.crossJoin(broadcast(nrm))
-            .select(col("ri").as("i"),
-              round(col("w").cast("double") / col("nrm"), 6)
-                .cast("decimal(12,6)").as("vv")))
-        }
-        v.select(col("i").cast("int").as("dim"), col("vv").cast("double").as("loading"))
-          .orderBy("dim")
-      },
-      oracle = Some {
-        val iters = (1 to 5).map { t =>
-          val prev = s"v${t - 1}"
-          s"""w$t AS (SELECT ri AS i, CAST(SUM(av * vv) AS DECIMAL(18,12)) AS w
-             |        FROM aa JOIN $prev ON aa.cj = $prev.i GROUP BY ri),
-             |n$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w$t),
-             |v$t AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / nrm, 6) AS DECIMAL(12,6)) AS vv
-             |        FROM w$t, n$t)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH el AS (SELECT vec_id, UNNEST(range(1, 65)) AS pos, embedding FROM embeddings),
-           |m AS (SELECT vec_id, pos - 1 AS i,
-           |             CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
-           |      FROM el),
-           |gram AS (SELECT a.i AS ri, b.i AS cj, CAST(SUM(a.q * b.q) AS HUGEINT) AS g
-           |         FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
-           |gmax AS (SELECT MAX(abs(g)) AS mx FROM gram),
-           |aa AS (SELECT ri, cj,
-           |              CAST(round(CAST(g AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS DECIMAL(12,6)) AS av
-           |       FROM gram, gmax),
-           |v0 AS (SELECT DISTINCT ri AS i, CAST(0.125 AS DECIMAL(12,6)) AS vv FROM gram),
-           |$iters
+      fn = (s, dir) =>
+        pcaVector(s, dir)
+          .select(col("i").cast("int").as("dim"), col("vv").cast("double").as("loading"))
+          .orderBy("dim"),
+      oracle = Some(
+        s"""WITH $pcaSqlCtes
            |SELECT CAST(i AS INTEGER) AS dim, CAST(vv AS DOUBLE) AS loading
-           |FROM v5 ORDER BY dim""".stripMargin
-      })
+           |FROM v5 ORDER BY dim""".stripMargin)),
+
+    // ---- PCA projection scores per label (r7) ----------------------------
+    // The USE of the dominant component: every vector's coordinate along it
+    // (s = vᵀx), rolled up per label — a 1-d spectral summary that shows
+    // which labels sit where along the corpus's main axis of variation and
+    // how spread out each is (labels with near-zero spread are candidates
+    // for collapse/near-constant clusters). Both legs REUSE the gated PCA:
+    // the Spark side calls the same [[pcaVector]] builder, the oracle nests
+    // [[pcaSqlCtes]] — the eval cannot drift from the component it
+    // projects onto (the recall_at_k discipline).
+    //
+    // Float parity: the projection Σ qᵢ·vᵢ is EXACT (int micro-units ×
+    // 6 dp grid decimals); per-label min/max/sum stay exact decimals, and
+    // each reported double is a fixed cast-divide chain folding the 1e6
+    // scale into the denominator.
+    //
+    // Scale shape: the 64-row component broadcasts; the projection is one
+    // map-side join + per-vec_id agg (partial combine on vec_id); the
+    // label roll-up carries ≤ |labels| rows.
+    "pca_scores" -> Q(
+      fn = (s, dir) => {
+        val m = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            floor(col("x").cast("double") * lit(1000000.0d)).cast("long").as("q"))
+        val sc = m.join(broadcast(pcaVector(s, dir)), m("pos") === col("i"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("q") * col("vv")).as("sv"))
+        sc.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("sv")).as("ss"), min(col("sv")).as("mn"), max(col("sv")).as("mx"))
+          .select(col("label"), col("n_vecs"),
+            (col("ss").cast("double") / (col("n_vecs") * 1000000L).cast("double"))
+              .as("mean_score"),
+            (col("mn").cast("double") / lit(1000000.0d)).as("min_score"),
+            (col("mx").cast("double") / lit(1000000.0d)).as("max_score"))
+          .orderBy("label")
+      },
+      oracle = Some(
+        s"""WITH $pcaSqlCtes,
+           |lbl AS (SELECT vec_id, label FROM embeddings),
+           |sc AS (SELECT mm.vec_id, lbl.label, SUM(mm.q * v5.vv) AS sv
+           |       FROM m mm JOIN v5 ON mm.i = v5.i
+           |            JOIN lbl ON lbl.vec_id = mm.vec_id
+           |       GROUP BY mm.vec_id, lbl.label)
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |       CAST(SUM(sv) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_score,
+           |       CAST(MIN(sv) AS DOUBLE) / 1000000.0 AS min_score,
+           |       CAST(MAX(sv) AS DOUBLE) / 1000000.0 AS max_score
+           |FROM sc GROUP BY label ORDER BY label""".stripMargin))
   )
+
+  /** The Spark leg of the exact-decimal power iteration: micro-quantized
+    * Gram (the only corpus-sized pass), max|G| normalization onto the 6 dp
+    * grid, 5 iterations on 64-row frames. Returns the dominant component
+    * as `(i, vv DECIMAL(12,6))` — shared by embedding_pca_power and
+    * pca_scores so the projection provably uses the gated component. */
+  private def pcaVector(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val q = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0d)).cast("long").as("q"))
+    val gram = q.select(col("vec_id"), col("pos").as("ri"), col("q").as("qa"))
+      .join(q.select(col("vec_id"), col("pos").as("cj"), col("q").as("qb")), Seq("vec_id"))
+      .groupBy("ri", "cj")
+      .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("g"))
+    val gmax = gram.agg(max(abs(col("g"))).as("mx"))
+    val aMat = gram.crossJoin(broadcast(gmax))
+      .select(col("ri"), col("cj"),
+        round(col("g").cast("double") / col("mx").cast("double"), 6)
+          .cast("decimal(12,6)").as("av"))
+    var v = gram.select(col("ri").as("i")).distinct()
+      .select(col("i"), lit(0.125d).cast("decimal(12,6)").as("vv"))
+    for (_ <- 1 to 5) {
+      val w = aMat.join(v, aMat("cj") === v("i"))
+        .groupBy("ri")
+        .agg(sum(col("av") * col("vv")).cast("decimal(18,12)").as("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+      v = Q.truncate(w.crossJoin(broadcast(nrm))
+        .select(col("ri").as("i"),
+          round(col("w").cast("double") / col("nrm"), 6)
+            .cast("decimal(12,6)").as("vv")))
+    }
+    v
+  }
+
+  /** The embedding_pca_power CTE chain (micro-quantize → exact Gram →
+    * normalize → 5 exact-decimal power iterations, final vector `v5 (i,
+    * vv)`), factored so the projection query below NESTS the same SQL the
+    * gate checks — the recall_at_k no-drift discipline applied to PCA. */
+  private def pcaSqlCtes: String = {
+    val iters = (1 to 5).map { t =>
+      val prev = s"v${t - 1}"
+      s"""w$t AS (SELECT ri AS i, CAST(SUM(av * vv) AS DECIMAL(18,12)) AS w
+         |        FROM aa JOIN $prev ON aa.cj = $prev.i GROUP BY ri),
+         |n$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w$t),
+         |v$t AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / nrm, 6) AS DECIMAL(12,6)) AS vv
+         |        FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""el AS (SELECT vec_id, UNNEST(range(1, 65)) AS pos, embedding FROM embeddings),
+       |m AS (SELECT vec_id, pos - 1 AS i,
+       |             CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |      FROM el),
+       |gram AS (SELECT a.i AS ri, b.i AS cj, CAST(SUM(a.q * b.q) AS HUGEINT) AS g
+       |         FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |gmax AS (SELECT MAX(abs(g)) AS mx FROM gram),
+       |aa AS (SELECT ri, cj,
+       |              CAST(round(CAST(g AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS DECIMAL(12,6)) AS av
+       |       FROM gram, gmax),
+       |v0 AS (SELECT DISTINCT ri AS i, CAST(0.125 AS DECIMAL(12,6)) AS vv FROM gram),
+       |$iters""".stripMargin
+  }
 
   // ---- ANN quality eval: recall@k of the approximate retrievers ---------
   // The missing closing number for any ANN deployment: per query, what
