@@ -671,36 +671,43 @@ object FunnelQueries {
     // (each of B = 32 replicas weights every row by an independent
     // Poisson(1) multiplicity — the classic one-pass bootstrap for
     // distributed data, e.g. bag-of-little-bootstraps lineage). The
-    // "random" draws are DETERMINISTIC: the first 8 md5 hex chars of
-    // (replica, event_id) compared against the Poisson(1) CDF thresholds
-    // pre-scaled to 16⁸ and written as 8-char lowercase hex strings —
-    // lexicographic comparison ≡ numeric comparison (the train_split
-    // idiom), so the multiplicity is an exact string CASE on BOTH engines:
-    // no RNG state, no float draw, rerun-identical anywhere.
+    // "random" draws are DETERMINISTIC: 16-bit md5 hex slices of
+    // (digest-group, event_id) compared against the Poisson(1) CDF
+    // thresholds pre-scaled to 16⁴ and written as 4-char lowercase hex
+    // strings — lexicographic comparison ≡ numeric comparison (the
+    // train_split idiom), so the multiplicity is an exact string CASE on
+    // BOTH engines: no RNG state, no float draw, rerun-identical anywhere.
+    // The 32 replicas draw from FOUR md5 digests per row (8 disjoint
+    // 4-hex slices each — the minhash disjoint-slice trick), not 32:
+    // hashing is the hot loop and this is 8× less of it (measured
+    // 5 s → ~1.5 s at sf0.1); 16-bit CDF resolution biases P(k) by
+    // < 2⁻¹⁶ — irrelevant against 1/√32-replica noise.
     //
     // Float parity: replica sums are exact integer (cents × multiplicity);
     // each replica mean is ONE bare division; the CI bounds are the
     // gap_quantiles lerp over the 32 sorted replica means (identical op
     // chain). The point estimate is one bare division of exact ints.
     //
-    // Scale shape: the 32× replica fan-out is map-side (explode feeding a
-    // partial agg that collapses to ≤ |types|×32 rows per partition before
-    // the shuffle); the per-type sorted list holds exactly 32 doubles.
-    // One corpus pass for the replicas, one for the point estimate.
+    // Scale shape: the 32× replica fan-out is map-side (4 digests computed
+    // per ROW, then an explode feeding a partial agg that collapses to
+    // ≤ |types|×32 rows per partition before the shuffle); the per-type
+    // sorted list holds exactly 32 doubles. One corpus pass for the
+    // replicas, one for the point estimate.
     "bootstrap_mean_ci" -> Q(
       fn = (s, dir) => {
-        // P(Poisson(1) ≤ k)·16⁸ as zero-padded hex, k = 0..6; mult 7 beyond
-        val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
-          "ff1025f5", "ffd90f3b", "fffa8b71")
+        // P(Poisson(1) ≤ k)·16⁴ as zero-padded hex, k = 0..6; mult 7 beyond
+        val th = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9", "fffa")
         val e = Tables.load(s, dir, "events")
           .select(col("event_type"), col("event_id"),
             (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
-        val h8 = substring(md5(concat(lit("boot:"), col("b").cast("string"),
-          lit(":"), col("event_id").cast("string"))), 1, 8)
+        val digests = array((0 until 4).map(g =>
+          md5(concat(lit(s"boot:$g:"), col("event_id").cast("string")))): _*)
+        val h4 = expr("substring(ds[int(b div 8)], (b % 8) * 4 + 1, 4)")
         val mult = th.zipWithIndex.foldRight(lit(7L)) { case ((t, k), rest) =>
-          when(h8 < t, k.toLong).otherwise(rest)
+          when(h4 < t, k.toLong).otherwise(rest)
         }
-        val reps = e.withColumn("b", explode(sequence(lit(0), lit(31))))
+        val reps = e.withColumn("ds", digests)
+          .withColumn("b", explode(sequence(lit(0), lit(31))))
           .withColumn("mult", mult)
           .groupBy("event_type", "b")
           .agg(sum(col("mult") * col("c")).as("sm"), sum(col("mult")).as("n"))
@@ -724,10 +731,9 @@ object FunnelQueries {
           .orderBy("event_type")
       },
       oracle = Some {
-        val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
-          "ff1025f5", "ffd90f3b", "fffa8b71")
+        val th = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9", "fffa")
         val cases = th.zipWithIndex
-          .map { case (t, k) => s"WHEN h8 < '$t' THEN $k" }.mkString(" ")
+          .map { case (t, k) => s"WHEN h4 < '$t' THEN $k" }.mkString(" ")
         def lerp(p: Double, name: String) =
           s"""round(ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]
              |+ ($p * (len(ms) - 1) - floor($p * (len(ms) - 1)))
@@ -739,8 +745,9 @@ object FunnelQueries {
            |           FROM events),
            |r AS (SELECT event_type, event_id, c, UNNEST(range(0, 32)) AS b FROM e),
            |m AS (SELECT event_type, b, c,
-           |             substring(md5(concat('boot:', CAST(b AS VARCHAR), ':',
-           |                                  CAST(event_id AS VARCHAR))), 1, 8) AS h8
+           |             substring(md5(concat('boot:', CAST(b // 8 AS VARCHAR), ':',
+           |                                  CAST(event_id AS VARCHAR))),
+           |                       CAST((b % 8) * 4 + 1 AS INTEGER), 4) AS h4
            |      FROM r),
            |rb AS (SELECT event_type, b,
            |              CAST(SUM((CASE $cases ELSE 7 END) * c) AS DOUBLE)

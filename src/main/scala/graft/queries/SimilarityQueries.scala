@@ -1058,14 +1058,21 @@ object SimilarityQueries {
     * as `(i, vv DECIMAL(12,6))` — shared by embedding_pca_power and
     * pca_scores so the projection provably uses the gated component. */
   private def pcaVector(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val q = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("pos"),
-        floor(col("x").cast("double") * lit(1000000.0d)).cast("long").as("q"))
-    val gram = q.select(col("vec_id"), col("pos").as("ri"), col("q").as("qa"))
-      .join(q.select(col("vec_id"), col("pos").as("cj"), col("q").as("qb")), Seq("vec_id"))
-      .groupBy("ri", "cj")
-      .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("g"))
+    // ONE corpus pass: the typed Gram aggregator folds each vector's outer
+    // product into a per-task 64×64 long buffer (exact micro-unit ints,
+    // upper triangle + mirror — see GramAgg), so the shuffle is one
+    // 4096-long buffer per partition. The declarative equivalent (64×
+    // posexplode + vec_id self-join + (i, j) agg) is plan-identical in
+    // MEANING but pays a 64²× join blowup — measured 12 s vs sub-second
+    // at sf0.1. Materialized once: gmax, the normalize, and all 5
+    // iteration joins read the 4096-row result, not the corpus.
+    val d = 64
+    val gram = Q.truncate(
+      Tables.load(s, dir, "embeddings")
+        .agg(graft.functions.GramAgg.gramMicro(col("embedding")).as("gf"))
+        .select(posexplode(col("gf")).as(Seq("idx", "gl")))
+        .select(expr(s"int(idx div $d)").as("ri"), expr(s"int(idx % $d)").as("cj"),
+          col("gl").cast("decimal(38,0)").as("g")))
     val gmax = gram.agg(max(abs(col("g"))).as("mx"))
     val aMat = gram.crossJoin(broadcast(gmax))
       .select(col("ri"), col("cj"),
