@@ -382,6 +382,65 @@ object StreamBench {
     assert(driftTotals.forall(_._2 == 0L), "drift n_other != 0")
     val driftRps = DriftEvents / driftSecs
 
+    // ---- streaming anomaly monitor: windowed agg vs broadcast reference ----
+    // anomalyStream over the same 10M-event corpus, daily windows, update
+    // mode with the infinite-watermark upsert discipline of the drift leg.
+    // The generator ties type ≡ id mod 8 and window ≡ id mod 200 with
+    // 8 | 200, so each six-hour window holds ONE type and each day's four
+    // windows hold types {0–3} (even days) or {4–7} (odd days): exactly
+    // 200 (type, day) rows of exactly 50 000 events. Reference stats are
+    // closed-form: t0–t3 get mean 48 000 with n²σ² = 9e6 (dev = 2e4,
+    // dev² = 4e8 > 8.1e7 ⇒ EVERY appearance anomalous, z = 20/3), t4–t7
+    // get mean 50 000 (dev = 0 ⇒ never anomalous). The leg asserts the
+    // exact 200-row verdict table — throughput with correctness, like
+    // every other leg.
+    val anomRef = (0 until 8).map { t =>
+      val ss = if (t < 4) 480000L else 500000L
+      s"t$t" -> ((10L, ss, (ss * ss + 9000000L) / 10L))
+    }.toMap
+    val (anomSecs, anomFinal) = {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-anom-src").toString
+      spark.range(DriftEvents).select(
+        timestamp_micros(pmod(col("id"), lit(DriftWindows)) * lit(21600000000L)
+          + (col("id") % 21600L) * lit(1000000L)).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(8)).cast("string")).as("event_type"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-anom-bench").toString
+      val last = new java.util.concurrent.ConcurrentHashMap[(String, java.sql.Timestamp), (Long, Double, Int)]()
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.anomalyStream(
+          events, "ts", "event_type", anomRef, windowDur = "1 day",
+          watermark = "3650 days")
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            last.put((r.getString(0), r.getTimestamp(1)),
+              (r.getLong(2), r.getDouble(3), r.getInt(4)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ((System.nanoTime() - t0) / 1e9, last)
+    }
+    assert(anomFinal.size == 200, s"anomaly rows ${anomFinal.size} != 200 (type, day) pairs")
+    anomFinal.asScala.foreach { case ((t, w), (c, z, flag)) =>
+      assert(c == 50000L, s"$t@$w count $c != 50000")
+      val hot = t.stripPrefix("t").toInt < 4
+      val day = w.toInstant.getEpochSecond / 86400
+      assert((day % 2 == 0) == hot, s"$t@$w on the wrong day parity")
+      assert(flag == (if (hot) 1 else 0), s"$t@$w flag $flag wrong")
+      assert(if (hot) math.abs(z - 20.0 / 3.0) < 1e-12 else z == 0.0, s"$t@$w z $z wrong")
+    }
+    val anomRps = DriftEvents / anomSecs
+
     // ---- skew mitigation A/B/C: 90%-hot-key join, plain vs salted vs AQE ----
     // 10M-row fact with 90% of rows on key 0 joined to a 100k-row dim, with
     // broadcast DISABLED so the join is a real shuffle (at 100 TB the dim
@@ -468,7 +527,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }

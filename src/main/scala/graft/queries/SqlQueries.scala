@@ -30,6 +30,34 @@ object SqlQueries {
         |       COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // WITH RECURSIVE (added r7) — the calendar-series generator, identical
+    // text on both engines: Spark 4.x's recursive CTE (UnionLoop) pinned
+    // against DuckDB's on a real shape — generate the full day grid between
+    // the corpus's first and last event and LEFT JOIN a sparse slice's
+    // daily volumes (purchases by the first three users: ~2/day, so real
+    // zero-traffic days exist at every sf), surfacing the days a plain
+    // GROUP BY silently omits as is_gap rows. Recursion depth = the
+    // calendar span (30 here), far under either engine's recursion limit;
+    // all arithmetic integer-exact.
+    "q_recursive_calendar" -> sqlQ(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+        |),
+        |cal(d) AS (
+        |  SELECT d0 FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL '1' DAY AS DATE) FROM cal WHERE d < (SELECT d1 FROM bounds)
+        |),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id < 3 AND event_type = 'purchase'
+        |  GROUP BY CAST(ts AS DATE)
+        |)
+        |SELECT cal.d, COALESCE(daily.n, CAST(0 AS BIGINT)) AS n_events,
+        |       CAST(CASE WHEN daily.d IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d
+        |ORDER BY cal.d""".stripMargin),
+
     // correlated scalar subquery: customers above their nation's mean balance
     "q_scalar_subquery" -> sqlQ(
       """SELECT c_custkey, c_acctbal FROM customer c
