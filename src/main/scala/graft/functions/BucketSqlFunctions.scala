@@ -43,6 +43,10 @@ object BucketSqlFunctions {
     registerBucketOf(spark, cfg)
     VectorFunctions.registerSql(spark)
     registerTextHash(spark)
+    // gram_micro(embedding) → array<bigint> d²: the one-pass exact Gram
+    // aggregator (GramAgg) on the SQL surface, same registration path as
+    // any public UDAF
+    spark.udf.register("gram_micro", GramAgg.gramMicro)
   }
 
   /** Register the text-hash expressions (`simhash_fingerprint(shingles)`,

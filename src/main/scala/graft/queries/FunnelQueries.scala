@@ -230,6 +230,79 @@ object FunnelQueries {
           |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
           |ORDER BY step""".stripMargin)),
 
+    // ---- funnel conversion latency quantiles (added r7) ------------------
+    // How LONG each funnel transition takes, not just how many make it:
+    // per step pair (click→signup, signup→purchase), exact R-7 p50/p90 of
+    // the first-conversion latency in microseconds — the number an SLA or
+    // a "users who don't purchase within a day are lost" analysis reads.
+    // Timestamps follow funnel_steps' strict-order first-occurrence
+    // semantics EXACTLY (same min-ts-after-previous-step construction),
+    // so the two operators provably count the same converting users.
+    // Latencies are whole micros (exactly representable doubles); the
+    // lerp is gap_quantiles' spelled-out chain.
+    //
+    // Scale shape: the step aggs shuffle once on user_id each (funnel's
+    // own plan); the per-pair sorted latency list is the exact-quantile
+    // contract — approx_percentile is the documented 100 TB drop-in
+    // (gap_quantiles' note applies verbatim).
+    "conversion_latency" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val sg = ev.filter(col("event_type") === "signup")
+          .join(c, Seq("user_id")).filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(sg, Seq("user_id")).filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        def q(pp: Double, name: String) = round(expr(
+          s"""gaps[int(floor($pp * (size(gaps) - 1)))]
+             |+ ($pp * (size(gaps) - 1) - floor($pp * (size(gaps) - 1)))
+             |  * (gaps[int(ceil($pp * (size(gaps) - 1)))]
+             |     - gaps[int(floor($pp * (size(gaps) - 1)))])""".stripMargin), 6)
+          .as(name)
+        def leg(gapsDf: org.apache.spark.sql.DataFrame, label: String) =
+          gapsDf.agg(count(lit(1)).as("n_users"),
+              sort_array(collect_list(col("gap"))).as("gaps"))
+            .select(lit(label).as("step"), col("n_users"),
+              q(0.5, "p50_us"), q(0.9, "p90_us"))
+        val l12 = sg.join(c, Seq("user_id"))
+          .select((unix_micros(col("t2")) - unix_micros(col("t1"))).cast("double").as("gap"))
+        val l23 = p.join(sg, Seq("user_id"))
+          .select((unix_micros(col("t3")) - unix_micros(col("t2"))).cast("double").as("gap"))
+        leg(l12, "1_click_to_signup").unionByName(leg(l23, "2_signup_to_purchase"))
+          .orderBy("step")
+      },
+      oracle = Some {
+        def q(pp: Double, name: String) =
+          s"""round(gaps[CAST(floor($pp * (len(gaps) - 1)) AS INTEGER) + 1]
+             |+ ($pp * (len(gaps) - 1) - floor($pp * (len(gaps) - 1)))
+             |  * (gaps[CAST(ceil($pp * (len(gaps) - 1)) AS INTEGER) + 1]
+             |     - gaps[CAST(floor($pp * (len(gaps) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+            .stripMargin
+        s"""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |c AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+           |      WHERE event_type = 'click' GROUP BY user_id),
+           |s AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+           |      JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'signup' AND e.ts > c.t1 GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+           |      JOIN s ON e.user_id = s.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts > s.t2 GROUP BY e.user_id),
+           |g12 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           |               list_sort(list(CAST(epoch_us(s.t2) - epoch_us(c.t1) AS DOUBLE))) AS gaps
+           |        FROM s JOIN c ON s.user_id = c.user_id),
+           |g23 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           |               list_sort(list(CAST(epoch_us(p.t3) - epoch_us(s.t2) AS DOUBLE))) AS gaps
+           |        FROM p JOIN s ON p.user_id = s.user_id)
+           |SELECT * FROM (
+           |  SELECT '1_click_to_signup' AS step, n_users, ${q(0.5, "p50_us")}, ${q(0.9, "p90_us")} FROM g12
+           |  UNION ALL
+           |  SELECT '2_signup_to_purchase', n_users, ${q(0.5, "p50_us")}, ${q(0.9, "p90_us")} FROM g23)
+           |ORDER BY step""".stripMargin
+      }),
+
     // ---- per-event trailing feature window (added r5) --------------------
     // Online feature engineering's bread-and-butter: each event sees the
     // aggregate of its user's previous ≤3 event values (count + exact
@@ -760,6 +833,51 @@ object FunnelQueries {
            |SELECT event_type, n_events, mean, ${lerp(0.025, "ci_lo")}, ${lerp(0.975, "ci_hi")}
            |FROM pt JOIN ms USING (event_type)
            |ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // ---- hour-of-day seasonality profile (added r7) ----------------------
+    // The diurnal load curve per event type — what capacity planning and
+    // the priority buckets' allocation percentages are actually sized
+    // from: per (type, hour-of-day UTC) counts, each hour's share of the
+    // type's traffic, and the peak hour flagged (deterministic argmax:
+    // count DESC, hour ASC — a rank over the ≤ 24-row per-type frame, the
+    // benign bounded-window shape). Share is one bare division of exact
+    // ints; no other float exists.
+    //
+    // Scale shape: ONE (type, hour) hash agg with map-side combine to
+    // ≤ |types|×24 rows; everything downstream (totals, rank) runs on
+    // that constant-size frame.
+    "seasonality_profile" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("n").desc, col("hour"))
+        val byHour = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val totals = byHour.groupBy("event_type").agg(sum(col("n")).as("tot"))
+        byHour.join(broadcast(totals), Seq("event_type"))
+          // ≤ 24 rows per type: the rank window is bounded by the clock,
+          // not the data
+          .withColumn("is_peak", (row_number().over(w) === 1).cast("int"))
+          .select(col("event_type"), col("hour"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("share"),
+            col("is_peak"))
+          .orderBy("event_type", "hour")
+      },
+      oracle = Some(
+        """WITH h AS (
+          |  SELECT event_type,
+          |         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM h GROUP BY event_type),
+          |r AS (SELECT h.event_type, hour, n, tot,
+          |             ROW_NUMBER() OVER (PARTITION BY h.event_type
+          |                                ORDER BY n DESC, hour) AS rk
+          |      FROM h JOIN t USING (event_type))
+          |SELECT event_type, hour, n,
+          |       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+          |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+          |FROM r ORDER BY event_type, hour""".stripMargin))
   )
 }

@@ -1213,5 +1213,71 @@ object SimilarityQueries {
          |UNION ALL
          |${leg("lsh_topk")})
          |ORDER BY method, qid""".stripMargin
+    }),
+
+  // ---- ANN quality eval #3: NDCG@10 -------------------------------------
+  // The graded completion of the eval suite: recall counts hits, MRR finds
+  // the first, NDCG@10 weighs EVERY returned result by how relevant it is
+  // AND how high the retriever placed it. Relevance grades come from the
+  // exact cosine ranking itself (rel = 11 − true_rank, 0 off-list), so the
+  // eval needs no external labels; the ideal DCG is the same grades in
+  // perfect order, making ndcg = 1 exactly when the retriever reproduces
+  // the true top-10 in order. Discounts use ln (NDCG is log-base
+  // invariant, and ln is the probed-identical transcendental — log2's
+  // cross-engine behavior is not probed). Same no-drift composition:
+  // Spark legs reuse the gated retriever builders, the oracle nests their
+  // SQL.
+  //
+  // Float parity: each term is round(int / ln(int), 6) — one division of
+  // exact ints on the probed ln, rounded onto the decimal grid — so the
+  // per-query DCG/IDCG sums are order-independent decimals, and ndcg is
+  // one bare division of their exact casts.
+  //
+  // Scale shape: retriever plans + two ≤(queries×10)-row joins/aggs —
+  // constant eval overhead at any corpus size.
+  "ndcg_eval" -> Q(
+    fn = (s, dir) => {
+      val exact = base("similarity_topk").fn(s, dir)
+        .select(col("qid"), col("cid"), col("rk").as("erk"))
+      val ideal = exact
+        .select(col("qid"), round((lit(11) - col("erk")).cast("double")
+            / log(col("erk") + 1), 6).cast("decimal(12,6)").as("i6"))
+        .groupBy("qid").agg(sum(col("i6")).as("idcg6"))
+      def leg(name: String) = {
+        val dcg = base(name).fn(s, dir).select(col("qid"), col("cid"), col("rk"))
+          .join(exact, Seq("qid", "cid"))
+          .select(col("qid"), round((lit(11) - col("erk")).cast("double")
+              / log(col("rk") + 1), 6).cast("decimal(12,6)").as("t6"))
+          .groupBy("qid").agg(sum(col("t6")).as("dcg6"))
+        ideal.join(dcg, Seq("qid"), "left")
+          .select(lit(name).as("method"), col("qid"),
+            (coalesce(col("dcg6"), lit(0).cast("decimal(12,6)")).cast("double")
+              / col("idcg6").cast("double")).as("ndcg"))
+      }
+      leg("ivf_topk").unionAll(leg("lsh_topk")).orderBy("method", "qid")
+    },
+    oracle = Some {
+      def leg(name: String) =
+        s"""SELECT '$name' AS method, i.qid,
+           |       CAST(COALESCE(d.dcg6, CAST(0 AS DECIMAL(12,6))) AS DOUBLE)
+           |         / CAST(i.idcg6 AS DOUBLE) AS ndcg
+           |FROM ideal i LEFT JOIN (
+           |  SELECT a.qid,
+           |         SUM(CAST(round(CAST(11 - e.rk AS DOUBLE) / ln(a.rk + 1), 6)
+           |                  AS DECIMAL(12,6))) AS dcg6
+           |  FROM a_$name a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+           |  GROUP BY a.qid) d ON i.qid = d.qid""".stripMargin
+      s"""WITH exact AS (${base("similarity_topk").oracle.get}),
+         |a_ivf_topk AS (${base("ivf_topk").oracle.get}),
+         |a_lsh_topk AS (${base("lsh_topk").oracle.get}),
+         |ideal AS (
+         |  SELECT qid,
+         |         SUM(CAST(round(CAST(11 - rk AS DOUBLE) / ln(rk + 1), 6)
+         |                  AS DECIMAL(12,6))) AS idcg6
+         |  FROM exact GROUP BY qid)
+         |SELECT * FROM (${leg("ivf_topk")}
+         |UNION ALL
+         |${leg("lsh_topk")})
+         |ORDER BY method, qid""".stripMargin
     }))
 }

@@ -655,6 +655,56 @@ object TextQueries {
           |      FROM h)
           |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin)),
 
+    // ---- winnowing copy-detection pairs (r7) -----------------------------
+    // The CONSUMER of the winnowing index — MOSS's actual output: document
+    // pairs sharing ≥ 2 winnowed fingerprints, with the shared count as
+    // the match strength. Two shared fingerprints ⇒ (with w = 4, k = 5)
+    // two separate ≥ 8-token verbatim runs in common — the local-copy
+    // signal Jaccard-style whole-doc dedup is blind to. Fingerprints with
+    // document frequency > 8 are boilerplate and EXCLUDED by definition on
+    // both engines (the standard MOSS "ignore ubiquitous code" rule — and
+    // the same d² hot-key bound as the n-gram df cap, here as semantics
+    // rather than candidate pruning, so the oracle applies it too).
+    //
+    // Scale shape: the join fan-out is bounded by df ≤ 8 per fingerprint
+    // key (≤ 28 pairs each), never quadratic in corpus size; the pair agg
+    // collapses map-side.
+    "winnow_copy_pairs" -> Q(
+      fn = (s, dir) => {
+        val fps = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"),
+            explode(graft.functions.WindowMd5Functions.winnowFingerprints(
+              col("toks"), 5, 4)).as("fp"))
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 8).select("fp")
+        val kept = fps.join(rare, Seq("fp"))
+        kept.select(col("fp"), col("doc_id").as("a_id"))
+          .join(kept.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |h AS (SELECT doc_id,
+          |             list_transform(range(len(toks) - 4),
+          |               i -> md5(array_to_string(toks[i + 1 : i + 5], ' '))) AS hs
+          |      FROM t WHERE len(toks) >= 8),
+          |f AS (SELECT doc_id,
+          |             UNNEST(list_distinct(list_transform(range(len(hs) - 3),
+          |               j -> list_min(hs[j + 1 : j + 4])))) AS fp
+          |      FROM h),
+          |rare AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 8),
+          |k AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+          |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+          |ORDER BY a_id, b_id""".stripMargin)),
+
     // ---- multimodal exact dedup accounting (added r6) --------------------
     // Exact dedup over the opaque BINARY payload (md5 of the bytes — the
     // modality-agnostic twin of dedup_exact's normalized-text hash): per

@@ -72,7 +72,9 @@ class PlanGuardSpec extends SparkTestBase {
       "quality_dup_profile", // composes quality_buckets — same whitelisted 1-row broadcast
       "skipgram_pmi", // broadcasts of the 1-row pair-total and token-total aggregates
       "cluster_source_mix", // broadcast of the 16-row centroid codebook (kmeans_step shape)
-      "hard_negatives") // broadcast of the ≤5-row query-vector side (similarity_topk shape)
+      "hard_negatives", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
+      "source_lang_chi2", // S×L contingency grid from the marginals (≤ 20×5) + 1-row total broadcasts
+      "ndcg_eval") // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
