@@ -197,4 +197,19 @@ class FunnelQueriesSpec extends SparkTestBase {
       assert(wb < ws / 1.5, s"$t: CI width did not shrink: sf0.001=$ws sf0.01=$wb")
     }
   }
+
+  test("conversion_latency: counts the same converting users as funnel_steps; quantiles ordered") {
+    val lat = graft.SparkEntry.queries("conversion_latency")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val funnel = graft.SparkEntry.queries("funnel_steps")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lat.keySet == Set("1_click_to_signup", "2_signup_to_purchase"))
+    // a converting user IS a user at the next funnel step — same construction
+    assert(lat("1_click_to_signup")._1 == funnel("2_signup"))
+    assert(lat("2_signup_to_purchase")._1 == funnel("3_purchase"))
+    lat.foreach { case (step, (n, p50, p90)) =>
+      assert(n > 0, s"$step: no converters at all")
+      assert(p50 > 0 && p50 <= p90, s"$step: quantiles disordered: p50=$p50 p90=$p90")
+    }
+  }
 }

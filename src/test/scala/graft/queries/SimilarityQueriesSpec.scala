@@ -275,4 +275,19 @@ class SimilarityQueriesSpec extends SparkTestBase {
       (math.sqrt(n2) * math.sqrt(w.map(x => x * x).sum))
     assert(math.abs(cos) > 0.9998, s"exact-decimal PCA diverges from naive double PCA: cos=$cos")
   }
+
+  test("ndcg_eval: bounds, perfect-retrieval ⇒ 1, and consistency with recall_at_k") {
+    val ndcg = graft.SparkEntry.queries("ndcg_eval")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val rec = graft.SparkEntry.queries("recall_at_k")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(ndcg.nonEmpty && ndcg.keySet == rec.keySet)
+    ndcg.foreach { case (k, v) =>
+      assert(v >= 0.0 && v <= 1.0 + 1e-9, s"$k: ndcg $v out of [0,1]")
+      // zero graded mass ⟺ zero hits; full ordered recall ⇒ ndcg ≈ 1
+      assert((v == 0.0) == (rec(k) == 0L), s"$k: ndcg $v vs n_hit ${rec(k)}")
+      if (rec(k) == 10L) assert(v > 0.75, s"$k: full recall but ndcg only $v")
+    }
+    spark.catalog.clearCache()
+  }
 }
