@@ -256,11 +256,16 @@ object FunnelQueries {
         val p = ev.filter(col("event_type") === "purchase")
           .join(sg, Seq("user_id")).filter(col("ts") > col("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))
+        // `get()` (NULL on out-of-range) instead of `gaps[...]` (ANSI error):
+        // these are GLOBAL aggs, so an empty corpus still emits one row with
+        // gaps = [] and index -1 — get() turns both quantiles NULL there,
+        // exactly what DuckDB's out-of-bounds list index yields. Non-empty
+        // inputs index in range, where the two forms are identical.
         def q(pp: Double, name: String) = round(expr(
-          s"""gaps[int(floor($pp * (size(gaps) - 1)))]
+          s"""get(gaps, int(floor($pp * (size(gaps) - 1))))
              |+ ($pp * (size(gaps) - 1) - floor($pp * (size(gaps) - 1)))
-             |  * (gaps[int(ceil($pp * (size(gaps) - 1)))]
-             |     - gaps[int(floor($pp * (size(gaps) - 1)))])""".stripMargin), 6)
+             |  * (get(gaps, int(ceil($pp * (size(gaps) - 1))))
+             |     - get(gaps, int(floor($pp * (size(gaps) - 1)))))""".stripMargin), 6)
           .as(name)
         def leg(gapsDf: org.apache.spark.sql.DataFrame, label: String) =
           gapsDf.agg(count(lit(1)).as("n_users"),
