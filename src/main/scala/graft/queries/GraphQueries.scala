@@ -32,6 +32,9 @@ object GraphQueries {
   private val OneMinusD = 0.15
   private val Iterations = 5
   private val TopK = 20
+  /** triangle_count backbone-graph size — the analysis contract, not a
+    * data-dependent cap: every post-corpus-pass structure is ≤ E edges. */
+  private val TopEdges = 500
 
   val all: Map[String, Q] = Map(
 
@@ -142,6 +145,78 @@ object GraphQueries {
            |           FROM pr$Iterations)
            |SELECT CAST(rank AS INTEGER) AS rank, tok, CAST(pr AS DOUBLE) AS pr
            |FROM ranked WHERE rank <= $TopK ORDER BY rank""".stripMargin
-      })
+      }),
+
+    // ---- triangle count / transitivity of the co-occurrence graph --------
+    // The local-structure member of the graph toolbox (TextRank measures
+    // centrality, dedup_clusters connectivity): how CLIQUISH is the word
+    // co-occurrence graph? Undirected edges from adjacent bigrams
+    // (a ≠ b, normalized least/greatest), restricted to the top-E edges by
+    // count (ties broken on (u, v) — a total order, so the edge set is
+    // deterministic on both engines). Triangles {x<y<z} counted once via
+    // two equi-joins on the edge list; wedges Σ d(d−1)/2 from the degree
+    // table; transitivity = 3·T / wedges as the one final division of
+    // exact ints. Everything after the corpus pass is bounded by E, set by
+    // the QUERY — the standard "backbone graph" analysis contract.
+    //
+    // Scale shape: the one expensive pass is the corpus bigram explode +
+    // hash agg (textrank's plan); TakeOrderedAndProject keeps E rows; the
+    // checkpoint truncates the corpus subtree so the 5 downstream
+    // references (two join sides, the third edge probe, degrees, the edge
+    // count) read the E-row frame, not the corpus. The 1-row scalar
+    // products at the end are PlanGuard R1-whitelisted.
+    "triangle_count" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bi = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        val top = Q.truncate(bi.groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("u"), col("v")).limit(TopEdges)
+          .select("u", "v"))
+        val e1 = top.select(col("u").as("x"), col("v").as("y"))
+        val e2 = top.select(col("u").as("y"), col("v").as("z"))
+        val e3 = top.select(col("u").as("x"), col("v").as("z"))
+        val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val deg = top.select(col("u").as("x"))
+          .unionByName(top.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val wed = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+        val ne = top.agg(count(lit(1)).as("n_edges"))
+        ne.crossJoin(broadcast(tri)).crossJoin(broadcast(wed))
+          .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+            when(col("n_wedges") === 0, lit(0.0))
+              .otherwise((col("n_triangles") * 3).cast("double")
+                / col("n_wedges").cast("double")).as("transitivity"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           |bi AS (SELECT UNNEST(list_transform(range(len(toks) - 1),
+           |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+           |       FROM t WHERE len(toks) >= 2),
+           |e0 AS (SELECT least(a, b) AS u, greatest(a, b) AS v, COUNT(*) AS cnt
+           |       FROM bi WHERE a <> b GROUP BY 1, 2),
+           |top AS (SELECT u, v FROM e0 ORDER BY cnt DESC, u, v LIMIT $TopEdges),
+           |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           |        FROM top e1 JOIN top e2 ON e1.v = e2.u
+           |             JOIN top e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |deg AS (SELECT x, COUNT(*) AS d
+           |        FROM (SELECT u AS x FROM top UNION ALL SELECT v AS x FROM top)
+           |        GROUP BY x),
+           |wed AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+           |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM top)
+           |SELECT n_edges, n_triangles, n_wedges,
+           |       CASE WHEN n_wedges = 0 THEN 0.0
+           |            ELSE CAST(n_triangles * 3 AS DOUBLE)
+           |                 / CAST(n_wedges AS DOUBLE) END AS transitivity
+           |FROM ne CROSS JOIN tri CROSS JOIN wed""".stripMargin))
   )
 }

@@ -363,7 +363,7 @@ object Queries {
     bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
       TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all ++ TrainQueries.all ++
-      SelectionQueries.all
+      SelectionQueries.all ++ StatQueries.all
 
   def headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }.toSeq.sorted
 }

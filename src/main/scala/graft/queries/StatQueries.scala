@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Hypothesis-test / distribution-comparison operators (§2.4 tail, added
+  * r7): the statistical-audit verbs a large curation pipeline runs BESIDE
+  * the transforms — is a quality signal actually predictive (ROC-AUC), did
+  * two slices come from the same distribution (Kolmogorov–Smirnov), is a
+  * mean shift significant (Welch's t), how bursty is arrival traffic
+  * (Fano factor), how concentrated is the token mass (Gini). The
+  * chi-square independence test lives in
+  * [[SelectionQueries]] (`source_lang_chi2`); bootstrap CIs in
+  * [[FunnelQueries]] (`bootstrap_mean_ci`).
+  *
+  * Float discipline (the [[Queries]] scaladoc contract): every statistic
+  * here is exact-integer/decimal arithmetic up to ONE final
+  * correctly-rounded double division (AUC, KS, Gini, Fano) or a FIXED
+  * identical IEEE op chain (Welch's t — the volume_autocorr pattern), with
+  * degenerate cases decided by exact integer CASEs, never NaN.
+  *
+  * Scale shape: each operator is one corpus pass into a grouped aggregate
+  * whose cardinality is value-domain-bounded (distinct document lengths,
+  * event types, sources) — the single-reducer cumulative windows run over
+  * those bounded grids, never over corpus rows.
+  */
+object StatQueries {
+
+  private val big = (c: Column) => c.cast("decimal(38,0)")
+
+  val all: Map[String, Q] = Map(
+
+    // ---- ROC-AUC of a quality signal vs duplicated-text membership -------
+    // "Does document length predict corpus-duplicated text?" scored the
+    // way eval pipelines score any ranking signal: AUC, computed exactly as
+    // the Mann–Whitney U statistic with the standard average-rank tie
+    // correction (ties are heavy here — integer char lengths — so the
+    // midrank form is the only correct one). The positive label is
+    // dup_ngram_ratio's signal — the doc shares at least one 5-gram with
+    // another document (df ≥ 2). NOT the exact-text label: this corpus has
+    // zero byte-identical texts at every SF, which would leave the
+    // positive class empty and the AUC vacuously 0. Per distinct score
+    // value v: cnt(v) docs, posg(v) of them positive. With cum(v) the
+    // inclusive cumulative count in score order, every positive at v has
+    // 2·midrank = 2·cum − cnt + 1, so
+    //   S2 = Σ_v posg·(2·cum − cnt + 1) = 2·Σ_pos midrank, and
+    //   AUC = (S2 − np(np+1)) / (2·np·nn)
+    // — all integers until the one final division. Label and score both
+    // derive from public corpus columns, so DuckDB reproduces them exactly.
+    //
+    // Scale shape: the label pass is dup_ngram_ratio's digest plan ((doc,
+    // gram) counts, vocab-sized df join back — text never shuffles); the
+    // rank grid is one agg keyed by n_chars — cardinality ≤ max document
+    // length (an ingest contract, not corpus size), so the global
+    // cumulative window runs over a tiny frame (PlanGuard R2 whitelist,
+    // aggregated input). Docs with < 5 tokens have no 5-grams and label
+    // negative via the left join.
+    "auc_dup_quality" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs.withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+            .as("gh"))
+          .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+          .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
+        val sc = docs.join(lab, Seq("doc_id"), "left")
+          .select(col("n_chars").as("v"), coalesce(col("pos"), lit(0L)).as("pos"))
+        val grid = sc.groupBy("v")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posg"))
+        val win = Window.orderBy(col("v"))
+        val r = grid.withColumn("cum", sum(col("cnt")).over(win))
+        r.agg(
+            sum(big(col("posg")) * (big(col("cum")) * 2 - big(col("cnt")) + 1)).as("s2"),
+            sum(col("posg")).as("np"), sum(col("cnt")).as("n"))
+          .select(col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
+            when(col("np") === 0 || col("n") === col("np"), lit(0.0))
+              .otherwise(
+                (col("s2") - big(col("np")) * (big(col("np")) + 1)).cast("double")
+                  / (big(col("np")) * (big(col("n")) - big(col("np"))) * 2).cast("double"))
+              .as("auc"))
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |occ AS (SELECT doc_id,
+          |               UNNEST(list_transform(range(len(toks) - 4),
+          |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+          |        FROM d WHERE len(toks) >= 5),
+          |df AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh),
+          |lab AS (SELECT occ.doc_id, MAX(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS pos
+          |        FROM occ JOIN df USING (gh) GROUP BY occ.doc_id),
+          |l AS (SELECT n_chars AS v, COALESCE(lab.pos, 0) AS pos
+          |      FROM documents LEFT JOIN lab USING (doc_id)),
+          |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |                CAST(SUM(pos) AS BIGINT) AS posg
+          |         FROM l GROUP BY v),
+          |r AS (SELECT v, cnt, posg, SUM(cnt) OVER (ORDER BY v) AS cum FROM grid),
+          |a AS (SELECT SUM(CAST(posg AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - cnt + 1)) AS s2,
+          |             CAST(SUM(posg) AS BIGINT) AS np, CAST(SUM(cnt) AS BIGINT) AS n
+          |      FROM r)
+          |SELECT np AS n_pos, n - np AS n_neg,
+          |       CASE WHEN np = 0 OR n = np THEN 0.0
+          |            ELSE CAST(s2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+          |                 / CAST(CAST(np AS HUGEINT) * (n - np) * 2 AS DOUBLE) END AS auc
+          |FROM a""".stripMargin)),
+
+    // ---- two-sample Kolmogorov–Smirnov on length distributions -----------
+    // Distribution-shift detection between corpus slices: D = sup |F1 − F2|
+    // between the n_chars ECDFs of the first ten sources vs the rest.
+    // Exact form: with per-value cumulative counts f1, f2 and totals N1,
+    // N2, D = max |f1·N2 − f2·N1| / (N1·N2) — the max runs over integers,
+    // the division happens ONCE on the winning pair. The monitoring use:
+    // re-crawls and new source mixes shift length profiles before they
+    // shift anything semantic.
+    //
+    // Scale shape: one corpus pass into the (value, group) grid; the ECDF
+    // window runs over the length grid (value-domain-bounded, PlanGuard R2
+    // whitelist); the 1-row totals broadcast (R1 whitelist).
+    "ks_source_lengths" -> Q(
+      fn = (s, dir) => {
+        val g = Tables.load(s, dir, "documents")
+          .select(col("n_chars").as("v"),
+            when(expr("int(substring(source, 4, 8))") < 10, 1L).otherwise(0L).as("g1"))
+        val grid = g.groupBy("v")
+          .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+        val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val win = Window.orderBy(col("v"))
+        val cum = grid.select(col("v"),
+          sum(col("c1")).over(win).as("f1"), sum(col("c2")).over(win).as("f2"))
+        cum.crossJoin(broadcast(tot))
+          .agg(
+            max(abs(big(col("f1")) * big(col("n2")) - big(col("f2")) * big(col("n1")))).as("dnum"),
+            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+          .select(col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+              .otherwise(col("dnum").cast("double")
+                / (big(col("n1")) * big(col("n2"))).cast("double")).as("ks_d"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT n_chars AS v,
+          |             CASE WHEN CAST(substring(source, 4) AS INT) < 10
+          |                  THEN 1 ELSE 0 END AS g1
+          |           FROM documents),
+          |grid AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+          |                CAST(SUM(1 - g1) AS BIGINT) AS c2
+          |         FROM g GROUP BY v),
+          |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM grid),
+          |cum AS (SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+          |               SUM(c2) OVER (ORDER BY v) AS f2
+          |        FROM grid),
+          |a AS (SELECT MAX(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)) AS dnum,
+          |             MAX(n1) AS n1, MAX(n2) AS n2
+          |      FROM cum CROSS JOIN tot)
+          |SELECT n1, n2,
+          |       CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+          |            ELSE CAST(dnum AS DOUBLE)
+          |                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS ks_d
+          |FROM a""".stripMargin)),
+
+    // ---- Welch's t: weekend vs weekday event values per type -------------
+    // The unequal-variance two-sample t statistic — the workhorse "is this
+    // mean shift real" test — on event value, split weekend vs weekday
+    // (Spark weekday() ≥ 5 ≡ DuckDB isodow ≥ 6, both ISO Monday-based).
+    // Sufficient statistics are exact integer cents (the bootstrap_mean_ci
+    // cast) with HUGEINT/DECIMAL(38,0) cross terms; the t itself is the
+    // volume_autocorr discipline — one FIXED IEEE chain
+    //   t = (s1/n1 − s2/n2) / sqrt(vn1/(n1²(n1−1)) + vn2/(n2²(n2−1)))
+    // written identically on both engines, with degenerate groups (n < 2 or
+    // both variances zero) decided by an exact integer CASE. Means are
+    // reported in currency units as one bare division each.
+    //
+    // Scale shape: one corpus pass, partial+final agg on event_type; the
+    // t arithmetic runs over ≤ |types| rows.
+    "welch_ttest" -> Q(
+      fn = (s, dir) => {
+        val e = Tables.load(s, dir, "events").select(col("event_type"),
+          when(weekday(to_date(col("ts"))) >= 5, 1L).otherwise(0L).as("we"),
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
+        val m = e.groupBy("event_type").agg(
+          sum(col("we")).as("n1"),
+          sum(when(col("we") === 1, col("c")).otherwise(0L)).as("s1"),
+          sum(when(col("we") === 1, big(col("c")) * big(col("c"))).otherwise(big(lit(0)))).as("ss1"),
+          sum(lit(1L) - col("we")).as("n2"),
+          sum(when(col("we") === 0, col("c")).otherwise(0L)).as("s2"),
+          sum(when(col("we") === 0, big(col("c")) * big(col("c"))).otherwise(big(lit(0)))).as("ss2"))
+        val vn1 = big(col("n1")) * col("ss1") - big(col("s1")) * big(col("s1"))
+        val vn2 = big(col("n2")) * col("ss2") - big(col("s2")) * big(col("s2"))
+        m.select(col("event_type"),
+            col("n1").as("n_weekend"), col("n2").as("n_weekday"),
+            when(col("n1") === 0, lit(null).cast("double"))
+              .otherwise(col("s1").cast("double") / (col("n1") * 100L).cast("double"))
+              .as("mean_weekend"),
+            when(col("n2") === 0, lit(null).cast("double"))
+              .otherwise(col("s2").cast("double") / (col("n2") * 100L).cast("double"))
+              .as("mean_weekday"),
+            when(col("n1") < 2 || col("n2") < 2 || (vn1 === 0 && vn2 === 0), lit(0.0))
+              .otherwise(
+                (col("s1").cast("double") / col("n1").cast("double")
+                  - col("s2").cast("double") / col("n2").cast("double"))
+                  / sqrt(
+                    vn1.cast("double")
+                      / (big(col("n1")) * big(col("n1")) * (big(col("n1")) - 1)).cast("double")
+                      + vn2.cast("double")
+                      / (big(col("n2")) * big(col("n2")) * (big(col("n2")) - 1)).cast("double")))
+              .as("t_welch"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH e AS (SELECT event_type,
+          |             CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS we,
+          |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |           FROM events),
+          |m AS (SELECT event_type,
+          |        CAST(SUM(we) AS BIGINT) AS n1,
+          |        CAST(SUM(CASE WHEN we = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+          |        SUM(CASE WHEN we = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss1,
+          |        CAST(SUM(1 - we) AS BIGINT) AS n2,
+          |        CAST(SUM(CASE WHEN we = 0 THEN c ELSE 0 END) AS BIGINT) AS s2,
+          |        SUM(CASE WHEN we = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss2
+          |      FROM e GROUP BY event_type),
+          |m2 AS (SELECT *,
+          |         CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1 AS vn1,
+          |         CAST(n2 AS HUGEINT) * ss2 - CAST(s2 AS HUGEINT) * s2 AS vn2
+          |       FROM m)
+          |SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+          |       CASE WHEN n1 = 0 THEN NULL
+          |            ELSE CAST(s1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE) END AS mean_weekend,
+          |       CASE WHEN n2 = 0 THEN NULL
+          |            ELSE CAST(s2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE) END AS mean_weekday,
+          |       CASE WHEN n1 < 2 OR n2 < 2 OR (vn1 = 0 AND vn2 = 0) THEN 0.0
+          |            ELSE (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          |                 / sqrt(CAST(vn1 AS DOUBLE)
+          |                        / CAST(CAST(n1 AS HUGEINT) * n1 * (n1 - 1) AS DOUBLE)
+          |                        + CAST(vn2 AS DOUBLE)
+          |                        / CAST(CAST(n2 AS HUGEINT) * n2 * (n2 - 1) AS DOUBLE)) END AS t_welch
+          |FROM m2 ORDER BY event_type""".stripMargin)),
+
+    // ---- Fano factor: arrival burstiness per event type ------------------
+    // Dispersion of daily arrival counts: F = s²/mean (variance-to-mean
+    // ratio of the daily series). F ≈ 1 is Poisson-like traffic, F ≫ 1
+    // bursty/overdispersed — the number capacity planning for the priority
+    // buckets reads next to volume_autocorr's trend signal. Exact ints:
+    //   F = (n·Σc² − (Σc)²) / ((n−1)·Σc)
+    // (sample variance over mean, both ×n(n−1) — cancels to one division).
+    //
+    // Scale shape: (type, day) agg with map-side combine, then a ≤ |types|
+    // roll-up — volume_autocorr's exact plan.
+    "fano_burstiness" -> Q(
+      fn = (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sa"),
+            sum(big(col("c")) * big(col("c"))).as("saa"))
+          .select(col("event_type"), col("n").as("n_days"),
+            (col("sa").cast("double") / col("n").cast("double")).as("mean_daily"),
+            when(col("n") < 2, lit(0.0))
+              .otherwise(
+                (big(col("n")) * col("saa") - big(col("sa")) * big(col("sa"))).cast("double")
+                  / ((big(col("n")) - 1) * big(col("sa"))).cast("double")).as("fano"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+          |                 CAST(COUNT(*) AS BIGINT) AS c
+          |               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |             CAST(SUM(c) AS BIGINT) AS sa,
+          |             SUM(CAST(c AS HUGEINT) * c) AS saa
+          |      FROM daily GROUP BY event_type)
+          |SELECT event_type, n AS n_days,
+          |       CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+          |       CASE WHEN n < 2 THEN 0.0
+          |            ELSE CAST(CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+          |                 / CAST((CAST(n AS HUGEINT) - 1) * sa AS DOUBLE) END AS fano
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- Gini coefficient of token mass across sources -------------------
+    // How concentrated is the training-mix token budget? The Lorenz-curve
+    // Gini over per-source token counts, in the exact rank form
+    //   G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx),  xᵢ ascending
+    // — integers until the one division (ties ordered by source for
+    // determinism; Σ i·xᵢ is tie-order-invariant since equal x swap
+    // freely). G → 0 is a uniform mix, G → 1 one source dominating — the
+    // one-number companion to mix_weights' full table.
+    //
+    // Scale shape: one corpus token pass into the |sources| aggregate; the
+    // rank window runs over that ≤ |sources|-row frame (PlanGuard R2
+    // whitelist, aggregated input).
+    "gini_source_tokens" -> Q(
+      fn = (s, dir) => {
+        val tok = Tables.load(s, dir, "documents").groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).as("x"))
+        val win = Window.orderBy(col("x"), col("source"))
+        tok.withColumn("i", row_number().over(win))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(big(col("i")) * big(col("x"))).as("six"))
+          .select(col("n").as("n_sources"), col("sx").as("total_tokens"),
+            when(col("sx") === 0, lit(0.0))
+              .otherwise(
+                (col("six") * 2 - (big(col("n")) + 1) * big(col("sx"))).cast("double")
+                  / (big(col("n")) * big(col("sx"))).cast("double")).as("gini"))
+      },
+      oracle = Some(
+        """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS x
+          |             FROM documents GROUP BY source),
+          |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM tok),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+          |             SUM(CAST(i AS HUGEINT) * x) AS six
+          |      FROM r)
+          |SELECT n AS n_sources, sx AS total_tokens,
+          |       CASE WHEN sx = 0 THEN 0.0
+          |            ELSE CAST(six * 2 - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE)
+          |                 / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) END AS gini
+          |FROM a""".stripMargin))
+  )
+}

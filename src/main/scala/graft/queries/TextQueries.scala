@@ -669,6 +669,50 @@ object TextQueries {
     // Scale shape: the join fan-out is bounded by df ≤ 8 per fingerprint
     // key (≤ 28 pairs each), never quadratic in corpus size; the pair agg
     // collapses map-side.
+    // ---- entity-resolution blocking + edit-distance verify (added r7) ----
+    // The classic two-phase ER/record-linkage shape the dedup family was
+    // missing: a cheap BLOCKING key (the 24-char text prefix) restricts
+    // candidate generation to within-block pairs, then the expensive exact
+    // comparator — Levenshtein distance on the 120-char prefixes, identical
+    // unweighted edit-distance semantics in Spark and DuckDB — verifies
+    // each candidate. Pairs at distance ≤ 24 surface with their distance
+    // (an int — no float anywhere). Complements the set-similarity deduppers:
+    // edit distance catches single-character churn (OCR noise, typo
+    // variants) that shingle Jaccard under-scores.
+    //
+    // Scale shape: blocks with > 16 members are EXCLUDED via a broadcast
+    // hot-list anti-join (the NgramDfCap discipline — a boilerplate prefix
+    // can never go quadratic; the cap is part of the operator's semantics,
+    // so the oracle applies it too). Within-block fan-out is ≤ 16² rows
+    // per key; the comparator cost is bounded by the 120-char prefix cap.
+    "er_blocking_pairs" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("blk"))
+        val hot = docs.groupBy("blk").agg(count(lit(1)).as("m"))
+          .filter(col("m") > 16).select("blk")
+        val cold = docs.join(broadcast(hot), Seq("blk"), "left_anti")
+        val x = cold.select(col("blk"), col("doc_id").as("a_id"),
+          substring(col("text"), 1, 120).as("ta"))
+        val y = cold.select(col("blk"), col("doc_id").as("b_id"),
+          substring(col("text"), 1, 120).as("tb"))
+        x.join(y, Seq("blk")).filter(col("a_id") < col("b_id"))
+          .withColumn("lev", levenshtein(col("ta"), col("tb")))
+          .filter(col("lev") <= 24)
+          .select(col("a_id"), col("b_id"), col("lev"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id, text, substring(text, 1, 24) AS blk FROM documents),
+          |hot AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 16),
+          |cold AS (SELECT * FROM d WHERE blk NOT IN (SELECT blk FROM hot))
+          |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+          |       CAST(levenshtein(substring(x.text, 1, 120),
+          |                        substring(y.text, 1, 120)) AS INTEGER) AS lev
+          |FROM cold x JOIN cold y ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |WHERE levenshtein(substring(x.text, 1, 120), substring(y.text, 1, 120)) <= 24
+          |ORDER BY a_id, b_id""".stripMargin)),
+
     "winnow_copy_pairs" -> Q(
       fn = (s, dir) => {
         val fps = Tables.load(s, dir, "documents")

@@ -74,7 +74,9 @@ class PlanGuardSpec extends SparkTestBase {
       "cluster_source_mix", // broadcast of the 16-row centroid codebook (kmeans_step shape)
       "hard_negatives", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
       "source_lang_chi2", // S×L contingency grid from the marginals (≤ 20×5) + 1-row total broadcasts
-      "ndcg_eval") // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
+      "ndcg_eval", // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
+      "ks_source_lengths", // broadcast of the 1-row (N1, N2) totals aggregate
+      "triangle_count") // product of the three 1-row scalar aggregates (edges/triangles/wedges)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -164,7 +166,14 @@ class PlanGuardSpec extends SparkTestBase {
   private val globalWindowOk: Set[String] = Set("shuffle_deterministic",
     // curriculum_schedule: same stitch — its offset window runs over the
     // ≤48-row (tercile × hex-prefix) aggregate, never the corpus.
-    "curriculum_schedule")
+    "curriculum_schedule",
+    // auc_dup_quality / ks_source_lengths: the cumulative-rank / ECDF
+    // window runs over the per-n_chars aggregate grid — cardinality is
+    // bounded by the value DOMAIN of document length (an ingest contract),
+    // never by corpus row count.
+    "auc_dup_quality", "ks_source_lengths",
+    // gini_source_tokens: rank window over the ≤|sources|-row aggregate.
+    "gini_source_tokens")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
