@@ -18,6 +18,63 @@ object FunnelQueries {
 
   val all: Map[String, Q] = Map(
 
+    // ---- market-basket lift on daily event baskets (added r7) ------------
+    // Classic association mining over behavioral "baskets": a basket is the
+    // set of DISTINCT event types a user fires on one day; for every type
+    // pair (a < b) with co-occurrence ≥ 20 baskets, report support and
+    // lift = P(a,b)/(P(a)·P(b)) — lift > 1 means the behaviors travel
+    // together (the cross-sell / co-trigger signal next to
+    // transition_matrix's sequential view). Exact arithmetic: support is
+    // one bare division; lift's numerator c_ab·n and denominator c_a·c_b
+    // are exact DECIMAL(38,0) products, ONE division between them.
+    //
+    // Scale shape: basket membership is one distinct agg on (user, day,
+    // type); the pair self-join fans out ≤ |types|² rows per basket (the
+    // value domain, not the data); item counts (≤ |types| rows) broadcast;
+    // the 1-row basket total is PlanGuard R1-whitelisted.
+    "basket_lift" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val b = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+          .distinct()
+        val n = b.select("user_id", "d").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val item = b.groupBy("event_type").agg(count(lit(1)).as("ci"))
+        val pairs = b.select(col("user_id"), col("d"), col("event_type").as("a"))
+          .join(b.select(col("user_id"), col("d"), col("event_type").as("b")),
+            Seq("user_id", "d"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 20)
+        pairs
+          .join(broadcast(item.select(col("event_type").as("a"), col("ci").as("c_a"))), Seq("a"))
+          .join(broadcast(item.select(col("event_type").as("b"), col("ci").as("c_b"))), Seq("b"))
+          .crossJoin(broadcast(n))
+          .select(col("a"), col("b"), col("c_ab"),
+            (col("c_ab").cast("double") / col("n_baskets").cast("double")).as("support"),
+            ((big(col("c_ab")) * big(col("n_baskets"))).cast("double")
+              / (big(col("c_a")) * big(col("c_b"))).cast("double")).as("lift"))
+          .orderBy("a", "b")
+      },
+      oracle = Some(
+        """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+          |      FROM (SELECT DISTINCT user_id, d FROM b)),
+          |item AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ci FROM b GROUP BY event_type),
+          |p AS (SELECT x.event_type AS a, y.event_type AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+          |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+          |                       AND x.event_type < y.event_type
+          |      GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+          |SELECT a, b, c_ab,
+          |       CAST(c_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+          |       CAST(CAST(c_ab AS HUGEINT) * n_baskets AS DOUBLE)
+          |         / CAST(CAST(ia.ci AS HUGEINT) * ib.ci AS DOUBLE) AS lift
+          |FROM p JOIN item ia ON ia.event_type = a
+          |       JOIN item ib ON ib.event_type = b
+          |       CROSS JOIN n
+          |ORDER BY a, b""".stripMargin)),
+
     // ---- calendar resample + LOCF gap-fill (added r6) --------------------
     // The time-series feature-engineering staple: regularize each user's
     // irregular purchase events onto the corpus's daily calendar grid and

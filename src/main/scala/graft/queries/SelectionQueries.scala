@@ -62,6 +62,42 @@ object SelectionQueries {
   /** Every selection entry except the composed curriculum below. */
   private val base: Map[String, Q] = Map(
 
+    // ---- deterministic per-source reservoir sample (added r7) ------------
+    // The bounded-size companion to sample_stratified's rate-based draw:
+    // exactly k = 50 docs per source (fewer only if the source is smaller),
+    // chosen as the k smallest seeded hashes — equivalent in distribution
+    // to reservoir sampling but rerun-identical on any engine and any
+    // partitioning (position = rank of md5(seed ∥ doc_id) within source,
+    // doc_id tie-break). The audit/eyeball-sample primitive: "give me a
+    // reproducible handful from every source". Zero float surface.
+    //
+    // Scale shape: the rank ≤ k filter compiles to Spark's WindowGroupLimit
+    // pushdown — each map task keeps only its local top-k per source BEFORE
+    // the exchange, so the shuffle carries ≤ k·|sources| rows per task, and
+    // the per-source reducer sees ≤ k·|tasks| rows, never the corpus (the
+    // hard_negatives plan; Explain-verified).
+    "reservoir_sample" -> Q(
+      fn = (s, dir) => {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("skey"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat(lit("rsv:42:"), col("doc_id").cast("string"))).as("skey"))
+          .withColumn("rk", row_number().over(win))
+          .filter(col("rk") <= 50)
+          .select(col("source"), col("rk"), col("doc_id"))
+          .orderBy("source", "rk")
+      },
+      oracle = Some(
+        """WITH r AS (
+          |  SELECT source, doc_id,
+          |         ROW_NUMBER() OVER (PARTITION BY source
+          |           ORDER BY md5('rsv:42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+          |FROM r WHERE rk <= 50 ORDER BY source, rk""".stripMargin)),
+
     // ---- DSIR importance weights (Xie et al. 2023) -----------------------
     // log w(doc) = (1/n) Σ_tok c_tok · [ln p_target(tok) − ln p_raw(tok)]
     // with add-1 smoothing over the raw vocabulary, target domain = the

@@ -669,6 +669,86 @@ object TextQueries {
     // Scale shape: the join fan-out is bounded by df ≤ 8 per fingerprint
     // key (≤ 28 pairs each), never quadratic in corpus size; the pair agg
     // collapses map-side.
+    // ---- MinHash estimator error audit (added r7) ------------------------
+    // How good is the engine's own sketch? For every LSH band-collision
+    // candidate pair: the signature-agreement Jaccard ESTIMATE (matching
+    // slices / 8) next to the exact shingle Jaccard, plus a large-error
+    // flag |est − true| > ¼ decided by exact integer cross-multiplication
+    // (|m·u − 8i|·4 > 8u — no float in the verdict). The companion to
+    // lsh_recall_curve: that measures banding RECALL, this measures the
+    // estimator's RESOLUTION on the pairs banding actually surfaces —
+    // together they justify the signature width (8×16-bit) the dedup
+    // family runs on. est is m/8 (exact — power-of-two divisor), true is
+    // one bare division.
+    //
+    // Scale shape: the shared banded candidate pipeline (never all-pairs);
+    // the four joins back are doc_id-keyed; per-pair work is O(shingles).
+    "minhash_est_error" -> Q(
+      fn = (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles", expr(shinglesExpr))
+          .select("doc_id", "shingles")
+          .cache() // query-scoped (see Q's cache-lifecycle contract)
+        val withSig = sh.select(col("doc_id"),
+            graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+          .filter(col("sigs").isNotNull)
+        val bands = withSig.select(col("doc_id"), explode(bandKeysCol).as("bk"))
+        val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val matches = (0 until NumHashes).map(k =>
+          when(col("sa").getItem(k) === col("sb").getItem(k), 1L).otherwise(0L))
+          .reduce(_ + _)
+        cand
+          .join(withSig.select(col("doc_id").as("a_id"), col("sigs").as("sa")), Seq("a_id"))
+          .join(withSig.select(col("doc_id").as("b_id"), col("sigs").as("sb")), Seq("b_id"))
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("qa")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("qb")), Seq("b_id"))
+          .withColumn("m", matches)
+          .withColumn("i", size(array_intersect(col("qa"), col("qb"))).cast("long"))
+          .withColumn("u", size(array_distinct(concat(col("qa"), col("qb")))).cast("long"))
+          .select(col("a_id"), col("b_id"), col("m").as("n_matches"),
+            (col("m").cast("double") / lit(8.0d)).as("est_jacc"),
+            (col("i").cast("double") / col("u").cast("double")).as("true_jacc"),
+            (abs(col("m") * col("u") - col("i") * 8) * 4 > col("u") * 8).as("large_err"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        val mSum = (0 until NumHashes).map(k =>
+          s"(CASE WHEN a.sig$k = b.sig$k THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |),
+           |j AS (
+           |  SELECT a_id, b_id, $mSum AS m,
+           |         len(list_intersect(a.shingles, b.shingles)) AS i,
+           |         len(list_distinct(a.shingles || b.shingles)) AS u
+           |  FROM cand JOIN sig a ON a.doc_id = a_id JOIN sig b ON b.doc_id = b_id
+           |)
+           |SELECT a_id, b_id, CAST(m AS BIGINT) AS n_matches,
+           |       CAST(m AS DOUBLE) / CAST(8 AS DOUBLE) AS est_jacc,
+           |       CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS true_jacc,
+           |       abs(CAST(m AS BIGINT) * u - i * 8) * 4 > u * 8 AS large_err
+           |FROM j ORDER BY a_id, b_id""".stripMargin
+      }),
+
     // ---- entity-resolution blocking + edit-distance verify (added r7) ----
     // The classic two-phase ER/record-linkage shape the dedup family was
     // missing: a cheap BLOCKING key (the 24-char text prefix) restricts
