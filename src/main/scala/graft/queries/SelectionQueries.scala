@@ -64,7 +64,9 @@ object SelectionQueries {
 
     // ---- deterministic per-source reservoir sample (added r7) ------------
     // The bounded-size companion to sample_stratified's rate-based draw:
-    // exactly k = 50 docs per source (fewer only if the source is smaller),
+    // exactly k = 10 docs per source (fewer only if the source is smaller —
+    // k chosen under the smallest SF's 25 docs/source so the sample
+    // SELECTS at every gated scale rather than passing everything),
     // chosen as the k smallest seeded hashes — equivalent in distribution
     // to reservoir sampling but rerun-identical on any engine and any
     // partitioning (position = rank of md5(seed ∥ doc_id) within source,
@@ -85,7 +87,7 @@ object SelectionQueries {
           .select(col("doc_id"), col("source"),
             md5(concat(lit("rsv:42:"), col("doc_id").cast("string"))).as("skey"))
           .withColumn("rk", row_number().over(win))
-          .filter(col("rk") <= 50)
+          .filter(col("rk") <= 10)
           .select(col("source"), col("rk"), col("doc_id"))
           .orderBy("source", "rk")
       },
@@ -96,7 +98,7 @@ object SelectionQueries {
           |           ORDER BY md5('rsv:42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
           |  FROM documents)
           |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
-          |FROM r WHERE rk <= 50 ORDER BY source, rk""".stripMargin)),
+          |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
 
     // ---- DSIR importance weights (Xie et al. 2023) -----------------------
     // log w(doc) = (1/n) Σ_tok c_tok · [ln p_target(tok) − ln p_raw(tok)]

@@ -76,7 +76,8 @@ class PlanGuardSpec extends SparkTestBase {
       "source_lang_chi2", // S×L contingency grid from the marginals (≤ 20×5) + 1-row total broadcasts
       "ndcg_eval", // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
       "ks_source_lengths", // broadcast of the 1-row (N1, N2) totals aggregate
-      "triangle_count") // product of the three 1-row scalar aggregates (edges/triangles/wedges)
+      "triangle_count", // product of the three 1-row scalar aggregates (edges/triangles/wedges)
+      "basket_lift") // broadcast of the 1-row basket-total aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

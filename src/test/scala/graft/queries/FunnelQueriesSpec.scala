@@ -212,4 +212,25 @@ class FunnelQueriesSpec extends SparkTestBase {
       assert(p50 > 0 && p50 <= p90, s"$step: quantiles disordered: p50=$p50 p90=$p90")
     }
   }
+
+  test("basket_lift: ordered pairs, co-occurrence bounded by item counts, exact lift identity") {
+    val rows = graft.SparkEntry.queries("basket_lift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // independent recount of baskets and item frequencies
+    val b = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")).distinct()
+    val n = b.select("user_id", "d").distinct().count()
+    val item = b.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, bb, cab, support, lift) =>
+      assert(a < bb, s"pair ($a, $bb) not ordered")
+      assert(cab >= 20, "support floor violated")
+      assert(cab <= math.min(item(a), item(bb)), s"($a,$bb) c_ab $cab exceeds item counts")
+      assert(support > 0 && support <= 1.0)
+      // lift identity against the independent counts (exact: same op chain)
+      val expect = (BigInt(cab) * BigInt(n)).toDouble / (BigInt(item(a)) * BigInt(item(bb))).toDouble
+      assert(lift == expect, s"($a,$bb) lift $lift != $expect")
+    }
+  }
 }

@@ -403,4 +403,26 @@ class SelectionQueriesSpec extends SparkTestBase {
       .filter(col("doc_id") % 10 === 0).count()
     assert(inc.map(_._2).sum == nNewTotal)
   }
+
+  test("reservoir_sample: exactly min(k, |source|) rows, deterministic, top-k pruned plan") {
+    val q = graft.SparkEntry.queries("reservoir_sample")
+    val df = q(spark, dir)
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perSource = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._1)
+    assert(got.keySet == perSource.keySet, "every source must be sampled")
+    got.foreach { case (src, rs) =>
+      assert(rs.length == math.min(10L, perSource(src)), s"$src sample size")
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"$src ranks contiguous")
+    }
+    // rerun-identical (the whole point of the seeded-hash reservoir)
+    assert(q(spark, dir).collect().map(_.toSeq).toSeq == rows.map(r =>
+      Seq(r._1, r._2, r._3)).toSeq)
+    // the rank filter must compile to the WindowGroupLimit pushdown — the
+    // map-side top-k prune that keeps the per-source reducer corpus-free
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=k filter did not plan as WindowGroupLimit")
+  }
 }

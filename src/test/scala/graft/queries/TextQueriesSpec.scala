@@ -142,4 +142,27 @@ class TextQueriesSpec extends SparkTestBase {
     assert(conf.map(c => (c._1, c._2) -> c._3).toMap == recount,
       "confusion counts != recount from lang_id output")
   }
+
+  test("minhash_est_error: estimate on the k/8 grid, flag exact, covers the LSH dedup pairs") {
+    val rows = graft.SparkEntry.queries("minhash_est_error")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, m, est, tj, flag) =>
+      assert(a < b)
+      assert(m >= 0 && m <= 8, s"matches $m out of [0,8]")
+      assert(est == m.toDouble / 8.0, "estimate not on the k/8 grid")
+      assert(tj >= 0.0 && tj <= 1.0)
+      assert(flag == (math.abs(est - tj) > 0.25),
+        s"($a,$b) large_err flag disagrees with |${est - tj}| > 0.25")
+    }
+    // every verified near-dup pair (jacc >= 0.5) from dedup_minhash_lsh must
+    // appear here: this query evaluates the SAME candidate generation,
+    // before the verify threshold
+    val dedup = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    assert(dedup.subsetOf(got), s"missing LSH pairs: ${dedup.diff(got)}")
+    spark.catalog.clearCache()
+  }
 }
