@@ -75,6 +75,110 @@ object FunnelQueries {
           |       CROSS JOIN n
           |ORDER BY a, b""".stripMargin)),
 
+    // ---- robust (MAD) daily-volume anomalies (added r7) ------------------
+    // The robust twin of daily_anomalies' mean+3σ rule: flag days where
+    // |c − median| > 3·1.4826·MAD — median/MAD don't move when the
+    // anomalies themselves inflate the reference (the classic failure of
+    // moment-based flags on heavy-tailed traffic). ZERO float risk by
+    // doubling tricks: med2 = m1+m2 (2× the R-2 median of daily counts,
+    // integer), dev2 = |2c − med2| (2× deviation, integer), mad4 = median
+    // of dev2 doubled again (4× MAD, integer); the flag cross-multiplies
+    // to dev2·20000 > 44478·mad4 (1.4826 = 14826/10000) in DECIMAL(38,0),
+    // and the reported median/MAD divide by 2 and 4 — exact powers of two.
+    //
+    // Scale shape: one (type, day) agg; both median passes are per-type
+    // sorted lists over the calendar-bounded daily grid (the gap_quantiles
+    // exact-quantile contract; approx_percentile is the 100 TB drop-in).
+    "mad_anomalies" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val med = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sort_array(collect_list(col("c"))).as("arr"))
+          .select(col("event_type"), expr(
+            "element_at(arr, int((n - 1) div 2) + 1) + element_at(arr, int(n div 2) + 1)")
+            .as("med2"))
+        val dev = daily.join(med, Seq("event_type"))
+          .withColumn("dev2", abs(col("c") * 2 - col("med2")))
+        val mad = dev.groupBy("event_type")
+          .agg(count(lit(1)).as("n2"), sort_array(collect_list(col("dev2"))).as("darr"))
+          .select(col("event_type"), expr(
+            "element_at(darr, int((n2 - 1) div 2) + 1) + element_at(darr, int(n2 div 2) + 1)")
+            .as("mad4"))
+        dev.join(mad, Seq("event_type"))
+          .select(col("event_type"), col("d"), col("c"),
+            (col("med2").cast("double") / lit(2.0d)).as("median_daily"),
+            (col("mad4").cast("double") / lit(4.0d)).as("mad_daily"),
+            (big(col("dev2")) * 20000 > big(col("mad4")) * 44478).as("is_anomaly"))
+          .orderBy("event_type", "d")
+      },
+      oracle = Some(
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+          |                 CAST(COUNT(*) AS BIGINT) AS c
+          |               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |med AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |               list_sort(list(c)) AS arr
+          |        FROM daily GROUP BY event_type),
+          |m2 AS (SELECT event_type,
+          |              arr[CAST((n - 1) // 2 AS INTEGER) + 1]
+          |                + arr[CAST(n // 2 AS INTEGER) + 1] AS med2
+          |       FROM med),
+          |dev AS (SELECT daily.event_type, daily.d, daily.c, m2.med2,
+          |               abs(daily.c * 2 - m2.med2) AS dev2
+          |        FROM daily JOIN m2 USING (event_type)),
+          |mad AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n2,
+          |               list_sort(list(dev2)) AS darr
+          |        FROM dev GROUP BY event_type),
+          |m4 AS (SELECT event_type,
+          |              darr[CAST((n2 - 1) // 2 AS INTEGER) + 1]
+          |                + darr[CAST(n2 // 2 AS INTEGER) + 1] AS mad4
+          |       FROM mad)
+          |SELECT dev.event_type, dev.d, dev.c,
+          |       CAST(med2 AS DOUBLE) / 2 AS median_daily,
+          |       CAST(mad4 AS DOUBLE) / 4 AS mad_daily,
+          |       CAST(dev2 AS HUGEINT) * 20000 > CAST(mad4 AS HUGEINT) * 44478 AS is_anomaly
+          |FROM dev JOIN m4 USING (event_type) ORDER BY dev.event_type, dev.d""".stripMargin)),
+
+    // ---- gap-based event debounce accounting (added r7) ------------------
+    // Telemetry hygiene: how much of each event stream is rapid-fire
+    // repetition? An event is DEBOUNCED (dropped) when the same user fired
+    // the same type within the trailing 5 minutes — the gap-to-previous
+    // form (relative to the previous event, kept or not), which is the
+    // SQL-expressible standard; chained-to-last-KEPT debounce is inherently
+    // sequential and lives in the streaming tier's stateful processors.
+    // Pure integer micros arithmetic, deterministic (ts, event_id) order.
+    //
+    // Scale shape: ONE (user, type)-keyed exchange for the lag window, then
+    // a ≤ |types| roll-up with map-side combine.
+    "debounce_events" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.load(s, dir, "events")
+          .withColumn("gap",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("gap").isNull || col("gap") > 300000000L, 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("gap").isNull || col("gap") > 300000000L, 0L).otherwise(1L))
+              .as("n_dropped"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH g AS (SELECT event_type,
+          |             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+          |               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+          |           FROM events)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+          |       CAST(SUM(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_kept,
+          |       CAST(SUM(CASE WHEN gap IS NULL OR gap > 300000000 THEN 0 ELSE 1 END)
+          |            AS BIGINT) AS n_dropped
+          |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- calendar resample + LOCF gap-fill (added r6) --------------------
     // The time-series feature-engineering staple: regularize each user's
     // irregular purchase events onto the corpus's daily calendar grid and

@@ -490,6 +490,50 @@ object SelectionQueries {
           |FROM (SELECT CAST(SUM(t6) AS DECIMAL(38,6)) AS s6 FROM terms) t
           |     CROSS JOIN dims CROSS JOIN n""".stripMargin)),
 
+    // ---- source × lang mutual information (added r7) ---------------------
+    // The information-theoretic companion to source_lang_chi2's test
+    // statistic: I(source; lang) in nats — HOW MANY bits of a doc's
+    // language its domain carries (0 = independent, ln(min(S,L)) = fully
+    // determined). Only observed cells contribute (0·ln0 = 0), so the
+    // marginal joins are keyed, no structural-zero grid needed. Float
+    // discipline: each term's ln argument is ONE division of exact
+    // DECIMAL(38,0) products (obs·n)/(r·c); the bare ln rounds to the 6 dp
+    // grid; × exact obs; decimal sum; the final /n is one bare division.
+    //
+    // Scale shape: everything after the one (source, lang) corpus agg runs
+    // over ≤ S·L rows; the 1-row total broadcast is R1-whitelisted.
+    "source_lang_mi" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val o = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val r = o.groupBy("source").agg(sum(col("o")).as("r"))
+        val c0 = o.groupBy("lang").agg(sum(col("o")).as("c"))
+        val n = o.agg(sum(col("o")).as("n"))
+        o.join(r, Seq("source")).join(c0, Seq("lang")).crossJoin(broadcast(n))
+          .select(col("o"),
+            round(log((big(col("o")) * big(col("n"))).cast("double")
+              / (big(col("r")) * big(col("c"))).cast("double")), 6)
+              .cast("decimal(12,6)").as("t6"))
+          .agg(sum(col("o") * col("t6")).as("s6"), sum(col("o")).as("n"))
+          .select(col("n").as("n_docs"),
+            (col("s6").cast("double") / col("n").cast("double")).as("mi_nats"))
+      },
+      oracle = Some(
+        """WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+          |           FROM documents GROUP BY source, lang),
+          |r AS (SELECT source, CAST(SUM(o) AS HUGEINT) AS r FROM o GROUP BY source),
+          |c AS (SELECT lang, CAST(SUM(o) AS HUGEINT) AS c FROM o GROUP BY lang),
+          |n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM o),
+          |terms AS (
+          |  SELECT o.o,
+          |         CAST(round(ln(CAST(CAST(o.o AS HUGEINT) * n.n AS DOUBLE)
+          |                       / CAST(r.r * c.c AS DOUBLE)), 6) AS DECIMAL(12,6)) AS t6
+          |  FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN n)
+          |SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+          |       CAST(SUM(o * t6) AS DOUBLE) / CAST(SUM(o) AS DOUBLE) AS mi_nats
+          |FROM terms""".stripMargin)),
+
     // ---- deterministic stratified train/val/test split --------------------
     // Assignment by the first two hex chars of md5("split:" ∥ doc_id):
     // 00–cb → train (204/256 ≈ 79.7%), cc–e5 → val (26/256 ≈ 10.2%),

@@ -77,7 +77,8 @@ class PlanGuardSpec extends SparkTestBase {
       "ndcg_eval", // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
       "ks_source_lengths", // broadcast of the 1-row (N1, N2) totals aggregate
       "triangle_count", // product of the three 1-row scalar aggregates (edges/triangles/wedges)
-      "basket_lift") // broadcast of the 1-row basket-total aggregate
+      "basket_lift", // broadcast of the 1-row basket-total aggregate
+      "source_lang_mi") // broadcast of the 1-row grand-total aggregate (source_kl shape)
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -213,6 +213,52 @@ class FunnelQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("mad_anomalies: median/MAD recomputed in-process; flag arithmetic exact") {
+    val rows = graft.SparkEntry.queries("mad_anomalies")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val counts = rs.map(_._2).sorted
+      val n = counts.length
+      val med = (counts((n - 1) / 2) + counts(n / 2)) / 2.0
+      assert(rs.head._3 == med, s"$tpe median ${rs.head._3} != $med")
+      val devs = counts.map(c => math.abs(2 * c - 2 * med)).map(_.toLong).sorted
+      val mad = (devs((n - 1) / 2) + devs(n / 2)) / 4.0
+      assert(rs.head._4 == mad, s"$tpe MAD ${rs.head._4} != $mad")
+      rs.foreach { case (_, c, _, _, flag) =>
+        val expect = math.abs(2 * c - 2 * med).toLong * 20000 > (4 * mad).toLong * 44478
+        assert(flag == expect, s"$tpe day count $c flag $flag != $expect")
+      }
+    }
+  }
+
+  test("debounce_events: kept + dropped conserve; agrees with an in-process replay") {
+    val rows = graft.SparkEntry.queries("debounce_events")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val perType = graft.Tables.load(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (t, total, kept, dropped) =>
+      assert(total == perType(t), s"$t total mismatch")
+      assert(kept + dropped == total, s"$t kept+dropped != total")
+      assert(kept >= 1, s"$t first event per (user, type) is always kept")
+    }
+    // replay the gap rule in-process
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val kept2 = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zip(None +: sorted.init.map(e => Some(e._3))).map {
+        case (e, prev) => (e._2, prev.forall(p => e._3 - p > 300000000L))
+      }
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.count(_._2).toLong }
+    rows.foreach { case (t, _, kept, _) =>
+      assert(kept == kept2(t), s"$t kept $kept != replay ${kept2(t)}")
+    }
+  }
+
   test("basket_lift: ordered pairs, co-occurrence bounded by item counts, exact lift identity") {
     val rows = graft.SparkEntry.queries("basket_lift")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

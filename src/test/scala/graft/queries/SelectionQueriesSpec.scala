@@ -404,6 +404,26 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(inc.map(_._2).sum == nNewTotal)
   }
 
+  test("source_lang_mi: bounds, and agreement with a naive double computation") {
+    val r = graft.SparkEntry.queries("source_lang_mi")(spark, dir).collect().head
+    val (nDocs, mi) = (r.getLong(0), r.getDouble(1))
+    val cells = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source", "lang").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2)))
+    val n = cells.map(_._2).sum
+    assert(nDocs == n)
+    val rSum = cells.groupBy(_._1._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val cSum = cells.groupBy(_._1._2).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val naive = cells.map { case ((s0, l0), o) =>
+      o * math.log(o.toDouble * n / (rSum(s0).toDouble * cSum(l0)))
+    }.sum / n
+    // true MI >= 0 and <= ln(min(S, L)); the 6 dp term grid can shift the
+    // decimal-summed value by at most 5e-7 per token
+    assert(mi >= -1e-5, s"MI $mi negative beyond grid error")
+    assert(mi <= math.log(math.min(rSum.size, cSum.size)) + 1e-5, s"MI $mi above channel capacity")
+    assert(math.abs(mi - naive) < 1e-5, s"MI $mi != naive $naive")
+  }
+
   test("reservoir_sample: exactly min(k, |source|) rows, deterministic, top-k pruned plan") {
     val q = graft.SparkEntry.queries("reservoir_sample")
     val df = q(spark, dir)
