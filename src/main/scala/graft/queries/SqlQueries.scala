@@ -61,6 +61,47 @@ object SqlQueries {
         |FROM cal LEFT JOIN daily ON cal.d = daily.d
         |ORDER BY cal.d""".stripMargin),
 
+    // Sequential time-series pass via WITH RECURSIVE (added r7): CUSUM
+    // change detection + half-life-1 EMA over each type's daily volumes —
+    // the two canonical stateful smoothers a declarative window cannot
+    // express (each day's value depends on the previous OUTPUT, not the
+    // previous input). One recursion advances every type in lockstep by
+    // day rank, carrying its per-type (n, sa) reference stats INSIDE the
+    // rows (the q_recursive_calendar lesson — a scalar subquery in the
+    // loop body would re-run per iteration). Float discipline: CUSUM runs
+    // in n-scaled integer units — s = max(0, s + n·c − sa) is exact BIGINT
+    // and the alarm s > 3·sa (≈ 3 mean-days of cumulative excess) is an
+    // integer comparison; the EMA's α = ½ makes every step one exact-int
+    // add + one division by 2 (exact in binary) — both recursions are
+    // bit-deterministic on both engines by construction. Recursion depth =
+    // the calendar span, far under either engine's limit; at 100 TB the
+    // daily grid this recurses over is calendar-bounded, not corpus-sized.
+    "cusum_drift" -> sqlQ(
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |tot AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sa
+        |  FROM daily GROUP BY event_type),
+        |seq AS (
+        |  SELECT daily.event_type, daily.d, daily.c, tot.n, tot.sa,
+        |         ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY daily.d) AS rn
+        |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
+        |cus(event_type, rn, d, c, n, sa, s, e) AS (
+        |  SELECT event_type, rn, d, c, n, sa,
+        |         CASE WHEN n * c - sa > 0 THEN n * c - sa ELSE CAST(0 AS BIGINT) END,
+        |         CAST(c AS DOUBLE)
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.event_type, seq.rn, seq.d, seq.c, seq.n, seq.sa,
+        |         CASE WHEN cus.s + seq.n * seq.c - seq.sa > 0
+        |              THEN cus.s + seq.n * seq.c - seq.sa ELSE CAST(0 AS BIGINT) END,
+        |         (CAST(seq.c AS DOUBLE) + cus.e) / 2
+        |  FROM cus JOIN seq ON seq.event_type = cus.event_type AND seq.rn = cus.rn + 1)
+        |SELECT event_type, d, c, s AS cusum_scaled, s > 3 * sa AS drift_alarm,
+        |       e AS ema_halflife1
+        |FROM cus ORDER BY event_type, d""".stripMargin),
+
     // correlated scalar subquery: customers above their nation's mean balance
     "q_scalar_subquery" -> sqlQ(
       """SELECT c_custkey, c_acctbal FROM customer c

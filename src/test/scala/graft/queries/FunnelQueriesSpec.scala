@@ -259,6 +259,27 @@ class FunnelQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("cusum_drift: recursion replayed in-process — CUSUM exact, EMA bit-identical") {
+    val rows = graft.SparkEntry.queries("cusum_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val byDay = rs.sortBy(_._2)
+      val n = byDay.length.toLong
+      val sa = byDay.map(_._3).sum
+      var s = 0L
+      var e = 0.0
+      byDay.zipWithIndex.foreach { case ((_, day, c, cusum, alarm, ema), i) =>
+        s = math.max(0L, s + n * c - sa)
+        e = if (i == 0) c.toDouble else (c.toDouble + e) / 2
+        assert(cusum == s, s"$tpe $day CUSUM $cusum != $s")
+        assert(alarm == (s > 3 * sa), s"$tpe $day alarm mismatch")
+        assert(ema == e, s"$tpe $day EMA $ema != $e (must be bit-identical)")
+      }
+    }
+  }
+
   test("basket_lift: ordered pairs, co-occurrence bounded by item counts, exact lift identity") {
     val rows = graft.SparkEntry.queries("basket_lift")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
