@@ -827,6 +827,71 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming chained debounce ---------------------------------------
+
+  /** One event offered to the debouncer. */
+  final case class DebounceEvent(userId: Long, eventId: Long,
+      ts: java.sql.Timestamp, eventType: String)
+
+  /** The per-event verdict: kept, or debounced away. */
+  final case class DebounceDecision(userId: Long, eventType: String,
+      eventId: Long, kept: Boolean)
+
+  /** CHAINED debounce — the semantics the batch `debounce_events` query
+    * documents as inherently sequential and out of declarative reach: an
+    * event is kept iff it arrives more than `gapUs` after the last KEPT
+    * event of the same (user, type), so a steady sub-gap drizzle re-emits
+    * one event per gap window instead of suppressing everything after the
+    * first (the batch query's gap-to-previous rule drops the entire
+    * drizzle). Chained-kept ⊇ gap-kept always: the last kept event is never
+    * later than the immediately previous one, so the distance tested here
+    * is ≥ the gap the batch rule tests (spec-pinned). State is ONE long per
+    * (user, type): the last kept event's micros (`last_kept_us` — the
+    * funnel_us unit-in-name discipline). In-batch disorder is repaired by
+    * the in-batch sort; across batches the funnel contract applies. */
+  final class DebounceProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), DebounceEvent, DebounceDecision] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var lastKept: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastKept = getHandle.getValueState[Long]("last_kept_us",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Long, String),
+        rows: Iterator[DebounceEvent],
+        timerValues: TimerValues): Iterator[DebounceDecision] = {
+      val arr = rows.toArray
+      scala.util.Sorting.stableSort(arr,
+        (a: DebounceEvent, b: DebounceEvent) => {
+          val c = a.ts.compareTo(b.ts)
+          c < 0 || (c == 0 && a.eventId < b.eventId)
+        })
+      var lk: Long = if (lastKept.exists()) lastKept.get() else Long.MinValue
+      val out = arr.map { e =>
+        val us = tsMicros(e.ts)
+        val keep = lk == Long.MinValue || us - lk > gapUs
+        if (keep) lk = us
+        DebounceDecision(key._1, key._2, e.eventId, keep)
+      }
+      if (lk != Long.MinValue) lastKept.update(lk)
+      out.iterator
+    }
+  }
+
+  /** Chained debounce over a stream of events, Update mode. */
+  def debounceStream(events: Dataset[DebounceEvent], gapUs: Long): Dataset[DebounceDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.userId, e.eventType))
+      .transformWithState(
+        new DebounceProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming near-duplicate alerts vs a static corpus index ----------
 
   /** Build the near-dup INDEX from a static (doc_id, text, ...) corpus: the

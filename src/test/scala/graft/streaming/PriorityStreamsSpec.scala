@@ -841,4 +841,54 @@ class PriorityStreamsSpec extends SparkTestBase {
     val nUsers = evs.map(_._1).distinct.length
     assert(streamed.values.sum == evs.length - nUsers)
   }
+
+  test("streaming chained debounce == in-process replay across a batch split; keeps ⊇ batch gap rule") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 300000000L
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .as[(Long, Long, Timestamp, String)].collect()
+    val mid = evs(evs.length / 2)._3
+    withRocksDB {
+      val in = MemoryStream[(Long, Long, Timestamp, String)]
+      val q = PriorityStreams.debounceStream(
+        in.toDF().toDF("userId", "eventId", "ts", "eventType")
+          .as[PriorityStreams.DebounceEvent], gapUs)
+        .writeStream.format("memory").queryName("debounce_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)))
+      q.processAllAvailable(); q.stop()
+    }
+    val got = spark.table("debounce_out").collect()
+      .map(r => r.getLong(2) -> r.getBoolean(3)).toMap
+    assert(got.size == evs.length, "one decision per event")
+    // chained replay in-process: kept iff > gap after the last KEPT
+    val expected = evs.groupBy(e => (e._1, e._4)).toSeq.flatMap { case (_, es) =>
+      var lk = Long.MinValue
+      // full-precision micros (the tsMicros discipline): the sub-ms residue
+      // lives in the nanos field, getTime alone truncates it — both the
+      // sort key and the gap arithmetic must see it
+      es.map(e => (e._3.getTime * 1000L + (e._3.getNanos / 1000L) % 1000L, e._2))
+        .sortBy(identity).map { case (us, id) =>
+          val keep = lk == Long.MinValue || us - lk > gapUs
+          if (keep) lk = us
+          id -> keep
+        }
+    }.toMap
+    assert(got == expected, s"chained debounce diverged on ${
+      expected.count { case (id, k) => got(id) != k }} events")
+    // the batch query's gap-to-previous kept set is a SUBSET of chained-kept
+    val batchKeptPerType = graft.SparkEntry.queries("debounce_events")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val chainedKeptPerType = evs.filter(e => got(e._2)).groupBy(_._4)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    batchKeptPerType.foreach { case (t, nBatch) =>
+      assert(chainedKeptPerType(t) >= nBatch,
+        s"$t: chained kept ${chainedKeptPerType(t)} < batch gap-rule kept $nBatch")
+    }
+  }
 }
