@@ -327,6 +327,62 @@ object StreamBench {
     }
     val transRps = transEvents / transSecs
 
+    // ---- streaming chained debounce: stateful throughput -------------------
+    // debounceStream over 3M events across 1,000,000 RocksDB-backed
+    // (user, type) keys — three events per user at engineered offsets
+    // (+0, +100 µs, +400 s against the 300 s gap) so the chained verdicts
+    // are exact by construction: keep, drop, keep ⇒ 3M decisions, 2M
+    // kept, 1M state keys or the leg fails. State is ONE long per key
+    // regardless of history length — the operator's scale contract.
+    val DebUsers = 1_000_000L
+    val debEvents = 3L * DebUsers
+    val prevProviderD = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (debSecs, debStateKeys, debRows, debKept) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-deb-src").toString
+      spark.range(debEvents).select(
+        pmod(col("id"), lit(DebUsers)).as("userId"),
+        col("id").as("eventId"),
+        expr(s"""timestamp_micros(pmod(id, $DebUsers) * 10 +
+                |  CASE CAST(id div $DebUsers AS INT)
+                |       WHEN 0 THEN 0 WHEN 1 THEN 100 ELSE 400000000 END)""".stripMargin)
+          .as("ts"),
+        lit("e").as("eventType"))
+        .repartition(8, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("userId BIGINT, eventId BIGINT, ts TIMESTAMP, eventType STRING")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.DebounceEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-deb-bench").toString
+      @volatile var rows = 0L
+      @volatile var kept = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.debounceStream(events, 300000000L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.DebounceDecision], _: Long) =>
+          val k = b.filter(_.kept).count(); kept += k; rows += b.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(rows == debEvents, s"debounce decisions $rows != $debEvents")
+      assert(kept == 2L * DebUsers,
+        s"debounce kept $kept != ${2L * DebUsers} (keep, drop, keep per user)")
+      assert(keys == DebUsers, s"debounce state keys $keys != $DebUsers")
+      (secs, keys, rows, kept)
+    } finally prevProviderD match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val debRps = debEvents / debSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -527,7 +583,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
