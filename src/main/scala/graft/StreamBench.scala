@@ -364,7 +364,12 @@ object StreamBench {
       val q = PriorityStreams.debounceStream(events, 300000000L)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.DebounceDecision], _: Long) =>
-          val k = b.filter(_.kept).count(); kept += k; rows += b.count(); ()
+          // ONE action per batch: a second action re-executes the stateful
+          // operator against the store (numRowsTotal doubles and the work
+          // is done twice) — count kept and total in the same pass
+          val m = b.groupBy("kept").count().collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          kept += m.getOrElse(true, 0L); rows += m.values.sum; ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

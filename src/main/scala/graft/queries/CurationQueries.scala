@@ -818,6 +818,84 @@ object CurationQueries {
           |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS logprob
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // ---- held-out bigram perplexity proxy (added r7) ---------------------
+    // The honest version of bigram_logprob's quality score: the model is
+    // trained ONLY on the train split (train_split's exact md5-band rule,
+    // 204/256) and scored on the VAL split — so the number measures
+    // generalization, not memorization, which is what a perplexity-based
+    // quality filter actually needs (a model scored on its own training
+    // text systematically flatters duplicated boilerplate). Add-1
+    // smoothing over the train unigram vocabulary handles val-only
+    // bigrams/contexts: p(b|a) = (nb + 1)/(na + V) — the dsir_weights
+    // smoothing discipline, each ln argument ONE division of exact ints,
+    // bare ln onto the 6 dp grid, exact multiplicity weighting, final
+    // bare division.
+    //
+    // Scale shape: one corpus pass split by the hash band; model joins are
+    // vocab-sized and deliberately un-hinted; V is a 1-row broadcast (R1
+    // whitelist). The val side joins LEFT so unseen bigrams score through
+    // the smoothing floor instead of vanishing.
+    "heldout_bigram_ppl" -> Q(
+      fn = (s, dir) => {
+        val assigned = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+        val tf3 = assigned
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("h2"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c"))
+        val train = tf3.filter(col("h2") < "cc")
+        val counts = train.groupBy("a", "b").agg(sum(col("c")).as("nb"))
+        val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
+        val vocab = assigned.filter(col("h2") < "cc")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .agg(count_distinct(col("tok")).as("v"))
+        val vd = tf3.filter(col("h2") >= "cc" && col("h2") < "e6")
+        vd.join(counts, Seq("a", "b"), "left")
+          .join(ctx, Seq("a"), "left")
+          .crossJoin(broadcast(vocab))
+          .withColumn("logp6",
+            round(log((coalesce(col("nb"), lit(0L)) + 1).cast("double")
+              / (coalesce(col("na"), lit(0L)) + col("v")).cast("double")), 6)
+              .cast("decimal(12,6)"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sl").cast("double") / col("n_bigrams")).as("logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          |             substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) AS h2
+          |           FROM documents),
+          |bi AS (SELECT doc_id, h2, UNNEST(list_transform(range(len(toks) - 1),
+          |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+          |       FROM t WHERE len(toks) >= 2),
+          |tf3 AS (SELECT doc_id, h2, a, b, COUNT(*) AS c FROM bi GROUP BY doc_id, h2, a, b),
+          |cnt AS (SELECT a, b, SUM(c) AS nb FROM tf3 WHERE h2 < 'cc' GROUP BY a, b),
+          |cx AS (SELECT a, SUM(nb) AS na FROM cnt GROUP BY a),
+          |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+          |        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+          |        WHERE substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc')),
+          |scored AS (
+          |  SELECT tf3.doc_id, tf3.c,
+          |         CAST(round(ln(CAST(COALESCE(cnt.nb, 0) + 1 AS DOUBLE)
+          |                       / CAST(COALESCE(cx.na, 0) + v.v AS DOUBLE)), 6)
+          |              AS DECIMAL(12,6)) AS logp6
+          |  FROM tf3 LEFT JOIN cnt ON tf3.a = cnt.a AND tf3.b = cnt.b
+          |           LEFT JOIN cx ON tf3.a = cx.a
+          |           CROSS JOIN v
+          |  WHERE tf3.h2 >= 'cc' AND tf3.h2 < 'e6'),
+          |agg AS (SELECT doc_id, SUM(c) AS n_bigrams, SUM(logp6 * c) AS sl
+          |        FROM scored GROUP BY doc_id)
+          |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS logprob
+          |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- sequence packing (concat-and-chunk, added r5) -------------------
     // Assign documents to fixed 256-token training packs: concatenate each
     // stream in doc_id order and a doc joins the pack where its first token

@@ -78,7 +78,8 @@ class PlanGuardSpec extends SparkTestBase {
       "ks_source_lengths", // broadcast of the 1-row (N1, N2) totals aggregate
       "triangle_count", // product of the three 1-row scalar aggregates (edges/triangles/wedges)
       "basket_lift", // broadcast of the 1-row basket-total aggregate
-      "source_lang_mi") // broadcast of the 1-row grand-total aggregate (source_kl shape)
+      "source_lang_mi", // broadcast of the 1-row grand-total aggregate (source_kl shape)
+      "heldout_bigram_ppl") // broadcast of the 1-row train-vocab-size aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -179,4 +179,34 @@ class CurationQueriesSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), "BloomFilterMightContain missing from the physical plan")
   }
+
+  test("heldout_bigram_ppl: scores exactly the val band; log-probs strictly negative-or-zero") {
+    val rows = graft.SparkEntry.queries("heldout_bigram_ppl")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // exactly the val-band docs with >= 2 tokens appear
+    val expected = graft.Tables.load(spark, dir, "documents")
+      .withColumn("h2",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+      .filter(col("h2") >= "cc" && col("h2") < "e6")
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == expected, "scored docs != val band")
+    rows.foreach { case (id, n, lp) =>
+      assert(n >= 1, s"doc $id has no bigrams")
+      // p = (nb+1)/(na+V) <= 1 always (nb <= na, V >= 1) so ln <= 0; the
+      // 6dp grid can lift a zero term by at most 5e-7
+      assert(lp <= 1e-6, s"doc $id logprob $lp positive")
+    }
+    // the model must NOT have seen the val docs: a val-only bigram scores
+    // through the smoothing floor, which is strictly below any seen bigram's
+    // maximum — sanity: mean val logprob sits below bigram_logprob's
+    // in-sample mean on the same docs (memorization gap)
+    val inSample = graft.SparkEntry.queries("bigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gaps = rows.filter(r => inSample.contains(r._1))
+      .map(r => inSample(r._1) - r._3)
+    assert(gaps.nonEmpty && gaps.sum / gaps.size > 0,
+      "held-out scores should average below the in-sample scores")
+  }
 }
