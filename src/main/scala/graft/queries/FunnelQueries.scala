@@ -75,6 +75,116 @@ object FunnelQueries {
           |       CROSS JOIN n
           |ORDER BY a, b""".stripMargin)),
 
+    // ---- last-touch attribution (added r7) -------------------------------
+    // The marketing-analytics staple the funnel family was missing: each
+    // purchase is attributed to the user's most recent click within a
+    // 7-day lookback (strictly before the purchase — the last-touch rule).
+    // Reported per purchase day: how many purchases, how many attributed.
+    // The carry-forward is the q_ignore_nulls LAST_VALUE idiom over a
+    // trailing frame; all arithmetic is integer micros.
+    //
+    // Scale shape: ONE user_id exchange for the carry-forward window, then
+    // a calendar-bounded (day) agg with map-side combine.
+    "attribution_lasttouch" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("cus", when(col("event_type") === "click", col("us")))
+          .withColumn("last_click_us", last(col("cus"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("last_click_us").isNotNull
+              && col("us") - col("last_click_us") <= 604800000000L, 1L).otherwise(0L))
+              .as("n_attributed"))
+          .orderBy("d")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+          |             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS cus
+          |           FROM events),
+          |w AS (SELECT *, LAST_VALUE(cus IGNORE NULLS) OVER (
+          |               PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+          |      FROM t)
+          |SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+          |       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+          |                      AND us - last_click_us <= 604800000000 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_attributed
+          |FROM w WHERE event_type = 'purchase'
+          |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)),
+
+    // ---- Kaplan–Meier survival: time to first purchase (added r7) --------
+    // Right-censored time-to-event — the correct way to answer "how long
+    // until users convert" when many never do (a plain mean over converters
+    // is survivorship-biased). Per user: duration = days from first event
+    // to first purchase (event) or to last event (censored). The KM
+    // estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) is a cumulative PRODUCT, so
+    // it is emitted in LOG space (the float-parity discipline: exp() is a
+    // libm call engines disagree on; Σ of 6 dp-rounded ln terms is exact):
+    // each factor's ln argument is ONE division of exact ints, the running
+    // sum is a decimal cumsum. If a death row exhausts its risk set
+    // (S → 0, ln → −∞) the row reports NULL — by construction that can
+    // only be the last row (nobody remains at risk beyond it).
+    //
+    // Scale shape: one per-user agg, then everything runs on the duration
+    // grid — day-domain bounded, so the two global cumulative windows are
+    // over a tiny aggregate (PlanGuard R2 whitelist).
+    "survival_km" -> Q(
+      fn = (s, dir) => {
+        val obs = Tables.load(s, dir, "events")
+          .groupBy("user_id").agg(
+            min(col("ts")).as("t0"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("td"),
+            max(col("ts")).as("tc"))
+          .select(
+            datediff(to_date(coalesce(col("td"), col("tc"))), to_date(col("t0"))).as("t"),
+            when(col("td").isNotNull, 1L).otherwise(0L).as("delta"))
+        val grid = obs.groupBy("t")
+          .agg(count(lit(1)).as("m"), sum(col("delta")).as("dsum"))
+        val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+        val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        grid.withColumn("n_risk", sum(col("m")).over(wDesc))
+          .filter(col("dsum") > 0)
+          .withColumn("term6",
+            when(col("n_risk") === col("dsum"), lit(null))
+              .otherwise(round(log(
+                (col("n_risk") - col("dsum")).cast("double") / col("n_risk").cast("double")), 6)
+                .cast("decimal(12,6)")))
+          .withColumn("dead", max(when(col("term6").isNull, 1).otherwise(0)).over(wAsc))
+          .select(col("t").as("t_day"), col("n_risk"), col("dsum").as("n_events"),
+            when(col("dead") === 1, lit(null).cast("double"))
+              .otherwise(sum(col("term6")).over(wAsc).cast("double")).as("log_surv"))
+          .orderBy("t_day")
+      },
+      oracle = Some(
+        """WITH obs AS (
+          |  SELECT CAST(CAST(COALESCE(td, tc) AS DATE) - CAST(t0 AS DATE) AS INTEGER) AS t,
+          |         CASE WHEN td IS NOT NULL THEN 1 ELSE 0 END AS delta
+          |  FROM (SELECT user_id, MIN(ts) AS t0,
+          |               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS td,
+          |               MAX(ts) AS tc
+          |        FROM events GROUP BY user_id)),
+          |grid AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(delta) AS BIGINT) AS dsum
+          |         FROM obs GROUP BY t),
+          |r AS (SELECT t, m, dsum, SUM(m) OVER (ORDER BY t DESC) AS n_risk FROM grid),
+          |d AS (SELECT t, n_risk, dsum,
+          |             CASE WHEN n_risk = dsum THEN NULL
+          |                  ELSE CAST(round(ln(CAST(n_risk - dsum AS DOUBLE)
+          |                                     / CAST(n_risk AS DOUBLE)), 6)
+          |                       AS DECIMAL(12,6)) END AS term6
+          |      FROM r WHERE dsum > 0),
+          |c AS (SELECT t, n_risk, dsum, term6,
+          |             MAX(CASE WHEN term6 IS NULL THEN 1 ELSE 0 END) OVER (ORDER BY t) AS dead,
+          |             SUM(term6) OVER (ORDER BY t) AS ls
+          |      FROM d)
+          |SELECT t AS t_day, n_risk, dsum AS n_events,
+          |       CASE WHEN dead = 1 THEN NULL ELSE CAST(ls AS DOUBLE) END AS log_surv
+          |FROM c ORDER BY t_day""".stripMargin)),
+
     // ---- robust (MAD) daily-volume anomalies (added r7) ------------------
     // The robust twin of daily_anomalies' mean+3σ rule: flag days where
     // |c − median| > 3·1.4826·MAD — median/MAD don't move when the

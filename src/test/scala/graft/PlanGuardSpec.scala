@@ -176,7 +176,10 @@ class PlanGuardSpec extends SparkTestBase {
     // never by corpus row count.
     "auc_dup_quality", "ks_source_lengths",
     // gini_source_tokens: rank window over the ≤|sources|-row aggregate.
-    "gini_source_tokens")
+    "gini_source_tokens",
+    // survival_km: risk-set and log-survival cumulative windows over the
+    // duration-day grid — day-domain bounded, never corpus rows.
+    "survival_km")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>

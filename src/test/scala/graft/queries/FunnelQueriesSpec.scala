@@ -259,6 +259,69 @@ class FunnelQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("attribution_lasttouch: attributed ⊆ purchases; replayed in-process") {
+    val rows = graft.SparkEntry.queries("attribution_lasttouch")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, np, na) =>
+      assert(na >= 0 && na <= np, s"$d attributed $na outside [0, $np]")
+    }
+    val totalPurch = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum == totalPurch, "per-day purchases must sum to the corpus total")
+    // replay: last click strictly before each purchase, 7-day lookback
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val attributed = evs.groupBy(_._1).values.map { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var lastClick = Long.MinValue
+      var n = 0L
+      sorted.foreach { e =>
+        if (e._4 == "purchase" && lastClick != Long.MinValue && e._3 - lastClick <= 604800000000L) n += 1
+        if (e._4 == "click") lastClick = e._3
+      }
+      n
+    }.sum
+    assert(rows.map(_._3).sum == attributed, "attribution replay diverged")
+  }
+
+  test("survival_km: risk set monotone, log-survival non-increasing, replayed in-process") {
+    val rows = graft.SparkEntry.queries("survival_km")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    val byT = rows.sortBy(_._1)
+    byT.sliding(2).foreach {
+      case Array((_, n1, _, s1), (_, n2, _, s2)) =>
+        assert(n2 < n1, "risk set must strictly shrink across death days")
+        (s1, s2) match {
+          case (Some(a), Some(b)) => assert(b <= a, "log-survival must be non-increasing")
+          case _ =>
+        }
+      case _ =>
+    }
+    byT.foreach { case (_, n, d, _) => assert(d >= 1 && d <= n) }
+    // replay the estimator from per-user durations
+    val obs = graft.Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(
+        min(to_date(col("ts"))).as("d0"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("dd"),
+        max(to_date(col("ts"))).as("dc"))
+      .collect().map { r =>
+        // column 0 is the user_id group key
+        val d0 = r.getDate(1).toLocalDate
+        val dd = Option(r.getDate(2)).map(_.toLocalDate)
+        val dc = r.getDate(3).toLocalDate
+        val end = dd.getOrElse(dc)
+        (java.time.temporal.ChronoUnit.DAYS.between(d0, end).toInt, dd.isDefined)
+      }
+    byT.foreach { case (t, nRisk, nEvents, _) =>
+      assert(nRisk == obs.count(_._1 >= t).toLong, s"t=$t risk-set mismatch")
+      assert(nEvents == obs.count(o => o._1 == t && o._2).toLong, s"t=$t event-count mismatch")
+    }
+  }
+
   test("cusum_drift: recursion replayed in-process — CUSUM exact, EMA bit-identical") {
     val rows = graft.SparkEntry.queries("cusum_drift")(spark, dir).collect()
       .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
