@@ -776,9 +776,13 @@ object TextQueries {
           substring(col("text"), 1, 120).as("ta"))
         val y = cold.select(col("blk"), col("doc_id").as("b_id"),
           substring(col("text"), 1, 120).as("tb"))
+        // 3-arg levenshtein: the banded O(k·n) form — rows beyond the
+        // threshold return -1 after an early exit instead of paying the
+        // full O(n²) DP, and within-threshold distances are identical to
+        // the 2-arg form (so the DuckDB oracle is untouched)
         x.join(y, Seq("blk")).filter(col("a_id") < col("b_id"))
-          .withColumn("lev", levenshtein(col("ta"), col("tb")))
-          .filter(col("lev") <= 24)
+          .withColumn("lev", levenshtein(col("ta"), col("tb"), 24))
+          .filter(col("lev") >= 0)
           .select(col("a_id"), col("b_id"), col("lev"))
           .orderBy("a_id", "b_id")
       },
