@@ -96,6 +96,15 @@ object TrainingDataPipelineDemo {
     println("== 9b. tokenizer_fertility: subwords per word by source × lang ==")
     q("tokenizer_fertility").orderBy(col("fertility").desc).show(5)
 
+    // 10. eval gate (r7 tail): held-out quality + signal audit — the
+    // checks a pipeline runs BEFORE shipping the mix
+    println("== 10a. heldout_bigram_ppl: generalization scores on the val band (worst 5) ==")
+    q("heldout_bigram_ppl").orderBy("logprob").show(5)
+    println("== 10b. auc_dup_quality: is length predictive of duplicated text? ==")
+    q("auc_dup_quality").show()
+    println("== 10c. gini_source_tokens: how concentrated is the token budget? ==")
+    q("gini_source_tokens").show()
+
     println(s"pipeline: $total raw -> ${clean.count()} curated survivors")
     spark.stop()
   }

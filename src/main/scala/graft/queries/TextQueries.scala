@@ -669,6 +669,61 @@ object TextQueries {
     // Scale shape: the join fan-out is bounded by df ≤ 8 per fingerprint
     // key (≤ 28 pairs each), never quadratic in corpus size; the pair agg
     // collapses map-side.
+    // ---- cross-source near-dup provenance matrix (added r7) --------------
+    // "Who copies whom": verified near-dup PAIRS bucketed by unordered
+    // source pair — the provenance complement of source_overlap (which
+    // measures shared shingle MASS; this counts actual verified duplicate
+    // relationships, so a handful of verbatim mirrors stand out even when
+    // aggregate shingle overlap is noise-level). Pairs come from the SAME
+    // gated dedup_minhash_lsh pipeline, so the matrix can never disagree
+    // with what the dedupper would actually delete.
+    //
+    // Scale shape: the shared banded candidate pipeline + two doc_id-keyed
+    // source joins; the matrix agg collapses to ≤ |sources|² rows map-side.
+    "source_dup_matrix" -> Q(
+      fn = (s, dir) => {
+        val (pairs, shCache) = minhashPairsWithHandle(s, dir)
+        shCache // query-scoped cache (see Q's cache-lifecycle contract)
+        val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+          .groupBy(least(col("sa"), col("sb")).as("source_x"),
+            greatest(col("sa"), col("sb")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_x", "source_y")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5)
+           |SELECT least(da.source, db.source) AS source_x,
+           |       greatest(da.source, db.source) AS source_y,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |FROM pairs JOIN documents da ON da.doc_id = a_id
+           |           JOIN documents db ON db.doc_id = b_id
+           |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
+      }),
+
     // ---- MinHash estimator error audit (added r7) ------------------------
     // How good is the engine's own sketch? For every LSH band-collision
     // candidate pair: the signature-agreement Jaccard ESTIMATE (matching

@@ -143,6 +143,27 @@ class TextQueriesSpec extends SparkTestBase {
       "confusion counts != recount from lang_id output")
   }
 
+  test("source_dup_matrix: pair mass conserves dedup_minhash_lsh exactly") {
+    val matrix = graft.SparkEntry.queries("source_dup_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(matrix.nonEmpty)
+    matrix.foreach { case (x, y, n) =>
+      assert(x <= y, s"($x, $y) not unordered-normalized"); assert(n > 0)
+    }
+    // the matrix must partition the dedupper's verified pair set
+    val srcOf = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+    spark.catalog.clearCache()
+    val recount = pairs.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(matrix.map(m => (m._1, m._2) -> m._3).toMap == recount,
+      "matrix != recount from the gated pair set")
+  }
+
   test("minhash_est_error: estimate on the k/8 grid, flag exact, covers the LSH dedup pairs") {
     val rows = graft.SparkEntry.queries("minhash_est_error")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
