@@ -15,6 +15,74 @@ object SqlQueries {
   private def sqlQ(sql: String): Q =
     Q(fn = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
 
+  /** cusum_drift's Spark-dialect SQL. The recursion body is JOIN-FREE:
+    * each type's sorted (day, count) series rides INSIDE the recursion row
+    * as two arrays indexed by position — the q_recursive_calendar
+    * carry-the-bound trick generalized to carry the DATA. A measured
+    * necessity, not a style choice: a loop body that joins the grid costs
+    * ~0.25 s of driver floor per iteration in Spark's UnionLoop even when
+    * the grid is a 150-row cached in-memory table (30 iterations = 7.6 s);
+    * the join-free projection body runs the same 30 iterations in well
+    * under a second. Arrays are calendar-bounded (~30 × 12 bytes per
+    * type), so carrying them is free. */
+  private val CusumSparkSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |packed AS (
+      |  SELECT event_type,
+      |         transform(sort_array(collect_list(struct(d, c))), x -> x.d) AS days,
+      |         transform(sort_array(collect_list(struct(d, c))), x -> x.c) AS cs,
+      |         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sa
+      |  FROM daily GROUP BY event_type),
+      |cus(event_type, days, cs, n, sa, i, s, e) AS (
+      |  SELECT event_type, days, cs, n, sa, CAST(1 AS BIGINT),
+      |         CASE WHEN n * element_at(cs, 1) - sa > 0
+      |              THEN n * element_at(cs, 1) - sa ELSE CAST(0 AS BIGINT) END,
+      |         CAST(element_at(cs, 1) AS DOUBLE)
+      |  FROM packed
+      |  UNION ALL
+      |  SELECT event_type, days, cs, n, sa, i + 1,
+      |         CASE WHEN s + n * element_at(cs, CAST(i + 1 AS INT)) - sa > 0
+      |              THEN s + n * element_at(cs, CAST(i + 1 AS INT)) - sa
+      |              ELSE CAST(0 AS BIGINT) END,
+      |         (CAST(element_at(cs, CAST(i + 1 AS INT)) AS DOUBLE) + e) / 2
+      |  FROM cus WHERE i < n)
+      |SELECT event_type, element_at(days, CAST(i AS INT)) AS d,
+      |       element_at(cs, CAST(i AS INT)) AS c, s AS cusum_scaled,
+      |       s > 3 * sa AS drift_alarm, e AS ema_halflife1
+      |FROM cus ORDER BY event_type, d""".stripMargin
+
+  /** The same recursion in DuckDB's dialect (1-based list indexing,
+    * ORDER BY inside list()); the arithmetic is verbatim identical. */
+  private val CusumDuckSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |packed AS (
+      |  SELECT event_type,
+      |         list(d ORDER BY d) AS days,
+      |         list(c ORDER BY d) AS cs,
+      |         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sa
+      |  FROM daily GROUP BY event_type),
+      |cus(event_type, days, cs, n, sa, i, s, e) AS (
+      |  SELECT event_type, days, cs, n, sa, CAST(1 AS BIGINT),
+      |         CASE WHEN n * cs[1] - sa > 0
+      |              THEN n * cs[1] - sa ELSE CAST(0 AS BIGINT) END,
+      |         CAST(cs[1] AS DOUBLE)
+      |  FROM packed
+      |  UNION ALL
+      |  SELECT event_type, days, cs, n, sa, i + 1,
+      |         CASE WHEN s + n * cs[CAST(i + 1 AS INTEGER)] - sa > 0
+      |              THEN s + n * cs[CAST(i + 1 AS INTEGER)] - sa
+      |              ELSE CAST(0 AS BIGINT) END,
+      |         (CAST(cs[CAST(i + 1 AS INTEGER)] AS DOUBLE) + e) / 2
+      |  FROM cus WHERE i < n)
+      |SELECT event_type, days[CAST(i AS INTEGER)] AS d,
+      |       cs[CAST(i AS INTEGER)] AS c, s AS cusum_scaled,
+      |       s > 3 * sa AS drift_alarm, e AS ema_halflife1
+      |FROM cus ORDER BY event_type, d""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // FILTER (WHERE …) aggregate clause (added r6) — one pass computing
@@ -76,31 +144,18 @@ object SqlQueries {
     // bit-deterministic on both engines by construction. Recursion depth =
     // the calendar span, far under either engine's limit; at 100 TB the
     // daily grid this recurses over is calendar-bounded, not corpus-sized.
-    "cusum_drift" -> sqlQ(
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
-        |tot AS (
-        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sa
-        |  FROM daily GROUP BY event_type),
-        |seq AS (
-        |  SELECT daily.event_type, daily.d, daily.c, tot.n, tot.sa,
-        |         ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY daily.d) AS rn
-        |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
-        |cus(event_type, rn, d, c, n, sa, s, e) AS (
-        |  SELECT event_type, rn, d, c, n, sa,
-        |         CASE WHEN n * c - sa > 0 THEN n * c - sa ELSE CAST(0 AS BIGINT) END,
-        |         CAST(c AS DOUBLE)
-        |  FROM seq WHERE rn = 1
-        |  UNION ALL
-        |  SELECT seq.event_type, seq.rn, seq.d, seq.c, seq.n, seq.sa,
-        |         CASE WHEN cus.s + seq.n * seq.c - seq.sa > 0
-        |              THEN cus.s + seq.n * seq.c - seq.sa ELSE CAST(0 AS BIGINT) END,
-        |         (CAST(seq.c AS DOUBLE) + cus.e) / 2
-        |  FROM cus JOIN seq ON seq.event_type = cus.event_type AND seq.rn = cus.rn + 1)
-        |SELECT event_type, d, c, s AS cusum_scaled, s > 3 * sa AS drift_alarm,
-        |       e AS ema_halflife1
-        |FROM cus ORDER BY event_type, d""".stripMargin),
+    //
+    // EXECUTION shape (measured r7, see [[CusumSparkSql]]): the loop body
+    // must be JOIN-FREE — a body that joins even a tiny cached grid pays
+    // ~0.25 s of UnionLoop driver floor PER ITERATION (8.4 s at 30 days);
+    // carrying each type's sorted day/count arrays inside the recursion
+    // row makes every iteration a pure projection (sub-second total). The
+    // two dialects differ only in list indexing (element_at vs [ ]) and
+    // the ordered-list aggregate; the recursion arithmetic is verbatim
+    // identical.
+    "cusum_drift" -> Q(
+      fn = (s, dir) => { Tables.registerAll(s, dir); s.sql(CusumSparkSql) },
+      oracle = Some(CusumDuckSql)),
 
     // correlated scalar subquery: customers above their nation's mean balance
     "q_scalar_subquery" -> sqlQ(
