@@ -745,6 +745,66 @@ object FunnelQueries {
           |SELECT p.cur, p.nxt, c, CAST(c AS DOUBLE) / tot AS prob
           |FROM p JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin)),
 
+    // ---- per-user sequence likelihood under the Markov model (added r7) --
+    // transition_matrix turned into a SCORER: each user's event stream gets
+    // its average transition log-likelihood under the corpus-wide
+    // first-order model — the behavioral-anomaly number (a user whose
+    // sequence the crowd model finds surprising is a bot, an integration
+    // bug, or a genuinely novel journey; the event-stream twin of
+    // unigram_logprob's corpus-relative doc score). Self-scoring like
+    // unigram_logprob: the model is fit on the full corpus including the
+    // scored user (heldout_bigram_ppl demonstrates the split discipline
+    // where generalization-honesty matters). Users with < 2 events have no
+    // transitions and drop out.
+    //
+    // Float parity: the proven unigram_logprob grid — each transition
+    // probability is ONE exact-int division, its bare ln rounds to the
+    // 6 dp decimal grid, weights by the exact transition count, sums as
+    // exact decimal, and the final average is one bare division.
+    // Scale shape: ONE user_id shuffle for the lead() window; the model is
+    // a ≤ |types|² broadcast; the per-user agg reuses the window's user_id
+    // partitioning. Every per-transition row carries 2 small ints.
+    "event_seq_logprob" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val seq = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+        val ut = seq.groupBy("user_id", "cur", "nxt").agg(count(lit(1)).as("c"))
+        val p = ut.groupBy("cur", "nxt").agg(sum(col("c")).as("cpc"))
+        val tot = p.groupBy("cur").agg(sum(col("cpc")).as("cp"))
+        val lp = p.join(broadcast(tot), Seq("cur"))
+          .select(col("cur"), col("nxt"),
+            round(log(col("cpc").cast("double") / col("cp")), 6)
+              .cast("decimal(12,6)").as("lp6"))
+        ut.join(broadcast(lp), Seq("cur", "nxt"))
+          .groupBy("user_id")
+          .agg(sum(col("c")).as("n_trans"), sum(col("lp6") * col("c")).as("sl"))
+          .select(col("user_id"), col("n_trans"),
+            (col("sl").cast("double") / col("n_trans")).as("logprob"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH seq AS (
+          |  SELECT user_id, event_type AS cur,
+          |         LEAD(event_type) OVER (PARTITION BY user_id
+          |                                ORDER BY ts, event_id) AS nxt
+          |  FROM events),
+          |ut AS (SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+          |       FROM seq WHERE nxt IS NOT NULL GROUP BY user_id, cur, nxt),
+          |p AS (SELECT cur, nxt, CAST(SUM(c) AS BIGINT) AS cpc FROM ut GROUP BY cur, nxt),
+          |t AS (SELECT cur, CAST(SUM(cpc) AS BIGINT) AS cp FROM p GROUP BY cur),
+          |lp AS (SELECT p.cur, p.nxt,
+          |              CAST(round(ln(CAST(cpc AS DOUBLE) / cp), 6) AS DECIMAL(12,6)) AS lp6
+          |       FROM p JOIN t USING (cur)),
+          |a AS (SELECT user_id, SUM(c) AS n_trans, SUM(lp6 * c) AS sl
+          |      FROM ut JOIN lp USING (cur, nxt) GROUP BY user_id)
+          |SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
+          |       CAST(sl AS DOUBLE) / n_trans AS logprob
+          |FROM a ORDER BY user_id""".stripMargin)),
+
     // ---- per-user activity profile (added r7) ----------------------------
     // The feature-engineering roll-up feeding churn/engagement models: per
     // user, total events, distinct active days, the busiest day, the mean

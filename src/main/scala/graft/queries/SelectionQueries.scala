@@ -822,6 +822,85 @@ object SelectionQueries {
           |FROM st JOIN srct USING (source) JOIN vocab USING (tok), tot
           |GROUP BY st.source, n_s ORDER BY st.source""".stripMargin)),
 
+    // ---- pairwise source Jensen–Shannon divergence matrix (added r7) -----
+    // The symmetric, bounded complement to source_kl: JSD(p_a ‖ p_b) for
+    // every source pair — 0 for identical unigram mixes, ln 2 for disjoint
+    // support. source_kl ranks each source against the corpus MIXTURE
+    // (which its own mass is part of); the pairwise matrix is what mix
+    // design actually reads for redundant-source pruning — two domains can
+    // both sit near the mixture yet be near-identical to EACH OTHER (drop
+    // one), or both far (keep both). Lexical twin of source_centroid_sim.
+    //
+    // Algebra that keeps the ln-grid sound: with p = c_a/n_a, q = c_b/n_b,
+    //   JSD = [Σ_t c_a·ln(2·c_a·n_b / (c_a·n_b + c_b·n_a))] / (2·n_a)
+    //       + [Σ_t c_b·ln(2·c_b·n_a / (c_a·n_b + c_b·n_a))] / (2·n_b)
+    // — every ln argument is ONE division of exact BIGINT cross-products,
+    // so the bare ln is probed-identical, rounds to the 6 dp decimal grid,
+    // and weights by the exact integer count. Terms where the OTHER source
+    // lacks the token collapse to ln 2 exactly, so the inner join suffices:
+    // the missing-token mass (n_a − Σ_shared c_a) enters as one exact
+    // integer times the 6 dp constant 0.693147 (a decimal literal on both
+    // engines — no libm call to diverge). Final emit: two bare divisions
+    // of exact decimal sums plus one double add, spelled identically on
+    // both engines.
+    //
+    // Scale shape: ONE corpus token pass → (source, tok) agg; the pair
+    // term-join is keyed on tok with fan-out ≤ #sources per key (vocab-
+    // sized × S² worst case — sources are a config-scale set, ≤ dozens);
+    // per-source totals broadcast. No corpus-sized shuffle after the agg.
+    "source_jsd_matrix" -> Q(
+      fn = (s, dir) => {
+        val ln2 = lit(BigDecimal("0.693147")).cast("decimal(12,6)")
+        val st = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val srcTot = st.groupBy("source").agg(sum(col("c")).as("n"))
+        val a = st.select(col("source").as("source_a"), col("tok"), col("c").as("c_a"))
+        val b = st.select(col("source").as("source_b"), col("tok"), col("c").as("c_b"))
+        val shared = a.join(b, Seq("tok")).filter(col("source_a") < col("source_b"))
+          .join(broadcast(srcTot.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+          .join(broadcast(srcTot.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+          .groupBy("source_a", "source_b", "n_a", "n_b")
+          .agg(
+            sum(col("c_a")).as("sa"),
+            sum(col("c_b")).as("sb"),
+            sum(col("c_a")
+              * round(log(lit(2.0) * (col("c_a") * col("n_b")).cast("double")
+                  / (col("c_a") * col("n_b") + col("c_b") * col("n_a"))), 6)
+                .cast("decimal(12,6)")).as("ta"),
+            sum(col("c_b")
+              * round(log(lit(2.0) * (col("c_b") * col("n_a")).cast("double")
+                  / (col("c_a") * col("n_b") + col("c_b") * col("n_a"))), 6)
+                .cast("decimal(12,6)")).as("tb"))
+        shared
+          .select(col("source_a"), col("source_b"),
+            ((col("ta") + (col("n_a") - col("sa")) * ln2).cast("double")
+              / (lit(2.0) * col("n_a"))
+              + (col("tb") + (col("n_b") - col("sb")) * ln2).cast("double")
+                / (lit(2.0) * col("n_b"))).as("jsd_nats"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |st AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok),
+          |srct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source),
+          |sh AS (SELECT a.source AS source_a, b.source AS source_b, na.n AS n_a, nb.n AS n_b,
+          |              CAST(SUM(a.c) AS BIGINT) AS sa, CAST(SUM(b.c) AS BIGINT) AS sb,
+          |              SUM(a.c * CAST(round(ln(2.0 * (a.c * nb.n)
+          |                    / (a.c * nb.n + b.c * na.n)), 6) AS DECIMAL(12,6))) AS ta,
+          |              SUM(b.c * CAST(round(ln(2.0 * (b.c * na.n)
+          |                    / (a.c * nb.n + b.c * na.n)), 6) AS DECIMAL(12,6))) AS tb
+          |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+          |       JOIN srct na ON na.source = a.source
+          |       JOIN srct nb ON nb.source = b.source
+          |       GROUP BY a.source, b.source, na.n, nb.n)
+          |SELECT source_a, source_b,
+          |       CAST(ta + (n_a - sa) * CAST(0.693147 AS DECIMAL(12,6)) AS DOUBLE)
+          |         / (2.0 * n_a)
+          |       + CAST(tb + (n_b - sb) * CAST(0.693147 AS DECIMAL(12,6)) AS DOUBLE)
+          |         / (2.0 * n_b) AS jsd_nats
+          |FROM sh ORDER BY source_a, source_b""".stripMargin)),
+
     // ---- source centroid similarity in embedding space -------------------
     // The semantic complement of source_overlap's lexical Jaccard: pairwise
     // cosine between per-source MEAN embeddings (documents ⋈ embeddings on

@@ -239,6 +239,44 @@ object TextQueries {
       .filter(col("jacc") >= minJacc)
       .select("source", "a_id", "b_id", "jacc")
 
+  /** Entity-resolution candidate pairs (a_id, b_id, lev): blocking on the
+    * 24-char text prefix with the >16-member hot-block anti-join, verified
+    * by banded Levenshtein ≤ 24 on the 120-char prefixes — extracted r7 so
+    * er_blocking_pairs and er_entity_clusters share one pipeline (see the
+    * er_blocking_pairs entry for the full design notes). */
+  private[queries] def erPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("blk"))
+    val hot = docs.groupBy("blk").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 16).select("blk")
+    val cold = docs.join(broadcast(hot), Seq("blk"), "left_anti")
+    val x = cold.select(col("blk"), col("doc_id").as("a_id"),
+      substring(col("text"), 1, 120).as("ta"))
+    val y = cold.select(col("blk"), col("doc_id").as("b_id"),
+      substring(col("text"), 1, 120).as("tb"))
+    // 3-arg levenshtein: the banded O(k·n) form — rows beyond the
+    // threshold return -1 after an early exit instead of paying the
+    // full O(n²) DP, and within-threshold distances are identical to
+    // the 2-arg form (so the DuckDB oracle is untouched)
+    x.join(y, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), 24))
+      .filter(col("lev") >= 0)
+      .select(col("a_id"), col("b_id"), col("lev"))
+  }
+
+  /** DuckDB CTE chain ending in `erp(a_id, b_id)` — the oracle-side twin of
+    * [[erPairs]] (shared by er_blocking_pairs and er_entity_clusters). */
+  private val erPairsSqlCtes: String =
+    """d AS (SELECT doc_id, text, substring(text, 1, 24) AS blk FROM documents),
+      |hot AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 16),
+      |cold AS (SELECT * FROM d WHERE blk NOT IN (SELECT blk FROM hot)),
+      |erp AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+      |               CAST(levenshtein(substring(x.text, 1, 120),
+      |                                substring(y.text, 1, 120)) AS INTEGER) AS lev
+      |        FROM cold x JOIN cold y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |        WHERE levenshtein(substring(x.text, 1, 120), substring(y.text, 1, 120)) <= 24)""".stripMargin
+
   /** 32-bit SimHash per doc over its distinct 3-token shingles: per shingle
     * md5; bit i = majority vote of hex-char i's top nibble bit (char ∈
     * '89abcdef' ⟺ >= '8' bytewise). Shingles — not single tokens — because
@@ -282,6 +320,45 @@ object TextQueries {
        |shs AS (SELECT doc_id, UNNEST($shinglesSqlDuck) AS sh FROM t WHERE len(toks) >= 3),
        |h AS (SELECT doc_id, md5(sh) AS h FROM shs),
        |fp AS (SELECT doc_id, $bits AS simhash FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTE chain (for a `WITH RECURSIVE` prefix) ending in
+    * `lab(doc_id, cluster)` — the recursive-CTE transitive closure over the
+    * verified MinHash near-dup pair set, shared by the dedup_minhash_clusters
+    * and dup_cluster_profile oracles (oracle-side twin of
+    * [[minhashPairsWithHandle]] + [[Q.connectedComponents]]). */
+  private val minhashClusterSqlCtes: String = {
+    val sigs = (0 until NumHashes).map(k =>
+      s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+    val bandSelects = (0 until NumHashes / BandSize).map(b =>
+      s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, shingles,
+       |       $sigs
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+       |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM sym
+       |  UNION
+       |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
+       |),
+       |lab AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+       |        FROM reach GROUP BY s)""".stripMargin
   }
 
   val all: Map[String, Q] = Map(
@@ -478,6 +555,146 @@ object TextQueries {
           |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
           |         / (CAST(n AS DOUBLE) * 1000000.0) AS intercept
           |FROM sl ORDER BY n_terms""".stripMargin)),
+
+    // ---- Heaps'-law fit over the vocabulary growth curve (added r7) ------
+    // The companion law to zipf_fit: V(N) ≈ K·N^β — how fast does the
+    // vocabulary grow as the corpus is read? Natural text runs β ≈ 0.4-0.6;
+    // β near 0 means the vocabulary has saturated (templated corpus),
+    // β near 1 means near-unbounded novelty (noise/IDs). The curve is
+    // sampled at 64 doc-id checkpoints, NOT per document: each token's
+    // FIRST-occurrence doc (one vocab-sized agg) is binned into 64
+    // equal-width doc-id buckets, so the cumulative windows run over a
+    // CONSTANT-size grid no matter the corpus size — the per-doc form would
+    // put a corpus-sized frame under one window partition. The regression
+    // is zipf_fit's exact-integer micro-unit machinery: 6 dp-rounded bare
+    // lns lifted to BIGINT micro-units, all sufficient statistics exact
+    // integer sums, slope = one division of exact DECIMAL(38,0) products.
+    //
+    // Scale shape: two corpus-linear hash aggs (token → first doc; bucket →
+    // token count), each collapsing to ≤ vocab / ≤ 64 rows; the windows and
+    // regression run on the 64-row grid. The max-doc-id bound is a 1-row
+    // broadcast.
+    "heaps_law_fit" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val md = docs.agg(max(col("doc_id")).as("md"))
+        val tokb = toks.crossJoin(broadcast(md))
+          .select(expr("(doc_id * 64) div (md + 1)").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n_toks"))
+        val newt = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(md))
+          .select(expr("(fd * 64) div (md + 1)").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("new_types"))
+        // 64-row grid: the global-ORDER window is over a bucket-domain-
+        // bounded aggregate (PlanGuard R2's bounded case, like zipf_fit)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("b").rowsBetween(Long.MinValue, 0)
+        val pts = tokb.join(newt, Seq("b"), "left")
+          .withColumn("nn", sum(col("n_toks")).over(w))
+          .withColumn("v", sum(coalesce(col("new_types"), lit(0L))).over(w))
+          .select(
+            (round(log(col("nn").cast("double")), 6).cast("decimal(12,6)")
+              * lit(1000000)).cast("long").as("xm"),
+            (round(log(col("v").cast("double")), 6).cast("decimal(12,6)")
+              * lit(1000000)).cast("long").as("ym"))
+        pts
+          .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+            sum(col("xm") * col("ym")).as("sxy"), sum(col("xm") * col("xm")).as("sxx"))
+          .withColumn("beta",
+            (col("n").cast("decimal(3,0)") * col("sxy").cast("decimal(19,0)")
+              - col("sx").cast("decimal(18,0)") * col("sy").cast("decimal(18,0)")).cast("double")
+              / (col("n").cast("decimal(3,0)") * col("sxx").cast("decimal(19,0)")
+                - col("sx").cast("decimal(18,0)") * col("sx").cast("decimal(18,0)")).cast("double"))
+          .select(col("n").cast("int").as("n_points"), col("beta"),
+            ((col("sy").cast("double") - col("beta") * col("sx").cast("double"))
+              / (col("n").cast("double") * lit(1000000.0d))).as("ln_k"))
+          .orderBy("n_points")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |md AS (SELECT MAX(doc_id) AS md FROM documents),
+          |tb AS (SELECT (doc_id * 64) // (md + 1) AS b, COUNT(*) AS n_toks FROM t, md GROUP BY 1),
+          |fo AS (SELECT tok, MIN(doc_id) AS fd FROM t GROUP BY tok),
+          |nt AS (SELECT (fd * 64) // (md + 1) AS b, COUNT(*) AS new_types FROM fo, md GROUP BY 1),
+          |g AS (SELECT tb.b, tb.n_toks, COALESCE(nt.new_types, 0) AS new_types
+          |      FROM tb LEFT JOIN nt ON tb.b = nt.b),
+          |c AS (SELECT b,
+          |        SUM(n_toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS nn,
+          |        SUM(new_types) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS v
+          |      FROM g),
+          |p AS (SELECT
+          |        CAST(CAST(round(ln(CAST(nn AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS xm,
+          |        CAST(CAST(round(ln(CAST(v AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS ym
+          |      FROM c),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |             CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+          |             CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+          |             CAST(SUM(xm * xm) AS BIGINT) AS sxx FROM p),
+          |sl AS (SELECT n, sx, sy,
+          |              CAST(CAST(n AS DECIMAL(3,0)) * CAST(sxy AS DECIMAL(19,0))
+          |                   - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DOUBLE)
+          |                / CAST(CAST(n AS DECIMAL(3,0)) * CAST(sxx AS DECIMAL(19,0))
+          |                   - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DOUBLE) AS beta
+          |       FROM a)
+          |SELECT CAST(n AS INTEGER) AS n_points, beta,
+          |       (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * 1000000.0) AS ln_k
+          |FROM sl ORDER BY n_points""".stripMargin)),
+
+    // ---- per-token burstiness: Fano factor over documents (added r7) -----
+    // Church & Gale's burstiness diagnostic, per token: the Fano factor
+    // F = Var(c)/E(c) of the token's per-document count over ALL docs.
+    // A Poisson-scattered token runs F ≈ 1; F ≫ 1 means the token CLUMPS
+    // (topical/boilerplate — its occurrences concentrate in few docs); the
+    // corpus-level twin fano_burstiness does the same over event-stream
+    // days. Companion to zipf/heaps: frequency says how often, burstiness
+    // says how clumped. Population-variance algebra keeps everything in
+    // exact integers until one division:
+    //   F = (D·Σc² − (Σc)²) / (D·Σc)
+    // (zero-count docs contribute 0 to both sums, so only the (tok, doc)
+    // agg is needed plus the 1-row doc count D). Top-100 tokens by corpus
+    // frequency — TakeOrderedAndProject, never a global sort. Products go
+    // through DECIMAL(18,0) — NOT 19 — because DuckDB types the product at
+    // width w1+w2 and the subtraction at +1 more: 19s would land on width
+    // 39, past DuckDB's 38 cap. 18s bound the exact range at ~1e36, far
+    // above any real corpus; the decimal→double cast parity is the
+    // source_centroid_sim discipline.
+    "token_burstiness" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val dc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        val st = dc.groupBy("tok").agg(
+          sum(col("c")).as("n_total"),
+          sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("d"))
+        st.orderBy(col("n_total").desc, col("tok")).limit(100)
+          .crossJoin(broadcast(nd))
+          .select(col("tok"), col("n_total"), col("df"),
+            ((col("d").cast("decimal(18,0)") * col("s2").cast("decimal(18,0)")
+              - col("n_total").cast("decimal(18,0)") * col("n_total").cast("decimal(18,0)"))
+              .cast("double")
+              / (col("d").cast("decimal(18,0)") * col("n_total").cast("decimal(18,0)"))
+                .cast("double")).as("fano"))
+          .orderBy(col("n_total").desc, col("tok"))
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |dc AS (SELECT tok, doc_id, COUNT(*) AS c FROM t GROUP BY tok, doc_id),
+          |st AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n_total,
+          |              CAST(SUM(c * c) AS BIGINT) AS s2,
+          |              COUNT(*) AS df
+          |       FROM dc GROUP BY tok
+          |       ORDER BY n_total DESC, tok LIMIT 100),
+          |d AS (SELECT COUNT(*) AS d FROM documents)
+          |SELECT tok, n_total, df,
+          |       CAST(CAST(d AS DECIMAL(18,0)) * CAST(s2 AS DECIMAL(18,0))
+          |              - CAST(n_total AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0)) AS DOUBLE)
+          |         / CAST(CAST(d AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0)) AS DOUBLE) AS fano
+          |FROM st, d ORDER BY n_total DESC, tok""".stripMargin)),
 
     // ---- corpus distribution by lang × source ----------------------------
     "lang_source_dist" -> Q(
@@ -821,36 +1038,50 @@ object TextQueries {
     // so the oracle applies it too). Within-block fan-out is ≤ 16² rows
     // per key; the comparator cost is bounded by the 120-char prefix cap.
     "er_blocking_pairs" -> Q(
+      fn = (s, dir) => erPairs(s, dir).orderBy("a_id", "b_id"),
+      oracle = Some(
+        s"""WITH $erPairsSqlCtes
+           |SELECT a_id, b_id, lev FROM erp ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- entity-resolution CLUSTERS: CC over the blocking-pair graph (r7) -
+    // The grouping verb on top of er_blocking_pairs — the same pairs →
+    // clusters step the minhash family has (dedup_minhash_lsh →
+    // dedup_minhash_clusters): transitively-linked edit-distance variants
+    // become one ENTITY (A~B, B~C ⇒ {A,B,C} even when A~C's distance
+    // exceeds the 24 threshold — exactly the chain OCR drift produces).
+    // Each member row carries its canonical id (min doc_id label from the
+    // shared [[Q.connectedComponents]] loop) and the entity's member count,
+    // so a survivorship pass can pick one record per entity. Oracle:
+    // recursive-CTE transitive closure over the same verified pair set
+    // (exponential on big components, fine at gate scale — which is exactly
+    // why the Spark side doesn't use it). Scale shape: the pair pipeline is
+    // block-bounded (≤16² per key); the CC loop is 1 join + 1 agg per round
+    // with in-shuffle pointer jumping; the size join is label-keyed.
+    "er_entity_clusters" -> Q(
       fn = (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("blk"))
-        val hot = docs.groupBy("blk").agg(count(lit(1)).as("m"))
-          .filter(col("m") > 16).select("blk")
-        val cold = docs.join(broadcast(hot), Seq("blk"), "left_anti")
-        val x = cold.select(col("blk"), col("doc_id").as("a_id"),
-          substring(col("text"), 1, 120).as("ta"))
-        val y = cold.select(col("blk"), col("doc_id").as("b_id"),
-          substring(col("text"), 1, 120).as("tb"))
-        // 3-arg levenshtein: the banded O(k·n) form — rows beyond the
-        // threshold return -1 after an early exit instead of paying the
-        // full O(n²) DP, and within-threshold distances are identical to
-        // the 2-arg form (so the DuckDB oracle is untouched)
-        x.join(y, Seq("blk")).filter(col("a_id") < col("b_id"))
-          .withColumn("lev", levenshtein(col("ta"), col("tb"), 24))
-          .filter(col("lev") >= 0)
-          .select(col("a_id"), col("b_id"), col("lev"))
-          .orderBy("a_id", "b_id")
+        val pairs = erPairs(s, dir).select(col("a_id"), col("b_id"))
+        val labels = Q.connectedComponents(
+          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+          .select(col("id").as("doc_id"), col("label").as("entity"))
+        val sizes = labels.groupBy("entity").agg(count(lit(1)).as("n_members"))
+        labels.join(sizes, Seq("entity"))
+          .select(col("doc_id"), col("entity"), col("n_members"))
+          .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH d AS (SELECT doc_id, text, substring(text, 1, 24) AS blk FROM documents),
-          |hot AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 16),
-          |cold AS (SELECT * FROM d WHERE blk NOT IN (SELECT blk FROM hot))
-          |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-          |       CAST(levenshtein(substring(x.text, 1, 120),
-          |                        substring(y.text, 1, 120)) AS INTEGER) AS lev
-          |FROM cold x JOIN cold y ON x.blk = y.blk AND x.doc_id < y.doc_id
-          |WHERE levenshtein(substring(x.text, 1, 120), substring(y.text, 1, 120)) <= 24
-          |ORDER BY a_id, b_id""".stripMargin)),
+        s"""WITH RECURSIVE $erPairsSqlCtes,
+           |sym AS (SELECT a_id AS s, b_id AS d FROM erp
+           |        UNION ALL SELECT b_id, a_id FROM erp),
+           |reach(s, d) AS (
+           |  SELECT s, d FROM sym
+           |  UNION
+           |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
+           |),
+           |lab AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS entity
+           |        FROM reach GROUP BY s),
+           |sz AS (SELECT entity, COUNT(*) AS n_members FROM lab GROUP BY entity)
+           |SELECT doc_id, entity, n_members
+           |FROM lab JOIN sz USING (entity) ORDER BY doc_id""".stripMargin)),
 
     "winnow_copy_pairs" -> Q(
       fn = (s, dir) => {
@@ -1041,39 +1272,41 @@ object TextQueries {
         labels.select(col("id").as("doc_id"), col("label").as("cluster"))
           .orderBy("doc_id")
       },
-      oracle = Some {
-        val sigs = (0 until NumHashes).map(k =>
-          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
-        val bandSelects = (0 until NumHashes / BandSize).map(b =>
-          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
-           |sig AS (SELECT doc_id, shingles,
-           |       $sigs
-           |FROM sh),
-           |bands AS (
-           |  $bandSelects
-           |),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
-           |),
-           |pairs AS (
-           |  SELECT a_id, b_id FROM cand
-           |  JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
-           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
-           |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
-           |        UNION ALL SELECT b_id, a_id FROM pairs),
-           |reach(s, d) AS (
-           |  SELECT s, d FROM sym
-           |  UNION
-           |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
-           |)
-           |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
-           |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
-      }),
+      oracle = Some(
+        s"""WITH RECURSIVE $minhashClusterSqlCtes
+           |SELECT doc_id, cluster FROM lab ORDER BY doc_id""".stripMargin)),
+
+    // ---- near-dup cluster SIZE profile (added r7) ------------------------
+    // The corpus-health roll-up over the minhash cluster graph: how big do
+    // near-dup clusters run, and how many redundant copies does each size
+    // class hold (n_redundant = (size−1)·n_clusters — the docs a
+    // keep-one-survivor pass would delete)? The shape of this histogram is
+    // the first thing a dedup audit reads: a fat tail of large clusters
+    // means templated/boilerplate mass, many 2-clusters means crawl-level
+    // duplication. All-integer output — no float surface at all. Scale
+    // shape: the shared pair pipeline + CC loop, then two label-keyed
+    // hash aggs (cluster → size → histogram), each collapsing by orders of
+    // magnitude; nothing new shuffles at corpus scale.
+    "dup_cluster_profile" -> Q(
+      fn = (s, dir) => {
+        val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
+        val pairs = pairsDf.select(col("a_id"), col("b_id"))
+        val labels = Q.connectedComponents(
+          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        shCache.unpersist()
+        labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+          .orderBy("cluster_size")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $minhashClusterSqlCtes,
+           |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+           |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           |       COUNT(*) AS n_clusters,
+           |       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_redundant
+           |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
 
     // ---- MinHash banding S-curve: empirical recall eval (added r7) -------
     // The dedup twin of SimilarityQueries.recall_at_k: how many TRUE

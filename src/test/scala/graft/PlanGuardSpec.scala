@@ -79,7 +79,9 @@ class PlanGuardSpec extends SparkTestBase {
       "triangle_count", // product of the three 1-row scalar aggregates (edges/triangles/wedges)
       "basket_lift", // broadcast of the 1-row basket-total aggregate
       "source_lang_mi", // broadcast of the 1-row grand-total aggregate (source_kl shape)
-      "heldout_bigram_ppl") // broadcast of the 1-row train-vocab-size aggregate
+      "heldout_bigram_ppl", // broadcast of the 1-row train-vocab-size aggregate
+      "heaps_law_fit", // two broadcasts of the 1-row max-doc-id bound (bucketing both passes)
+      "token_burstiness") // broadcast of the 1-row doc-count aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -179,7 +181,11 @@ class PlanGuardSpec extends SparkTestBase {
     "gini_source_tokens",
     // survival_km: risk-set and log-survival cumulative windows over the
     // duration-day grid — day-domain bounded, never corpus rows.
-    "survival_km")
+    "survival_km",
+    // heaps_law_fit: the two cumulative windows run over the 64-row
+    // doc-id-bucket aggregate — the checkpoint grid is CONSTANT-size by
+    // construction (that is the whole design: never a per-doc frame).
+    "heaps_law_fit")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>

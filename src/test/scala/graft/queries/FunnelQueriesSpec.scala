@@ -363,4 +363,31 @@ class FunnelQueriesSpec extends SparkTestBase {
       assert(lift == expect, s"($a,$bb) lift $lift != $expect")
     }
   }
+
+  test("event_seq_logprob: n_trans = events−1 per user; scores ≤ 0; model-consistent") {
+    val rows = graft.SparkEntry.queries("event_seq_logprob")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val perUser = graft.Tables.load(spark, dir, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly the ≥2-event users, each with count−1 transitions
+    assert(rows.map(_._1).toSet == perUser.filter(_._2 >= 2).keySet)
+    rows.foreach { case (u, n, lp) =>
+      assert(n == perUser(u) - 1, s"user $u transition count")
+      assert(lp <= 0.0, s"user $u logprob $lp must be ≤ 0 (probs ≤ 1)")
+    }
+    // model consistency: the transition-count-weighted mean of the per-user
+    // scores is the model's own cross-entropy −H(next|cur) computed from
+    // transition_matrix (same 6 dp ln grid on both paths, so agreement is
+    // tight — both are exact-decimal sums of the same grid values)
+    val tm = graft.SparkEntry.queries("transition_matrix")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val totalTrans = tm.map(_._1).sum
+    val modelMean = tm.map { case (c, prob) =>
+      c * (math.rint(math.log(prob) * 1e6) / 1e6) }.sum / totalTrans
+    val userMean = rows.map { case (_, n, lp) => n * lp }.sum / rows.map(_._2).sum
+    assert(math.abs(userMean - modelMean) < 1e-9,
+      s"weighted user mean $userMean != model cross-entropy $modelMean")
+  }
 }

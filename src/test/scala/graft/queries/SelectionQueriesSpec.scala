@@ -445,4 +445,37 @@ class SelectionQueriesSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
       "rank<=k filter did not plan as WindowGroupLimit")
   }
+
+  test("source_jsd_matrix: full pair matrix, bounded by ln 2, naive recompute agrees") {
+    val rows = graft.SparkEntry.queries("source_jsd_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+    val sources = docs.map(_._1).distinct.sorted
+    val s = sources.length
+    assert(rows.length == s * (s - 1) / 2, "one row per unordered source pair")
+    rows.foreach { case (a, b, j) =>
+      assert(a < b, s"($a, $b) not ordered")
+      // JSD in nats is bounded by ln 2; grid rounding adds < 1e-6
+      assert(j >= 0.0 && j <= 0.6931482, s"JSD($a, $b) = $j out of [0, ln 2]")
+    }
+    // independent naive double recompute (unrounded lns, direct p/q/m form)
+    val counts: Map[String, Map[String, Long]] = docs.groupBy(_._1).map {
+      case (src, ds) =>
+        src -> ds.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }
+    rows.foreach { case (a, b, j) =>
+      val (ca, cb) = (counts(a), counts(b))
+      val (na, nb) = (ca.values.sum.toDouble, cb.values.sum.toDouble)
+      val naive = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+        val p = ca.getOrElse(t, 0L) / na
+        val q = cb.getOrElse(t, 0L) / nb
+        val m = (p + q) / 2.0
+        (if (p > 0) p / 2.0 * math.log(p / m) else 0.0) +
+          (if (q > 0) q / 2.0 * math.log(q / m) else 0.0)
+      }.sum
+      assert(math.abs(j - naive) < 1e-4, s"JSD($a, $b) $j vs naive $naive")
+    }
+  }
 }
