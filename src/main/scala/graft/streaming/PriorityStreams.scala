@@ -827,6 +827,28 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  /** Streaming twin of the batch `event_seq_logprob` scorer (added r7):
+    * every transition the per-user state machine extracts
+    * ([[transitionStream]]) is scored ONLINE against a static model frame
+    * `(cur, nxt, lp6)` — the transition probabilities on the 6 dp ln grid
+    * (build it in batch as `round(ln(prob), 6)::decimal(12,6)` off
+    * transition_matrix — the exact grid the batch scorer sums, so per-user
+    * decimal sums of the emitted lp6 reproduce the batch numbers EXACTLY;
+    * spec-pinned). Transitions the model has never seen surface UNSCORED
+    * (null lp6, seen = false — the driftStream novel-type discipline: an
+    * anomaly monitor must not silently drop exactly the anomalies it
+    * exists to catch).
+    *
+    * Scale shape: the model is ≤ \|types\|² rows — a broadcast at any
+    * corpus size; per-user state is transitionStream's one tuple; the
+    * score join is stateless per micro-batch. */
+  def seqScoreStream(events: Dataset[TransEvent], model: DataFrame): DataFrame =
+    transitionStream(events).toDF()
+      .join(broadcast(model.select(col("cur"), col("nxt"), col("lp6"))),
+        Seq("cur", "nxt"), "left")
+      .select(col("userId").as("user_id"), col("cur"), col("nxt"),
+        col("lp6"), col("lp6").isNotNull.as("seen"))
+
   // ---- streaming chained debounce ---------------------------------------
 
   /** One event offered to the debouncer. */

@@ -842,6 +842,62 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(streamed.values.sum == evs.length - nUsers)
   }
 
+  test("streaming sequence scoring == batch event_seq_logprob exactly; novel transitions surface unscored") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the static model: transition_matrix's probs on the 6 dp ln grid —
+    // the SAME grid construction the batch scorer documents
+    val model = graft.SparkEntry.queries("transition_matrix")(spark, dir)
+      .select(col("cur"), col("nxt"),
+        round(log(col("prob")), 6).cast("decimal(12,6)").as("lp6"))
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .as[(Long, Long, Timestamp, String)].collect()
+    val mid = evs(evs.length / 2)._3
+    // one NOVEL-type event for an existing user, later than everything —
+    // its (last_type → zzz) transition is absent from the model
+    val novelUser = evs.last._1
+    val novel = (novelUser, evs.map(_._2).max + 1,
+      new Timestamp(evs.map(_._3.getTime).max + 60000L), "zzz")
+    withRocksDB {
+      val in = MemoryStream[(Long, Long, Timestamp, String)]
+      val q = PriorityStreams.seqScoreStream(
+        in.toDF().toDF("userId", "eventId", "ts", "eventType")
+          .as[PriorityStreams.TransEvent], model)
+        .writeStream.format("memory").queryName("seqscore_out")
+        .outputMode("update").start()
+      in.addData(evs.filter(e => !e._3.after(mid)))
+      q.processAllAvailable()
+      in.addData(evs.filter(e => e._3.after(mid)) :+ novel)
+      q.processAllAvailable(); q.stop()
+    }
+    val out = spark.table("seqscore_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getDecimal(3)), r.getBoolean(4)))
+    // the novel transition surfaced, unscored
+    val nv = out.filter(_._3 == "zzz")
+    assert(nv.length == 1 && nv.head._4.isEmpty && !nv.head._5,
+      s"novel transition not surfaced unscored: ${nv.toSeq}")
+    // every in-model transition scored; per-user (Σ lp6)/n reproduces the
+    // batch scorer EXACTLY (same decimal sum, same final double division)
+    val scored = out.filter(_._3 != "zzz")
+    assert(scored.forall(_._5), "self-scored corpus must find every transition seen")
+    val perUser = scored.groupBy(_._1).map { case (u, xs) =>
+      val sl = xs.map(_._4.get.asInstanceOf[java.math.BigDecimal])
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      u -> (xs.length.toLong, sl.doubleValue / xs.length)
+    }
+    val batch = graft.SparkEntry.queries("event_seq_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(batch.nonEmpty)
+    // the novel event adds one extra streamed transition for novelUser
+    // (prev → zzz is excluded above, so counts still line up)
+    assert(perUser == batch,
+      s"stream/batch sequence scores diverged: ${
+        (perUser.toSet diff batch.toSet).take(3)} vs ${(batch.toSet diff perUser.toSet).take(3)}")
+  }
+
   test("streaming chained debounce == in-process replay across a batch split; keeps ⊇ batch gap rule") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
