@@ -62,6 +62,115 @@ object PrivacyQueries {
            |SELECT * FROM kept
            |UNION ALL
            |SELECT * FROM sup
-           |ORDER BY pseudo NULLS FIRST, n_events""".stripMargin))
+           |ORDER BY pseudo NULLS FIRST, n_events""".stripMargin)),
+
+    // ---- event-level safe-export view (added r7) -------------------------
+    // The row-level release the pseudonymized REPORT above aggregates away:
+    // every event, export-ready — stable id replaced by the salted-md5
+    // pseudonym, the free-text payload scrubbed of identifier-shaped spans
+    // (every digit masked to '#', span lengths preserved so downstream
+    // parsers keep their offsets; n_masked audits how much was redacted),
+    // and the timestamp COARSENED to the hour (generalization, k-anonymity's
+    // second tool: exact micros are a quasi-identifier — two "anonymous"
+    // streams join on them trivially). Masking every digit is deliberately
+    // blunt: a release gate errs toward over-redaction, and digits are the
+    // common atom of phone/account/SSN-shaped spans.
+    //
+    // Scale shape: pure map-only projection — no shuffle at all before the
+    // output sort; at 100 TB this runs at scan speed. DuckDB portability:
+    // Spark's regexp_replace is global by default, DuckDB's needs the 'g'
+    // flag — the oracle spells it.
+    "safe_export" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(
+            col("event_id"),
+            substring(md5(concat(lit("graft-2026:"), col("user_id").cast("string"))), 1, 12)
+              .as("pseudo"),
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"),
+            regexp_replace(col("props"), "[0-9]", "#").as("props_masked"),
+            (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+              .as("n_masked"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       substring(md5('graft-2026:' || CAST(user_id AS VARCHAR)), 1, 12) AS pseudo,
+          |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+          |       event_type,
+          |       regexp_replace(props, '[0-9]', '#', 'g') AS props_masked,
+          |       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS INTEGER) AS n_masked
+          |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- reproducible Laplace-noised count release (added r7) ------------
+    // The differential-privacy release shape for histogram queries: per
+    // (event_type, day), the true count plus Laplace(b = 2) noise — the
+    // ε = 0.5 mechanism for sensitivity-1 counts. The noise is SEEDED
+    // (md5 of the group key → 24-bit uniform → inverse-CDF transform), so
+    // the release is reproducible and the DuckDB oracle replays it exactly;
+    // a production DP deployment swaps the seeded uniform for true
+    // randomness and DROPS the `n` column — emitting both here is what
+    // makes the mechanism auditable (and keeps the privacy/utility error
+    // visible: |noisy − n| has mean b).
+    //
+    // Determinism machinery, all exactly portable:
+    //   h    = first 6 md5 hex chars as an integer (strpos-ladder — DuckDB
+    //          has no hex→int cast; lexicographic hex = numeric for fixed
+    //          width, but the inverse CDF needs the VALUE);
+    //   dev  = 2h − 2²⁴ ∈ (−2²⁴, 2²⁴)  (exact int, sign = coin);
+    //   t    = max(2²⁴ − |dev|, 1)     (exact int — the max() floors the
+    //          2⁻²⁴-probability t = 0 edge that would send ln to −∞);
+    //   lap6 = −b · sign(dev) · round(ln(t/2²⁴), 6)  — the one ln is over
+    //          an exact-int ratio, rounded to the 6 dp grid, then scaled
+    //          by exact ints (the Queries.scala float discipline);
+    //   noisy = n + lap6 as exact decimal, emitted via one double cast.
+    //
+    // Scale shape: one (type, day) hash agg with map-side combine; the
+    // noise is a stateless projection over the ≤ types×days group frame.
+    "dp_noisy_counts" -> Q(
+      fn = (s, dir) => {
+        val H = 1 << 24
+        val hexSum = (0 until 6).map { i =>
+          s"(instr('0123456789abcdef', substring(dg, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+        }.mkString(" + ")
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dg",
+            md5(concat(lit("dp:"), col("event_type"), lit("|"), col("d").cast("string"))))
+          .withColumn("h", expr(hexSum))
+          .withColumn("dev", col("h") * 2 - lit(H.toLong))
+          .withColumn("sgn",
+            when(col("dev") > 0, 1L).when(col("dev") < 0, -1L).otherwise(0L))
+          .withColumn("lap6",
+            round(log(greatest(lit(H.toLong) - abs(col("dev")), lit(1L)).cast("double")
+              / lit(H.toDouble)), 6).cast("decimal(12,6)") * lit(-2L) * col("sgn"))
+          .select(col("event_type"), col("d"), col("n"),
+            (col("n") + col("lap6")).cast("double").as("noisy"))
+          .orderBy("event_type", "d")
+      },
+      oracle = Some {
+        val H = 1 << 24
+        val hexSum = (0 until 6).map { i =>
+          s"(strpos('0123456789abcdef', substring(dg, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+        }.mkString("\n          |         + ")
+        s"""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+           |           FROM events GROUP BY 1, 2),
+           |dg AS (SELECT event_type, d, n,
+           |              md5('dp:' || event_type || '|' || CAST(d AS VARCHAR)) AS dg
+           |       FROM g),
+           |hv AS (SELECT event_type, d, n,
+           |         $hexSum AS h
+           |       FROM dg),
+           |nz AS (SELECT event_type, d, n, h * 2 - $H AS dev FROM hv),
+           |lp AS (SELECT event_type, d, n,
+           |              CAST(round(ln(CAST(greatest($H - abs(dev), 1) AS DOUBLE)
+           |                            / ${H.toDouble}), 6) AS DECIMAL(12,6))
+           |                * (-2) * (CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END) AS lap6
+           |       FROM nz)
+           |SELECT event_type, d, n, CAST(n + lap6 AS DOUBLE) AS noisy
+           |FROM lp ORDER BY event_type, d""".stripMargin
+      })
   )
 }
