@@ -113,7 +113,11 @@ object Bench {
     // and the printed line carries the ABSOLUTE path so the pointer can
     // never dangle
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props.getOrElse("user.dir", "."))
-    val fullFile = new java.io.File(outDir, "BENCH_FULL.json").getAbsoluteFile
+    // BENCH_FULL.json is the committed sf0.1 reference artifact — a dev
+    // contract-smoke at another sf must not clobber it (it silently did,
+    // twice, in r7), so non-reference scales write a suffixed file instead
+    val fullName = if (sf == "sf0.1") "BENCH_FULL.json" else s"BENCH_FULL.$sf.json"
+    val fullFile = new java.io.File(outDir, fullName).getAbsoluteFile
     val fw = new java.io.PrintWriter(fullFile)
     try fw.println(fullJson) finally fw.close()
     val line =
