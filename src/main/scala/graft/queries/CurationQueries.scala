@@ -17,9 +17,13 @@ import graft.Tables
   */
 object CurationQueries {
 
-  /** 5-token distinct shingles (the doc_fingerprint granularity). Shared
-    * with [[graft.streaming.PriorityStreams.decontaminateStream]] so the
-    * streaming twin provably shingles identically to this batch oracle. */
+  /** 5-token distinct shingles (the doc_fingerprint granularity) as the
+    * HOF form the DuckDB oracles mirror. Batch queries AND
+    * [[graft.streaming.PriorityStreams.decontaminateStream]] both run the
+    * native [[graft.functions.ShingleFunctions.shingleSet]] twin (width 5)
+    * — still one shared construction, parity-pinned by
+    * ShingleFunctionsSpec, so stream and batch provably shingle
+    * identically. */
   private[graft] val shingles5 =
     "array_distinct(transform(sequence(0, size(toks) - 5), i -> array_join(slice(toks, i + 1, 5), ' ')))"
   private val shingles5Duck =
@@ -39,7 +43,7 @@ object CurationQueries {
         val sh = docs
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+          .select(col("doc_id"), explode(graft.functions.ShingleFunctions.shingleSet(col("toks"), 5)).as("s"))
         val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
         val cont = sh.filter(col("doc_id") % 97 =!= 0)
           .join(bench, Seq("s"), "left_semi")
@@ -93,7 +97,7 @@ object CurationQueries {
         val sh = docs
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+          .select(col("doc_id"), explode(graft.functions.ShingleFunctions.shingleSet(col("toks"), 5)).as("s"))
         val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
         val bloom = bench.agg(
           graft.functions.BloomFunctions
@@ -147,7 +151,7 @@ object CurationQueries {
         val sh = docs
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(array_distinct(expr(shingles5))).as("s"))
+          .select(col("doc_id"), explode(graft.functions.ShingleFunctions.shingleSet(col("toks"), 5)).as("s"))
         val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
         sh.filter(col("doc_id") % 97 =!= 0)
           .join(bench.withColumn("hit", lit(1)), Seq("s"), "left")
@@ -1006,7 +1010,7 @@ object CurationQueries {
         Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(shingles5)).as("s"))
+          .select(col("doc_id"), explode(graft.functions.ShingleFunctions.shingleSet(col("toks"), 5)).as("s"))
           .withColumn("fd", min(col("doc_id")).over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),

@@ -62,7 +62,11 @@ object TextQueries {
        |FROM sc)""".stripMargin
   }
 
-  /** 3-token shingle list, distinct, as a Spark SQL expression. */
+  /** 3-token shingle list, distinct, as a Spark SQL HOF expression — the
+    * form the DuckDB oracles mirror. The QUERY paths run the native
+    * [[graft.functions.ShingleFunctions.shingleSet]] expression instead
+    * (one JVM loop per doc vs one interpreted lambda per window;
+    * ShingleFunctionsSpec pins element-for-element parity incl. order). */
   private[queries] val shinglesExpr =
     "array_distinct(transform(sequence(0, size(toks) - 3), i -> array_join(slice(toks, i + 1, 3), ' ')))"
   private val shinglesSqlDuck =
@@ -123,7 +127,7 @@ object TextQueries {
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
       .withColumn("sigs",
         graft.functions.MinhashFunctions.minhashSignature(col("shingles")))
       .filter(col("sigs").isNotNull)
@@ -136,7 +140,7 @@ object TextQueries {
     val sh = Tables.load(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
       .select("doc_id", "shingles")
       .cache()
     val withSig = sh.select(col("doc_id"),
@@ -300,7 +304,7 @@ object TextQueries {
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("fp",
-        graft.functions.SimhashFunctions.simhashFingerprint(expr(shinglesExpr)))
+        graft.functions.SimhashFunctions.simhashFingerprint(graft.functions.ShingleFunctions.shingleSet(col("toks"))))
       .select(Seq(
         col("doc_id"),
         lpad(conv(col("fp"), 10, 2), 32, "0").as("simhash")) ++
@@ -960,7 +964,7 @@ object TextQueries {
         val sh = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
-          .withColumn("shingles", expr(shinglesExpr))
+          .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
           .select("doc_id", "shingles")
           .cache() // query-scoped (see Q's cache-lifecycle contract)
         val withSig = sh.select(col("doc_id"),
@@ -1563,7 +1567,7 @@ object TextQueries {
         val sh = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
-          .withColumn("shingles", expr(shinglesExpr))
+          .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
           .select("doc_id", "source", "shingles")
           .cache() // feeds sizes + both sides of the exploded self-join
         ngramJaccardPairs(sh, NgramDfCap, 0.2)
@@ -1594,7 +1598,7 @@ object TextQueries {
         val sh = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
-          .withColumn("shingles", expr(shinglesExpr))
+          .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
           .select("doc_id", "source", "shingles")
           .cache()
         ngramPairStats(sh, NgramDfCap)

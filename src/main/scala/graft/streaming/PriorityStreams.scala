@@ -109,7 +109,8 @@ object PriorityStreams {
   /** §2.3 stream-static join carrying a north-star operator: streaming
     * benchmark DECONTAMINATION. Incoming documents are shingled (the same
     * 5-token shingles as the batch `decontaminate` query — one shared
-    * expression, [[graft.queries.CurationQueries.shingles5]]), then
+    * native expression, [[graft.functions.ShingleFunctions.shingleSet]],
+    * parity-pinned to the HOF form the oracle computes), then
     * LEFT SEMI stream-static joined against the static held-out benchmark
     * shingle set. The static side is broadcast — at 100 TB the corpus
     * streams past it with no shuffle, the exact shape of the batch twin.
@@ -131,7 +132,7 @@ object PriorityStreams {
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
       .select(col(tsCol), col("doc_id"),
-        explode(expr(graft.queries.CurationQueries.shingles5)).as("s"))
+        explode(graft.functions.ShingleFunctions.shingleSet(col("toks"), 5)).as("s"))
     sh.join(broadcast(benchShingles), Seq("s"), "left_semi")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("doc_id")
