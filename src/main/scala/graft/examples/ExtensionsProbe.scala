@@ -29,7 +29,8 @@ object ExtensionsProbe {
         |       min_window_md5(array('a', 'b', 'c', 'd', 'e', 'f'), 5) AS mw,
         |       vector_l2sq(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                   array(CAST(0.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS l2,
-        |       winnow_fingerprints(array('a', 'b', 'c', 'd', 'e', 'f', 'g', 'h'), 5, 4) AS wf""".stripMargin)
+        |       winnow_fingerprints(array('a', 'b', 'c', 'd', 'e', 'f', 'g', 'h'), 5, 4) AS wf,
+        |       shingle_set(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS sh""".stripMargin)
       .collect()(0)
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12, s"cosine: ${row.getDouble(0)}")
     assert(row.getLong(1) >= 0 && row.getLong(1) <= 0xffffffffL, s"fp: ${row.getLong(1)}")
@@ -37,6 +38,7 @@ object ExtensionsProbe {
     assert(row.getString(3).length == 32)
     assert(row.getDouble(4) == 5.0, s"l2: ${row.getDouble(4)}")
     assert(row.getSeq[String](5).nonEmpty && row.getSeq[String](5).forall(_.length == 32))
+    assert(row.getSeq[String](6) == Seq("a b c", "b c a", "c a b"), s"sh: ${row.getSeq[String](6)}")
 
     // the r7 bloom pair: build a filter over 3 keys, probe member + non-member
     spark.sql("SELECT explode(array('a', 'b', 'c')) AS s").createOrReplaceTempView("ep_ref")

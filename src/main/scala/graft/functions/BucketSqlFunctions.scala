@@ -71,6 +71,18 @@ object BucketSqlFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_set",
+      exprs => {
+        require(exprs.length == 2,
+          s"shingle_set requires exactly 2 arguments, got ${exprs.length}")
+        ShingleSet(exprs.head, exprs(1) match {
+          case Literal(w: Int, _) => w
+          case other => throw new IllegalArgumentException(
+            s"shingle_set width must be an integer literal, got $other")
+        })
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_window_md5",
       exprs => {
         require(exprs.length == 2,

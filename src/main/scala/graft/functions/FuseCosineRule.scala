@@ -126,6 +126,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"min_window_md5 width must be an integer literal, got $other")
         })))
+    // the round-7 shingle head, cluster-wide (same int-literal width
+    // discipline as min_window_md5)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"shingle_set requires exactly 2 arguments, got ${exprs.length}")
+        ShingleSet(exprs.head, exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
+          case other => throw new IllegalArgumentException(
+            s"shingle_set width must be an integer literal, got $other")
+        })
+      }))
     // the round-6 expressions, cluster-wide
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vector_l2sq"),

@@ -77,7 +77,8 @@ class SimhashFunctionsSpec extends SparkTestBase {
         |       min_window_md5(split(text, ' '), 5) AS mw,
         |       winnow_fingerprints(split(text, ' '), 5, 2) AS wf,
         |       vector_l2sq(array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT)),
-        |                   array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS l2
+        |                   array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS l2,
+        |       shingle_set(split(text, ' '), 3) AS sh
         |FROM th_docs""".stripMargin).collect()(0)
     val viaCols = df.select(
       SimhashFunctions.simhashFingerprint(array(lit("a b c"), lit("b c d"))).as("fp"),
@@ -85,13 +86,16 @@ class SimhashFunctionsSpec extends SparkTestBase {
       WindowMd5Functions.minWindowMd5(split(col("text"), " "), 5).as("mw"),
       WindowMd5Functions.winnowFingerprints(split(col("text"), " "), 5, 2).as("wf"),
       VectorFunctions.l2Sq(
-        array(lit(1.0f), lit(3.0f)), array(lit(0.0), lit(1.0))).as("l2"))
+        array(lit(1.0f), lit(3.0f)), array(lit(0.0), lit(1.0))).as("l2"),
+      ShingleFunctions.shingleSet(split(col("text"), " "), 3).as("sh"))
       .collect()(0)
     assert(viaSql.getLong(0) == viaCols.getLong(0))
     assert(viaSql.getSeq[String](1) == viaCols.getSeq[String](1))
     assert(viaSql.getString(2) == viaCols.getString(2))
     assert(viaSql.getSeq[String](3) == viaCols.getSeq[String](3))
     assert(viaSql.getDouble(4) == viaCols.getDouble(4) && viaSql.getDouble(4) == 5.0)
+    assert(viaSql.getSeq[String](5) == viaCols.getSeq[String](5) &&
+      viaSql.getSeq[String](5).head == "a b c")
   }
 
   test("rejects non-array<string> input at analysis time") {
