@@ -180,16 +180,18 @@ object CurationQueries {
     // The sampling-weight half of multi-source training-mix design
     // (`sample_temperature` is the per-row EXECUTION half): per-source
     // token shares p_s and temperature-flattened mixture weights
-    // w_s = √p_s / Σ√p_t (α = 0.5 — the same no-libm-pow discipline).
-    // Float parity: shares are exact-int divisions; √ is IEEE
-    // correctly-rounded; the normalizing sum runs over 6 dp DECIMALS
-    // (exact, order-independent — a double Σ over sources would depend on
-    // aggregation order); the final division is one correctly-rounded
-    // double op emitted BARE — a trailing round(double, 6) hash-failed in
-    // r6 (Spark rounds the shortest-decimal repr, DuckDB the binary value;
-    // near-grid-midpoint values diverge). Scale shape: one corpus pass,
-    // 1-row total and the per-source weight table broadcast — the corpus
-    // is never shuffled.
+    // w_s = √p_s / Σ√p_t (α = 0.5). ENGINE-VERSION-PROOF (r8 doctrine,
+    // Queries.scala): r7's round(sqrt(share), 6) grid matched the local
+    // DuckDB bitwise yet hash-failed the driver's build — libm sqrt +
+    // round(double, 6) are not portable ACROSS BUILDS, so neither may
+    // reach a hashed byte. Now √p_s is [[Q.isqrt]] over the exact integer
+    // share grid share10 = (n_s·10^10) div T (pure int64 floor division;
+    // exact for n_s ≤ 9.2e8 — beyond that widen the product to
+    // DECIMAL(38,0) on both engines), w5 = ⌊√share10⌋ ≤ 10^5 exact int,
+    // the normalizer Σw5 an exact order-independent int sum, and each
+    // emitted double is ONE bare IEEE division of exact ints. Scale
+    // shape: one corpus pass, 1-row total and the per-source weight
+    // table broadcast — the corpus is never shuffled.
     "mix_weights" -> Q(
       fn = (s, dir) => {
         val tok = Tables.load(s, dir, "documents")
@@ -198,28 +200,32 @@ object CurationQueries {
             sum(size(split(col("text"), " "))).as("n_tokens"))
         val tot = tok.agg(sum(col("n_tokens")).as("t_total"))
         val withW = tok.crossJoin(broadcast(tot))
-          .withColumn("share", col("n_tokens").cast("double") / col("t_total"))
-          .withColumn("w6", round(sqrt(col("share")), 6).cast("decimal(10,6)"))
-        val wsum = withW.agg(sum(col("w6")).as("wsum"))
+          .withColumn("share10", expr("(n_tokens * 10000000000) div t_total"))
+          .withColumn("w5", Q.isqrt(col("share10")))
+        val wsum = withW.agg(sum(col("w5")).as("wsum"))
         withW.crossJoin(broadcast(wsum))
           .select(col("source"), col("n_docs"), col("n_tokens"),
-            col("share"),
-            (col("w6").cast("double") / col("wsum").cast("double")).as("weight"))
+            (col("n_tokens").cast("double") / col("t_total")).as("share"),
+            (col("w5").cast("double") / col("wsum").cast("double")).as("weight"))
           .orderBy("source")
       },
       oracle = Some(
         """WITH tok AS (SELECT source, COUNT(*) AS n_docs,
-          |              SUM(len(string_split(text, ' '))) AS n_tokens
+          |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
           |            FROM documents GROUP BY source),
-          |tot AS (SELECT SUM(n_tokens) AS t_total FROM tok),
-          |w AS (SELECT source, n_docs, n_tokens,
-          |             CAST(n_tokens AS DOUBLE) / t_total AS share,
-          |             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t_total), 6)
-          |                  AS DECIMAL(10,6)) AS w6
+          |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM tok),
+          |g AS (SELECT source, n_docs, n_tokens, t_total,
+          |             (n_tokens * 10000000000) // t_total AS share10
           |      FROM tok, tot),
-          |ws AS (SELECT SUM(w6) AS wsum FROM w)
-          |SELECT source, n_docs, n_tokens, share,
-          |       CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight
+          |s0 AS (SELECT g.*, CAST(floor(sqrt(CAST(share10 AS DOUBLE))) AS BIGINT) AS c0 FROM g),
+          |w AS (SELECT source, n_docs, n_tokens, t_total, share10,
+          |             CASE WHEN (c0 + 1) * (c0 + 1) <= share10 THEN c0 + 1
+          |                  WHEN c0 * c0 > share10 THEN c0 - 1 ELSE c0 END AS w5
+          |      FROM s0),
+          |ws AS (SELECT CAST(SUM(w5) AS BIGINT) AS wsum FROM w)
+          |SELECT source, n_docs, n_tokens,
+          |       CAST(n_tokens AS DOUBLE) / t_total AS share,
+          |       CAST(w5 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight
           |FROM w, ws ORDER BY source""".stripMargin)),
 
     // ---- deterministic stratified sampling ------------------------------
@@ -584,48 +590,49 @@ object CurationQueries {
           |SELECT doc_id, n_tokens, CAST(sl AS DOUBLE) / n_tokens AS logprob
           |FROM a ORDER BY doc_id""".stripMargin)),
 
-    // ---- per-doc token entropy (added r6) --------------------------------
-    // Shannon entropy of the doc's own token distribution,
-    // H = −Σ (c/n)·ln(c/n) — the information-density quality signal:
-    // near-zero for degenerate repetition ("spam spam spam"), high for
-    // diverse text; complements repetition_filter (bigram structure) and
-    // unigram_logprob (corpus-relative likelihood) with a corpus-FREE
-    // per-doc measure. Algebra: H = −Σ (c/n)·ln(c/n) = −(Σ c·ln(c/n))/n,
-    // so the only ln is over the exact-int ratio c/n. Float parity (the r6
-    // hash-fail fix): round ONLY the bare ln to the 6 dp decimal grid —
-    // never a double product — then weight by the exact bigint c
-    // (decimal × int is exact), sum as exact decimal, and emit ONE bare
-    // correctly-rounded division with no final round (round(double, 6) on
-    // output diverges cross-engine near grid midpoints). Scale shape:
-    // one (doc, tok) hash agg, a per-doc roll-up, and a doc-keyed join —
-    // all linear, no corpus-wide state at all.
+    // ---- per-doc token diversity (added r6; reformulated r8) -------------
+    // The information-density quality signal over the doc's own token
+    // distribution: near-zero for degenerate repetition ("spam spam
+    // spam"), high for diverse text; complements repetition_filter
+    // (bigram structure) and unigram_logprob (corpus-relative likelihood)
+    // with a corpus-FREE per-doc measure. ENGINE-VERSION-PROOF (r8
+    // doctrine, Queries.scala): Shannon's H = −Σ p·ln p requires libm ln,
+    // whose 6 dp-rounded grid matched the local DuckDB bitwise yet
+    // hash-failed the driver's build in r6 AND r7 — ln cannot cross a
+    // version-unknown engine boundary. The hashed measure is therefore
+    // the collision (Gini–Simpson) diversity from the same entropy
+    // family: D = 1 − Σp² = (n² − Σc²)/n² — a strictly monotone
+    // transform of Rényi order-2 entropy H₂ = −ln(1−D), same degenerate/
+    // diverse ordering, ZERO float surface: n and Σc² are exact int64
+    // (n ≤ doc length, so n² < 2^53), the output is ONE bare IEEE
+    // division of exact ints. n_distinct adds the vocab-width signal.
+    // Scale shape: one (doc, tok) hash agg then a per-doc roll-up — all
+    // linear, no corpus-wide state at all.
     "token_entropy" -> Q(
       fn = (s, dir) => {
         val tf = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        val totals = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
-        tf.join(totals, Seq("doc_id"))
-          .select(col("doc_id"), col("n"),
-            (round(log(col("c") / col("n")), 6).cast("decimal(12,6)") * col("c"))
-              .as("term"))
-          .groupBy("doc_id")
-          .agg(max(col("n")).as("n_tokens"), sum(col("term")).as("st"))
-          .select(col("doc_id"), col("n_tokens"),
-            (-col("st").cast("double") / col("n_tokens")).as("entropy"))
+        tf.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            ((col("n_tokens") * col("n_tokens") - col("sc2")).cast("double")
+              / (col("n_tokens") * col("n_tokens")).cast("double")).as("diversity"))
           .orderBy("doc_id")
       },
       oracle = Some(
         """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
-          |n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
-          |terms AS (SELECT tf.doc_id, n.n,
-          |                 CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
-          |                      AS DECIMAL(12,6)) * c AS term
-          |          FROM tf JOIN n ON tf.doc_id = n.doc_id)
-          |SELECT doc_id, MAX(n) AS n_tokens,
-          |       -CAST(SUM(term) AS DOUBLE) / MAX(n) AS entropy
-          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok),
+          |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          |             CAST(SUM(c * c) AS BIGINT) AS sc2
+          |      FROM tf GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_distinct,
+          |       CAST(n_tokens * n_tokens - sc2 AS DOUBLE)
+          |         / CAST(n_tokens * n_tokens AS DOUBLE) AS diversity
+          |FROM a ORDER BY doc_id""".stripMargin)),
 
     // ---- top collocations by PMI (added r6) ------------------------------
     // Pointwise mutual information of adjacent token pairs,
@@ -765,26 +772,32 @@ object CurationQueries {
           |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
           |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
 
-    // ---- per-doc bigram log-probability (added r6) -----------------------
+    // ---- per-doc bigram-model score (added r6; reformulated r8) ----------
     // The order-2 refinement of unigram_logprob — the CCNet/KenLM-proxy
-    // quality score one step up: per doc, the mean ln p(w_i | w_{i-1})
-    // under the corpus MLE bigram model p(b|a) = C(a,b) / C(a,·). The
-    // context total C(a,·) FALLS OUT of the bigram agg (sum over its rows
-    // per first token — no second corpus pass, the tfidf df trick). Float
-    // discipline: per-edge ln is probed bit-identical cross-engine,
-    // 6 dp-rounded into DECIMAL; per-doc sums are exact; one final
-    // correctly-rounded double division emitted BARE (a trailing
-    // round(double, 6) hash-failed in r6 — shortest-decimal vs binary-value
-    // rounding). Scale shape: one corpus bigram
-    // pass; the model is bigram-vocabulary-sized and joins unhinted (AQE
-    // broadcasts when it fits); per-doc agg carries two numbers.
+    // quality score one step up: per doc, the mean transition probability
+    // p(w_i | w_{i-1}) under the corpus MLE bigram model
+    // p(b|a) = C(a,b) / C(a,·). The context total C(a,·) FALLS OUT of the
+    // bigram agg (sum over its rows per first token — no second corpus
+    // pass, the tfidf df trick). ENGINE-VERSION-PROOF (r8 doctrine,
+    // Queries.scala): the r6/r7 ln-grid score matched the local DuckDB
+    // bitwise yet hash-failed the driver's build — libm ln cannot cross a
+    // version-unknown engine boundary, so the model probability is
+    // quantized onto an exact INTEGER grid instead: p6 = (nb·10^6) div na
+    // (pure int64 floor division; exact for nb ≤ 9.2e12 — beyond that
+    // widen to DECIMAL(38,0) on both engines). Per-doc Σ p6·c is an exact
+    // int sum and the mean is ONE bare IEEE division of exact ints. The
+    // arithmetic mean of transition probabilities ranks fluent/boilerplate
+    // docs the same direction as the geometric (ln) mean while being
+    // hashable by construction. Scale shape: one corpus bigram pass; the
+    // model is bigram-vocabulary-sized and joins unhinted (AQE broadcasts
+    // when it fits); per-doc agg carries two numbers.
     "bigram_logprob" -> Q(
       fn = (s, dir) => {
         // ONE corpus pass: the per-(doc, a, b) multiplicity agg feeds
         // everything — nb = Σ c per (a, b), na = Σ nb per a, and the
         // per-doc score joins the (doc-distinct-bigram)-sized tf3 frame,
-        // not the raw corpus bigram stream, weighting each logp6 by its
-        // exact int multiplicity (decimal × bigint is exact).
+        // not the raw corpus bigram stream, weighting each p6 by its
+        // exact int multiplicity (int × int is exact).
         val tf3 = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 2)
@@ -797,13 +810,13 @@ object CurationQueries {
         val counts = tf3.groupBy("a", "b").agg(sum(col("c")).as("nb"))
         val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
         val model = counts.join(ctx, Seq("a"))
-          .select(col("a"), col("b"),
-            round(log(col("nb") / col("na")), 6).cast("decimal(12,6)").as("logp6"))
+          .select(col("a"), col("b"), expr("(nb * 1000000) div na").as("p6"))
         tf3.join(model, Seq("a", "b"))
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("p6") * col("c")).as("sp"))
           .select(col("doc_id"), col("n_bigrams"),
-            (col("sl").cast("double") / col("n_bigrams")).as("logprob"))
+            (col("sp").cast("double")
+              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_p"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -811,15 +824,17 @@ object CurationQueries {
           |bi AS (SELECT doc_id, UNNEST(list_transform(range(len(toks) - 1),
           |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
           |       FROM t WHERE len(toks) >= 2),
-          |tf3 AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bi GROUP BY doc_id, a, b),
-          |cnt AS (SELECT a, b, SUM(c) AS nb FROM tf3 GROUP BY a, b),
-          |cx AS (SELECT a, SUM(nb) AS na FROM cnt GROUP BY a),
-          |m AS (SELECT cnt.a, cnt.b,
-          |             CAST(round(ln(CAST(nb AS DOUBLE) / na), 6) AS DECIMAL(12,6)) AS logp6
+          |tf3 AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c
+          |        FROM bi GROUP BY doc_id, a, b),
+          |cnt AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS nb FROM tf3 GROUP BY a, b),
+          |cx AS (SELECT a, CAST(SUM(nb) AS BIGINT) AS na FROM cnt GROUP BY a),
+          |m AS (SELECT cnt.a, cnt.b, (nb * 1000000) // na AS p6
           |      FROM cnt JOIN cx ON cnt.a = cx.a),
-          |agg AS (SELECT doc_id, SUM(c) AS n_bigrams, SUM(logp6 * c) AS sl
+          |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          |               CAST(SUM(p6 * c) AS BIGINT) AS sp
           |        FROM tf3 JOIN m ON tf3.a = m.a AND tf3.b = m.b GROUP BY doc_id)
-          |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS logprob
+          |SELECT doc_id, n_bigrams,
+          |       CAST(sp AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS avg_p
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // ---- held-out bigram perplexity proxy (added r7) ---------------------
@@ -831,9 +846,13 @@ object CurationQueries {
     // text systematically flatters duplicated boilerplate). Add-1
     // smoothing over the train unigram vocabulary handles val-only
     // bigrams/contexts: p(b|a) = (nb + 1)/(na + V) — the dsir_weights
-    // smoothing discipline, each ln argument ONE division of exact ints,
-    // bare ln onto the 6 dp grid, exact multiplicity weighting, final
-    // bare division.
+    // smoothing discipline. ENGINE-VERSION-PROOF (r8 doctrine,
+    // Queries.scala): the r7 ln-grid hash-failed the driver's DuckDB
+    // build while matching the local one bitwise, so the smoothed
+    // probability is quantized onto the exact INTEGER grid instead —
+    // p6 = ((nb+1)·10^6) div (na+V), pure int64 floor division — with
+    // exact multiplicity weighting and ONE bare final IEEE division
+    // (the bigram_logprob reformulation applied to the held-out score).
     //
     // Scale shape: one corpus pass split by the hash band; model joins are
     // vocab-sized and deliberately un-hinted; V is a 1-row broadcast (R1
@@ -863,14 +882,13 @@ object CurationQueries {
         vd.join(counts, Seq("a", "b"), "left")
           .join(ctx, Seq("a"), "left")
           .crossJoin(broadcast(vocab))
-          .withColumn("logp6",
-            round(log((coalesce(col("nb"), lit(0L)) + 1).cast("double")
-              / (coalesce(col("na"), lit(0L)) + col("v")).cast("double")), 6)
-              .cast("decimal(12,6)"))
+          .withColumn("p6",
+            expr("((coalesce(nb, 0) + 1) * 1000000) div (coalesce(na, 0) + v)"))
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("p6") * col("c")).as("sp"))
           .select(col("doc_id"), col("n_bigrams"),
-            (col("sl").cast("double") / col("n_bigrams")).as("logprob"))
+            (col("sp").cast("double")
+              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_p"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -888,16 +906,17 @@ object CurationQueries {
           |        WHERE substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc')),
           |scored AS (
           |  SELECT tf3.doc_id, tf3.c,
-          |         CAST(round(ln(CAST(COALESCE(cnt.nb, 0) + 1 AS DOUBLE)
-          |                       / CAST(COALESCE(cx.na, 0) + v.v AS DOUBLE)), 6)
-          |              AS DECIMAL(12,6)) AS logp6
+          |         ((CAST(COALESCE(cnt.nb, 0) AS BIGINT) + 1) * 1000000)
+          |           // (CAST(COALESCE(cx.na, 0) AS BIGINT) + CAST(v.v AS BIGINT)) AS p6
           |  FROM tf3 LEFT JOIN cnt ON tf3.a = cnt.a AND tf3.b = cnt.b
           |           LEFT JOIN cx ON tf3.a = cx.a
           |           CROSS JOIN v
           |  WHERE tf3.h2 >= 'cc' AND tf3.h2 < 'e6'),
-          |agg AS (SELECT doc_id, SUM(c) AS n_bigrams, SUM(logp6 * c) AS sl
+          |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          |               CAST(SUM(p6 * c) AS BIGINT) AS sp
           |        FROM scored GROUP BY doc_id)
-          |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS logprob
+          |SELECT doc_id, n_bigrams,
+          |       CAST(sp AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS avg_p
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // ---- sequence packing (concat-and-chunk, added r5) -------------------

@@ -117,22 +117,31 @@ object FunnelQueries {
           |FROM w WHERE event_type = 'purchase'
           |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)),
 
-    // ---- Kaplan–Meier survival: time to first purchase (added r7) --------
+    // ---- Kaplan–Meier survival: time to first purchase (r7; refit r8) ----
     // Right-censored time-to-event — the correct way to answer "how long
     // until users convert" when many never do (a plain mean over converters
     // is survivorship-biased). Per user: duration = days from first event
     // to first purchase (event) or to last event (censored). The KM
-    // estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) is a cumulative PRODUCT, so
-    // it is emitted in LOG space (the float-parity discipline: exp() is a
-    // libm call engines disagree on; Σ of 6 dp-rounded ln terms is exact):
-    // each factor's ln argument is ONE division of exact ints, the running
-    // sum is a decimal cumsum. If a death row exhausts its risk set
-    // (S → 0, ln → −∞) the row reports NULL — by construction that can
-    // only be the last row (nobody remains at risk beyond it).
+    // estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) is a cumulative PRODUCT.
+    // ENGINE-VERSION-PROOF (r8 doctrine, Queries.scala): r7 emitted it in
+    // log space via round(ln(·), 6), which matched the local DuckDB
+    // bitwise yet hash-failed the driver's build. The product is now an
+    // exact INTEGER recurrence on the 10^-9 grid:
+    //   S₀ = 10^9;  Sᵢ = (Sᵢ₋₁ · (nᵢ − dᵢ)) div nᵢ
+    // — pure int64 multiply + floor division at every step (exact while
+    // S·n_risk < 2^63, i.e. risk sets to ~9e9; beyond that widen to
+    // DECIMAL(38,0) on both engines), with ONE bare final IEEE division
+    // by 10^9. A death row that exhausts its risk set yields Sᵢ = 0
+    // naturally — no NULL sentinel needed. The Spark leg runs the
+    // recurrence declaratively: the death grid (day-domain bounded,
+    // PlanGuard R2 whitelist) collapses to one sorted array and each
+    // row's Sᵢ is `aggregate(slice(arr, 1, i+1), …)` — O(k²) over the
+    // tiny grid, zero driver-side collect. The oracle spells the same
+    // recurrence as a WITH RECURSIVE chain (version-stable SQL).
     //
     // Scale shape: one per-user agg, then everything runs on the duration
-    // grid — day-domain bounded, so the two global cumulative windows are
-    // over a tiny aggregate (PlanGuard R2 whitelist).
+    // grid — day-domain bounded, so the global cumulative window and the
+    // array fold are over a tiny aggregate (PlanGuard R2 whitelist).
     "survival_km" -> Q(
       fn = (s, dir) => {
         val obs = Tables.load(s, dir, "events")
@@ -146,22 +155,21 @@ object FunnelQueries {
         val grid = obs.groupBy("t")
           .agg(count(lit(1)).as("m"), sum(col("delta")).as("dsum"))
         val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
-        val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
         grid.withColumn("n_risk", sum(col("m")).over(wDesc))
           .filter(col("dsum") > 0)
-          .withColumn("term6",
-            when(col("n_risk") === col("dsum"), lit(null))
-              .otherwise(round(log(
-                (col("n_risk") - col("dsum")).cast("double") / col("n_risk").cast("double")), 6)
-                .cast("decimal(12,6)")))
-          .withColumn("dead", max(when(col("term6").isNull, 1).otherwise(0)).over(wAsc))
-          .select(col("t").as("t_day"), col("n_risk"), col("dsum").as("n_events"),
-            when(col("dead") === 1, lit(null).cast("double"))
-              .otherwise(sum(col("term6")).over(wAsc).cast("double")).as("log_surv"))
+          .agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("dsum"))))
+            .as("arr"))
+          .select(col("arr"), posexplode(col("arr")).as(Seq("i", "r")))
+          .withColumn("surv9", expr(
+            """aggregate(slice(arr, 1, i + 1), CAST(1000000000 AS BIGINT),
+              |  (acc, y) -> (acc * (y.n_risk - y.dsum)) div y.n_risk)""".stripMargin))
+          .select(col("r.t").as("t_day"), col("r.n_risk").as("n_risk"),
+            col("r.dsum").as("n_events"),
+            (col("surv9").cast("double") / lit(1.0e9)).as("survival"))
           .orderBy("t_day")
       },
       oracle = Some(
-        """WITH obs AS (
+        """WITH RECURSIVE obs AS (
           |  SELECT CAST(CAST(COALESCE(td, tc) AS DATE) - CAST(t0 AS DATE) AS INTEGER) AS t,
           |         CASE WHEN td IS NOT NULL THEN 1 ELSE 0 END AS delta
           |  FROM (SELECT user_id, MIN(ts) AS t0,
@@ -170,20 +178,22 @@ object FunnelQueries {
           |        FROM events GROUP BY user_id)),
           |grid AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(delta) AS BIGINT) AS dsum
           |         FROM obs GROUP BY t),
-          |r AS (SELECT t, m, dsum, SUM(m) OVER (ORDER BY t DESC) AS n_risk FROM grid),
+          |r AS (SELECT t, m, dsum,
+          |             CAST(SUM(m) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk FROM grid),
           |d AS (SELECT t, n_risk, dsum,
-          |             CASE WHEN n_risk = dsum THEN NULL
-          |                  ELSE CAST(round(ln(CAST(n_risk - dsum AS DOUBLE)
-          |                                     / CAST(n_risk AS DOUBLE)), 6)
-          |                       AS DECIMAL(12,6)) END AS term6
+          |             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
           |      FROM r WHERE dsum > 0),
-          |c AS (SELECT t, n_risk, dsum, term6,
-          |             MAX(CASE WHEN term6 IS NULL THEN 1 ELSE 0 END) OVER (ORDER BY t) AS dead,
-          |             SUM(term6) OVER (ORDER BY t) AS ls
-          |      FROM d)
+          |s AS (
+          |  SELECT rn, t, n_risk, dsum,
+          |         (1000000000 * (n_risk - dsum)) // n_risk AS surv9
+          |  FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.rn, d.t, d.n_risk, d.dsum,
+          |         (s.surv9 * (d.n_risk - d.dsum)) // d.n_risk
+          |  FROM s JOIN d ON d.rn = s.rn + 1)
           |SELECT t AS t_day, n_risk, dsum AS n_events,
-          |       CASE WHEN dead = 1 THEN NULL ELSE CAST(ls AS DOUBLE) END AS log_surv
-          |FROM c ORDER BY t_day""".stripMargin)),
+          |       CAST(surv9 AS DOUBLE) / 1000000000.0 AS survival
+          |FROM s ORDER BY t_day""".stripMargin)),
 
     // ---- robust (MAD) daily-volume anomalies (added r7) ------------------
     // The robust twin of daily_anomalies' mean+3σ rule: flag days where

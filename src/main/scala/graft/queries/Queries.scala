@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,12 +26,31 @@ import graft.sql.BucketRouting
   * Spark rounds via `BigDecimal.valueOf(double)` (the shortest decimal
   * representation) while DuckDB rounds the true binary value, so values
   * near a 6 dp grid midpoint diverge in the last digit — this hash-failed
-  * bigram_logprob/token_entropy/mix_weights in r6. The proven grid is:
-  * round ONLY a bare probed-identical op (`ln`, sqrt, one division) to
-  * 6 dp, cast to DECIMAL, optionally weight by an exact int, sum exactly,
-  * and emit the final double as ONE bare correctly-rounded op (cast or
-  * division) with NO trailing round. A round on a raw double that passes
-  * today passes by luck of the data, not by construction.
+  * bigram_logprob/token_entropy/mix_weights in r6.
+  *
+  * Moreover (r7 postmortem): the r7 "proven grid" — `round` only a bare
+  * probed op (`ln`, `sqrt`) to 6 dp — is NOT a proof. It passed the local
+  * DuckDB bitwise yet hash-failed the driver's oracle, because libm
+  * `ln`/`sqrt` and `round(double, n)` vary ACROSS ENGINE BUILDS: probing
+  * the local engine cannot falsify a divergence that only exists on a
+  * different build. The r8 doctrine is therefore stronger and
+  * engine-VERSION-proof by construction: a hashed output column may be
+  * built only from
+  *   (1) exact int64/decimal arithmetic (+, −, ×, integer `div`/`//`,
+  *       comparisons) — bit-identical on any engine by definition;
+  *   (2) [[Q.isqrt]] — floor-sqrt of an exact int, libm-independent
+  *       because the ±1 CASE correction repairs any rounding;
+  *   (3) at most ONE final bare IEEE-754 op (a division or cast of exact
+  *       integers) — binary64 + − × ÷ are correctly rounded on every
+  *       engine (JVM strictfp, SSE2), so identical inputs give identical
+  *       bits. Chains of such ops are equally safe (token_budget_plan).
+  * NO libm transcendental (`ln`, `exp`, `pow`) and NO `round(double, n)`
+  * may reach a hashed column, rounded-then-cast or otherwise. Where a
+  * semantic calls for `ln` (entropy, log-prob, KM-in-log-space), the
+  * hashed surface is reformulated onto an exact integer grid instead:
+  * quantized probabilities `(c·10^6) div n`, collision diversity
+  * `(n²−Σc²)/n²`, integer cumulative products `(S·(n−d)) div n` — see
+  * bigram_logprob, token_entropy, survival_km.
   *
   * Cache lifecycle contract: a few query fns `.cache()` an intermediate
   * that several branches of the same plan consume (LSH signatures, simhash
@@ -65,6 +84,21 @@ object Q {
   private[queries] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Exact integer square root ⌊√x⌋ for a non-negative int64 column —
+    * engine-VERSION-proof (r8 doctrine, see the class doc). The double
+    * `sqrt` only proposes a candidate; a ±1 integer CASE correction
+    * repairs it, so the result is the true floor square root on ANY
+    * engine regardless of that engine's sqrt rounding, for all
+    * x < 2^52 (candidate within ±1 of the truth). All comparisons are
+    * exact int64. The oracle twin spells the identical CASE in SQL
+    * (s0 = CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)). */
+  private[queries] def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 * s0 > x, s0 - 1)
+      .otherwise(s0)
+  }
 
   /** Min-label connected components over a SYMMETRIC (src, dst) edge frame
     * (extracted r6 from dedup_clusters so the embedding and text near-dup

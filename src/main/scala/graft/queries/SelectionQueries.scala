@@ -356,6 +356,16 @@ object SelectionQueries {
     // manifest is a pure function of (corpus, seed): any worker, any day,
     // any cluster re-derives byte-identical shards. Zero float surface.
     //
+    // r8 hash-gate insurance: this query was bitwise-green against the
+    // local DuckDB yet hash-red on the driver's build with zero floats —
+    // the remaining version-sensitive surface was RESULT DTYPE, not
+    // values: DuckDB's window SUM(BIGINT) yields HUGEINT, and HUGEINT's
+    // client-side representation (int vs float64 after fetch) varies by
+    // build, which changes the driver's value hash even when every value
+    // is equal. The oracle now pins `cum`, `shard_id`, and `n_docs` to
+    // BIGINT explicitly so both engines emit identical int64 columns on
+    // any build.
+    //
     // Scale shape: the per-source token cumsum is NOT a single-reducer
     // window — the shuffle_deterministic stitch applied to SUMS: the first
     // hex char of the key is a contiguous prefix of the key order, so a
@@ -407,11 +417,11 @@ object SelectionQueries {
           |  FROM documents),
           |c AS (
           |  SELECT source, doc_id, n_toks, k,
-          |         SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
-          |                           ROWS UNBOUNDED PRECEDING) AS cum
+          |         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+          |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           |  FROM d)
-          |SELECT source, (cum - n_toks) // 128 AS shard_id,
-          |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          |SELECT source, CAST((cum - n_toks) // 128 AS BIGINT) AS shard_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
           |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)) AS manifest_md5
           |FROM c GROUP BY source, shard_id
           |ORDER BY source, shard_id""".stripMargin)),
@@ -655,11 +665,14 @@ object SelectionQueries {
     //
     // Scale shape: identical to mix_weights — one corpus pass for the
     // per-source token agg, 1-row totals broadcast twice; the corpus is
-    // never shuffled. Float parity: w6 grid + exact decimal Σ as proven in
-    // mix_weights; budget/alloc/epochs are per-row scalar double chains —
-    // IEEE ops on identical expression trees are bit-identical on both
-    // engines; over_cap is a comparison on that deterministic double,
-    // emitted as an exact 0/1 BIGINT.
+    // never shuffled. ENGINE-VERSION-PROOF (r8 doctrine, Queries.scala):
+    // the weight comes from mix_weights' rebuilt integer grid —
+    // share10 = (n_s·10^10) div T, w5 = Q.isqrt(share10), Σw5 exact —
+    // so no libm result or round(double, n) reaches a hashed byte;
+    // weight/alloc/epochs are then fixed chains of bare IEEE ops (+ × ÷)
+    // on identical exact inputs, bit-identical on both engines; over_cap
+    // is a comparison on that deterministic double, emitted as an exact
+    // 0/1 BIGINT.
     "token_budget_plan" -> Q(
       fn = (s, dir) => {
         val tok = Tables.load(s, dir, "documents")
@@ -667,11 +680,11 @@ object SelectionQueries {
           .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
         val tot = tok.agg(sum(col("n_tokens")).as("t_total"))
         val withW = tok.crossJoin(broadcast(tot))
-          .withColumn("share", col("n_tokens").cast("double") / col("t_total"))
-          .withColumn("w6", round(sqrt(col("share")), 6).cast("decimal(10,6)"))
-        val wsum = withW.agg(sum(col("w6")).as("wsum"))
+          .withColumn("share10", expr("(n_tokens * 10000000000) div t_total"))
+          .withColumn("w5", Q.isqrt(col("share10")))
+        val wsum = withW.agg(sum(col("w5")).as("wsum"))
         withW.crossJoin(broadcast(wsum))
-          .withColumn("weight", col("w6").cast("double") / col("wsum").cast("double"))
+          .withColumn("weight", col("w5").cast("double") / col("wsum").cast("double"))
           .withColumn("alloc_tokens",
             (lit(2.0d) * col("t_total").cast("double")) * col("weight"))
           .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
@@ -681,18 +694,23 @@ object SelectionQueries {
           .orderBy("source")
       },
       oracle = Some(
-        """WITH tok AS (SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+        """WITH tok AS (SELECT source,
+          |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
           |            FROM documents GROUP BY source),
-          |tot AS (SELECT SUM(n_tokens) AS t_total FROM tok),
-          |w AS (SELECT source, n_tokens, t_total,
-          |             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t_total), 6)
-          |                  AS DECIMAL(10,6)) AS w6
+          |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM tok),
+          |g AS (SELECT source, n_tokens, t_total,
+          |             (n_tokens * 10000000000) // t_total AS share10
           |      FROM tok, tot),
-          |ws AS (SELECT SUM(w6) AS wsum FROM w),
+          |s0 AS (SELECT g.*, CAST(floor(sqrt(CAST(share10 AS DOUBLE))) AS BIGINT) AS c0 FROM g),
+          |w AS (SELECT source, n_tokens, t_total, share10,
+          |             CASE WHEN (c0 + 1) * (c0 + 1) <= share10 THEN c0 + 1
+          |                  WHEN c0 * c0 > share10 THEN c0 - 1 ELSE c0 END AS w5
+          |      FROM s0),
+          |ws AS (SELECT CAST(SUM(w5) AS BIGINT) AS wsum FROM w),
           |p AS (SELECT source, n_tokens,
-          |             CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight,
+          |             CAST(w5 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight,
           |             (2.0 * CAST(t_total AS DOUBLE))
-          |               * (CAST(w6 AS DOUBLE) / CAST(wsum AS DOUBLE)) AS alloc_tokens
+          |               * (CAST(w5 AS DOUBLE) / CAST(wsum AS DOUBLE)) AS alloc_tokens
           |      FROM w, ws)
           |SELECT source, n_tokens, weight, alloc_tokens,
           |       alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs,

@@ -286,22 +286,23 @@ class FunnelQueriesSpec extends SparkTestBase {
     assert(rows.map(_._3).sum == attributed, "attribution replay diverged")
   }
 
-  test("survival_km: risk set monotone, log-survival non-increasing, replayed in-process") {
+  test("survival_km: risk set monotone, survival non-increasing in [0,1], replayed in-process") {
     val rows = graft.SparkEntry.queries("survival_km")(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     val byT = rows.sortBy(_._1)
     byT.sliding(2).foreach {
       case Array((_, n1, _, s1), (_, n2, _, s2)) =>
         assert(n2 < n1, "risk set must strictly shrink across death days")
-        (s1, s2) match {
-          case (Some(a), Some(b)) => assert(b <= a, "log-survival must be non-increasing")
-          case _ =>
-        }
+        assert(s2 <= s1, "survival must be non-increasing")
       case _ =>
     }
-    byT.foreach { case (_, n, d, _) => assert(d >= 1 && d <= n) }
+    byT.foreach { case (_, n, d, s) =>
+      assert(d >= 1 && d <= n)
+      assert(s >= 0.0 && s <= 1.0, s"survival $s outside [0,1]")
+      // the integer-grid recurrence floors each step: S stays within the
+      // exact real KM product and above it minus k steps of 1e-9 slack
+    }
     // replay the estimator from per-user durations
     val obs = graft.Tables.load(spark, dir, "events")
       .groupBy("user_id").agg(
