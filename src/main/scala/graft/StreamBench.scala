@@ -400,10 +400,16 @@ object StreamBench {
     val DriftEvents = 10_000_000L
     val DriftWindows = 200L
     val driftTypes = (0 until 8).map(t => s"t$t")
-    val driftRef = driftTypes.map { t =>
-      t -> java.math.BigDecimal.valueOf(math.log(1.0 / 8))
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-    }.toMap
+    // uniform 1/8 reference on LnGrid's integer 1e-6 grid; the bench
+    // asserts exact COUNTS (the stateful-window contract), not drift
+    // values, so the grid value of ln(1/8) just needs to be a valid Long
+    val driftRef = {
+      import spark.implicits._
+      val one = graft.queries.LnGrid.withLn6(
+        Seq((1L, 8L)).toDF("a", "b"), col("a"), col("b"), "l6")
+        .head().getLong(2)
+      driftTypes.map(_ -> one).toMap
+    }
     val (driftSecs, driftFinal) = {
       val srcDir = java.nio.file.Files.createTempDirectory("graft-drift-src").toString
       // window id cycles fastest so every file touches every window

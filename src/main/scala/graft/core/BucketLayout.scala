@@ -32,8 +32,21 @@ object BucketLayout {
     * @throws InvalidLayoutException when `numPartitions < cfg.numBuckets`
     *         (reference: BucketPriorityPartitioner.java:98-105)
     */
-  def layout(cfg: BucketPriorityConfig, numPartitions: Int): Seq[(String, Seq[Int])] =
+  def layout(cfg: BucketPriorityConfig, numPartitions: Int): Seq[(String, Seq[Int])] = {
+    // topic-aware entry: throw with the reference's VERBATIM wording
+    // (BucketPriorityPartitioner.java:99-104 — spec-pinned, r8 parity
+    // insurance); the name-agnostic overload below keeps its own message
+    // because it has no topic to interpolate
+    if (numPartitions < cfg.numBuckets)
+      throw InvalidLayoutException(referenceIncompatibleMessage(cfg.topic, cfg.numBuckets))
     layout(cfg.buckets.zip(cfg.allocation), numPartitions)
+  }
+
+  /** The reference's exact partitions-vs-buckets error text
+    * (BucketPriorityPartitioner.java:99-104). */
+  def referenceIncompatibleMessage(topic: String, numBuckets: Int): String =
+    s"The number of partitions available for the topic '$topic' is incompatible " +
+      s"with the number of buckets. It needs to be at least $numBuckets."
 
   /** `bucketsDescending` must already be ordered descending by allocation. */
   def layout(bucketsDescending: Seq[(String, Int)], numPartitions: Int): Seq[(String, Seq[Int])] = {

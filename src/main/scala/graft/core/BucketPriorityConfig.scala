@@ -49,7 +49,23 @@ final case class BucketPriorityConfig private (
     FallbackAssignor.instantiate(fallbackAssignor)
 }
 
-sealed abstract class ConfigError(val message: String)
+sealed abstract class ConfigError(val message: String) {
+  /** The reference's VERBATIM error string for this failure, where the
+    * reference has one (r8 parity insurance — spec-pinned against the
+    * literal text so a wording drift is caught at build time):
+    *   - allocation/bucket count mismatch: BucketPriorityPartitioner.java:35-37
+    *   - allocation sum ≠ 100:             BucketPriorityPartitioner.java:40-42
+    * Failures the reference does not validate (duplicate names, per-bucket
+    * range, empty names — its UB territory, see the case notes) have no
+    * reference wording and return None. */
+  def referenceMessage: Option[String] = this match {
+    case _: ConfigError.LengthMismatch => Some(
+      "The bucket allocation doesn't match with the number of buckets configured.")
+    case _: ConfigError.BadSum => Some(
+      "The bucket allocation is incorrect. The sum of all buckets needs to be 100.")
+    case _ => None
+  }
+}
 object ConfigError {
   final case class MissingKey(key: String)
       extends ConfigError(s"Configuration key '$key' is mandatory and was not provided")

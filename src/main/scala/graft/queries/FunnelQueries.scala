@@ -670,9 +670,13 @@ object FunnelQueries {
     // type distribution derives from THAT agg (never a second pass); the
     // grand total is a 1-row broadcast. Same shape as source_kl.
     //
-    // Float parity: the proven 6dp-ln-grid — each ln of one exact-int
-    // division, grid values subtract exactly, × exact count, decimal sum,
-    // one bare final division.
+    // ENGINE-VERSION-PROOF (r8): both ln terms come from the [[LnGrid]]
+    // fixed-point chain — pure int64 arithmetic on the 10⁻⁶ ln grid, so no
+    // libm result or round(double, n) reaches a hashed byte; grid values
+    // subtract exactly as ints, × exact count, int sum, one bare final
+    // division. [[graft.streaming.PriorityStreams.driftStream]] consumes
+    // the SAME grid via [[typeDriftRefMix]], so batch and stream cannot
+    // diverge when the grid changes.
     "type_drift" -> Q(
       fn = (s, dir) => {
         val wt = Tables.load(s, dir, "events")
@@ -682,35 +686,36 @@ object FunnelQueries {
         val wTot = wt.groupBy("w_start").agg(sum(col("c_wt")).as("n_w"))
         val gt = wt.groupBy("event_type").agg(sum(col("c_wt")).as("c_t"))
         val tot = gt.agg(sum(col("c_t")).as("n"))
-        wt.join(broadcast(wTot), Seq("w_start"))
+        val j0 = wt.join(broadcast(wTot), Seq("w_start"))
           .join(broadcast(gt), Seq("event_type"))
           .crossJoin(broadcast(tot))
-          .select(col("w_start"), col("n_w"),
-            (col("c_wt")
-              * (round(log(col("c_wt").cast("double") / col("n_w")), 6)
-                  .cast("decimal(12,6)")
-                - round(log(col("c_t").cast("double") / col("n")), 6)
-                  .cast("decimal(12,6)"))).as("k6"))
+        val j1 = LnGrid.withLn6(j0, col("c_wt"), col("n_w"), "lw6", "__lw_")
+        val j2 = LnGrid.withLn6(j1, col("c_t"), col("n"), "lg6", "__lg_")
+        j2.select(col("w_start"), col("n_w"),
+            (col("c_wt") * (col("lw6") - col("lg6"))).as("k6"))
           .groupBy("w_start", "n_w")
           .agg(sum(col("k6")).as("sk"))
           .select(col("w_start"), col("n_w").as("n_events"),
-            (col("sk").cast("double") / col("n_w")).as("drift_nats"))
+            (col("sk").cast("double")
+              / (col("n_w") * lit(1000000L)).cast("double")).as("drift_nats"))
           .orderBy("w_start")
       },
       oracle = Some(
-        """WITH wt AS (
-          |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start,
-          |         event_type, COUNT(*) AS c_wt
-          |  FROM events GROUP BY 1, 2),
-          |wtot AS (SELECT w_start, CAST(SUM(c_wt) AS BIGINT) AS n_w FROM wt GROUP BY w_start),
-          |gt AS (SELECT event_type, CAST(SUM(c_wt) AS BIGINT) AS c_t FROM wt GROUP BY event_type),
-          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gt)
-          |SELECT wt.w_start, n_w AS n_events,
-          |       CAST(SUM(c_wt * (CAST(round(ln(CAST(c_wt AS DOUBLE) / n_w), 6) AS DECIMAL(12,6))
-          |                      - CAST(round(ln(CAST(c_t AS DOUBLE) / n), 6) AS DECIMAL(12,6))))
-          |            AS DOUBLE) / n_w AS drift_nats
-          |FROM wt JOIN wtot USING (w_start) JOIN gt USING (event_type), tot
-          |GROUP BY wt.w_start, n_w ORDER BY wt.w_start""".stripMargin)),
+        s"""WITH wt AS (
+           |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start,
+           |         event_type, COUNT(*) AS c_wt
+           |  FROM events GROUP BY 1, 2),
+           |wtot AS (SELECT w_start, CAST(SUM(c_wt) AS BIGINT) AS n_w FROM wt GROUP BY w_start),
+           |gt AS (SELECT event_type, CAST(SUM(c_wt) AS BIGINT) AS c_t FROM wt GROUP BY event_type),
+           |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gt),
+           |j AS (SELECT wt.w_start, wt.event_type, CAST(c_wt AS BIGINT) AS c_wt, n_w, c_t, n
+           |      FROM wt JOIN wtot USING (w_start) JOIN gt USING (event_type), tot),
+           |${LnGrid.sqlCtes("j", "c_wt", "n_w", "lw6", "lw_")},
+           |${LnGrid.sqlCtes("lw_out", "c_t", "n", "lg6", "lg_")}
+           |SELECT w_start, n_w AS n_events,
+           |       CAST(SUM(c_wt * (lw6 - lg6)) AS DOUBLE)
+           |         / CAST(n_w * 1000000 AS DOUBLE) AS drift_nats
+           |FROM lg_out GROUP BY w_start, n_w ORDER BY w_start""".stripMargin)),
 
     // ---- event-type Markov transition matrix (added r7) ------------------
     // The sequence-modeling complement of funnel_steps: the first-order

@@ -76,6 +76,26 @@ object PrivacyQueries {
     // blunt: a release gate errs toward over-redaction, and digits are the
     // common atom of phone/account/SSN-shaped spans.
     //
+    // RELEASE CONTRACT caveats (r8, documented per advice — the behaviors
+    // are kept for oracle parity, a production release tightens them):
+    //   1. The pseudonym salt is deterministic and source-committed
+    //      ('graft-2026:') over an enumerable numeric user_id, so the
+    //      mapping is reversible by dictionary enumeration by anyone with
+    //      the salt, and — because pseudonymize_events uses the SAME salt —
+    //      this row-level export links 1:1 to that aggregate report.
+    //      Production: a per-release secret salt (or keyed HMAC), rotated
+    //      per export, never committed.
+    //   2. Unlike pseudonymize_events, no K-suppression is applied here:
+    //      a pseudonym with very few rows remains re-identifiable by its
+    //      activity pattern. Production: carry the same K-threshold into
+    //      the row-level export (suppress or generalize sparse pseudonyms).
+    //   3. The scrub masks NUMERIC identifier spans only. Alphabetic
+    //      identifier-shaped content (emails, handles, names) passes
+    //      through untouched — extending the mask to email/handle regexes
+    //      is deliberate future work because regex dialects diverge
+    //      between engines (the oracle gate) and between regex engines in
+    //      production; treat props_masked as digit-scrubbed, not PII-free.
+    //
     // Scale shape: pure map-only projection — no shuffle at all before the
     // output sort; at 100 TB this runs at scan speed. DuckDB portability:
     // Spark's regexp_replace is global by default, DuckDB's needs the 'g'

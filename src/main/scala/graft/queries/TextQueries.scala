@@ -164,6 +164,73 @@ object TextQueries {
     (pairs, sh)
   }
 
+  /** Min-label cluster ids over a verified near-dup pair frame
+    * `(a_id, b_id, …)` — the shared CC step of the pair-graph consumers
+    * (clusters / survivorship / profile). */
+  private[graft] def clusterLabels(
+      pairsDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = pairsDf.select(col("a_id"), col("b_id"))
+    Q.connectedComponents(
+      pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+  }
+
+  /** source×source verified-duplicate-pair matrix off a pair frame. */
+  private[graft] def dupMatrixFrom(
+      pairsDf: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairsDf
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  /** Per-cluster survivor choice + reclaim accounting off CC labels. */
+  private[graft] def survivorshipFrom(
+      labels: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("m"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster"), (-col("m.negid")).as("survivor_id"),
+        col("n_members"), (col("total_chars") - col("m.nc")).as("reclaimed_chars"))
+      .orderBy("cluster")
+
+  /** Cluster-size histogram off CC labels. */
+  private[graft] def clusterProfileFrom(
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+      .orderBy("cluster_size")
+
+  /** Shared-pipeline entry for multi-consumer sessions (r8, VERDICT item):
+    * the gate runs source_dup_matrix / dedup_minhash_clusters /
+    * dedup_survivorship / dup_cluster_profile as independent queries, so
+    * each registry entry necessarily re-runs the banded candidate
+    * pipeline — but a library caller auditing a 100 TB corpus runs them
+    * TOGETHER, and must not pay for candidate generation four times.
+    * This returns the verified pair frame CACHED plus a release thunk;
+    * feed it to [[clusterLabels]] / [[dupMatrixFrom]] /
+    * [[survivorshipFrom]] / [[clusterProfileFrom]] (results are
+    * row-identical to the registry queries — spec-pinned), then call the
+    * thunk. At cluster scale, swap `.cache()` for a persisted parquet of
+    * the pair frame and reuse it across audit jobs. */
+  def nearDupPairsSharedHandle(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val (pairs, shCache) = minhashPairsWithHandle(s, dir)
+    val cached = pairs.cache()
+    (cached, () => { cached.unpersist(); shCache.unpersist(); () })
+  }
+
   /** Exploded (source, doc_id, shingle) rows of a shingle frame. */
   private def ngramExploded(sh: org.apache.spark.sql.DataFrame) =
     sh.select(col("source"), col("doc_id"), explode(col("shingles")).as("sh"))
@@ -905,14 +972,7 @@ object TextQueries {
       fn = (s, dir) => {
         val (pairs, shCache) = minhashPairsWithHandle(s, dir)
         shCache // query-scoped cache (see Q's cache-lifecycle contract)
-        val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
-        pairs
-          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
-          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
-          .groupBy(least(col("sa"), col("sb")).as("source_x"),
-            greatest(col("sa"), col("sb")).as("source_y"))
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("source_x", "source_y")
+        dupMatrixFrom(pairs, Tables.load(s, dir, "documents"))
       },
       oracle = Some {
         val sigs = (0 until NumHashes).map(k =>
@@ -1269,9 +1329,7 @@ object TextQueries {
     "dedup_minhash_clusters" -> Q(
       fn = (s, dir) => {
         val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
-        val pairs = pairsDf.select(col("a_id"), col("b_id"))
-        val labels = Q.connectedComponents(
-          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        val labels = clusterLabels(pairsDf)
         shCache.unpersist() // pairs are materialized in the CC checkpoint
         labels.select(col("id").as("doc_id"), col("label").as("cluster"))
           .orderBy("doc_id")
@@ -1294,15 +1352,9 @@ object TextQueries {
     "dup_cluster_profile" -> Q(
       fn = (s, dir) => {
         val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
-        val pairs = pairsDf.select(col("a_id"), col("b_id"))
-        val labels = Q.connectedComponents(
-          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        val labels = clusterLabels(pairsDf)
         shCache.unpersist()
-        labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-          .select(col("cluster_size"), col("n_clusters"),
-            ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
-          .orderBy("cluster_size")
+        clusterProfileFrom(labels)
       },
       oracle = Some(
         s"""WITH RECURSIVE $minhashClusterSqlCtes,
@@ -1486,20 +1538,9 @@ object TextQueries {
     "dedup_survivorship" -> Q(
       fn = (s, dir) => {
         val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
-        val pairs = pairsDf.select(col("a_id"), col("b_id"))
-        val labels = Q.connectedComponents(
-          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        val labels = clusterLabels(pairsDf)
         shCache.unpersist()
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-          .join(docs, Seq("doc_id"))
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("n_members"),
-            max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("m"),
-            sum(col("n_chars")).as("total_chars"))
-          .select(col("cluster"), (-col("m.negid")).as("survivor_id"),
-            col("n_members"), (col("total_chars") - col("m.nc")).as("reclaimed_chars"))
-          .orderBy("cluster")
+        survivorshipFrom(labels, Tables.load(s, dir, "documents"))
       },
       oracle = Some {
         val sigs = (0 until NumHashes).map(k =>

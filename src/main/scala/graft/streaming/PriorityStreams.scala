@@ -845,10 +845,16 @@ object PriorityStreams {
     * score join is stateless per micro-batch. */
   def seqScoreStream(events: Dataset[TransEvent], model: DataFrame): DataFrame =
     transitionStream(events).toDF()
-      .join(broadcast(model.select(col("cur"), col("nxt"), col("lp6"))),
+      // `seen` derives from a non-null join MARKER carried by the model
+      // side, not from lp6's nullability: a model row legitimately
+      // carrying a null score for a present (cur, nxt) key must still
+      // report seen = true, or the monitor would misfile it as a novel
+      // transition (r7 advice).
+      .join(broadcast(model.select(col("cur"), col("nxt"), col("lp6"))
+          .withColumn("m_hit", lit(true))),
         Seq("cur", "nxt"), "left")
       .select(col("userId").as("user_id"), col("cur"), col("nxt"),
-        col("lp6"), col("lp6").isNotNull.as("seen"))
+        col("lp6"), coalesce(col("m_hit"), lit(false)).as("seen"))
 
   // ---- streaming chained debounce ---------------------------------------
 
@@ -972,24 +978,26 @@ object PriorityStreams {
     * groupBy(window) — no chained stateful aggs, state is one row per open
     * window, and each closed window emits exactly once.
     *
-    * `refLogProb6(t)` must be `round(ln(p_ref(t)), 6)` on the 6 dp decimal
-    * grid — the same grid the batch query puts its own global term on, so
-    * with p_ref = the batch corpus mix the stream reproduces the batch
-    * drift numbers EXACTLY (spec-pinned): counts are exact longs, grid
-    * values subtract exactly as decimals, and the final normalize is the
-    * same one bare double division. Events whose type is outside the
-    * reference taxonomy are counted in `n_other` (a drift monitor must
-    * surface novel types, not silently drop them) but carry no KL mass —
-    * the reference assigns them no probability.
+    * `refLn6(t)` must be `ln(p_ref(t))` on [[graft.queries.LnGrid]]'s
+    * integer 10⁻⁶ grid (r8 — the engine-version-proof rebuild of the old
+    * 6 dp decimal grid; derive it with [[typeDriftRefMix]] so the
+    * construction provably matches). With p_ref = the batch corpus mix the
+    * stream reproduces the batch type_drift numbers EXACTLY (spec-pinned):
+    * counts are exact longs, grid values subtract exactly as int64, and
+    * the final normalize is the same one bare double division. Events
+    * whose type is outside the reference taxonomy are counted in
+    * `n_other` (a drift monitor must surface novel types, not silently
+    * drop them) but carry no KL mass — the reference assigns them no
+    * probability.
     */
   def driftStream(
       events: DataFrame,
       tsCol: String,
       typeCol: String,
       windowDur: String,
-      refLogProb6: Map[String, java.math.BigDecimal],
+      refLn6: Map[String, Long],
       watermark: String = "10 minutes"): DataFrame = {
-    val types = refLogProb6.keys.toSeq.sorted
+    val types = refLn6.keys.toSeq.sorted
     val counts = types.map(t =>
       sum(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"c_$t")) :+
       sum(when(col(typeCol).isin(types: _*), 0L).otherwise(1L)).as("n_other")
@@ -998,22 +1006,37 @@ object PriorityStreams {
       .groupBy(window(col(tsCol), windowDur).as("w"))
       .agg(counts.head, counts.tail: _*)
     val nW = types.map(t => col(s"c_$t")).reduce(_ + _)
+    var df = agged.withColumn("n_w", nW).filter(col("n_w") > 0L)
+    // one LnGrid chain per reference type — stateless projections after
+    // the window agg, so append/update semantics are untouched; a zero
+    // count nulls its chain (lo-floor gate) and the `when` below skips it
+    for ((t, i) <- types.zipWithIndex)
+      df = graft.queries.LnGrid.withLn6(df, col(s"c_$t"), col("n_w"), s"__l$i", s"__l${i}_")
     // Σ_t c_t · (ln6(c_t/n_w) − ln6(p_ref(t))) over types present in the
-    // window — exact decimal arithmetic, same grid as the batch query.
-    val k6 = types.map { t =>
+    // window — exact int64 arithmetic, same grid as the batch query.
+    val k6 = types.zipWithIndex.map { case (t, i) =>
       val c = col(s"c_$t")
-      when(c > 0L,
-        c * (round(log(c.cast("double") / col("n_w")), 6).cast("decimal(12,6)")
-          - lit(refLogProb6(t)).cast("decimal(12,6)")))
-        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(12,6)") * lit(0L))
+      when(c > 0L, c * (col(s"__l$i") - lit(refLn6(t)))).otherwise(0L)
     }.reduce(_ + _)
-    agged
-      .withColumn("n_w", nW)
-      .filter(col("n_w") > 0L)
-      .withColumn("k6", k6)
+    df.withColumn("k6", k6)
       .select(col("w").getField("start").as("w_start"),
         col("n_w").as("n_events"), col("n_other"),
-        (col("k6").cast("double") / col("n_w")).as("drift_nats"))
+        (col("k6").cast("double")
+          / (col("n_w") * lit(1000000L)).cast("double")).as("drift_nats"))
+  }
+
+  /** Derives [[driftStream]]'s reference mix from a BATCH events frame via
+    * the SAME [[graft.queries.LnGrid]] construction the batch type_drift
+    * query puts its global term on — the supply chain the r7 verdict asked
+    * to pin: when the grid changes, both legs change together or a spec
+    * breaks; they cannot silently diverge. The collect is over ≤ \|types\|
+    * rows. */
+  def typeDriftRefMix(events: DataFrame, typeCol: String = "event_type"): Map[String, Long] = {
+    val g = events.groupBy(typeCol).agg(count(lit(1)).as("c_t"))
+    val tot = g.agg(sum(col("c_t")).as("n"))
+    graft.queries.LnGrid.withLn6(g.crossJoin(broadcast(tot)), col("c_t"), col("n"), "l6")
+      .select(col(typeCol), col("l6"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   // ---- streaming volume anomalies vs reference daily statistics ----------

@@ -202,6 +202,65 @@ class PlanGuardSpec extends SparkTestBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("R2b: whitelisted global windows carry no more rows than their documented bound source") {
+    // R2's whitelist claims each global window is bounded "by construction"
+    // — this test MEASURES that claim at the gate sf against the actual
+    // bound SOURCE (hex-prefix domain, value domain of n_chars, source
+    // count, calendar span, constant grid), so a data-shape change that
+    // silently unbounds a whitelisted window fails here instead of
+    // becoming a single-reducer scale-killer in production (r7 verdict
+    // item 8).
+    val docs = Tables.load(spark, SfDir, "documents")
+    val events = Tables.load(spark, SfDir, "events")
+    val nChars = docs.select("n_chars").distinct().count()
+    val nSources = docs.select("source").distinct().count()
+    val daySpan = events.agg(
+      (org.apache.spark.sql.functions.datediff(
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts"))),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))) + 1).cast("long")).head().getLong(0)
+    val bounds: Map[String, Long] = Map(
+      "shuffle_deterministic" -> 16L, // hex-prefix offset table
+      "curriculum_schedule" -> 48L, // tercile × hex-prefix offsets
+      "auc_dup_quality" -> (nChars + 2), // n_chars value-domain grid
+      "ks_source_lengths" -> (2 * nChars + 2), // two sources' merged grids
+      "gini_source_tokens" -> nSources, // per-source rank
+      "survival_km" -> daySpan, // duration-day grid ≤ calendar span
+      "heaps_law_fit" -> 64L) // constant checkpoint grid
+    assert(bounds.keySet == globalWindowOk,
+      s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try bounds.toSeq.sortBy(_._1).foreach { case (name, bound) =>
+      val df = SparkEntry.queries(name)(spark, SfDir)
+      df.queryExecution.toRdd.count()
+      // measure exactly the windows the whitelist excuses (aggregated,
+      // not limit-bounded) — a limit-bounded rank window in a composed
+      // query is R2-legal on its own terms and claims no bound here
+      val ws = nodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !limitBounded(w) && aggregated(w) => w
+      }
+      assert(ws.nonEmpty, s"$name: no whitelist-shaped global window found (stale whitelist?)")
+      ws.foreach { w =>
+        // WindowExec itself exposes no row metric (Spark 4): walk the
+        // unary chain below it (sort/project/exchange all preserve row
+        // count) to the first node that does — the aggregate whose output
+        // IS the window's input cardinality
+        var node: SparkPlan = w.child
+        while (node.children.size == 1 && node.metrics.get("numOutputRows").isEmpty)
+          node = node.children.head
+        val n = node.metrics.get("numOutputRows").map(_.value).getOrElse(
+          fail(s"$name: no numOutputRows metric found below the global window " +
+            s"(stopped at ${node.nodeName})"))
+        assert(n <= bound, s"$name: global window carried $n rows > documented bound $bound")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("R3: no bucket-only window over un-aggregated input (routing scale-killer)") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
       nodes(p).collect {

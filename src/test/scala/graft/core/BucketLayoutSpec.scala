@@ -49,6 +49,30 @@ class BucketLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("layout error carries the reference's verbatim wording (Partitioner:99-104)") {
+    val e = intercept[BucketLayout.InvalidLayoutException] {
+      BucketLayout.layout(cfg("B1" -> 50, "B2" -> 30, "B3" -> 20), 2)
+    }
+    assert(e.getMessage ==
+      "The number of partitions available for the topic 'orders' is incompatible " +
+        "with the number of buckets. It needs to be at least 3.")
+  }
+
+  test("config errors carry the reference's verbatim wording (Partitioner:35-42)") {
+    val mismatch = BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(100))
+      .swap.toOption.get
+    assert(mismatch.referenceMessage.contains(
+      "The bucket allocation doesn't match with the number of buckets configured."))
+    val badSum = BucketPriorityConfig("orders", Seq("B1", "B2"), Seq(60, 60))
+      .swap.toOption.get
+    assert(badSum.referenceMessage.contains(
+      "The bucket allocation is incorrect. The sum of all buckets needs to be 100."))
+    // failures the reference never validates have no reference wording
+    val dup = BucketPriorityConfig("orders", Seq("B1", "B1"), Seq(50, 50))
+      .swap.toOption.get
+    assert(dup.referenceMessage.isEmpty)
+  }
+
   test("ranges view matches layout") {
     val r = BucketLayout.ranges(cfg("B1" -> 55, "B2" -> 40, "B3" -> 5), 10)
     assert(r == Seq("B1" -> (0, 6), "B2" -> (6, 4), "B3" -> (-1, 0)))

@@ -77,6 +77,32 @@ class TextQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("nearDupPairsSharedHandle: one cached pair frame reproduces all four consumers") {
+    // the 100 TB audit path: candidate generation runs ONCE, the four
+    // pair-graph consumers read the shared cached frame and must be
+    // row-identical to their independently-gated registry twins
+    val (pairs, release) = TextQueries.nearDupPairsSharedHandle(spark, dir)
+    try {
+      assert(pairs.storageLevel.useMemory, "shared pair frame must be cached")
+      val labels = TextQueries.clusterLabels(pairs)
+      val docs = graft.Tables.load(spark, dir, "documents")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+      assert(rows(TextQueries.dupMatrixFrom(pairs, docs)) ==
+        rows(graft.SparkEntry.queries("source_dup_matrix")(spark, dir)),
+        "dup matrix drifted from registry")
+      assert(rows(TextQueries.survivorshipFrom(labels, docs)) ==
+        rows(graft.SparkEntry.queries("dedup_survivorship")(spark, dir)),
+        "survivorship drifted from registry")
+      assert(rows(TextQueries.clusterProfileFrom(labels)) ==
+        rows(graft.SparkEntry.queries("dup_cluster_profile")(spark, dir)),
+        "cluster profile drifted from registry")
+      assert(rows(labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")) ==
+        rows(graft.SparkEntry.queries("dedup_minhash_clusters")(spark, dir)),
+        "cluster labels drifted from registry")
+    } finally release()
+  }
+
   test("tokenizer_fertility: totals conserve token_count_regex; ratios well-formed") {
     val fert = graft.SparkEntry.queries("tokenizer_fertility")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),

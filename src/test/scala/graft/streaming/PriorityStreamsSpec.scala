@@ -730,14 +730,10 @@ class PriorityStreamsSpec extends SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     val events = graft.Tables.load(spark, dir, "events")
       .select(col("ts"), col("event_type"))
-    // reference = the batch corpus's own global mix, on the SAME 6dp grid
-    // the batch query uses for its global term
-    val ref = events.groupBy("event_type").agg(count(lit(1)).as("c"))
-      .crossJoin(events.agg(count(lit(1)).as("n")))
-      .select(col("event_type"),
-        round(log(col("c").cast("double") / col("n")), 6)
-          .cast("decimal(12,6)").as("l6"))
-      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    // reference = the batch corpus's own global mix via the SHARED helper,
+    // which uses the same LnGrid construction as the batch query's global
+    // term — the r8 supply-chain pin
+    val ref = PriorityStreams.typeDriftRefMix(events)
     val expected = graft.SparkEntry.queries("type_drift")(spark, dir)
       .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
     val rows = events.collect()
