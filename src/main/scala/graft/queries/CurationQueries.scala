@@ -160,7 +160,7 @@ object CurationQueries {
             count(lit(1)).as("n_shingles"),
             sum(when(col("hit").isNotNull, 1).otherwise(0)).as("n_overlap"))
           .withColumn("score",
-            round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+            Q.grid6(col("n_overlap").cast("double") / col("n_shingles")))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -170,8 +170,8 @@ object CurationQueries {
            |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
            |SELECT doc_id, COUNT(*) AS n_shingles,
            |       CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-           |       round(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-           |             / COUNT(*), 6) AS score
+           |       floor(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / COUNT(*) * 1000000.0) / 1000000.0 AS score
            |FROM sh LEFT JOIN bench b USING (s)
            |WHERE doc_id % 97 != 0
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -298,7 +298,7 @@ object CurationQueries {
             count(lit(1)).as("n_total"),
             sum(when(col("u") < col("cut"), 1).otherwise(0)).as("n_kept"))
           .select(col("source"), col("n_total"), col("n_kept"),
-            round(col("keep_rate"), 6).as("keep_rate"))
+            Q.grid6(col("keep_rate")).as("keep_rate"))
           .orderBy("source")
       },
       oracle = Some(
@@ -317,7 +317,7 @@ object CurationQueries {
           |SELECT d.source, COUNT(*) AS n_total,
           |       CAST(SUM(CASE WHEN d.u < r.cut
           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          |       round(r.keep_rate, 6) AS keep_rate
+          |       floor(r.keep_rate * 1000000.0) / 1000000.0 AS keep_rate
           |FROM u d JOIN r ON d.source = r.source
           |GROUP BY d.source, r.keep_rate ORDER BY d.source""".stripMargin)),
 
@@ -327,9 +327,9 @@ object CurationQueries {
     // one (doc, term) hash agg; df FALLS OUT of tf (count of its rows per
     // term — no second pass over the corpus); the vocab-sized idf table
     // broadcasts back onto tf; the final top-k is a per-doc window over ≤
-    // |doc vocab| rows. Float parity: ln is probed bit-identical (the
-    // unigram_logprob discipline); per-term scores round to 6 dp and
-    // multiply tf AS DECIMAL — exact, order-independent ranking keys.
+    // |doc vocab| rows. ENGINE-VERSION-PROOF (r8): idf comes from
+    // [[LnGrid]]'s fixed-point integer chain; tf·idf6 ranking keys are
+    // exact int64, the emitted score is one bare division by 10^6.
     "tfidf_topterms" -> Q(
       fn = (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -337,39 +337,39 @@ object CurationQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val nd = docs.agg(count(lit(1)).as("n_docs"))
-        val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(nd))
-          .select(col("term"),
-            round(log(col("n_docs").cast("double") / col("df")), 6)
-              .cast("decimal(12,6)").as("idf6"))
+        val idf = LnGrid.withLn6(
+            tf.groupBy("term").agg(count(lit(1)).as("df")).crossJoin(broadcast(nd)),
+            col("n_docs"), col("df"), "idf6")
+          .select(col("term"), col("idf6"))
         val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("term"))
+          .orderBy(col("score6").desc, col("term"))
         // no broadcast HINT on idf: it is vocabulary-sized, not constant-
         // sized — size-based join selection broadcasts it at any realistic
         // vocab and falls back to a shuffle join on term if the vocab ever
         // outgrows the threshold (a forced hint would OOM the driver there)
         tf.join(idf, Seq("term"))
-          .withColumn("score", col("tf").cast("decimal(12,0)") * col("idf6"))
+          .withColumn("score6", col("tf") * col("idf6"))
           .withColumn("rank", row_number().over(w).cast("int"))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("term"),
-            col("score").cast("double").as("score"), col("rank"))
+            (col("score6").cast("double") / lit(1000000.0d)).as("score"), col("rank"))
           .orderBy("doc_id", "rank")
       },
       oracle = Some(
-        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
-          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
-          |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-          |idf AS (SELECT term, CAST(round(ln(CAST(n_docs AS DOUBLE) / COUNT(*)), 6) AS DECIMAL(12,6)) AS idf6
-          |        FROM tf, nd GROUP BY term, n_docs),
-          |scored AS (
-          |  SELECT doc_id, tf.term, CAST(tf AS DECIMAL(12,0)) * idf6 AS score
-          |  FROM tf JOIN idf ON tf.term = idf.term),
-          |ranked AS (
-          |  SELECT doc_id, term, score,
-          |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
-          |  FROM scored)
-          |SELECT doc_id, term, CAST(score AS DOUBLE) AS score, CAST(rank AS INTEGER) AS rank
+        s"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+           |dfj AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, n_docs
+           |        FROM tf, nd GROUP BY term, n_docs),
+           |${LnGrid.sqlCtes("dfj", "n_docs", "df", "idf6", "tfi_")},
+           |scored AS (
+           |  SELECT doc_id, tf.term, tf * idf6 AS score6
+           |  FROM tf JOIN tfi_out idf ON tf.term = idf.term),
+           |ranked AS (
+           |  SELECT doc_id, term, CAST(score6 AS DOUBLE) / 1000000.0 AS score,
+           |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score6 DESC, term) AS rank
+           |  FROM scored)
+          |SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank
           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     // ---- token-window chunking ------------------------------------------
@@ -425,11 +425,11 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("n_docs_with") >= 2, 1).otherwise(0)).as("n_shared"))
           .withColumn("rate",
-            round(col("n_shared").cast("double") / col("n_chunks"), 6))
+            Q.grid6(col("n_shared").cast("double") / col("n_chunks")))
         perDoc.groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("rate") > 0.5, 1).otherwise(0)).as("n_flagged"),
-            round(sum(col("rate").cast("decimal(10,6)")).cast("double") / count(lit(1)), 6)
+            Q.grid6(sum(col("rate").cast("decimal(10,6)")).cast("double") / count(lit(1)))
               .as("avg_overlap"))
           .orderBy("source")
       },
@@ -447,11 +447,12 @@ object CurationQueries {
           |  FROM ch JOIN freq USING (chunk_hash)
           |  GROUP BY doc_id, source),
           |r AS (SELECT source,
-          |        round(CAST(n_shared AS DOUBLE) / n_chunks, 6) AS rate
+          |        floor(CAST(n_shared AS DOUBLE) / n_chunks * 1000000.0) / 1000000.0 AS rate
           |      FROM perdoc)
           |SELECT source, COUNT(*) AS n_docs,
           |       CAST(SUM(CASE WHEN rate > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-          |       round(CAST(SUM(CAST(rate AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS avg_overlap
+          |       floor(CAST(SUM(CAST(rate AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*)
+          |             * 1000000.0) / 1000000.0 AS avg_overlap
           |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- corpus vocabulary top-k ----------------------------------------
@@ -488,8 +489,8 @@ object CurationQueries {
     // DECIMAL (order-independent, exact) before the final double division.
     "repetition_filter" -> Q(
       fn = (s, dir) => {
-        val ratio = round(
-          lit(1.0) - col("d2").cast("double") / col("n2"), 6)
+        val ratio = Q.grid6(
+          lit(1.0) - col("d2").cast("double") / col("n2"))
         Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 2)
@@ -501,7 +502,7 @@ object CurationQueries {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("ratio") > 0.10, 1).otherwise(0)).as("n_flagged"),
-            round(sum(col("ratio").cast("decimal(10,6)")).cast("double") / count(lit(1)), 6)
+            Q.grid6(sum(col("ratio").cast("decimal(10,6)")).cast("double") / count(lit(1)))
               .as("avg_repetition"))
           .orderBy("source")
       },
@@ -511,10 +512,12 @@ object CurationQueries {
           |        len(list_distinct(list_transform(range(len(toks) - 1),
           |          i -> toks[i + 1] || ' ' || toks[i + 2]))) AS d2
           |      FROM t WHERE len(toks) >= 2),
-          |r AS (SELECT source, round(1.0 - CAST(d2 AS DOUBLE) / n2, 6) AS ratio FROM g)
+          |r AS (SELECT source,
+          |        floor((1.0 - CAST(d2 AS DOUBLE) / n2) * 1000000.0) / 1000000.0 AS ratio FROM g)
           |SELECT source, COUNT(*) AS n_docs,
           |       CAST(SUM(CASE WHEN ratio > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-          |       round(CAST(SUM(CAST(ratio AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS avg_repetition
+          |       floor(CAST(SUM(CAST(ratio AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*)
+          |             * 1000000.0) / 1000000.0 AS avg_repetition
           |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- rare-token rate vs the corpus top-k vocabulary ------------------
@@ -537,7 +540,7 @@ object CurationQueries {
             count(lit(1)).as("n_tokens"),
             sum(when(col("is_top").isNull, 1).otherwise(0)).as("n_rare"))
           .withColumn("rare_rate",
-            round(col("n_rare").cast("double") / col("n_tokens"), 6))
+            Q.grid6(col("n_rare").cast("double") / col("n_tokens")))
           .orderBy("source")
       },
       oracle = Some(
@@ -548,7 +551,7 @@ object CurationQueries {
           |        CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM top) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
           |      FROM t GROUP BY source)
           |SELECT source, n_tokens, n_rare,
-          |       round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_rate
+          |       floor(CAST(n_rare AS DOUBLE) / n_tokens * 1000000.0) / 1000000.0 AS rare_rate
           |FROM a ORDER BY source""".stripMargin)),
 
     // ---- unigram LM quality score (CCNet-style perplexity proxy) ---------
@@ -569,70 +572,73 @@ object CurationQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
         val total = vocab.agg(sum(col("n")).as("tt"))
-        val v = vocab.crossJoin(broadcast(total))
-          .select(col("tok"),
-            round(log(col("n") / col("tt")), 6).cast("decimal(12,6)").as("logp6"))
+        // per-token ln on LnGrid's integer 1e-6 grid (r8 — the rounded-libm
+        // grid was engine-build-dependent); per-doc sums are exact ints,
+        // ONE bare final division by the exact n·10^6
+        val v = LnGrid.withLn6(vocab.crossJoin(broadcast(total)),
+            col("n"), col("tt"), "logp6")
+          .select(col("tok"), col("logp6"))
         toks.join(v, Seq("tok")) // unhinted: vocab-sized (see tfidf)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum(col("logp6")).as("sl"))
           .select(col("doc_id"), col("n_tokens"),
-            (col("sl").cast("double") / col("n_tokens")).as("logprob"))
+            (col("sl").cast("double")
+              / (col("n_tokens") * lit(1000000L)).cast("double")).as("logprob"))
           .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
-          |tot AS (SELECT SUM(n) AS tt FROM c),
-          |v AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / tt), 6) AS DECIMAL(12,6)) AS logp6
-          |      FROM c, tot),
-          |a AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp6) AS sl
-          |      FROM t JOIN v USING (tok) GROUP BY doc_id)
-          |SELECT doc_id, n_tokens, CAST(sl AS DOUBLE) / n_tokens AS logprob
-          |FROM a ORDER BY doc_id""".stripMargin)),
+        s"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+           |cj AS (SELECT tok, n, tt FROM c, tot),
+           |${LnGrid.sqlCtes("cj", "n", "tt", "logp6", "lu_")},
+           |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |             CAST(SUM(logp6) AS BIGINT) AS sl
+           |      FROM t JOIN lu_out USING (tok) GROUP BY doc_id)
+           |SELECT doc_id, n_tokens,
+           |       CAST(sl AS DOUBLE) / CAST(n_tokens * 1000000 AS DOUBLE) AS logprob
+           |FROM a ORDER BY doc_id""".stripMargin)),
 
-    // ---- per-doc token diversity (added r6; reformulated r8) -------------
-    // The information-density quality signal over the doc's own token
-    // distribution: near-zero for degenerate repetition ("spam spam
-    // spam"), high for diverse text; complements repetition_filter
-    // (bigram structure) and unigram_logprob (corpus-relative likelihood)
-    // with a corpus-FREE per-doc measure. ENGINE-VERSION-PROOF (r8
-    // doctrine, Queries.scala): Shannon's H = −Σ p·ln p requires libm ln,
-    // whose 6 dp-rounded grid matched the local DuckDB bitwise yet
-    // hash-failed the driver's build in r6 AND r7 — ln cannot cross a
-    // version-unknown engine boundary. The hashed measure is therefore
-    // the collision (Gini–Simpson) diversity from the same entropy
-    // family: D = 1 − Σp² = (n² − Σc²)/n² — a strictly monotone
-    // transform of Rényi order-2 entropy H₂ = −ln(1−D), same degenerate/
-    // diverse ordering, ZERO float surface: n and Σc² are exact int64
-    // (n ≤ doc length, so n² < 2^53), the output is ONE bare IEEE
-    // division of exact ints. n_distinct adds the vocab-width signal.
-    // Scale shape: one (doc, tok) hash agg then a per-doc roll-up — all
+    // ---- per-doc token entropy (added r6; LnGrid r8) ---------------------
+    // Shannon entropy of the doc's own token distribution,
+    // H = −Σ (c/n)·ln(c/n) — the information-density quality signal:
+    // near-zero for degenerate repetition ("spam spam spam"), high for
+    // diverse text; complements repetition_filter (bigram structure) and
+    // unigram_logprob (corpus-relative likelihood) with a corpus-FREE
+    // per-doc measure. Algebra: H = −(Σ c·ln(c/n))/n, so the only ln is
+    // over the exact-int ratio c/n. ENGINE-VERSION-PROOF (r8 doctrine,
+    // Queries.scala): that ln is [[LnGrid]]'s fixed-point integer chain —
+    // the r6/r7 rounded-libm grid matched the local DuckDB bitwise yet
+    // hash-failed the driver's build; the LnGrid value is pure int64
+    // arithmetic on both engines. Σ c·ln6 is an exact int sum; the output
+    // is ONE bare IEEE division by the exact n·10^6. Scale shape: one
+    // (doc, tok) hash agg, a per-doc roll-up, and a doc-keyed join — all
     // linear, no corpus-wide state at all.
     "token_entropy" -> Q(
       fn = (s, dir) => {
         val tf = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        tf.groupBy("doc_id")
-          .agg(sum(col("c")).as("n_tokens"),
-            count(lit(1)).as("n_distinct"),
-            sum(col("c") * col("c")).as("sc2"))
-          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-            ((col("n_tokens") * col("n_tokens") - col("sc2")).cast("double")
-              / (col("n_tokens") * col("n_tokens")).cast("double")).as("diversity"))
+        val totals = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        LnGrid.withLn6(tf.join(totals, Seq("doc_id")), col("c"), col("n"), "l6")
+          .select(col("doc_id"), col("n"), (col("l6") * col("c")).as("term"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_tokens"), sum(col("term")).as("st"))
+          .select(col("doc_id"), col("n_tokens"),
+            (-col("st").cast("double")
+              / (col("n_tokens") * lit(1000000L)).cast("double")).as("entropy"))
           .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok),
-          |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-          |             CAST(COUNT(*) AS BIGINT) AS n_distinct,
-          |             CAST(SUM(c * c) AS BIGINT) AS sc2
-          |      FROM tf GROUP BY doc_id)
-          |SELECT doc_id, n_tokens, n_distinct,
-          |       CAST(n_tokens * n_tokens - sc2 AS DOUBLE)
-          |         / CAST(n_tokens * n_tokens AS DOUBLE) AS diversity
-          |FROM a ORDER BY doc_id""".stripMargin)),
+        s"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok),
+           |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+           |j AS (SELECT tf.doc_id, tf.c, n.n FROM tf JOIN n ON tf.doc_id = n.doc_id),
+           |${LnGrid.sqlCtes("j", "c", "n", "l6", "le_")},
+           |terms AS (SELECT doc_id, n, l6 * c AS term FROM le_out)
+           |SELECT doc_id, MAX(n) AS n_tokens,
+           |       -CAST(SUM(term) AS DOUBLE) / CAST(MAX(n) * 1000000 AS DOUBLE) AS entropy
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- top collocations by PMI (added r6) ------------------------------
     // Pointwise mutual information of adjacent token pairs,
@@ -640,11 +646,15 @@ object CurationQueries {
     // bigram occurrences and p(a) = c/T over tokens — the classic
     // collocation/phrase-mining primitive (the "New York" detector that
     // feeds phrase-aware tokenizers). Support floor nb ≥ 20 kills the
-    // low-count PMI explosion. Float parity: the ratio is a fixed
-    // left-to-right chain of correctly-rounded double ops + the probed ln;
-    // ranking keys are 6 dp-rounded with a pair tie-break. Scale shape:
-    // bigram + unigram aggs off one corpus pass each, two vocab-sized
-    // joins (unhinted), TakeOrderedAndProject for the top-25.
+    // low-count PMI explosion. ENGINE-VERSION-PROOF (r8 doctrine): PMI
+    // decomposes into count-sized ln ratios —
+    // PMI = ln(nb/bt) − ln(ca/tt) − ln(cb/tt) — each a [[LnGrid]]
+    // fixed-point integer value; grid values subtract EXACTLY as int64,
+    // so the ranking key is deterministic on any engine, and the emitted
+    // pmi is one bare division by 10^6. (The decomposition also keeps
+    // every ln argument count-sized — no nb·tt² product to overflow.)
+    // Scale shape: bigram + unigram aggs off one corpus pass each, two
+    // vocab-sized joins (unhinted), TakeOrderedAndProject for the top-25.
     "pmi_top_pairs" -> Q(
       fn = (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
@@ -663,41 +673,47 @@ object CurationQueries {
           .groupBy("a", "b").agg(count(lit(1)).as("nb"))
           .filter(col("nb") >= 20)
         val bTot = bi.agg(sum(col("nb")).as("bt"))
-        val pmi = bi
+        val j0 = bi
           .join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
           .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
           .crossJoin(broadcast(bTot))
           .crossJoin(broadcast(tTot))
-          .withColumn("pmi", round(log(
-            (col("nb").cast("double") / col("bt")) /
-              ((col("ca").cast("double") / col("tt")) * (col("cb").cast("double") / col("tt")))), 6))
+        val j1 = LnGrid.withLn6(j0, col("nb"), col("bt"), "lb6", "__pb_")
+        val j2 = LnGrid.withLn6(j1, col("ca"), col("tt"), "la6", "__pa_")
+        val j3 = LnGrid.withLn6(j2, col("cb"), col("tt"), "lc6", "__pc_")
+        val pmi = j3.withColumn("pmi6", col("lb6") - col("la6") - col("lc6"))
+          .withColumn("pmi", col("pmi6").cast("double") / lit(1000000.0d))
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("pmi").desc, col("a"), col("b"))
-        pmi.orderBy(col("pmi").desc, col("a"), col("b")).limit(25)
+          .orderBy(col("pmi6").desc, col("a"), col("b"))
+        pmi.orderBy(col("pmi6").desc, col("a"), col("b")).limit(25)
           .withColumn("rank", row_number().over(w).cast("int"))
           .select(col("rank"), col("a"), col("b"), col("nb"), col("pmi"))
           .orderBy("rank")
       },
       oracle = Some(
-        """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-          |uni AS (SELECT UNNEST(toks) AS tok FROM t),
-          |u AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
-          |tt AS (SELECT SUM(c) AS tt FROM u),
-          |bix AS (SELECT UNNEST(list_transform(range(len(toks) - 1),
-          |          i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
-          |        FROM t WHERE len(toks) >= 2),
-          |bi AS (SELECT a, b, COUNT(*) AS nb FROM bix GROUP BY a, b HAVING COUNT(*) >= 20),
-          |bt AS (SELECT SUM(nb) AS bt FROM bi),
-          |pmi AS (
-          |  SELECT bi.a, bi.b, bi.nb,
-          |         round(ln((CAST(nb AS DOUBLE) / bt.bt) /
-          |           ((CAST(ua.c AS DOUBLE) / tt.tt) * (CAST(ub.c AS DOUBLE) / tt.tt))), 6) AS pmi
-          |  FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
-          |       CROSS JOIN bt CROSS JOIN tt),
-          |rk AS (SELECT a, b, nb, pmi,
-          |              ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank FROM pmi)
-          |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
-          |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+        s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           |uni AS (SELECT UNNEST(toks) AS tok FROM t),
+           |u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+           |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM u),
+           |bix AS (SELECT UNNEST(list_transform(range(len(toks) - 1),
+           |          i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+           |        FROM t WHERE len(toks) >= 2),
+           |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nb
+           |       FROM bix GROUP BY a, b HAVING COUNT(*) >= 20),
+           |bt AS (SELECT CAST(SUM(nb) AS BIGINT) AS bt FROM bi),
+           |j AS (SELECT bi.a, bi.b, bi.nb, ua.c AS ca, ub.c AS cb, bt.bt, tt.tt
+           |      FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
+           |           CROSS JOIN bt CROSS JOIN tt),
+           |${LnGrid.sqlCtes("j", "nb", "bt", "lb6", "pb_")},
+           |${LnGrid.sqlCtes("pb_out", "ca", "tt", "la6", "pa_")},
+           |${LnGrid.sqlCtes("pa_out", "cb", "tt", "lc6", "pc_")},
+           |pmi AS (SELECT a, b, nb, lb6 - la6 - lc6 AS pmi6,
+           |               CAST(lb6 - la6 - lc6 AS DOUBLE) / 1000000.0 AS pmi
+           |        FROM pc_out),
+           |rk AS (SELECT a, b, nb, pmi,
+           |              ROW_NUMBER() OVER (ORDER BY pmi6 DESC, a, b) AS rank FROM pmi)
+           |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
+           |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
 
     // ---- windowed skip-gram PMI (added r7) -------------------------------
     // pmi_top_pairs generalized from adjacent bigrams to a ±2 co-occurrence
@@ -707,8 +723,9 @@ object CurationQueries {
     // distances 1 and 2; PMI over pair occurrences with p(a)·p(b) from the
     // unigram distribution. Support floor nb ≥ 40 (2× the adjacent floor —
     // the window doubles pair mass) kills the low-count PMI explosion.
-    // Float parity: identical chain to pmi_top_pairs (one probed ln of a
-    // division ratio, 6 dp ranking keys, pair tie-break). Scale shape: the
+    // ENGINE-VERSION-PROOF (r8): identical [[LnGrid]] decomposition to
+    // pmi_top_pairs — three count-sized integer ln6 values, exact int
+    // ranking key, one bare division. Scale shape: the
     // d=1 and d=2 pair streams are two map-side explodes of the SAME scan
     // unioned BEFORE the one vocab²-bounded agg; two vocab-sized joins;
     // TakeOrderedAndProject for the top-25. Widening the window only
@@ -732,16 +749,18 @@ object CurationQueries {
           .groupBy("a", "b").agg(count(lit(1)).as("nb"))
           .filter(col("nb") >= 40)
         val bTot = bi.agg(sum(col("nb")).as("bt"))
-        val pmi = bi
+        val j0 = bi
           .join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
           .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
           .crossJoin(broadcast(bTot))
           .crossJoin(broadcast(tTot))
-          .withColumn("pmi", round(log(
-            (col("nb").cast("double") / col("bt")) /
-              ((col("ca").cast("double") / col("tt")) * (col("cb").cast("double") / col("tt")))), 6))
-        val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
-        pmi.orderBy(col("pmi").desc, col("a"), col("b")).limit(25)
+        val j1 = LnGrid.withLn6(j0, col("nb"), col("bt"), "lb6", "__sb_")
+        val j2 = LnGrid.withLn6(j1, col("ca"), col("tt"), "la6", "__sa_")
+        val j3 = LnGrid.withLn6(j2, col("cb"), col("tt"), "lc6", "__sc_")
+        val pmi = j3.withColumn("pmi6", col("lb6") - col("la6") - col("lc6"))
+          .withColumn("pmi", col("pmi6").cast("double") / lit(1000000.0d))
+        val w = Window.orderBy(col("pmi6").desc, col("a"), col("b"))
+        pmi.orderBy(col("pmi6").desc, col("a"), col("b")).limit(25)
           .withColumn("rank", row_number().over(w).cast("int"))
           .select(col("rank"), col("a"), col("b"), col("nb"), col("pmi"))
           .orderBy("rank")
@@ -757,46 +776,44 @@ object CurationQueries {
           |b2 AS (SELECT UNNEST(list_transform(range(len(toks) - 2),
           |          i -> {'a': toks[i + 1], 'b': toks[i + 3]}), recursive := true)
           |       FROM t WHERE len(toks) >= 3),
-          |bi AS (SELECT a, b, COUNT(*) AS nb
+          |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nb
           |       FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
           |       GROUP BY a, b HAVING COUNT(*) >= 40),
-          |bt AS (SELECT SUM(nb) AS bt FROM bi),
-          |pmi AS (
-          |  SELECT bi.a, bi.b, bi.nb,
-          |         round(ln((CAST(nb AS DOUBLE) / bt.bt) /
-          |           ((CAST(ua.c AS DOUBLE) / tt.tt) * (CAST(ub.c AS DOUBLE) / tt.tt))), 6) AS pmi
-          |  FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
-          |       CROSS JOIN bt CROSS JOIN tt),
+          |bt AS (SELECT CAST(SUM(nb) AS BIGINT) AS bt FROM bi),
+          |j AS (SELECT bi.a, bi.b, bi.nb, ua.c AS ca, ub.c AS cb, bt.bt, tt.tt
+          |      FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok
+          |           CROSS JOIN bt CROSS JOIN tt),
+""".stripMargin + LnGrid.sqlCtes("j", "nb", "bt", "lb6", "sb_") + ",\n" +
+          LnGrid.sqlCtes("sb_out", "ca", "tt", "la6", "sa_") + ",\n" +
+          LnGrid.sqlCtes("sa_out", "cb", "tt", "lc6", "sc_") + """,
+          |pmi AS (SELECT a, b, nb, lb6 - la6 - lc6 AS pmi6,
+          |               CAST(lb6 - la6 - lc6 AS DOUBLE) / 1000000.0 AS pmi
+          |        FROM sc_out),
           |rk AS (SELECT a, b, nb, pmi,
-          |              ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank FROM pmi)
+          |              ROW_NUMBER() OVER (ORDER BY pmi6 DESC, a, b) AS rank FROM pmi)
           |SELECT CAST(rank AS INTEGER) AS rank, a, b, nb, pmi
           |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin)),
 
-    // ---- per-doc bigram-model score (added r6; reformulated r8) ----------
+    // ---- per-doc bigram log-probability (added r6; LnGrid r8) ------------
     // The order-2 refinement of unigram_logprob — the CCNet/KenLM-proxy
-    // quality score one step up: per doc, the mean transition probability
-    // p(w_i | w_{i-1}) under the corpus MLE bigram model
-    // p(b|a) = C(a,b) / C(a,·). The context total C(a,·) FALLS OUT of the
-    // bigram agg (sum over its rows per first token — no second corpus
-    // pass, the tfidf df trick). ENGINE-VERSION-PROOF (r8 doctrine,
-    // Queries.scala): the r6/r7 ln-grid score matched the local DuckDB
-    // bitwise yet hash-failed the driver's build — libm ln cannot cross a
-    // version-unknown engine boundary, so the model probability is
-    // quantized onto an exact INTEGER grid instead: p6 = (nb·10^6) div na
-    // (pure int64 floor division; exact for nb ≤ 9.2e12 — beyond that
-    // widen to DECIMAL(38,0) on both engines). Per-doc Σ p6·c is an exact
-    // int sum and the mean is ONE bare IEEE division of exact ints. The
-    // arithmetic mean of transition probabilities ranks fluent/boilerplate
-    // docs the same direction as the geometric (ln) mean while being
-    // hashable by construction. Scale shape: one corpus bigram pass; the
-    // model is bigram-vocabulary-sized and joins unhinted (AQE broadcasts
-    // when it fits); per-doc agg carries two numbers.
+    // quality score one step up: per doc, the mean ln p(w_i | w_{i-1})
+    // under the corpus MLE bigram model p(b|a) = C(a,b) / C(a,·). The
+    // context total C(a,·) FALLS OUT of the bigram agg (sum over its rows
+    // per first token — no second corpus pass, the tfidf df trick).
+    // ENGINE-VERSION-PROOF (r8 doctrine, Queries.scala): the per-edge ln
+    // is [[LnGrid]]'s fixed-point integer chain (the r6/r7 rounded-libm
+    // grid hash-failed the driver's build while matching the local one
+    // bitwise); per-doc Σ ln6·c is an exact int sum and the mean is ONE
+    // bare IEEE division by the exact n·10^6. Scale shape: one corpus
+    // bigram pass; the model is bigram-vocabulary-sized and joins
+    // unhinted (AQE broadcasts when it fits); per-doc agg carries two
+    // numbers.
     "bigram_logprob" -> Q(
       fn = (s, dir) => {
         // ONE corpus pass: the per-(doc, a, b) multiplicity agg feeds
         // everything — nb = Σ c per (a, b), na = Σ nb per a, and the
         // per-doc score joins the (doc-distinct-bigram)-sized tf3 frame,
-        // not the raw corpus bigram stream, weighting each p6 by its
+        // not the raw corpus bigram stream, weighting each ln6 by its
         // exact int multiplicity (int × int is exact).
         val tf3 = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
@@ -809,33 +826,34 @@ object CurationQueries {
           .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c"))
         val counts = tf3.groupBy("a", "b").agg(sum(col("c")).as("nb"))
         val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
-        val model = counts.join(ctx, Seq("a"))
-          .select(col("a"), col("b"), expr("(nb * 1000000) div na").as("p6"))
+        val model = LnGrid.withLn6(counts.join(ctx, Seq("a")),
+            col("nb"), col("na"), "logp6")
+          .select(col("a"), col("b"), col("logp6"))
         tf3.join(model, Seq("a", "b"))
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("n_bigrams"), sum(col("p6") * col("c")).as("sp"))
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
           .select(col("doc_id"), col("n_bigrams"),
-            (col("sp").cast("double")
-              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_p"))
+            (col("sl").cast("double")
+              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("logprob"))
           .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-          |bi AS (SELECT doc_id, UNNEST(list_transform(range(len(toks) - 1),
-          |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
-          |       FROM t WHERE len(toks) >= 2),
-          |tf3 AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c
-          |        FROM bi GROUP BY doc_id, a, b),
-          |cnt AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS nb FROM tf3 GROUP BY a, b),
-          |cx AS (SELECT a, CAST(SUM(nb) AS BIGINT) AS na FROM cnt GROUP BY a),
-          |m AS (SELECT cnt.a, cnt.b, (nb * 1000000) // na AS p6
-          |      FROM cnt JOIN cx ON cnt.a = cx.a),
-          |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-          |               CAST(SUM(p6 * c) AS BIGINT) AS sp
-          |        FROM tf3 JOIN m ON tf3.a = m.a AND tf3.b = m.b GROUP BY doc_id)
-          |SELECT doc_id, n_bigrams,
-          |       CAST(sp AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS avg_p
-          |FROM agg ORDER BY doc_id""".stripMargin)),
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |bi AS (SELECT doc_id, UNNEST(list_transform(range(len(toks) - 1),
+           |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+           |       FROM t WHERE len(toks) >= 2),
+           |tf3 AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM bi GROUP BY doc_id, a, b),
+           |cnt AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS nb FROM tf3 GROUP BY a, b),
+           |cx AS (SELECT a, CAST(SUM(nb) AS BIGINT) AS na FROM cnt GROUP BY a),
+           |mj AS (SELECT cnt.a, cnt.b, nb, na FROM cnt JOIN cx ON cnt.a = cx.a),
+           |${LnGrid.sqlCtes("mj", "nb", "na", "logp6", "lb_")},
+           |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           |               CAST(SUM(logp6 * c) AS BIGINT) AS sl
+           |        FROM tf3 JOIN lb_out m ON tf3.a = m.a AND tf3.b = m.b GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams,
+           |       CAST(sl AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS logprob
+           |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // ---- held-out bigram perplexity proxy (added r7) ---------------------
     // The honest version of bigram_logprob's quality score: the model is
@@ -847,12 +865,11 @@ object CurationQueries {
     // smoothing over the train unigram vocabulary handles val-only
     // bigrams/contexts: p(b|a) = (nb + 1)/(na + V) — the dsir_weights
     // smoothing discipline. ENGINE-VERSION-PROOF (r8 doctrine,
-    // Queries.scala): the r7 ln-grid hash-failed the driver's DuckDB
-    // build while matching the local one bitwise, so the smoothed
-    // probability is quantized onto the exact INTEGER grid instead —
-    // p6 = ((nb+1)·10^6) div (na+V), pure int64 floor division — with
-    // exact multiplicity weighting and ONE bare final IEEE division
-    // (the bigram_logprob reformulation applied to the held-out score).
+    // Queries.scala): the per-edge ln is [[LnGrid]]'s fixed-point integer
+    // chain over the exact-int smoothed ratio (the r7 rounded-libm grid
+    // hash-failed the driver's build while matching the local one
+    // bitwise); exact multiplicity weighting, ONE bare final IEEE
+    // division by the exact n·10^6.
     //
     // Scale shape: one corpus pass split by the hash band; model joins are
     // vocab-sized and deliberately un-hinted; V is a 1-row broadcast (R1
@@ -879,16 +896,18 @@ object CurationQueries {
           .select(explode(split(col("text"), " ")).as("tok"))
           .agg(count_distinct(col("tok")).as("v"))
         val vd = tf3.filter(col("h2") >= "cc" && col("h2") < "e6")
-        vd.join(counts, Seq("a", "b"), "left")
-          .join(ctx, Seq("a"), "left")
-          .crossJoin(broadcast(vocab))
-          .withColumn("p6",
-            expr("((coalesce(nb, 0) + 1) * 1000000) div (coalesce(na, 0) + v)"))
+        val scored = LnGrid.withLn6(
+          vd.join(counts, Seq("a", "b"), "left")
+            .join(ctx, Seq("a"), "left")
+            .crossJoin(broadcast(vocab)),
+          coalesce(col("nb"), lit(0L)) + 1L,
+          coalesce(col("na"), lit(0L)) + col("v"), "logp6")
+        scored
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("n_bigrams"), sum(col("p6") * col("c")).as("sp"))
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
           .select(col("doc_id"), col("n_bigrams"),
-            (col("sp").cast("double")
-              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_p"))
+            (col("sl").cast("double")
+              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("logprob"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -904,19 +923,20 @@ object CurationQueries {
           |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
           |        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
           |        WHERE substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc')),
-          |scored AS (
+          |sj AS (
           |  SELECT tf3.doc_id, tf3.c,
-          |         ((CAST(COALESCE(cnt.nb, 0) AS BIGINT) + 1) * 1000000)
-          |           // (CAST(COALESCE(cx.na, 0) AS BIGINT) + CAST(v.v AS BIGINT)) AS p6
+          |         CAST(COALESCE(cnt.nb, 0) AS BIGINT) + 1 AS sm_a,
+          |         CAST(COALESCE(cx.na, 0) AS BIGINT) + CAST(v.v AS BIGINT) AS sm_b
           |  FROM tf3 LEFT JOIN cnt ON tf3.a = cnt.a AND tf3.b = cnt.b
           |           LEFT JOIN cx ON tf3.a = cx.a
           |           CROSS JOIN v
           |  WHERE tf3.h2 >= 'cc' AND tf3.h2 < 'e6'),
+""".stripMargin + LnGrid.sqlCtes("sj", "sm_a", "sm_b", "logp6", "lh_") + """,
           |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-          |               CAST(SUM(p6 * c) AS BIGINT) AS sp
-          |        FROM scored GROUP BY doc_id)
+          |               CAST(SUM(logp6 * c) AS BIGINT) AS sl
+          |        FROM lh_out GROUP BY doc_id)
           |SELECT doc_id, n_bigrams,
-          |       CAST(sp AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS avg_p
+          |       CAST(sl AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS logprob
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // ---- sequence packing (concat-and-chunk, added r5) -------------------
@@ -982,11 +1002,11 @@ object CurationQueries {
     "length_quantiles" -> Q(
       fn = (s, dir) => {
         // Spark [] is 0-based (DuckDB's is 1-based — its side adds 1)
-        def q(p: Double, name: String) = round(expr(
+        def q(p: Double, name: String) = Q.grid6(expr(
           s"""lens[int(floor($p * (size(lens) - 1)))]
              |+ ($p * (size(lens) - 1) - floor($p * (size(lens) - 1)))
              |  * (lens[int(ceil($p * (size(lens) - 1)))]
-             |     - lens[int(floor($p * (size(lens) - 1)))])""".stripMargin), 6)
+             |     - lens[int(floor($p * (size(lens) - 1)))])""".stripMargin))
           .as(name)
         Tables.load(s, dir, "documents")
           .groupBy("source")
@@ -997,10 +1017,11 @@ object CurationQueries {
       },
       oracle = Some {
         def q(p: Double, name: String) =
-          s"""round(lens[CAST(floor($p * (len(lens) - 1)) AS INTEGER) + 1]
+          s"""floor((lens[CAST(floor($p * (len(lens) - 1)) AS INTEGER) + 1]
              |+ ($p * (len(lens) - 1) - floor($p * (len(lens) - 1)))
              |  * (lens[CAST(ceil($p * (len(lens) - 1)) AS INTEGER) + 1]
-             |     - lens[CAST(floor($p * (len(lens) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+             |     - lens[CAST(floor($p * (len(lens) - 1)) AS INTEGER) + 1]))
+             |  * 1000000.0) / 1000000.0 AS $name"""
             .stripMargin
         s"""WITH a AS (SELECT source,
            |             list_sort(list(CAST(n_chars AS DOUBLE))) AS lens
@@ -1035,7 +1056,7 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("fd") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
           .withColumn("novelty",
-            round(col("n_novel").cast("double") / col("n_shingles"), 6))
+            Q.grid6(col("n_novel").cast("double") / col("n_shingles")))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -1046,8 +1067,8 @@ object CurationQueries {
            |SELECT sh.doc_id, COUNT(*) AS n_shingles,
            |       CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
            |         AS n_novel,
-           |       round(CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-           |             / COUNT(*), 6) AS novelty
+           |       floor(CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / COUNT(*) * 1000000.0) / 1000000.0 AS novelty
            |FROM sh JOIN first_seen f USING (s)
            |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
 
@@ -1080,7 +1101,7 @@ object CurationQueries {
           .select(col("source"), col("lang").as("top_lang"))
         core.join(topLang, Seq("source"))
           .withColumn("avg_tokens",
-            round(col("n_tokens").cast("double") / col("n_docs"), 6))
+            Q.grid6(col("n_tokens").cast("double") / col("n_docs")))
           .select("source", "n_docs", "n_dup_docs", "n_langs", "top_lang",
             "n_tokens", "avg_tokens")
           .orderBy("source")
@@ -1101,7 +1122,7 @@ object CurationQueries {
           |       WHERE rk = 1)
           |SELECT c.source, c.n_docs, c.n_dup_docs, c.n_langs, t.top_lang,
           |       c.n_tokens,
-          |       round(CAST(c.n_tokens AS DOUBLE) / c.n_docs, 6) AS avg_tokens
+          |       floor(CAST(c.n_tokens AS DOUBLE) / c.n_docs * 1000000.0) / 1000000.0 AS avg_tokens
           |FROM core c JOIN tl t USING (source) ORDER BY c.source""".stripMargin))
   )
 }

@@ -16,6 +16,32 @@ import graft.Tables
   */
 object FunnelQueries {
 
+  /** Per-user transition multiplicities `(user_id, cur, nxt, c)` in strict
+    * (ts, event_id) order — the shared head of event_seq_logprob and the
+    * streaming model supply. */
+  private[graft] def userTransitionCounts(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("user_id", "cur", "nxt").agg(count(lit(1)).as("c"))
+  }
+
+  /** The MLE transition model `(cur, nxt, lp6)` on [[LnGrid]]'s integer
+    * 10^-6 ln grid — SHARED by the batch event_seq_logprob scorer and the
+    * streaming [[graft.streaming.PriorityStreams.seqScoreStream]] model
+    * supply (the r8 supply-chain pin: one construction, both legs). */
+  private[graft] def transitionModelLn6(
+      ut: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = ut.groupBy("cur", "nxt").agg(sum(col("c")).as("cpc"))
+    val tot = p.groupBy("cur").agg(sum(col("cpc")).as("cp"))
+    LnGrid.withLn6(p.join(broadcast(tot), Seq("cur")), col("cpc"), col("cp"), "lp6")
+      .select(col("cur"), col("nxt"), col("lp6"))
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- market-basket lift on daily event baskets (added r7) ------------
@@ -542,11 +568,11 @@ object FunnelQueries {
         // gaps = [] and index -1 — get() turns both quantiles NULL there,
         // exactly what DuckDB's out-of-bounds list index yields. Non-empty
         // inputs index in range, where the two forms are identical.
-        def q(pp: Double, name: String) = round(expr(
+        def q(pp: Double, name: String) = Q.grid6(expr(
           s"""get(gaps, int(floor($pp * (size(gaps) - 1))))
              |+ ($pp * (size(gaps) - 1) - floor($pp * (size(gaps) - 1)))
              |  * (get(gaps, int(ceil($pp * (size(gaps) - 1))))
-             |     - get(gaps, int(floor($pp * (size(gaps) - 1)))))""".stripMargin), 6)
+             |     - get(gaps, int(floor($pp * (size(gaps) - 1)))))""".stripMargin))
           .as(name)
         def leg(gapsDf: org.apache.spark.sql.DataFrame, label: String) =
           gapsDf.agg(count(lit(1)).as("n_users"),
@@ -562,10 +588,11 @@ object FunnelQueries {
       },
       oracle = Some {
         def q(pp: Double, name: String) =
-          s"""round(gaps[CAST(floor($pp * (len(gaps) - 1)) AS INTEGER) + 1]
+          s"""floor((gaps[CAST(floor($pp * (len(gaps) - 1)) AS INTEGER) + 1]
              |+ ($pp * (len(gaps) - 1) - floor($pp * (len(gaps) - 1)))
              |  * (gaps[CAST(ceil($pp * (len(gaps) - 1)) AS INTEGER) + 1]
-             |     - gaps[CAST(floor($pp * (len(gaps) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+             |     - gaps[CAST(floor($pp * (len(gaps) - 1)) AS INTEGER) + 1]))
+             |  * 1000000.0) / 1000000.0 AS $name"""
             .stripMargin
         s"""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
            |c AS (SELECT user_id, MIN(ts) AS t1 FROM ev
@@ -772,53 +799,44 @@ object FunnelQueries {
     // where generalization-honesty matters). Users with < 2 events have no
     // transitions and drop out.
     //
-    // Float parity: the proven unigram_logprob grid — each transition
-    // probability is ONE exact-int division, its bare ln rounds to the
-    // 6 dp decimal grid, weights by the exact transition count, sums as
-    // exact decimal, and the final average is one bare division.
+    // ENGINE-VERSION-PROOF (r8): each transition ln comes from
+    // [[LnGrid]]'s fixed-point integer chain (via the shared
+    // [[transitionModelLn6]] builder — the streaming seqScoreStream twin
+    // consumes the SAME frame, so batch and stream cannot band
+    // differently); weights by the exact transition count, sums as exact
+    // int64, and the final average is one bare division by n·10^6.
     // Scale shape: ONE user_id shuffle for the lead() window; the model is
     // a ≤ |types|² broadcast; the per-user agg reuses the window's user_id
     // partitioning. Every per-transition row carries 2 small ints.
     "event_seq_logprob" -> Q(
       fn = (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val seq = Tables.load(s, dir, "events")
-          .select(col("user_id"), col("event_type").as("cur"),
-            lead(col("event_type"), 1).over(w).as("nxt"))
-          .filter(col("nxt").isNotNull)
-        val ut = seq.groupBy("user_id", "cur", "nxt").agg(count(lit(1)).as("c"))
-        val p = ut.groupBy("cur", "nxt").agg(sum(col("c")).as("cpc"))
-        val tot = p.groupBy("cur").agg(sum(col("cpc")).as("cp"))
-        val lp = p.join(broadcast(tot), Seq("cur"))
-          .select(col("cur"), col("nxt"),
-            round(log(col("cpc").cast("double") / col("cp")), 6)
-              .cast("decimal(12,6)").as("lp6"))
+        val ut = userTransitionCounts(Tables.load(s, dir, "events"))
+        val lp = transitionModelLn6(ut)
         ut.join(broadcast(lp), Seq("cur", "nxt"))
           .groupBy("user_id")
           .agg(sum(col("c")).as("n_trans"), sum(col("lp6") * col("c")).as("sl"))
           .select(col("user_id"), col("n_trans"),
-            (col("sl").cast("double") / col("n_trans")).as("logprob"))
+            (col("sl").cast("double")
+              / (col("n_trans") * lit(1000000L)).cast("double")).as("logprob"))
           .orderBy("user_id")
       },
       oracle = Some(
-        """WITH seq AS (
-          |  SELECT user_id, event_type AS cur,
-          |         LEAD(event_type) OVER (PARTITION BY user_id
-          |                                ORDER BY ts, event_id) AS nxt
-          |  FROM events),
-          |ut AS (SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
-          |       FROM seq WHERE nxt IS NOT NULL GROUP BY user_id, cur, nxt),
-          |p AS (SELECT cur, nxt, CAST(SUM(c) AS BIGINT) AS cpc FROM ut GROUP BY cur, nxt),
-          |t AS (SELECT cur, CAST(SUM(cpc) AS BIGINT) AS cp FROM p GROUP BY cur),
-          |lp AS (SELECT p.cur, p.nxt,
-          |              CAST(round(ln(CAST(cpc AS DOUBLE) / cp), 6) AS DECIMAL(12,6)) AS lp6
-          |       FROM p JOIN t USING (cur)),
-          |a AS (SELECT user_id, SUM(c) AS n_trans, SUM(lp6 * c) AS sl
-          |      FROM ut JOIN lp USING (cur, nxt) GROUP BY user_id)
-          |SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
-          |       CAST(sl AS DOUBLE) / n_trans AS logprob
-          |FROM a ORDER BY user_id""".stripMargin)),
+        s"""WITH seq AS (
+           |  SELECT user_id, event_type AS cur,
+           |         LEAD(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |ut AS (SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM seq WHERE nxt IS NOT NULL GROUP BY user_id, cur, nxt),
+           |p AS (SELECT cur, nxt, CAST(SUM(c) AS BIGINT) AS cpc FROM ut GROUP BY cur, nxt),
+           |t AS (SELECT cur, CAST(SUM(cpc) AS BIGINT) AS cp FROM p GROUP BY cur),
+           |pj AS (SELECT p.cur, p.nxt, cpc, cp FROM p JOIN t USING (cur)),
+           |${LnGrid.sqlCtes("pj", "cpc", "cp", "lp6", "es_")},
+           |a AS (SELECT user_id, SUM(c) AS n_trans, SUM(lp6 * c) AS sl
+           |      FROM ut JOIN es_out USING (cur, nxt) GROUP BY user_id)
+           |SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
+           |       CAST(sl AS DOUBLE) / CAST(n_trans * 1000000 AS DOUBLE) AS logprob
+           |FROM a ORDER BY user_id""".stripMargin)),
 
     // ---- per-user activity profile (added r7) ----------------------------
     // The feature-engineering roll-up feeding churn/engagement models: per
@@ -988,11 +1006,11 @@ object FunnelQueries {
       fn = (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-        def q(p: Double, name: String) = round(expr(
+        def q(p: Double, name: String) = Q.grid6(expr(
           s"""gaps[int(floor($p * (size(gaps) - 1)))]
              |+ ($p * (size(gaps) - 1) - floor($p * (size(gaps) - 1)))
              |  * (gaps[int(ceil($p * (size(gaps) - 1)))]
-             |     - gaps[int(floor($p * (size(gaps) - 1)))])""".stripMargin), 6)
+             |     - gaps[int(floor($p * (size(gaps) - 1)))])""".stripMargin))
           .as(name)
         Tables.load(s, dir, "events")
           .withColumn("gap",
@@ -1007,10 +1025,11 @@ object FunnelQueries {
       },
       oracle = Some {
         def q(p: Double, name: String) =
-          s"""round(gaps[CAST(floor($p * (len(gaps) - 1)) AS INTEGER) + 1]
+          s"""floor((gaps[CAST(floor($p * (len(gaps) - 1)) AS INTEGER) + 1]
              |+ ($p * (len(gaps) - 1) - floor($p * (len(gaps) - 1)))
              |  * (gaps[CAST(ceil($p * (len(gaps) - 1)) AS INTEGER) + 1]
-             |     - gaps[CAST(floor($p * (len(gaps) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+             |     - gaps[CAST(floor($p * (len(gaps) - 1)) AS INTEGER) + 1]))
+             |  * 1000000.0) / 1000000.0 AS $name"""
             .stripMargin
         s"""WITH t AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
            |g AS (SELECT event_type,
@@ -1139,11 +1158,11 @@ object FunnelQueries {
             (col("sm").cast("double") / (col("n") * 100L).cast("double")).as("mb"))
           .groupBy("event_type")
           .agg(sort_array(collect_list(col("mb"))).as("ms"))
-        def lerp(p: Double, name: String) = round(expr(
+        def lerp(p: Double, name: String) = Q.grid6(expr(
           s"""ms[int(floor($p * (size(ms) - 1)))]
              |+ ($p * (size(ms) - 1) - floor($p * (size(ms) - 1)))
              |  * (ms[int(ceil($p * (size(ms) - 1)))]
-             |     - ms[int(floor($p * (size(ms) - 1)))])""".stripMargin), 6)
+             |     - ms[int(floor($p * (size(ms) - 1)))])""".stripMargin))
           .as(name)
         val point = e.groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
@@ -1159,10 +1178,11 @@ object FunnelQueries {
         val cases = th.zipWithIndex
           .map { case (t, k) => s"WHEN h4 < '$t' THEN $k" }.mkString(" ")
         def lerp(p: Double, name: String) =
-          s"""round(ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]
+          s"""floor((ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]
              |+ ($p * (len(ms) - 1) - floor($p * (len(ms) - 1)))
              |  * (ms[CAST(ceil($p * (len(ms) - 1)) AS INTEGER) + 1]
-             |     - ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]), 6) AS $name"""
+             |     - ms[CAST(floor($p * (len(ms) - 1)) AS INTEGER) + 1]))
+             |  * 1000000.0) / 1000000.0 AS $name"""
             .stripMargin
         s"""WITH e AS (SELECT event_type, event_id,
            |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

@@ -14,12 +14,15 @@ import graft.Tables
   * keyword/quality-scoring toolbox next to the frequency one
   * (tfidf_topterms).
   *
-  * Float discipline: every per-edge/per-node value lives on the proven
-  * 6 dp decimal grid (the unigram_logprob pattern): doubles enter via
-  * `round(x, 6) :: DECIMAL`, sums run over exact decimals
-  * (order-independent), and the only double ops are correctly-rounded
-  * IEEE divisions/multiplications — so five chained iterations stay
-  * bit-identical across engines.
+  * Float discipline (r8): every per-edge/per-node value lives on the
+  * 6 dp decimal grid, entered via the engine-version-proof
+  * `floor(x·10^6)/10^6 :: DECIMAL` (floor of a bit-identical double is a
+  * pure function of its bits on any build, and the resulting double sits
+  * ON a grid point, so the decimal cast is unambiguous on both engines —
+  * unlike `round(double, 6)`, whose midpoint behavior varies across
+  * builds); sums run over exact decimals (order-independent), and the
+  * only double ops are correctly-rounded IEEE divisions/multiplications —
+  * so five chained iterations stay bit-identical across engines.
   */
 object GraphQueries {
 
@@ -79,7 +82,7 @@ object GraphQueries {
         // optimizer-dependent).
         val shared = Q.truncate(edges.join(outw, Seq("a"))
           .select(col("a"), col("b"),
-            round(col("w").cast("double") / col("outw"), 6)
+            Q.grid6(col("w").cast("double") / col("outw"))
               .cast("decimal(10,6)").as("share")))
         val nodes = Q.truncate(
           docs.select(explode(split(col("text"), " ")).as("tok")).distinct())
@@ -87,19 +90,19 @@ object GraphQueries {
         def iterate(pr: DataFrame): DataFrame = {
           val contrib = pr.join(shared, pr("tok") === shared("a"))
             .select(col("b").as("tok"),
-              round(col("pr").cast("double") * col("share").cast("double"), 6)
+              Q.grid6(col("pr").cast("double") * col("share").cast("double"))
                 .cast("decimal(12,6)").as("c"))
             .groupBy("tok").agg(sum(col("c")).as("acc"))
           nodes.crossJoin(broadcast(ncount)).join(contrib, Seq("tok"), "left")
             .select(col("tok"),
-              round(
+              Q.grid6(
                 lit(OneMinusD) / col("n") +
-                  lit(Damping) * coalesce(col("acc"), lit(0).cast("decimal(12,6)")).cast("double"),
-                6).cast("decimal(12,6)").as("pr"))
+                  lit(Damping) * coalesce(col("acc"), lit(0).cast("decimal(12,6)")).cast("double"))
+                .cast("decimal(12,6)").as("pr"))
         }
         var pr: DataFrame = nodes.crossJoin(broadcast(ncount))
           .select(col("tok"),
-            round(lit(1.0) / col("n"), 6).cast("decimal(12,6)").as("pr"))
+            Q.grid6(lit(1.0) / col("n")).cast("decimal(12,6)").as("pr"))
         for (_ <- 1 to Iterations) pr = iterate(pr)
         // Global rank window over the ≤TopK-row post-limit frame — the
         // WindowExec single-partition warning it triggers is benign.
@@ -119,21 +122,26 @@ object GraphQueries {
             |edges AS (SELECT a, b, COUNT(*) AS w FROM bi GROUP BY a, b),
             |outw AS (SELECT a, SUM(w) AS outw FROM edges GROUP BY a),
             |shared AS (SELECT e.a, e.b,
-            |             CAST(round(CAST(e.w AS DOUBLE) / o.outw, 6) AS DECIMAL(10,6)) AS share
+            |             CAST(floor(CAST(e.w AS DOUBLE) / o.outw * 1000000.0) / 1000000.0
+            |                  AS DECIMAL(10,6)) AS share
             |           FROM edges e JOIN outw o ON e.a = o.a),
             |nodes AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok FROM documents),
             |nc AS (SELECT COUNT(*) AS n FROM nodes),
-            |pr0 AS (SELECT tok, CAST(round(CAST(1 AS DOUBLE) / n, 6) AS DECIMAL(12,6)) AS pr
+            |pr0 AS (SELECT tok,
+            |          CAST(floor(CAST(1 AS DOUBLE) / n * 1000000.0) / 1000000.0
+            |               AS DECIMAL(12,6)) AS pr
             |        FROM nodes CROSS JOIN nc)""".stripMargin
         val iters = (1 to Iterations).map { i =>
           s"""pr$i AS (
              |  SELECT nodes.tok,
-             |         CAST(round(CAST($OneMinusD AS DOUBLE) / nc.n +
-             |           CAST($Damping AS DOUBLE) * CAST(COALESCE(s.acc, CAST(0 AS DECIMAL(12,6))) AS DOUBLE), 6)
+             |         CAST(floor((CAST($OneMinusD AS DOUBLE) / nc.n +
+             |           CAST($Damping AS DOUBLE) * CAST(COALESCE(s.acc, CAST(0 AS DECIMAL(12,6))) AS DOUBLE))
+             |           * 1000000.0) / 1000000.0
              |           AS DECIMAL(12,6)) AS pr
              |  FROM nodes CROSS JOIN nc
              |  LEFT JOIN (SELECT sh.b AS tok,
-             |               SUM(CAST(round(CAST(p.pr AS DOUBLE) * CAST(sh.share AS DOUBLE), 6)
+             |               SUM(CAST(floor(CAST(p.pr AS DOUBLE) * CAST(sh.share AS DOUBLE)
+             |                   * 1000000.0) / 1000000.0
              |                   AS DECIMAL(12,6))) AS acc
              |             FROM pr${i - 1} p JOIN shared sh ON p.tok = sh.a
              |             GROUP BY sh.b) s ON nodes.tok = s.tok)""".stripMargin

@@ -49,6 +49,29 @@ private[graft] object LnGrid {
 
   private val G = 1000000000L
 
+  /** Pure-Scala mirror of the ratio chain — the in-process REFERENCE
+    * implementation specs replay against (JVM Long division truncates,
+    * which equals floor for the all-positive operands here, exactly like
+    * the SQL chain). Must stay step-for-step identical to [[steps]]. */
+  def ln6Ref(a: Long, b: Long): Long = {
+    require(a >= 1 && b >= 1, s"ln6Ref needs positive operands, got ($a, $b)")
+    val s = if (a >= b) 1L else -1L
+    val hi = math.max(a, b)
+    val lo = math.min(a, b)
+    val q = hi / lo
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    val p = 1L << k
+    val m = (hi * G) / (lo * p)
+    val z = ((m - G) * G) / (m + G)
+    val z2 = (z * z) / G
+    val t3 = (z * z2) / G
+    val t5 = (t3 * z2) / G
+    val t7 = (t5 * z2) / G
+    val t9 = (t7 * z2) / G
+    val t11 = (t9 * z2) / G
+    s * ((k * Ln2_9 + 2 * (z + t3 / 3 + t5 / 5 + t7 / 7 + t9 / 9 + t11 / 11)) / 1000)
+  }
+
   /** Generated CASE ladder: ⌊log2 q⌋ for a positive int64 SQL expression. */
   private def floorLog2Sql(q: String): String = {
     val branches =
@@ -90,6 +113,111 @@ private[graft] object LnGrid {
   private def tempNames(pre: String): Seq[String] =
     Seq("s", "hi", "lo", "q", "k", "p", "m", "z", "z2", "t3", "t5", "t7", "t9", "t11")
       .map(pre + _)
+
+  // ---- wide variant: operands up to 2^62 ---------------------------------
+  // The ratio form above needs hi·10^9 to fit int64 (hi ≤ 9.2e9). Sites
+  // whose ln arguments are cross-PRODUCTS of counts (JSD mixture terms)
+  // exceed that, so the wide form computes ln a and ln b separately on the
+  // 10^-9 grid — each operand first shifted down to < 2^31 by a tracked
+  // power of two (truncation ≤ 2^-30 relative, the k·ln2 contribution
+  // re-added exactly) — and subtracts on the magnitude (positive-operand
+  // division only: Spark `div` truncates toward zero while DuckDB `//`
+  // floors, so a NEGATIVE intermediate must never reach a division).
+
+  /** CASE ladder: shift = max(0, ⌊log2 x⌋ − 30). */
+  private def shiftSql(x: String): String = {
+    val branches =
+      (62 to 31 by -1).map(k => s"WHEN $x >= ${1L << k} THEN ${k - 30}").mkString(" ")
+    s"(CASE $branches ELSE 0 END)"
+  }
+
+  /** CASE ladder: 2^shift for the same thresholds. */
+  private def shiftPowSql(x: String): String = {
+    val branches =
+      (62 to 31 by -1).map(k => s"WHEN $x >= ${1L << k} THEN ${1L << (k - 30)}").mkString(" ")
+    s"(CASE $branches ELSE 1 END)"
+  }
+
+  /** ln(x)·10^9 chain for a single positive operand column `xCol` < 2^62:
+    * v9 = (k + shift)·LN2_9 + atanh series of the normalized mantissa. */
+  private def steps9(pre: String, divOp: String, xCol: String): Seq[(String, String)] = Seq(
+    s"${pre}sh"  -> shiftSql(xCol),
+    s"${pre}ps"  -> shiftPowSql(xCol),
+    s"${pre}x2"  -> s"$xCol $divOp ${pre}ps",
+    s"${pre}k"   -> floorLog2Sql(s"${pre}x2"),
+    s"${pre}p"   -> pow2Sql(s"${pre}x2"),
+    s"${pre}m"   -> s"(${pre}x2 * $G) $divOp ${pre}p",
+    s"${pre}z"   -> s"((${pre}m - $G) * $G) $divOp (${pre}m + $G)",
+    s"${pre}z2"  -> s"(${pre}z * ${pre}z) $divOp $G",
+    s"${pre}t3"  -> s"(${pre}z * ${pre}z2) $divOp $G",
+    s"${pre}t5"  -> s"(${pre}t3 * ${pre}z2) $divOp $G",
+    s"${pre}t7"  -> s"(${pre}t5 * ${pre}z2) $divOp $G",
+    s"${pre}t9"  -> s"(${pre}t7 * ${pre}z2) $divOp $G",
+    s"${pre}t11" -> s"(${pre}t9 * ${pre}z2) $divOp $G",
+    s"${pre}v9"  -> (s"(CAST(${pre}k AS BIGINT) + CAST(${pre}sh AS BIGINT)) * $Ln2_9 " +
+      s"+ 2 * (${pre}z + ${pre}t3 $divOp 3 + ${pre}t5 $divOp 5 + ${pre}t7 $divOp 7 " +
+      s"+ ${pre}t9 $divOp 9 + ${pre}t11 $divOp 11)"))
+
+  private def temp9Names(pre: String): Seq[String] =
+    Seq("sh", "ps", "x2", "k", "p", "m", "z", "z2", "t3", "t5", "t7", "t9", "t11", "v9")
+      .map(pre + _)
+
+  /** Wide-range ln6(a, b) for positive a, b up to 2^62 — result identical
+    * in KIND to [[withLn6]] (BIGINT, 10^-6 grid; null for non-positive
+    * operands) but a DIFFERENT defined function (two single-operand chains
+    * subtracted rather than one ratio chain), so a query must use the SAME
+    // variant on both engines. */
+  def withLn6Wide(df: DataFrame, a: Column, b: Column, out: String,
+      pre: String): DataFrame = {
+    var d = df
+      .withColumn(s"${pre}ok", least(a, b) >= 1L)
+      .withColumn(s"${pre}xa", greatest(a.cast("long"), lit(1L)))
+      .withColumn(s"${pre}xb", greatest(b.cast("long"), lit(1L)))
+    for ((name, sql) <- steps9(s"${pre}a_", "div", s"${pre}xa")) d = d.withColumn(name, expr(sql))
+    for ((name, sql) <- steps9(s"${pre}b_", "div", s"${pre}xb")) d = d.withColumn(name, expr(sql))
+    d = d
+      .withColumn(s"${pre}sg",
+        when(col(s"${pre}a_v9") >= col(s"${pre}b_v9"), 1L).otherwise(-1L))
+      .withColumn(s"${pre}mag",
+        greatest(col(s"${pre}a_v9"), col(s"${pre}b_v9"))
+          - least(col(s"${pre}a_v9"), col(s"${pre}b_v9")))
+    d.withColumn(out,
+        when(col(s"${pre}ok"),
+          col(s"${pre}sg") * expr(s"${pre}mag div 1000")).otherwise(lit(null)))
+      .drop(Seq(s"${pre}ok", s"${pre}xa", s"${pre}xb", s"${pre}sg", s"${pre}mag") ++
+        temp9Names(s"${pre}a_") ++ temp9Names(s"${pre}b_"): _*)
+  }
+
+  /** DuckDB CTE chain for [[withLn6Wide]] — consumes `inCte`, emits
+    * `${pre}out` with `outName`. */
+  def sqlCtesWide(inCte: String, aExpr: String, bExpr: String, outName: String,
+      pre: String): String = {
+    val base =
+      s"""${pre}w AS (SELECT *,
+         |  LEAST(CAST($aExpr AS BIGINT), CAST($bExpr AS BIGINT)) >= 1 AS ${pre}ok,
+         |  GREATEST(CAST($aExpr AS BIGINT), 1) AS ${pre}xa,
+         |  GREATEST(CAST($bExpr AS BIGINT), 1) AS ${pre}xb
+         |  FROM $inCte)""".stripMargin
+    val stepsAll = steps9(s"${pre}a_", "//", s"${pre}xa") ++
+      steps9(s"${pre}b_", "//", s"${pre}xb")
+    val chain = stepsAll.zipWithIndex.map { case ((name, sql), i) =>
+      val prev = if (i == 0) s"${pre}w" else s"${pre}c$i"
+      s"${pre}c${i + 1} AS (SELECT *, $sql AS $name FROM $prev)"
+    }
+    val n = stepsAll.size
+    val fin =
+      s"""${pre}f AS (SELECT *,
+         |  CASE WHEN ${pre}a_v9 >= ${pre}b_v9 THEN 1 ELSE -1 END AS ${pre}sg,
+         |  GREATEST(${pre}a_v9, ${pre}b_v9) - LEAST(${pre}a_v9, ${pre}b_v9) AS ${pre}mag
+         |  FROM ${pre}c$n)""".stripMargin
+    val drops = (Seq("ok", "xa", "xb", "sg", "mag").map(pre + _) ++
+      temp9Names(s"${pre}a_") ++ temp9Names(s"${pre}b_")).mkString(", ")
+    val out =
+      s"""${pre}out AS (SELECT * EXCLUDE ($drops),
+         |  CASE WHEN ${pre}ok THEN ${pre}sg * (${pre}mag // 1000) ELSE NULL END AS $outName
+         |  FROM ${pre}f)""".stripMargin
+    (base +: chain) ++ Seq(fin, out) mkString ",\n"
+  }
 
   /** Appends `out` = ln6(a, b) (BIGINT, the 10⁻⁶ ln grid) to `df`.
     * `a`, `b` must be positive integral columns with max(a,b) ≤ 9.2e9;

@@ -141,10 +141,10 @@ object PrivacyQueries {
     //   dev  = 2h − 2²⁴ ∈ (−2²⁴, 2²⁴)  (exact int, sign = coin);
     //   t    = max(2²⁴ − |dev|, 1)     (exact int — the max() floors the
     //          2⁻²⁴-probability t = 0 edge that would send ln to −∞);
-    //   lap6 = −b · sign(dev) · round(ln(t/2²⁴), 6)  — the one ln is over
-    //          an exact-int ratio, rounded to the 6 dp grid, then scaled
-    //          by exact ints (the Queries.scala float discipline);
-    //   noisy = n + lap6 as exact decimal, emitted via one double cast.
+    //   lap6 = −b · sign(dev) · ln6(t, 2²⁴) — the one ln is [[LnGrid]]'s
+    //          fixed-point integer chain (r8: the rounded-libm grid was
+    //          engine-build-dependent), scaled by exact ints;
+    //   noisy = (n·10^6 + lap6) / 10^6, one bare division of an exact int.
     //
     // Scale shape: one (type, day) hash agg with map-side combine; the
     // noise is a stateless projection over the ≤ types×days group frame.
@@ -154,7 +154,7 @@ object PrivacyQueries {
         val hexSum = (0 until 6).map { i =>
           s"(instr('0123456789abcdef', substring(dg, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
         }.mkString(" + ")
-        Tables.load(s, dir, "events")
+        val base = Tables.load(s, dir, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("d"))
           .agg(count(lit(1)).as("n"))
           .withColumn("dg",
@@ -163,11 +163,12 @@ object PrivacyQueries {
           .withColumn("dev", col("h") * 2 - lit(H.toLong))
           .withColumn("sgn",
             when(col("dev") > 0, 1L).when(col("dev") < 0, -1L).otherwise(0L))
-          .withColumn("lap6",
-            round(log(greatest(lit(H.toLong) - abs(col("dev")), lit(1L)).cast("double")
-              / lit(H.toDouble)), 6).cast("decimal(12,6)") * lit(-2L) * col("sgn"))
+          .withColumn("t", greatest(lit(H.toLong) - abs(col("dev")), lit(1L)))
+        graft.queries.LnGrid.withLn6(base, col("t"), lit(H.toLong), "l6")
+          .withColumn("lap6i", col("l6") * lit(-2L) * col("sgn"))
           .select(col("event_type"), col("d"), col("n"),
-            (col("n") + col("lap6")).cast("double").as("noisy"))
+            ((col("n") * lit(1000000L) + col("lap6i")).cast("double")
+              / lit(1000000.0d)).as("noisy"))
           .orderBy("event_type", "d")
       },
       oracle = Some {
@@ -183,13 +184,15 @@ object PrivacyQueries {
            |hv AS (SELECT event_type, d, n,
            |         $hexSum AS h
            |       FROM dg),
-           |nz AS (SELECT event_type, d, n, h * 2 - $H AS dev FROM hv),
+           |nz AS (SELECT event_type, d, CAST(n AS BIGINT) AS n, h * 2 - $H AS dev,
+           |              CAST(greatest($H - abs(h * 2 - $H), 1) AS BIGINT) AS t
+           |       FROM hv),
+           |${graft.queries.LnGrid.sqlCtes("nz", "t", H.toString, "l6", "dp_")},
            |lp AS (SELECT event_type, d, n,
-           |              CAST(round(ln(CAST(greatest($H - abs(dev), 1) AS DOUBLE)
-           |                            / ${H.toDouble}), 6) AS DECIMAL(12,6))
-           |                * (-2) * (CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END) AS lap6
-           |       FROM nz)
-           |SELECT event_type, d, n, CAST(n + lap6 AS DOUBLE) AS noisy
+           |              l6 * (-2) * (CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END) AS lap6i
+           |       FROM dp_out)
+           |SELECT event_type, d, n,
+           |       CAST(n * 1000000 + lap6i AS DOUBLE) / 1000000.0 AS noisy
            |FROM lp ORDER BY event_type, d""".stripMargin
       })
   )

@@ -100,6 +100,20 @@ object Q {
       .otherwise(s0)
   }
 
+  /** Engine-version-proof 6 dp grid for a DETERMINISTIC double (r8
+    * doctrine): `floor(x·10^6)/10^6`. `round(double, 6)` rounds the
+    * shortest-decimal repr on Spark but the true binary value on DuckDB —
+    * and differently again across DuckDB builds — so a value near a grid
+    * midpoint diverges; floor of a double is a pure function of its BITS,
+    * identical on every engine, and both the multiply and the final
+    * division are single correctly-rounded IEEE ops. Use ONLY on doubles
+    * that are already bit-identical cross-engine (exact-int divisions,
+    * IEEE sqrt, fixed op chains) — never on a libm transcendental (those
+    * go through [[LnGrid]]/[[isqrt]] instead). SQL twin:
+    * `floor((x) * 1000000.0) / 1000000.0`. */
+  private[queries] def grid6(c: Column): Column =
+    floor(c * lit(1000000.0d)) / lit(1000000.0d)
+
   /** Min-label connected components over a SYMMETRIC (src, dst) edge frame
     * (extracted r6 from dedup_clusters so the embedding and text near-dup
     * graphs share one loop). Returns (id, label) for every node in the

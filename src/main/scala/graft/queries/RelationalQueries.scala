@@ -154,7 +154,7 @@ object RelationalQueries {
             (col("c_custkey") % 7).as("mod7"),
             signum(col("c_acctbal")).as("sign_bal"),
             sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
-            round(col("c_acctbal"), 1).as("round1"))
+            round(col("c_acctbal").cast("decimal(12,2)"), 1).cast("double").as("round1"))
           .orderBy("c_custkey")
       },
       oracle = Some(
@@ -165,7 +165,7 @@ object RelationalQueries {
           |       c_custkey % 7 AS mod7,
           |       CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
           |       sqrt(abs(c_acctbal)) AS sqrt_bal,
-          |       round(c_acctbal, 1) AS round1
+          |       CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS round1
           |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // ---- cross join ------------------------------------------------------
@@ -746,12 +746,12 @@ object RelationalQueries {
           stats.crossJoin(broadcast(top10))
             .select(lit(label).as("key_table"),
               col("n_rows"), col("n_keys"), col("max_count"),
-              round(col("max_count").cast("double") / col("n_rows").cast("double"), 6)
+              Q.grid6(col("max_count").cast("double") / col("n_rows").cast("double"))
                 .as("max_share"),
-              round(col("top10").cast("double") / col("n_rows").cast("double"), 6)
+              Q.grid6(col("top10").cast("double") / col("n_rows").cast("double"))
                 .as("top10_share"),
-              round(col("sumsq").cast("double") /
-                (col("n_rows").cast("double") * col("n_rows").cast("double")), 6)
+              Q.grid6(col("sumsq").cast("double") /
+                (col("n_rows").cast("double") * col("n_rows").cast("double")))
                 .as("hhi"))
         }
         val uc = Tables.load(s, dir, "events")
@@ -779,10 +779,13 @@ object RelationalQueries {
           |         (SELECT SUM(c) FROM (SELECT c FROM pc ORDER BY c DESC, k LIMIT 10))
           |  FROM pc)
           |SELECT key_table, n_rows, n_keys, max_count,
-          |       round(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS max_share,
-          |       round(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top10_share,
-          |       round(CAST(sumsq AS DOUBLE)
-          |             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi
+          |       floor(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          |             * 1000000.0) / 1000000.0 AS max_share,
+          |       floor(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          |             * 1000000.0) / 1000000.0 AS top10_share,
+          |       floor(CAST(sumsq AS DOUBLE)
+          |             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))
+          |             * 1000000.0) / 1000000.0 AS hhi
           |FROM prof ORDER BY key_table""".stripMargin)),
 
     "q_minby_maxby" -> Q(

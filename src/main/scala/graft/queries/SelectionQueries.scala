@@ -115,11 +115,11 @@ object SelectionQueries {
     // as tfidf); stats is a 1-row broadcast. No corpus-wide state beyond
     // the vocab — linear at 100 TB.
     //
-    // Float parity: each ln's argument is ONE division of exact bigints
-    // (cast to double — correctly rounded on both engines); the two 6 dp
-    // rounded lns subtract EXACTLY as decimals; × exact count c is exact;
-    // the decimal sum is order-independent; the final avg is one bare
-    // double division. No raw-double round anywhere.
+    // ENGINE-VERSION-PROOF (r8 doctrine, Queries.scala): both smoothed lns
+    // come from [[LnGrid]]'s fixed-point integer chain; the grid values
+    // subtract EXACTLY as int64, × exact count c is exact, the int sum is
+    // order-independent, and the final avg is one bare IEEE division by
+    // the exact n·10^6.
     "dsir_weights" -> Q(
       fn = (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
@@ -131,37 +131,38 @@ object SelectionQueries {
         val stats = vocab.agg(
           sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
           count(lit(1)).as("v"))
-        val scored = vocab.crossJoin(broadcast(stats)).select(
-          col("tok"),
-          (round(log((col("ct") + 1).cast("double") / (col("tt") + col("v"))), 6)
-            .cast("decimal(12,6)")
-            - round(log((col("cr") + 1).cast("double") / (col("tr") + col("v"))), 6)
-              .cast("decimal(12,6)")).as("d6"))
+        val j0 = vocab.crossJoin(broadcast(stats))
+        val j1 = LnGrid.withLn6(j0, col("ct") + 1L, col("tt") + col("v"), "lt6", "__dt_")
+        val j2 = LnGrid.withLn6(j1, col("cr") + 1L, col("tr") + col("v"), "lr6", "__dr_")
+        val scored = j2.select(col("tok"), (col("lt6") - col("lr6")).as("d6"))
         toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
           .join(scored, Seq("tok")) // un-hinted: vocab-sized (see tfidf)
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_tokens"),
             sum(col("d6") * col("c")).as("sd"))
           .select(col("doc_id"), col("n_tokens"),
-            (col("sd").cast("double") / col("n_tokens")).as("dsir_logratio"))
+            (col("sd").cast("double")
+              / (col("n_tokens") * lit(1000000L)).cast("double")).as("dsir_logratio"))
           .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |vocab AS (SELECT tok, COUNT(*) AS cr,
-          |                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-          |          FROM t GROUP BY tok),
-          |stats AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt,
-          |                 COUNT(*) AS v FROM vocab),
-          |scored AS (SELECT tok,
-          |                  CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tt + v)), 6) AS DECIMAL(12,6))
-          |                - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (tr + v)), 6) AS DECIMAL(12,6)) AS d6
-          |           FROM vocab, stats),
-          |dc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
-          |SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-          |       CAST(SUM(d6 * c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dsir_logratio
-          |FROM dc JOIN scored ON dc.tok = scored.tok
-          |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin),
+        s"""WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr,
+           |                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           |          FROM t GROUP BY tok),
+           |stats AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt,
+           |                 CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+           |vj AS (SELECT tok, ct + 1 AS sm_t, tt + v AS den_t,
+           |              cr + 1 AS sm_r, tr + v AS den_r FROM vocab, stats),
+           |${LnGrid.sqlCtes("vj", "sm_t", "den_t", "lt6", "dt_")},
+           |${LnGrid.sqlCtes("dt_out", "sm_r", "den_r", "lr6", "dr_")},
+           |scored AS (SELECT tok, lt6 - lr6 AS d6 FROM dr_out),
+           |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok)
+           |SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(d6 * c) AS DOUBLE)
+           |         / CAST(SUM(c) * 1000000 AS DOUBLE) AS dsir_logratio
+           |FROM dc JOIN scored ON dc.tok = scored.tok
+           |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin),
       headline = true),
 
     // ---- CCNet-style per-language quality terciles -----------------------
@@ -183,8 +184,9 @@ object SelectionQueries {
     // stitching is unchanged. NtileFormulaSpec pins the formula against
     // Spark's own ntile; the DuckDB oracle pins it cross-engine.
     //
-    // Float parity: logprob is the proven unigram_logprob emission (exact
-    // decimal sum → one bare division); ORDER on bit-identical doubles is
+    // ENGINE-VERSION-PROOF (r8): logprob is the rebuilt unigram_logprob
+    // emission — [[LnGrid]] integer grid, exact int sum, one bare
+    // division by the exact n·10^6; ORDER on bit-identical doubles is
     // bit-identical; floor() of one is exact.
     "quality_buckets" -> Q(
       fn = (s, dir) => {
@@ -193,8 +195,9 @@ object SelectionQueries {
             explode(split(col("text"), " ")).as("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
         val total = vocab.agg(sum(col("n")).as("tt"))
-        val v = vocab.crossJoin(broadcast(total)).select(col("tok"),
-          round(log(col("n") / col("tt")), 6).cast("decimal(12,6)").as("logp6"))
+        val v = LnGrid.withLn6(vocab.crossJoin(broadcast(total)),
+            col("n"), col("tt"), "logp6")
+          .select(col("tok"), col("logp6"))
         // lp has THREE consumers (shard rank, shard offsets, lang counts)
         // and ReuseCheck shows the corpus pipeline re-planned for each (13
         // scans) — but `.cache()` here measured ~40% SLOWER at sf0.1
@@ -206,7 +209,8 @@ object SelectionQueries {
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("nt"), sum(col("logp6")).as("sl"))
           .select(col("doc_id"), col("lang"),
-            (col("sl").cast("double") / col("nt")).as("logprob"))
+            (col("sl").cast("double")
+              / (col("nt") * lit(1000000L)).cast("double")).as("logprob"))
           .withColumn("g", floor(col("logprob")))
         // shard-local rank (descending logprob = best first) ...
         val rn = lp.withColumn("rn", row_number().over(
@@ -240,19 +244,21 @@ object SelectionQueries {
           .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
-          |tot AS (SELECT SUM(n) AS tt FROM c),
-          |v AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / tt), 6) AS DECIMAL(12,6)) AS logp6
-          |      FROM c, tot),
-          |lp AS (SELECT doc_id, lang, CAST(SUM(logp6) AS DOUBLE) / COUNT(*) AS logprob
-          |       FROM t JOIN v USING (tok) GROUP BY doc_id, lang),
-          |b AS (SELECT doc_id, lang, logprob,
-          |             ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id) AS bucket
-          |      FROM lp)
-          |SELECT doc_id, lang, logprob,
-          |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-          |FROM b ORDER BY doc_id""".stripMargin),
+        s"""WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+           |cj AS (SELECT tok, n, tt FROM c, tot),
+           |${LnGrid.sqlCtes("cj", "n", "tt", "logp6", "qb_")},
+           |lp AS (SELECT doc_id, lang,
+           |              CAST(SUM(logp6) AS DOUBLE)
+           |                / CAST(COUNT(*) * 1000000 AS DOUBLE) AS logprob
+           |       FROM t JOIN qb_out USING (tok) GROUP BY doc_id, lang),
+           |b AS (SELECT doc_id, lang, logprob,
+           |             ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id) AS bucket
+           |      FROM lp)
+           |SELECT doc_id, lang, logprob,
+           |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+           |FROM b ORDER BY doc_id""".stripMargin),
       headline = true),
 
     // ---- duplicated 5-gram occurrence ratio (Lee et al. 2022 diagnostic) -
@@ -459,8 +465,8 @@ object SelectionQueries {
           .withColumn("obs", coalesce(col("o"), lit(0L)))
           .withColumn("dev", big(col("n")) * big(col("obs")) - big(col("r")) * big(col("c")))
         val terms = grid.select(
-          round((col("dev") * col("dev")).cast("double")
-            / (big(col("n")) * big(col("r")) * big(col("c"))).cast("double"), 6)
+          Q.grid6((col("dev") * col("dev")).cast("double")
+            / (big(col("n")) * big(col("r")) * big(col("c"))).cast("double"))
             .cast("decimal(12,6)").as("t6"))
         val dims = r.agg(count(lit(1)).as("ns")).crossJoin(c0.agg(count(lit(1)).as("nl")))
         terms.agg(sum(col("t6")).as("s6"))
@@ -486,9 +492,10 @@ object SelectionQueries {
           |       LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
           |       CROSS JOIN n),
           |terms AS (
-          |  SELECT CAST(round(
+          |  SELECT CAST(floor(
           |           CAST((n * obs - r * c) * (n * obs - r * c) AS DOUBLE)
-          |             / CAST(n * r * c AS DOUBLE), 6) AS DECIMAL(12,6)) AS t6
+          |             / CAST(n * r * c AS DOUBLE) * 1000000.0) / 1000000.0
+          |           AS DECIMAL(12,6)) AS t6
           |  FROM grid),
           |dims AS (SELECT (SELECT COUNT(*) FROM r) AS ns, (SELECT COUNT(*) FROM c) AS nl)
           |SELECT CAST(n AS BIGINT) AS n_docs,
@@ -505,44 +512,47 @@ object SelectionQueries {
     // statistic: I(source; lang) in nats — HOW MANY bits of a doc's
     // language its domain carries (0 = independent, ln(min(S,L)) = fully
     // determined). Only observed cells contribute (0·ln0 = 0), so the
-    // marginal joins are keyed, no structural-zero grid needed. Float
-    // discipline: each term's ln argument is ONE division of exact
-    // DECIMAL(38,0) products (obs·n)/(r·c); the bare ln rounds to the 6 dp
-    // grid; × exact obs; decimal sum; the final /n is one bare division.
+    // marginal joins are keyed, no structural-zero grid needed.
+    // ENGINE-VERSION-PROOF (r8): the term decomposes into count-sized
+    // ratios — ln(o·n/(r·c)) = ln(o/r) + ln(n/c) — each a [[LnGrid]]
+    // fixed-point integer value that adds EXACTLY; × exact obs, int sum,
+    // the final /n·10^6 is one bare division. (The decomposition also
+    // removes the o·n cross-product entirely — no widening needed at any
+    // corpus size.)
     //
     // Scale shape: everything after the one (source, lang) corpus agg runs
     // over ≤ S·L rows; the 1-row total broadcast is R1-whitelisted.
     "source_lang_mi" -> Q(
       fn = (s, dir) => {
-        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
         val o = Tables.load(s, dir, "documents")
           .groupBy("source", "lang").agg(count(lit(1)).as("o"))
         val r = o.groupBy("source").agg(sum(col("o")).as("r"))
         val c0 = o.groupBy("lang").agg(sum(col("o")).as("c"))
         val n = o.agg(sum(col("o")).as("n"))
-        o.join(r, Seq("source")).join(c0, Seq("lang")).crossJoin(broadcast(n))
-          .select(col("o"),
-            round(log((big(col("o")) * big(col("n"))).cast("double")
-              / (big(col("r")) * big(col("c"))).cast("double")), 6)
-              .cast("decimal(12,6)").as("t6"))
+        val j0 = o.join(r, Seq("source")).join(c0, Seq("lang")).crossJoin(broadcast(n))
+        val j1 = LnGrid.withLn6(j0, col("o"), col("r"), "lor6", "__mo_")
+        val j2 = LnGrid.withLn6(j1, col("n"), col("c"), "lnc6", "__mn_")
+        j2.select(col("o"), (col("lor6") + col("lnc6")).as("t6"))
           .agg(sum(col("o") * col("t6")).as("s6"), sum(col("o")).as("n"))
           .select(col("n").as("n_docs"),
-            (col("s6").cast("double") / col("n").cast("double")).as("mi_nats"))
+            (col("s6").cast("double")
+              / (col("n") * lit(1000000L)).cast("double")).as("mi_nats"))
       },
       oracle = Some(
-        """WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
-          |           FROM documents GROUP BY source, lang),
-          |r AS (SELECT source, CAST(SUM(o) AS HUGEINT) AS r FROM o GROUP BY source),
-          |c AS (SELECT lang, CAST(SUM(o) AS HUGEINT) AS c FROM o GROUP BY lang),
-          |n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM o),
-          |terms AS (
-          |  SELECT o.o,
-          |         CAST(round(ln(CAST(CAST(o.o AS HUGEINT) * n.n AS DOUBLE)
-          |                       / CAST(r.r * c.c AS DOUBLE)), 6) AS DECIMAL(12,6)) AS t6
-          |  FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN n)
-          |SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
-          |       CAST(SUM(o * t6) AS DOUBLE) / CAST(SUM(o) AS DOUBLE) AS mi_nats
-          |FROM terms""".stripMargin)),
+        s"""WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+           |           FROM documents GROUP BY source, lang),
+           |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY source),
+           |c AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY lang),
+           |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+           |j AS (SELECT o.o, r.r, c.c, n.n
+           |      FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN n),
+           |${LnGrid.sqlCtes("j", "o", "r", "lor6", "mo_")},
+           |${LnGrid.sqlCtes("mo_out", "n", "c", "lnc6", "mn_")},
+           |terms AS (SELECT o, lor6 + lnc6 AS t6 FROM mn_out)
+           |SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+           |       CAST(SUM(o * t6) AS DOUBLE)
+           |         / CAST(SUM(o) * 1000000 AS DOUBLE) AS mi_nats
+           |FROM terms""".stripMargin)),
 
     // ---- deterministic stratified train/val/test split --------------------
     // Assignment by the first two hex chars of md5("split:" ∥ doc_id):
@@ -799,11 +809,10 @@ object SelectionQueries {
     // grand total is a 1-row broadcast. Linear in corpus size, state is
     // vocab-sized.
     //
-    // Float parity: the proven unigram_logprob grid — each ln takes ONE
-    // exact-int division, is rounded to the 6 dp decimal grid, the two
-    // grid values subtract exactly, × exact count c_st stays exact, the
-    // decimal sum is order-independent, and the final normalize is one
-    // bare double division.
+    // ENGINE-VERSION-PROOF (r8): both lns come from [[LnGrid]]'s
+    // fixed-point integer chain — grid values subtract exactly as int64,
+    // × exact count c_st stays exact, the int sum is order-independent,
+    // and the final normalize is one bare division by the exact n_s·10^6.
     "source_kl" -> Q(
       fn = (s, dir) => {
         val st = Tables.load(s, dir, "documents")
@@ -812,33 +821,35 @@ object SelectionQueries {
         val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
         val vocab = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
         val tot = vocab.agg(sum(col("c_t")).as("n_c"))
-        st.join(broadcast(srcTot), Seq("source"))
+        val j0 = st.join(broadcast(srcTot), Seq("source"))
           .join(vocab, Seq("tok")) // un-hinted: vocab-sized (see tfidf)
           .crossJoin(broadcast(tot))
-          .select(col("source"), col("n_s"),
-            (col("c_st")
-              * (round(log(col("c_st").cast("double") / col("n_s")), 6)
-                  .cast("decimal(12,6)")
-                - round(log(col("c_t").cast("double") / col("n_c")), 6)
-                  .cast("decimal(12,6)"))).as("k6"))
+        val j1 = LnGrid.withLn6(j0, col("c_st"), col("n_s"), "ls6", "__ks_")
+        val j2 = LnGrid.withLn6(j1, col("c_t"), col("n_c"), "lc6", "__kc_")
+        j2.select(col("source"), col("n_s"),
+            (col("c_st") * (col("ls6") - col("lc6"))).as("k6"))
           .groupBy("source", "n_s")
           .agg(sum(col("k6")).as("sk"))
           .select(col("source"), col("n_s").as("n_tokens"),
-            (col("sk").cast("double") / col("n_s")).as("kl_nats"))
+            (col("sk").cast("double")
+              / (col("n_s") * lit(1000000L)).cast("double")).as("kl_nats"))
           .orderBy("source")
       },
       oracle = Some(
-        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |st AS (SELECT source, tok, COUNT(*) AS c_st FROM t GROUP BY source, tok),
-          |srct AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
-          |vocab AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
-          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_c FROM vocab)
-          |SELECT st.source, n_s AS n_tokens,
-          |       CAST(SUM(c_st * (CAST(round(ln(CAST(c_st AS DOUBLE) / n_s), 6) AS DECIMAL(12,6))
-          |                      - CAST(round(ln(CAST(c_t AS DOUBLE) / n_c), 6) AS DECIMAL(12,6))))
-          |            AS DOUBLE) / n_s AS kl_nats
-          |FROM st JOIN srct USING (source) JOIN vocab USING (tok), tot
-          |GROUP BY st.source, n_s ORDER BY st.source""".stripMargin)),
+        s"""WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+           |       FROM t GROUP BY source, tok),
+           |srct AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+           |vocab AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_c FROM vocab),
+           |j AS (SELECT st.source, c_st, n_s, c_t, n_c
+           |      FROM st JOIN srct USING (source) JOIN vocab USING (tok), tot),
+           |${LnGrid.sqlCtes("j", "c_st", "n_s", "ls6", "ks_")},
+           |${LnGrid.sqlCtes("ks_out", "c_t", "n_c", "lc6", "kc_")}
+           |SELECT source, n_s AS n_tokens,
+           |       CAST(SUM(c_st * (ls6 - lc6)) AS DOUBLE)
+           |         / CAST(n_s * 1000000 AS DOUBLE) AS kl_nats
+           |FROM kc_out GROUP BY source, n_s ORDER BY source""".stripMargin)),
 
     // ---- pairwise source Jensen–Shannon divergence matrix (added r7) -----
     // The symmetric, bounded complement to source_kl: JSD(p_a ‖ p_b) for
@@ -852,15 +863,22 @@ object SelectionQueries {
     // Algebra that keeps the ln-grid sound: with p = c_a/n_a, q = c_b/n_b,
     //   JSD = [Σ_t c_a·ln(2·c_a·n_b / (c_a·n_b + c_b·n_a))] / (2·n_a)
     //       + [Σ_t c_b·ln(2·c_b·n_a / (c_a·n_b + c_b·n_a))] / (2·n_b)
-    // — every ln argument is ONE division of exact BIGINT cross-products,
-    // so the bare ln is probed-identical, rounds to the 6 dp decimal grid,
-    // and weights by the exact integer count. Terms where the OTHER source
-    // lacks the token collapse to ln 2 exactly, so the inner join suffices:
-    // the missing-token mass (n_a − Σ_shared c_a) enters as one exact
-    // integer times the 6 dp constant 0.693147 (a decimal literal on both
-    // engines — no libm call to diverge). Final emit: two bare divisions
-    // of exact decimal sums plus one double add, spelled identically on
-    // both engines.
+    // ENGINE-VERSION-PROOF (r8): each mixture term is
+    // [[LnGrid.withLn6Wide]]'s fixed-point integer value over the exact
+    // int64 cross-products x = c_a·n_b, y = c_b·n_a (the wide variant —
+    // products exceed the ratio form's 9.2e9 operand bound); weighted by
+    // the exact count, summed as int64. Terms where the OTHER source lacks
+    // the token collapse to ln 2, so the inner join suffices: the
+    // missing-token mass (n_a − Σ_shared c_a) enters as one exact integer
+    // times the grid constant 693147 (= ⌊ln2·10^6⌋, an integer literal on
+    // both engines — no libm call to diverge). Final emit: two bare
+    // divisions by the exact 2·n·10^6 plus one double add. Overflow
+    // bounds (r7 advice — Spark ANSI and DuckDB both RAISE on int64
+    // overflow rather than silently wrapping, so a breach is loud, but
+    // design for headroom): x, 2x, x+y need c·n < 2^61 (per-source token
+    // totals to ~1.5e9 with counts to 10^3, or any mix whose product
+    // stays under 2.3e18); beyond that widen x/y to DECIMAL(38,0) and
+    // shift the wide chain's input down by a tracked power of two.
     //
     // Scale shape: ONE corpus token pass → (source, tok) agg; the pair
     // term-join is keyed on tok with fan-out ≤ #sources per key (vocab-
@@ -868,56 +886,57 @@ object SelectionQueries {
     // per-source totals broadcast. No corpus-sized shuffle after the agg.
     "source_jsd_matrix" -> Q(
       fn = (s, dir) => {
-        val ln2 = lit(BigDecimal("0.693147")).cast("decimal(12,6)")
         val st = Tables.load(s, dir, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         val srcTot = st.groupBy("source").agg(sum(col("c")).as("n"))
         val a = st.select(col("source").as("source_a"), col("tok"), col("c").as("c_a"))
         val b = st.select(col("source").as("source_b"), col("tok"), col("c").as("c_b"))
-        val shared = a.join(b, Seq("tok")).filter(col("source_a") < col("source_b"))
+        val j0 = a.join(b, Seq("tok")).filter(col("source_a") < col("source_b"))
           .join(broadcast(srcTot.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
           .join(broadcast(srcTot.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+          .withColumn("x", col("c_a") * col("n_b"))
+          .withColumn("y", col("c_b") * col("n_a"))
+        val j1 = LnGrid.withLn6Wide(j0, col("x") * 2L, col("x") + col("y"), "ta6", "__ja_")
+        val j2 = LnGrid.withLn6Wide(j1, col("y") * 2L, col("x") + col("y"), "tb6", "__jb_")
+        val shared = j2
           .groupBy("source_a", "source_b", "n_a", "n_b")
           .agg(
             sum(col("c_a")).as("sa"),
             sum(col("c_b")).as("sb"),
-            sum(col("c_a")
-              * round(log(lit(2.0) * (col("c_a") * col("n_b")).cast("double")
-                  / (col("c_a") * col("n_b") + col("c_b") * col("n_a"))), 6)
-                .cast("decimal(12,6)")).as("ta"),
-            sum(col("c_b")
-              * round(log(lit(2.0) * (col("c_b") * col("n_a")).cast("double")
-                  / (col("c_a") * col("n_b") + col("c_b") * col("n_a"))), 6)
-                .cast("decimal(12,6)")).as("tb"))
+            sum(col("c_a") * col("ta6")).as("ta"),
+            sum(col("c_b") * col("tb6")).as("tb"))
         shared
           .select(col("source_a"), col("source_b"),
-            ((col("ta") + (col("n_a") - col("sa")) * ln2).cast("double")
-              / (lit(2.0) * col("n_a"))
-              + (col("tb") + (col("n_b") - col("sb")) * ln2).cast("double")
-                / (lit(2.0) * col("n_b"))).as("jsd_nats"))
+            ((col("ta") + (col("n_a") - col("sa")) * lit(693147L)).cast("double")
+              / (col("n_a") * lit(2000000L)).cast("double")
+              + (col("tb") + (col("n_b") - col("sb")) * lit(693147L)).cast("double")
+                / (col("n_b") * lit(2000000L)).cast("double")).as("jsd_nats"))
           .orderBy("source_a", "source_b")
       },
       oracle = Some(
-        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-          |st AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok),
-          |srct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source),
-          |sh AS (SELECT a.source AS source_a, b.source AS source_b, na.n AS n_a, nb.n AS n_b,
-          |              CAST(SUM(a.c) AS BIGINT) AS sa, CAST(SUM(b.c) AS BIGINT) AS sb,
-          |              SUM(a.c * CAST(round(ln(2.0 * (a.c * nb.n)
-          |                    / (a.c * nb.n + b.c * na.n)), 6) AS DECIMAL(12,6))) AS ta,
-          |              SUM(b.c * CAST(round(ln(2.0 * (b.c * na.n)
-          |                    / (a.c * nb.n + b.c * na.n)), 6) AS DECIMAL(12,6))) AS tb
-          |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
-          |       JOIN srct na ON na.source = a.source
-          |       JOIN srct nb ON nb.source = b.source
-          |       GROUP BY a.source, b.source, na.n, nb.n)
-          |SELECT source_a, source_b,
-          |       CAST(ta + (n_a - sa) * CAST(0.693147 AS DECIMAL(12,6)) AS DOUBLE)
-          |         / (2.0 * n_a)
-          |       + CAST(tb + (n_b - sb) * CAST(0.693147 AS DECIMAL(12,6)) AS DOUBLE)
-          |         / (2.0 * n_b) AS jsd_nats
-          |FROM sh ORDER BY source_a, source_b""".stripMargin)),
+        s"""WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY source, tok),
+           |srct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source),
+           |j AS (SELECT a.source AS source_a, b.source AS source_b,
+           |             na.n AS n_a, nb.n AS n_b, a.c AS c_a, b.c AS c_b,
+           |             a.c * nb.n AS x, b.c * na.n AS y
+           |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+           |      JOIN srct na ON na.source = a.source
+           |      JOIN srct nb ON nb.source = b.source),
+           |${LnGrid.sqlCtesWide("j", "x * 2", "x + y", "ta6", "ja_")},
+           |${LnGrid.sqlCtesWide("ja_out", "y * 2", "x + y", "tb6", "jb_")},
+           |sh AS (SELECT source_a, source_b, n_a, n_b,
+           |              CAST(SUM(c_a) AS BIGINT) AS sa, CAST(SUM(c_b) AS BIGINT) AS sb,
+           |              CAST(SUM(c_a * ta6) AS BIGINT) AS ta,
+           |              CAST(SUM(c_b * tb6) AS BIGINT) AS tb
+           |       FROM jb_out GROUP BY source_a, source_b, n_a, n_b)
+           |SELECT source_a, source_b,
+           |       CAST(ta + (n_a - sa) * 693147 AS DOUBLE)
+           |         / CAST(n_a * 2000000 AS DOUBLE)
+           |       + CAST(tb + (n_b - sb) * 693147 AS DOUBLE)
+           |         / CAST(n_b * 2000000 AS DOUBLE) AS jsd_nats
+           |FROM sh ORDER BY source_a, source_b""".stripMargin)),
 
     // ---- source centroid similarity in embedding space -------------------
     // The semantic complement of source_overlap's lexical Jaccard: pairwise

@@ -86,7 +86,10 @@ object SimilarityQueries {
       .filter(col("maxabs") > 0)
       .withColumn("scale", lit(127.0) / col("maxabs"))
       .withColumn("qv",
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"))
+        // floor(x + 0.5) instead of round(x): engine builds disagree on
+        // round-of-double near .5 midpoints; one IEEE add + floor is a pure
+        // function of the double's bits on any build (r8 doctrine)
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5d) AS INT))"))
 
   /** Exact integer dot product of two int8 code vectors (≤ 127²·64 < 2^20,
     * so the bigint fold is exact — perfect cross-engine parity). */
@@ -108,7 +111,7 @@ object SimilarityQueries {
        |      FROM e WHERE maxabs > 0),
        |q AS (SELECT vec_id, embedding, scale,
        |        list_transform(embedding,
-       |          x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS qv
        |      FROM s)""".stripMargin
 
   /** DuckDB CTEs `e` (norm-filtered), `bands`, `cand` — the oracle mirror of
@@ -195,7 +198,7 @@ object SimilarityQueries {
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("bv")), Seq("b_id"))
       .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
       .filter(col("sim") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .select(col("a_id"), col("b_id"), Q.grid6(col("sim")).as("sim"))
     (pairs, emb)
   }
 
@@ -208,12 +211,16 @@ object SimilarityQueries {
     // a pipeline bug), NaN-bearing vectors, exact-zero vectors (both break
     // cosine), and the L2-norm min/max/mean (norm collapse or blow-up is
     // the classic symptom of a bad encoder checkpoint or truncated float
-    // ingest). Float parity: ‖v‖² is the SAME left-fold as the codegen
-    // cosine denominator (bit-identical to DuckDB's list_reduce), sqrt is
-    // probed correctly-rounded, norms hit the 6 dp grid before the exact
-    // decimal mean sum; min/max are comparisons only. Scale shape: one
-    // map-only pass, partial agg collapses to ≤ #labels rows pre-shuffle —
-    // the cheapest possible full-table audit at 100 TB.
+    // ingest). ENGINE-VERSION-PROOF (r8): ‖v‖² is the SAME left-fold as
+    // the codegen cosine denominator (bit-identical to DuckDB's
+    // list_reduce); sqrt is IEEE-754-REQUIRED correctly rounded (unlike
+    // libm ln), so its bits are identical on both engines, and the 6 dp
+    // grid is `floor(x·10^6)` — floor of a bit-identical double is a pure
+    // function of those bits on any build, unlike each build's decimal
+    // `round`. Norms become exact int64 micro-units: min/max compare
+    // exactly, the mean is Σint / (n·10^6) — one bare division. Scale
+    // shape: one map-only pass, partial agg collapses to ≤ #labels rows
+    // pre-shuffle — the cheapest possible full-table audit at 100 TB.
     "embedding_audit" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -222,17 +229,17 @@ object SimilarityQueries {
           size(col("embedding")).as("dims"),
           when(expr("exists(embedding, x -> isnan(x))"), 1L).otherwise(0L).as("has_nan"),
           norm2(col("embedding")).as("n2"))
-          .withColumn("norm6", round(sqrt(col("n2")), 6))
+          .withColumn("norm6i", floor(sqrt(col("n2")) * lit(1000000.0d)).cast("long"))
         rows.groupBy("label").agg(
             count(lit(1)).as("n_vecs"),
             min(col("dims")).as("dim_min"),
             max(col("dims")).as("dim_max"),
             sum(col("has_nan")).as("n_nan"),
             sum(when(col("n2") === 0d, 1L).otherwise(0L)).as("n_zero"),
-            min(col("norm6")).as("norm_min"),
-            max(col("norm6")).as("norm_max"),
-            (sum(col("norm6").cast("decimal(16,6)")).cast("double")
-              / count(lit(1)).cast("double")).as("norm_mean"))
+            (min(col("norm6i")).cast("double") / lit(1000000.0d)).as("norm_min"),
+            (max(col("norm6i")).cast("double") / lit(1000000.0d)).as("norm_max"),
+            (sum(col("norm6i")).cast("double")
+              / (count(lit(1)) * lit(1000000L)).cast("double")).as("norm_mean"))
           .orderBy("label")
       },
       oracle = Some(
@@ -242,16 +249,17 @@ object SimilarityQueries {
            |              THEN 1 ELSE 0 END AS has_nan,
            |         ${duckDot("embedding", "embedding")} AS n2
            |  FROM embeddings),
-           |g AS (SELECT label, dims, has_nan, n2, round(sqrt(n2), 6) AS norm6 FROM rows_)
+           |g AS (SELECT label, dims, has_nan, n2,
+           |             CAST(floor(sqrt(n2) * 1000000.0) AS BIGINT) AS norm6i FROM rows_)
            |SELECT label, COUNT(*) AS n_vecs,
            |       CAST(MIN(dims) AS INTEGER) AS dim_min,
            |       CAST(MAX(dims) AS INTEGER) AS dim_max,
            |       CAST(SUM(has_nan) AS BIGINT) AS n_nan,
            |       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-           |       MIN(norm6) AS norm_min,
-           |       MAX(norm6) AS norm_max,
-           |       CAST(SUM(CAST(norm6 AS DECIMAL(16,6))) AS DOUBLE)
-           |         / CAST(COUNT(*) AS DOUBLE) AS norm_mean
+           |       CAST(MIN(norm6i) AS DOUBLE) / 1000000.0 AS norm_min,
+           |       CAST(MAX(norm6i) AS DOUBLE) / 1000000.0 AS norm_max,
+           |       CAST(SUM(norm6i) AS DOUBLE)
+           |         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS norm_mean
            |FROM g GROUP BY label ORDER BY label""".stripMargin)),
 
     // ---- brute-force cosine top-k ---------------------------------------
@@ -268,7 +276,7 @@ object SimilarityQueries {
           .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
         scored.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= TopK)
-          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rk"))
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
           .orderBy("qid", "rk")
       },
       oracle = Some(
@@ -281,7 +289,7 @@ object SimilarityQueries {
            |ranked AS (
            |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
            |  FROM scored)
-           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
       headline = true),
 
@@ -301,7 +309,7 @@ object SimilarityQueries {
           .agg(graft.functions.TopK.topK(TopK)(col("cid"), col("sim")).as("top"))
           .select(col("qid"), posexplode(col("top")))
           .select(col("qid"), col("col.cid").as("cid"),
-            round(col("col.sim"), 6).as("sim"), (col("pos") + 1).cast("int").as("rk"))
+            Q.grid6(col("col.sim")).as("sim"), (col("pos") + 1).cast("int").as("rk"))
           .orderBy("qid", "rk")
       },
       oracle = Some(
@@ -314,7 +322,7 @@ object SimilarityQueries {
            |ranked AS (
            |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
            |  FROM scored)
-           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
 
     // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) --
@@ -418,8 +426,9 @@ object SimilarityQueries {
       oracle = Some(
         s"""WITH ${lshPairsSqlCtes(0.35)}
            |SELECT a_id, b_id,
-           |       round(${duckDot("a.embedding", "b.embedding")}
-           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})), 6) AS sim
+           |       floor(${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")}))
+           |         * 1000000.0) / 1000000.0 AS sim
            |FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
            |WHERE ${duckDot("a.embedding", "b.embedding")}
            |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.35
@@ -519,7 +528,7 @@ object SimilarityQueries {
           .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
           .filter(col("sim") >= 0.35)
           .groupBy(col("cluster"), col("b_id").as("removed_id"))
-          .agg(count(lit(1)).as("n_near"), round(max(col("sim")), 6).as("max_sim"))
+          .agg(count(lit(1)).as("n_near"), Q.grid6(max(col("sim"))).as("max_sim"))
           .orderBy("cluster", "removed_id")
       },
       oracle = Some {
@@ -545,7 +554,7 @@ object SimilarityQueries {
            |  FROM assigned a JOIN assigned b
            |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
            |SELECT cluster, b_id AS removed_id, COUNT(*) AS n_near,
-           |       round(MAX(sim), 6) AS max_sim
+           |       floor(MAX(sim) * 1000000.0) / 1000000.0 AS max_sim
            |FROM pairs WHERE sim >= 0.35
            |GROUP BY cluster, b_id ORDER BY cluster, removed_id""".stripMargin
       }),
@@ -572,7 +581,7 @@ object SimilarityQueries {
           .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= TopK)
-          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rk"))
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
           .orderBy("qid", "rk")
       },
       oracle = Some {
@@ -591,7 +600,7 @@ object SimilarityQueries {
            |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
            |  FROM q JOIN c USING (sig) WHERE qid != cid),
            |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
-           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
       }),
 
@@ -643,7 +652,7 @@ object SimilarityQueries {
           .withColumn("sim", cosTo("qv", "cv"))
           .withColumn("rk", row_number().over(wTop))
           .filter(col("rk") <= TopK)
-          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rk"))
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
           .orderBy("qid", "rk")
       },
       oracle = Some {
@@ -667,7 +676,7 @@ object SimilarityQueries {
            |  FROM probes p JOIN lists l ON p.list_id = l.list_id
            |  WHERE qid != cid),
            |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
-           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
       }),
 
@@ -677,10 +686,13 @@ object SimilarityQueries {
     // with the relative L2 reconstruction error reported per vector. PURE
     // per-row math — no join, no shuffle before the final sort — so at
     // 100 TB this is a map-only pass that rewrites the embedding column at
-    // scan speed. Float parity: every step is deterministic double IEEE ops
-    // (max, one division, per-element multiply+round, left-fold sums shared
-    // with the duckDot pattern), so the oracle matches bit-for-bit before
-    // the final 6 dp rounding.
+    // scan speed. ENGINE-VERSION-PROOF (r8): every step is deterministic
+    // double IEEE ops (max, one division, per-element multiply+round,
+    // left-fold sums shared with the duckDot pattern), so num/den/scale
+    // are bit-identical on both engines; the 6 dp emit is
+    // `floor(x·10^6)/10^6` — floor of a bit-identical double is exact on
+    // any build, unlike each build's decimal `round` (sqrt here is
+    // IEEE-correctly-rounded, so its bits are safe to floor).
     "embedding_quantize" -> Q(
       fn = (s, dir) => {
         quantized(Tables.load(s, dir, "embeddings"))
@@ -690,8 +702,10 @@ object SimilarityQueries {
                    |    (a, b) -> (CAST(a AS DOUBLE) - b / scale) * (CAST(a AS DOUBLE) - b / scale)),
                    |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
           .withColumn("den", norm2(col("embedding")))
-          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-            round(sqrt(col("num")) / sqrt(col("den")), 6).as("rel_err"))
+          .select(col("vec_id"),
+            (floor(col("scale") * lit(1000000.0d)) / lit(1000000.0d)).as("scale"),
+            (floor((sqrt(col("num")) / sqrt(col("den"))) * lit(1000000.0d))
+              / lit(1000000.0d)).as("rel_err"))
           .orderBy("vec_id")
       },
       oracle = Some(
@@ -703,8 +717,8 @@ object SimilarityQueries {
            |          (acc, v) -> acc + v) AS num,
            |        ${duckDot("embedding", "embedding")} AS den
            |      FROM q)
-           |SELECT vec_id, round(scale, 6) AS scale,
-           |       round(sqrt(num) / sqrt(den), 6) AS rel_err
+           |SELECT vec_id, floor(scale * 1000000.0) / 1000000.0 AS scale,
+           |       floor((sqrt(num) / sqrt(den)) * 1000000.0) / 1000000.0 AS rel_err
            |FROM n ORDER BY vec_id""".stripMargin)),
 
     // ---- product-quantization ANN (PQ codes + ADC scoring) ---------------
@@ -757,7 +771,7 @@ object SimilarityQueries {
         val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
           .join(broadcast(cents), Seq("j"))
           .select(col("qid"), col("j"), col("cent_id").as("code"),
-            round(l2("qsubv", "centv"), 6).cast("decimal(16,6)").as("qd2"))
+            Q.grid6(l2("qsubv", "centv")).cast("decimal(16,6)").as("qd2"))
         val dist = codes.join(broadcast(adc), Seq("j", "code"))
           .filter(col("qid") =!= col("cid"))
           .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
@@ -788,7 +802,8 @@ object SimilarityQueries {
            |  WHERE crk = 1),
            |adc AS (
            |  SELECT q.cid AS qid, q.j, c.cent_id AS code,
-           |         CAST(round(${duckL2("q.subv", "c.centv")}, 6) AS DECIMAL(16,6)) AS qd2
+           |         CAST(floor((${duckL2("q.subv", "c.centv")}) * 1000000.0) / 1000000.0
+           |              AS DECIMAL(16,6)) AS qd2
            |  FROM vecs q JOIN cents c ON q.j = c.j WHERE q.cid < $NumQueries),
            |dist AS (
            |  SELECT qid, cid, SUM(qd2) AS adist
@@ -825,7 +840,7 @@ object SimilarityQueries {
           .partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
         scored.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= TopK)
-          .select(col("qid"), col("cid"), round(col("qsim"), 6).as("qsim"), col("rk"))
+          .select(col("qid"), col("cid"), Q.grid6(col("qsim")).as("qsim"), col("rk"))
           .orderBy("qid", "rk")
       },
       oracle = Some(
@@ -840,7 +855,7 @@ object SimilarityQueries {
            |ranked AS (
            |  SELECT qid, cid, qsim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qsim DESC, cid) AS rk
            |  FROM scored)
-           |SELECT qid, cid, round(qsim, 6) AS qsim, CAST(rk AS INTEGER) AS rk
+           |SELECT qid, cid, floor(qsim * 1000000.0) / 1000000.0 AS qsim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
 
     // ---- hard-negative mining for contrastive training (added r7) --------
@@ -875,7 +890,7 @@ object SimilarityQueries {
           .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
         scored.withColumn("rk", row_number().over(w))
           .filter(col("rk") > TopK && col("rk") <= NegHi)
-          .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"),
             col("rk"), (col("qlabel") === col("clabel")).cast("int").as("same_label"))
           .orderBy("qid", "rk")
       },
@@ -891,7 +906,7 @@ object SimilarityQueries {
            |  SELECT qid, cid, qlabel, clabel, sim,
            |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
            |  FROM scored)
-           |SELECT qid, cid, round(sim, 6) AS sim, CAST(rk AS INTEGER) AS rk,
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk,
            |       CAST(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS INTEGER) AS same_label
            |FROM ranked WHERE rk > $TopK AND rk <= $NegHi ORDER BY qid, rk""".stripMargin)),
 
@@ -1076,7 +1091,7 @@ object SimilarityQueries {
     val gmax = gram.agg(max(abs(col("g"))).as("mx"))
     val aMat = gram.crossJoin(broadcast(gmax))
       .select(col("ri"), col("cj"),
-        round(col("g").cast("double") / col("mx").cast("double"), 6)
+        Q.grid6(col("g").cast("double") / col("mx").cast("double"))
           .cast("decimal(12,6)").as("av"))
     var v = gram.select(col("ri").as("i")).distinct()
       .select(col("i"), lit(0.125d).cast("decimal(12,6)").as("vv"))
@@ -1087,7 +1102,7 @@ object SimilarityQueries {
       val nrm = w.agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
       v = Q.truncate(w.crossJoin(broadcast(nrm))
         .select(col("ri").as("i"),
-          round(col("w").cast("double") / col("nrm"), 6)
+          Q.grid6(col("w").cast("double") / col("nrm"))
             .cast("decimal(12,6)").as("vv")))
     }
     v
@@ -1103,7 +1118,8 @@ object SimilarityQueries {
       s"""w$t AS (SELECT ri AS i, CAST(SUM(av * vv) AS DECIMAL(18,12)) AS w
          |        FROM aa JOIN $prev ON aa.cj = $prev.i GROUP BY ri),
          |n$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w$t),
-         |v$t AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / nrm, 6) AS DECIMAL(12,6)) AS vv
+         |v$t AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / nrm * 1000000.0) / 1000000.0
+         |                       AS DECIMAL(12,6)) AS vv
          |        FROM w$t, n$t)""".stripMargin
     }.mkString(",\n")
     s"""el AS (SELECT vec_id, UNNEST(range(1, 65)) AS pos, embedding FROM embeddings),
@@ -1114,7 +1130,8 @@ object SimilarityQueries {
        |         FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
        |gmax AS (SELECT MAX(abs(g)) AS mx FROM gram),
        |aa AS (SELECT ri, cj,
-       |              CAST(round(CAST(g AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS DECIMAL(12,6)) AS av
+       |              CAST(floor(CAST(g AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000.0) / 1000000.0
+       |                   AS DECIMAL(12,6)) AS av
        |       FROM gram, gmax),
        |v0 AS (SELECT DISTINCT ri AS i, CAST(0.125 AS DECIMAL(12,6)) AS vv FROM gram),
        |$iters""".stripMargin
@@ -1228,10 +1245,10 @@ object SimilarityQueries {
   // Spark legs reuse the gated retriever builders, the oracle nests their
   // SQL.
   //
-  // Float parity: each term is round(int / ln(int), 6) — one division of
-  // exact ints on the probed ln, rounded onto the decimal grid — so the
-  // per-query DCG/IDCG sums are order-independent decimals, and ndcg is
-  // one bare division of their exact casts.
+  // ENGINE-VERSION-PROOF (r8): each term is ((11−rk)·10^12) div ln6(rk+1)
+  // — [[LnGrid]]'s fixed-point ln and pure int64 division — so the
+  // per-query DCG/IDCG sums are order-independent int64, and ndcg is one
+  // bare division of their exact casts.
   //
   // Scale shape: retriever plans + two ≤(queries×10)-row joins/aggs —
   // constant eval overhead at any corpus size.
@@ -1239,19 +1256,19 @@ object SimilarityQueries {
     fn = (s, dir) => {
       val exact = base("similarity_topk").fn(s, dir)
         .select(col("qid"), col("cid"), col("rk").as("erk"))
-      val ideal = exact
-        .select(col("qid"), round((lit(11) - col("erk")).cast("double")
-            / log(col("erk") + 1), 6).cast("decimal(12,6)").as("i6"))
+      val ideal = LnGrid.withLn6(exact, (col("erk") + 1).cast("long"), lit(1L), "li6")
+        .select(col("qid"), expr("((11 - erk) * 1000000000000) div li6").as("i6"))
         .groupBy("qid").agg(sum(col("i6")).as("idcg6"))
       def leg(name: String) = {
-        val dcg = base(name).fn(s, dir).select(col("qid"), col("cid"), col("rk"))
-          .join(exact, Seq("qid", "cid"))
-          .select(col("qid"), round((lit(11) - col("erk")).cast("double")
-              / log(col("rk") + 1), 6).cast("decimal(12,6)").as("t6"))
+        val dcg = LnGrid.withLn6(
+            base(name).fn(s, dir).select(col("qid"), col("cid"), col("rk"))
+              .join(exact, Seq("qid", "cid")),
+            (col("rk") + 1).cast("long"), lit(1L), "lr6")
+          .select(col("qid"), expr("((11 - erk) * 1000000000000) div lr6").as("t6"))
           .groupBy("qid").agg(sum(col("t6")).as("dcg6"))
         ideal.join(dcg, Seq("qid"), "left")
           .select(lit(name).as("method"), col("qid"),
-            (coalesce(col("dcg6"), lit(0).cast("decimal(12,6)")).cast("double")
+            (coalesce(col("dcg6"), lit(0L)).cast("double")
               / col("idcg6").cast("double")).as("ndcg"))
       }
       leg("ivf_topk").unionAll(leg("lsh_topk")).orderBy("method", "qid")
@@ -1259,22 +1276,29 @@ object SimilarityQueries {
     oracle = Some {
       def leg(name: String) =
         s"""SELECT '$name' AS method, i.qid,
-           |       CAST(COALESCE(d.dcg6, CAST(0 AS DECIMAL(12,6))) AS DOUBLE)
+           |       CAST(COALESCE(d.dcg6, 0) AS DOUBLE)
            |         / CAST(i.idcg6 AS DOUBLE) AS ndcg
            |FROM ideal i LEFT JOIN (
-           |  SELECT a.qid,
-           |         SUM(CAST(round(CAST(11 - e.rk AS DOUBLE) / ln(a.rk + 1), 6)
-           |                  AS DECIMAL(12,6))) AS dcg6
-           |  FROM a_$name a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
-           |  GROUP BY a.qid) d ON i.qid = d.qid""".stripMargin
+           |  SELECT qid, CAST(SUM(t6) AS BIGINT) AS dcg6 FROM (
+           |    SELECT j.qid, ((11 - j.erk) * 1000000000000) // lr6 AS t6
+           |    FROM ln_$name j) GROUP BY qid) d ON i.qid = d.qid""".stripMargin
       s"""WITH exact AS (${base("similarity_topk").oracle.get}),
          |a_ivf_topk AS (${base("ivf_topk").oracle.get}),
          |a_lsh_topk AS (${base("lsh_topk").oracle.get}),
+         |ej AS (SELECT qid, cid, CAST(rk AS BIGINT) + 1 AS erk1,
+         |              CAST(rk AS BIGINT) AS erk FROM exact),
+         |${LnGrid.sqlCtes("ej", "erk1", "1", "li6", "nde_")},
          |ideal AS (
-         |  SELECT qid,
-         |         SUM(CAST(round(CAST(11 - rk AS DOUBLE) / ln(rk + 1), 6)
-         |                  AS DECIMAL(12,6))) AS idcg6
-         |  FROM exact GROUP BY qid)
+         |  SELECT qid, CAST(SUM(((11 - erk) * 1000000000000) // li6) AS BIGINT) AS idcg6
+         |  FROM nde_out GROUP BY qid),
+         |ji AS (SELECT a.qid, a.cid, CAST(a.rk AS BIGINT) + 1 AS rk1, e.erk
+         |       FROM a_ivf_topk a JOIN ej e ON a.qid = e.qid AND a.cid = e.cid),
+         |${LnGrid.sqlCtes("ji", "rk1", "1", "lr6", "ndi_")},
+         |ln_ivf_topk AS (SELECT qid, cid, erk, lr6 FROM ndi_out),
+         |jl AS (SELECT a.qid, a.cid, CAST(a.rk AS BIGINT) + 1 AS rk1, e.erk
+         |       FROM a_lsh_topk a JOIN ej e ON a.qid = e.qid AND a.cid = e.cid),
+         |${LnGrid.sqlCtes("jl", "rk1", "1", "lr6", "ndl_")},
+         |ln_lsh_topk AS (SELECT qid, cid, erk, lr6 FROM ndl_out)
          |SELECT * FROM (${leg("ivf_topk")}
          |UNION ALL
          |${leg("lsh_topk")})

@@ -561,8 +561,9 @@ object TextQueries {
     // ln(freq) against ln(rank) over the top-100 vocabulary — natural text
     // runs slope ≈ −1 (Zipf 1949); a corpus whose slope collapses toward 0
     // is synthetic/templated, one that steepens is boilerplate-dominated.
-    // The distributed-regression shape itself is the point: the 6 dp-
-    // rounded bare lns are lifted to exact integer MICRO-UNITS, so ALL
+    // The distributed-regression shape itself is the point: the lns are
+    // [[LnGrid]] integer micro-units BY CONSTRUCTION (r8 — the rounded-
+    // libm grid was engine-build-dependent), so ALL
     // sufficient statistics (ΣX, ΣY, ΣXY, ΣX²) are exact BIGINT sums —
     // order-independent, reproducible on any partitioning — and the two
     // 1e-12 scale factors CANCEL in the slope ratio, leaving one division
@@ -583,13 +584,12 @@ object TextQueries {
           .groupBy("t").agg(count(lit(1)).as("c"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("t"))
-        val pts = vocab.orderBy(col("c").desc, col("t")).limit(100)
+        val ranked = vocab.orderBy(col("c").desc, col("t")).limit(100)
           .withColumn("rank", row_number().over(w))
-          .select(
-            (round(log(col("rank").cast("double")), 6).cast("decimal(12,6)")
-              * lit(1000000)).cast("long").as("xm"),
-            (round(log(col("c").cast("double")), 6).cast("decimal(12,6)")
-              * lit(1000000)).cast("long").as("ym"))
+        val pts = LnGrid.withLn6(
+            LnGrid.withLn6(ranked, col("rank").cast("long"), lit(1L), "xm", "__zx_"),
+            col("c"), lit(1L), "ym", "__zy_")
+          .select(col("xm"), col("ym"))
         pts
           .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
             sum(col("xm") * col("ym")).as("sxy"), sum(col("xm") * col("xm")).as("sxx"))
@@ -604,14 +604,13 @@ object TextQueries {
           .orderBy("n_terms")
       },
       oracle = Some(
-        """WITH v AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
-          |u AS (SELECT t, COUNT(*) AS c FROM v GROUP BY t),
-          |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank FROM u
+        s"""WITH v AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+          |u AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY t),
+          |r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS rank FROM u
           |      QUALIFY rank <= 100),
-          |p AS (SELECT
-          |        CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS xm,
-          |        CAST(CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS ym
-          |      FROM r),
+          |${LnGrid.sqlCtes("r", "rank", "1", "xm", "zx_")},
+          |${LnGrid.sqlCtes("zx_out", "c", "1", "ym", "zy_")},
+          |p AS (SELECT xm, ym FROM zy_out),
           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |             CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
           |             CAST(SUM(xm * ym) AS BIGINT) AS sxy,
@@ -661,14 +660,13 @@ object TextQueries {
         // bounded aggregate (PlanGuard R2's bounded case, like zipf_fit)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy("b").rowsBetween(Long.MinValue, 0)
-        val pts = tokb.join(newt, Seq("b"), "left")
+        val cum = tokb.join(newt, Seq("b"), "left")
           .withColumn("nn", sum(col("n_toks")).over(w))
           .withColumn("v", sum(coalesce(col("new_types"), lit(0L))).over(w))
-          .select(
-            (round(log(col("nn").cast("double")), 6).cast("decimal(12,6)")
-              * lit(1000000)).cast("long").as("xm"),
-            (round(log(col("v").cast("double")), 6).cast("decimal(12,6)")
-              * lit(1000000)).cast("long").as("ym"))
+        val pts = LnGrid.withLn6(
+            LnGrid.withLn6(cum, col("nn"), lit(1L), "xm", "__hx_"),
+            col("v"), lit(1L), "ym", "__hy_")
+          .select(col("xm"), col("ym"))
         pts
           .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
             sum(col("xm") * col("ym")).as("sxy"), sum(col("xm") * col("xm")).as("sxx"))
@@ -691,13 +689,12 @@ object TextQueries {
           |g AS (SELECT tb.b, tb.n_toks, COALESCE(nt.new_types, 0) AS new_types
           |      FROM tb LEFT JOIN nt ON tb.b = nt.b),
           |c AS (SELECT b,
-          |        SUM(n_toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS nn,
-          |        SUM(new_types) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS v
+          |        CAST(SUM(n_toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nn,
+          |        CAST(SUM(new_types) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
           |      FROM g),
-          |p AS (SELECT
-          |        CAST(CAST(round(ln(CAST(nn AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS xm,
-          |        CAST(CAST(round(ln(CAST(v AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS ym
-          |      FROM c),
+""".stripMargin + LnGrid.sqlCtes("c", "nn", "1", "xm", "hx_") + ",\n" +
+          LnGrid.sqlCtes("hx_out", "v", "1", "ym", "hy_") + """,
+          |p AS (SELECT xm, ym FROM hy_out),
           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |             CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
           |             CAST(SUM(xm * ym) AS BIGINT) AS sxy,
@@ -789,11 +786,11 @@ object TextQueries {
             expr(s"size(filter(toks, t -> t IN (${sqList(stopwords)})))"))
           .select(
             col("doc_id"),
-            round(
+            Q.grid6(
               lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
                 lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
-                lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0),
-              6).as("quality"))
+                lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              .as("quality"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -802,9 +799,10 @@ object TextQueries {
            |         len(list_filter(string_split(text, ' '), t -> t IN (${sqList(stopwords)}))) AS n_stop
            |  FROM documents)
            |SELECT doc_id,
-           |       round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+           |       floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
            |           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-           |           + 0.3 * least(1.0, CAST(n_chars2 AS DOUBLE) / 200.0), 6) AS quality
+           |           + 0.3 * least(1.0, CAST(n_chars2 AS DOUBLE) / 200.0))
+           |           * 1000000.0) / 1000000.0 AS quality
            |FROM t ORDER BY doc_id""".stripMargin)),
 
     // ---- document fingerprint: min-md5 over 5-token shingles (winnowing) -
@@ -858,15 +856,20 @@ object TextQueries {
           .crossJoin(broadcast(stats))
           .join(broadcast(qterms), Seq("term"))
           .withColumn("avgdl", col("n_toks").cast("double") / col("n_docs"))
-          .withColumn("idf",
-            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          // idf = ln((N - df + ½)/(df + ½)) = ln6(2N - 2df + 1, 2df + 1) on
+          // LnGrid's integer grid — the ×2 lift makes both ln operands
+          // exact int64 (r8: libm ln was engine-build-dependent)
+          .transform(d => LnGrid.withLn6(d,
+            col("n_docs") * 2L - col("df") * 2L + 1L, col("df") * 2L + 1L, "idf6"))
           .withColumn("norm",
             (col("tf") * lit(2.2)) /
               (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          // idf6 (exact int) × norm (bit-identical double) is ONE
+          // correctly-rounded multiply; floor pins it to the 1e-6 int grid
           .select(col("qid"), col("doc_id"),
-            round(col("idf") * col("norm"), 6).cast("decimal(12,6)").as("t6"))
+            floor(col("idf6").cast("double") * col("norm")).as("t6"))
         val scored = terms.groupBy("qid", "doc_id")
-          .agg(sum(col("t6")).cast("double").as("score"))
+          .agg((sum(col("t6")).cast("double") / lit(1000000.0d)).as("score"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
         scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -885,18 +888,21 @@ object TextQueries {
           |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_toks FROM dl),
           |dfq AS (SELECT term, COUNT(*) AS df FROM tf
           |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-          |terms AS (
-          |  SELECT q.qid, tf.doc_id,
-          |         CAST(round(
-          |           ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+          |tj AS (
+          |  SELECT q.qid, tf.doc_id, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.n_toks,
+          |         CAST(n_docs AS BIGINT) * 2 - CAST(df AS BIGINT) * 2 + 1 AS idf_a,
+          |         CAST(df AS BIGINT) * 2 + 1 AS idf_b
+          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+          |       CROSS JOIN stats JOIN q USING (term)),
+""".stripMargin + LnGrid.sqlCtes("tj", "idf_a", "idf_b", "idf6", "bm_") + ",\n" + """          |terms AS (
+          |  SELECT qid, doc_id,
+          |         floor(CAST(idf6 AS DOUBLE)
           |           * ((tf * CAST(2.2 AS DOUBLE)) /
           |              (tf + CAST(1.2 AS DOUBLE) *
           |                (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-          |                  * (dl / (CAST(n_toks AS DOUBLE) / n_docs))))), 6)
-          |           AS DECIMAL(12,6)) AS t6
-          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
-          |       CROSS JOIN stats JOIN q USING (term)),
-          |scored AS (SELECT qid, doc_id, CAST(SUM(t6) AS DOUBLE) AS score
+          |                  * (dl / (CAST(n_toks AS DOUBLE) / n_docs)))))) AS t6
+          |  FROM bm_out),
+          |scored AS (SELECT qid, doc_id, CAST(SUM(t6) AS DOUBLE) / 1000000.0 AS score
           |           FROM terms GROUP BY qid, doc_id),
           |ranked AS (SELECT qid, doc_id, score,
           |                  ROW_NUMBER() OVER (PARTITION BY qid
@@ -1647,17 +1653,17 @@ object TextQueries {
           .withColumn("cont_b", col("n_inter").cast("double") / col("sz_b"))
           .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
           .select(col("source"), col("a_id"), col("b_id"),
-            round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+            Q.grid6(col("cont_a")).as("cont_a"), Q.grid6(col("cont_b")).as("cont_b"))
           .orderBy("source", "a_id", "b_id")
       },
       oracle = Some(
         s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
            |sh AS (SELECT doc_id, source, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3)
            |SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
-           |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           |         / len(a.shingles), 6) AS cont_a,
-           |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           |         / len(b.shingles), 6) AS cont_b
+           |       floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(a.shingles) * 1000000.0) / 1000000.0 AS cont_a,
+           |       floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / len(b.shingles) * 1000000.0) / 1000000.0 AS cont_b
            |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE greatest(
            |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles),
@@ -1750,10 +1756,10 @@ object TextQueries {
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN (${sqList(stopwords)})))"))
-          .withColumn("quality", round(
+          .withColumn("quality", Q.grid6(
             lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
               lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
-              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0), 6))
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0)))
           .filter(col("quality") >= 0.55 && col("n_tokens").between(20, 100))
           .groupBy("source")
           .agg(
@@ -1767,10 +1773,11 @@ object TextQueries {
            |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(LOWER(TRIM(text)))),
            |scored AS (
            |  SELECT d.source, len(string_split(d.text, ' ')) AS n_tokens,
-           |         round(0.4 * least(1.0, CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 50.0)
+           |         floor((0.4 * least(1.0, CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 50.0)
            |             + 0.3 * (1.0 - CAST(len(list_filter(string_split(d.text, ' '), t -> t IN (${sqList(stopwords)}))) AS DOUBLE)
            |                            / len(string_split(d.text, ' ')))
-           |             + 0.3 * least(1.0, CAST(length(d.text) AS DOUBLE) / 200.0), 6) AS quality
+           |             + 0.3 * least(1.0, CAST(length(d.text) AS DOUBLE) / 200.0))
+           |             * 1000000.0) / 1000000.0 AS quality
            |  FROM documents d
            |  WHERE EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = d.doc_id))
            |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

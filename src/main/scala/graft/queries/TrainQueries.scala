@@ -58,7 +58,7 @@ object TrainQueries {
           .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("cluster", "dim")
           .agg(count(lit(1)).as("n_members"),
-            sum(round(col("v").cast("double"), 6).cast("decimal(16,6)")).as("s6"))
+            sum(Q.grid6(col("v").cast("double")).cast("decimal(16,6)")).as("s6"))
           .select(col("cluster"), col("dim"), col("n_members"),
             col("s6").cast("decimal(20,6)").cast("double").as("c_sum"))
           .orderBy("cluster", "dim")
@@ -80,7 +80,8 @@ object TrainQueries {
            |  WHERE rk = 1),
            |flat AS (
            |  SELECT cluster, CAST(u.i - 1 AS INTEGER) AS dim,
-           |         CAST(round(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(16,6)) AS v6
+           |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0) / 1000000.0
+           |              AS DECIMAL(16,6)) AS v6
            |  FROM assigned, UNNEST(range(1, 65)) AS u(i))
            |SELECT cluster, dim, COUNT(*) AS n_members,
            |       CAST(CAST(SUM(v6) AS DECIMAL(20,6)) AS DOUBLE) AS c_sum
@@ -195,7 +196,7 @@ object TrainQueries {
             .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
             .groupBy("cluster", "dim")
             .agg(count(lit(1)).as("n_members"),
-              sum(round(col("v").cast("double"), 6).cast("decimal(16,6)")).as("s6"))
+              sum(Q.grid6(col("v").cast("double")).cast("decimal(16,6)")).as("s6"))
           cents = update
             .withColumn("m", col("s6").cast("decimal(20,6)").cast("double") / col("n_members"))
             .groupBy(col("cluster").as("cent_id"))
@@ -221,7 +222,7 @@ object TrainQueries {
              |  WHERE rk = 1),
              |f$k AS (
              |  SELECT cluster, CAST(u.i - 1 AS INTEGER) AS dim,
-             |         CAST(round(emb[u.i], 6) AS DECIMAL(16,6)) AS v6
+             |         CAST(floor(emb[u.i] * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS v6
              |  FROM a$k, UNNEST(range(1, 65)) AS u(i)),
              |u$k AS (SELECT cluster, dim, COUNT(*) AS n, CAST(SUM(v6) AS DECIMAL(20,6)) AS s
              |        FROM f$k GROUP BY cluster, dim),

@@ -831,11 +831,12 @@ object PriorityStreams {
   /** Streaming twin of the batch `event_seq_logprob` scorer (added r7):
     * every transition the per-user state machine extracts
     * ([[transitionStream]]) is scored ONLINE against a static model frame
-    * `(cur, nxt, lp6)` — the transition probabilities on the 6 dp ln grid
-    * (build it in batch as `round(ln(prob), 6)::decimal(12,6)` off
-    * transition_matrix — the exact grid the batch scorer sums, so per-user
-    * decimal sums of the emitted lp6 reproduce the batch numbers EXACTLY;
-    * spec-pinned). Transitions the model has never seen surface UNSCORED
+    * `(cur, nxt, lp6)` — the transition log-probabilities on
+    * [[graft.queries.LnGrid]]'s integer 10⁻⁶ grid (build it in batch with
+    * [[graft.queries.FunnelQueries.transitionModelLn6]] — the exact frame
+    * the batch scorer sums, so per-user int sums of the emitted lp6
+    * reproduce the batch numbers EXACTLY; spec-pinned). Transitions the
+    * model has never seen surface UNSCORED
     * (null lp6, seen = false — the driftStream novel-type discipline: an
     * anomaly monitor must not silently drop exactly the anomalies it
     * exists to catch).

@@ -180,7 +180,7 @@ class CurationQueriesSpec extends SparkTestBase {
     assert(plan.contains("might_contain"), "BloomFilterMightContain missing from the physical plan")
   }
 
-  test("heldout_bigram_ppl: scores exactly the val band; probabilities in (0, 1]") {
+  test("heldout_bigram_ppl: scores exactly the val band; log-probs non-positive") {
     val rows = graft.SparkEntry.queries("heldout_bigram_ppl")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
@@ -192,15 +192,15 @@ class CurationQueriesSpec extends SparkTestBase {
       .filter(size(split(col("text"), " ")) >= 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rows.map(_._1).toSet == expected, "scored docs != val band")
-    rows.foreach { case (id, n, p) =>
+    rows.foreach { case (id, n, lp) =>
       assert(n >= 1, s"doc $id has no bigrams")
-      // p = (nb+1)/(na+V) ∈ (0, 1] always (nb <= na, V >= 1); the integer
-      // grid floors each term so the mean stays within [0, 1]
-      assert(p >= 0.0 && p <= 1.0, s"doc $id avg_p $p outside [0,1]")
+      // p = (nb+1)/(na+V) <= 1 always (nb <= na, V >= 1), and LnGrid's
+      // ln6 of a ratio <= 1 is <= 0 exactly (antisymmetric construction)
+      assert(lp <= 0.0, s"doc $id logprob $lp positive")
     }
     // the model must NOT have seen the val docs: a val-only bigram scores
     // through the smoothing floor, which is strictly below any seen bigram's
-    // probability — sanity: mean val probability sits below bigram_logprob's
+    // maximum — sanity: mean val logprob sits below bigram_logprob's
     // in-sample mean on the same docs (memorization gap)
     val inSample = graft.SparkEntry.queries("bigram_logprob")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap

@@ -380,13 +380,18 @@ class FunnelQueriesSpec extends SparkTestBase {
     }
     // model consistency: the transition-count-weighted mean of the per-user
     // scores is the model's own cross-entropy −H(next|cur) computed from
-    // transition_matrix (same 6 dp ln grid on both paths, so agreement is
-    // tight — both are exact-decimal sums of the same grid values)
-    val tm = graft.SparkEntry.queries("transition_matrix")(spark, dir)
-      .collect().map(r => (r.getLong(2), r.getDouble(3)))
-    val totalTrans = tm.map(_._1).sum
-    val modelMean = tm.map { case (c, prob) =>
-      c * (math.rint(math.log(prob) * 1e6) / 1e6) }.sum / totalTrans
+    // the transition counts through the SAME LnGrid chain (ln6Ref is the
+    // spec-pinned Scala mirror), so agreement is tight — both are exact
+    // int sums of the same grid values
+    val cnt = graft.queries.FunnelQueries.userTransitionCounts(
+        graft.Tables.load(spark, dir, "events"))
+      .groupBy("cur", "nxt").agg(org.apache.spark.sql.functions.sum("c").as("cpc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ctx = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val totalTrans = cnt.map(_._3).sum
+    val modelMean = cnt.map { case (cur, _, c) =>
+      c.toDouble * graft.queries.LnGrid.ln6Ref(c, ctx(cur)) }.sum /
+      (totalTrans.toDouble * 1000000.0d)
     val userMean = rows.map { case (_, n, lp) => n * lp }.sum / rows.map(_._2).sum
     assert(math.abs(userMean - modelMean) < 1e-9,
       s"weighted user mean $userMean != model cross-entropy $modelMean")

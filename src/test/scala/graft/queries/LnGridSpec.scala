@@ -42,6 +42,35 @@ class LnGridSpec extends SparkTestBase {
     assert(math.abs(got((1L, 1000000L)) + 13815511L) <= 3L)
   }
 
+  test("SQL chain equals the pure-Scala reference implementation exactly") {
+    import spark.implicits._
+    val pairs = (for (a <- 1L to 200L; b <- Seq(1L, 3L, 97L, 999983L)) yield (a, b)) ++
+      Seq((9199999999L, 7L), (123456789L, 987654321L))
+    val got = LnGrid.withLn6(pairs.toDF("a", "b"), col("a"), col("b"), "l6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, l6) =>
+      assert(l6 == LnGrid.ln6Ref(a, b), s"SQL chain diverged from ln6Ref at ($a, $b)")
+    }
+  }
+
+  test("wide variant tracks math.log within 2.5e-6 up to 2^62 operands") {
+    import spark.implicits._
+    val as = Seq(1L, 2L, 7L, 1000L, 999983L, 9199999999L, 123456789012345L,
+      (1L << 62) - 1L, 4611686018427387L)
+    val bs = Seq(1L, 3L, 1000003L, 987654321098L, (1L << 61) + 12345L)
+    val pairs = for (a <- as; b <- bs) yield (a, b)
+    val out = LnGrid.withLn6Wide(pairs.toDF("a", "b"), col("a"), col("b"), "l6", "__w_")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (a, b, l6) =>
+      val err = math.abs(l6 / 1e6 - (math.log(a.toDouble) - math.log(b.toDouble)))
+      assert(err <= 2.5e-6, s"ln6wide($a, $b) = $l6: err $err")
+    }
+    // antisymmetric by construction (sign applied to the |v9a - v9b| magnitude)
+    val g = out.map { case (a, b, l) => (a, b) -> l }.toMap
+    assert(g((2L, 3L)) == -LnGrid.withLn6Wide(Seq((3L, 2L)).toDF("a", "b"),
+      col("a"), col("b"), "l6", "__w_").head().getLong(2))
+  }
+
   test("non-positive operands yield null, not a crash (Spark div-by-zero)") {
     import spark.implicits._
     val out = LnGrid.withLn6(Seq((0L, 5L), (5L, 0L), (3L, 2L)).toDF("a", "b"),

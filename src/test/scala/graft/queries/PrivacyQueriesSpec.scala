@@ -53,10 +53,11 @@ class PrivacyQueriesSpec extends SparkTestBase {
         .map("%02x".format(_)).mkString.take(6)
       val h = java.lang.Long.parseLong(hex, 16)
       val dev = 2 * h - H
-      val ln6 = BigDecimal(math.log(math.max(H - math.abs(dev), 1).toDouble / H))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      val lap6 = ln6 * BigDecimal(-2 * dev.sign)
-      val expect = (BigDecimal(n) + lap6).toDouble
+      // the query's ln lives on LnGrid's integer grid — replay through the
+      // pure-Scala reference chain (spec-pinned ≡ the SQL chain)
+      val l6 = graft.queries.LnGrid.ln6Ref(math.max(H - math.abs(dev), 1), H.toLong)
+      val lap6i = l6 * -2L * dev.sign
+      val expect = (n * 1000000L + lap6i).toDouble / 1000000.0d
       assert(noisy == expect, s"($t, $d): noisy $noisy != replayed $expect")
     }
     // reproducible: the release can be audited run-over-run

@@ -41,7 +41,8 @@ class SimilarityQueriesSpec extends SparkTestBase {
     val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosineSimilarity(col("av"), col("bv")))
       .filter(col("sim") >= 0.35)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        (floor(col("sim") * lit(1000000.0d)) / lit(1000000.0d)).as("sim"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(lsh.nonEmpty)

@@ -841,11 +841,11 @@ class PriorityStreamsSpec extends SparkTestBase {
   test("streaming sequence scoring == batch event_seq_logprob exactly; novel transitions surface unscored") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    // the static model: transition_matrix's probs on the 6 dp ln grid —
-    // the SAME grid construction the batch scorer documents
-    val model = graft.SparkEntry.queries("transition_matrix")(spark, dir)
-      .select(col("cur"), col("nxt"),
-        round(log(col("prob")), 6).cast("decimal(12,6)").as("lp6"))
+    // the static model via the SHARED LnGrid builder — the exact frame the
+    // batch scorer sums (r8 supply-chain pin)
+    val model = graft.queries.FunnelQueries.transitionModelLn6(
+      graft.queries.FunnelQueries.userTransitionCounts(
+        graft.Tables.load(spark, dir, "events")))
     val evs = graft.Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .orderBy("ts", "event_id")
@@ -870,19 +870,18 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
     val out = spark.table("seqscore_out").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        Option(r.getDecimal(3)), r.getBoolean(4)))
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
     // the novel transition surfaced, unscored
     val nv = out.filter(_._3 == "zzz")
     assert(nv.length == 1 && nv.head._4.isEmpty && !nv.head._5,
       s"novel transition not surfaced unscored: ${nv.toSeq}")
-    // every in-model transition scored; per-user (Σ lp6)/n reproduces the
-    // batch scorer EXACTLY (same decimal sum, same final double division)
+    // every in-model transition scored; per-user (Σ lp6)/(n·1e6) reproduces
+    // the batch scorer EXACTLY (same int sum, same final double division)
     val scored = out.filter(_._3 != "zzz")
     assert(scored.forall(_._5), "self-scored corpus must find every transition seen")
     val perUser = scored.groupBy(_._1).map { case (u, xs) =>
-      val sl = xs.map(_._4.get.asInstanceOf[java.math.BigDecimal])
-        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
-      u -> (xs.length.toLong, sl.doubleValue / xs.length)
+      val sl = xs.map(_._4.get).sum
+      u -> (xs.length.toLong, sl.toDouble / (xs.length.toLong * 1000000L).toDouble)
     }
     val batch = graft.SparkEntry.queries("event_seq_logprob")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
