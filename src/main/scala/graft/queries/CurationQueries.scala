@@ -939,6 +939,100 @@ object CurationQueries {
           |       CAST(sl AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS logprob
           |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // ---- Jelinek–Mercer interpolated bigram scoring (added r8) -----------
+    // The classical fix for heldout_bigram_ppl's add-1 smoothing: score the
+    // val band under p(b|a) = λ·p₂(b|a) + (1−λ)·p₁(b), λ = 3/4 — the
+    // bigram MLE backed off to the train unigram (Jelinek & Mercer 1980;
+    // Chen & Goodman 1999 measure JM as the robust baseline). Unseen
+    // bigrams fall to the unigram floor instead of a uniform-V floor, so
+    // common-next-token transitions score realistically where add-1
+    // over-penalizes them.
+    //
+    // ENGINE-VERSION-PROOF (r8): both component probabilities live on the
+    // exact integer 10^-6 grid (p2m = (nb·10^6) div na, p1m = (cb·10^6)
+    // div T — pure int64 floor division); the λ-mix is pure integers
+    // (3·p2m + p1m) div 4, floored to ≥1 so ln is defined even for a
+    // val-only token; the ln is [[LnGrid]] over (mix6, 10^6); exact
+    // multiplicity weighting; one bare final division by n·10^6.
+    //
+    // Scale shape: heldout_bigram_ppl's exactly — one corpus pass split by
+    // the hash band, vocab-sized un-hinted model joins (LEFT on the val
+    // side), a 1-row train-total broadcast.
+    "interp_bigram_ppl" -> Q(
+      fn = (s, dir) => {
+        val assigned = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+        val tf3 = assigned
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("h2"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c"))
+        val train = tf3.filter(col("h2") < "cc")
+        val counts = train.groupBy("a", "b").agg(sum(col("c")).as("nb"))
+        val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
+        val uni = assigned.filter(col("h2") < "cc")
+          .select(explode(split(col("text"), " ")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("cb"))
+        val tTot = uni.agg(sum(col("cb")).as("tt"))
+        val vd = tf3.filter(col("h2") >= "cc" && col("h2") < "e6")
+        val mixed = vd
+          .join(counts, Seq("a", "b"), "left")
+          .join(ctx, Seq("a"), "left")
+          .join(uni, Seq("b"), "left")
+          .crossJoin(broadcast(tTot))
+          .withColumn("p2m", expr(
+            "CASE WHEN na IS NULL OR na = 0 THEN 0 ELSE (coalesce(nb, 0) * 1000000) div na END"))
+          .withColumn("p1m", expr("(coalesce(cb, 0) * 1000000) div tt"))
+          .withColumn("mix6", expr("greatest((3 * p2m + p1m) div 4, 1)"))
+        LnGrid.withLn6(mixed, col("mix6"), lit(1000000L), "logp6")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sl").cast("double")
+              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           |             substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) AS h2
+           |           FROM documents),
+           |bi AS (SELECT doc_id, h2, UNNEST(list_transform(range(len(toks) - 1),
+           |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+           |       FROM t WHERE len(toks) >= 2),
+           |tf3 AS (SELECT doc_id, h2, a, b, CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM bi GROUP BY doc_id, h2, a, b),
+           |cnt AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS nb
+           |        FROM tf3 WHERE h2 < 'cc' GROUP BY a, b),
+           |cx AS (SELECT a, CAST(SUM(nb) AS BIGINT) AS na FROM cnt GROUP BY a),
+           |uni AS (SELECT tok AS b, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+           |          SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+           |          WHERE substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc')
+           |        GROUP BY tok),
+           |tt AS (SELECT CAST(SUM(cb) AS BIGINT) AS tt FROM uni),
+           |mx AS (
+           |  SELECT tf3.doc_id, tf3.c,
+           |         greatest((3 * (CASE WHEN cx.na IS NULL OR cx.na = 0 THEN 0
+           |                             ELSE (CAST(COALESCE(cnt.nb, 0) AS BIGINT) * 1000000) // cx.na END)
+           |                   + (CAST(COALESCE(uni.cb, 0) AS BIGINT) * 1000000) // tt.tt) // 4,
+           |                  1) AS mix6
+           |  FROM tf3 LEFT JOIN cnt ON tf3.a = cnt.a AND tf3.b = cnt.b
+           |           LEFT JOIN cx ON tf3.a = cx.a
+           |           LEFT JOIN uni ON tf3.b = uni.b
+           |           CROSS JOIN tt
+           |  WHERE tf3.h2 >= 'cc' AND tf3.h2 < 'e6'),
+           |${LnGrid.sqlCtes("mx", "mix6", "1000000", "logp6", "im_")},
+           |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           |               CAST(SUM(logp6 * c) AS BIGINT) AS sl
+           |        FROM im_out GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams,
+           |       CAST(sl AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS logprob
+           |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- sequence packing (concat-and-chunk, added r5) -------------------
     // Assign documents to fixed 256-token training packs: concatenate each
     // stream in doc_id order and a doc joins the pack where its first token
@@ -986,6 +1080,107 @@ object CurationQueries {
           |       CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
           |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
           |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- sequence-packing efficiency audit (added r8) --------------------
+    // The closing number a pack-length decision needs: for candidate pack
+    // lengths L ∈ {128, 256, 512}, per source, how much of the allocated
+    // token budget is PADDING? pack_sequences' concat-and-chunk packer
+    // seals packs per (source, 200-doc block) stream, so each stream's
+    // waste is exactly ceil(tot/L)·L − tot (only the last pack is
+    // partial). Small L wastes little per stream but caps sequence
+    // context; large L amortizes worse on short streams — this table is
+    // the curve a training-efficiency review reads before fixing L.
+    // Integer-only arithmetic (ceil via (t + L − 1) div L); utilization is
+    // ONE bare division of exact ints. Scale shape: one corpus pass to
+    // per-stream totals (the packer's own partitioning), then a ≤
+    // sources×|L| roll-up — nothing corpus-sized after the first agg.
+    "pack_efficiency" -> Q(
+      fn = (s, dir) => {
+        val streams = Tables.load(s, dir, "documents")
+          .withColumn("blk", expr("doc_id div 200"))
+          .groupBy("source", "blk")
+          .agg(sum(size(split(col("text"), " "))).as("tot"))
+        val lens = Seq(128L, 256L, 512L)
+        lens.map { l =>
+          streams
+            .withColumn("pack_len", lit(l))
+            .withColumn("n_packs", expr(s"(tot + ${l - 1}) div $l"))
+            .groupBy("source", "pack_len")
+            .agg(count(lit(1)).as("n_streams"),
+              sum(col("tot")).as("n_tokens"),
+              sum(col("n_packs")).as("n_packs"))
+            .withColumn("n_padding", col("n_packs") * col("pack_len") - col("n_tokens"))
+            .withColumn("utilization",
+              col("n_tokens").cast("double")
+                / (col("n_packs") * col("pack_len")).cast("double"))
+        }.reduce(_ unionByName _)
+          .select("source", "pack_len", "n_streams", "n_tokens", "n_packs",
+            "n_padding", "utilization")
+          .orderBy("source", "pack_len")
+      },
+      oracle = Some(
+        """WITH st AS (SELECT source, doc_id // 200 AS blk,
+          |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+          |            FROM documents GROUP BY source, blk),
+          |ls(pack_len) AS (VALUES (CAST(128 AS BIGINT)), (CAST(256 AS BIGINT)),
+          |                        (CAST(512 AS BIGINT))),
+          |g AS (SELECT source, pack_len, CAST(COUNT(*) AS BIGINT) AS n_streams,
+          |             CAST(SUM(tot) AS BIGINT) AS n_tokens,
+          |             CAST(SUM((tot + pack_len - 1) // pack_len) AS BIGINT) AS n_packs
+          |      FROM st CROSS JOIN ls GROUP BY source, pack_len)
+          |SELECT source, pack_len, n_streams, n_tokens, n_packs,
+          |       n_packs * pack_len - n_tokens AS n_padding,
+          |       CAST(n_tokens AS DOUBLE)
+          |         / CAST(n_packs * pack_len AS DOUBLE) AS utilization
+          |FROM g ORDER BY source, pack_len""".stripMargin)),
+
+    // ---- top-k vocabulary coverage curve (added r8) ----------------------
+    // How much of the corpus's token MASS does a k-entry vocabulary cover?
+    // The Zipf-complement a tokenizer-budget decision reads: coverage(k)
+    // for k ∈ {10, 100, 1000} over the (count desc, token asc)-ranked
+    // vocabulary. Natural text covers fast (Zipf); a corpus whose curve is
+    // flat is template/ID-heavy and needs a bigger vocab or byte fallback.
+    // Exact integers until ONE bare division per row. Scale shape: vocab
+    // agg with map-side combine → TakeOrderedAndProject(1000) → the three
+    // conditional sums run over ≤1000 rows; the total is a 1-row broadcast
+    // (R1-whitelisted shape).
+    "vocab_coverage" -> Q(
+      fn = (s, dir) => {
+        val cnt = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum(col("n")).as("total"), count(lit(1)).as("n_vocab"))
+        val top = cnt.orderBy(col("n").desc, col("token")).limit(1000)
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("token"))))
+        val ks = Seq(10, 100, 1000)
+        ks.map { k =>
+          top.filter(col("rank") <= k)
+            .agg(sum(col("n")).as("covered"))
+            .withColumn("k", lit(k.toLong))
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("covered"), col("total"), col("n_vocab"),
+            (col("covered").cast("double") / col("total").cast("double"))
+              .as("coverage"))
+          .orderBy("k")
+      },
+      oracle = Some(
+        """WITH ex AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+          |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY token),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+          |               CAST(COUNT(*) AS BIGINT) AS n_vocab FROM cnt),
+          |rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM cnt
+          |       QUALIFY rank <= 1000),
+          |ks(k) AS (VALUES (CAST(10 AS BIGINT)), (CAST(100 AS BIGINT)),
+          |                 (CAST(1000 AS BIGINT))),
+          |g AS (SELECT k, CAST(SUM(CASE WHEN rank <= k THEN n ELSE 0 END) AS BIGINT)
+          |               AS covered
+          |      FROM rk CROSS JOIN ks GROUP BY k)
+          |SELECT k, covered, total, n_vocab,
+          |       CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+          |FROM g CROSS JOIN tot ORDER BY k""".stripMargin)),
 
     // ---- per-source length distribution ----------------------------------
     // Exact R-7 interpolated quantiles of document length — the curation

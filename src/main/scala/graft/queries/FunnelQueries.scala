@@ -787,6 +787,59 @@ object FunnelQueries {
           |SELECT p.cur, p.nxt, c, CAST(c AS DOUBLE) / tot AS prob
           |FROM p JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin)),
 
+    // ---- per-state transition entropy (added r8) --------------------------
+    // The one-number summary of each transition_matrix ROW:
+    // H(next | cur = s) = −Σ_b p(b|s)·ln p(b|s) in nats — how PREDICTABLE
+    // a user's next step is from state s (0 = deterministic funnel edge,
+    // ln|types| = uniform chaos). The per-state profile tells a funnel
+    // designer which steps are decision points vs conveyor belts, and its
+    // count-weighted mean is the Markov chain's conditional entropy — the
+    // compressibility floor of the event stream and the sanity bound for
+    // event_seq_logprob's scores (a user score far below −H is surprising
+    // by construction). ENGINE-VERSION-PROOF: the algebra folds to
+    // H = (Σ_b c·ln6(tot, c)) / (tot·10^6) — each ln is [[LnGrid]] over
+    // exact transition counts (ln(tot/c) = −ln p keeps every value
+    // positive), weighted by exact ints, ONE bare final division.
+    //
+    // Scale shape: transition_matrix's own — one user_id window exchange,
+    // a ≤|types|² agg, a ≤|types| roll-up. Constant past the first agg.
+    "transition_entropy" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val seq = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+        val p = seq.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        val tot = p.groupBy("cur").agg(sum(col("c")).as("tot"))
+        LnGrid.withLn6(p.join(broadcast(tot), Seq("cur")),
+            col("tot"), col("c"), "lnic6")
+          .groupBy("cur", "tot")
+          .agg(count(lit(1)).as("n_next"), sum(col("c") * col("lnic6")).as("sh"))
+          .select(col("cur"), col("tot").as("n_trans"), col("n_next"),
+            (col("sh").cast("double")
+              / (col("tot") * lit(1000000L)).cast("double")).as("entropy_nats"))
+          .orderBy("cur")
+      },
+      oracle = Some(
+        s"""WITH seq AS (
+           |  SELECT user_id, event_type AS cur,
+           |         LEAD(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |p AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           |      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+           |t AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS tot FROM p GROUP BY cur),
+           |pj AS (SELECT p.cur, p.nxt, p.c, t.tot FROM p JOIN t USING (cur)),
+           |${LnGrid.sqlCtes("pj", "tot", "c", "lnic6", "te_")},
+           |a AS (SELECT cur, tot, CAST(COUNT(*) AS BIGINT) AS n_next,
+           |             CAST(SUM(c * lnic6) AS BIGINT) AS sh
+           |      FROM te_out GROUP BY cur, tot)
+           |SELECT cur, tot AS n_trans, n_next,
+           |       CAST(sh AS DOUBLE) / CAST(tot * 1000000 AS DOUBLE) AS entropy_nats
+           |FROM a ORDER BY cur""".stripMargin)),
+
     // ---- per-user sequence likelihood under the Markov model (added r7) --
     // transition_matrix turned into a SCORER: each user's event stream gets
     // its average transition log-likelihood under the corpus-wide

@@ -45,11 +45,12 @@ import graft.Tables
   *                            (the D_KL(p_s ‖ p_corpus) column of a
   *                            datacard).
   *
-  * Float parity follows the proven grid (see [[Queries]] scaladoc): `ln` of
-  * one exact-int division rounded to the 6 dp decimal grid, weighted by
-  * exact counts, summed as decimal, and every emitted double is ONE bare
-  * correctly-rounded op (a cast or a division) — never a trailing
-  * `round(double, 6)`.
+  * Float parity follows the r8 engine-version-proof doctrine (see
+  * [[Queries]] scaladoc): every ln comes from [[LnGrid]]'s fixed-point
+  * integer chain, square roots from [[Q.isqrt]], ratios from integer
+  * `div` grids or `floor(x·10^6)` of IEEE-deterministic doubles; sums are
+  * exact int64/decimal, and every emitted double is ONE bare
+  * correctly-rounded op (a cast or a division).
   */
 object SelectionQueries {
 

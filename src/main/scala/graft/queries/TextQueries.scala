@@ -398,7 +398,10 @@ object TextQueries {
     * verified MinHash near-dup pair set, shared by the dedup_minhash_clusters
     * and dup_cluster_profile oracles (oracle-side twin of
     * [[minhashPairsWithHandle]] + [[Q.connectedComponents]]). */
-  private val minhashClusterSqlCtes: String = {
+  /** DuckDB CTE chain ending in `pairs(a_id, b_id)` — the oracle-side twin
+    * of [[minhashPairsWithHandle]], factored (r8) so the cluster closure
+    * and split_leakage oracles provably band identically. */
+  private val minhashPairsSqlCtes: String = {
     val sigs = (0 until NumHashes).map(k =>
       s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
     val bandSelects = (0 until NumHashes / BandSize).map(b =>
@@ -420,7 +423,11 @@ object TextQueries {
        |  SELECT a_id, b_id FROM cand
        |  JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id
        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+       |         / len(list_distinct(a.shingles || b.shingles)) >= 0.5)""".stripMargin
+  }
+
+  private val minhashClusterSqlCtes: String = {
+    s"""$minhashPairsSqlCtes,
        |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
        |        UNION ALL SELECT b_id, a_id FROM pairs),
        |reach(s, d) AS (
@@ -1332,6 +1339,57 @@ object TextQueries {
     // over the same verified pair set — exponential on big components,
     // fine at gate scale, which is exactly why the Spark side doesn't use
     // it.
+    // ---- near-dup leakage across the train/val/test split (added r8) -----
+    // The eval-contamination audit exact dedup CANNOT do: a hash split
+    // assigns near-identical documents to DIFFERENT splits (their md5s are
+    // unrelated), so a val/test doc can have a near-verbatim twin in
+    // train — exactly the leakage that inflates eval scores (the
+    // Lee et al. 2022 / GPT-3 appendix-C failure mode). This composes the
+    // two gated builders: verified MinHash near-dup pairs
+    // ([[minhashPairsWithHandle]]) × train_split's hash-band rule, and
+    // counts pairs per (split, split) cell — off-diagonal mass IS the
+    // leak; the (train, val) and (train, test) cells are the rows a
+    // release review blocks on. All-integer output. Scale shape: the
+    // shared banded pair pipeline + two doc_id-keyed band joins + a ≤9-row
+    // agg; nothing new shuffles at corpus scale.
+    "split_leakage" -> Q(
+      fn = (s, dir) => {
+        val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
+        shCache // query-scoped cache (see Q's cache-lifecycle contract)
+        val split = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+          .select(col("doc_id"),
+            when(col("h2") < "cc", "train")
+              .when(col("h2") < "e6", "val").otherwise("test").as("split"))
+        pairsDf
+          .join(split.select(col("doc_id").as("a_id"), col("split").as("sa")), Seq("a_id"))
+          .join(split.select(col("doc_id").as("b_id"), col("split").as("sb")), Seq("b_id"))
+          .groupBy(least(col("sa"), col("sb")).as("split_x"),
+            greatest(col("sa"), col("sb")).as("split_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_leak",
+            when(col("split_x") =!= col("split_y"), 1L).otherwise(0L))
+          .orderBy("split_x", "split_y")
+      },
+      oracle = Some(
+        s"""WITH $minhashPairsSqlCtes,
+           |sp AS (SELECT doc_id,
+           |         CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc'
+           |                THEN 'train'
+           |              WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'e6'
+           |                THEN 'val'
+           |              ELSE 'test' END AS split
+           |       FROM documents)
+           |SELECT least(pa.split, pb.split) AS split_x,
+           |       greatest(pa.split, pb.split) AS split_y,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |       CAST(CASE WHEN least(pa.split, pb.split) != greatest(pa.split, pb.split)
+           |                 THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+           |FROM pairs JOIN sp pa ON pa.doc_id = a_id
+           |           JOIN sp pb ON pb.doc_id = b_id
+           |GROUP BY 1, 2 ORDER BY split_x, split_y""".stripMargin)),
+
     "dedup_minhash_clusters" -> Q(
       fn = (s, dir) => {
         val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)

@@ -80,6 +80,8 @@ class PlanGuardSpec extends SparkTestBase {
       "basket_lift", // broadcast of the 1-row basket-total aggregate
       "source_lang_mi", // broadcast of the 1-row grand-total aggregate (source_kl shape)
       "heldout_bigram_ppl", // broadcast of the 1-row train-vocab-size aggregate
+      "interp_bigram_ppl", // broadcast of the 1-row train-unigram-total aggregate
+      "vocab_coverage", // broadcast of the 1-row (total, n_vocab) aggregate
       "heaps_law_fit", // two broadcasts of the 1-row max-doc-id bound (bucketing both passes)
       "token_burstiness") // broadcast of the 1-row doc-count aggregate
 
