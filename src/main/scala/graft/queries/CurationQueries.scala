@@ -1033,6 +1033,113 @@ object CurationQueries {
            |       CAST(sl AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS logprob
            |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // ---- interpolated Kneser–Ney bigram scoring (added r8) ---------------
+    // Completes the smoothing family (add-1 → Jelinek–Mercer → KN): score
+    // the val band under interpolated Kneser–Ney with absolute discount
+    // D = 3/4 (Kneser & Ney 1995; Chen & Goodman 1999 find it the
+    // strongest bigram smoother):
+    //   p_KN(b|a) = max(c(ab) − D, 0)/c(a)
+    //             + (D/c(a)) · N1+(a·) · N1+(·b)/N_bt
+    // where N1+(a·) = distinct continuations of context a, N1+(·b) =
+    // distinct LEFT contexts of b (the "how many songs is she in"
+    // continuation count — a token frequent only inside one collocation
+    // gets LOW backoff mass, which raw-unigram backoff gets wrong), and
+    // N_bt = distinct train bigram types. A context unseen in train backs
+    // off to the continuation distribution p_cont(b) = N1+(·b)/N_bt.
+    //
+    // ENGINE-VERSION-PROOF (r8 doctrine): D = 3/4 makes the whole formula
+    // integral — multiplying through by 4·c(a)·N_bt gives
+    //   p6 = (max(4·nb − 3, 0)·N_bt + 3·n1f·n1b) · 10^6 div (4·na·N_bt)
+    // — pure int64 (gate bounds: nb ≤ 292, N_bt = 931, na ≤ 7146 at
+    // sf0.1, so the numerator tops out ~1.1e12·10^6 ≈ 1.1e15 ≪ 2^63; a
+    // 100 TB corpus widens to DECIMAL(38,0), the token_burstiness
+    // discipline), floored to ≥ 1 so ln is defined, then [[LnGrid]] ln and
+    // exact multiplicity weighting with ONE bare final division.
+    //
+    // Scale shape: heldout_bigram_ppl's exactly — one corpus pass split by
+    // the hash band; the continuation counts N1+(a·)/N1+(·b) fall out of
+    // the SAME train bigram agg (no extra corpus pass); vocab-sized
+    // un-hinted model joins; a 1-row N_bt broadcast (R1 whitelist).
+    "kn_bigram_ppl" -> Q(
+      fn = (s, dir) => {
+        val assigned = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+        val tf3 = assigned
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("h2"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c"))
+        val counts = tf3.filter(col("h2") < "cc")
+          .groupBy("a", "b").agg(sum(col("c")).as("nb"))
+        val ctx = counts.groupBy("a")
+          .agg(sum(col("nb")).as("na"), count(lit(1)).as("n1f"))
+        val contb = counts.groupBy("b").agg(count(lit(1)).as("n1b"))
+        val nbt = counts.agg(count(lit(1)).as("nbt"))
+        val vd = tf3.filter(col("h2") >= "cc" && col("h2") < "e6")
+        val mixed = vd
+          .join(counts, Seq("a", "b"), "left")
+          .join(ctx, Seq("a"), "left")
+          .join(contb, Seq("b"), "left")
+          .crossJoin(broadcast(nbt))
+          .withColumn("p6", expr(
+            """CASE WHEN na IS NULL OR nbt = 0
+              |       THEN (coalesce(n1b, 0) * 1000000) div greatest(nbt, 1)
+              |     ELSE ((greatest(4 * coalesce(nb, 0) - 3, 0) * nbt
+              |            + 3 * n1f * coalesce(n1b, 0)) * 1000000)
+              |          div (4 * na * nbt) END""".stripMargin))
+          .withColumn("mix6", greatest(col("p6"), lit(1L)))
+        LnGrid.withLn6(mixed, col("mix6"), lit(1000000L), "logp6")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("logp6") * col("c")).as("sl"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sl").cast("double")
+              / (col("n_bigrams") * lit(1000000L)).cast("double")).as("logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           |             substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) AS h2
+           |           FROM documents),
+           |bi AS (SELECT doc_id, h2, UNNEST(list_transform(range(len(toks) - 1),
+           |         i -> {'a': toks[i + 1], 'b': toks[i + 2]}), recursive := true)
+           |       FROM t WHERE len(toks) >= 2),
+           |tf3 AS (SELECT doc_id, h2, a, b, CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM bi GROUP BY doc_id, h2, a, b),
+           |cnt AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS nb
+           |        FROM tf3 WHERE h2 < 'cc' GROUP BY a, b),
+           |cx AS (SELECT a, CAST(SUM(nb) AS BIGINT) AS na,
+           |              CAST(COUNT(*) AS BIGINT) AS n1f FROM cnt GROUP BY a),
+           |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1b FROM cnt GROUP BY b),
+           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM cnt),
+           |mx AS (
+           |  SELECT tf3.doc_id, tf3.c,
+           |         greatest(CASE WHEN cx.na IS NULL OR nt.nbt = 0
+           |                         THEN (CAST(COALESCE(cb.n1b, 0) AS BIGINT) * 1000000)
+           |                              // greatest(nt.nbt, 1)
+           |                       ELSE ((greatest(4 * CAST(COALESCE(cnt.nb, 0) AS BIGINT) - 3, 0)
+           |                              * nt.nbt
+           |                              + 3 * cx.n1f * CAST(COALESCE(cb.n1b, 0) AS BIGINT))
+           |                             * 1000000)
+           |                            // (4 * cx.na * nt.nbt) END,
+           |                  1) AS mix6
+           |  FROM tf3 LEFT JOIN cnt ON tf3.a = cnt.a AND tf3.b = cnt.b
+           |           LEFT JOIN cx ON tf3.a = cx.a
+           |           LEFT JOIN cb ON tf3.b = cb.b
+           |           CROSS JOIN nt
+           |  WHERE tf3.h2 >= 'cc' AND tf3.h2 < 'e6'),
+           |${LnGrid.sqlCtes("mx", "mix6", "1000000", "logp6", "kn_")},
+           |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           |               CAST(SUM(logp6 * c) AS BIGINT) AS sl
+           |        FROM kn_out GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams,
+           |       CAST(sl AS DOUBLE) / CAST(n_bigrams * 1000000 AS DOUBLE) AS logprob
+           |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- sequence packing (concat-and-chunk, added r5) -------------------
     // Assign documents to fixed 256-token training packs: concatenate each
     // stream in doc_id order and a doc joins the pack where its first token

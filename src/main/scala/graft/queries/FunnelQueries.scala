@@ -42,6 +42,81 @@ object FunnelQueries {
       .select(col("cur"), col("nxt"), col("lp6"))
   }
 
+  // ---- Markov removal-effect attribution (added r8) ------------------------
+  // Channel/state lists shared by the Spark leg and the generated oracle SQL
+  // so the two cannot drift. Channels are the non-purchase event types — a
+  // config-scale set, pinned like bm25_topk's fixed query list; START is the
+  // journey-origin state, CONV/NULL the absorbers.
+  private val AmChannels = Seq("click", "error", "signup", "view")
+  private val AmStates = "START" +: AmChannels
+  private val AmIters = 12
+
+  /** Generated DuckDB oracle for attribution_markov: journey edges →
+    * integer transition grid → coefficient pivot → [[AmIters]] unrolled
+    * matrix-vector CTEs (the textrank unrolling discipline). */
+  private def amOracleSql: String = {
+    val coefDefs = AmStates.zipWithIndex.flatMap { case (st, i) =>
+      AmChannels.zipWithIndex.map { case (ch, j) =>
+        s"CAST(COALESCE(SUM(CASE WHEN from_s = '$st' AND to_s = '$ch' THEN p6 END), 0) AS BIGINT) AS p_${i}_${j + 1}"
+      } :+
+        s"CAST(COALESCE(SUM(CASE WHEN from_s = '$st' AND to_s = 'CONV' THEN p6 END), 0) AS BIGINT) AS pc_$i"
+    }.mkString(",\n       ")
+    val maskCols = (for {
+      (_, i) <- AmStates.zipWithIndex
+      (ch, j) <- AmChannels.zipWithIndex
+    } yield s"CASE WHEN removed = '$ch' THEN 0 ELSE p_${i}_${j + 1} END AS p_${i}_${j + 1}")
+      .mkString(",\n       ")
+    val pcKeep = AmStates.indices.map(i => s"pc_$i").mkString(", ")
+    val coefList = (AmStates.indices.flatMap(i =>
+      AmChannels.indices.map(j => s"p_${i}_${j + 1}")) ++
+      AmStates.indices.map(i => s"pc_$i")).mkString(", ")
+    val iters = (1 to AmIters).map { k =>
+      val vs = AmStates.indices.map { i =>
+        val terms = AmChannels.indices.map(j => s"p_${i}_${j + 1} * v_${j + 1}").mkString(" + ")
+        s"($terms + pc_$i * 1000000) // 1000000 AS v_$i"
+      }.mkString(",\n          ")
+      s"it$k AS (SELECT removed, $coefList,\n          $vs\n        FROM it${k - 1})"
+    }.mkString(",\n")
+    s"""WITH j AS (SELECT user_id, ts, event_id, event_type,
+       |        CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS jid
+       |      FROM events),
+       |st AS (SELECT user_id, jid, event_type,
+       |              COALESCE(LAG(event_type) OVER (PARTITION BY user_id, jid ORDER BY ts, event_id),
+       |                       'START') AS from_s,
+       |              CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS to_s,
+       |              ROW_NUMBER() OVER (PARTITION BY user_id, jid ORDER BY ts DESC, event_id DESC) AS rd,
+       |              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |                OVER (PARTITION BY user_id, jid) AS hp
+       |       FROM j),
+       |edges AS (SELECT from_s, to_s FROM st
+       |          UNION ALL
+       |          SELECT event_type, 'NULL' FROM st WHERE rd = 1 AND hp = 0),
+       |ec AS (SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY 1, 2),
+       |tt AS (SELECT from_s, CAST(SUM(c) AS BIGINT) AS tot FROM ec GROUP BY 1),
+       |ep AS (SELECT ec.from_s, ec.to_s, (c * 1000000) // tot AS p6
+       |       FROM ec JOIN tt USING (from_s)),
+       |cf AS (SELECT $coefDefs FROM ep),
+       |vr(removed) AS (VALUES ('none'), ${AmChannels.map(c => s"('$c')").mkString(", ")}),
+       |c0 AS (SELECT removed,
+       |       $maskCols,
+       |       $pcKeep FROM cf CROSS JOIN vr),
+       |it0 AS (SELECT removed, $coefList,
+       |        ${AmStates.indices.map(i => s"CAST(0 AS BIGINT) AS v_$i").mkString(", ")}
+       |        FROM c0),
+       |$iters,
+       |bs AS (SELECT v_0 AS base6 FROM it12 WHERE removed = 'none'),
+       |rm AS (SELECT removed AS channel, v_0 AS rem6 FROM it12 WHERE removed <> 'none'),
+       |tr AS (SELECT CAST(COALESCE(SUM(base6 - rem6), 0) AS BIGINT) AS t FROM rm CROSS JOIN bs)
+       |SELECT channel,
+       |       CAST(base6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS base_conv,
+       |       CAST(rem6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS removed_conv,
+       |       CAST(base6 - rem6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS removal_effect,
+       |       CASE WHEN t > 0 THEN CAST(base6 - rem6 AS DOUBLE) / CAST(t AS DOUBLE) END AS share
+       |FROM rm CROSS JOIN bs CROSS JOIN tr ORDER BY channel""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- market-basket lift on daily event baskets (added r7) ------------
@@ -142,6 +217,110 @@ object FunnelQueries {
           |            AS BIGINT) AS n_attributed
           |FROM w WHERE event_type = 'purchase'
           |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)),
+
+    // ---- Markov removal-effect attribution (added r8) --------------------
+    // The principled upgrade of attribution_lasttouch: instead of crediting
+    // the final click, model user journeys as an absorbing Markov chain
+    // (Anderl et al. 2014) and credit each channel by its REMOVAL EFFECT —
+    // how much the journey-start conversion probability drops when every
+    // transition into that channel is redirected to the null absorber. A
+    // channel that only ever appears after the sale is already certain gets
+    // near-zero credit even if it is always the last touch.
+    //
+    // Journeys: per user in strict (ts, event_id) order, a purchase closes
+    // the current journey (edge prev → CONV) and the next event opens a new
+    // one (edge START → type); a journey still open at stream end is
+    // censored (edge last → NULL). Conversion probability is defined as
+    // "conversion within 12 transitions" — the chain's v-iteration
+    //   v⁽ᵏ⁺¹⁾(s) = Σ_t p(s, t)·v⁽ᵏ⁾(t) + p(s, CONV)
+    // unrolled exactly AmIters times on BOTH engines, so the number is an
+    // exact finite semantic, not a convergence approximation (the textrank
+    // unrolling discipline; the geometric tail past 12 steps is what the
+    // two engines would disagree on, so it is defined away).
+    //
+    // ENGINE-VERSION-PROOF (r8 doctrine): transition probabilities live on
+    // the integer 10^-6 grid (p6 = c·10^6 div tot), each iteration is pure
+    // int64 multiply/add/floor-div (5 terms ≤ 5·10^12 ≪ 2^63), removal
+    // zeroes coefficients (≡ redirect-to-NULL since v(NULL) = 0, and
+    // floor-monotone, so re6 ≥ 0 by induction); the emitted doubles are one
+    // bare division each.
+    //
+    // Scale shape: ONE user_id exchange serves all four journey windows
+    // (jid cumsum, lag, row_number, max share the (user_id[, jid])
+    // partitioning); everything after the ≤ |states|·|states+2| edge agg is
+    // constant-size — a 1-row coefficient pivot × 5 variant rows iterated
+    // by 12 chained scalar projections (CollapseProject keeps the
+    // multiply-referenced v's as aliases, the LnGrid discipline).
+    "attribution_markov" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("jid", coalesce(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val wj = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+        val wjd = Window.partitionBy("user_id", "jid")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val wja = Window.partitionBy("user_id", "jid")
+        val marked = ev
+          .withColumn("from_s", coalesce(lag(col("event_type"), 1).over(wj), lit("START")))
+          .withColumn("to_s",
+            when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")))
+          .withColumn("rd", row_number().over(wjd))
+          .withColumn("hp",
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).over(wja))
+        val edges = marked.select(col("from_s"), col("to_s"))
+          .unionByName(marked.filter(col("rd") === 1 && col("hp") === 0)
+            .select(col("event_type").as("from_s"), lit("NULL").as("to_s")))
+        val ec = edges.groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
+        val tt = ec.groupBy("from_s").agg(sum(col("c")).as("tot"))
+        val ep = ec.join(tt, Seq("from_s"))
+          .withColumn("p6", expr("(c * 1000000) div tot"))
+        val coefExprs = AmStates.zipWithIndex.flatMap { case (st, i) =>
+          AmChannels.zipWithIndex.map { case (ch, j) =>
+            coalesce(sum(when(col("from_s") === st && col("to_s") === ch, col("p6"))),
+              lit(0L)).as(s"p_${i}_${j + 1}")
+          } :+
+            coalesce(sum(when(col("from_s") === st && col("to_s") === "CONV", col("p6"))),
+              lit(0L)).as(s"pc_$i")
+        }
+        val coef = ep.agg(coefExprs.head, coefExprs.tail: _*)
+        import s.implicits._
+        val variants = ("none" +: AmChannels).toDF("removed")
+        val masked = AmStates.indices.foldLeft(coef.crossJoin(variants)) { (d, i) =>
+          AmChannels.zipWithIndex.foldLeft(d) { case (d2, (ch, j)) =>
+            d2.withColumn(s"p_${i}_${j + 1}",
+              when(col("removed") === ch, 0L).otherwise(col(s"p_${i}_${j + 1}")))
+          }
+        }
+        var it = AmStates.indices.foldLeft(masked)((d, i) => d.withColumn(s"v_$i", lit(0L)))
+        for (_ <- 1 to AmIters) {
+          val newVs = AmStates.indices.map { i =>
+            val terms = AmChannels.indices.map(j => s"p_${i}_${j + 1} * v_${j + 1}")
+              .mkString(" + ")
+            expr(s"($terms + pc_$i * 1000000) div 1000000").as(s"v_$i")
+          }
+          val keep = it.columns.filterNot(_.startsWith("v_")).map(col(_))
+          it = it.select(keep ++ newVs: _*)
+        }
+        val base = it.filter(col("removed") === "none").select(col("v_0").as("base6"))
+        val rem = it.filter(col("removed") =!= "none")
+          .select(col("removed").as("channel"), col("v_0").as("rem6"))
+        val withBase = rem.crossJoin(broadcast(base))
+          .withColumn("re6", col("base6") - col("rem6"))
+        val totRe = withBase.agg(coalesce(sum(col("re6")), lit(0L)).as("t"))
+        withBase.crossJoin(broadcast(totRe))
+          .select(col("channel"),
+            (col("base6").cast("double") / lit(1000000L).cast("double")).as("base_conv"),
+            (col("rem6").cast("double") / lit(1000000L).cast("double")).as("removed_conv"),
+            (col("re6").cast("double") / lit(1000000L).cast("double")).as("removal_effect"),
+            when(col("t") > 0, col("re6").cast("double") / col("t").cast("double"))
+              .as("share"))
+          .orderBy("channel")
+      },
+      oracle = Some(amOracleSql)),
 
     // ---- Kaplan–Meier survival: time to first purchase (r7; refit r8) ----
     // Right-censored time-to-event — the correct way to answer "how long

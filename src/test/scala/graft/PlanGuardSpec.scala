@@ -83,6 +83,8 @@ class PlanGuardSpec extends SparkTestBase {
       "interp_bigram_ppl", // broadcast of the 1-row train-unigram-total aggregate
       "vocab_coverage", // broadcast of the 1-row (total, n_vocab) aggregate
       "heaps_law_fit", // two broadcasts of the 1-row max-doc-id bound (bucketing both passes)
+      "kn_bigram_ppl", // broadcast of the 1-row bigram-type-count aggregate
+      "attribution_markov", // constant-size chain: 1-row coef pivot × 5 variants + 1-row base/total
       "token_burstiness") // broadcast of the 1-row doc-count aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.

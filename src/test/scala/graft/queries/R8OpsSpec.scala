@@ -123,4 +123,103 @@ class R8OpsSpec extends SparkTestBase {
     }
     assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length, "duplicate cells")
   }
+
+  test("kn_bigram_ppl: val band identity with add-1; in-process KN grid replay") {
+    val kn = graft.SparkEntry.queries("kn_bigram_ppl")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val add1 = graft.SparkEntry.queries("heldout_bigram_ppl")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(kn.nonEmpty)
+    assert(kn.map(t => t._1 -> t._2).toMap == add1.map(t => t._1 -> t._2).toMap,
+      "same val docs and per-doc bigram counts as the add-1 scorer")
+    kn.foreach { case (id, n, lp) => assert(n >= 1 && lp <= 0.0, s"doc $id lp=$lp") }
+    // full in-process replay of the integer KN grid + LnGrid chain
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h2(id: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"split:$id").substring(0, 2)
+    def bigrams(t: String): Seq[(String, String)] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 2) Seq.empty else toks.toSeq.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val trainBg = docs.filter(d => h2(d._1) < "cc").flatMap(d => bigrams(d._2))
+    val nb = trainBg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val na = nb.toSeq.groupBy(_._1._1).map { case (a, vs) => a -> vs.map(_._2).sum }
+    val n1f = nb.keys.toSeq.groupBy(_._1).map { case (a, vs) => a -> vs.size.toLong }
+    val n1b = nb.keys.toSeq.groupBy(_._2).map { case (b, vs) => b -> vs.size.toLong }
+    val nbt = nb.size.toLong
+    val expected = docs
+      .filter(d => { val h = h2(d._1); h >= "cc" && h < "e6" })
+      .filter(d => bigrams(d._2).nonEmpty)
+      .map { case (id, text) =>
+        val sl = bigrams(text).map { case (a, b) =>
+          val p6 =
+            if (!na.contains(a) || nbt == 0)
+              (n1b.getOrElse(b, 0L) * 1000000L) / math.max(nbt, 1L)
+            else
+              (math.max(4L * nb.getOrElse((a, b), 0L) - 3L, 0L) * nbt
+                + 3L * n1f(a) * n1b.getOrElse(b, 0L)) * 1000000L / (4L * na(a) * nbt)
+          LnGrid.ln6Ref(math.max(p6, 1L), 1000000L)
+        }.sum
+        val n = bigrams(text).size.toLong
+        id -> (n, sl.toDouble / (n * 1000000L).toDouble)
+      }.toMap
+    assert(kn.map(_._1).toSet == expected.keySet)
+    kn.foreach { case (id, n, lp) =>
+      assert((n, lp) == expected(id), s"doc $id: ($n, $lp) != ${expected(id)}")
+    }
+  }
+
+  test("attribution_markov: in-process absorbing-chain replay; effect bounds and shares") {
+    val rows = graft.SparkEntry.queries("attribution_markov")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val channels = Seq("click", "error", "signup", "view")
+    assert(rows.map(_._1).toSeq == channels, "one row per channel, ordered")
+    rows.foreach { case (ch, base, rem, re, _) =>
+      assert(base >= 0.0 && base <= 1.0 && rem >= 0.0 && rem <= base,
+        s"$ch conv bounds base=$base rem=$rem")
+      assert(math.abs(re - (base - rem)) < 1e-12, s"$ch effect identity")
+    }
+    val shares = rows.map(_._5).filterNot(_.isNaN)
+    if (shares.nonEmpty) assert(math.abs(shares.sum - 1.0) < 1e-9, "shares sum to 1")
+    // full replay: journeys -> integer p6 grid -> 12 iterations in Longs
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      var prev = "START"
+      ordered.foreach { t =>
+        if (t == "purchase") { edges += ((prev, "CONV")); prev = "START" }
+        else { edges += ((prev, t)); prev = t }
+      }
+      if (prev != "START") edges += ((prev, "NULL")) // censored open journey
+    }
+    val ec = edges.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot = ec.toSeq.groupBy(_._1._1).map { case (f, vs) => f -> vs.map(_._2).sum }
+    def p6(f: String, t: String): Long = ec.get((f, t)).map(_ * 1000000L / tot(f)).getOrElse(0L)
+    val states = "START" +: channels
+    def conv(removed: String): Long = {
+      var v = states.map(_ => 0L)
+      for (_ <- 1 to 12) {
+        v = states.map { s =>
+          val hop = channels.zipWithIndex.map { case (ch, j) =>
+            (if (ch == removed) 0L else p6(s, ch)) * v(j + 1)
+          }.sum
+          (hop + p6(s, "CONV") * 1000000L) / 1000000L
+        }
+      }
+      v.head
+    }
+    val base6 = conv("")
+    rows.foreach { case (ch, base, rem, _, _) =>
+      assert(base == base6.toDouble / 1e6, s"$ch base")
+      assert(rem == conv(ch).toDouble / 1e6, s"$ch removed")
+    }
+  }
 }
