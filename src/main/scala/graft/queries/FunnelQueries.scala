@@ -271,9 +271,15 @@ object FunnelQueries {
           .withColumn("rd", row_number().over(wjd))
           .withColumn("hp",
             max(when(col("event_type") === "purchase", 1).otherwise(0)).over(wja))
-        val edges = marked.select(col("from_s"), col("to_s"))
-          .unionByName(marked.filter(col("rd") === 1 && col("hp") === 0)
-            .select(col("event_type").as("from_s"), lit("NULL").as("to_s")))
+        // each row emits its own edge; a censored journey's last row emits
+        // the tail→NULL edge in the SAME pass (a union of two selects over
+        // `marked` would run the whole window pipeline twice)
+        val edges = marked.select(explode(
+            when(col("rd") === 1 && col("hp") === 0,
+              array(struct(col("from_s"), col("to_s")),
+                struct(col("event_type").as("from_s"), lit("NULL").as("to_s"))))
+              .otherwise(array(struct(col("from_s"), col("to_s"))))).as("e"))
+          .select(col("e.from_s").as("from_s"), col("e.to_s").as("to_s"))
         val ec = edges.groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
         val tt = ec.groupBy("from_s").agg(sum(col("c")).as("tot"))
         val ep = ec.join(tt, Seq("from_s"))
@@ -295,23 +301,33 @@ object FunnelQueries {
               when(col("removed") === ch, 0L).otherwise(col(s"p_${i}_${j + 1}")))
           }
         }
-        var it = AmStates.indices.foldLeft(masked)((d, i) => d.withColumn(s"v_$i", lit(0L)))
-        for (_ <- 1 to AmIters) {
-          val newVs = AmStates.indices.map { i =>
-            val terms = AmChannels.indices.map(j => s"p_${i}_${j + 1} * v_${j + 1}")
-              .mkString(" + ")
-            expr(s"($terms + pc_$i * 1000000) div 1000000").as(s"v_$i")
-          }
-          val keep = it.columns.filterNot(_.startsWith("v_")).map(col(_))
-          it = it.select(keep ++ newVs: _*)
-        }
-        val base = it.filter(col("removed") === "none").select(col("v_0").as("base6"))
-        val rem = it.filter(col("removed") =!= "none")
-          .select(col("removed").as("channel"), col("v_0").as("rem6"))
-        val withBase = rem.crossJoin(broadcast(base))
+        // the 12-step iteration as ONE aggregate() HOF over the v-array —
+        // a single projection instead of 12 chained ones (the survival_km
+        // recurrence discipline; 12 unrolled Projects cost ~2 s of
+        // analyzer+codegen time for zero data-side benefit)
+        val stepBody = AmStates.indices.map { i =>
+          val terms = AmChannels.indices.map(j => s"p_${i}_${j + 1} * acc[${j + 1}]")
+            .mkString(" + ")
+          s"($terms + pc_$i * 1000000) div 1000000"
+        }.mkString(", ")
+        val zeros = AmStates.indices.map(_ => "0L").mkString(", ")
+        val it = masked.withColumn("v_arr", expr(
+          s"aggregate(sequence(1, $AmIters), array($zeros), (acc, step) -> array($stepBody))"))
+        // base/total distribution via global windows over the 5-row variant
+        // frame (R2-whitelisted, bound = the variant dimension) — a
+        // crossJoin(broadcast(agg)) here would RE-RUN the whole journey
+        // pipeline per consumer (measured: 17 scans), where the window
+        // keeps single consumption
+        val wAll = Window.partitionBy()
+        val withBase = it
+          .withColumn("base6",
+            max(when(col("removed") === "none", expr("v_arr[0]"))).over(wAll))
+          .filter(col("removed") =!= "none")
+          .withColumn("channel", col("removed"))
+          .withColumn("rem6", expr("v_arr[0]"))
           .withColumn("re6", col("base6") - col("rem6"))
-        val totRe = withBase.agg(coalesce(sum(col("re6")), lit(0L)).as("t"))
-        withBase.crossJoin(broadcast(totRe))
+          .withColumn("t", sum(col("re6")).over(wAll))
+        withBase
           .select(col("channel"),
             (col("base6").cast("double") / lit(1000000L).cast("double")).as("base_conv"),
             (col("rem6").cast("double") / lit(1000000L).cast("double")).as("removed_conv"),

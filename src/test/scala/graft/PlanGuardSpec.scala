@@ -84,7 +84,7 @@ class PlanGuardSpec extends SparkTestBase {
       "vocab_coverage", // broadcast of the 1-row (total, n_vocab) aggregate
       "heaps_law_fit", // two broadcasts of the 1-row max-doc-id bound (bucketing both passes)
       "kn_bigram_ppl", // broadcast of the 1-row bigram-type-count aggregate
-      "attribution_markov", // constant-size chain: 1-row coef pivot × 5 variants + 1-row base/total
+      "attribution_markov", // 1-row coefficient pivot × the 5-row VALUES variant dimension
       "token_burstiness") // broadcast of the 1-row doc-count aggregate
 
   // One analysis+optimization pass per query, shared by every rule below.
@@ -189,7 +189,10 @@ class PlanGuardSpec extends SparkTestBase {
     // heaps_law_fit: the two cumulative windows run over the 64-row
     // doc-id-bucket aggregate — the checkpoint grid is CONSTANT-size by
     // construction (that is the whole design: never a per-doc frame).
-    "heaps_law_fit")
+    "heaps_law_fit",
+    // attribution_markov: base/total windows over the 5-row variant frame
+    // (1-row coefficient pivot × the VALUES channel dimension).
+    "attribution_markov")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -231,7 +234,8 @@ class PlanGuardSpec extends SparkTestBase {
       "ks_source_lengths" -> (2 * nChars + 2), // two sources' merged grids
       "gini_source_tokens" -> nSources, // per-source rank
       "survival_km" -> daySpan, // duration-day grid ≤ calendar span
-      "heaps_law_fit" -> 64L) // constant checkpoint grid
+      "heaps_law_fit" -> 64L, // constant checkpoint grid
+      "attribution_markov" -> 5L) // 1-row coef pivot × the variant dimension
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
