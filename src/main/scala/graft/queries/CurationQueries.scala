@@ -1289,6 +1289,61 @@ object CurationQueries {
           |       CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
           |FROM g CROSS JOIN tot ORDER BY k""".stripMargin)),
 
+    // ---- Good–Turing unseen mass + Chao1 richness (added r8) -------------
+    // The two classical "how much vocabulary haven't we seen" estimators,
+    // per source, from one count-of-counts pass:
+    //   - Good–Turing missing mass p₀ = N₁/N (hapax share of token mass) —
+    //     the probability the NEXT token drawn from this source is a type
+    //     never seen before; high p₀ = the crawl is nowhere near lexical
+    //     saturation (keep crawling), near-zero = saturated (the Zipf tail
+    //     is exhausted; more data adds repetition, not coverage).
+    //   - Chao1 richness V̂ = V + N₁²/(2·N₂) — the abundance-based lower
+    //     bound on TOTAL vocabulary size including unseen types; V̂/V far
+    //     above 1 says the observed type inventory badly undercounts the
+    //     domain. The forward-looking complement of heaps_law_fit (which
+    //     fits observed growth; Chao1 estimates the asymptote).
+    // Float parity: both are exact-integer sufficient statistics (N, V,
+    // N₁, N₂) with ONE bare division each — chao1 emits the common-
+    // denominator form (2·N₂·V + N₁²)/(2·N₂) so no float add follows the
+    // division; N₂ = 0 yields NULL (the estimator is undefined, not ∞).
+    //
+    // Scale shape: ONE corpus token pass → (source, tok) agg with map-side
+    // combine → a ≤|sources| roll-up. Nothing corpus-sized after the agg.
+    "vocab_richness" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        c.groupBy("source").agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            col("n_hapax"), col("n_dis"),
+            (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+              .as("unseen_mass"),
+            when(col("n_dis") > 0,
+              (lit(2L) * col("n_dis") * col("n_types")
+                + col("n_hapax") * col("n_hapax")).cast("double")
+                / (lit(2L) * col("n_dis")).cast("double")).as("chao1"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY source, tok),
+          |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |             CAST(COUNT(*) AS BIGINT) AS n_types,
+          |             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+          |      FROM c GROUP BY source)
+          |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+          |       CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass,
+          |       CASE WHEN n_dis > 0
+          |            THEN CAST(2 * n_dis * n_types + n_hapax * n_hapax AS DOUBLE)
+          |                 / CAST(2 * n_dis AS DOUBLE) END AS chao1
+          |FROM g ORDER BY source""".stripMargin)),
+
     // ---- per-source length distribution ----------------------------------
     // Exact R-7 interpolated quantiles of document length — the curation
     // dashboard's "is this source's length profile sane" primitive. Both

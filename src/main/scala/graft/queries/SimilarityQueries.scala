@@ -1153,6 +1153,30 @@ object SimilarityQueries {
   //
   // Float parity: n_hit is an exact int; recall is ONE bare
   // correctly-rounded double division by the constant k.
+  /** RBO@10 suffix-sum weight table on the 10^-8 grid: entry m (1-based)
+    * = Σ_{d=m..10} ⌊(1−p)·p^(d−1)/d · 10^8⌋ with p = 9/10 — exact
+    * rationals floored ONCE here (driver-side), emitted as identical
+    * integer literals into both engines' CASE (the Ln2_9 shared-literal
+    * discipline: one constant source, two engines read it as text).
+    * Declared BEFORE [[all]] — the oracle strings evaluate eagerly. */
+  private val RboSuffix8: Seq[Long] = {
+    val w = (1 to 10).map { d =>
+      // (1/10)·(9/10)^(d−1)·(1/d)·10^8 = 9^(d−1)·10^7 / (10^(d−1)·d),
+      // floored exactly in BigInt
+      val num = BigInt(9).pow(d - 1) * BigInt(10).pow(7)
+      val den = BigInt(10).pow(d - 1) * BigInt(d)
+      (num / den).toLong
+    }
+    (1 to 10).map(m => w.drop(m - 1).sum)
+  }
+
+  /** The shared 10-branch CASE: per matched pair, the suffix-sum weight at
+    * visibility depth m = max(rk, erk) — identical text both engines. */
+  private def RboCase: String =
+    "CASE greatest(rk, erk) " +
+      (1 to 10).map(m => s"WHEN $m THEN ${RboSuffix8(m - 1)}").mkString(" ") +
+      " ELSE 0 END"
+
   val all: Map[String, Q] = base ++ Map("recall_at_k" -> Q(
     fn = (s, dir) => {
       val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
@@ -1299,6 +1323,61 @@ object SimilarityQueries {
          |       FROM a_lsh_topk a JOIN ej e ON a.qid = e.qid AND a.cid = e.cid),
          |${LnGrid.sqlCtes("jl", "rk1", "1", "lr6", "ndl_")},
          |ln_lsh_topk AS (SELECT qid, cid, erk, lr6 FROM ndl_out)
+         |SELECT * FROM (${leg("ivf_topk")}
+         |UNION ALL
+         |${leg("lsh_topk")})
+         |ORDER BY method, qid""".stripMargin
+    }),
+
+  // ---- ANN quality eval #4: rank-biased overlap --------------------------
+  // Completes the eval suite's fourth axis: recall counts hits, MRR finds
+  // the first, NDCG grades placement against relevance — RBO (Webber et
+  // al. 2010) measures how similar the retriever's RANKING is to the true
+  // cosine ranking as ORDERINGS, top-weighted by persistence p = 0.9:
+  // RBO@10 = Σ_{d=1..10} (1−p)·p^(d−1)·|top_d(A) ∩ top_d(B)|/d, truncated
+  // (no extrapolation residual), so perfect agreement scores 1 − p^10 ≈
+  // 0.6513 — two retrievers can tie on recall yet order the shared hits
+  // differently; RBO separates them.
+  //
+  // ENGINE-VERSION-PROOF: the per-depth weight (1−p)·p^(d−1)/d is ten
+  // EXACT rational constants floored once onto the 10^-8 grid at codegen
+  // time; a pair matched at ranks (rk, erk) becomes visible at every
+  // depth d ≥ max(rk, erk), so its total contribution is the SUFFIX SUM
+  // of the weight table at m = max(rk, erk) — a 10-branch integer CASE,
+  // summed as int64, ONE bare final division by 10^8.
+  //
+  // Scale shape: retriever plans + a ≤(queries×10)-row join and agg —
+  // constant eval overhead at any corpus size.
+  "rbo_rankings" -> Q(
+    fn = (s, dir) => {
+      val exact = base("similarity_topk").fn(s, dir)
+        .select(col("qid"), col("cid"), col("rk").as("erk"))
+      val qids = exact.select("qid").distinct()
+      def leg(name: String) = {
+        val scored = base(name).fn(s, dir).select(col("qid"), col("cid"), col("rk"))
+          .join(exact, Seq("qid", "cid"))
+          .select(col("qid"), expr(RboCase).as("c8"))
+          .groupBy("qid").agg(sum(col("c8")).as("rbo8"))
+        qids.join(scored, Seq("qid"), "left")
+          .select(lit(name).as("method"), col("qid"),
+            (coalesce(col("rbo8"), lit(0L)).cast("double")
+              / lit(100000000L).cast("double")).as("rbo"))
+      }
+      leg("ivf_topk").unionAll(leg("lsh_topk")).orderBy("method", "qid")
+    },
+    oracle = Some {
+      def leg(name: String) =
+        s"""SELECT '$name' AS method, q.qid,
+           |       CAST(COALESCE(h.rbo8, 0) AS DOUBLE)
+           |         / CAST(100000000 AS DOUBLE) AS rbo
+           |FROM q LEFT JOIN (
+           |  SELECT a.qid, CAST(SUM($RboCase) AS BIGINT) AS rbo8
+           |  FROM a_$name a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+           |  GROUP BY a.qid) h ON q.qid = h.qid""".stripMargin
+      s"""WITH exact AS (SELECT qid, cid, rk AS erk FROM (${base("similarity_topk").oracle.get})),
+         |a_ivf_topk AS (${base("ivf_topk").oracle.get}),
+         |a_lsh_topk AS (${base("lsh_topk").oracle.get}),
+         |q AS (SELECT DISTINCT qid FROM exact)
          |SELECT * FROM (${leg("ivf_topk")}
          |UNION ALL
          |${leg("lsh_topk")})

@@ -67,6 +67,7 @@ class PlanGuardSpec extends SparkTestBase {
       "rrf_fusion", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
       "recall_at_k", // composes similarity_topk + ivf_topk legs — their whitelisted broadcasts
       "retrieval_mrr", // same composition as recall_at_k — the retrievers' whitelisted broadcasts
+      "rbo_rankings", // same composition as recall_at_k — the retrievers' whitelisted broadcasts
       "type_drift", // broadcast of the 1-row grand-total aggregate (source_kl shape)
       "curriculum_schedule", // composes quality_buckets — its whitelisted 1-row broadcast
       "quality_dup_profile", // composes quality_buckets — same whitelisted 1-row broadcast

@@ -222,4 +222,59 @@ class R8OpsSpec extends SparkTestBase {
       assert(rem == conv(ch).toDouble / 1e6, s"$ch removed")
     }
   }
+
+  test("vocab_richness: recomputed sufficient statistics; estimator well-definedness") {
+    val rows = graft.SparkEntry.queries("vocab_richness")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySource = raw.groupBy(_._1)
+    rows.foreach { case (src, n, v, n1, n2, mass, chao1) =>
+      val counts = bySource(src).groupBy(_._2).map(_._2.size.toLong).toSeq
+      assert(n == counts.sum && v == counts.size.toLong, s"$src N/V")
+      assert(n1 == counts.count(_ == 1).toLong && n2 == counts.count(_ == 2).toLong,
+        s"$src hapax/dis")
+      assert(mass == n1.toDouble / n.toDouble && mass >= 0.0 && mass <= 1.0)
+      chao1 match {
+        case Some(c) =>
+          assert(n2 > 0 && c >= v.toDouble, s"$src chao1 $c below observed $v")
+          assert(c == (2L * n2 * v + n1 * n1).toDouble / (2L * n2).toDouble)
+        case None => assert(n2 == 0L, s"$src chao1 null with n_dis=$n2")
+      }
+    }
+  }
+
+  test("rbo_rankings: suffix-table integrity and in-process RBO replay") {
+    // the 10-entry weight table re-derived from exact rationals
+    val w = (1 to 10).map { d =>
+      ((BigInt(9).pow(d - 1) * BigInt(10).pow(7)) / (BigInt(10).pow(d - 1) * BigInt(d))).toLong
+    }
+    val suffix = (1 to 10).map(m => w.drop(m - 1).sum)
+    assert(suffix.head == 23541638L && suffix.last == 387420L)
+    val rows = graft.SparkEntry.queries("rbo_rankings")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val maxRbo = suffix.sum.toDouble / 1e8 // perfect agreement: one pair per depth
+    rows.foreach { case (m, qid, rbo) =>
+      assert(rbo >= 0.0 && rbo <= maxRbo + 1e-12, s"$m/$qid rbo $rbo out of range")
+    }
+    // replay the IVF leg from the gated rankings
+    def ranks(name: String): Map[(Long, Long), Int] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select(col("qid"), col("cid"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val exact = ranks("similarity_topk")
+    val ivf = ranks("ivf_topk")
+    val expected = exact.keys.map(_._1).toSeq.distinct.map { q =>
+      q -> ivf.collect { case ((qq, cid), rk) if qq == q && exact.contains((qq, cid)) =>
+        suffix(math.max(rk, exact((qq, cid))) - 1)
+      }.sum.toDouble / 1e8
+    }.toMap
+    rows.filter(_._1 == "ivf_topk").foreach { case (_, qid, rbo) =>
+      assert(rbo == expected(qid), s"qid $qid: $rbo != ${expected(qid)}")
+    }
+  }
 }
