@@ -52,7 +52,10 @@ private[graft] object LnGrid {
   /** Pure-Scala mirror of the ratio chain — the in-process REFERENCE
     * implementation specs replay against (JVM Long division truncates,
     * which equals floor for the all-positive operands here, exactly like
-    * the SQL chain). Must stay step-for-step identical to [[steps]]. */
+    * the SQL chain), and since r8 ALSO the production Spark-side kernel:
+    * [[graft.functions.Ln6]] calls it from codegen, so one tight JVM
+    * method replaces the 15-column projected chain at every call site.
+    * Must stay step-for-step identical to [[steps]]. */
   def ln6Ref(a: Long, b: Long): Long = {
     require(a >= 1 && b >= 1, s"ln6Ref needs positive operands, got ($a, $b)")
     val s = if (a >= b) 1L else -1L
@@ -70,6 +73,39 @@ private[graft] object LnGrid {
     val t9 = (t7 * z2) / G
     val t11 = (t9 * z2) / G
     s * ((k * Ln2_9 + 2 * (z + t3 / 3 + t5 / 5 + t7 / 7 + t9 / 9 + t11 / 11)) / 1000)
+  }
+
+  /** Pure-Scala mirror of the single-operand ln(x)·10^9 chain
+    * ([[steps9]]) — step-for-step identical; feeds [[ln6WideRef]]. */
+  def v9Ref(x: Long): Long = {
+    require(x >= 1, s"v9Ref needs a positive operand, got $x")
+    val fl = 63 - java.lang.Long.numberOfLeadingZeros(x) // ⌊log2 x⌋
+    val sh = if (fl >= 31) fl - 30 else 0 // shiftSql's thresholds exactly
+    val ps = 1L << sh
+    val x2 = x / ps
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(x2)
+    val p = 1L << k
+    val m = (x2 * G) / p
+    val z = ((m - G) * G) / (m + G)
+    val z2 = (z * z) / G
+    val t3 = (z * z2) / G
+    val t5 = (t3 * z2) / G
+    val t7 = (t5 * z2) / G
+    val t9 = (t7 * z2) / G
+    val t11 = (t9 * z2) / G
+    (k.toLong + sh) * Ln2_9 + 2 * (z + t3 / 3 + t5 / 5 + t7 / 7 + t9 / 9 + t11 / 11)
+  }
+
+  /** Pure-Scala mirror of the WIDE chain's combination step — the
+    * reference for [[withLn6Wide]] and the codegen kernel of
+    * [[graft.functions.Ln6Wide]]. Must stay identical to the sg/mag/
+    * div-1000 combination in [[withLn6Wide]]/[[sqlCtesWide]]. */
+  def ln6WideRef(a: Long, b: Long): Long = {
+    require(a >= 1 && b >= 1, s"ln6WideRef needs positive operands, got ($a, $b)")
+    val va = v9Ref(a)
+    val vb = v9Ref(b)
+    val sg = if (va >= vb) 1L else -1L
+    sg * ((math.max(va, vb) - math.min(va, vb)) / 1000)
   }
 
   /** Generated CASE ladder: ⌊log2 q⌋ for a positive int64 SQL expression. */
@@ -168,6 +204,14 @@ private[graft] object LnGrid {
     * subtracted rather than one ratio chain), so a query must use the SAME
     // variant on both engines. */
   def withLn6Wide(df: DataFrame, a: Column, b: Column, out: String,
+      pre: String): DataFrame =
+    df.withColumn(out, graft.functions.LnGridFunctions.ln6Wide(a, b))
+
+  /** The original projected-column form of the wide chain — retained as
+    * the spec's parity witness: LnGridSpec asserts chain ≡ [[ln6WideRef]]
+    * ≡ the [[withLn6Wide]] codegen kernel, which is what ties the DuckDB
+    * oracle CTEs ([[sqlCtesWide]]) to the production expression. */
+  private[graft] def withLn6WideChain(df: DataFrame, a: Column, b: Column, out: String,
       pre: String): DataFrame = {
     var d = df
       .withColumn(s"${pre}ok", least(a, b) >= 1L)
@@ -225,6 +269,13 @@ private[graft] object LnGrid {
     * semantics) — gate such rows before or after, as the call site needs.
     * `pre` must be unique among concurrently-live temp prefixes. */
   def withLn6(df: DataFrame, a: Column, b: Column, out: String,
+      pre: String = "__ln6_"): DataFrame =
+    df.withColumn(out, graft.functions.LnGridFunctions.ln6(a, b))
+
+  /** The original projected-column form — retained as the spec's parity
+    * witness (chain ≡ [[ln6Ref]] ≡ the production codegen kernel), which
+    * is what ties the DuckDB oracle CTEs ([[sqlCtes]]) to [[withLn6]]. */
+  private[graft] def withLn6Chain(df: DataFrame, a: Column, b: Column, out: String,
       pre: String = "__ln6_"): DataFrame = {
     // `lo` is floored to 1 so the chain never divides by zero (ANSI mode
     // would raise, not null); `ok` gates the OUTPUT to null for rows whose

@@ -46,10 +46,43 @@ class LnGridSpec extends SparkTestBase {
     import spark.implicits._
     val pairs = (for (a <- 1L to 200L; b <- Seq(1L, 3L, 97L, 999983L)) yield (a, b)) ++
       Seq((9199999999L, 7L), (123456789L, 987654321L))
-    val got = LnGrid.withLn6(pairs.toDF("a", "b"), col("a"), col("b"), "l6")
+    val got = LnGrid.withLn6Chain(pairs.toDF("a", "b"), col("a"), col("b"), "l6")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     got.foreach { case (a, b, l6) =>
       assert(l6 == LnGrid.ln6Ref(a, b), s"SQL chain diverged from ln6Ref at ($a, $b)")
+    }
+  }
+
+  test("r8 native expressions are bit-identical to the projected chains (both variants)") {
+    import spark.implicits._
+    // ratio form: chain (the oracle's CTE text, pinned ≡ ln6Ref above) vs
+    // the production Ln6 codegen expression that withLn6 now emits
+    val pairs = (for (a <- 1L to 150L; b <- Seq(1L, 2L, 97L, 31337L, 9199999999L))
+      yield (a, b)) ++ Seq((0L, 5L), (5L, 0L), (9199999999L, 9199999998L))
+    val df = pairs.toDF("a", "b")
+    val both = LnGrid.withLn6(
+      LnGrid.withLn6Chain(df, col("a"), col("b"), "chain6"),
+      col("a"), col("b"), "expr6").collect()
+    both.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3),
+        s"null gate diverged at (${r.getLong(0)}, ${r.getLong(1)})")
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) == r.getLong(3),
+          s"Ln6 diverged from the chain at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // wide form: same check over the 2^62 operand range
+    val wp = (for (a <- Seq(1L, 7L, 999983L, 123456789012345L, (1L << 62) - 1L);
+      b <- Seq(1L, 3L, 987654321098L, (1L << 61) + 12345L)) yield (a, b)) ++
+      Seq((0L, 5L), (5L, 0L))
+    val wboth = LnGrid.withLn6Wide(
+      LnGrid.withLn6WideChain(wp.toDF("a", "b"), col("a"), col("b"), "chain6", "__wc_"),
+      col("a"), col("b"), "expr6", "__we_").collect()
+    wboth.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3),
+        s"wide null gate diverged at (${r.getLong(0)}, ${r.getLong(1)})")
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) == r.getLong(3),
+          s"Ln6Wide diverged from the chain at (${r.getLong(0)}, ${r.getLong(1)})")
     }
   }
 
