@@ -922,6 +922,62 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming packer accounting (added r8) ----------------------------
+
+  /** An incoming document's token count, keyed into the packer's streams. */
+  final case class PackDoc(source: String, docId: Long, nTokens: Long)
+
+  /** Running accounting for one (source, blk) packer stream. */
+  final case class PackStat(source: String, blk: Long, nDocs: Long,
+      nTokens: Long, nPacks: Long, nPadding: Long)
+
+  /** The streaming twin of the batch `pack_efficiency` audit at one pack
+    * length: as documents arrive, maintain per-(source, 200-doc-block)
+    * running token totals and emit the stream's updated pack/padding
+    * accounting — the live "how much padding is tonight's crawl going to
+    * cost" dashboard, converging to the batch table exactly (spec-pinned
+    * across a mid-stream batch split). Integer-only, the batch query's
+    * ceil-via-div arithmetic verbatim; only the LAST pack of a stream is
+    * partial, so padding = n_packs·L − n_tokens at every prefix. State is
+    * TWO longs per (source, blk) key — the packer's own partitioning, so
+    * state cardinality is corpus/200 keys, each O(1). */
+  final class PackProcessor(packLen: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), PackDoc, PackStat] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("docs_tokens",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[PackDoc],
+        timerValues: TimerValues): Iterator[PackStat] = {
+      var (docs, toks) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { d => docs += 1; toks += d.nTokens }
+      totals.update((docs, toks))
+      val packs = (toks + packLen - 1) / packLen
+      Iterator.single(
+        PackStat(key._1, key._2, docs, toks, packs, packs * packLen - toks))
+    }
+  }
+
+  /** Running pack/padding accounting per (source, 200-doc block), Update
+    * mode; `packLen` defaults to the batch packer's 256. */
+  def packStream(docs: Dataset[PackDoc], packLen: Long = 256L): Dataset[PackStat] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => (d.source, d.docId / 200L))
+      .transformWithState(
+        new PackProcessor(packLen),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming near-duplicate alerts vs a static corpus index ----------
 
   /** Build the near-dup INDEX from a static (doc_id, text, ...) corpus: the

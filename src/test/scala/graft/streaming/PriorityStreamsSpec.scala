@@ -942,4 +942,50 @@ class PriorityStreamsSpec extends SparkTestBase {
         s"$t: chained kept ${chainedKeptPerType(t)} < batch gap-rule kept $nBatch")
     }
   }
+
+  test("packStream final accounting == batch pack_efficiency streams across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+      .as[(String, Long, Long)].collect()
+    val mid = docs(docs.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(String, Long, Long)]
+      val q = PriorityStreams.packStream(
+        in.toDF().toDF("source", "docId", "nTokens")
+          .as[PriorityStreams.PackDoc], 256L)
+        .writeStream.format("memory").queryName("pack_out")
+        .outputMode("update").start()
+      in.addData(docs.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(docs.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    // last emission per key (memory sink in update mode appends; keep the
+    // final row per (source, blk))
+    val got = spark.table("pack_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap // Map keeps the LAST occurrence per key
+    // batch recompute of the packer streams at L = 256
+    val expected = docs.groupBy(d => (d._1, d._2 / 200L)).map { case (k, ds) =>
+      val toks = ds.map(_._3).sum
+      val packs = (toks + 255L) / 256L
+      k -> (ds.length.toLong, toks, packs, packs * 256L - toks)
+    }
+    assert(got == expected, "final streaming accounting diverged from batch")
+    // roll-up ties to the registry's pack_efficiency L = 256 rows exactly
+    val batch = graft.SparkEntry.queries("pack_efficiency")(spark, dir)
+      .filter(col("pack_len") === 256L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val rolled = got.toSeq.groupBy(_._1._1).map { case (src, ks) =>
+      src -> (ks.length.toLong, ks.map(_._2._2).sum, ks.map(_._2._3).sum,
+        ks.map(_._2._4).sum)
+    }
+    assert(rolled == batch, "roll-up diverged from the registry query")
+  }
 }
