@@ -76,6 +76,49 @@ object SimilarityQueries {
   private val NumBands = 6
   private val BandBits = 6
 
+  /** The 16 deterministic IVF coarse centroids (the first 16 vectors — the
+    * kmeans codebook convention). */
+  private[graft] def ivfCentroids(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+
+  /** IVF inverted-list assignment `(cid, cv, list_id)` — every vector to
+    * its nearest centroid. SHARED (r8) by ivf_topk and the ivf_balance
+    * audit so the audit provably measures the retriever's own lists.
+    * Argmax as a min(struct(−csim, cent_id)) aggregate (r5): the
+    * 16-centroid product collapses map-side instead of shuffling 16 rows
+    * per vector into a window sort; double negation is exact, so the
+    * (csim desc, cent_id asc) tie-break matches the oracle's ROW_NUMBER
+    * bit-for-bit. A NULL csim (zero-norm centroid under LEGACY cosine)
+    * must sort LAST like the replaced window's desc-nulls-last — structs
+    * order NULL fields FIRST, so coalesce to +∞ keeps null-sim centroids
+    * from ever winning the argmin. first(cv) is deterministic: one cv per
+    * cid group by construction. */
+  private[graft] def ivfLists(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(ivfCentroids(emb)))
+      .withColumn("csim", cosineSimilarity(col("cv"), col("centv")))
+      .groupBy("cid")
+      .agg(min(struct(
+          coalesce(negate(col("csim")), lit(Double.PositiveInfinity)).as("negsim"),
+          col("cent_id"))).as("m"),
+        first(col("cv")).as("cv"))
+      .select(col("cid"), col("cv"), col("m.cent_id").as("list_id"))
+
+  private def duckCosSql(a: String, b: String) =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Oracle twin of [[ivfLists]] — `cents` + `lists` CTE text, shared by
+    * ivf_topk and ivf_balance. */
+  private def ivfListsSql: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 16),
+       |lists AS (
+       |  SELECT cid, cv, cent_id AS list_id FROM (
+       |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${duckCosSql("e.embedding", "c.centv")} DESC, c.cent_id) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crk = 1)""".stripMargin
+
   /** Symmetric int8 quantization columns: `maxabs`, `scale` (= 127/max|x|),
     * `qv` (int8 codes as ints) — shared by embedding_quantize and
     * quantized_topk so both queries provably quantize identically. */
@@ -612,28 +655,9 @@ object SimilarityQueries {
     "ivf_topk" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val cents = ivfCentroids(emb)
         def cosTo(v1: String, v2: String) = cosineSimilarity(col(v1), col(v2))
-        // inverted lists: each vector → nearest centroid. argmax as a
-        // min(struct(−csim, cent_id)) aggregate (r5): the 16-centroid
-        // product collapses map-side instead of shuffling 16 rows per
-        // vector into a window sort; double negation is exact, so the
-        // (csim desc, cent_id asc) tie-break matches the oracle's
-        // ROW_NUMBER bit-for-bit. A NULL csim (zero-norm centroid under
-        // LEGACY cosine) must sort LAST like the replaced window's
-        // desc-nulls-last — structs order NULL fields FIRST, so coalesce
-        // to +∞ keeps null-sim centroids from ever winning the argmin.
-        // first(cv) is deterministic: one cv per cid group by construction.
-        val lists = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", cosTo("cv", "centv"))
-          .groupBy("cid")
-          .agg(min(struct(
-              coalesce(negate(col("csim")), lit(Double.PositiveInfinity)).as("negsim"),
-              col("cent_id"))).as("m"),
-            first(col("cv")).as("cv"))
-          .select(col("cid"), col("cv"), col("m.cent_id").as("list_id"))
+        val lists = ivfLists(emb)
         // queries probe their 4 nearest lists
         val q = emb.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -656,29 +680,56 @@ object SimilarityQueries {
           .orderBy("qid", "rk")
       },
       oracle = Some {
-        def duckCos(a: String, b: String) =
-          s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
-        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 16),
-           |lists AS (
-           |  SELECT cid, cv, cent_id AS list_id FROM (
-           |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cent_id,
-           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("e.embedding", "c.centv")} DESC, c.cent_id) AS crk
-           |    FROM embeddings e CROSS JOIN cents c) t
-           |  WHERE crk = 1),
+        s"""WITH $ivfListsSql,
            |probes AS (
            |  SELECT qid, qv, cent_id AS list_id FROM (
            |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cent_id,
-           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCosSql("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
            |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
            |  WHERE prk <= 4),
            |scored AS (
-           |  SELECT qid, cid, ${duckCos("p.qv", "l.cv")} AS sim
+           |  SELECT qid, cid, ${duckCosSql("p.qv", "l.cv")} AS sim
            |  FROM probes p JOIN lists l ON p.list_id = l.list_id
            |  WHERE qid != cid),
            |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
            |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
       }),
+
+    // ---- IVF index-health audit: list balance (added r8) ----------------
+    // The ops number an IVF deployment watches: how evenly do the inverted
+    // lists split the corpus? A hot list (load_factor ≫ 1) means every
+    // probe touching it scans far more than corpus/16 vectors — the ANN
+    // latency tail — and is the signal to re-train or split centroids.
+    // Composed from the SAME gated [[ivfLists]] builder as ivf_topk
+    // (oracle nests the same CTE text), so the audit provably measures the
+    // retriever's own lists — the recall_at_k no-drift discipline applied
+    // to index health. share and load_factor (= n·n_lists/total) are each
+    // ONE bare division of exact ints.
+    //
+    // Scale shape: the assignment's map-side argmin agg → a ≤16-row size
+    // agg; the 1-row total is R1-whitelisted.
+    "ivf_balance" -> Q(
+      fn = (s, dir) => {
+        val sizes = ivfLists(Tables.load(s, dir, "embeddings"))
+          .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+        val tot = sizes.agg(sum(col("n_vecs")).as("total"), count(lit(1)).as("n_lists"))
+        sizes.crossJoin(broadcast(tot))
+          .select(col("list_id"), col("n_vecs"),
+            (col("n_vecs").cast("double") / col("total").cast("double")).as("share"),
+            ((col("n_vecs") * col("n_lists")).cast("double")
+              / col("total").cast("double")).as("load_factor"))
+          .orderBy("list_id")
+      },
+      oracle = Some(
+        s"""WITH $ivfListsSql,
+           |sz AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM lists GROUP BY list_id),
+           |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+           |               CAST(COUNT(*) AS BIGINT) AS n_lists FROM sz)
+           |SELECT list_id, n_vecs,
+           |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           |       CAST(n_vecs * n_lists AS DOUBLE) / CAST(total AS DOUBLE) AS load_factor
+           |FROM sz CROSS JOIN tot ORDER BY list_id""".stripMargin)),
 
     // ---- int8 vector quantization + reconstruction error -----------------
     // The compression step of a FAISS-style ANN pipeline: per-vector

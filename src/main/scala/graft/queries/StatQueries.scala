@@ -163,6 +163,94 @@ object StatQueries {
           |                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS ks_d
           |FROM a""".stripMargin)),
 
+    // ---- pairwise split balance: KS over doc lengths (added r8) ----------
+    // train_split audits split SIZES; split_leakage audits near-dup
+    // crossings; this closes the triad with DISTRIBUTIONAL balance — the
+    // exact two-sample KS distance between the doc-length ECDFs of every
+    // split pair. A hash split should be i.i.d., so ks_d ≈ 0 at scale; a
+    // large train-vs-test D means the held-out band is not exchangeable
+    // with train (lengths drifted — eval numbers won't transfer). Same
+    // exact integer form as ks_source_lengths: D = max |f1·N2 − f2·N1| /
+    // (N1·N2), everything int/HUGEINT until ONE bare division per pair.
+    //
+    // Scale shape: one corpus pass → (split, n_chars) agg; the cumulative
+    // windows are PARTITIONED by pair and run over the value-domain-
+    // bounded length grid (≤ |n_chars domain| rows per pair, never corpus
+    // rows); the ≤3-row totals broadcast back.
+    "split_ks" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+          .select(col("n_chars").as("v"),
+            when(col("h2") < "cc", "train")
+              .when(col("h2") < "e6", "val").otherwise("test").as("split"))
+        val cnt = d.groupBy("split", "v").agg(count(lit(1)).as("c"))
+        val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+        val sides = pairs.map { case (a, b) =>
+          cnt.filter(col("split").isin(a, b))
+            .select(lit(s"${a}_vs_$b").as("pair"),
+              when(col("split") === a, 1L).otherwise(2L).as("side"),
+              col("v"), col("c"))
+        }.reduce(_ unionByName _)
+        val grid = sides.groupBy("pair", "v")
+          .agg(sum(when(col("side") === 1L, col("c")).otherwise(0L)).as("c1"),
+            sum(when(col("side") === 2L, col("c")).otherwise(0L)).as("c2"))
+        val tot = grid.groupBy("pair").agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val win = Window.partitionBy("pair").orderBy("v")
+        val cum = grid.select(col("pair"),
+          sum(col("c1")).over(win).as("f1"), sum(col("c2")).over(win).as("f2"))
+        cum.join(broadcast(tot), Seq("pair"))
+          .groupBy("pair")
+          .agg(
+            max(abs(big(col("f1")) * big(col("n2")) - big(col("f2")) * big(col("n1"))))
+              .as("dnum"),
+            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+          .select(col("pair"), col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+              .otherwise(col("dnum").cast("double")
+                / (big(col("n1")) * big(col("n2"))).cast("double")).as("ks_d"))
+          .orderBy("pair")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT n_chars AS v,
+          |             CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc'
+          |                    THEN 'train'
+          |                  WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'e6'
+          |                    THEN 'val'
+          |                  ELSE 'test' END AS split
+          |           FROM documents),
+          |cnt AS (SELECT split, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY split, v),
+          |sides AS (
+          |  SELECT 'train_vs_val' AS pair, CASE WHEN split = 'train' THEN 1 ELSE 2 END AS side, v, c
+          |  FROM cnt WHERE split IN ('train', 'val')
+          |  UNION ALL
+          |  SELECT 'train_vs_test', CASE WHEN split = 'train' THEN 1 ELSE 2 END, v, c
+          |  FROM cnt WHERE split IN ('train', 'test')
+          |  UNION ALL
+          |  SELECT 'val_vs_test', CASE WHEN split = 'val' THEN 1 ELSE 2 END, v, c
+          |  FROM cnt WHERE split IN ('val', 'test')),
+          |grid AS (SELECT pair, v,
+          |                CAST(SUM(CASE WHEN side = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+          |                CAST(SUM(CASE WHEN side = 2 THEN c ELSE 0 END) AS BIGINT) AS c2
+          |         FROM sides GROUP BY pair, v),
+          |tot AS (SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+          |        FROM grid GROUP BY pair),
+          |cum AS (SELECT pair,
+          |               SUM(c1) OVER (PARTITION BY pair ORDER BY v) AS f1,
+          |               SUM(c2) OVER (PARTITION BY pair ORDER BY v) AS f2
+          |        FROM grid),
+          |a AS (SELECT cum.pair,
+          |             MAX(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)) AS dnum,
+          |             MAX(n1) AS n1, MAX(n2) AS n2
+          |      FROM cum JOIN tot ON cum.pair = tot.pair
+          |      GROUP BY cum.pair)
+          |SELECT pair, n1, n2,
+          |       CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+          |            ELSE CAST(dnum AS DOUBLE)
+          |                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS ks_d
+          |FROM a ORDER BY pair""".stripMargin)),
+
     // ---- Welch's t: weekend vs weekday event values per type -------------
     // The unequal-variance two-sample t statistic — the workhorse "is this
     // mean shift real" test — on event value, split weekend vs weekday

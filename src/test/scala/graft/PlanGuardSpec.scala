@@ -85,6 +85,7 @@ class PlanGuardSpec extends SparkTestBase {
       "vocab_coverage", // broadcast of the 1-row (total, n_vocab) aggregate
       "heaps_law_fit", // two broadcasts of the 1-row max-doc-id bound (bucketing both passes)
       "kn_bigram_ppl", // broadcast of the 1-row bigram-type-count aggregate
+      "ivf_balance", // 16-row codebook broadcast (ivf_topk shape) + 1-row total aggregate
       "attribution_markov", // 1-row coefficient pivot × the 5-row VALUES variant dimension
       "token_burstiness") // broadcast of the 1-row doc-count aggregate
 

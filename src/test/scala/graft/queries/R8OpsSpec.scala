@@ -277,4 +277,63 @@ class R8OpsSpec extends SparkTestBase {
       assert(rbo == expected(qid), s"qid $qid: $rbo != ${expected(qid)}")
     }
   }
+
+  test("split_ks: in-process exact KS replay over the split length ECDFs") {
+    val rows = graft.SparkEntry.queries("split_ks")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("train_vs_test", "train_vs_val", "val_vs_test"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(id: Long): String = {
+      val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"split:$id").substring(0, 2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val byS = docs.groupBy(d => split(d._1)).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (pair, n1, n2, ks) =>
+      val Array(a, _, b) = pair.split("_")
+      val l1 = byS.getOrElse(a, Array.empty[Long])
+      val l2 = byS.getOrElse(b, Array.empty[Long])
+      assert(n1 == l1.length.toLong && n2 == l2.length.toLong, s"$pair sizes")
+      val grid = (l1 ++ l2).distinct.sorted
+      val dnum = grid.map { v =>
+        math.abs(l1.count(_ <= v).toLong * n2 - l2.count(_ <= v).toLong * n1)
+      }.max
+      assert(ks == dnum.toDouble / (n1 * n2).toDouble, s"$pair ks $ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+  }
+
+  test("ivf_balance: shares/load factors tie exactly to the gated list assignment") {
+    val rows = graft.SparkEntry.queries("ivf_balance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val total = rows.map(_._2).sum
+    val nLists = rows.length.toLong
+    val nVecs = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(total == nVecs, "every vector lands in exactly one list")
+    rows.foreach { case (lid, n, share, lf) =>
+      assert(n > 0 && lid >= 0 && lid < 16)
+      assert(share == n.toDouble / total.toDouble)
+      assert(lf == (n * nLists).toDouble / total.toDouble)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "shares sum to 1")
+  }
+
+  test("source_jsd_matrix cross-products hold the documented int64 headroom at the largest gate sf") {
+    // r7 advice follow-through: the JSD mixture terms form x = c_a·n_b and
+    // feed 2x and x+y into the wide ln chain — the comment documents the
+    // bound c·n < 2^61. MEASURE it at the largest gated sf (the R2b
+    // discipline) so corpus growth that would overflow — which ANSI Spark
+    // and DuckDB both RAISE on, loudly — is caught here first.
+    val st = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val maxC = st.agg(max(col("c"))).head().getLong(0)
+    val maxN = st.groupBy("source").agg(sum(col("c")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(BigInt(maxC) * BigInt(maxN) * 4 < (BigInt(1) << 62),
+      s"JSD cross-product headroom breached: maxC=$maxC maxN=$maxN — widen to DECIMAL(38,0)")
+  }
 }
