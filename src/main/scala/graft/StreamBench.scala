@@ -388,6 +388,66 @@ object StreamBench {
     }
     val debRps = debEvents / debSecs
 
+    // ---- streaming packer accounting: stateful throughput ------------------
+    // packStream over 3M docs across 750,000 RocksDB-backed (source, blk)
+    // keys — doc i carries source s(i mod 50) and 10 tokens, so each key
+    // receives EXACTLY 4 docs (the 200-doc block × 50 interleaved sources)
+    // and its final accounting is closed-form: 4 docs, 40 tokens, 1 pack of
+    // 256, 216 padding. The driver folds every batch's emissions into a
+    // last-write-wins map keyed by (source, blk) and asserts all 750k final
+    // rows against the closed form — exact, like the other legs. State is
+    // TWO longs per key regardless of doc count — the operator's contract.
+    val PackDocs = 3_000_000L // → 15000 blocks × 50 sources = 750,000 keys
+    val prevProviderP = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (packSecs, packStateKeys, packRows) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-pack-src").toString
+      spark.range(PackDocs).select(
+        concat(lit("s"), pmod(col("id"), lit(50L))).as("source"),
+        col("id").as("docId"),
+        lit(10L).as("nTokens"))
+        .repartition(8, col("source"), expr("id div 200"))
+        .write.mode("overwrite").parquet(srcDir)
+      val docs = spark.readStream
+        .schema("source STRING, docId BIGINT, nTokens BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.PackDoc]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-pack-bench").toString
+      val finals = new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long, Long, Long)]()
+      @volatile var rows = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.packStream(docs, 256L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PackStat], _: Long) =>
+          val got = b.collect() // ≤ touched keys per batch
+          rows += got.length
+          got.foreach(p => finals.put((p.source, p.blk),
+            (p.nDocs, p.nTokens, p.nPacks, p.nPadding)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys == 750000L, s"pack state keys $keys != 750000")
+      assert(finals.size == 750000, s"pack final rows ${finals.size} != 750000")
+      val it = finals.values().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        assert(v == ((4L, 40L, 1L, 216L)), s"pack final accounting $v != (4, 40, 1, 216)")
+      }
+      (secs, keys, rows)
+    } finally prevProviderP match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val packRps = PackDocs / packSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -594,7 +654,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }

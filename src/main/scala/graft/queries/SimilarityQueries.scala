@@ -731,6 +731,75 @@ object SimilarityQueries {
            |       CAST(n_vecs * n_lists AS DOUBLE) / CAST(total AS DOUBLE) AS load_factor
            |FROM sz CROSS JOIN tot ORDER BY list_id""".stripMargin)),
 
+    // ---- k-center coreset selection: greedy farthest-point (added r8) ----
+    // The data-pruning / active-learning coreset primitive (Gonzalez 1985
+    // 2-approximation; Sener & Savarese 2018 use exactly this greedy for
+    // coreset selection): pick 8 maximally-spread representatives — seed =
+    // lowest vec_id, then 7 rounds of "farthest point from everything
+    // chosen so far". Each pick's `radius2` (its squared distance to the
+    // chosen set at selection time) is the k-center coverage radius the
+    // selection guarantees at that k — the curve a "how many exemplars do
+    // I need" decision reads. Distances are the floatL2Sq ↔ duckL2Full
+    // proven pair (identical left folds ⇒ bit-identical doubles); the
+    // argmax tie-breaks on vec_id; radius2 emits through the grid6 floor.
+    //
+    // Scale shape: greedy FPS is inherently k passes — each round ONE
+    // map-only distance update against a 1-row broadcast + a min(struct)
+    // argmax agg, localCheckpointed like the dedup_clusters loop so round
+    // k's plan does not re-execute rounds 1..k−1 (the chosen agg feeds
+    // both the output row and the next update). k is a constant (8); the
+    // passes are linear scans at any corpus size.
+    "kcenter_select" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.VectorFunctions.floatL2Sq(a, b)
+        val seed = emb.orderBy(col("vec_id")).limit(1)
+        var state = emb
+          .crossJoin(broadcast(seed.select(col("embedding").as("sel_emb"))))
+          .select(col("vec_id"), col("embedding"),
+            l2(col("embedding"), col("sel_emb")).as("mind"))
+          .localCheckpoint()
+        var out = seed.select(lit(1L).as("step"), col("vec_id"),
+          lit(null).cast("double").as("radius2"))
+        for (k <- 2 to 8) {
+          val chosen = state
+            .agg(min(struct(negate(col("mind")).as("nd"), col("vec_id"),
+              col("embedding"))).as("m"))
+            .select(col("m.vec_id").as("sel_id"), col("m.embedding").as("sel_emb"),
+              negate(col("m.nd")).as("sel_d"))
+            .filter(col("sel_id").isNotNull) // empty corpus: no pick, no row
+          out = out.unionByName(chosen.select(lit(k.toLong).as("step"),
+            col("sel_id").as("vec_id"), Q.grid6(col("sel_d")).as("radius2")))
+          state = state.crossJoin(broadcast(chosen.select(col("sel_emb"))))
+            .select(col("vec_id"), col("embedding"),
+              least(col("mind"), l2(col("embedding"), col("sel_emb"))).as("mind"))
+            .localCheckpoint()
+        }
+        out.orderBy("step")
+      },
+      oracle = Some {
+        val rounds = (2 to 8).map { k =>
+          s"""c$k AS (SELECT vec_id AS sel_id, embedding AS sel_emb, mind AS sel_d
+             |        FROM st${k - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+             |st$k AS (SELECT t.vec_id, t.embedding,
+             |               least(t.mind, ${duckL2Full("t.embedding", s"c$k.sel_emb")}) AS mind
+             |         FROM st${k - 1} t CROSS JOIN c$k)""".stripMargin
+        }.mkString(",\n")
+        val picks = (2 to 8).map(k =>
+          s"UNION ALL SELECT CAST($k AS BIGINT), sel_id, floor(sel_d * 1000000.0) / 1000000.0 FROM c$k")
+          .mkString("\n")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |s1 AS (SELECT vec_id AS sel_id, embedding AS sel_emb FROM e ORDER BY vec_id LIMIT 1),
+           |st1 AS (SELECT e.vec_id, e.embedding,
+           |               ${duckL2Full("e.embedding", "s1.sel_emb")} AS mind
+           |        FROM e CROSS JOIN s1),
+           |$rounds
+           |SELECT CAST(1 AS BIGINT) AS step, sel_id AS vec_id, CAST(NULL AS DOUBLE) AS radius2 FROM s1
+           |$picks
+           |ORDER BY step""".stripMargin
+      }),
+
     // ---- int8 vector quantization + reconstruction error -----------------
     // The compression step of a FAISS-style ANN pipeline: per-vector
     // symmetric int8 quantization (scale = 127/max|x|, q = round(x·scale))

@@ -321,6 +321,43 @@ class R8OpsSpec extends SparkTestBase {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "shares sum to 1")
   }
 
+  test("kcenter_select: in-process farthest-point replay; radius curve non-increasing") {
+    val rows = graft.SparkEntry.queries("kcenter_select")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.map(_._1).toSeq == (1L to 8L) && rows.map(_._2).distinct.length == 8)
+    val embs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0 // the floatL2Sq zero-seeded left fold exactly
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    def grid6(x: Double): Double = math.floor(x * 1000000.0) / 1000000.0
+    val byId = embs.toMap
+    var chosen = List(embs.map(_._1).min)
+    var minD = embs.map { case (id, v) => id -> l2(v, byId(chosen.head)) }.toMap
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (1L, chosen.head, None))
+    for (k <- 2 to 8) {
+      val (pid, pd) = minD.toSeq.map { case (id, d) => (-d, id) }.min match {
+        case (nd, id) => (id, -nd)
+      }
+      expected += ((k.toLong, pid, Some(grid6(pd))))
+      chosen ::= pid
+      minD = minD.map { case (id, d) => id -> math.min(d, l2(byId(id), byId(pid))) }
+    }
+    assert(rows.toSeq == expected.toSeq, "greedy FPS replay diverged")
+    val radii = rows.flatMap(_._3)
+    radii.sliding(2).foreach {
+      case Array(r1, r2) => assert(r2 <= r1, "coverage radius must be non-increasing")
+      case _ =>
+    }
+  }
+
   test("source_jsd_matrix cross-products hold the documented int64 headroom at the largest gate sf") {
     // r7 advice follow-through: the JSD mixture terms form x = c_a·n_b and
     // feed 2x and x+y into the wide ln chain — the comment documents the
