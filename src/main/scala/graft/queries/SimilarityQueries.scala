@@ -800,6 +800,7 @@ object SimilarityQueries {
            |ORDER BY step""".stripMargin
       }),
 
+
     // ---- int8 vector quantization + reconstruction error -----------------
     // The compression step of a FAISS-style ANN pipeline: per-vector
     // symmetric int8 quantization (scale = 127/max|x|, q = round(x·scale))
@@ -1502,5 +1503,108 @@ object SimilarityQueries {
          |UNION ALL
          |${leg("lsh_topk")})
          |ORDER BY method, qid""".stripMargin
-    }))
+    }),
+
+    // ---- MMR diversified re-ranking (added r8) ---------------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998), λ = 3/4:
+    // re-rank each query's exact cosine top-10 into 5 picks that trade
+    // relevance against redundancy — pick = argmax λ·rel(d) −
+    // (1−λ)·max_{s ∈ chosen} sim(d, s). Two near-identical top hits stop
+    // occupying two context slots (the RAG / few-shot-selection rule;
+    // kcenter_select is its pure-diversity limit). ENGINE-VERSION-PROOF:
+    // λ = 3/4 makes the objective integral — rel6/red6 are floors of
+    // bit-identical doubles (the gated builder's own sims; candidate-pair
+    // sims via the same fixed cosine fold), score = 3·rel6 − red6 compared
+    // as int64 with cid tie-break, and the emitted mmr is ONE bare
+    // division by 4·10^6.
+    //
+    // Scale shape: the retriever's plan + a per-qid 10×10 pair join, both
+    // localCheckpointed (bounded: queries×10 and queries×45 rows); the 4
+    // unrolled greedy rounds then run joins/aggs over those tiny frames
+    // only (the textrank unrolling discipline; checkpoints stop round k
+    // from re-planning the corpus scan 3^k times).
+    "mmr_rerank" -> Q(
+      fn = (s, dir) => {
+        val cand = base("similarity_topk").fn(s, dir)
+          .select(col("qid"), col("cid"),
+            floor(col("sim") * lit(1000000.0d)).cast("long").as("rel6"))
+          .localCheckpoint()
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val withV = cand.join(emb, cand("cid") === emb("vec_id"))
+          .select(col("qid"), col("cid"), col("embedding"))
+        val pairs = withV.select(col("qid"), col("cid").as("x"), col("embedding").as("xv"))
+          .join(withV.select(col("qid"), col("cid").as("y"), col("embedding").as("yv")),
+            Seq("qid"))
+          .filter(col("x") =!= col("y"))
+          .select(col("qid"), col("x"), col("y"),
+            floor(cosineSimilarity(col("xv"), col("yv")) * lit(1000000.0d))
+              .cast("long").as("red6"))
+          .localCheckpoint()
+        // round 1: pure relevance
+        var selected = cand
+          .groupBy("qid")
+          .agg(min(struct(negate(col("rel6")).cast("long").as("ns"), col("cid"),
+            col("rel6"))).as("m"))
+          .select(col("qid"), col("m.cid").as("cid"), lit(1).as("pick_rank"),
+            (lit(3L) * col("m.rel6")).as("s6"))
+          .localCheckpoint()
+        for (r <- 2 to 5) {
+          val rem = cand.join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+          val red = pairs
+            .join(selected.select(col("qid"), col("cid").as("y")), Seq("qid", "y"))
+            .groupBy(col("qid"), col("x").as("cid"))
+            .agg(max(col("red6")).as("mr6"))
+          val pick = rem.join(red, Seq("qid", "cid"), "left")
+            .select(col("qid"), col("cid"),
+              (lit(3L) * col("rel6") - coalesce(col("mr6"), lit(0L))).as("s6"))
+            .groupBy("qid")
+            .agg(min(struct(negate(col("s6")).cast("long").as("ns"), col("cid"),
+              col("s6"))).as("m"))
+            .select(col("qid"), col("m.cid").as("cid"), lit(r).as("pick_rank"),
+              col("m.s6").as("s6"))
+          selected = selected.unionByName(pick).localCheckpoint()
+        }
+        selected
+          .select(col("qid"), col("pick_rank"), col("cid"),
+            (col("s6").cast("double") / lit(4000000.0d)).as("mmr"))
+          .orderBy("qid", "pick_rank")
+      },
+      oracle = Some {
+        val rounds = (2 to 5).map { r =>
+          s"""red$r AS (
+             |  SELECT p.qid, p.x AS cid, MAX(p.red6) AS mr6
+             |  FROM pairs p JOIN sel${r - 1} s ON p.qid = s.qid AND p.y = s.cid
+             |  GROUP BY p.qid, p.x),
+             |sc$r AS (
+             |  SELECT c.qid, c.cid, 3 * c.rel6 - COALESCE(r.mr6, 0) AS s6
+             |  FROM cand c LEFT JOIN red$r r ON c.qid = r.qid AND c.cid = r.cid
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+             |                    WHERE s.qid = c.qid AND s.cid = c.cid)),
+             |pk$r AS (
+             |  SELECT qid, cid, $r AS pick_rank, s6 FROM (
+             |    SELECT qid, cid, s6,
+             |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s6 DESC, cid) AS rn
+             |    FROM sc$r) t WHERE rn = 1),
+             |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH topk AS (${base("similarity_topk").oracle.get}),
+           |cand AS (SELECT qid, cid,
+           |                CAST(floor(sim * 1000000.0) AS BIGINT) AS rel6 FROM topk),
+           |ce AS (SELECT c.qid, c.cid, e.embedding FROM cand c
+           |       JOIN embeddings e ON e.vec_id = c.cid),
+           |pairs AS (
+           |  SELECT a.qid, a.cid AS x, b.cid AS y,
+           |         CAST(floor((${duckCosSql("a.embedding", "b.embedding")}) * 1000000.0) AS BIGINT) AS red6
+           |  FROM ce a JOIN ce b ON a.qid = b.qid AND a.cid != b.cid),
+           |sel1 AS (
+           |  SELECT qid, cid, 1 AS pick_rank, 3 * rel6 AS s6 FROM (
+           |    SELECT qid, cid, rel6,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel6 DESC, cid) AS rn
+           |    FROM cand) t WHERE rn = 1),
+           |$rounds
+           |SELECT qid, CAST(pick_rank AS INT) AS pick_rank, cid,
+           |       CAST(s6 AS DOUBLE) / CAST(4000000 AS DOUBLE) AS mmr
+           |FROM sel5 ORDER BY qid, pick_rank""".stripMargin
+      }))
 }

@@ -358,6 +358,51 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("mmr_rerank: in-process lambda=3/4 greedy replay; pick-1 = top relevance; scores non-increasing") {
+    val rows = graft.SparkEntry.queries("mmr_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val cand = graft.SparkEntry.queries("similarity_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1000000.0).toLong))
+    val embs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = { // CosineSimilarity's fold
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var chosen = List.empty[Long]
+      (1 to 5).map { r =>
+        val scored = rel.filterNot { case (cid, _) => chosen.contains(cid) }
+          .map { case (cid, rel6) =>
+            val red6 = if (chosen.isEmpty) 0L
+              else chosen.map(s =>
+                math.floor(cos(embs(cid), embs(s)) * 1000000.0).toLong).max
+            (cid, 3L * rel6 - red6)
+          }
+        val (pid, s6) = scored.toSeq.map { case (cid, s) => ((-s, cid), (cid, s)) }
+          .minBy(_._1)._2
+        chosen ::= pid
+        (qid, r, pid, s6.toDouble / 4000000.0)
+      }
+    }.toSet
+    assert(rows.toSet == expected, "MMR greedy replay diverged")
+    // per qid: pick 1 maximizes pure relevance; scores non-increasing
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val ordered = rs.sortBy(_._2).map(_._4)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b <= a, s"qid $qid MMR scores increased")
+        case _ =>
+      }
+    }
+  }
+
   test("source_jsd_matrix cross-products hold the documented int64 headroom at the largest gate sf") {
     // r7 advice follow-through: the JSD mixture terms form x = c_a·n_b and
     // feed 2x and x+y into the wide ln chain — the comment documents the
