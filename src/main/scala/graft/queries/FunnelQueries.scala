@@ -877,6 +877,86 @@ object FunnelQueries {
           |       CAST(SUM(d1) AS BIGINT) AS n_d1, CAST(SUM(d7) AS BIGINT) AS n_d7
           |FROM f GROUP BY cohort ORDER BY cohort""".stripMargin)),
 
+    // ---- retention half-life: exponential-decay fit (added r8) -----------
+    // retention_cohorts reports two samples (d1/d7); this fits the WHOLE
+    // curve: r_k = share of users active on day k relative to their own
+    // first event, k ∈ 1..14, modeled as r_k ≈ e^(a + b·k) — the standard
+    // retention decay model — via least squares on ln r_k, reported as the
+    // decay slope (nats/day) and half_life = ln 2 / −b, the "how many days
+    // until half the remaining users stop showing up" number a retention
+    // review leads with.
+    //
+    // ENGINE-VERSION-PROOF (r8 doctrine): day indexes are exact integer
+    // micros arithmetic; r_k's ln comes from [[LnGrid]] over exact counts
+    // (ln6(n_k, n_users) ≤ 0); the regression runs on exact int64
+    // sufficient statistics (n, Σk, Σk², Σy6, Σk·y6 — the zipf_fit
+    // micro-unit discipline), and each emitted double is ONE bare
+    // division: slope = num/(den·10^6), half_life = 693147·den/(−num)
+    // (the ln 2 grid constant — exact int64 products on both sides).
+    // Days with zero active users are excluded from the fit on both
+    // engines; a non-decaying curve (num ≥ 0) or a degenerate fit
+    // (n_days < 2) reports NULLs rather than a nonsense half-life.
+    //
+    // Scale shape: one events pass + the per-user t0 agg joined back (the
+    // retention_cohorts shape); everything after the ≤14-row day grid is
+    // constant — the 1-row user total broadcast is R1-whitelisted.
+    "retention_halflife" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+        val nu = t0.agg(count(lit(1)).as("n_users"))
+        val act = ev.join(t0, Seq("user_id"))
+          .select(col("user_id"),
+            expr("(unix_micros(ts) - unix_micros(t0)) div 86400000000").as("k"))
+          .filter(col("k") >= 1 && col("k") <= 14)
+          .distinct()
+        val grid = act.groupBy("k").agg(count(lit(1)).as("n_k"))
+          .crossJoin(broadcast(nu))
+        val y = LnGrid.withLn6(grid, col("n_k"), col("n_users"), "y6")
+        y.agg(count(lit(1)).as("n_days"),
+            sum(col("k")).as("sx"), sum(col("k") * col("k")).as("sxx"),
+            sum(col("y6")).as("sy6"), sum(col("k") * col("y6")).as("sxy6"),
+            max(col("n_users")).as("n_users"))
+          .select(col("n_users"), col("n_days"),
+            (col("n_days") * col("sxy6") - col("sx") * col("sy6")).as("num"),
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+          .select(coalesce(col("n_users"), lit(0L)).as("n_users"), col("n_days"),
+            when(col("n_days") >= 2 && col("den") > 0,
+              col("num").cast("double") / (col("den") * lit(1000000L)).cast("double"))
+              .as("slope"),
+            when(col("n_days") >= 2 && col("den") > 0 && col("num") < 0,
+              (lit(693147L) * col("den")).cast("double")
+                / (-col("num")).cast("double")).as("half_life_days"))
+      },
+      oracle = Some(
+        s"""WITH t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+           |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM t0),
+           |act AS (SELECT DISTINCT e.user_id,
+           |          (epoch_us(e.ts) - epoch_us(t.t0)) // 86400000000 AS k
+           |        FROM events e JOIN t0 t ON e.user_id = t.user_id),
+           |grid AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k, n_users
+           |         FROM act CROSS JOIN nu
+           |         WHERE k >= 1 AND k <= 14 GROUP BY k, n_users),
+           |${LnGrid.sqlCtes("grid", "n_k", "n_users", "y6", "rh_")},
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           |             CAST(SUM(k) AS BIGINT) AS sx,
+           |             CAST(SUM(k * k) AS BIGINT) AS sxx,
+           |             CAST(SUM(y6) AS BIGINT) AS sy6,
+           |             CAST(SUM(k * y6) AS BIGINT) AS sxy6,
+           |             MAX(n_users) AS n_users
+           |      FROM rh_out),
+           |b AS (SELECT n_users, n_days,
+           |             n_days * sxy6 - sx * sy6 AS num,
+           |             n_days * sxx - sx * sx AS den
+           |      FROM a)
+           |SELECT COALESCE(n_users, 0) AS n_users, n_days,
+           |       CASE WHEN n_days >= 2 AND den > 0
+           |            THEN CAST(num AS DOUBLE) / CAST(den * 1000000 AS DOUBLE) END AS slope,
+           |       CASE WHEN n_days >= 2 AND den > 0 AND num < 0
+           |            THEN CAST(693147 * den AS DOUBLE) / CAST(-num AS DOUBLE) END
+           |         AS half_life_days
+           |FROM b""".stripMargin)),
+
     // ---- event-type distribution drift per time bucket (added r7) --------
     // The monitoring verb over the reference's event domain: per 6-hour
     // bucket, KL divergence of the bucket's event-type distribution against

@@ -86,6 +86,7 @@ class PlanGuardSpec extends SparkTestBase {
       "heaps_law_fit", // two broadcasts of the 1-row max-doc-id bound (bucketing both passes)
       "kn_bigram_ppl", // broadcast of the 1-row bigram-type-count aggregate
       "ivf_balance", // 16-row codebook broadcast (ivf_topk shape) + 1-row total aggregate
+      "retention_halflife", // broadcast of the 1-row user-total aggregate
       "attribution_markov", // 1-row coefficient pivot × the 5-row VALUES variant dimension
       "token_burstiness") // broadcast of the 1-row doc-count aggregate
 

@@ -403,6 +403,36 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("retention_halflife: in-process regression replay over the exact day grid") {
+    val r = graft.SparkEntry.queries("retention_halflife")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nUsers, nDays) = (row.getLong(0), row.getLong(1))
+    // replay: day grid from raw events in micros, LnGrid y, exact int LSQ
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1)))
+    val t0 = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val ks = ev.map { case (u, us) => (u, (us - t0(u)) / 86400000000L) }
+      .filter(k => k._2 >= 1 && k._2 <= 14).distinct
+    val grid = ks.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    assert(nUsers == t0.size.toLong)
+    assert(nDays == grid.size.toLong)
+    val y = grid.toSeq.map { case (k, nk) => (k, LnGrid.ln6Ref(nk, nUsers)) }
+    val n = y.size.toLong
+    val sx = y.map(_._1).sum; val sxx = y.map(t => t._1 * t._1).sum
+    val sy = y.map(_._2).sum; val sxy = y.map(t => t._1 * t._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    if (n >= 2 && den > 0) {
+      assert(row.getDouble(2) == num.toDouble / (den * 1000000L).toDouble, "slope")
+      if (num < 0)
+        assert(row.getDouble(3) == (693147L * den).toDouble / (-num).toDouble
+          && row.getDouble(3) > 0, "half life")
+      else assert(row.isNullAt(3))
+    } else { assert(row.isNullAt(2) && row.isNullAt(3)) }
+  }
+
   test("source_jsd_matrix cross-products hold the documented int64 headroom at the largest gate sf") {
     // r7 advice follow-through: the JSD mixture terms form x = c_a·n_b and
     // feed 2x and x+y into the wide ln chain — the comment documents the
