@@ -1577,6 +1577,122 @@ object FunnelQueries {
           |SELECT event_type, hour, n,
           |       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
           |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_peak
-          |FROM r ORDER BY event_type, hour""".stripMargin))
+          |FROM r ORDER BY event_type, hour""".stripMargin)),
+
+    // ---- gaps-and-islands: per-user active-day streaks (added r8) --------
+    // The classic sessionization-at-day-grain pattern: collapse each
+    // user's distinct active days into maximal runs of CONSECUTIVE days
+    // (islands) via the date − row_number() anchor — consecutive days
+    // share an anchor, any gap starts a new one. Feeds engagement-streak
+    // features (current/longest streak) that retention_cohorts' fixed-day
+    // matrix can't express. Hashed surface is all ints and dates — no
+    // float anywhere. Scale shape: the only window is PARTITIONED by
+    // user_id over that user's distinct days (bounded by the calendar
+    // span, never corpus rows); one distinct-agg + one island agg, both
+    // keyed shuffles on user_id that AQE coalesces.
+    "gaps_islands" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        days
+          .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+          .groupBy(col("user_id"), col("anchor"))
+          .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+            count(lit(1)).as("len_days"))
+          .select(col("user_id"), col("streak_start"), col("streak_end"),
+            col("len_days"))
+          .orderBy("user_id", "streak_start")
+      },
+      oracle = Some(
+        """WITH days AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |anch AS (
+          |  SELECT user_id, d,
+          |         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+          |                  AS INTEGER) AS anchor
+          |  FROM days)
+          |SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+          |       CAST(COUNT(*) AS BIGINT) AS len_days
+          |FROM anch GROUP BY user_id, anchor
+          |ORDER BY user_id, streak_start""".stripMargin)),
+
+    // ---- single change-point on the daily volume series (added r8) -------
+    // Binary-segmentation step 1 (the CUSUM/Pettitt workhorse): for every
+    // candidate split t of the day-ordered total-volume series, the
+    // between-segment sum-of-squares reduction
+    //   R(t) = (S_t·n − S·t)² / (t·(n−t)·n)
+    // (prefix sum S_t, total S, n days) — the day whose split best
+    // explains the series as two levels. Complements cusum_drift
+    // (sequential detector) with the retrospective argmax form.
+    // ENGINE-VERSION-PROOF: the numerator/denominator are exact int64
+    // cross-products widened to DECIMAL(38,0) (daily_anomalies
+    // discipline); `score` is ONE bare IEEE division of exact ints and
+    // `is_best` is decided by exact integer cross-multiplication
+    // R(t) ≥ R(u) ⇔ A_t²·d_u ≥ A_u²·d_t — no float reaches the verdict.
+    // The argmax is a broadcast anti-join of the candidate frame against
+    // itself under that exact comparison (R1-whitelisted: BOTH sides are
+    // the day-grain aggregate, calendar-span bounded — never corpus rows).
+    // Scale shape: the series is the DAY-GRAIN aggregate (calendar-span
+    // bounded, R2-whitelisted like survival_km); the corpus pass is one
+    // hash agg.
+    "changepoint_daily" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val wOrd = Window.orderBy(col("d"))
+        val totals = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+        val cand = daily
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+          .withColumn("st", sum(col("c")).over(wOrd))
+          .crossJoin(broadcast(totals))
+          .filter(col("t") < col("n"))
+          .withColumn("a", (col("st") * col("n") - col("s") * col("t"))
+            .cast("decimal(38,0)"))
+          .withColumn("num", (col("a") * col("a")).cast("decimal(38,0)"))
+          .withColumn("den", (col("t") * (col("n") - col("t")) * col("n"))
+            .cast("decimal(38,0)"))
+          // no cache: all three consumers sit over the SAME day-grain
+          // shuffle, so ReusedExchange runs the corpus scan once
+          .select(col("d"), col("c"), col("t"), col("num"), col("den"))
+        val rivals = cand.select(col("num").as("onum"), col("den").as("oden"))
+        val best = cand
+          .join(broadcast(rivals),
+            col("onum") * col("den") > col("num") * col("oden"), "left_anti")
+          .select(col("d").as("bd"), lit(1).as("is_best"))
+        cand.join(broadcast(best), col("d") === col("bd"), "left")
+          .select(col("d"), col("c"), col("t"),
+            (col("num").cast("double") / col("den").cast("double")).as("score"),
+            coalesce(col("is_best"), lit(0)).cast("int").as("is_best"))
+          .orderBy("d")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1),
+          |pre AS (
+          |  SELECT d, c,
+          |         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+          |         CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS st,
+          |         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+          |         CAST(SUM(c) OVER () AS BIGINT) AS s
+          |  FROM daily),
+          |cand AS (
+          |  SELECT d, c, t,
+          |         CAST(st * n - s * t AS DECIMAL(38,0)) AS a,
+          |         CAST(t * (n - t) * n AS DECIMAL(38,0)) AS den
+          |  FROM pre WHERE t < n),
+          |sc AS (SELECT d, c, t, CAST(a * a AS DECIMAL(38,0)) AS num, den FROM cand)
+          |SELECT d, c, t,
+          |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS score,
+          |       CAST(CASE WHEN NOT EXISTS (
+          |              SELECT 1 FROM sc o
+          |              WHERE o.num * sc.den > sc.num * o.den)
+          |            THEN 1 ELSE 0 END AS INTEGER) AS is_best
+          |FROM sc ORDER BY d""".stripMargin))
   )
 }

@@ -88,7 +88,11 @@ class PlanGuardSpec extends SparkTestBase {
       "ivf_balance", // 16-row codebook broadcast (ivf_topk shape) + 1-row total aggregate
       "retention_halflife", // broadcast of the 1-row user-total aggregate
       "attribution_markov", // 1-row coefficient pivot × the 5-row VALUES variant dimension
-      "token_burstiness") // broadcast of the 1-row doc-count aggregate
+      "token_burstiness", // broadcast of the 1-row doc-count aggregate
+      // changepoint_daily: 1-row totals broadcast + the exact-argmax
+      // anti-join whose BOTH sides are the day-grain aggregate (calendar-
+      // span bounded by construction, never corpus rows)
+      "changepoint_daily")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -144,11 +148,20 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   /** Does the window's input subtree aggregate (rows already reduced to
-    * group cardinality) before the window runs? */
-  private def aggregated(w: WindowExec): Boolean =
-    w.child.collectWithSubqueries {
-      case n if n.nodeName.contains("Aggregate") => n
-    }.nonEmpty
+    * group cardinality) before the window runs? Resolves ReusedExchange
+    * indirection (a reused exchange is a leaf whose real subtree lives on
+    * the original branch — changepoint_daily's argmax consumes the same
+    * day-grain shuffle three times). */
+  private def aggregated(w: WindowExec): Boolean = {
+    def walk(p: SparkPlan): Boolean =
+      if (p.nodeName.contains("Aggregate")) true
+      else p match {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case _ => p.children.exists(walk)
+      }
+    walk(w.child)
+  }
 
   test("R1: no cartesian products or nested-loop joins outside the tiny-side whitelist") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -195,7 +208,10 @@ class PlanGuardSpec extends SparkTestBase {
     "heaps_law_fit",
     // attribution_markov: base/total windows over the 5-row variant frame
     // (1-row coefficient pivot × the VALUES channel dimension).
-    "attribution_markov")
+    "attribution_markov",
+    // changepoint_daily: prefix-sum window over the day-grain aggregate —
+    // calendar-span bounded like survival_km.
+    "changepoint_daily")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -238,7 +254,8 @@ class PlanGuardSpec extends SparkTestBase {
       "gini_source_tokens" -> nSources, // per-source rank
       "survival_km" -> daySpan, // duration-day grid ≤ calendar span
       "heaps_law_fit" -> 64L, // constant checkpoint grid
-      "attribution_markov" -> 5L) // 1-row coef pivot × the variant dimension
+      "attribution_markov" -> 5L, // 1-row coef pivot × the variant dimension
+      "changepoint_daily" -> daySpan) // daily-volume series ≤ calendar span
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -259,8 +276,13 @@ class PlanGuardSpec extends SparkTestBase {
         // count) to the first node that does — the aggregate whose output
         // IS the window's input cardinality
         var node: SparkPlan = w.child
-        while (node.children.size == 1 && node.metrics.get("numOutputRows").isEmpty)
-          node = node.children.head
+        while (node.metrics.get("numOutputRows").isEmpty &&
+          (node.children.size == 1 ||
+            node.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]))
+          node = node match {
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r.child
+            case n => n.children.head
+          }
         val n = node.metrics.get("numOutputRows").map(_.value).getOrElse(
           fail(s"$name: no numOutputRows metric found below the global window " +
             s"(stopped at ${node.nodeName})"))
