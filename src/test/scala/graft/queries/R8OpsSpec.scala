@@ -448,4 +448,70 @@ class R8OpsSpec extends SparkTestBase {
     assert(BigInt(maxC) * BigInt(maxN) * 4 < (BigInt(1) << 62),
       s"JSD cross-product headroom breached: maxC=$maxC maxN=$maxN — widen to DECIMAL(38,0)")
   }
+
+  test("gaps_islands: in-process island replay; streaks partition each user's active days") {
+    val out = graft.SparkEntry.queries("gaps_islands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDate(2).toLocalDate, r.getLong(3)))
+    assert(out.nonEmpty)
+    // replay: collapse each user's sorted distinct active days into maximal
+    // consecutive runs, entirely in-process
+    val days = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sortBy(_.toEpochDay) }
+    val expect = days.flatMap { case (u, ds) =>
+      val runs = ds.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (run @ (last :: _)) :: rest, d) if d.toEpochDay == last.toEpochDay + 1 =>
+          (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }
+      runs.map(r => (u, r.last, r.head, r.size.toLong))
+    }.toSet
+    assert(out.toSet == expect, "islands differ from the in-process replay")
+    // streaks partition the day set: lengths sum to the distinct-day count
+    assert(out.map(_._4).sum == days.values.map(_.size.toLong).sum)
+    // within a user, streaks are disjoint with a genuine gap between them
+    out.groupBy(_._1).foreach { case (u, rs) =>
+      rs.sortBy(_._2.toEpochDay).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.toEpochDay > a._3.toEpochDay + 1, s"user $u streaks touch")
+        case _ =>
+      }
+    }
+  }
+
+  test("changepoint_daily: exact BigInt argmax replay; scores tie to the SS-reduction formula") {
+    val out = graft.SparkEntry.queries("changepoint_daily")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val n = daily.size.toLong
+    val s = daily.map(_._2).sum
+    // replay every candidate's exact numerator/denominator in BigInt
+    val cand = daily.zipWithIndex.init.map { case ((d, c), i) =>
+      val t = i + 1L
+      val st = daily.take(i + 1).map(_._2).sum
+      val a = BigInt(st) * BigInt(n) - BigInt(s) * BigInt(t)
+      (d, c, t, a * a, BigInt(t) * BigInt(n - t) * BigInt(n))
+    }
+    assert(out.length == cand.length, "one row per interior split")
+    val best = cand.maxBy { case (_, _, _, num, den) =>
+      // exact rational compare via cross-multiplication
+      (BigDecimal(num) / BigDecimal(den))
+    }
+    out.zip(cand).foreach { case ((d, c, t, score, isBest), (ed, ec, et, num, den)) =>
+      assert(d == ed && c == ec && t == et)
+      assert(score == num.toDouble / den.toDouble, s"$d score not the bare division")
+      // the exact argmax must be unique-or-tied under cross-multiplication
+      val expBest = cand.forall { case (_, _, _, onum, oden) => onum * den <= num * oden }
+      assert((isBest == 1) == expBest, s"$d is_best mismatch")
+    }
+    assert(out.count(_._5 == 1) >= 1)
+    assert(out.find(_._5 == 1).get._1 == best._1)
+  }
 }
