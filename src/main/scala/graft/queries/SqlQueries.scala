@@ -83,7 +83,79 @@ object SqlQueries {
       |       s > 3 * sa AS drift_alarm, e AS ema_halflife1
       |FROM cus ORDER BY event_type, d""".stripMargin
 
+  /** Holt double-exponential smoothing (α = β = ½) over each event type's
+    * daily-volume series — cusum_drift's EMA tracks LEVEL only and lags a
+    * trending series by construction; Holt adds the trend state, giving the
+    * dashboard-standard smoothed level + slope and a one-step-ahead
+    * forecast residual (the volume-anomaly signal daily_anomalies' static
+    * 3σ rule can't produce for trending types). Float doctrine: the
+    * recurrence is a FIXED chain of correctly-rounded IEEE add/divide ops
+    * — `((c + l) + b) / 2` spelled with identical parenthesization in both
+    * dialects (neither engine reassociates fp arithmetic), the cusum EMA
+    * precedent extended to two state variables. The trend update
+    * b' = (b + (l' − l))/2 inlines l' as the identical sub-expression so
+    * both engines evaluate the same op DAG. Scale shape: identical to
+    * cusum_drift — one day-grain hash agg, per-type packed arrays bounded
+    * by the calendar span, recursion depth = day span.
+    */
+  private val HoltSparkSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |packed AS (
+      |  SELECT event_type,
+      |         transform(sort_array(collect_list(struct(d, c))), x -> x.d) AS days,
+      |         transform(sort_array(collect_list(struct(d, c))), x -> x.c) AS cs,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM daily GROUP BY event_type),
+      |h(event_type, days, cs, n, i, l, b, r) AS (
+      |  SELECT event_type, days, cs, n, CAST(1 AS BIGINT),
+      |         CAST(element_at(cs, 1) AS DOUBLE), CAST(0 AS DOUBLE),
+      |         CAST(NULL AS DOUBLE)
+      |  FROM packed
+      |  UNION ALL
+      |  SELECT event_type, days, cs, n, i + 1,
+      |         ((CAST(element_at(cs, CAST(i + 1 AS INT)) AS DOUBLE) + l) + b) / 2,
+      |         (b + (((CAST(element_at(cs, CAST(i + 1 AS INT)) AS DOUBLE) + l) + b) / 2 - l)) / 2,
+      |         CAST(element_at(cs, CAST(i + 1 AS INT)) AS DOUBLE) - (l + b)
+      |  FROM h WHERE i < n)
+      |SELECT event_type, element_at(days, CAST(i AS INT)) AS d,
+      |       element_at(cs, CAST(i AS INT)) AS c,
+      |       l AS level, b AS trend, r AS resid
+      |FROM h ORDER BY event_type, d""".stripMargin
+
+  /** The same recursion in DuckDB's dialect; arithmetic verbatim. */
+  private val HoltDuckSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |packed AS (
+      |  SELECT event_type,
+      |         list(d ORDER BY d) AS days,
+      |         list(c ORDER BY d) AS cs,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM daily GROUP BY event_type),
+      |h(event_type, days, cs, n, i, l, b, r) AS (
+      |  SELECT event_type, days, cs, n, CAST(1 AS BIGINT),
+      |         CAST(cs[1] AS DOUBLE), CAST(0 AS DOUBLE),
+      |         CAST(NULL AS DOUBLE)
+      |  FROM packed
+      |  UNION ALL
+      |  SELECT event_type, days, cs, n, i + 1,
+      |         ((CAST(cs[CAST(i + 1 AS INTEGER)] AS DOUBLE) + l) + b) / 2,
+      |         (b + (((CAST(cs[CAST(i + 1 AS INTEGER)] AS DOUBLE) + l) + b) / 2 - l)) / 2,
+      |         CAST(cs[CAST(i + 1 AS INTEGER)] AS DOUBLE) - (l + b)
+      |  FROM h WHERE i < n)
+      |SELECT event_type, days[CAST(i AS INTEGER)] AS d,
+      |       cs[CAST(i AS INTEGER)] AS c,
+      |       l AS level, b AS trend, r AS resid
+      |FROM h ORDER BY event_type, d""".stripMargin
+
   val all: Map[String, Q] = Map(
+
+    "holt_smooth" -> Q(
+      fn = (s, dir) => { Tables.registerAll(s, dir); s.sql(HoltSparkSql) },
+      oracle = Some(HoltDuckSql)),
 
     // FILTER (WHERE …) aggregate clause (added r6) — one pass computing
     // conditional aggregates without CASE scaffolding; identical text on

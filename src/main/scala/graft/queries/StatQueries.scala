@@ -408,6 +408,134 @@ object StatQueries {
           |       CASE WHEN sx = 0 THEN 0.0
           |            ELSE CAST(six * 2 - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE)
           |                 / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) END AS gini
-          |FROM a""".stripMargin))
+          |FROM a""".stripMargin)),
+
+    // ---- earth-mover's distance: source length dists vs corpus (r8) ------
+    // The INTEGRAL companion of ks_source_lengths' sup metric: 1-D
+    // Wasserstein-1 distance between each source's doc-length ECDF and the
+    // corpus ECDF, W₁ = ∫|F_a − F|dx = Σ_grid |F_a(v) − F(v)|·(v⁺ − v).
+    // KS sees only the single worst vertical gap; EMD integrates the whole
+    // mismatch in CHARACTER units ("this source's docs are on average ~W₁
+    // chars of CDF-mass away from the corpus profile") — the mix-design
+    // number to watch when rebalancing sources shifts the length profile
+    // the packer was tuned for. ENGINE-VERSION-PROOF: with f_a, cf the
+    // integer cumulative counts and n_a, N the totals,
+    //   W₁ = Σ |f_a·N − cf·n_a|·gap / (n_a·N)
+    // — exact DECIMAL(38,0)/HUGEINT cross-products summed (magnitude ≤
+    // 6e4²·577·523 ≈ 1e15 < 2⁵³, so even the final cast is exact), ONE
+    // bare division per source.
+    //
+    // Scale shape: one corpus pass → per-value grid + (source, v) agg; the
+    // merged-grid expansion is |sources| × |length domain| (≤ 20×523 — an
+    // ingest contract, never corpus rows) built from a whitelisted
+    // broadcast cross join; per-source CDF windows PARTITION by source;
+    // the corpus-CDF window is global but runs over the aggregated length
+    // grid (R2 whitelist, measured bound = nChars).
+    "emd_source_lengths" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("source"), col("n_chars").as("v"))
+        val grid = docs.groupBy("v").agg(count(lit(1)).as("ct"))
+        val wv = Window.orderBy(col("v"))
+        val corp = grid.select(col("v"),
+          sum(col("ct")).over(wv).as("cf"),
+          (lead(col("v"), 1).over(wv) - col("v")).as("gap"))
+        val tot = docs.groupBy("source").agg(count(lit(1)).as("na"))
+        val nn = docs.agg(count(lit(1)).as("nn"))
+        val sv = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        val ws = Window.partitionBy(col("source")).orderBy(col("v"))
+        tot.crossJoin(broadcast(corp))
+          .join(sv, Seq("source", "v"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("fa", sum(col("c")).over(ws))
+          .filter(col("gap").isNotNull)
+          .crossJoin(broadcast(nn))
+          .groupBy(col("source"), col("na"), col("nn"))
+          .agg(sum(abs(big(col("fa")) * big(col("nn")) - big(col("cf")) * big(col("na")))
+            * big(col("gap"))).as("dnum"))
+          .select(col("source"), col("na").as("n_docs"),
+            (col("dnum").cast("double")
+              / (big(col("na")) * big(col("nn"))).cast("double")).as("emd_chars"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH docs AS (SELECT source, n_chars AS v FROM documents),
+          |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM docs GROUP BY v),
+          |corp AS (SELECT v, SUM(ct) OVER (ORDER BY v) AS cf,
+          |                LEAD(v) OVER (ORDER BY v) - v AS gap FROM grid),
+          |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS na FROM docs GROUP BY source),
+          |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM docs),
+          |sv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM docs GROUP BY source, v),
+          |cum AS (SELECT t.source, t.na, g.cf, g.gap,
+          |               SUM(COALESCE(s.c, 0)) OVER (PARTITION BY t.source ORDER BY g.v) AS fa
+          |        FROM tot t CROSS JOIN corp g
+          |        LEFT JOIN sv s ON s.source = t.source AND s.v = g.v)
+          |SELECT source, na AS n_docs,
+          |       CAST(SUM(abs(CAST(fa AS HUGEINT) * nt.nn - CAST(cf AS HUGEINT) * na)
+          |                * gap) AS DOUBLE)
+          |       / CAST(CAST(na AS HUGEINT) * nt.nn AS DOUBLE) AS emd_chars
+          |FROM cum, nt WHERE gap IS NOT NULL
+          |GROUP BY source, na, nt.nn
+          |ORDER BY source""".stripMargin)),
+
+    // ---- Benford first-digit audit of the event value column (r8) --------
+    // The classic fabricated-/synthetic-data screen: the first significant
+    // digit of naturally occurring magnitudes follows P(d) = log₁₀(1+1/d);
+    // uniform or templated generators flunk it loudly. Run over the event
+    // `value` column — the pipeline's "does this telemetry look organic"
+    // check (and, on this corpus, a measurement of HOW synthetic the
+    // generator is). ENGINE-VERSION-PROOF construction: the digit is taken
+    // from the INTEGER cents ⌊value·100⌋ (one IEEE multiply + floor —
+    // correctly rounded and bit-identical on any engine — then exact
+    // int→string); the Benford grid is 9 floored micro-probability INTEGER
+    // LITERALS ⌊log₁₀(1+1/d)·10⁶⌋ spelled identically in both dialects
+    // (the 693147-ln2 precedent — no libm call at query time); dev6 =
+    // o·10⁶ − n·p6 is exact int64 (signed excess in micro-probability
+    // units); share is ONE bare division.
+    //
+    // Scale shape: one map-side digit projection → 9-bucket hash agg; the
+    // 9-row digit spine and the 1-row total broadcast — nothing
+    // corpus-sized past the first agg.
+    "benford_first_digit" -> Q(
+      fn = (s, dir) => {
+        val p6 = expr(
+          """CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+            | WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            | WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+            | ELSE 45757 END""".stripMargin)
+        val d = Tables.load(s, dir, "events")
+          .select(expr("cast(floor(value * 100) as bigint)").as("cents"))
+          .filter(col("cents") >= 1)
+          .select(expr("cast(substring(cast(cents as string), 1, 1) as int)").as("digit"))
+        val obs = d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = d.agg(count(lit(1)).as("n"))
+        s.range(1, 10).select(col("id").cast("int").as("digit"))
+          .join(obs, Seq("digit"), "left")
+          .na.fill(0L, Seq("n_obs"))
+          .crossJoin(broadcast(tot))
+          .withColumn("benford_p6", p6)
+          .select(col("digit"), col("n_obs"), col("benford_p6"),
+            (col("n_obs") * lit(1000000L) - col("n") * col("benford_p6")).as("dev6"),
+            (col("n_obs").cast("double") / col("n").cast("double")).as("share"))
+          .orderBy("digit")
+      },
+      oracle = Some(
+        """WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          |           FROM events WHERE value IS NOT NULL),
+          |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          |      FROM c WHERE cents >= 1),
+          |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+          |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+          |sp AS (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)),
+          |j AS (SELECT sp.digit, COALESCE(o.n_obs, 0) AS n_obs,
+          |             CASE sp.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+          |                  WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+          |                  WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+          |                  ELSE 45757 END AS benford_p6
+          |      FROM sp LEFT JOIN o ON sp.digit = o.digit)
+          |SELECT digit, n_obs, benford_p6,
+          |       n_obs * 1000000 - nt.n * benford_p6 AS dev6,
+          |       CAST(n_obs AS DOUBLE) / CAST(nt.n AS DOUBLE) AS share
+          |FROM j, nt ORDER BY digit""".stripMargin))
   )
 }

@@ -92,7 +92,12 @@ class PlanGuardSpec extends SparkTestBase {
       // changepoint_daily: 1-row totals broadcast + the exact-argmax
       // anti-join whose BOTH sides are the day-grain aggregate (calendar-
       // span bounded by construction, never corpus rows)
-      "changepoint_daily")
+      "changepoint_daily",
+      // emd_source_lengths: ≤|sources| totals × broadcast length-domain
+      // grid (the merged-grid expansion) + the 1-row corpus-total broadcast
+      "emd_source_lengths",
+      // benford_first_digit: 9-row digit spine × the 1-row total broadcast
+      "benford_first_digit")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -211,7 +216,10 @@ class PlanGuardSpec extends SparkTestBase {
     "attribution_markov",
     // changepoint_daily: prefix-sum window over the day-grain aggregate —
     // calendar-span bounded like survival_km.
-    "changepoint_daily")
+    "changepoint_daily",
+    // emd_source_lengths: corpus-CDF window over the per-length aggregate
+    // grid — value-domain bounded like ks_source_lengths.
+    "emd_source_lengths")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -255,7 +263,8 @@ class PlanGuardSpec extends SparkTestBase {
       "survival_km" -> daySpan, // duration-day grid ≤ calendar span
       "heaps_law_fit" -> 64L, // constant checkpoint grid
       "attribution_markov" -> 5L, // 1-row coef pivot × the variant dimension
-      "changepoint_daily" -> daySpan) // daily-volume series ≤ calendar span
+      "changepoint_daily" -> daySpan, // daily-volume series ≤ calendar span
+      "emd_source_lengths" -> nChars) // corpus length-grid CDF window
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

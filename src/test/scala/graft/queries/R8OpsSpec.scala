@@ -514,4 +514,81 @@ class R8OpsSpec extends SparkTestBase {
     assert(out.count(_._5 == 1) >= 1)
     assert(out.find(_._5 == 1).get._1 == best._1)
   }
+
+  test("emd_source_lengths: in-process exact Wasserstein replay; EMD dominates nothing below 0") {
+    val out = graft.SparkEntry.queries("emd_source_lengths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val grid = docs.map(_._2).distinct.sorted
+    val n = docs.length.toLong
+    val corpCum = grid.map(v => v -> docs.count(_._2 <= v).toLong).toMap
+    out.foreach { case (src, nDocs, emd) =>
+      val mine = docs.filter(_._1 == src)
+      assert(nDocs == mine.length.toLong)
+      val na = mine.length.toLong
+      var acc = BigInt(0)
+      grid.zip(grid.tail).foreach { case (v, vn) =>
+        val fa = mine.count(_._2 <= v).toLong
+        acc += (BigInt(fa) * n - BigInt(corpCum(v)) * na).abs * (vn - v)
+      }
+      assert(emd == acc.toDouble / (BigInt(na) * BigInt(n)).toDouble, s"$src EMD")
+      assert(emd >= 0.0)
+    }
+  }
+
+  test("benford_first_digit: digit replay; shares sum to 1; dev6 is the exact excess") {
+    val out = graft.SparkEntry.queries("benford_first_digit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (1 to 9))
+    // grid constants are the FLOORED micro-log10 values (engine-literal)
+    val p6 = Map(1 -> 301029, 2 -> 176091, 3 -> 124938, 4 -> 96910, 5 -> 79181,
+      6 -> 66946, 7 -> 57991, 8 -> 51152, 9 -> 45757)
+    assert(out.forall { case (d, _, p, _, _) => p == p6(d) })
+    val digits = graft.Tables.load(spark, dir, "events")
+      .select(col("value")).collect().map(_.getDouble(0))
+      .map(v => math.floor(v * 100).toLong).filter(_ >= 1)
+      .map(_.toString.head.asDigit)
+    val nTot = digits.length.toLong
+    out.foreach { case (d, o, p, dev, share) =>
+      assert(o == digits.count(_ == d).toLong, s"digit $d count")
+      assert(dev == o * 1000000L - nTot * p)
+      assert(share == o.toDouble / nTot.toDouble)
+    }
+    assert(out.map(_._2).sum == nTot)
+  }
+
+  test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
+    val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.nonEmpty)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2.toEpochDay) }
+    out.groupBy(_._1).foreach { case (t, rows) =>
+      val series = daily(t)
+      val sorted = rows.sortBy(_._2.toEpochDay)
+      var l = series.head._3.toDouble
+      var b = 0.0
+      sorted.zip(series).zipWithIndex.foreach { case (((_, d, c, lv, tr, re), (_, ed, ec)), i) =>
+        assert(d == ed && c == ec)
+        if (i == 0) {
+          assert(lv == l && tr == b && re.isEmpty)
+        } else {
+          val cv = ec.toDouble
+          val r = cv - (l + b)
+          val l2 = ((cv + l) + b) / 2
+          val b2 = (b + (l2 - l)) / 2
+          l = l2; b = b2
+          assert(lv == l && tr == b, s"$t $d holt state drift")
+          assert(re.contains(r), s"$t $d resid")
+        }
+      }
+    }
+  }
 }
