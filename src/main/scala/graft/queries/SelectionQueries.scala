@@ -56,7 +56,7 @@ object SelectionQueries {
 
   /** Gopher's canonical "must contain ≥2 of" stopword list
     * (Rae et al. 2021 §A.1.1), quoted for both SQL surfaces. */
-  private val GopherStopSql: String =
+  private[queries] val GopherStopSql: String =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => s"'$w'").mkString(", ")
 
@@ -795,6 +795,110 @@ object SelectionQueries {
            |         AND (10 * n_sym <= n_words)
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- inter-rater agreement of two independent quality raters (r8) ----
+    // Cohen's kappa between the two quality filters the registry already
+    // trusts separately: rater A = gopher_rules' all-five-rules pass
+    // (verbatim rule expressions, same stop list), rater B = quality_score
+    // ≥ 0.5 (verbatim formula, same 10⁻⁶ floor grid, compared as the exact
+    // integer q6 ≥ 500000). Raw agreement overstates consensus when both
+    // raters mostly say "pass"; kappa subtracts the chance-agreement floor
+    // — the standard before-you-trust-either-filter audit, and the exact
+    // pattern for scoring heuristic labelers against each other in a
+    // labeling pipeline. ENGINE-VERSION-PROOF: the 2×2 table is exact
+    // counts; with marginals a1/a0, b1/b0,
+    //   κ = (n·agree − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))
+    // — int64 cross-products (n ≤ 6e4 → products ≤ 3.6e9), po and κ each
+    // ONE bare division. Scale shape: one map-only label projection → a
+    // 1-row aggregate; nothing else.
+    "rater_agreement" -> Q(
+      fn = (s, dir) => {
+        val m = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn("n_wchars",
+            (length(col("text")) - (col("n_words") - 1)).cast("long"))
+          .withColumn("n_alpha",
+            expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long"))
+          .withColumn("n_gstop",
+            expr(s"size(filter(toks, t -> t IN ($GopherStopSql)))").cast("long"))
+          .withColumn("n_sym",
+            (length(col("text"))
+              - length(translate(col("text"), "#…", ""))).cast("long"))
+          .withColumn("n_qstop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .withColumn("ra",
+            col("n_words") >= 20L && col("n_words") <= 90L
+              && col("n_wchars") >= lit(3L) * col("n_words")
+              && col("n_wchars") <= lit(10L) * col("n_words")
+              && lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")
+              && lit(10L) * col("n_sym") <= col("n_words")
+              && col("n_gstop") >= 2L)
+          .withColumn("q6",
+            floor((lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_qstop").cast("double") / col("n_words")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long"))
+          .withColumn("rb", col("q6") >= 500000L)
+        m.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            ((col("n11") + col("n00")).cast("double") / col("n").cast("double")).as("po"),
+            when(col("n") * col("n")
+                === (col("n11") + col("n10")) * (col("n11") + col("n01"))
+                  + (col("n01") + col("n00")) * (col("n10") + col("n00")), lit(0.0))
+              .otherwise(
+                (col("n") * (col("n11") + col("n00"))
+                  - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+                    + (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double")
+                  / (col("n") * col("n")
+                    - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+                      + (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"))
+              .as("kappa"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+           |                  length(text) AS nc FROM documents),
+           |m AS (SELECT doc_id,
+           |             CAST(len(toks) AS BIGINT) AS n_words,
+           |             CAST(nc - (len(toks) - 1) AS BIGINT) AS n_wchars,
+           |             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+           |             CAST(len(list_filter(toks, w -> w IN ($GopherStopSql))) AS BIGINT) AS n_gstop,
+           |             CAST(nc - length(replace(replace(text, '#', ''), '…', '')) AS BIGINT) AS n_sym,
+           |             len(list_filter(toks, w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")}))) AS n_qstop,
+           |             nc AS n_chars2
+           |      FROM t),
+           |lab AS (SELECT
+           |          (n_words >= 20 AND n_words <= 90
+           |           AND n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words
+           |           AND 5 * n_alpha >= 4 * n_words
+           |           AND 10 * n_sym <= n_words
+           |           AND n_gstop >= 2) AS ra,
+           |          CAST(floor((0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
+           |               + 0.3 * (1.0 - CAST(n_qstop AS DOUBLE) / n_words)
+           |               + 0.3 * least(1.0, CAST(n_chars2 AS DOUBLE) / 200.0))
+           |               * 1000000.0) AS BIGINT) >= 500000 AS rb
+           |        FROM m),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           |             CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           |             CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           |             CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+           |      FROM lab)
+           |SELECT n, n11, n10, n01, n00,
+           |       CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           |       CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+           |            THEN 0.0
+           |            ELSE CAST(n * (n11 + n00)
+           |                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+           |                 / CAST(n * n
+           |                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+           |       END AS kappa
+           |FROM a""".stripMargin)),
 
     // ---- per-source unigram KL divergence to the corpus ------------------
     // D_KL(p_source ‖ p_corpus) = Σ_t (c_st/n_s)·[ln(c_st/n_s) − ln(c_t/n_c)]

@@ -16,7 +16,7 @@ import graft.Tables
   */
 object TextQueries {
 
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
   private def sqList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
   /** The lang_id stopword lists — one shared constant drives the classifier
@@ -1017,6 +1017,70 @@ object TextQueries {
            |           JOIN documents db ON db.doc_id = b_id
            |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
       }),
+
+    // ---- count-min sketch estimate audit (added r8) ----------------------
+    // The OTHER workhorse frequency sketch, audited the minhash_est_error
+    // way: a d = 4 × w = 256 count-min sketch over the corpus token stream,
+    // its point estimates (min over the 4 row counters) compared to exact
+    // counts for the deterministic top-20 tokens. CMS never undercounts —
+    // the spec pins est ≥ exact — and the overcount column IS the measured
+    // collision mass, the number that justifies (or indicts) a 1 KB-per-
+    // executor frequency sketch at 100 TB where the exact vocab agg costs
+    // a full shuffle. PORTABLE hashing: row j's bucket is built from the
+    // first two hex chars of md5('cmsj:' ‖ token) via
+    // (instr('0123456789abcdef', c₁) − 1)·16 + instr(…, c₂) − 1 — md5 and
+    // instr are bit-identical on both engines, so sketch and estimates
+    // reproduce exactly (no engine-native hash reaches the output). All
+    // arithmetic exact int64.
+    //
+    // Scale shape: ONE vocab agg (the sketch is populated from counts —
+    // algebraically identical to per-token increments) → a ≤4·256-row
+    // sketch agg + a TakeOrderedAndProject(20) top-k; the estimate join is
+    // (20×4 rows) against the broadcast sketch. Nothing corpus-sized past
+    // the vocab agg; at 100 TB the sketch side is map-combinable by
+    // construction (sum is associative).
+    "cms_estimate" -> Q(
+      fn = (s, dir) => {
+        val exact = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val wb = exact.select(col("t"), col("c"),
+            explode(array((0 until 4).map { j =>
+              struct(lit(j).as("j"), expr(
+                s"(instr('0123456789abcdef', substring(md5(concat('cms$j:', t)), 1, 1)) - 1) * 16" +
+                  s" + instr('0123456789abcdef', substring(md5(concat('cms$j:', t)), 2, 1)) - 1")
+                .cast("long").as("b"))
+            }: _*)).as("h"))
+          .select(col("t"), col("c"), col("h.j").as("j"), col("h.b").as("b"))
+        val sketch = wb.groupBy("j", "b").agg(sum(col("c")).as("sc"))
+        val top = exact.orderBy(col("c").desc, col("t")).limit(20)
+        wb.join(broadcast(top.select(col("t"))), Seq("t"))
+          .join(broadcast(sketch), Seq("j", "b"))
+          .groupBy(col("t"), col("c"))
+          .agg(min(col("sc")).as("cms_est"))
+          .select(col("t"), col("c").as("c_exact"), col("cms_est"),
+            (col("cms_est") - col("c")).as("overcount"))
+          .orderBy(col("c_exact").desc, col("t"))
+      },
+      oracle = Some(
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          |ex AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+          |wb AS (SELECT t, c, j,
+          |         CAST((instr('0123456789abcdef',
+          |                     substring(md5(concat('cms' || CAST(j AS VARCHAR) || ':', t)), 1, 1)) - 1) * 16
+          |              + instr('0123456789abcdef',
+          |                      substring(md5(concat('cms' || CAST(j AS VARCHAR) || ':', t)), 2, 1)) - 1
+          |              AS BIGINT) AS b
+          |       FROM ex CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+          |sketch AS (SELECT j, b, CAST(SUM(c) AS BIGINT) AS sc FROM wb GROUP BY j, b),
+          |top AS (SELECT t FROM ex ORDER BY c DESC, t LIMIT 20),
+          |est AS (SELECT w.t, w.c, MIN(s.sc) AS cms_est
+          |        FROM wb w
+          |        JOIN top ON top.t = w.t
+          |        JOIN sketch s ON w.j = s.j AND w.b = s.b
+          |        GROUP BY w.t, w.c)
+          |SELECT t, c AS c_exact, cms_est, cms_est - c AS overcount
+          |FROM est ORDER BY c_exact DESC, t""".stripMargin)),
 
     // ---- MinHash estimator error audit (added r7) ------------------------
     // How good is the engine's own sketch? For every LSH band-collision

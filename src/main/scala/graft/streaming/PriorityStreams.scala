@@ -911,6 +911,74 @@ object PriorityStreams {
     }
   }
 
+  // ---- streaming activity streaks (added r8) -----------------------------
+
+  /** One user-activity observation at day grain (epoch days). */
+  final case class DayEvent(userId: Long, epochDay: Long)
+
+  /** A streak emission: `closed` streaks are final (a gap started a new
+    * run); the `closed = false` row is the user's LIVE streak as of the
+    * latest batch, re-emitted (with a growing `endDay`) as it extends. */
+  final case class StreakRow(userId: Long, startDay: Long, endDay: Long,
+      lenDays: Long, closed: Boolean)
+
+  /** The streaming twin of the batch `gaps_islands` query: per user,
+    * collapse arriving active days into maximal consecutive-day runs,
+    * emitting a CLOSED streak the moment a gap day arrives and the live
+    * open streak after every batch — the "current streak" engagement
+    * counter as a continuously-maintained state, with closed islands
+    * converging to the batch query exactly (spec-pinned across a
+    * mid-stream split: closed rows ∪ latest-open rows ≡ batch islands).
+    * State is TWO longs per user (`streak_start_day`, `last_day` — epoch
+    * days, unit in name). Duplicate days within a batch collapse in the
+    * in-batch sort; across batches the funnel ordering contract applies. */
+  final class IslandsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayEvent, StreakRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var streak: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      streak = getHandle.getValueState[(Long, Long)]("streak_start_last_day",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[DayEvent],
+        timerValues: TimerValues): Iterator[StreakRow] = {
+      val days = rows.map(_.epochDay).toArray.distinct.sorted
+      var (start, last) =
+        if (streak.exists()) streak.get() else (Long.MinValue, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[StreakRow]
+      days.foreach { d =>
+        if (last == Long.MinValue) { start = d; last = d }
+        else if (d == last + 1) last = d
+        else if (d > last + 1) {
+          out += StreakRow(key, start, last, last - start + 1, closed = true)
+          start = d; last = d
+        } // d ≤ last: duplicate of an already-absorbed day — no-op
+      }
+      if (last != Long.MinValue) {
+        streak.update((start, last))
+        out += StreakRow(key, start, last, last - start + 1, closed = false)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming gaps-and-islands over user-day activity, Update mode. */
+  def islandsStream(days: Dataset[DayEvent]): Dataset[StreakRow] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.userId)
+      .transformWithState(
+        new IslandsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Chained debounce over a stream of events, Update mode. */
   def debounceStream(events: Dataset[DebounceEvent], gapUs: Long): Dataset[DebounceDecision] = {
     import events.sparkSession.implicits._

@@ -561,6 +561,46 @@ class R8OpsSpec extends SparkTestBase {
     assert(out.map(_._2).sum == nTot)
   }
 
+  test("rater_agreement: cells tie to the gopher/quality registry queries; kappa replays in BigInt") {
+    val Array((n, n11, n10, n01, n00, po, kappa)) =
+      graft.SparkEntry.queries("rater_agreement")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(n11 + n10 + n01 + n00 == n)
+    // marginals tie EXACTLY to the two source raters' own registry queries
+    val gopherPass = graft.SparkEntry.queries("gopher_rules")(spark, dir)
+      .filter(col("pass")).count()
+    assert(n11 + n10 == gopherPass, "rater A marginal != gopher_rules pass count")
+    val qualityPass = graft.SparkEntry.queries("quality_score")(spark, dir)
+      .filter(col("quality") >= 0.5).count()
+    assert(n11 + n01 == qualityPass, "rater B marginal != quality_score >= 0.5 count")
+    // kappa replay in exact integers
+    val pe = BigInt(n11 + n10) * BigInt(n11 + n01) + BigInt(n01 + n00) * BigInt(n10 + n00)
+    assert(po == (n11 + n00).toDouble / n.toDouble)
+    val expK =
+      if (BigInt(n) * BigInt(n) == pe) 0.0
+      else (BigInt(n) * BigInt(n11 + n00) - pe).toDouble / (BigInt(n) * BigInt(n) - pe).toDouble
+    assert(kappa == expK && kappa <= 1.0)
+  }
+
+  test("cms_estimate: never undercounts; exact counts tie to the raw vocabulary; top-20 deterministic") {
+    val out = graft.SparkEntry.queries("cms_estimate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    // CMS structural guarantee: the min-of-rows estimate never undercounts
+    out.foreach { case (t, c, est, over) =>
+      assert(est >= c, s"$t: CMS undercounted ($est < $c)")
+      assert(over == est - c)
+    }
+    // exact counts and the top-20 selection tie to a raw recount
+    val counts = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(out.map(x => (x._1, x._2)).sortBy { case (t, c) => (-c, t) }.toSeq == top.toSeq)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),

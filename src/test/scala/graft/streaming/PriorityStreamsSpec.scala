@@ -943,6 +943,44 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("islandsStream closed+latest-open rows == batch gaps_islands across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val days = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .sortBy(x => (x._2, x._1))
+    val mid = days(days.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(Long, Long)]
+      val q = PriorityStreams.islandsStream(
+        in.toDF().toDF("userId", "epochDay").as[PriorityStreams.DayEvent])
+        .writeStream.format("memory").queryName("islands_out")
+        .outputMode("update").start()
+      in.addData(days.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(days.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val rows = spark.table("islands_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val closed = rows.filter(_._5).map(r => (r._1, r._2, r._3, r._4)).toSet
+    // latest open row per (user, start) = max endDay (monotone across
+    // batches); a closed row for the same (user, start) supersedes it
+    val open = rows.filter(!_._5).groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._3) }
+      .filter(r => !closed.exists(c => c._1 == r._1 && c._2 == r._2))
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    val streamed = closed ++ open
+    val batch = graft.SparkEntry.queries("gaps_islands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDate(2).toLocalDate.toEpochDay, r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"stream/batch islands diverged: ${
+      (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
