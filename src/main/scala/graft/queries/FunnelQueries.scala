@@ -1276,6 +1276,50 @@ object FunnelQueries {
     // combine; per-type stats collapse to ≤ |types| rows and broadcast
     // back. At 100 TB the window for "days" is a calendar dimension —
     // both aggs stay tiny however large the corpus.
+    // ---- exact 7-day rolling median of daily volumes (added r8) ----------
+    // The robust trend line ops dashboards draw next to the raw series —
+    // median, not mean, so a single spike day doesn't drag the baseline
+    // (mad_anomalies' robustness argument applied to the ROLLING view;
+    // holt_smooth is the parametric alternative). EXACT small-window
+    // median, engine-version-proof: the ≤7 counts in each ROWS window are
+    // collected, sorted, and the median taken as (lo + hi)/2 where lo/hi
+    // are the two middle elements by INTEGER `div` indexing — int sum +
+    // one dyadic halving, no percentile_approx, no engine quantile
+    // semantics in play.
+    //
+    // Scale shape: one day-grain hash agg; the rolling window PARTITIONS
+    // by event_type over that type's calendar-span-bounded day series; the
+    // per-row sort is over ≤7 elements.
+    "rolling_median_volume" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w7 = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-6, 0)
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("sl", sort_array(collect_list(col("c")).over(w7)))
+          .withColumn("m", size(col("sl")).cast("long"))
+          .select(col("event_type"), col("d"), col("c"),
+            ((expr("element_at(sl, cast((m + 1) div 2 as int))")
+              + expr("element_at(sl, cast(m div 2 + 1 as int))")).cast("double") / 2.0)
+              .as("med7"))
+          .orderBy("event_type", "d")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |r AS (SELECT event_type, d, c,
+          |             list_sort(list(c) OVER (PARTITION BY event_type ORDER BY d
+          |                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sl
+          |      FROM daily),
+          |m AS (SELECT event_type, d, c, sl, CAST(len(sl) AS BIGINT) AS m FROM r)
+          |SELECT event_type, d, c,
+          |       CAST(sl[CAST((m + 1) // 2 AS INTEGER)]
+          |            + sl[CAST(m // 2 + 1 AS INTEGER)] AS DOUBLE) / 2.0 AS med7
+          |FROM m ORDER BY event_type, d""".stripMargin)),
+
     "daily_anomalies" -> Q(
       fn = (s, dir) => {
         val daily = Tables.load(s, dir, "events")

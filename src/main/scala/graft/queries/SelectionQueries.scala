@@ -796,6 +796,93 @@ object SelectionQueries {
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- greedy submodular source selection by bigram coverage (r8) ------
+    // Facility-location-style greedy max-coverage over the mix-design axis
+    // the divergence family (source_kl/jsd) can't answer: "which 3 sources
+    // TOGETHER cover the most distinct word-pair contexts?" Round k picks
+    // the source with the largest corpus-mass-weighted sum of bigram TYPES
+    // not yet covered by earlier picks (Nemhauser's greedy — (1−1/e)
+    // of optimal for monotone submodular objectives; the lexical twin of
+    // kcenter_select's geometric diversity pick). Marginal gains shrink by
+    // construction — the emitted cum_share curve is the "how many sources
+    // until coverage saturates" read. ENGINE-VERSION-PROOF: gains are
+    // exact int64 sums of corpus counts; argmax via min(struct(−gain,
+    // source)) ⇔ ORDER BY gain DESC, source LIMIT 1; cum_share ONE bare
+    // division.
+    //
+    // Scale shape: the kcenter loop discipline — per round ONE keyed
+    // anti-join against the picked source's (vocab²-bounded) covered set +
+    // a ≤|sources| gain agg, localCheckpointed so round k never re-runs
+    // rounds 1..k−1; the corpus pass happens once, everything after is
+    // incidence-frame-sized (≤ sources × vocab² rows).
+    "greedy_source_cover" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val bgAll = toks.filter(size(col("toks")) >= 2)
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
+              .stripMargin)).as("bg"))
+        val wt = bgAll.groupBy("bg").agg(count(lit(1)).as("w"))
+        val tot = wt.agg(sum(col("w")).as("total"))
+        var st = bgAll.distinct().join(wt, Seq("bg")).localCheckpoint()
+        var picks: org.apache.spark.sql.DataFrame = null
+        for (k <- 1 to 3) {
+          val pick = st.groupBy("source").agg(sum(col("w")).as("gain"))
+            .agg(min(struct(negate(col("gain")).as("ng"), col("source").as("source"))).as("m"))
+            .select(col("m.source").as("source"), negate(col("m.ng")).as("gain"))
+            .filter(col("source").isNotNull)
+            .withColumn("round", lit(k.toLong))
+          picks = if (picks == null) pick else picks.unionByName(pick)
+          if (k < 3) {
+            val covered = st.join(broadcast(pick.select(col("source").as("ps"))),
+              col("source") === col("ps")).select("bg").distinct()
+            st = st.join(broadcast(pick.select(col("source").as("ps"))),
+                col("source") === col("ps"), "left_anti")
+              .join(covered, Seq("bg"), "left_anti")
+              .localCheckpoint()
+          }
+        }
+        val wr = Window.orderBy(col("round"))
+        picks.crossJoin(broadcast(tot))
+          .withColumn("cum_gain", sum(col("gain")).over(wr))
+          .select(col("round"), col("source"), col("gain"), col("cum_gain"),
+            (col("cum_gain").cast("double") / col("total").cast("double")).as("cum_share"))
+          .orderBy("round")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          |bga AS (SELECT source, toks[i] || ' ' || toks[i + 1] AS bg
+          |        FROM t, UNNEST(range(1, len(toks))) AS u(i)
+          |        WHERE len(toks) >= 2),
+          |wt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS w FROM bga GROUP BY bg),
+          |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM wt),
+          |st1 AS (SELECT b.source, b.bg, w.w
+          |        FROM (SELECT DISTINCT source, bg FROM bga) b JOIN wt w USING (bg)),
+          |p1 AS (SELECT source, CAST(SUM(w) AS BIGINT) AS gain FROM st1
+          |       GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+          |st2 AS (SELECT s.* FROM st1 s
+          |        WHERE s.source <> (SELECT source FROM p1)
+          |          AND s.bg NOT IN (SELECT bg FROM st1
+          |                           WHERE source = (SELECT source FROM p1))),
+          |p2 AS (SELECT source, CAST(SUM(w) AS BIGINT) AS gain FROM st2
+          |       GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+          |st3 AS (SELECT s.* FROM st2 s
+          |        WHERE s.source <> (SELECT source FROM p2)
+          |          AND s.bg NOT IN (SELECT bg FROM st2
+          |                           WHERE source = (SELECT source FROM p2))),
+          |p3 AS (SELECT source, CAST(SUM(w) AS BIGINT) AS gain FROM st3
+          |       GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+          |picks AS (SELECT CAST(1 AS BIGINT) AS round, source, gain FROM p1
+          |          UNION ALL SELECT CAST(2 AS BIGINT), source, gain FROM p2
+          |          UNION ALL SELECT CAST(3 AS BIGINT), source, gain FROM p3)
+          |SELECT round, source, gain,
+          |       CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS cum_gain,
+          |       CAST(CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS DOUBLE)
+          |         / CAST((SELECT total FROM tot) AS DOUBLE) AS cum_share
+          |FROM picks ORDER BY round""".stripMargin)),
+
     // ---- inter-rater agreement of two independent quality raters (r8) ----
     // Cohen's kappa between the two quality filters the registry already
     // trusts separately: rater A = gopher_rules' all-five-rules pass

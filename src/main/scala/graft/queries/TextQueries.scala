@@ -1018,6 +1018,48 @@ object TextQueries {
            |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
       }),
 
+    // ---- shared-prefix boilerplate clusters (added r8) -------------------
+    // Template/boilerplate detection at the document HEAD — the Common
+    // Crawl pattern where scraped pages share a navigation/header prefix
+    // and then diverge, which whole-document exact dedup (different tails)
+    // and shingle near-dup (prefix mass diluted over a long doc) both
+    // under-report. Cluster key = md5 of the first K tokens; emit clusters
+    // with ≥ 2 docs: size, representative (min doc_id), and how many
+    // SOURCES share the prefix (a cross-source prefix = a scraper
+    // template, not an author quirk). K = 2 here — tuned to this corpus's
+    // ~100-word vocabulary so collisions exist at every gate SF; a real
+    // crawl runs K = 8..16 (the knob is a literal). All counts exact;
+    // deterministic top-50 by (size DESC, key).
+    //
+    // Scale shape: map-only prefix-hash projection → one keyed agg
+    // (shuffles carry 32-char keys, never text) → TakeOrderedAndProject.
+    "boilerplate_prefixes" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("source"),
+            md5(concat_ws(" ", slice(col("toks"), 1, 2))).as("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"),
+            countDistinct(col("source")).as("n_sources"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("pk"))
+          .limit(50)
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+          |           FROM documents),
+          |p AS (SELECT doc_id, source, md5(array_to_string(toks[1:2], ' ')) AS pk
+          |      FROM t WHERE len(toks) >= 2),
+          |c AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |             MIN(doc_id) AS rep_doc,
+          |             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          |      FROM p GROUP BY pk)
+          |SELECT pk, n_docs, rep_doc, n_sources
+          |FROM c WHERE n_docs >= 2
+          |ORDER BY n_docs DESC, pk LIMIT 50""".stripMargin)),
+
     // ---- count-min sketch estimate audit (added r8) ----------------------
     // The OTHER workhorse frequency sketch, audited the minhash_est_error
     // way: a d = 4 × w = 256 count-min sketch over the corpus token stream,

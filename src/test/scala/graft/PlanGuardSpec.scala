@@ -97,7 +97,9 @@ class PlanGuardSpec extends SparkTestBase {
       // grid (the merged-grid expansion) + the 1-row corpus-total broadcast
       "emd_source_lengths",
       // benford_first_digit: 9-row digit spine × the 1-row total broadcast
-      "benford_first_digit")
+      "benford_first_digit",
+      // greedy_source_cover: ≤3-row picks × the 1-row grand-total broadcast
+      "greedy_source_cover")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -219,7 +221,10 @@ class PlanGuardSpec extends SparkTestBase {
     "changepoint_daily",
     // emd_source_lengths: corpus-CDF window over the per-length aggregate
     // grid — value-domain bounded like ks_source_lengths.
-    "emd_source_lengths")
+    "emd_source_lengths",
+    // greedy_source_cover: cumulative window over the ≤3-row picks frame
+    // (one argmax aggregate row per greedy round).
+    "greedy_source_cover")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -264,7 +269,8 @@ class PlanGuardSpec extends SparkTestBase {
       "heaps_law_fit" -> 64L, // constant checkpoint grid
       "attribution_markov" -> 5L, // 1-row coef pivot × the variant dimension
       "changepoint_daily" -> daySpan, // daily-volume series ≤ calendar span
-      "emd_source_lengths" -> nChars) // corpus length-grid CDF window
+      "emd_source_lengths" -> nChars, // corpus length-grid CDF window
+      "greedy_source_cover" -> 3L) // one argmax row per greedy round
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -601,6 +601,84 @@ class R8OpsSpec extends SparkTestBase {
     assert(out.map(x => (x._1, x._2)).sortBy { case (t, c) => (-c, t) }.toSeq == top.toSeq)
   }
 
+  test("greedy_source_cover: in-process greedy replay; marginal gains non-increasing") {
+    val out = graft.SparkEntry.queries("greedy_source_cover")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // replay the greedy over the raw (source, bigram) incidence
+    val rows = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    val inc = rows.flatMap { case (src, ts) =>
+      ts.zip(ts.tail).map { case (a, b) => (src, s"$a $b") }
+    }
+    val w = inc.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
+    val bySource = inc.distinct.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).toSet }
+    var covered = Set.empty[String]
+    var remaining = bySource
+    val picks = (1 to 3).map { _ =>
+      val (src, gain) = remaining.toSeq
+        .map { case (s0, bgs) => s0 -> (bgs -- covered).toSeq.map(w).sum }
+        .minBy { case (s0, g) => (-g, s0) }
+      covered ++= remaining(src)
+      remaining -= src
+      (src, gain)
+    }
+    out.zip(picks).foreach { case ((_, s0, g, _, _), (es, eg)) =>
+      assert(s0 == es && g == eg, s"greedy pick diverged: ($s0,$g) vs ($es,$eg)")
+    }
+    // submodularity: marginal gains never increase; cum_share replays
+    assert(out.map(_._3).sliding(2).forall { w => w.length < 2 || w(1) <= w(0) })
+    val total = w.values.sum
+    out.foreach { case (k, _, _, cum, share) =>
+      assert(cum == out.filter(_._1 <= k).map(_._3).sum)
+      assert(share == cum.toDouble / total.toDouble)
+    }
+  }
+
+  test("boilerplate_prefixes: clusters tie to a raw prefix recount; all multi-doc") {
+    val out = graft.SparkEntry.queries("boilerplate_prefixes")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .filter(_._3.length >= 2)
+      .map { case (id, src, ts) => (id, src, ts.take(2).mkString(" ")) }
+    val byPrefix = docs.groupBy(_._3)
+    out.foreach { case (pk, n, rep, nSrc) =>
+      assert(n >= 2)
+      // find the prefix whose md5 is pk by recomputing sizes — the spec
+      // ties size/rep/sources for SOME raw prefix with this exact profile
+      val matches = byPrefix.values.filter(g =>
+        g.length.toLong == n && g.map(_._1).min == rep &&
+          g.map(_._2).distinct.length.toLong == nSrc)
+      assert(matches.nonEmpty, s"$pk: no raw prefix cluster matches ($n, $rep, $nSrc)")
+    }
+    // every ≥2-doc raw cluster inside the emitted size range is present
+    val minEmitted = out.map(_._2).min
+    val expectedAtLeast = byPrefix.values.count(_.length.toLong > minEmitted)
+    assert(out.count(_._2 > minEmitted) == expectedAtLeast,
+      "missing a raw cluster larger than the emitted minimum (top-50 cut only trims ties)")
+  }
+
+  test("rolling_median_volume: in-process exact rolling median replay") {
+    val out = graft.SparkEntry.queries("rolling_median_volume")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2.toEpochDay)
+      sorted.zipWithIndex.foreach { case ((_, _, _, med), i) =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val m = win.length
+        val exp = (win((m + 1) / 2 - 1) + win(m / 2)).toDouble / 2.0
+        assert(med == exp, s"rolling median at index $i")
+      }
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
