@@ -478,6 +478,99 @@ object StatQueries {
           |GROUP BY source, na, nt.nn
           |ORDER BY source""".stripMargin)),
 
+    // ---- Hill tail-index of the document-length distribution (r8) --------
+    // How heavy is the long-document tail? The Hill estimator over the
+    // top-k order statistics, α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) — the standard
+    // "is this power-law and how fat" number (α ≤ 2: infinite variance —
+    // length-based batch packing will be dominated by stragglers; the
+    // planning complement of zipf_fit's token-frequency exponent and
+    // length_quantiles' fixed percentiles). TIE-ROBUST by construction:
+    // rows equal to the threshold contribute ln6(x, x) = 0, so summing
+    // over all 101 top rows equals the textbook sum over the strict top-k
+    // regardless of how the engine breaks ties at the cut. ENGINE-VERSION-
+    // PROOF: ln via the LnGrid integer chain, α ONE bare division of
+    // exact ints.
+    //
+    // Scale shape: TakeOrderedAndProject(101) — top-k never sorts the
+    // corpus — then a 101-row ln chain + 1-row agg; the threshold is a
+    // 1-row broadcast.
+    "hill_tail_index" -> Q(
+      fn = (s, dir) => {
+        val top = Tables.load(s, dir, "documents")
+          .select(col("n_chars").as("x")).orderBy(col("x").desc).limit(101)
+        val thr = top.agg(min(col("x")).as("xk"))
+        val l = LnGrid.withLn6(top.crossJoin(broadcast(thr)),
+          col("x"), col("xk"), "l6")
+        l.agg(sum(col("l6")).as("sum_ln6"), max(col("xk")).as("x_threshold"),
+            count(lit(1)).as("m"))
+          .select((col("m") - 1).as("k"), col("x_threshold"), col("sum_ln6"),
+            when(col("sum_ln6") === 0, lit(null).cast("double"))
+              .otherwise(((col("m") - 1) * lit(1000000L)).cast("double")
+                / col("sum_ln6").cast("double")).as("hill_alpha"))
+      },
+      oracle = Some(
+        s"""WITH topx AS (SELECT n_chars AS x FROM documents ORDER BY x DESC LIMIT 101),
+           |thr AS (SELECT MIN(x) AS xk FROM topx),
+           |j AS (SELECT x, xk FROM topx, thr),
+           |${LnGrid.sqlCtes("j", "x", "xk", "l6", "hl_")},
+           |a AS (SELECT CAST(SUM(l6) AS BIGINT) AS sum_ln6, MAX(xk) AS x_threshold,
+           |             CAST(COUNT(*) AS BIGINT) AS m FROM hl_out)
+           |SELECT m - 1 AS k, x_threshold, sum_ln6,
+           |       CASE WHEN sum_ln6 = 0 THEN NULL
+           |            ELSE CAST((m - 1) * 1000000 AS DOUBLE) / CAST(sum_ln6 AS DOUBLE)
+           |       END AS hill_alpha
+           |FROM a""".stripMargin)),
+
+    // ---- Simpson diversity / effective vocabulary per source (r8) --------
+    // The collision-probability view of lexical diversity: Simpson's
+    // D = Σc(c−1)/(n(n−1)) is the chance two tokens drawn without
+    // replacement are the same type; 1/D is the "effective vocabulary" —
+    // how many EQUALLY-common types would produce this concentration.
+    // Complements token_entropy (Shannon view, ln-grid) and
+    // gini_source_tokens (rank view) with the moment that needs NO
+    // transcendental at all: both emitted ratios are bare divisions of
+    // exact int64 sufficient statistics (c·(c−1) ≤ 1e14 at gate counts;
+    // widen to DECIMAL(38,0) at 100 TB per the token_burstiness
+    // discipline). Degenerate n ≤ 1 or all-singleton sources emit NULL by
+    // exact integer CASE.
+    //
+    // Scale shape: one (source, tok) agg → ≤|sources| roll-up.
+    "simpson_diversity" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+            sum(col("c") * (col("c") - 1)).as("s2"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            when(col("n_tokens") <= 1, lit(null).cast("double"))
+              .otherwise(col("s2").cast("double")
+                / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+              .as("simpson"),
+            when(col("s2") === 0, lit(null).cast("double"))
+              .otherwise((col("n_tokens") * (col("n_tokens") - 1)).cast("double")
+                / col("s2").cast("double")).as("eff_vocab"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          |            FROM documents),
+          |c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          |      FROM st GROUP BY source, tok),
+          |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |             CAST(COUNT(*) AS BIGINT) AS vocab,
+          |             CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+          |      FROM c GROUP BY source)
+          |SELECT source, n_tokens, vocab,
+          |       CASE WHEN n_tokens <= 1 THEN NULL
+          |            ELSE CAST(s2 AS DOUBLE)
+          |                 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END AS simpson,
+          |       CASE WHEN s2 = 0 THEN NULL
+          |            ELSE CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+          |                 / CAST(s2 AS DOUBLE) END AS eff_vocab
+          |FROM a ORDER BY source""".stripMargin)),
+
     // ---- Benford first-digit audit of the event value column (r8) --------
     // The classic fabricated-/synthetic-data screen: the first significant
     // digit of naturally occurring magnitudes follows P(d) = log₁₀(1+1/d);

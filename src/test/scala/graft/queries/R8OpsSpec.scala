@@ -679,6 +679,50 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("hill_tail_index: in-process Hill replay via ln6Ref; tie-robust at the cut") {
+    val Array((k, xThr, sumLn6, alpha)) =
+      graft.SparkEntry.queries("hill_tail_index")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val xs = graft.Tables.load(spark, dir, "documents")
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val top = xs.take(101)
+    assert(k == top.length - 1 && xThr == top.min)
+    val expSum = top.map(x => LnGrid.ln6Ref(x, xThr)).sum
+    assert(sumLn6 == expSum, "ln6 sum diverged from the reference chain")
+    // tie-robustness: the sum over all 101 equals the strict top-k sum
+    assert(top.filter(_ == xThr).map(x => LnGrid.ln6Ref(x, xThr)).sum == 0)
+    if (expSum == 0) assert(alpha.isEmpty)
+    else assert(alpha.contains((k * 1000000L).toDouble / expSum.toDouble))
+  }
+
+  test("simpson_diversity: sufficient-statistic replay; 1/vocab <= D; eff_vocab <= vocab") {
+    val out = graft.SparkEntry.queries("simpson_diversity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.nonEmpty)
+    val counts = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s0, xs) =>
+        s0 -> xs.groupBy(_._2).map(_._2.length.toLong).toSeq
+      }
+    out.foreach { case (src, n, v, simpson, eff) =>
+      val cs = counts(src)
+      assert(n == cs.sum && v == cs.length.toLong)
+      val s2 = cs.map(c => BigInt(c) * BigInt(c - 1)).sum
+      val nn1 = BigInt(n) * BigInt(n - 1)
+      assert(simpson.contains(s2.toDouble / nn1.toDouble))
+      assert(eff.contains(nn1.toDouble / s2.toDouble))
+      // bounds: the without-replacement index floors at the uniform
+      // allocation D_min = (n/V − 1)/(n − 1) (Cauchy–Schwarz on Σc²),
+      // NOT at 1/V like the with-replacement Σp² form
+      val floorD = (n.toDouble / v - 1.0) / (n - 1).toDouble
+      assert(simpson.get >= floorD - 1e-12, s"$src Simpson below the uniform floor")
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
