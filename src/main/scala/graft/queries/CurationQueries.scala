@@ -330,6 +330,72 @@ object CurationQueries {
     // |doc vocab| rows. ENGINE-VERSION-PROOF (r8): idf comes from
     // [[LnGrid]]'s fixed-point integer chain; tf·idf6 ranking keys are
     // exact int64, the emitted score is one bare division by 10^6.
+    // ---- log-odds keyness: distinctive terms per source (added r8) -------
+    // Monroe/Colaresi/Quinn's "Fightin' Words" log-odds-ratio — the
+    // principled keyness measure tfidf_topterms approximates: for each
+    // (source, token), ln of the token's smoothed odds INSIDE the source
+    // minus its smoothed odds in the REST of the corpus. Unlike tf-idf it
+    // is symmetric, rate-based (not doc-count-based), and penalizes tokens
+    // common everywhere. Add-one smoothing (integer-friendly Haldane
+    // variant) keeps every operand a positive int64, so both ln terms ride
+    // the LnGrid chain; keyness6 is an exact int difference, the emitted
+    // double ONE bare division by 10⁶. Top-3 per source by (keyness6 DESC,
+    // tok) — deterministic.
+    //
+    // Scale shape: one (source, tok) agg; the rest-of-corpus counts come
+    // from a vocab-keyed join against the token totals (vocab-sized, never
+    // corpus rows); per-source totals and the grand total broadcast; the
+    // rank window PARTITIONS by source over the vocab-bounded frame.
+    "log_odds_keyness" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val st = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        val tokTot = st.groupBy("tok").agg(sum(col("cs")).as("ct"))
+        val srcTot = st.groupBy("source").agg(sum(col("cs")).as("ns"))
+        val grand = tokTot.agg(sum(col("ct")).as("nt"))
+        val j = st.join(tokTot, Seq("tok"))
+          .join(broadcast(srcTot), Seq("source"))
+          .crossJoin(broadcast(grand))
+          .withColumn("cr", col("ct") - col("cs"))
+          .withColumn("nr", col("nt") - col("ns"))
+        val l1 = LnGrid.withLn6(j, col("cs") + 1, col("ns") - col("cs") + 1,
+          "lo_in6", "__ki_")
+        val l2 = LnGrid.withLn6(l1, col("cr") + 1, col("nr") - col("cr") + 1,
+          "lo_out6", "__ko_")
+        val scored = l2.withColumn("keyness6", col("lo_in6") - col("lo_out6"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("keyness6").desc, col("tok"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("tok"), col("cs").as("c_src"),
+            col("cr").as("c_rest"), col("keyness6"),
+            (col("keyness6").cast("double") / 1000000.0).as("keyness"))
+          .orderBy("source", "keyness6", "tok")
+      },
+      oracle = Some(
+        s"""WITH st0 AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |             FROM documents),
+           |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+           |       FROM st0 GROUP BY source, tok),
+           |tt AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS ct FROM st GROUP BY tok),
+           |sc AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY source),
+           |g AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM tt),
+           |j AS (SELECT st.source, st.tok, st.cs, tt.ct - st.cs AS cr,
+           |             sc.ns, g.nt - sc.ns AS nr
+           |      FROM st JOIN tt USING (tok) JOIN sc USING (source), g),
+           |${LnGrid.sqlCtes("j", "cs + 1", "ns - cs + 1", "lo_in6", "__ki_")},
+           |${LnGrid.sqlCtes("__ki_out", "cr + 1", "nr - cr + 1", "lo_out6", "__ko_")},
+           |scored AS (SELECT source, tok, cs, cr, lo_in6 - lo_out6 AS keyness6
+           |           FROM __ko_out),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+           |                ORDER BY keyness6 DESC, tok) AS rk FROM scored)
+           |SELECT source, tok, cs AS c_src, cr AS c_rest, keyness6,
+           |       CAST(keyness6 AS DOUBLE) / 1000000.0 AS keyness
+           |FROM r WHERE rk <= 3
+           |ORDER BY source, keyness6, tok""".stripMargin)),
+
     "tfidf_topterms" -> Q(
       fn = (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -1276,6 +1276,48 @@ object FunnelQueries {
     // combine; per-type stats collapse to ≤ |types| rows and broadcast
     // back. At 100 TB the window for "days" is a calendar dimension —
     // both aggs stay tiny however large the corpus.
+    // ---- rolling active users: DAU / WAU / stickiness (added r8) ---------
+    // The product-analytics headline triple: daily actives, trailing-7-day
+    // actives, and stickiness = DAU/WAU — rolling DISTINCT, the classic
+    // hard rolling aggregate (sum doesn't distribute over overlapping
+    // windows; users active on several days must not double-count).
+    // EXACT here via per-day user-ID sets unioned across the ROWS window
+    // (all ints; stickiness ONE bare division). At 100 TB the per-day
+    // set becomes an HLL sketch and the window union becomes HLL merge —
+    // the same plan shape with the set column swapped (documented; the
+    // registry's approx_distinct query is the sketch precedent).
+    //
+    // Scale shape: one (day, user) distinct agg (user IDs shuffle once) →
+    // a calendar-span-bounded day frame carrying per-day ID sets; the
+    // rolling union runs over ≤7 sets per row on that tiny frame.
+    "rolling_active_users" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w7 = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+          .groupBy("d")
+          .agg(count(lit(1)).as("dau"), collect_set(col("user_id")).as("us"))
+          .withColumn("wau7",
+            size(array_distinct(flatten(collect_list(col("us")).over(w7)))).cast("long"))
+          .select(col("d"), col("dau"), col("wau7"),
+            (col("dau").cast("double") / col("wau7").cast("double")).as("stickiness"))
+          .orderBy("d")
+      },
+      oracle = Some(
+        """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+          |daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau,
+          |                 list(user_id) AS us
+          |          FROM du GROUP BY d),
+          |r AS (SELECT d, dau,
+          |             CAST(len(list_distinct(flatten(
+          |               list(us) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+          |                              AND CURRENT ROW)))) AS BIGINT) AS wau7
+          |      FROM daily)
+          |SELECT d, dau, wau7,
+          |       CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE) AS stickiness
+          |FROM r ORDER BY d""".stripMargin)),
+
     // ---- exact 7-day rolling median of daily volumes (added r8) ----------
     // The robust trend line ops dashboards draw next to the raw series —
     // median, not mean, so a single spike day doesn't drag the baseline

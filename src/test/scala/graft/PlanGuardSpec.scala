@@ -99,7 +99,11 @@ class PlanGuardSpec extends SparkTestBase {
       // benford_first_digit: 9-row digit spine × the 1-row total broadcast
       "benford_first_digit",
       // greedy_source_cover: ≤3-row picks × the 1-row grand-total broadcast
-      "greedy_source_cover")
+      "greedy_source_cover",
+      // log_odds_keyness: 1-row grand-total broadcast (source_kl shape)
+      "log_odds_keyness",
+      // hill_tail_index: top-101 frame × the 1-row threshold broadcast
+      "hill_tail_index")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -224,7 +228,10 @@ class PlanGuardSpec extends SparkTestBase {
     "emd_source_lengths",
     // greedy_source_cover: cumulative window over the ≤3-row picks frame
     // (one argmax aggregate row per greedy round).
-    "greedy_source_cover")
+    "greedy_source_cover",
+    // rolling_active_users: the WAU rolling-set window runs over the
+    // day-grain aggregate — calendar-span bounded like survival_km.
+    "rolling_active_users")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -270,7 +277,8 @@ class PlanGuardSpec extends SparkTestBase {
       "attribution_markov" -> 5L, // 1-row coef pivot × the variant dimension
       "changepoint_daily" -> daySpan, // daily-volume series ≤ calendar span
       "emd_source_lengths" -> nChars, // corpus length-grid CDF window
-      "greedy_source_cover" -> 3L) // one argmax row per greedy round
+      "greedy_source_cover" -> 3L, // one argmax row per greedy round
+      "rolling_active_users" -> daySpan) // per-day active-set frame
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -723,6 +723,59 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("rolling_active_users: exact rolling-distinct replay; DAU <= WAU <= 7-day DAU sum") {
+    val out = graft.SparkEntry.queries("rolling_active_users")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1.toEpochDay)
+    assert(out.nonEmpty)
+    val byDay = graft.Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val days = out.map(_._1)
+    out.zipWithIndex.foreach { case ((d, dau, wau, st), i) =>
+      assert(dau == byDay(d).size.toLong)
+      val win = days.slice(math.max(0, i - 6), i + 1)
+      val expWau = win.map(byDay).reduce(_ ++ _).size.toLong
+      assert(wau == expWau, s"$d WAU")
+      assert(dau <= wau && wau <= win.map(byDay(_).size.toLong).sum)
+      assert(st == dau.toDouble / wau.toDouble)
+    }
+  }
+
+  test("log_odds_keyness: in-process ln6 replay of the top rows; keyness positive for top picks") {
+    val out = graft.SparkEntry.queries("log_odds_keyness")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.length % 3 == 0)
+    val inc = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrcTok = inc.groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.length.toLong }
+    val byTok = inc.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val bySrc = inc.groupBy(_._1).map { case (s0, xs) => s0 -> xs.length.toLong }
+    val nt = inc.length.toLong
+    out.foreach { case (src, tok, cs, cr, k6, k) =>
+      assert(cs == bySrcTok((src, tok)) && cr == byTok(tok) - cs)
+      val ns = bySrc(src); val nr = nt - ns
+      val exp = LnGrid.ln6Ref(cs + 1, ns - cs + 1) - LnGrid.ln6Ref(cr + 1, nr - cr + 1)
+      assert(k6 == exp, s"$src/$tok keyness6")
+      assert(k == k6.toDouble / 1000000.0)
+    }
+    // each source's top-3 are its argmax rows: no remaining token beats the
+    // emitted minimum (replayed exhaustively over the source's vocabulary)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val emitted = rows.map(_._2).toSet
+      val minEmitted = rows.map(_._5).min
+      val ns = bySrc(src); val nr = nt - ns
+      bySrcTok.keys.filter(_._1 == src).filterNot(k => emitted(k._2)).foreach { case (_, tok) =>
+        val cs = bySrcTok((src, tok)); val cr = byTok(tok) - cs
+        val k6 = LnGrid.ln6Ref(cs + 1, ns - cs + 1) - LnGrid.ln6Ref(cr + 1, nr - cr + 1)
+        assert(k6 <= minEmitted, s"$src/$tok ($k6) beats an emitted top-3 row ($minEmitted)")
+      }
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
