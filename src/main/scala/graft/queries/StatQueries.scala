@@ -571,6 +571,76 @@ object StatQueries {
           |                 / CAST(s2 AS DOUBLE) END AS eff_vocab
           |FROM a ORDER BY source""".stripMargin)),
 
+    // ---- two-proportion z-test on cohort conversion (added r8) -----------
+    // The A/B-test workhorse Welch's t (means) doesn't cover: did cohort A
+    // convert at a different RATE than cohort B? Cohorts = user_id parity
+    // (the hash-split stand-in); conversion = user reached 'purchase'.
+    // ENGINE-VERSION-PROOF by algebra: the pooled two-proportion z² is the
+    // exact rational
+    //   z² = (x₁n₂ − x₂n₁)²·(n₁+n₂) / (n₁n₂·(x₁+x₂)·(n₁+n₂−x₁−x₂))
+    // — DECIMAL(38,0) cross-products (≤ ~6e24 at gate counts), z² ONE bare
+    // division, and the α = 0.05 verdict decided by EXACT integer
+    // cross-multiplication against 1.96² = 38416/10⁴ (no sqrt, no float
+    // in the verdict — the daily_anomalies discipline). Degenerate pools
+    // (all/none converted, empty cohort) emit NULL z² and 0 by CASE.
+    //
+    // Scale shape: one (user → cohort, converted) distinct agg → a 1-row
+    // aggregate; nothing else.
+    "prop_ztest" -> Q(
+      fn = (s, dir) => {
+        val u = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .select((col("user_id") % 2).as("cohort"), col("conv"))
+        val a = u.agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("cohort") === 0, col("conv")).otherwise(0L)).as("x1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("cohort") === 1, col("conv")).otherwise(0L)).as("x2"))
+        val num = (big(col("x1")) * big(col("n2")) - big(col("x2")) * big(col("n1")))
+        val den = big(col("n1")) * big(col("n2")) * (big(col("x1")) + big(col("x2"))) *
+          (big(col("n1")) + big(col("n2")) - big(col("x1")) - big(col("x2")))
+        a.select(col("n1"), col("x1"), col("n2"), col("x2"),
+          when(col("n1") === 0, lit(null).cast("double"))
+            .otherwise(col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+          when(col("n2") === 0, lit(null).cast("double"))
+            .otherwise(col("x2").cast("double") / col("n2").cast("double")).as("p2"),
+          when(den === 0, lit(null).cast("double"))
+            .otherwise((num * num * (big(col("n1")) + big(col("n2")))).cast("double")
+              / den.cast("double")).as("z2"),
+          when(den === 0, lit(0))
+            .otherwise(when(
+              num * num * (big(col("n1")) + big(col("n2"))) * 10000 >= den * 38416,
+              lit(1)).otherwise(lit(0))).cast("int").as("significant"))
+      },
+      oracle = Some(
+        """WITH u AS (SELECT user_id % 2 AS cohort,
+          |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          |           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+          |a AS (SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |             CAST(SUM(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+          |             CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |             CAST(SUM(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+          |      FROM u),
+          |c AS (SELECT n1, x1, n2, x2,
+          |             CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1 AS num,
+          |             CAST(n1 AS HUGEINT) * n2 * (CAST(x1 AS HUGEINT) + x2)
+          |               * (CAST(n1 AS HUGEINT) + n2 - x1 - x2) AS den
+          |      FROM a)
+          |SELECT n1, x1, n2, x2,
+          |       CASE WHEN n1 = 0 THEN NULL
+          |            ELSE CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+          |       CASE WHEN n2 = 0 THEN NULL
+          |            ELSE CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2,
+          |       CASE WHEN den = 0 THEN NULL
+          |            ELSE CAST(num * num * (CAST(n1 AS HUGEINT) + n2) AS DOUBLE)
+          |                 / CAST(den AS DOUBLE) END AS z2,
+          |       CAST(CASE WHEN den = 0 THEN 0
+          |                 WHEN num * num * (CAST(n1 AS HUGEINT) + n2) * 10000
+          |                      >= den * 38416 THEN 1
+          |                 ELSE 0 END AS INTEGER) AS significant
+          |FROM c""".stripMargin)),
+
     // ---- Benford first-digit audit of the event value column (r8) --------
     // The classic fabricated-/synthetic-data screen: the first significant
     // digit of naturally occurring magnitudes follows P(d) = log₁₀(1+1/d);

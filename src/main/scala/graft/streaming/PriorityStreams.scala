@@ -911,6 +911,69 @@ object PriorityStreams {
     }
   }
 
+  // ---- streaming count-min sketch (added r8) -----------------------------
+
+  /** One token observation from the ingest stream. */
+  final case class TokenObs(token: String)
+
+  /** One sketch-cell increment (row j, bucket b). */
+  final case class CmsInc(j: Int, b: Int)
+
+  /** A sketch cell's running counter. */
+  final case class CmsCell(j: Int, b: Int, count: Long)
+
+  /** The batch `cms_estimate` query's bucket rule in JVM form: row j's
+    * bucket is the first two hex chars of md5("cmsj:" ‖ token) — JVM
+    * MessageDigest MD5 hex ≡ Spark `md5()` ≡ DuckDB `md5()`, and the
+    * hex-char arithmetic mirrors the query's instr() form, so stream and
+    * batch CANNOT bucket differently (the shared-builder no-drift
+    * discipline, applied across the language boundary and spec-pinned). */
+  def cmsBuckets(token: String): IndexedSeq[CmsInc] = (0 until 4).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cms$j:$token".getBytes("UTF-8"))
+    // first two hex chars = high/low nibble of byte 0
+    CmsInc(j, ((md(0) >> 4) & 0xf) * 16 + (md(0) & 0xf))
+  }
+
+  /** Maintains one count-min sketch cell; emits the updated counter. */
+  final class CmsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Int), CmsInc, CmsCell] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("cell_count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Int, Int),
+        rows: Iterator[CmsInc],
+        timerValues: TimerValues): Iterator[CmsCell] = {
+      val c = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(c)
+      Iterator.single(CmsCell(key._1, key._2, c))
+    }
+  }
+
+  /** Streaming count-min sketch over a token stream — the sketch-at-ingest
+    * twin of the batch `cms_estimate` audit: state is one long per (row,
+    * bucket) cell (≤ 4×256 keys TOTAL, independent of corpus size — the
+    * whole point of the sketch), each batch emits the touched cells'
+    * updated counters, and the final sketch equals the batch-built one
+    * exactly (spec-pinned across a mid-stream split, including the top-20
+    * estimates against the registry query). */
+  def cmsStream(tokens: Dataset[TokenObs]): Dataset[CmsCell] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .flatMap(t => cmsBuckets(t.token))
+      .groupByKey(c => (c.j, c.b))
+      .transformWithState(
+        new CmsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming activity streaks (added r8) -----------------------------
 
   /** One user-activity observation at day grain (epoch days). */

@@ -776,6 +776,27 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("prop_ztest: exact BigInt replay; verdict matches the cross-multiplied alpha rule") {
+    val Array((n1, x1, n2, x2, p1, p2, z2, sig)) =
+      graft.SparkEntry.queries("prop_ztest")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)), r.getInt(7)))
+    val users = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(2)))
+    assert(n1 == users.count(_._1 == 0).toLong && n2 == users.count(_._1 == 1).toLong)
+    assert(x1 == users.filter(_._1 == 0).map(_._2).sum)
+    assert(x2 == users.filter(_._1 == 1).map(_._2).sum)
+    assert(p1 == x1.toDouble / n1 && p2 == x2.toDouble / n2)
+    val num = BigInt(x1) * n2 - BigInt(x2) * n1
+    val den = BigInt(n1) * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)
+    val zNum = num * num * (n1 + n2)
+    assert(z2.contains(zNum.toDouble / den.toDouble))
+    assert((sig == 1) == (zNum * 10000 >= den * 38416))
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),

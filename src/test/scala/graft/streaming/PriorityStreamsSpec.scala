@@ -943,6 +943,46 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("cmsStream final sketch == in-process batch sketch; top-20 estimates == registry query") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val mid = toks(toks.length / 2)._1
+    withRocksDB {
+      val in = MemoryStream[String]
+      val q = PriorityStreams.cmsStream(
+        in.toDF().toDF("token").as[PriorityStreams.TokenObs])
+        .writeStream.format("memory").queryName("cms_out")
+        .outputMode("update").start()
+      in.addData(toks.filter(_._1 <= mid).map(_._2))
+      q.processAllAvailable()
+      in.addData(toks.filter(_._1 > mid).map(_._2))
+      q.processAllAvailable(); q.stop()
+    }
+    // final counter per cell = max emission (counters are monotone)
+    val streamed = spark.table("cms_out").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max }
+    // in-process batch sketch via the SAME bucket rule
+    val expected = toks.map(_._2).flatMap(PriorityStreams.cmsBuckets)
+      .groupBy(c => (c.j, c.b)).map { case (k, xs) => k -> xs.size.toLong }
+    assert(streamed == expected, s"sketch diverged on ${
+      (streamed.toSet diff expected.toSet).take(3)} vs ${
+      (expected.toSet diff streamed.toSet).take(3)}")
+    // estimates from the STREAMED sketch reproduce the registry query's
+    // cms_est column for the top-20 exactly
+    val batch = graft.SparkEntry.queries("cms_estimate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (t, est) =>
+      val mine = PriorityStreams.cmsBuckets(t)
+        .map(c => streamed((c.j, c.b))).min
+      assert(mine == est, s"$t: streamed-sketch estimate $mine != batch $est")
+    }
+  }
+
   test("islandsStream closed+latest-open rows == batch gaps_islands across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
