@@ -1276,6 +1276,69 @@ object FunnelQueries {
     // combine; per-type stats collapse to ≤ |types| rows and broadcast
     // back. At 100 TB the window for "days" is a calendar dimension —
     // both aggs stay tiny however large the corpus.
+    // ---- cohort lifetime value curves (added r8) -------------------------
+    // The revenue companion of retention_cohorts: users grouped by signup
+    // week (first event, Monday-truncated — identical date_trunc semantics
+    // on both engines), purchase revenue accumulated per weeks-since-
+    // signup, ARPU = cumulative revenue over cohort size. The curve a
+    // monetization review reads ("when does a cohort pay back"), and the
+    // LTV forecast's raw material. Float discipline: money sums ride
+    // DECIMAL(18,2) exactly (the q1 pattern — order-independent), emitted
+    // as correctly-rounded doubles; ARPU is the decimal ratio cast once.
+    //
+    // Scale shape: per-user first-event agg (user-keyed) + one (cohort,
+    // week) revenue agg; the cumulative window PARTITIONS by cohort over
+    // its ≤ calendar-span/7 week rows; cohort sizes broadcast back.
+    "cohort_ltv" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, dir, "events")
+        val first = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+        val rev = ev.filter(col("event_type") === "purchase")
+          .join(first, Seq("user_id"))
+          .withColumn("week_idx",
+            (datediff(to_date(col("ts")), col("cohort_week")).cast("long") / 7)
+              .cast("long"))
+          .groupBy("cohort_week", "week_idx")
+          .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+        val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_idx"))
+        rev.withColumn("cum", sum(col("rev")).over(w))
+          .join(broadcast(sizes), Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_idx"), col("n_users"),
+            col("rev").cast("double").as("revenue"),
+            col("cum").cast("double").as("cum_revenue"),
+            // exact integer cents over users — ONE bare division (decimal
+            // division itself has engine-specific scale/rounding rules)
+            ((col("cum") * 100).cast("long").cast("double")
+              / (col("n_users") * 100).cast("double")).as("arpu"))
+          .orderBy("cohort_week", "week_idx")
+      },
+      oracle = Some(
+        """WITH f AS (SELECT user_id,
+          |                  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+          |           FROM events GROUP BY user_id),
+          |sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+          |       FROM f GROUP BY cohort_week),
+          |rev AS (SELECT f.cohort_week,
+          |               CAST(datediff('day', f.cohort_week, CAST(e.ts AS DATE)) // 7
+          |                    AS BIGINT) AS week_idx,
+          |               SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+          |        FROM events e JOIN f USING (user_id)
+          |        WHERE e.event_type = 'purchase'
+          |        GROUP BY f.cohort_week, 2),
+          |c AS (SELECT cohort_week, week_idx, rev,
+          |             SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_idx) AS cum
+          |      FROM rev)
+          |SELECT c.cohort_week, c.week_idx, sz.n_users,
+          |       CAST(c.rev AS DOUBLE) AS revenue,
+          |       CAST(c.cum AS DOUBLE) AS cum_revenue,
+          |       CAST(CAST(c.cum * 100 AS BIGINT) AS DOUBLE)
+          |         / CAST(sz.n_users * 100 AS DOUBLE) AS arpu
+          |FROM c JOIN sz USING (cohort_week)
+          |ORDER BY cohort_week, week_idx""".stripMargin)),
+
     // ---- rolling active users: DAU / WAU / stickiness (added r8) ---------
     // The product-analytics headline triple: daily actives, trailing-7-day
     // actives, and stickiness = DAU/WAU — rolling DISTINCT, the classic

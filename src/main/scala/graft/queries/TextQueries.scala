@@ -1903,6 +1903,56 @@ object TextQueries {
           |                   (a, b) -> a + b) / 64.0 / 255.0 AS sharpness
           |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ---- multimodal shape bucketing for batch decode (added r8) ----------
+    // Aspect-ratio bucketing — the NaViT/SDXL-style preprocessing step a
+    // multimodal pipeline runs so GPU decode and training batches have uniform
+    // tensor shapes: media grouped into (width-bin, height-bin) buckets,
+    // each padded to the bucket's max dims, batches of 32. The emitted
+    // pad_ratio is the wasted-pixel share a bucketing review minimizes
+    // (fewer buckets = bigger batches but more padding). Geometry comes
+    // from the SAME deterministic stub as multimodal_decode (bytes % 640 /
+    // % 480 — the one function a real deployment replaces); everything
+    // else is the real op: integer binning, per-bucket max/count/ceil,
+    // pad_ratio ONE bare division of exact int64 pixel sums.
+    //
+    // Scale shape: map-only geometry projection → one (wb, hb) hash agg
+    // (≤ 10×10 buckets); nothing corpus-sized past it.
+    "multimodal_shape_buckets" -> Q(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+          .select((col("nb") % 640).as("w"), (col("nb") % 480).as("h"))
+          .select(col("w"), col("h"),
+            expr("w div 64").as("wb"), expr("h div 48").as("hb"))
+          .groupBy("wb", "hb")
+          .agg(count(lit(1)).as("n_items"), max(col("w")).as("pad_w"),
+            max(col("h")).as("pad_h"), sum(col("w") * col("h")).as("px"))
+          .select(col("wb"), col("hb"), col("n_items"), col("pad_w"), col("pad_h"),
+            expr("(n_items + 31) div 32").as("n_batches"),
+            when(col("pad_w") * col("pad_h") === 0, lit(0.0))
+              .otherwise(
+                (col("pad_w") * col("pad_h") * col("n_items") - col("px")).cast("double")
+                  / (col("pad_w") * col("pad_h") * col("n_items")).cast("double"))
+              .as("pad_ratio"))
+          .orderBy("wb", "hb")
+      },
+      oracle = Some(
+        """WITH g AS (SELECT octet_length(encode(text)) % 640 AS w,
+          |                  octet_length(encode(text)) % 480 AS h
+          |           FROM documents),
+          |b AS (SELECT w, h, w // 64 AS wb, h // 48 AS hb FROM g),
+          |a AS (SELECT wb, hb, CAST(COUNT(*) AS BIGINT) AS n_items,
+          |             CAST(MAX(w) AS BIGINT) AS pad_w, CAST(MAX(h) AS BIGINT) AS pad_h,
+          |             CAST(SUM(w * h) AS BIGINT) AS px
+          |      FROM b GROUP BY wb, hb)
+          |SELECT CAST(wb AS BIGINT) AS wb, CAST(hb AS BIGINT) AS hb,
+          |       n_items, pad_w, pad_h,
+          |       (n_items + 31) // 32 AS n_batches,
+          |       CASE WHEN pad_w * pad_h = 0 THEN 0.0
+          |            ELSE CAST(pad_w * pad_h * n_items - px AS DOUBLE)
+          |                 / CAST(pad_w * pad_h * n_items AS DOUBLE) END AS pad_ratio
+          |FROM a ORDER BY wb, hb""".stripMargin)),
+
     // ---- the full curation pipeline as ONE query -------------------------
     // documents → exact-dedup survivors → quality gate → length gate →
     // per-source corpus stats. The end-to-end shape of a training-data

@@ -797,6 +797,55 @@ class R8OpsSpec extends SparkTestBase {
     assert((sig == 1) == (zNum * 10000 >= den * 38416))
   }
 
+  test("cohort_ltv: revenue conservation; cum monotone; ARPU = cents over users") {
+    val out = graft.SparkEntry.queries("cohort_ltv")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // total emitted revenue == exact decimal purchase total
+    val totalRev = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
+    assert(math.abs(out.map(_._4).sum - totalRev) < 1e-6, "revenue mass not conserved")
+    // cohort sizes partition the user base
+    val nUsers = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(out.groupBy(_._1).map(_._2.head._3).sum == nUsers)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // cumulative is the running sum of weekly revenue, ARPU its per-user split
+      var cum = BigDecimal(0)
+      sorted.foreach { case (_, _, n, rev, cumRev, arpu) =>
+        cum += BigDecimal(rev)
+        assert(math.abs(cumRev - cum.toDouble) < 1e-6)
+        val cents = math.round(cumRev * 100)
+        assert(arpu == cents.toDouble / (n * 100).toDouble, "ARPU not the bare cents division")
+      }
+    }
+  }
+
+  test("multimodal_shape_buckets: bucket geometry replay; items conserved; pad_ratio bounds") {
+    val out = graft.SparkEntry.queries("multimodal_shape_buckets")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    val geo = graft.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect()
+      .map { r => val nb = r.getString(0).getBytes("UTF-8").length.toLong
+        (nb % 640, nb % 480) }
+    assert(out.map(_._3).sum == geo.length.toLong, "items not conserved")
+    out.foreach { case (wb, hb, n, pw, ph, nb, pr) =>
+      val mine = geo.filter { case (w, h) => w / 64 == wb && h / 48 == hb }
+      assert(mine.length.toLong == n)
+      assert(pw == mine.map(_._1).max && ph == mine.map(_._2).max)
+      assert(nb == (n + 31) / 32)
+      val px = mine.map { case (w, h) => w * h }.sum
+      val exp = if (pw * ph == 0) 0.0
+        else (pw * ph * n - px).toDouble / (pw * ph * n).toDouble
+      assert(pr == exp && pr >= 0.0 && pr < 1.0)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
