@@ -679,7 +679,9 @@ object StatQueries {
           .withColumn("benford_p6", p6)
           .select(col("digit"), col("n_obs"), col("benford_p6"),
             (col("n_obs") * lit(1000000L) - col("n") * col("benford_p6")).as("dev6"),
-            (col("n_obs").cast("double") / col("n").cast("double")).as("share"))
+            when(col("n") === 0, lit(null).cast("double"))
+              .otherwise(col("n_obs").cast("double") / col("n").cast("double"))
+              .as("share"))
           .orderBy("digit")
       },
       oracle = Some(
@@ -698,7 +700,8 @@ object StatQueries {
           |      FROM sp LEFT JOIN o ON sp.digit = o.digit)
           |SELECT digit, n_obs, benford_p6,
           |       n_obs * 1000000 - nt.n * benford_p6 AS dev6,
-          |       CAST(n_obs AS DOUBLE) / CAST(nt.n AS DOUBLE) AS share
+          |       CASE WHEN nt.n = 0 THEN NULL
+          |            ELSE CAST(n_obs AS DOUBLE) / CAST(nt.n AS DOUBLE) END AS share
           |FROM j, nt ORDER BY digit""".stripMargin))
   )
 }
