@@ -218,6 +218,87 @@ object FunnelQueries {
           |FROM w WHERE event_type = 'purchase'
           |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)),
 
+    // ---- U-shaped position-based attribution (added r8) ------------------
+    // The third industry-standard attribution model, closing the triad:
+    // lasttouch (naive), Markov removal (data-driven), and POSITION-BASED
+    // — 40% first touch, 40% last touch, 20% split across middles, 12-touch
+    // lookback. EXACT-INTEGER credits: every credit is a multiple of
+    // 1/12600 conversion units — 12600 = 5·LCM(1..10), so 40% = 5040,
+    // 50% = 6300, 100% = 12600, and the middle share 2520/(k−2) is an
+    // INTEGER for every capped journey length k ≤ 12 (that is WHY the cap
+    // and the unit were chosen together). Per-journey credits sum to
+    // exactly 12600, so channel shares are conserved by construction and
+    // the emitted share is ONE bare division of exact int64 sums.
+    //
+    // Journeys reuse the attribution_markov definition: per user in
+    // (ts, event_id) order, a purchase closes the journey; only converted
+    // journeys credit; the last 12 non-purchase touches before the
+    // conversion participate.
+    //
+    // Scale shape: ONE user_id exchange feeds the journey-id cumsum, the
+    // converted flag, and both position windows; the credit roll-up is a
+    // ≤|types| agg + 1-row total broadcast.
+    "attribution_position" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("isp", when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .withColumn("jid",
+            sum(col("isp")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .na.fill(0L, Seq("jid"))
+        val wj = Window.partitionBy("user_id", "jid")
+        val wjDesc = Window.partitionBy("user_id", "jid")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val touches = ev
+          .withColumn("conv", max(col("isp")).over(wj))
+          .filter(col("conv") === 1 && col("isp") === 0)
+          .withColumn("rnd", row_number().over(wjDesc))
+          .filter(col("rnd") <= 12)
+        val wk = Window.partitionBy("user_id", "jid")
+        val credited = touches
+          .withColumn("k", count(lit(1)).over(wk))
+          .withColumn("pos", col("k") - col("rnd") + 1)
+          .withColumn("credit",
+            when(col("k") === 1, lit(12600L))
+              .when(col("k") === 2, lit(6300L))
+              .when(col("pos") === 1 || col("pos") === col("k"), lit(5040L))
+              .otherwise(expr("2520 div (k - 2)")).cast("long"))
+        val agg = credited.groupBy("event_type")
+          .agg(sum(col("credit")).as("units"), count(lit(1)).as("n_touches"))
+        val tot = agg.agg(sum(col("units")).as("tu"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_touches"), col("units"),
+            (col("units").cast("double") / col("tu").cast("double")).as("share"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH e AS (SELECT user_id, ts, event_id, event_type,
+          |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+          |           FROM events),
+          |j AS (SELECT *, COALESCE(SUM(isp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+          |      FROM e),
+          |c AS (SELECT *, MAX(isp) OVER (PARTITION BY user_id, jid) AS conv FROM j),
+          |t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, jid
+          |                 ORDER BY ts DESC, event_id DESC) AS rnd
+          |      FROM c WHERE conv = 1 AND isp = 0),
+          |cap AS (SELECT * FROM t WHERE rnd <= 12),
+          |k AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id, jid) AS k FROM cap),
+          |cr AS (SELECT event_type,
+          |              CASE WHEN k = 1 THEN 12600
+          |                   WHEN k = 2 THEN 6300
+          |                   WHEN (k - rnd + 1) = 1 OR (k - rnd + 1) = k THEN 5040
+          |                   ELSE 2520 // (k - 2) END AS credit
+          |       FROM k),
+          |a AS (SELECT event_type, CAST(SUM(credit) AS BIGINT) AS units,
+          |             CAST(COUNT(*) AS BIGINT) AS n_touches
+          |      FROM cr GROUP BY event_type),
+          |tt AS (SELECT CAST(SUM(units) AS BIGINT) AS tu FROM a)
+          |SELECT event_type, n_touches, units,
+          |       CAST(units AS DOUBLE) / CAST(tu AS DOUBLE) AS share
+          |FROM a, tt ORDER BY event_type""".stripMargin)),
+
     // ---- Markov removal-effect attribution (added r8) --------------------
     // The principled upgrade of attribution_lasttouch: instead of crediting
     // the final click, model user journeys as an absorbing Markov chain

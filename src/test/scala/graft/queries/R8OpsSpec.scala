@@ -846,6 +846,49 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("attribution_position: per-journey credits sum to exactly 12600; in-process replay") {
+    val out = graft.SparkEntry.queries("attribution_position")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    // replay: split each user's ordered events into journeys at purchases
+    val credits = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var nTouches = Map.empty[String, Long].withDefaultValue(0L)
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3))
+      var journey = List.empty[String]
+      sorted.foreach { e =>
+        if (e._4 == "purchase") {
+          val touches = journey.reverse.takeRight(12)
+          val k = touches.length
+          if (k > 0) {
+            val cs = touches.zipWithIndex.map { case (t, i) =>
+              val pos = i + 1
+              val c = if (k == 1) 12600L else if (k == 2) 6300L
+                else if (pos == 1 || pos == k) 5040L else 2520L / (k - 2)
+              t -> c
+            }
+            assert(cs.map(_._2).sum == 12600L, s"journey credits != 12600 (k=$k)")
+            cs.foreach { case (t, c) =>
+              credits(t) += c
+              nTouches += t -> (nTouches(t) + 1)
+            }
+          }
+          journey = Nil
+        } else journey ::= e._4
+      }
+    }
+    val total = credits.values.sum
+    assert(out.map(_._3).sum == total)
+    out.foreach { case (t, nt, units, share) =>
+      assert(units == credits(t), s"$t units")
+      assert(nt == nTouches(t))
+      assert(share == units.toDouble / total.toDouble)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
