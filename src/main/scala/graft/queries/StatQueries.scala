@@ -571,6 +571,79 @@ object StatQueries {
           |                 / CAST(s2 AS DOUBLE) END AS eff_vocab
           |FROM a ORDER BY source""".stripMargin)),
 
+    // ---- OLS of quality on document length (added r8) --------------------
+    // Is the quality signal just length in disguise? The regression-audit
+    // answer: OLS of the quality score (10⁻⁶ grid integer q6) on n_chars,
+    // slope/intercept/R² — a high R² says the "quality" filter is really a
+    // length filter and the curation review should treat it as one
+    // (complements auc_dup_quality's rank-based view with the linear
+    // effect size). ENGINE-VERSION-PROOF: the five sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums; every emitted
+    // coefficient is ONE bare division of DECIMAL(38,0) cross-products
+    //   slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    //   intercept = (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²)
+    //   R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    // — degenerate variance zero → NULL by exact CASE.
+    //
+    // Scale shape: one map-side projection → a 1-row aggregate.
+    "ols_length_quality" -> Q(
+      fn = (s, dir) => {
+        val q6 = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .select(col("n_chars").as("x"),
+            floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long").as("y"))
+        val a = q6.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        val vx = big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx"))
+        val vy = big(col("n")) * big(col("syy")) - big(col("sy")) * big(col("sy"))
+        val cxy = big(col("n")) * big(col("sxy")) - big(col("sx")) * big(col("sy"))
+        a.select(col("n"),
+          when(vx === 0, lit(null).cast("double"))
+            .otherwise(cxy.cast("double") / vx.cast("double")).as("slope"),
+          when(vx === 0, lit(null).cast("double"))
+            .otherwise((big(col("sy")) * big(col("sxx"))
+              - big(col("sx")) * big(col("sxy"))).cast("double") / vx.cast("double"))
+            .as("intercept"),
+          when(vx === 0 || vy === 0, lit(null).cast("double"))
+            .otherwise((cxy * cxy).cast("double") / (vx * vy).cast("double")).as("r2"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT n_chars AS x, string_split(text, ' ') AS toks,
+           |                  length(text) AS nc FROM documents),
+           |q AS (SELECT x,
+           |             CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                        w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                        AS DOUBLE) / len(toks))
+           |                  + 0.3 * least(1.0, CAST(nc AS DOUBLE) / 200.0))
+           |                  * 1000000.0) AS BIGINT) AS y
+           |      FROM t),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           |             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+           |      FROM q),
+           |c AS (SELECT n,
+           |             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+           |             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy,
+           |             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+           |             CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+           |      FROM a)
+           |SELECT n,
+           |       CASE WHEN vx = 0 THEN NULL
+           |            ELSE CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE) END AS slope,
+           |       CASE WHEN vx = 0 THEN NULL
+           |            ELSE CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE) END AS intercept,
+           |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+           |            ELSE CAST(cxy * cxy AS DOUBLE) / CAST(vx * vy AS DOUBLE) END AS r2
+           |FROM c""".stripMargin)),
+
     // ---- two-proportion z-test on cohort conversion (added r8) -----------
     // The A/B-test workhorse Welch's t (means) doesn't cover: did cohort A
     // convert at a different RATE than cohort B? Cohorts = user_id parity

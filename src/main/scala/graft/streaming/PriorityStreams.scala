@@ -911,6 +911,75 @@ object PriorityStreams {
     }
   }
 
+  // ---- streaming Holt smoothing (added r8) -------------------------------
+
+  /** One closed day's volume for a stream key. */
+  final case class DayCount(eventType: String, epochDay: Long, c: Long)
+
+  /** Holt state after absorbing a day: smoothed level, trend, and the
+    * one-step-ahead forecast residual (None on each key's first day). */
+  final case class HoltPoint(eventType: String, epochDay: Long, c: Long,
+      level: Double, trend: Double, resid: Option[Double])
+
+  /** The streaming twin of the batch `holt_smooth` query: per event type,
+    * absorb day-grain volumes as days close and emit the updated
+    * level/trend/residual — the live trending-volume anomaly feed. The
+    * recurrence is the batch SQL's ARITHMETIC VERBATIM (same
+    * parenthesization, same IEEE ops), so emissions are bit-for-bit the
+    * batch rows (spec-pinned across a mid-stream split). State is one
+    * (last_day, level, trend) triple per type; duplicate or out-of-order
+    * days within the funnel ordering contract are ignored. */
+  final class HoltProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DayCount, HoltPoint] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double)]("last_day_level_trend",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DayCount],
+        timerValues: TimerValues): Iterator[HoltPoint] = {
+      val days = rows.toArray.sortBy(_.epochDay)
+      var (last, l, b) =
+        if (st.exists()) st.get() else (Long.MinValue, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+      days.foreach { d =>
+        if (last == Long.MinValue) {
+          l = d.c.toDouble; b = 0.0; last = d.epochDay
+          out += HoltPoint(key, d.epochDay, d.c, l, b, None)
+        } else if (d.epochDay > last) {
+          val cv = d.c.toDouble
+          val r = cv - (l + b)
+          // the batch recursion's exact op order: ((c + l) + b) / 2
+          val l2 = ((cv + l) + b) / 2
+          val b2 = (b + (l2 - l)) / 2
+          l = l2; b = b2; last = d.epochDay
+          out += HoltPoint(key, d.epochDay, d.c, l, b, Some(r))
+        } // d.epochDay ≤ last: duplicate/late day — already absorbed
+      }
+      if (last != Long.MinValue) st.update((last, l, b))
+      out.iterator
+    }
+  }
+
+  /** Streaming Holt smoothing over closed day volumes, Update mode. */
+  def holtStream(days: Dataset[DayCount]): Dataset[HoltPoint] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new HoltProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming count-min sketch (added r8) -----------------------------
 
   /** One token observation from the ingest stream. */

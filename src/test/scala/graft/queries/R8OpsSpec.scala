@@ -889,6 +889,33 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ols_length_quality: BigInt sufficient-statistic replay; R2 in [0,1]") {
+    val Array((n, slope, icept, r2)) =
+      graft.SparkEntry.queries("ols_length_quality")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val xy = graft.Tables.load(spark, dir, "documents")
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val text = r.getString(1)
+        val toks = text.split(" ", -1)
+        val nStop = toks.count(TextQueries.stopwords.contains)
+        val q = 0.4 * math.min(1.0, toks.length.toDouble / 50.0) +
+          0.3 * (1.0 - nStop.toDouble / toks.length) +
+          0.3 * math.min(1.0, text.length.toDouble / 200.0)
+        (r.getLong(0), math.floor(q * 1000000.0).toLong)
+      }
+    assert(n == xy.length.toLong)
+    val sx = xy.map(x => BigInt(x._1)).sum; val sy = xy.map(x => BigInt(x._2)).sum
+    val sxy = xy.map(x => BigInt(x._1) * x._2).sum
+    val sxx = xy.map(x => BigInt(x._1) * x._1).sum
+    val syy = xy.map(x => BigInt(x._2) * x._2).sum
+    val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+    val cxy = n * sxy - sx * sy
+    assert(slope == cxy.toDouble / vx.toDouble)
+    assert(icept == (sy * sxx - sx * sxy).toDouble / vx.toDouble)
+    assert(r2 == (cxy * cxy).toDouble / (vx * vy).toDouble)
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),

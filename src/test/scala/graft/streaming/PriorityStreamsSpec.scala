@@ -943,6 +943,40 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("holtStream emissions == batch holt_smooth rows bit-for-bit across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2))).sortBy(x => (x._2, x._1))
+    val mid = daily(daily.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(String, Long, Long)]
+      val q = PriorityStreams.holtStream(
+        in.toDF().toDF("eventType", "epochDay", "c")
+          .as[PriorityStreams.DayCount])
+        .writeStream.format("memory").queryName("holt_out")
+        .outputMode("update").start()
+      in.addData(daily.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(daily.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val streamed = spark.table("holt_out").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val batch = graft.SparkEntry.queries("holt_smooth")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet)
+    val diverged = batch.filter { case (k, v) => streamed(k) != v }
+    assert(diverged.isEmpty, s"stream/batch Holt diverged on ${diverged.take(3)}")
+  }
+
   test("cmsStream final sketch == in-process batch sketch; top-20 estimates == registry query") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
