@@ -228,6 +228,59 @@ object CurationQueries {
           |       CAST(w5 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight
           |FROM w, ws ORDER BY source""".stripMargin)),
 
+    // ---- word2vec negative-sampling table (added r8) ---------------------
+    // The unigram^¾ sampling distribution word2vec/NCE training draws
+    // negatives from (Mikolov et al. 2013): raising counts to the ¾ power
+    // flattens the head so frequent tokens stop dominating the negative
+    // pool. ENGINE-VERSION-PROOF ¾ power with NO pow/exp: c^¾ = √(c·√c),
+    // computed as the nested floor-sqrt isqrt(c·isqrt(c)) — [[Q.isqrt]]'s
+    // ±1 integer repair makes each floor exact on any engine, and the
+    // composition is therefore a pure integer function of c (NOT exactly
+    // ⌊c^0.75⌋ — the inner floor loses < 1 — but a DETERMINISTIC,
+    // monotone, ¾-power-equivalent weight, which is all the sampler
+    // needs). Weight mass Σw runs over the FULL vocabulary; the emitted
+    // top-30 carry exact int weights and ONE bare division each. At
+    // 100 TB counts (~1e13), c·isqrt(c) exceeds int64 — widen the product
+    // to DECIMAL(38,0) (token_burstiness discipline); construction
+    // unchanged.
+    //
+    // Scale shape: one vocab agg → 1-row weight-sum broadcast →
+    // TakeOrderedAndProject(30); nothing corpus-sized past the vocab agg.
+    "negsample_table" -> Q(
+      fn = (s, dir) => {
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .withColumn("w34", Q.isqrt(col("c") * Q.isqrt(col("c"))))
+        val wsum = vocab.agg(sum(col("w34")).as("wsum"), count(lit(1)).as("v"))
+        vocab.crossJoin(broadcast(wsum))
+          .orderBy(col("c").desc, col("t")).limit(30)
+          .select(col("t"), col("c"), col("w34"), col("v").as("vocab_size"),
+            (col("w34").cast("double") / col("wsum").cast("double")).as("p_neg"))
+      },
+      oracle = Some(
+        """WITH vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+          |               FROM (SELECT unnest(string_split(text, ' ')) AS t
+          |                     FROM documents) GROUP BY t),
+          |i1 AS (SELECT t, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s0
+          |       FROM vocab),
+          |r1 AS (SELECT t, c,
+          |              CASE WHEN (s0 + 1) * (s0 + 1) <= c THEN s0 + 1
+          |                   WHEN s0 * s0 > c THEN s0 - 1 ELSE s0 END AS sc
+          |       FROM i1),
+          |i2 AS (SELECT t, c, c * sc AS x,
+          |              CAST(floor(sqrt(CAST(c * sc AS DOUBLE))) AS BIGINT) AS s0
+          |       FROM r1),
+          |r2 AS (SELECT t, c,
+          |              CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+          |                   WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS w34
+          |       FROM i2),
+          |ws AS (SELECT CAST(SUM(w34) AS BIGINT) AS wsum,
+          |              CAST(COUNT(*) AS BIGINT) AS v FROM r2)
+          |SELECT t, c, w34, ws.v AS vocab_size,
+          |       CAST(w34 AS DOUBLE) / CAST(ws.wsum AS DOUBLE) AS p_neg
+          |FROM r2, ws ORDER BY c DESC, t LIMIT 30""".stripMargin)),
+
     // ---- deterministic stratified sampling ------------------------------
     // Per-source Bernoulli rates (src0-4: 100%, src5-9: 50%, src10-14: 25%,
     // src15-19: 10%) decided by the first 4 hex chars of md5(doc_id) against

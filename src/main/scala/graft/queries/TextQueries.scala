@@ -1226,6 +1226,95 @@ object TextQueries {
         s"""WITH $erPairsSqlCtes
            |SELECT a_id, b_id, lev FROM erp ORDER BY a_id, b_id""".stripMargin)),
 
+    // ---- Fellegi–Sunter linkage weights over the ER candidates (r8) ------
+    // The probabilistic record-linkage layer on top of the ER family: for
+    // each comparison field γ (same lang / same source / length within 10),
+    // estimate m = P(agree | matched) and u = P(agree | unmatched) over the
+    // BLOCKED candidate pairs — matched = the banded-levenshtein verdict
+    // er_blocking_pairs already trusts — and emit the Fellegi–Sunter
+    // agreement/disagreement weights ln(m/u), ln((1−m)/(1−u)). These are
+    // the log-likelihood increments a linkage scorer sums per field; a
+    // field whose w_agree ≈ 0 carries no linkage signal and should leave
+    // the compare set. ENGINE-VERSION-PROOF: m/u ratios never materialize —
+    // each weight is LnGrid-Wide over the exact int64 cross-products
+    // (agree_m·n_u vs agree_u·n_m; pair counts can reach ~1e5, so the
+    // products need the wide chain's DECIMAL headroom); degenerate cells
+    // (u = 0, m = 1) surface as NULL via the chain's positivity gate, not
+    // as ±∞.
+    //
+    // Scale shape: the ER blocking join (block-bounded, ≤16² per key) with
+    // the banded early-exit levenshtein; one 3-row field agg; everything
+    // after is constant-size.
+    "fs_linkage_weights" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("blk"),
+            col("lang"), col("source"), col("n_chars"))
+        val hot = docs.groupBy("blk").agg(count(lit(1)).as("m"))
+          .filter(col("m") > 16).select("blk")
+        val cold = docs.join(broadcast(hot), Seq("blk"), "left_anti")
+        val x = cold.select(col("blk"), col("doc_id").as("a_id"),
+          substring(col("text"), 1, 120).as("ta"), col("lang").as("la"),
+          col("source").as("sa"), col("n_chars").as("ca"))
+        val y = cold.select(col("blk"), col("doc_id").as("b_id"),
+          substring(col("text"), 1, 120).as("tb"), col("lang").as("lb"),
+          col("source").as("sb"), col("n_chars").as("cb"))
+        val pairs = x.join(y, Seq("blk")).filter(col("a_id") < col("b_id"))
+          .withColumn("matched",
+            (levenshtein(col("ta"), col("tb"), 24) >= 0).cast("long"))
+        val fields = pairs.select(col("matched"), explode(array(
+          struct(lit("lang").as("field"),
+            (col("la") === col("lb")).cast("long").as("agree")),
+          struct(lit("source").as("field"),
+            (col("sa") === col("sb")).cast("long").as("agree")),
+          struct(lit("len10").as("field"),
+            (abs(col("ca") - col("cb")) <= 10).cast("long").as("agree")))).as("f"))
+          .select(col("matched"), col("f.field").as("field"), col("f.agree").as("agree"))
+        val agg = fields.groupBy("field").agg(
+          sum(col("matched")).as("nm"),
+          sum(lit(1L) - col("matched")).as("nu"),
+          sum(col("matched") * col("agree")).as("am"),
+          sum((lit(1L) - col("matched")) * col("agree")).as("au"))
+        val w1 = LnGrid.withLn6Wide(agg, col("am") * col("nu"), col("au") * col("nm"),
+          "w_agree6", "__fa_")
+        val w2 = LnGrid.withLn6Wide(w1,
+          (col("nm") - col("am")) * col("nu"), (col("nu") - col("au")) * col("nm"),
+          "w_disagree6", "__fd_")
+        w2.select(col("field"), col("nm").as("n_match"), col("nu").as("n_unmatch"),
+            col("am").as("agree_m"), col("au").as("agree_u"),
+            col("w_agree6"), col("w_disagree6"))
+          .orderBy("field")
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, text, substring(text, 1, 24) AS blk,
+           |                  lang, source, n_chars FROM documents),
+           |hot AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 16),
+           |cold AS (SELECT * FROM d WHERE blk NOT IN (SELECT blk FROM hot)),
+           |p AS (SELECT CASE WHEN levenshtein(substring(x.text, 1, 120),
+           |                                   substring(y.text, 1, 120)) <= 24
+           |             THEN 1 ELSE 0 END AS matched,
+           |             x.lang AS la, y.lang AS lb, x.source AS sa, y.source AS sb,
+           |             x.n_chars AS ca, y.n_chars AS cb
+           |      FROM cold x JOIN cold y ON x.blk = y.blk AND x.doc_id < y.doc_id),
+           |f AS (SELECT matched, 'lang' AS field,
+           |             CASE WHEN la = lb THEN 1 ELSE 0 END AS agree FROM p
+           |      UNION ALL
+           |      SELECT matched, 'source',
+           |             CASE WHEN sa = sb THEN 1 ELSE 0 END FROM p
+           |      UNION ALL
+           |      SELECT matched, 'len10',
+           |             CASE WHEN abs(ca - cb) <= 10 THEN 1 ELSE 0 END FROM p),
+           |a AS (SELECT field, CAST(SUM(matched) AS BIGINT) AS nm,
+           |             CAST(SUM(1 - matched) AS BIGINT) AS nu,
+           |             CAST(SUM(matched * agree) AS BIGINT) AS am,
+           |             CAST(SUM((1 - matched) * agree) AS BIGINT) AS au
+           |      FROM f GROUP BY field),
+           |${LnGrid.sqlCtesWide("a", "am * nu", "au * nm", "w_agree6", "fa_")},
+           |${LnGrid.sqlCtesWide("fa_out", "(nm - am) * nu", "(nu - au) * nm", "w_disagree6", "fd_")}
+           |SELECT field, nm AS n_match, nu AS n_unmatch, am AS agree_m, au AS agree_u,
+           |       w_agree6, w_disagree6
+           |FROM fd_out ORDER BY field""".stripMargin)),
+
     // ---- entity-resolution CLUSTERS: CC over the blocking-pair graph (r7) -
     // The grouping verb on top of er_blocking_pairs — the same pairs →
     // clusters step the minhash family has (dedup_minhash_lsh →

@@ -103,7 +103,11 @@ class PlanGuardSpec extends SparkTestBase {
       // log_odds_keyness: 1-row grand-total broadcast (source_kl shape)
       "log_odds_keyness",
       // hill_tail_index: top-101 frame × the 1-row threshold broadcast
-      "hill_tail_index")
+      "hill_tail_index",
+      // negsample_table: vocab frame × the 1-row weight-sum broadcast
+      "negsample_table",
+      // attribution_position: ≤|types| credit agg × the 1-row total broadcast
+      "attribution_position")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -916,6 +916,89 @@ class R8OpsSpec extends SparkTestBase {
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("fs_linkage_weights: cell replay over the blocked pairs; weights via ln6WideRef") {
+    val out = graft.SparkEntry.queries("fs_linkage_weights")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(out.map(_._1).sorted.toSeq == Seq("lang", "len10", "source"))
+    // replay pairs within cold blocks in-process
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val byBlk = docs.groupBy(_._2.take(24)).filter(_._2.length <= 16)
+    val pairs = byBlk.values.flatMap { g =>
+      val sorted = g.sortBy(_._1)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length) yield {
+        val a = sorted(i); val b = sorted(j)
+        val lev = {
+          val (s1, s2) = (a._2.take(120), b._2.take(120))
+          val d = Array.tabulate(s2.length + 1)(identity)
+          s1.indices.foreach { ii =>
+            var prev = d(0); d(0) = ii + 1
+            s2.indices.foreach { jj =>
+              val t = d(jj + 1)
+              d(jj + 1) = math.min(math.min(d(jj + 1) + 1, d(jj) + 1),
+                prev + (if (s1(ii) == s2(jj)) 0 else 1))
+              prev = t
+            }
+          }
+          d(s2.length)
+        }
+        (lev <= 24, a._3 == b._3, a._4 == b._4, math.abs(a._5 - b._5) <= 10)
+      }
+    }.toSeq
+    val nm = pairs.count(_._1).toLong; val nu = pairs.size - nm
+    val cells = Map(
+      "lang" -> (pairs.count(p => p._1 && p._2).toLong, pairs.count(p => !p._1 && p._2).toLong),
+      "source" -> (pairs.count(p => p._1 && p._3).toLong, pairs.count(p => !p._1 && p._3).toLong),
+      "len10" -> (pairs.count(p => p._1 && p._4).toLong, pairs.count(p => !p._1 && p._4).toLong))
+    out.foreach { case (f, onm, onu, am, au, wa, wd) =>
+      assert(onm == nm && onu == nu)
+      val (eam, eau) = cells(f)
+      assert(am == eam && au == eau, s"$f agreement cells")
+      def w(a: Long, b: Long): Option[Long] =
+        if (a >= 1 && b >= 1) Some(LnGrid.ln6WideRef(a, b)) else None
+      assert(wa == w(am * nu, au * nm), s"$f w_agree")
+      assert(wd == w((nm - am) * nu, (nu - au) * nm), s"$f w_disagree")
+    }
+  }
+
+  test("negsample_table: nested-isqrt replay; three-quarter power flattens the head") {
+    val out = graft.SparkEntry.queries("negsample_table")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length == 30)
+    val counts = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def isqrt(x: Long): Long = {
+      val s0 = math.floor(math.sqrt(x.toDouble)).toLong
+      if ((s0 + 1) * (s0 + 1) <= x) s0 + 1 else if (s0 * s0 > x) s0 - 1 else s0
+    }
+    val w = counts.map { case (t, c) => (t, c, isqrt(c * isqrt(c))) }
+    val wsum = w.map(_._3).sum
+    val top = w.sortBy { case (t, c, _) => (-c, t) }.take(30)
+    out.zip(top).foreach { case ((t, c, w34, v, p), (et, ec, ew)) =>
+      assert(t == et && c == ec && w34 == ew)
+      assert(v == counts.length.toLong)
+      assert(p == ew.toDouble / wsum.toDouble)
+      // exactness of the nested floor: w34² ≤ c·isqrt(c) < (w34+1)²
+      val x = c * isqrt(c)
+      assert(w34 * w34 <= x && (w34 + 1) * (w34 + 1) > x)
+    }
+    // flattening: the rarest of the top-30 gets a strictly larger
+    // sampling boost (p_neg/p_raw) than the most frequent — the point of
+    // the ¾ power (strict per-step monotonicity is broken by ±1 floor
+    // jitter between near-equal counts, so compare head vs tail)
+    val tot = counts.map(_._2).sum
+    val boost = (c: Long, p: Double) => p / (c.toDouble / tot)
+    assert(boost(out.last._2, out.last._5) > boost(out.head._2, out.head._5),
+      "negative-sampling boost should grow as counts shrink")
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
