@@ -1226,6 +1226,56 @@ object TextQueries {
         s"""WITH $erPairsSqlCtes
            |SELECT a_id, b_id, lev FROM erp ORDER BY a_id, b_id""".stripMargin)),
 
+    // ---- character-bigram entropy per source (added r8) ------------------
+    // The compressibility floor at CHARACTER grain — the Gopher/C4-family
+    // template-junk signal token_entropy can't see: a source whose docs are
+    // lexically varied but character-templated (IDs, markup, repeated
+    // punctuation scaffolds) shows low char-bigram entropy while its token
+    // entropy stays high. H = −Σ p·ln p over character bigrams, folded to
+    // the LnGrid form Σ c·ln6(tot, c) / (tot·10⁶) — exact int64 weighted
+    // sum, ONE bare division per source.
+    //
+    // Scale shape: per-doc bigram explode is map-side (positions generated
+    // per row, no join); one (source, bigram) agg — cardinality ≤
+    // charset² per source — then a ≤|sources| roll-up.
+    "char_ngram_entropy" -> Q(
+      fn = (s, dir) => {
+        val bg = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bg"))
+          .groupBy("source", "bg").agg(count(lit(1)).as("c"))
+        val tot = bg.groupBy("source").agg(sum(col("c")).as("tot"),
+          count(lit(1)).as("n_distinct"))
+        val j = bg.join(broadcast(tot), Seq("source"))
+        LnGrid.withLn6(j, col("tot"), col("c"), "l6", "__ce_")
+          .groupBy(col("source"), col("tot"), col("n_distinct"))
+          .agg(sum(col("c") * col("l6")).as("hsum"))
+          .select(col("source"), col("tot").as("n_bigrams"), col("n_distinct"),
+            (col("hsum").cast("double")
+              / (col("tot") * lit(1000000L)).cast("double")).as("h_nats"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH b0 AS (SELECT source,
+           |                   unnest(list_transform(range(1, length(text)),
+           |                          i -> substring(text, i, 2))) AS bg
+           |            FROM documents),
+           |bg AS (SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM b0 GROUP BY source, bg),
+           |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot,
+           |              CAST(COUNT(*) AS BIGINT) AS n_distinct
+           |       FROM bg GROUP BY source),
+           |j AS (SELECT bg.source, bg.bg, bg.c, tt.tot, tt.n_distinct
+           |      FROM bg JOIN tt USING (source)),
+           |${LnGrid.sqlCtes("j", "tot", "c", "l6", "ce_")},
+           |a AS (SELECT source, tot, n_distinct,
+           |             CAST(SUM(c * l6) AS BIGINT) AS hsum
+           |      FROM ce_out GROUP BY source, tot, n_distinct)
+           |SELECT source, tot AS n_bigrams, n_distinct,
+           |       CAST(hsum AS DOUBLE) / CAST(tot * 1000000 AS DOUBLE) AS h_nats
+           |FROM a ORDER BY source""".stripMargin)),
+
     // ---- Fellegi–Sunter linkage weights over the ER candidates (r8) ------
     // The probabilistic record-linkage layer on top of the ER family: for
     // each comparison field γ (same lang / same source / length within 10),

@@ -999,6 +999,25 @@ class R8OpsSpec extends SparkTestBase {
       "negative-sampling boost should grow as counts shrink")
   }
 
+  test("char_ngram_entropy: ln6Ref replay; 0 <= H <= ln(distinct)") {
+    val out = graft.SparkEntry.queries("char_ngram_entropy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val bigrams = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap { r => val t = r.getString(1)
+        (0 until t.length - 1).map(i => (r.getString(0), t.substring(i, i + 2))) }
+      .groupBy(_._1).map { case (s0, xs) =>
+        s0 -> xs.groupBy(_._2).map(_._2.length.toLong).toSeq }
+    out.foreach { case (src, nb, nd, h) =>
+      val cs = bigrams(src)
+      assert(nb == cs.sum && nd == cs.length.toLong)
+      val hsum = cs.map(c => c * LnGrid.ln6Ref(nb, c)).sum
+      assert(h == hsum.toDouble / (nb * 1000000L).toDouble, s"$src entropy")
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-5, s"$src entropy bounds")
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
