@@ -796,6 +796,121 @@ object SelectionQueries {
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- Naive-Bayes source separability (added r8) ----------------------
+    // "How lexically identifiable is each source?" — train an add-1
+    // multinomial NB source classifier on the corpus itself and report
+    // per-source self-classification accuracy (the confusion diagonal).
+    // High accuracy = the source is a distinct lexical domain (mixture
+    // weights matter, DoReMi-style); accuracy near the prior = the source
+    // is interchangeable with the pool and deduplicating across it is
+    // safe. The token-level twin of lang_confusion's char-heuristic
+    // confusion and the per-DOC sharpening of source_centroid_sim.
+    // ENGINE-VERSION-PROOF: per-(doc, source) scores are exact int64 sums
+    // of LnGrid values — Σ_t c_dt·ln6(c_st+1, n_s+V) for present tokens
+    // plus the missing-mass term (len_d − present_ds)·ln6(1, n_s+V) (the
+    // source_jsd inner-join trick — no dense doc×vocab×source explosion)
+    // plus the prior ln6(docs_s, N); argmax by min(struct(−score,
+    // source)) — integer compare, deterministic tie-break; accuracy ONE
+    // bare division.
+    //
+    // Scale shape: doc-token frame ⋈ (source, tok) model on tok (sparse,
+    // vocab-keyed — the heavy join is linear in corpus tokens × sources
+    // SHARING the token, never dense) → (doc, source) agg → per-doc
+    // argmax agg → ≤|sources| roll-up; model-side frames broadcast.
+    "source_separability" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val dt = docs
+          .select(col("doc_id"), col("source").as("true_src"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "true_src", "tok").agg(count(lit(1)).as("cdt"))
+        val dlen = dt.groupBy("doc_id", "true_src").agg(sum(col("cdt")).as("len"))
+        val st = docs
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+        val srcTot = st.groupBy("source").agg(sum(col("cst")).as("ns"))
+        val vocabV = st.agg(countDistinct(col("tok")).as("v"))
+        val nDocs = docs.groupBy("source").agg(count(lit(1)).as("docs_s"))
+        val nTot = docs.agg(count(lit(1)).as("n"))
+        val consts0 = srcTot.join(nDocs, Seq("source"))
+          .crossJoin(broadcast(vocabV)).crossJoin(broadcast(nTot))
+        val consts1 = LnGrid.withLn6(consts0, lit(1L), col("ns") + col("v"),
+          "miss6", "__m_")
+        val consts = LnGrid.withLn6(consts1, col("docs_s"), col("n"), "prior6", "__p_")
+          .select(col("source"), col("ns"), col("v"), col("miss6"), col("prior6"))
+        val model0 = st.join(broadcast(consts.select("source", "ns", "v")), Seq("source"))
+        val model = LnGrid.withLn6(model0, col("cst") + 1, col("ns") + col("v"),
+            "l6", "__nb_")
+          .select(col("source"), col("tok"), col("l6"))
+        val present = dt.join(model, Seq("tok"))
+          .groupBy(col("doc_id"), col("true_src"), col("source"))
+          .agg(sum(col("cdt") * col("l6")).as("psum"), sum(col("cdt")).as("pcnt"))
+        val grid = dlen.crossJoin(broadcast(consts.select("source", "miss6", "prior6")))
+          .join(present, Seq("doc_id", "true_src", "source"), "left")
+          .na.fill(0L, Seq("psum", "pcnt"))
+          .withColumn("score",
+            col("psum") + (col("len") - col("pcnt")) * col("miss6") + col("prior6"))
+        val pred = grid
+          .groupBy("doc_id", "true_src")
+          .agg(min(struct(negate(col("score")).as("nsc"), col("source").as("source"))).as("m"))
+          .select(col("true_src"), col("m.source").as("pred_src"))
+        pred.groupBy(col("true_src").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pred_src") === col("true_src"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("source"), col("n_docs"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n_docs").cast("double"))
+              .as("accuracy"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH dt AS (SELECT doc_id, true_src, tok, CAST(COUNT(*) AS BIGINT) AS cdt
+           |            FROM (SELECT doc_id, source AS true_src,
+           |                         unnest(string_split(text, ' ')) AS tok FROM documents)
+           |            GROUP BY doc_id, true_src, tok),
+           |dlen AS (SELECT doc_id, true_src, CAST(SUM(cdt) AS BIGINT) AS len
+           |         FROM dt GROUP BY doc_id, true_src),
+           |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
+           |       FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |             FROM documents)
+           |       GROUP BY source, tok),
+           |stt AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY source),
+           |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM st),
+           |ndoc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_s
+           |         FROM documents GROUP BY source),
+           |ntt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |c0 AS (SELECT stt.source, stt.ns, ndoc.docs_s, vv.v, ntt.n
+           |       FROM stt JOIN ndoc USING (source), vv, ntt),
+           |${LnGrid.sqlCtes("c0", "1", "ns + v", "miss6", "cm_")},
+           |${LnGrid.sqlCtes("cm_out", "docs_s", "n", "prior6", "cp_")},
+           |consts AS (SELECT source, ns, v, miss6, prior6 FROM cp_out),
+           |m0 AS (SELECT st.source, st.tok, st.cst, c.ns, c.v
+           |       FROM st JOIN consts c USING (source)),
+           |${LnGrid.sqlCtes("m0", "cst + 1", "ns + v", "l6", "nb_")},
+           |model AS (SELECT source, tok, l6 FROM nb_out),
+           |pres AS (SELECT dt.doc_id, dt.true_src, m.source,
+           |                CAST(SUM(dt.cdt * m.l6) AS BIGINT) AS psum,
+           |                CAST(SUM(dt.cdt) AS BIGINT) AS pcnt
+           |         FROM dt JOIN model m USING (tok)
+           |         GROUP BY dt.doc_id, dt.true_src, m.source),
+           |grid AS (SELECT d.doc_id, d.true_src, c.source,
+           |                COALESCE(p.psum, 0)
+           |                  + (d.len - COALESCE(p.pcnt, 0)) * c.miss6
+           |                  + c.prior6 AS score
+           |         FROM dlen d CROSS JOIN consts c
+           |         LEFT JOIN pres p ON p.doc_id = d.doc_id AND p.source = c.source),
+           |pred AS (SELECT doc_id, true_src, source AS pred_src,
+           |                ROW_NUMBER() OVER (PARTITION BY doc_id
+           |                  ORDER BY score DESC, source) AS rk
+           |         FROM grid),
+           |acc AS (SELECT true_src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |               CAST(SUM(CASE WHEN pred_src = true_src THEN 1 ELSE 0 END)
+           |                    AS BIGINT) AS n_correct
+           |        FROM pred WHERE rk = 1 GROUP BY true_src)
+           |SELECT true_src AS source, n_docs, n_correct,
+           |       CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+           |FROM acc ORDER BY source""".stripMargin)),
+
     // ---- greedy submodular source selection by bigram coverage (r8) ------
     // Facility-location-style greedy max-coverage over the mix-design axis
     // the divergence family (source_kl/jsd) can't answer: "which 3 sources

@@ -107,7 +107,11 @@ class PlanGuardSpec extends SparkTestBase {
       // negsample_table: vocab frame × the 1-row weight-sum broadcast
       "negsample_table",
       // attribution_position: ≤|types| credit agg × the 1-row total broadcast
-      "attribution_position")
+      "attribution_position",
+      // source_separability: 1-row V/N broadcasts into the constants frame
+      // + the ≤|sources| NB-constants broadcast against the per-doc frame
+      // (the dense doc×source score grid — 20-row side, map-side product)
+      "source_separability")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own

@@ -1018,6 +1018,42 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("source_separability: in-process NB replay of the exact integer argmax") {
+    val out = graft.SparkEntry.queries("source_separability")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 20)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val st = docs.flatMap { case (_, s0, ts) => ts.map(s0 -> _) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val ns = st.groupBy(_._1._1).map { case (s0, xs) => s0 -> xs.values.sum }
+    val v = st.keys.map(_._2).toSet.size.toLong
+    val docsPerSrc = docs.groupBy(_._2).map { case (s0, xs) => s0 -> xs.length.toLong }
+    val n = docs.length.toLong
+    val sources = ns.keys.toSeq.sorted
+    val pred = docs.map { case (_, trueSrc, ts) =>
+      val counts = ts.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val best = sources.map { s0 =>
+        val miss = LnGrid.ln6Ref(1, ns(s0) + v)
+        val score = counts.map { case (t, c) =>
+          st.get((s0, t)) match {
+            case Some(cst) => c * LnGrid.ln6Ref(cst + 1, ns(s0) + v)
+            case None => c * miss
+          }
+        }.sum + LnGrid.ln6Ref(docsPerSrc(s0), n)
+        (s0, score)
+      }.minBy { case (s0, sc) => (-sc, s0) }._1
+      (trueSrc, best)
+    }
+    out.foreach { case (src, nd, nc, acc) =>
+      assert(nd == docsPerSrc(src))
+      val expCorrect = pred.count { case (t, p) => t == src && p == src }.toLong
+      assert(nc == expCorrect, s"$src correct count")
+      assert(acc == nc.toDouble / nd.toDouble)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
