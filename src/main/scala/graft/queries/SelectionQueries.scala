@@ -796,6 +796,70 @@ object SelectionQueries {
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- temporal split audit: entity leakage across time (added r8) -----
+    // The TIME-based complement of train_split (hash) + split_leakage
+    // (near-dup): when eval data is "everything after day T" — the honest
+    // setup for forecasting/recommendation evals — the remaining leak
+    // vector is ENTITIES spanning the boundary: a user seen in train whose
+    // test-side behavior the model effectively memorized. Split at the
+    // 2/3 point of the calendar span (integer day arithmetic, identical
+    // on both engines); per user: train-only / test-only / spanning, plus
+    // event mass on each side and the spanning-user share of test events
+    // (the leakage exposure number). All exact counts, shares ONE bare
+    // division each.
+    //
+    // Scale shape: one (user, side) agg → per-user classification →
+    // 1-row roll-up; the split day is a 1-row min/max broadcast.
+    "temporal_split_audit" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(expr("date_add(d0, cast((datediff(d1, d0) * 2) div 3 as int))")
+            .as("cut"))
+        val sided = ev.crossJoin(broadcast(bounds))
+          .select(col("user_id"), (col("d") <= col("cut")).cast("long").as("tr"))
+        val perUser = sided.groupBy("user_id")
+          .agg(sum(col("tr")).as("n_tr"), sum(lit(1L) - col("tr")).as("n_te"))
+        perUser.agg(
+            count(lit(1)).as("n_users"),
+            sum(when(col("n_tr") > 0 && col("n_te") === 0, 1L).otherwise(0L)).as("train_only"),
+            sum(when(col("n_tr") === 0 && col("n_te") > 0, 1L).otherwise(0L)).as("test_only"),
+            sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L)).as("spanning"),
+            sum(col("n_tr")).as("train_events"),
+            sum(col("n_te")).as("test_events"),
+            sum(when(col("n_tr") > 0, col("n_te")).otherwise(0L)).as("leaked_test_events"))
+          .select(col("n_users"), col("train_only"), col("test_only"), col("spanning"),
+            col("train_events"), col("test_events"),
+            when(col("test_events") === 0, lit(null).cast("double"))
+              .otherwise(col("leaked_test_events").cast("double")
+                / col("test_events").cast("double")).as("leak_share"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+          |c AS (SELECT d0 + CAST((datediff('day', d0, d1) * 2) // 3 AS INTEGER) AS cut
+          |      FROM b),
+          |sided AS (SELECT user_id,
+          |                 CASE WHEN d <= (SELECT cut FROM c) THEN 1 ELSE 0 END AS tr
+          |          FROM ev),
+          |pu AS (SELECT user_id, CAST(SUM(tr) AS BIGINT) AS n_tr,
+          |              CAST(SUM(1 - tr) AS BIGINT) AS n_te
+          |       FROM sided GROUP BY user_id),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+          |             CAST(SUM(CASE WHEN n_tr > 0 AND n_te = 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_only,
+          |             CAST(SUM(CASE WHEN n_tr = 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_only,
+          |             CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS spanning,
+          |             CAST(SUM(n_tr) AS BIGINT) AS train_events,
+          |             CAST(SUM(n_te) AS BIGINT) AS test_events,
+          |             CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT) AS leaked_test_events
+          |      FROM pu)
+          |SELECT n_users, train_only, test_only, spanning, train_events, test_events,
+          |       CASE WHEN test_events = 0 THEN NULL
+          |            ELSE CAST(leaked_test_events AS DOUBLE)
+          |                 / CAST(test_events AS DOUBLE) END AS leak_share
+          |FROM a""".stripMargin)),
+
     // ---- Naive-Bayes source separability (added r8) ----------------------
     // "How lexically identifiable is each source?" — train an add-1
     // multinomial NB source classifier on the corpus itself and report

@@ -108,6 +108,8 @@ class PlanGuardSpec extends SparkTestBase {
       "negsample_table",
       // attribution_position: ≤|types| credit agg × the 1-row total broadcast
       "attribution_position",
+      // temporal_split_audit: the 1-row cut-day broadcast onto the event side
+      "temporal_split_audit",
       // source_separability: 1-row V/N broadcasts into the constants frame
       // + the ≤|sources| NB-constants broadcast against the per-doc frame
       // (the dense doc×source score grid — 20-row side, map-side product)

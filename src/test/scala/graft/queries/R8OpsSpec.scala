@@ -1054,6 +1054,28 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("temporal_split_audit: in-process replay; user classes partition; leak covers spanning") {
+    val Array((nu, tro, teo, sp, trE, teE, leak)) =
+      graft.SparkEntry.queries("temporal_split_audit")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val d0 = ev.map(_._2).minBy(_.toEpochDay); val d1 = ev.map(_._2).maxBy(_.toEpochDay)
+    val cut = d0.plusDays((d1.toEpochDay - d0.toEpochDay) * 2 / 3)
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> (xs.count(!_._2.isAfter(cut)).toLong, xs.count(_._2.isAfter(cut)).toLong) }
+    assert(nu == perUser.size.toLong && tro + teo + sp == nu)
+    assert(tro == perUser.values.count { case (a, b) => a > 0 && b == 0 }.toLong)
+    assert(teo == perUser.values.count { case (a, b) => a == 0 && b > 0 }.toLong)
+    assert(sp == perUser.values.count { case (a, b) => a > 0 && b > 0 }.toLong)
+    assert(trE == perUser.values.map(_._1).sum && teE == perUser.values.map(_._2).sum)
+    val leaked = perUser.values.filter(_._1 > 0).map(_._2).sum
+    assert(leak.contains(leaked.toDouble / teE.toDouble))
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
