@@ -448,6 +448,72 @@ object StreamBench {
     }
     val packRps = PackDocs / packSecs
 
+    // ---- streaming activity streaks: stateful throughput -------------------
+    // islandsStream over 3M user-day observations across 1,000,000
+    // RocksDB-backed user keys — three day files (epoch days D, D+1, D+2,
+    // one file per day so the funnel ordering contract holds across
+    // batches), every user active every day, so each user's final open
+    // streak is the closed form (start D, end D+2, len 3) and NO streak
+    // ever closes. The driver folds last-write-wins per user and asserts
+    // all 1M finals + zero closed emissions + 1M state keys. State is two
+    // epoch-day longs per user regardless of history length.
+    val IslUsers = 1_000_000L
+    val IslDay0 = 20000L
+    val prevProviderI = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (islSecs, islStateKeys, islRows, islClosed) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-isl-src").toString
+      (0 until 3).foreach { d =>
+        spark.range(IslUsers).select(
+          col("id").as("userId"), lit(IslDay0 + d).as("epochDay"))
+          .coalesce(4)
+          .write.mode("append").parquet(srcDir)
+      }
+      val days = spark.readStream
+        .schema("userId BIGINT, epochDay BIGINT")
+        .option("maxFilesPerTrigger", "4")
+        .option("latestFirst", "false")
+        .parquet(srcDir)
+        .as[PriorityStreams.DayEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-isl-bench").toString
+      val finals = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
+      @volatile var rows = 0L
+      @volatile var closed = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.islandsStream(days)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.StreakRow], _: Long) =>
+          val got = b.collect()
+          rows += got.length
+          closed += got.count(_.closed)
+          got.filter(!_.closed).foreach(r =>
+            finals.put(r.userId, (r.startDay, r.endDay, r.lenDays)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys == IslUsers, s"islands state keys $keys != $IslUsers")
+      assert(finals.size == IslUsers, s"islands finals ${finals.size} != $IslUsers")
+      assert(closed == 0L, s"islands closed $closed != 0 (no gaps in the feed)")
+      val it = finals.values().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        assert(v == ((IslDay0, IslDay0 + 2, 3L)),
+          s"islands final streak $v != ($IslDay0, ${IslDay0 + 2}, 3)")
+      }
+      (secs, keys, rows, closed)
+    } finally prevProviderI match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val islRps = (3L * IslUsers) / islSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -654,7 +720,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }

@@ -228,6 +228,73 @@ object CurationQueries {
           |       CAST(w5 AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight
           |FROM w, ws ORDER BY source""".stripMargin)),
 
+    // ---- greedy argmax decode from the bigram LM (added r8) --------------
+    // The deterministic end of the LM family: starting from the corpus's
+    // most frequent token, repeatedly follow the highest-count bigram
+    // transition for 6 steps — greedy argmax decoding, the temperature-0
+    // generation every LM eval harness smoke-tests with, and a direct
+    // probe of what the bigram statistics "memorized" (the decode IS the
+    // corpus's dominant phrase skeleton). All-integer argmax (count DESC,
+    // token ASC tie-break) so both engines pick identical paths; emitted
+    // columns are the step, token, and the exact transition count taken.
+    // A step with no outgoing bigram ends the walk (shorter output, same
+    // on both engines).
+    //
+    // Scale shape: ONE corpus bigram agg; each unrolled step is a 1-row
+    // broadcast joined against the vocab-sized model — the kcenter loop
+    // shape with constant-size state.
+    "bigram_greedy_decode" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val model = toks.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val start = toks.select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .agg(min(struct(negate(col("c")).as("nc"), col("t").as("t"))).as("m"))
+          .select(lit(0L).as("step"), col("m.t").as("token"),
+            negate(col("m.nc")).as("c"))
+        var out = start
+        var cur = start
+        for (k <- 1 to 6) {
+          cur = model.join(broadcast(cur.select(col("token").as("a"))), Seq("a"))
+            .agg(min(struct(negate(col("c")).as("nc"), col("b").as("b"))).as("m"))
+            .select(lit(k.toLong).as("step"), col("m.b").as("token"),
+              negate(col("m.nc")).as("c"))
+            .filter(col("token").isNotNull)
+          out = out.unionByName(cur)
+        }
+        out.orderBy("step")
+      },
+      oracle = Some {
+        val steps = (1 to 6).map { k =>
+          s"""s$k AS (SELECT a, b, c FROM model
+             |       WHERE a = (SELECT token FROM p${k - 1})
+             |       ORDER BY c DESC, b LIMIT 1),
+             |p$k AS (SELECT CAST($k AS BIGINT) AS step, b AS token, c FROM s$k)"""
+            .stripMargin
+        }.mkString(",\n")
+        val union = (1 to 6).map(k => s"UNION ALL SELECT * FROM p$k").mkString("\n")
+        s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           |model AS (SELECT toks[i] AS a, toks[i + 1] AS b,
+           |                 CAST(COUNT(*) AS BIGINT) AS c
+           |          FROM t, UNNEST(range(1, len(toks))) AS u(i)
+           |          WHERE len(toks) >= 2 GROUP BY 1, 2),
+           |uni AS (SELECT unnest(toks) AS tk FROM t),
+           |p0 AS (SELECT CAST(0 AS BIGINT) AS step, tk AS token,
+           |              CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM uni GROUP BY tk ORDER BY c DESC, tk LIMIT 1),
+           |$steps
+           |SELECT * FROM p0
+           |$union
+           |ORDER BY step""".stripMargin
+      }),
+
     // ---- word2vec negative-sampling table (added r8) ---------------------
     // The unigram^¾ sampling distribution word2vec/NCE training draws
     // negatives from (Mikolov et al. 2013): raising counts to the ¾ power

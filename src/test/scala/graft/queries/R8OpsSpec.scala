@@ -1076,6 +1076,27 @@ class R8OpsSpec extends SparkTestBase {
     assert(leak.contains(leaked.toDouble / teE.toDouble))
   }
 
+  test("bigram_greedy_decode: in-process greedy walk replay") {
+    val out = graft.SparkEntry.queries("bigram_greedy_decode")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.nonEmpty && out.head._1 == 0L)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(split(col("text"), " ")).collect().map(_.getSeq[String](0))
+    val uni = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val bi = docs.filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    var cur = uni.toSeq.minBy { case (t, c) => (-c, t) }
+    assert(out.head._2 == cur._1 && out.head._3 == cur._2)
+    out.tail.foreach { case (step, tok, c) =>
+      val nexts = bi.collect { case ((a, b), cc) if a == cur._1 => (b, cc) }
+      assert(nexts.nonEmpty, s"walk ended before step $step")
+      val pick = nexts.toSeq.minBy { case (b, cc) => (-cc, b) }
+      assert(tok == pick._1 && c == pick._2, s"step $step pick")
+      cur = pick
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
