@@ -264,6 +264,64 @@ object SimilarityQueries {
     // exactly, the mean is Σint / (n·10^6) — one bare division. Scale
     // shape: one map-only pass, partial agg collapses to ≤ #labels rows
     // pre-shuffle — the cheapest possible full-table audit at 100 TB.
+    // ---- 1-NN label consistency within IVF lists (added r8) --------------
+    // The Confident-Learning-lite label-noise detector: for each vector,
+    // find its nearest neighbor INSIDE its IVF list (the retriever's own
+    // partition of the space — no all-pairs, the semdedup within-cluster
+    // precedent) and report per-class 1-NN label agreement. A class whose
+    // agreement sits near the prior is not separable in this embedding
+    // space — its labels (or its embeddings) are noise; per-example
+    // disagreement is the standard relabel-queue signal. Distances via the
+    // proven floatL2Sq ↔ duckL2Full fold pair; argmin by min(struct(d2,
+    // b_id)) with the vec_id tie-break matching the oracle's ROW_NUMBER;
+    // agreement rate ONE bare division.
+    //
+    // Scale shape: the shared ivfLists assignment (map-side argmin agg) →
+    // within-list pair join — list-bounded, ≈ n²/16 pairs at uniform
+    // lists, never a global cartesian (at 100 TB bound the list size by
+    // raising n_lists: pairs stay (n/L)²·L — the audit's own ivf_balance
+    // measures exactly that) → per-vector argmin agg → ≤|labels| roll-up.
+    "knn_label_consistency" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val withLab = ivfLists(emb)
+          .join(emb.select(col("vec_id").as("cid"), col("label")), Seq("cid"))
+        val a = withLab.select(col("list_id"), col("cid").as("a_id"),
+          col("cv").as("va"), col("label").as("la"))
+        val b = withLab.select(col("list_id"), col("cid").as("b_id"),
+          col("cv").as("vb"), col("label").as("lb"))
+        val nn = a.join(b, Seq("list_id")).filter(col("a_id") =!= col("b_id"))
+          .withColumn("d2",
+            graft.functions.VectorFunctions.floatL2Sq(col("va"), col("vb")))
+          .groupBy(col("a_id"), col("la"))
+          .agg(min(struct(col("d2"), col("b_id"), col("lb"))).as("m"))
+          .select(col("la").as("label"),
+            when(col("la") === col("m.lb"), 1L).otherwise(0L).as("agree"))
+        nn.groupBy("label")
+          .agg(count(lit(1)).as("n"), sum(col("agree")).as("nn_agree"))
+          .select(col("label"), col("n"), col("nn_agree"),
+            (col("nn_agree").cast("double") / col("n").cast("double"))
+              .as("consistency"))
+          .orderBy("label")
+      },
+      oracle = Some(
+        s"""WITH $ivfListsSql,
+           |wl AS (SELECT l.cid, l.cv, l.list_id, e.label
+           |       FROM lists l JOIN embeddings e ON e.vec_id = l.cid),
+           |p AS (SELECT a.cid AS a_id, a.label AS la, b.cid AS b_id, b.label AS lb,
+           |             ${duckL2Full("a.cv", "b.cv")} AS d2
+           |      FROM wl a JOIN wl b ON a.list_id = b.list_id AND a.cid <> b.cid),
+           |nn AS (SELECT a_id, la, lb,
+           |              ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rk
+           |       FROM p),
+           |ag AS (SELECT la AS label,
+           |              CASE WHEN la = lb THEN 1 ELSE 0 END AS agree
+           |       FROM nn WHERE rk = 1)
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(agree) AS BIGINT) AS nn_agree,
+           |       CAST(SUM(agree) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS consistency
+           |FROM ag GROUP BY label ORDER BY label""".stripMargin)),
+
     "embedding_audit" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

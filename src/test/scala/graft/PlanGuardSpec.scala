@@ -110,6 +110,8 @@ class PlanGuardSpec extends SparkTestBase {
       "attribution_position",
       // temporal_split_audit: the 1-row cut-day broadcast onto the event side
       "temporal_split_audit",
+      // knn_label_consistency: the shared ivfLists 16-centroid broadcast
+      "knn_label_consistency",
       // source_separability: 1-row V/N broadcasts into the constants frame
       // + the ≤|sources| NB-constants broadcast against the per-doc frame
       // (the dense doc×source score grid — 20-row side, map-side product)

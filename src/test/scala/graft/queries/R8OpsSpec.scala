@@ -1097,6 +1097,45 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("knn_label_consistency: in-process 1-NN replay within the gated IVF lists") {
+    val out = graft.SparkEntry.queries("knn_label_consistency")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = emb.filter(_._1 < 16)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s0 += d * d; i += 1 }
+      s0
+    }
+    val listed = emb.map { case (id, v, lab) =>
+      val lid = cents.map { case (cid, cv, _) => (cid, cos(v, cv)) }
+        .minBy { case (cid, sim) => (-sim, cid) }._1
+      (id, v, lab, lid)
+    }
+    val agree = listed.groupBy(_._4).values.flatMap { g =>
+      g.map { case (id, v, lab, _) =>
+        val nn = g.filter(_._1 != id)
+          .map { case (oid, ov, olab, _) => (l2(v, ov), oid, olab) }
+          .minBy { case (d, oid, _) => (d, oid) }
+        (lab, if (nn._3 == lab) 1L else 0L)
+      }
+    }.toSeq
+    out.foreach { case (lab, n, na, cons) =>
+      val mine = agree.filter(_._1 == lab)
+      assert(n == mine.length.toLong, s"label $lab n")
+      assert(na == mine.map(_._2).sum, s"label $lab agree")
+      assert(cons == na.toDouble / n.toDouble)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
