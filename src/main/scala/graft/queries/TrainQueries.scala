@@ -154,6 +154,70 @@ object TrainQueries {
            |ORDER BY sc.source, sc.cluster""".stripMargin
       }),
 
+    // ---- cluster-vs-label purity (added r8) ------------------------------
+    // The unsupervised-vs-supervised cross-check: per k-means cluster (the
+    // kmeans_step argmin assignment, verbatim), the majority LABEL and its
+    // share — cluster purity, the first number read when judging whether
+    // an embedding clustering recovers the annotated structure (purity ≈
+    // label prior ⇒ the clusters are orthogonal to the labels;
+    // knn_label_consistency is the per-example view, this is the
+    // per-partition view). Majority by exact count argmax (count DESC,
+    // label ASC); purity ONE bare division.
+    //
+    // Scale shape: the 16-row codebook broadcast + map-side argmin agg →
+    // (cluster, label) agg (≤ 16×|labels| rows) → per-cluster argmax —
+    // everything after the assignment is constant-size.
+    "cluster_purity" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val assigned = emb.select(col("vec_id"), col("embedding"), col("label"))
+          .crossJoin(broadcast(cents))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(struct(
+            coalesce(floatL2Sq(col("embedding"), col("centv")),
+              lit(Double.PositiveInfinity)).as("d2"),
+            col("cent_id"))).as("m"))
+          .select(col("label"), col("m.cent_id").as("cluster"))
+        val cl = assigned.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+        val top = cl.groupBy("cluster")
+          .agg(sum(col("n")).as("n_total"),
+            min(struct((-col("n")).as("nn"), col("label").as("label"))).as("m"))
+          .select(col("cluster"), col("n_total"),
+            col("m.label").as("top_label"), (-col("m.nn")).as("n_top"))
+        top.select(col("cluster"), col("n_total"), col("top_label"), col("n_top"),
+            (col("n_top").cast("double") / col("n_total").cast("double")).as("purity"))
+          .orderBy("cluster")
+      },
+      oracle = Some {
+        val l2 =
+          """list_reduce(list_transform(range(1, 65),
+            |  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            |     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))),
+            |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
+           |               FROM embeddings WHERE vec_id < 16),
+           |assigned AS (
+           |  SELECT label, cluster FROM (
+           |    SELECT e.vec_id, e.label, c.cent_id AS cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $l2, c.cent_id) AS rk
+           |    FROM embeddings e CROSS JOIN cents c) t
+           |  WHERE rk = 1),
+           |cl AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+           |       FROM assigned GROUP BY cluster, label),
+           |top AS (SELECT cluster,
+           |               CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_total,
+           |               label AS top_label, n AS n_top,
+           |               ROW_NUMBER() OVER (PARTITION BY cluster
+           |                                  ORDER BY n DESC, label) AS rk
+           |        FROM cl)
+           |SELECT cluster, n_total, top_label, n_top,
+           |       CAST(n_top AS DOUBLE) / CAST(n_total AS DOUBLE) AS purity
+           |FROM top WHERE rk = 1 ORDER BY cluster""".stripMargin
+      }),
+
     // ---- multi-iteration k-means training (added r6) ---------------------
     // Three chained Lloyd iterations — the real training LOOP, not just one
     // step: assign → update → re-derive centroids → repeat, with the final

@@ -1136,6 +1136,22 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cluster_purity: totals tie to cluster_source_mix's assignment; majority replay") {
+    val out = graft.SparkEntry.queries("cluster_purity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // cluster sizes must equal the embeddings count partition-wise
+    val nVecs = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(out.map(_._2).sum == nVecs, "cluster sizes don't partition the vectors")
+    out.foreach { case (_, n, _, nTop, purity) =>
+      assert(nTop >= 1 && nTop <= n)
+      assert(purity == nTop.toDouble / n.toDouble)
+      // majority is at least the uniform share over the 10 labels
+      assert(purity * 10 >= 0.999999)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
