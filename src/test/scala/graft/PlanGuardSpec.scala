@@ -112,6 +112,8 @@ class PlanGuardSpec extends SparkTestBase {
       "temporal_split_audit",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast
       "knn_label_consistency",
+      // cluster_purity: the 16-row codebook broadcast (kmeans_step shape)
+      "cluster_purity",
       // source_separability: 1-row V/N broadcasts into the constants frame
       // + the ≤|sources| NB-constants broadcast against the per-doc frame
       // (the dense doc×source score grid — 20-row side, map-side product)
