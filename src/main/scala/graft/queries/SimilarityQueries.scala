@@ -1455,6 +1455,60 @@ object SimilarityQueries {
   //
   // Scale shape: retriever plans + two ≤(queries×10)-row joins/aggs —
   // constant eval overhead at any corpus size.
+  // ---- ANN quality eval #5: exact-integer MAP@10 -------------------------
+  // Mean Average Precision completes the IR-eval suite (recall = coverage,
+  // MRR = first hit, NDCG = graded order, RBO = rank similarity, MAP =
+  // precision integrated over the recall curve — the canonical single
+  // number for multi-relevant retrieval). EXACT-INTEGER construction (the
+  // attribution_position LCM trick): AP@10 = Σ_hits prec@k / 10 with
+  // prec@k = hits≤k/k, and every k ∈ 1..10 divides 2520, so
+  // ap_units = Σ hits≤k · (2520 div k) is an exact int with ap =
+  // units/25200 as ONE bare division; perfect retrieval ⇒ units = 25200
+  // exactly. Same no-drift composition as the other evals: legs reuse the
+  // gated retriever builders, the oracle nests their SQL.
+  //
+  // Scale shape: retriever plans + per-qid ≤10-row windows + ≤5-row aggs —
+  // constant eval overhead at any corpus size.
+  "map_eval" -> Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
+      val qids = exact.select("qid").distinct()
+      def leg(name: String) = {
+        val w = Window.partitionBy(col("qid")).orderBy(col("rk"))
+        val ap = base(name).fn(s, dir).select(col("qid"), col("cid"), col("rk"))
+          .join(exact, Seq("qid", "cid"), "left_semi")
+          .withColumn("hle", count(lit(1)).over(w))
+          .withColumn("units", col("hle") * expr("2520 div rk"))
+          .groupBy("qid").agg(sum(col("units")).as("u"))
+        qids.join(ap, Seq("qid"), "left")
+          .select(lit(name).as("method"), col("qid"),
+            coalesce(col("u"), lit(0L)).as("ap_units"),
+            (coalesce(col("u"), lit(0L)).cast("double") / 25200.0).as("ap"))
+      }
+      leg("ivf_topk").unionAll(leg("lsh_topk")).orderBy("method", "qid")
+    },
+    oracle = Some {
+      def leg(name: String) =
+        s"""SELECT '$name' AS method, q.qid,
+           |       CAST(COALESCE(u.u, 0) AS BIGINT) AS ap_units,
+           |       CAST(COALESCE(u.u, 0) AS DOUBLE) / 25200.0 AS ap
+           |FROM q LEFT JOIN (
+           |  SELECT qid, SUM(units) AS u FROM (
+           |    SELECT a.qid,
+           |           COUNT(*) OVER (PARTITION BY a.qid ORDER BY a.rk) * (2520 // a.rk) AS units
+           |    FROM a_$name a JOIN exact e ON e.qid = a.qid AND e.cid = a.cid) t
+           |  GROUP BY qid) u ON u.qid = q.qid""".stripMargin
+      s"""WITH exact AS (${base("similarity_topk").oracle.get}),
+         |a_ivf_topk AS (${base("ivf_topk").oracle.get}),
+         |a_lsh_topk AS (${base("lsh_topk").oracle.get}),
+         |q AS (SELECT DISTINCT qid FROM exact)
+         |SELECT * FROM (${leg("ivf_topk")}
+         |UNION ALL
+         |${leg("lsh_topk")})
+         |ORDER BY method, qid""".stripMargin
+    }),
+
   "ndcg_eval" -> Q(
     fn = (s, dir) => {
       val exact = base("similarity_topk").fn(s, dir)

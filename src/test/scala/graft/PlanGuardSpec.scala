@@ -76,6 +76,7 @@ class PlanGuardSpec extends SparkTestBase {
       "hard_negatives", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
       "source_lang_chi2", // S×L contingency grid from the marginals (≤ 20×5) + 1-row total broadcasts
       "ndcg_eval", // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
+      "map_eval", // same composition — the retrievers' whitelisted broadcasts
       "ks_source_lengths", // broadcast of the 1-row (N1, N2) totals aggregate
       "triangle_count", // product of the three 1-row scalar aggregates (edges/triangles/wedges)
       "basket_lift", // broadcast of the 1-row basket-total aggregate

@@ -1152,6 +1152,28 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("map_eval: AP units replay from the gated retriever rankings; bounds") {
+    val out = graft.SparkEntry.queries("map_eval")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val exact = graft.SparkEntry.queries("similarity_topk")(spark, dir)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    Seq("ivf_topk", "lsh_topk").foreach { m =>
+      val ranked = graft.SparkEntry.queries(m)(spark, dir)
+        .select(col("qid"), col("cid"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      out.filter(_._1 == m).foreach { case (_, q, units, ap) =>
+        val rel = exact(q)
+        val hits = ranked.filter(x => x._1 == q && rel(x._2)).map(_._3).sorted
+        val expUnits = hits.zipWithIndex.map { case (k, i) => (i + 1).toLong * (2520L / k) }.sum
+        assert(units == expUnits, s"$m/$q AP units")
+        assert(ap == units.toDouble / 25200.0 && ap >= 0.0 && ap <= 1.0)
+      }
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
