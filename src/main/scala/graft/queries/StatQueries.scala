@@ -644,6 +644,64 @@ object StatQueries {
            |            ELSE CAST(cxy * cxy AS DOUBLE) / CAST(vx * vy AS DOUBLE) END AS r2
            |FROM c""".stripMargin)),
 
+    // ---- Wilson 95% interval on daily conversion (added r8) --------------
+    // The error bars a daily conversion dashboard should draw (the normal
+    // approximation collapses at small n / extreme p; Wilson does not).
+    // Trials = active users per day, successes = users who purchased that
+    // day. ENGINE-VERSION-PROOF algebra: with z = 49/25 (1.96 exactly as
+    // a rational), the Wilson bounds reduce to
+    //   (1250·n·x + 2401·n ∓ 49·s) / (1250·n² + 4802·n),
+    //   s = ⌊√(n·(2500·x·(n−x) + 2401·n))⌋  via [[Q.isqrt]]
+    // — every operand an exact int64 (radicand ≤ 1.4e17 at gate counts),
+    // the floored radical deterministic on any engine (±1-repaired), and
+    // each bound ONE bare division. The floor biases both bounds by
+    // < 1/(1250n²) — far below the interval's own width, and identically
+    // on both engines. p̂ is its own bare division.
+    //
+    // Scale shape: one (user, day) agg → day-grain agg → map-only bound
+    // arithmetic; nothing corpus-sized past the first agg.
+    "wilson_ci_daily" -> Q(
+      fn = (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+          .groupBy("d").agg(count(lit(1)).as("n"), sum(col("c")).as("x"))
+        val sCol = Q.isqrt(col("n") * (lit(2500L) * col("x") * (col("n") - col("x"))
+          + lit(2401L) * col("n")))
+        daily
+          .withColumn("s", sCol)
+          .select(col("d"), col("n"), col("x"),
+            (col("x").cast("double") / col("n").cast("double")).as("p"),
+            ((lit(1250L) * col("n") * col("x") + lit(2401L) * col("n")
+              - lit(49L) * col("s")).cast("double")
+              / (lit(1250L) * col("n") * col("n") + lit(4802L) * col("n"))
+                .cast("double")).as("wilson_lo"),
+            ((lit(1250L) * col("n") * col("x") + lit(2401L) * col("n")
+              + lit(49L) * col("s")).cast("double")
+              / (lit(1250L) * col("n") * col("n") + lit(4802L) * col("n"))
+                .cast("double")).as("wilson_hi"))
+          .orderBy("d")
+      },
+      oracle = Some(
+        """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS d,
+          |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+          |           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+          |daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS x
+          |          FROM u GROUP BY d),
+          |r AS (SELECT *, n * (2500 * x * (n - x) + 2401 * n) AS rad FROM daily),
+          |s0 AS (SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS c0 FROM r),
+          |w AS (SELECT d, n, x,
+          |             CASE WHEN (c0 + 1) * (c0 + 1) <= rad THEN c0 + 1
+          |                  WHEN c0 * c0 > rad THEN c0 - 1 ELSE c0 END AS s
+          |      FROM s0)
+          |SELECT d, n, x,
+          |       CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+          |       CAST(1250 * n * x + 2401 * n - 49 * s AS DOUBLE)
+          |         / CAST(1250 * n * n + 4802 * n AS DOUBLE) AS wilson_lo,
+          |       CAST(1250 * n * x + 2401 * n + 49 * s AS DOUBLE)
+          |         / CAST(1250 * n * n + 4802 * n AS DOUBLE) AS wilson_hi
+          |FROM w ORDER BY d""".stripMargin)),
+
     // ---- two-proportion z-test on cohort conversion (added r8) -----------
     // The A/B-test workhorse Welch's t (means) doesn't cover: did cohort A
     // convert at a different RATE than cohort B? Cohorts = user_id parity

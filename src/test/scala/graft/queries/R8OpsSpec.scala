@@ -1174,6 +1174,27 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("wilson_ci_daily: BigInt replay; bounds bracket p-hat and tighten with n") {
+    val out = graft.SparkEntry.queries("wilson_ci_daily")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    def isqrt(x: BigInt): BigInt = {
+      var s0 = BigInt(math.floor(math.sqrt(x.toDouble)).toLong)
+      if ((s0 + 1) * (s0 + 1) <= x) s0 += 1 else if (s0 * s0 > x) s0 -= 1
+      s0
+    }
+    out.foreach { case (d, n, x, p, lo, hi) =>
+      assert(p == x.toDouble / n.toDouble)
+      val s = isqrt(BigInt(n) * (BigInt(2500) * x * (n - x) + BigInt(2401) * n))
+      val den = BigInt(1250) * n * n + BigInt(4802) * n
+      val core = BigInt(1250) * n * x + BigInt(2401) * n
+      assert(lo == (core - BigInt(49) * s).toDouble / den.toDouble, s"$d lower")
+      assert(hi == (core + BigInt(49) * s).toDouble / den.toDouble, s"$d upper")
+      assert(lo <= p + 1e-12 && p <= hi + 1e-12 && lo >= 0.0 && hi <= 1.0 + 1e-12)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
