@@ -1357,6 +1357,44 @@ object FunnelQueries {
     // combine; per-type stats collapse to ≤ |types| rows and broadcast
     // back. At 100 TB the window for "days" is a calendar dimension —
     // both aggs stay tiny however large the corpus.
+    // ---- exact quantiles of user lifetime revenue (added r8) -------------
+    // The whale curve's raw numbers: p25/50/75/90 of per-user lifetime
+    // purchase revenue — how concentrated is monetization (p90 ≫ p50 =
+    // whale-driven; cohort_ltv is the time axis, this is the user-mass
+    // axis). EXACT: per-user revenue as DECIMAL(18,2) → integer CENTS,
+    // quantiles by nearest-rank (ceil(p·n), 1-based) over the sorted cents
+    // list — pure integer indexing, no interpolation, no float until the
+    // final /100 cents→currency division (dyadic-free but a single
+    // correctly-rounded op on identical ints). Sorted-list contract:
+    // exact at gate scale, approx_percentile is the documented 100 TB
+    // drop-in (length_quantiles precedent).
+    "user_ltv_quantiles" -> Q(
+      fn = (s, dir) => {
+        def q(p: String, name: String) =
+          (expr(s"cents[int(ceil($p * size(cents))) - 1]").cast("double") / 100.0)
+            .as(name)
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+          .select((col("rev") * 100).cast("long").as("c"))
+          .agg(sort_array(collect_list(col("c"))).as("cents"))
+          .select(size(col("cents")).cast("long").as("n_payers"),
+            q("0.25", "p25"), q("0.5", "p50"), q("0.75", "p75"), q("0.9", "p90"))
+      },
+      oracle = Some {
+        def q(p: String, name: String) =
+          s"CAST(cents[CAST(ceil($p * len(cents)) AS INTEGER)] AS DOUBLE) / 100.0 AS $name"
+        s"""WITH u AS (SELECT user_id,
+           |             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+           |           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |a AS (SELECT list_sort(list(c)) AS cents FROM u)
+           |SELECT CAST(len(cents) AS BIGINT) AS n_payers,
+           |       ${q("0.25", "p25")}, ${q("0.5", "p50")},
+           |       ${q("0.75", "p75")}, ${q("0.9", "p90")}
+           |FROM a""".stripMargin
+      }),
+
     // ---- cohort lifetime value curves (added r8) -------------------------
     // The revenue companion of retention_cohorts: users grouped by signup
     // week (first event, Monday-truncated — identical date_trunc semantics

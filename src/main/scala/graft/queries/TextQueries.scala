@@ -1276,6 +1276,60 @@ object TextQueries {
            |       CAST(hsum AS DOUBLE) / CAST(tot * 1000000 AS DOUBLE) AS h_nats
            |FROM a ORDER BY source""".stripMargin)),
 
+    // ---- token-level entropy RATE per source (added r8) ------------------
+    // The conditional completion of the entropy family: token_entropy is
+    // the unigram H(X), char_ngram_entropy the char-grain floor; this is
+    // H(next | cur) over TOKEN bigrams — the entropy RATE, the honest
+    // per-token compressibility of the source as a first-order process. A
+    // source with rich vocabulary but rigid phrasing (high H(X), low
+    // H(next|cur)) is template prose; the gap H(X) − H(next|cur) is the
+    // mutual information adjacent tokens share. Algebra folds to
+    //   H = Σ_ab c_ab·ln6(c_a, c_ab) / (N·10⁶)
+    // on LnGrid — exact int64 weighted sum, ONE bare division per source.
+    //
+    // Scale shape: one corpus bigram pass keyed (source, a, b) → a
+    // (source, a) context join (vocab-sized, never corpus rows) →
+    // ≤|sources| roll-up.
+    "token_entropy_rate" -> Q(
+      fn = (s, dir) => {
+        val bg = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+              .stripMargin)).as("e"))
+          .groupBy(col("source"), col("e.a").as("a"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("cab"))
+        val ctx = bg.groupBy("source", "a").agg(sum(col("cab")).as("ca"))
+        val tot = bg.groupBy("source").agg(sum(col("cab")).as("n"))
+        val j = bg.join(ctx, Seq("source", "a")).join(broadcast(tot), Seq("source"))
+        LnGrid.withLn6(j, col("ca"), col("cab"), "l6", "__er_")
+          .groupBy(col("source"), col("n"))
+          .agg(sum(col("cab") * col("l6")).as("hsum"))
+          .select(col("source"), col("n").as("n_bigrams"),
+            (col("hsum").cast("double")
+              / (col("n") * lit(1000000L)).cast("double")).as("h_rate_nats"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+           |bg AS (SELECT source, toks[i] AS a, toks[i + 1] AS b,
+           |              CAST(COUNT(*) AS BIGINT) AS cab
+           |       FROM t, UNNEST(range(1, len(toks))) AS u(i)
+           |       WHERE len(toks) >= 2 GROUP BY 1, 2, 3),
+           |ctx AS (SELECT source, a, CAST(SUM(cab) AS BIGINT) AS ca
+           |        FROM bg GROUP BY source, a),
+           |tt AS (SELECT source, CAST(SUM(cab) AS BIGINT) AS n FROM bg GROUP BY source),
+           |j AS (SELECT bg.source, bg.a, bg.b, bg.cab, ctx.ca, tt.n
+           |      FROM bg JOIN ctx USING (source, a) JOIN tt USING (source)),
+           |${LnGrid.sqlCtes("j", "ca", "cab", "l6", "er_")},
+           |agg AS (SELECT source, n, CAST(SUM(cab * l6) AS BIGINT) AS hsum
+           |        FROM er_out GROUP BY source, n)
+           |SELECT source, n AS n_bigrams,
+           |       CAST(hsum AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS h_rate_nats
+           |FROM agg ORDER BY source""".stripMargin)),
+
     // ---- Fellegi–Sunter linkage weights over the ER candidates (r8) ------
     // The probabilistic record-linkage layer on top of the ER family: for
     // each comparison field γ (same lang / same source / length within 10),

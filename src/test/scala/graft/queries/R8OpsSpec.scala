@@ -1195,6 +1195,45 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("user_ltv_quantiles: nearest-rank replay over exact cents; monotone") {
+    val Array((n, p25, p50, p75, p90)) =
+      graft.SparkEntry.queries("user_ltv_quantiles")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    val cents = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().map(_.getLong(1)).sorted
+    assert(n == cents.length.toLong)
+    def q(p: Double) = cents(math.ceil(p * cents.length).toInt - 1).toDouble / 100.0
+    assert(p25 == q(0.25) && p50 == q(0.5) && p75 == q(0.75) && p90 == q(0.9))
+    assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+  }
+
+  test("token_entropy_rate: ln6Ref replay; rate <= unigram entropy (conditioning reduces)") {
+    val out = graft.SparkEntry.queries("token_entropy_rate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val bySource = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2) }
+    out.foreach { case (src, nb, h) =>
+      val bigrams = bySource(src).filter(_.length >= 2).flatMap(ts => ts.zip(ts.tail))
+      assert(nb == bigrams.length.toLong)
+      val cab = bigrams.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+      val ca = bigrams.groupBy(_._1).map { case (a, xs) => a -> xs.length.toLong }
+      val hsum = cab.map { case ((a, _), c) => c * LnGrid.ln6Ref(ca(a), c) }.sum
+      assert(h == hsum.toDouble / (nb * 1000000L).toDouble, s"$src rate")
+      // conditioning can only reduce entropy: H(b|a) ≤ H(b) (both on the
+      // same grid construction, so compare with a grid-scale tolerance)
+      val cb = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+      val hb = cb.values.map(c => c * LnGrid.ln6Ref(nb, c)).sum.toDouble / (nb * 1e6)
+      assert(h <= hb + 1e-4, s"$src H(b|a)=$h > H(b)=$hb")
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
