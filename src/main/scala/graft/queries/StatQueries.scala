@@ -644,6 +644,62 @@ object StatQueries {
            |            ELSE CAST(cxy * cxy AS DOUBLE) / CAST(vx * vy AS DOUBLE) END AS r2
            |FROM c""".stripMargin)),
 
+    // ---- Gini concentration of user lifetime revenue (added r8) ----------
+    // The single-number whale statistic behind user_ltv_quantiles' curve:
+    // Gini over per-user lifetime purchase revenue (0 = every payer equal,
+    // →1 = a handful of whales carry the business). Same exact rank form
+    // as gini_source_tokens — G = (2Σᵢ i·xᵢ − (n+1)Σx)/(n·Σx) — but users
+    // are CORPUS-scale, so the global sort is STITCHED (the
+    // quality_buckets discipline): shard by the revenue-bucket g =
+    // cents div 10⁵ (value-domain bounded), rank within shard by (cents,
+    // user_id), add shard offsets from the tiny per-shard count frame —
+    // a bijection identical to the full sort's ROW_NUMBER because g is
+    // monotone in cents (the oracle uses the plain global ROW_NUMBER and
+    // must hash-match, which PROVES the stitching). All sums exact
+    // int64/DECIMAL; G is ONE bare division.
+    //
+    // Scale shape: user-keyed revenue agg → per-shard rank windows (never
+    // one reducer over all users) + a ≤|buckets| offsets frame → 1-row
+    // roll-up.
+    "gini_user_revenue" -> Q(
+      fn = (s, dir) => {
+        val u = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+          .withColumn("g", expr("c div 100000"))
+        val rn = u.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("c"), col("user_id"))))
+        val offsets = u.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("g"), col("off"))
+        rn.join(broadcast(offsets), Seq("g"))
+          .withColumn("r", col("off") + col("rn"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+            sum(big(col("r")) * big(col("c"))).as("six"))
+          .select(col("n").as("n_payers"), col("sx").as("total_cents"),
+            when(col("sx") === 0, lit(0.0))
+              .otherwise(
+                (col("six") * 2 - (big(col("n")) + 1) * big(col("sx"))).cast("double")
+                  / (big(col("n")) * big(col("sx"))).cast("double")).as("gini"))
+      },
+      oracle = Some(
+        """WITH u AS (SELECT user_id,
+          |             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+          |           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS i FROM u),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sx,
+          |             SUM(CAST(i AS HUGEINT) * c) AS six
+          |      FROM r)
+          |SELECT n AS n_payers, sx AS total_cents,
+          |       CASE WHEN sx = 0 THEN 0.0
+          |            ELSE CAST(six * 2 - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE)
+          |                 / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) END AS gini
+          |FROM a""".stripMargin)),
+
     // ---- Wilson 95% interval on daily conversion (added r8) --------------
     // The error bars a daily conversion dashboard should draw (the normal
     // approximation collapses at small n / extreme p; Wilson does not).

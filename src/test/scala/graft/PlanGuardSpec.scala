@@ -244,6 +244,10 @@ class PlanGuardSpec extends SparkTestBase {
     // greedy_source_cover: cumulative window over the ≤3-row picks frame
     // (one argmax aggregate row per greedy round).
     "greedy_source_cover",
+    // gini_user_revenue: the stitched-rank OFFSETS window over the
+    // ≤|revenue-bucket| aggregate frame (value-domain bounded) — the
+    // per-user rank windows are g-partitioned, never global.
+    "gini_user_revenue",
     // rolling_active_users: the WAU rolling-set window runs over the
     // day-grain aggregate — calendar-span bounded like survival_km.
     "rolling_active_users")
@@ -293,6 +297,16 @@ class PlanGuardSpec extends SparkTestBase {
       "changepoint_daily" -> daySpan, // daily-volume series ≤ calendar span
       "emd_source_lengths" -> nChars, // corpus length-grid CDF window
       "greedy_source_cover" -> 3L, // one argmax row per greedy round
+      "gini_user_revenue" -> { // distinct revenue buckets (cents div 1e5)
+        Tables.load(spark, SfDir, "events")
+          .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg((org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("c"))
+          .select(org.apache.spark.sql.functions.expr("c div 100000"))
+          .distinct().count()
+      },
       "rolling_active_users" -> daySpan) // per-day active-set frame
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")

@@ -1234,6 +1234,22 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("gini_user_revenue: in-process sorted replay proves the stitched rank") {
+    val Array((n, sx, gini)) =
+      graft.SparkEntry.queries("gini_user_revenue")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cents = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (u, c) => (c, u) }
+    assert(n == cents.length.toLong && sx == cents.map(_._2).sum)
+    val six = cents.zipWithIndex.map { case ((_, c), i) => BigInt(i + 1) * c }.sum
+    val exp = (six * 2 - BigInt(n + 1) * sx).toDouble / (BigInt(n) * BigInt(sx)).toDouble
+    assert(gini == exp && gini >= 0.0 && gini < 1.0)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
