@@ -796,6 +796,52 @@ object SelectionQueries {
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic source-interleave schedule (added r8) -------------
+    // The dataloader's missing piece between mix_weights (HOW MUCH of each
+    // source) and shuffle_deterministic (WITHIN-source order): WHICH
+    // source each global step reads — the tf.data-interleave /
+    // weighted-round-robin schedule, in CLOSED FORM so any worker can
+    // compute its slice without coordination: source s's k-th emission
+    // sits at virtual position p = ⌈(2k−1)·W/(2w_s)⌉ (the evenly-spaced
+    // largest-remainder rule — emissions of each source are W/w_s apart,
+    // phase-centered), and the global schedule is all (p, source, k)
+    // sorted by (p, source). Integer ceil via (x + d − 1) div d — exact
+    // on both engines; the first 100 steps are emitted with their
+    // cumulative per-source counts (k), which a spec checks against the
+    // weight proportions (WRR drift ≤ 1 emission per source at every
+    // prefix — the Bresenham property).
+    //
+    // Scale shape: ≤|sources| weight agg → a sources×100 generated frame
+    // (bounded by the SCHEDULE length, not the corpus) → one bounded-frame
+    // rank; the corpus pass is the weight agg alone.
+    "interleave_schedule" -> Q(
+      fn = (s, dir) => {
+        val w = Tables.load(s, dir, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("w"))
+        val tot = w.agg(sum(col("w")).as("tw"))
+        val cand = w.crossJoin(broadcast(tot))
+          .select(col("source"), col("w"), col("tw"),
+            explode(expr("sequence(1, 100)")).as("k"))
+          .withColumn("p",
+            expr("((2 * k - 1) * tw + 2 * w - 1) div (2 * w)"))
+        val wr = Window.orderBy(col("p"), col("source"))
+        cand.withColumn("step", row_number().over(wr))
+          .filter(col("step") <= 100)
+          .select(col("step"), col("source"), col("k"), col("p"))
+          .orderBy("step")
+      },
+      oracle = Some(
+        """WITH w AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w
+          |           FROM documents GROUP BY source),
+          |tt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+          |cand AS (SELECT source, w.w, tt.tw, CAST(k AS INTEGER) AS k,
+          |                ((2 * k - 1) * tt.tw + 2 * w.w - 1) // (2 * w.w) AS p
+          |         FROM w, tt, UNNEST(range(1, 101)) AS u(k)),
+          |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p, source) AS step FROM cand)
+          |SELECT CAST(step AS INTEGER) AS step, source, k, p
+          |FROM r WHERE step <= 100 ORDER BY step""".stripMargin)),
+
     // ---- temporal split audit: entity leakage across time (added r8) -----
     // The TIME-based complement of train_split (hash) + split_leakage
     // (near-dup): when eval data is "everything after day T" — the honest

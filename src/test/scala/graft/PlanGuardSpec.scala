@@ -111,6 +111,8 @@ class PlanGuardSpec extends SparkTestBase {
       "attribution_position",
       // temporal_split_audit: the 1-row cut-day broadcast onto the event side
       "temporal_split_audit",
+      // interleave_schedule: ≤|sources| weights × the 1-row total broadcast
+      "interleave_schedule",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast
       "knn_label_consistency",
       // cluster_purity: the 16-row codebook broadcast (kmeans_step shape)

@@ -1250,6 +1250,40 @@ class R8OpsSpec extends SparkTestBase {
     assert(gini == exp && gini >= 0.0 && gini < 1.0)
   }
 
+  test("interleave_schedule: WRR prefix-proportionality; per-source k consecutive") {
+    val out = graft.SparkEntry.queries("interleave_schedule")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.length == 100 && out.map(_._1).toSeq == (1 to 100))
+    val w = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val tw = w.values.sum
+    // per-source k counts up 1, 2, 3, … in step order (each source's
+    // emissions are consumed in sequence)
+    out.groupBy(_._2).foreach { case (s0, rows) =>
+      assert(rows.sortBy(_._1).map(_._3).toSeq == (1 to rows.length),
+        s"$s0 emission sequence broken")
+    }
+    // closed-form positions replay
+    out.foreach { case (_, s0, k, p) =>
+      val exp = ((2L * k - 1) * tw + 2 * w(s0) - 1) / (2 * w(s0))
+      assert(p == exp, s"$s0/$k position")
+    }
+    // Bresenham property: at every prefix, each source's emission count is
+    // within 1+ of its proportional share
+    (1 to 100).foreach { n =>
+      val pre = out.take(n).groupBy(_._2).map { case (s0, xs) => s0 -> xs.length }
+      w.keys.foreach { s0 =>
+        val got = pre.getOrElse(s0, 0).toDouble
+        val want = n.toDouble * w(s0) / tw
+        assert(math.abs(got - want) <= 1.0 + 1e-9,
+          s"step $n: $s0 has $got emissions, proportional $want")
+      }
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
