@@ -796,6 +796,75 @@ object SelectionQueries {
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- quality rank parity across sources (added r8) -------------------
+    // The mix-fairness audit: does the quality scorer systematically rank
+    // one source's documents low? Per source, the mean GLOBAL quality
+    // rank normalized to (0, 1) — parity ≈ ½ is a calibrated scorer;
+    // parity ≪ ½ means quality-thresholded curation will quietly starve
+    // that source (the quality_buckets stratification exists precisely to
+    // prevent this; this query MEASURES whether it was needed). EXACT
+    // ranks at corpus scale via the stitched-rank discipline
+    // (gini_user_revenue's construction, proven by the oracle's plain
+    // global ROW_NUMBER hash-matching): shard by the monotone quality
+    // band q6 div 10⁵ (≤ 11 shards), rank within shard by (q6, doc_id),
+    // add tiny-frame offsets. parity = Σranks/(n_s·N) — ONE bare division
+    // per source; Σranks over ALL sources must equal N(N+1)/2 exactly
+    // (spec-pinned conservation).
+    //
+    // Scale shape: map-only quality projection → band-partitioned rank
+    // windows + ≤11-row offsets frame → ≤|sources| roll-up with the 1-row
+    // N broadcast.
+    "quality_rank_parity" -> Q(
+      fn = (s, dir) => {
+        val q6 = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .select(col("doc_id"), col("source"),
+            floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long").as("q6"))
+          .withColumn("g", expr("q6 div 100000"))
+        val rn = q6.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("q6"), col("doc_id"))))
+        val offsets = q6.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("g"), col("off"))
+        val nTot = q6.agg(count(lit(1)).as("nn"))
+        rn.join(broadcast(offsets), Seq("g"))
+          .withColumn("r", col("off") + col("rn"))
+          .groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("r")).as("sum_rank"))
+          .crossJoin(broadcast(nTot))
+          .select(col("source"), col("n_docs"), col("sum_rank"),
+            (col("sum_rank").cast("double")
+              / (col("n_docs") * col("nn")).cast("double")).as("parity"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+           |                  length(text) AS nc FROM documents),
+           |q AS (SELECT doc_id, source,
+           |             CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                        w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                        AS DOUBLE) / len(toks))
+           |                  + 0.3 * least(1.0, CAST(nc AS DOUBLE) / 200.0))
+           |                  * 1000000.0) AS BIGINT) AS q6
+           |      FROM t),
+           |r AS (SELECT source, ROW_NUMBER() OVER (ORDER BY q6, doc_id) AS r FROM q),
+           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM q),
+           |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |             CAST(SUM(r) AS BIGINT) AS sum_rank
+           |      FROM r GROUP BY source)
+           |SELECT source, n_docs, sum_rank,
+           |       CAST(sum_rank AS DOUBLE) / CAST(n_docs * nt.nn AS DOUBLE) AS parity
+           |FROM a, nt ORDER BY source""".stripMargin)),
+
     // ---- deterministic source-interleave schedule (added r8) -------------
     // The dataloader's missing piece between mix_weights (HOW MUCH of each
     // source) and shuffle_deterministic (WITHIN-source order): WHICH

@@ -113,6 +113,8 @@ class PlanGuardSpec extends SparkTestBase {
       "temporal_split_audit",
       // interleave_schedule: ≤|sources| weights × the 1-row total broadcast
       "interleave_schedule",
+      // quality_rank_parity: ≤|sources| rank-sum agg × the 1-row N broadcast
+      "quality_rank_parity",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast
       "knn_label_consistency",
       // cluster_purity: the 16-row codebook broadcast (kmeans_step shape)
@@ -250,6 +252,9 @@ class PlanGuardSpec extends SparkTestBase {
     // ≤|revenue-bucket| aggregate frame (value-domain bounded) — the
     // per-user rank windows are g-partitioned, never global.
     "gini_user_revenue",
+    // quality_rank_parity: the same stitched-rank offsets window over the
+    // ≤11-row quality-band aggregate frame.
+    "quality_rank_parity",
     // rolling_active_users: the WAU rolling-set window runs over the
     // day-grain aggregate — calendar-span bounded like survival_km.
     "rolling_active_users")
@@ -299,6 +304,7 @@ class PlanGuardSpec extends SparkTestBase {
       "changepoint_daily" -> daySpan, // daily-volume series ≤ calendar span
       "emd_source_lengths" -> nChars, // corpus length-grid CDF window
       "greedy_source_cover" -> 3L, // one argmax row per greedy round
+      "quality_rank_parity" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
       "gini_user_revenue" -> { // distinct revenue buckets (cents div 1e5)
         Tables.load(spark, SfDir, "events")
           .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")

@@ -1284,6 +1284,33 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("quality_rank_parity: rank-sum conservation N(N+1)/2; in-process rank replay") {
+    val out = graft.SparkEntry.queries("quality_rank_parity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val n = out.map(_._2).sum
+    assert(out.map(_._3).sum == n * (n + 1) / 2, "ranks don't partition 1..N")
+    // replay: global sort by (q6, doc_id)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val text = r.getString(2)
+        val toks = text.split(" ", -1)
+        val nStop = toks.count(TextQueries.stopwords.contains)
+        val q = 0.4 * math.min(1.0, toks.length.toDouble / 50.0) +
+          0.3 * (1.0 - nStop.toDouble / toks.length) +
+          0.3 * math.min(1.0, text.length.toDouble / 200.0)
+        (r.getLong(0), r.getString(1), math.floor(q * 1000000.0).toLong)
+      }
+    val ranked = docs.sortBy { case (id, _, q6) => (q6, id) }.zipWithIndex
+      .map { case ((_, src, _), i) => (src, i + 1L) }
+    out.foreach { case (src, nd, sr, par) =>
+      val mine = ranked.filter(_._1 == src)
+      assert(nd == mine.length.toLong && sr == mine.map(_._2).sum, s"$src ranks")
+      assert(par == sr.toDouble / (nd * n).toDouble)
+    }
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
