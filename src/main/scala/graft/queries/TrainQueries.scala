@@ -218,6 +218,68 @@ object TrainQueries {
            |FROM top WHERE rk = 1 ORDER BY cluster""".stripMargin
       }),
 
+    // ---- simplified-silhouette separation share (added r8) ---------------
+    // Clustering-quality eval beside cluster_purity (label view): the
+    // simplified silhouette asks, per vector, is it closer to its OWN
+    // centroid than to the nearest OTHER centroid (a < b)? We emit the
+    // per-cluster share of well-separated vectors rather than the mean
+    // silhouette VALUE — a mean of per-row doubles is summation-order-
+    // dependent and can't be hashed, but the a < b verdict compares two
+    // deterministic doubles (the proven L2 folds) and is itself
+    // deterministic, so counts are exact (the daily_anomalies verdict
+    // discipline applied to geometry). Low share = overlapping clusters —
+    // semdedup's epsilon and kmeans' k need revisiting.
+    //
+    // Scale shape: the 16-row codebook broadcast; assignment argmin AND
+    // the second-nearest distance fall out of ONE map-side min(struct)
+    // pair per vector; ≤16-row roll-up.
+    "silhouette_positive_share" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val d = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2",
+            coalesce(floatL2Sq(col("embedding"), col("centv")),
+              lit(Double.PositiveInfinity)))
+        val best2 = d.groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cent_id"))).as("m1"),
+            // second-best: min over the same struct EXCLUDING the argmin —
+            // expressed as the min of structs strictly greater than m1
+            sort_array(collect_list(struct(col("d2"), col("cent_id")))).as("all"))
+          .select(col("vec_id"), col("m1.cent_id").as("cluster"),
+            col("m1.d2").as("a2"), expr("all[1].d2").as("b2"))
+        best2.groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a2") < col("b2"), 1L).otherwise(0L)).as("n_sep"))
+          .select(col("cluster"), col("n"), col("n_sep"),
+            (col("n_sep").cast("double") / col("n").cast("double")).as("sep_share"))
+          .orderBy("cluster")
+      },
+      oracle = Some {
+        val l2 =
+          """list_reduce(list_transform(range(1, 65),
+            |  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            |     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))),
+            |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
+           |               FROM embeddings WHERE vec_id < 16),
+           |d AS (SELECT e.vec_id, c.cent_id, $l2 AS d2
+           |      FROM embeddings e CROSS JOIN cents c),
+           |r AS (SELECT vec_id, cent_id, d2,
+           |             ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                                ORDER BY d2, cent_id) AS rk
+           |      FROM d),
+           |b AS (SELECT a.vec_id, a.cent_id AS cluster, a.d2 AS a2, s.d2 AS b2
+           |      FROM r a JOIN r s ON a.vec_id = s.vec_id AND a.rk = 1 AND s.rk = 2)
+           |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(CASE WHEN a2 < b2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sep,
+           |       CAST(SUM(CASE WHEN a2 < b2 THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS sep_share
+           |FROM b GROUP BY cluster ORDER BY cluster""".stripMargin
+      }),
+
     // ---- multi-iteration k-means training (added r6) ---------------------
     // Three chained Lloyd iterations — the real training LOOP, not just one
     // step: assign → update → re-derive centroids → repeat, with the final

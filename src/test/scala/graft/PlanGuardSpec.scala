@@ -119,6 +119,8 @@ class PlanGuardSpec extends SparkTestBase {
       "knn_label_consistency",
       // cluster_purity: the 16-row codebook broadcast (kmeans_step shape)
       "cluster_purity",
+      // silhouette_positive_share: the same 16-row codebook broadcast
+      "silhouette_positive_share",
       // source_separability: 1-row V/N broadcasts into the constants frame
       // + the ≤|sources| NB-constants broadcast against the per-doc frame
       // (the dense doc×source score grid — 20-row side, map-side product)

@@ -1311,6 +1311,21 @@ class R8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("silhouette_positive_share: assignment ties to cluster_purity; verdict replay") {
+    val out = graft.SparkEntry.queries("silhouette_positive_share")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // cluster sizes must match cluster_purity's (same argmin assignment)
+    val purity = graft.SparkEntry.queries("cluster_purity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (c, n, nSep, share) =>
+      assert(purity(c) == n, s"cluster $c size mismatch vs cluster_purity")
+      assert(nSep >= 0 && nSep <= n)
+      assert(share == nSep.toDouble / n.toDouble)
+    }
+    assert(out.map(_._2).sum == purity.values.sum)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
