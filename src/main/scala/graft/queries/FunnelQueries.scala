@@ -1371,7 +1371,9 @@ object FunnelQueries {
     "user_ltv_quantiles" -> Q(
       fn = (s, dir) => {
         def q(p: String, name: String) =
-          (expr(s"cents[int(ceil($p * size(cents))) - 1]").cast("double") / 100.0)
+          // get() tolerates the empty-corpus index (NULL, matching DuckDB's
+          // out-of-range list access) instead of raising under ANSI
+          (expr(s"get(cents, int(ceil($p * size(cents))) - 1)").cast("double") / 100.0)
             .as(name)
         Tables.load(s, dir, "events")
           .filter(col("event_type") === "purchase")
