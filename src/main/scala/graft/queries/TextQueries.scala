@@ -1330,6 +1330,90 @@ object TextQueries {
            |       CAST(hsum AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS h_rate_nats
            |FROM agg ORDER BY source""".stripMargin)),
 
+    // ---- Jaccard threshold curve over the banded candidates (r8) ---------
+    // The dedup-aggressiveness dial: how many verified near-dup pairs
+    // survive at J ≥ 0.3 … 0.8? The pipeline commits to ONE threshold
+    // (0.5); this curve is what that decision is made FROM — a cliff
+    // between 0.5 and 0.6 means the corpus has a distinct near-dup
+    // population and the threshold sits correctly below it; a smooth
+    // slope means the cut is arbitrary and retention is threshold-
+    // sensitive. Candidates are the SAME banded minhash generation as
+    // dedup_minhash_lsh (no-drift); every verdict is the exact integer
+    // cross-multiplication 100·|∩| ≥ t·|∪| — no float Jaccard reaches a
+    // count; share ONE bare division per row.
+    //
+    // Scale shape: the shared banded candidate pipeline (never all-pairs)
+    // + one pass computing (i, u) per candidate → a 6-row conditional-sum
+    // aggregate.
+    "jaccard_threshold_curve" -> Q(
+      fn = (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
+          .select("doc_id", "shingles")
+          .cache()
+        val bands = sh.select(col("doc_id"),
+            graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+          .filter(col("sigs").isNotNull)
+          .select(col("doc_id"), explode(bandKeysCol).as("bk"))
+        val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val iu = cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+          .select(
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+            size(array_union(col("sa"), col("sb"))).cast("long").as("u"))
+        iu.agg(count(lit(1)).as("n_cand"),
+            (30 to 80 by 10).map(t =>
+              sum(when(col("i") * 100 >= col("u") * t, 1L).otherwise(0L)).as(s"c$t")): _*)
+          .select(explode(array((30 to 80 by 10).map(t =>
+            struct(lit(t).as("threshold"), col("n_cand"), col(s"c$t").as("n_pairs"))): _*))
+            .as("r"))
+          .select(col("r.threshold"), col("r.n_cand"), col("r.n_pairs"),
+            when(col("r.n_cand") === 0, lit(0.0))
+              .otherwise(col("r.n_pairs").cast("double") / col("r.n_cand").cast("double"))
+              .as("share"))
+          .orderBy("threshold")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        val counts = (30 to 80 by 10).map(t =>
+          s"CAST(SUM(CASE WHEN i * 100 >= u * $t THEN 1 ELSE 0 END) AS BIGINT) AS c$t")
+          .mkString(",\n       ")
+        val rows = (30 to 80 by 10).map(t =>
+          s"SELECT $t AS threshold, n_cand, c$t AS n_pairs FROM a").mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |),
+           |iu AS (SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+           |              CAST(len(list_distinct(a.shingles || b.shingles)) AS BIGINT) AS u
+           |       FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+           |       $counts
+           |      FROM iu)
+           |SELECT CAST(threshold AS INTEGER) AS threshold, n_cand, n_pairs,
+           |       CASE WHEN n_cand = 0 THEN 0.0
+           |            ELSE CAST(n_pairs AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS share
+           |FROM ($rows) ORDER BY threshold""".stripMargin
+      }),
+
     // ---- Fellegi–Sunter linkage weights over the ER candidates (r8) ------
     // The probabilistic record-linkage layer on top of the ER family: for
     // each comparison field γ (same lang / same source / length within 10),

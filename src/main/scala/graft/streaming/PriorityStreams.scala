@@ -980,6 +980,63 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming rolling median (added r8) -------------------------------
+
+  /** A day's volume with its exact trailing-7-day median. */
+  final case class MedianPoint(eventType: String, epochDay: Long, c: Long,
+      med7: Double)
+
+  /** The streaming twin of `rolling_median_volume`: per type, keep the
+    * trailing ≤7 closed-day volumes in state and emit each day's EXACT
+    * rolling median — the batch query's sorted-window arithmetic verbatim
+    * ((lo + hi)/2 over the ≤7-element sorted window, integer div
+    * indexing), so emissions are bit-for-bit the batch rows (spec-pinned
+    * across a mid-stream split). State is one ≤7-deque of (day, count)
+    * per type — O(1) regardless of history. */
+  final class MedianProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DayCount, MedianPoint] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var win: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      win = getHandle.getValueState[Array[Long]]("trailing_day_counts",
+        org.apache.spark.sql.Encoders.kryo[Array[Long]], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DayCount],
+        timerValues: TimerValues): Iterator[MedianPoint] = {
+      // state layout: flat [d0, c0, d1, c1, …] oldest→newest, ≤7 entries
+      var st = if (win.exists()) win.get() else Array.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MedianPoint]
+      rows.toArray.sortBy(_.epochDay).foreach { d =>
+        val lastDay = if (st.isEmpty) Long.MinValue else st(st.length - 2)
+        if (d.epochDay > lastDay) {
+          st = (st ++ Array(d.epochDay, d.c)).takeRight(14)
+          val cs = st.grouped(2).map(_(1)).toArray.sorted
+          val m = cs.length
+          // the batch query's exact median form: (lo + hi) / 2
+          val med = (cs((m + 1) / 2 - 1) + cs(m / 2)).toDouble / 2.0
+          out += MedianPoint(key, d.epochDay, d.c, med)
+        } // late/duplicate day: already absorbed
+      }
+      win.update(st)
+      out.iterator
+    }
+  }
+
+  /** Streaming exact rolling median over closed day volumes, Update mode. */
+  def medianStream(days: Dataset[DayCount]): Dataset[MedianPoint] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new MedianProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming count-min sketch (added r8) -----------------------------
 
   /** One token observation from the ingest stream. */

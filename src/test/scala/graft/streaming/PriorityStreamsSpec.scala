@@ -977,6 +977,37 @@ class PriorityStreamsSpec extends SparkTestBase {
     assert(diverged.isEmpty, s"stream/batch Holt diverged on ${diverged.take(3)}")
   }
 
+  test("medianStream emissions == batch rolling_median_volume bit-for-bit across a split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2))).sortBy(x => (x._2, x._1))
+    val mid = daily(daily.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(String, Long, Long)]
+      val q = PriorityStreams.medianStream(
+        in.toDF().toDF("eventType", "epochDay", "c")
+          .as[PriorityStreams.DayCount])
+        .writeStream.format("memory").queryName("median_out")
+        .outputMode("update").start()
+      in.addData(daily.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(daily.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val streamed = spark.table("median_out").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val batch = graft.SparkEntry.queries("rolling_median_volume")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet)
+    val diverged = batch.filter { case (k, v) => streamed(k) != v }
+    assert(diverged.isEmpty, s"stream/batch medians diverged on ${diverged.take(3)}")
+  }
+
   test("cmsStream final sketch == in-process batch sketch; top-20 estimates == registry query") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
