@@ -644,6 +644,66 @@ object StatQueries {
            |            ELSE CAST(cxy * cxy AS DOUBLE) / CAST(vx * vy AS DOUBLE) END AS r2
            |FROM c""".stripMargin)),
 
+    // ---- one-way ANOVA: document length by source (added r8) -------------
+    // The k-group generalization of welch_ttest's two-sample question: do
+    // the 20 sources draw doc lengths from a common mean (F ≈ 1) or is
+    // between-source variation real (F ≫ 1 — stratify anything
+    // length-sensitive by source)? Sufficient statistics per group are
+    // exact int64 (n_g, T_g = Σx, S_g = Σx²). The between-group term
+    // Q = Σ T_g²/n_g mixes 20 divisions, and a SUM over groups would be
+    // summation-order-dependent — so Q is computed as a FOLD over the
+    // per-group terms in sorted-source order (collect sorted structs →
+    // aggregate() left-to-right; DuckDB list(… ORDER BY source) →
+    // list_reduce) — the volume_autocorr fixed-op-chain discipline: same
+    // terms, same order, same IEEE ops ⇒ identical bits. F is the final
+    // fixed chain ((Q − T²/n)/(k−1)) / ((S − Q)/(n−k)).
+    //
+    // Scale shape: one ≤|sources| sufficient-stats agg → a 1-row fold;
+    // nothing corpus-sized past the first agg.
+    "anova_length_by_source" -> Q(
+      fn = (s, dir) => {
+        val g = Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("ng"), sum(col("n_chars")).as("tg"),
+            sum(col("n_chars") * col("n_chars")).as("sg"))
+        g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+            sum(col("tg")).as("t"), sum(col("sg")).as("ss"),
+            sort_array(collect_list(struct(col("source"), col("tg"), col("ng"))))
+              .as("terms"))
+          .withColumn("q", expr(
+            "aggregate(terms, cast(0.0 as double), (acc, x) -> acc + (cast(x.tg as double) * cast(x.tg as double)) / cast(x.ng as double))"))
+          .select(col("k"), col("n"),
+            (col("q") - (col("t").cast("double") * col("t").cast("double"))
+              / col("n").cast("double")).as("ssb"),
+            (col("ss").cast("double") - col("q")).as("ssw"))
+          .select(col("k"), col("n"), col("ssb"), col("ssw"),
+            when(col("k") <= 1 || col("n") <= col("k"), lit(null).cast("double"))
+              .otherwise((col("ssb") / (col("k") - 1).cast("double"))
+                / (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+          |                  CAST(SUM(n_chars) AS BIGINT) AS tg,
+          |                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sg
+          |           FROM documents GROUP BY source),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+          |             CAST(SUM(tg) AS BIGINT) AS t, CAST(SUM(sg) AS BIGINT) AS ss,
+          |             list_reduce(
+          |               list_prepend(CAST(0.0 AS DOUBLE),
+          |                 list(CAST(tg AS DOUBLE) * CAST(tg AS DOUBLE) / ng
+          |                      ORDER BY source)),
+          |               (acc, x) -> acc + x) AS q
+          |      FROM g)
+          |SELECT k, n,
+          |       q - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+          |       CAST(ss AS DOUBLE) - q AS ssw,
+          |       CASE WHEN k <= 1 OR n <= k THEN NULL
+          |            ELSE ((q - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+          |                  / CAST(k - 1 AS DOUBLE))
+          |                 / ((CAST(ss AS DOUBLE) - q) / CAST(n - k AS DOUBLE))
+          |       END AS f_stat
+          |FROM a""".stripMargin)),
+
     // ---- Gini concentration of user lifetime revenue (added r8) ----------
     // The single-number whale statistic behind user_ltv_quantiles' curve:
     // Gini over per-user lifetime purchase revenue (0 = every payer equal,

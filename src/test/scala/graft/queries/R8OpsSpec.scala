@@ -1326,6 +1326,30 @@ class R8OpsSpec extends SparkTestBase {
     assert(out.map(_._2).sum == purity.values.sum)
   }
 
+  test("anova_length_by_source: ordered-fold replay; F positive; SS decomposition") {
+    val Array((k, n, ssb, ssw, f)) =
+      graft.SparkEntry.queries("anova_length_by_source")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    val groups = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2) }
+    assert(k == groups.size.toLong && n == groups.values.map(_.size.toLong).sum)
+    // replay Q with the IDENTICAL sorted fold
+    var q = 0.0
+    groups.toSeq.sortBy(_._1).foreach { case (_, xs) =>
+      val t = xs.sum.toDouble
+      q += (t * t) / xs.size.toDouble
+    }
+    val t = groups.values.map(_.sum).sum
+    val ss = groups.values.flatMap(_.map(x => BigInt(x) * x)).sum
+    assert(ssb == q - t.toDouble * t.toDouble / n.toDouble)
+    assert(ssw == ss.toDouble - q)
+    assert(f == (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble))
+    assert(f > 0.0 && ssb >= -1e-6 && ssw > 0.0)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
