@@ -704,6 +704,67 @@ object StatQueries {
           |       END AS f_stat
           |FROM a""".stripMargin)),
 
+    // ---- Kruskal–Wallis: length ranks by source (added r8) ---------------
+    // The rank-based robust twin of anova_length_by_source — outlier doc
+    // lengths can't drag the verdict because only RANKS enter:
+    //   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    // with midranks for ties (integer lengths tie heavily, so the midrank
+    // form is the only correct one — auc_dup_quality's machinery). EXACT
+    // rank sums from the value grid: per (value, group), every doc at v
+    // has 2·midrank = 2·cum − cnt + 1, so 2R_g = Σ_v c_gv·(2·cum − cnt +
+    // 1) is an exact int64; the per-group division mix Σ (2R_g)²/n_g is
+    // an ordered FOLD in sorted-source order (the ANOVA discipline) and
+    // H is the final fixed IEEE chain with the /4 folded into the 12/4 =
+    // 3 constant. No tie correction (documented — both engines identical
+    // regardless).
+    //
+    // Scale shape: one (value, source) grid agg; the cumulative window
+    // runs over the value-domain grid (R2 whitelist, ks_source_lengths
+    // shape); ≤|sources| rank-sum agg → 1-row fold.
+    "kruskal_length_by_source" -> Q(
+      fn = (s, dir) => {
+        val grid = Tables.load(s, dir, "documents")
+          .groupBy(col("n_chars").as("v"), col("source"))
+          .agg(count(lit(1)).as("cgv"))
+        val vGrid = grid.groupBy("v").agg(sum(col("cgv")).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+        val r2 = grid.join(broadcast(vGrid), Seq("v"))
+          .groupBy("source")
+          .agg(sum(col("cgv")).as("ng"),
+            sum(col("cgv") * (col("cum") * 2 - col("cnt") + 1)).as("r2g"))
+        r2.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+            sort_array(collect_list(struct(col("source"), col("r2g"), col("ng"))))
+              .as("terms"))
+          .withColumn("q", expr(
+            "aggregate(terms, cast(0.0 as double), (acc, x) -> acc + (cast(x.r2g as double) * cast(x.r2g as double)) / cast(x.ng as double))"))
+          .select(col("k"), col("n"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise(lit(3.0) * col("q")
+                / (col("n").cast("double") * (col("n") + 1).cast("double"))
+                - lit(3.0) * (col("n") + 1).cast("double")).as("h_stat"))
+      },
+      oracle = Some(
+        """WITH grid AS (SELECT n_chars AS v, source, CAST(COUNT(*) AS BIGINT) AS cgv
+          |              FROM documents GROUP BY n_chars, source),
+          |vg AS (SELECT v, CAST(SUM(cgv) AS BIGINT) AS cnt FROM grid GROUP BY v),
+          |vc AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM vg),
+          |r2 AS (SELECT g.source, CAST(SUM(g.cgv) AS BIGINT) AS ng,
+          |              CAST(SUM(g.cgv * (vc.cum * 2 - vc.cnt + 1)) AS BIGINT) AS r2g
+          |       FROM grid g JOIN vc USING (v) GROUP BY g.source),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+          |             list_reduce(
+          |               list_prepend(CAST(0.0 AS DOUBLE),
+          |                 list(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) / ng
+          |                      ORDER BY source)),
+          |               (acc, x) -> acc + x) AS q
+          |      FROM r2)
+          |SELECT k, n,
+          |       CASE WHEN n <= 1 THEN NULL
+          |            ELSE 3.0 * q / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+          |                 - 3.0 * CAST(n + 1 AS DOUBLE)
+          |       END AS h_stat
+          |FROM a""".stripMargin)),
+
     // ---- Gini concentration of user lifetime revenue (added r8) ----------
     // The single-number whale statistic behind user_ltv_quantiles' curve:
     // Gini over per-user lifetime purchase revenue (0 = every payer equal,

@@ -257,6 +257,9 @@ class PlanGuardSpec extends SparkTestBase {
     // quality_rank_parity: the same stitched-rank offsets window over the
     // ≤11-row quality-band aggregate frame.
     "quality_rank_parity",
+    // kruskal_length_by_source: the midrank cumulative window over the
+    // per-length value grid — value-domain bounded like ks_source_lengths.
+    "kruskal_length_by_source",
     // rolling_active_users: the WAU rolling-set window runs over the
     // day-grain aggregate — calendar-span bounded like survival_km.
     "rolling_active_users")
@@ -307,6 +310,7 @@ class PlanGuardSpec extends SparkTestBase {
       "emd_source_lengths" -> nChars, // corpus length-grid CDF window
       "greedy_source_cover" -> 3L, // one argmax row per greedy round
       "quality_rank_parity" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
+      "kruskal_length_by_source" -> nChars, // length value-domain grid
       "gini_user_revenue" -> { // distinct revenue buckets (cents div 1e5)
         Tables.load(spark, SfDir, "events")
           .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")

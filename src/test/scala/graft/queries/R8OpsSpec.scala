@@ -1350,6 +1350,35 @@ class R8OpsSpec extends SparkTestBase {
     assert(f > 0.0 && ssb >= -1e-6 && ssw > 0.0)
   }
 
+  test("kruskal_length_by_source: midrank-sum replay; rank mass conserved") {
+    val Array((k, n, h)) =
+      graft.SparkEntry.queries("kruskal_length_by_source")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(k == docs.map(_._1).distinct.length.toLong && n == docs.length.toLong)
+    // midranks from the sorted value multiset
+    val sorted = docs.map(_._2).sorted
+    val mid2 = sorted.distinct.map { v =>
+      val lo = sorted.indexWhere(_ == v) + 1
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      v -> (lo + hi).toLong // 2·midrank
+    }.toMap
+    val r2g = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.map(x => mid2(x._2)).sum // 2·R_g
+    }
+    // Σ 2R_g = 2·N(N+1)/2
+    assert(r2g.values.sum == n * (n + 1), "midrank mass not conserved")
+    var q = 0.0
+    r2g.toSeq.sortBy(_._1).foreach { case (s0, r2) =>
+      val ng = docs.count(_._1 == s0).toDouble
+      q += (r2.toDouble * r2.toDouble) / ng
+    }
+    val expH = 3.0 * q / (n.toDouble * (n + 1).toDouble) - 3.0 * (n + 1).toDouble
+    assert(h == expH && h >= 0.0)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
