@@ -1330,6 +1330,80 @@ object TextQueries {
            |       CAST(hsum AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS h_rate_nats
            |FROM agg ORDER BY source""".stripMargin)),
 
+    // ---- per-band LSH effectiveness (added r8) ---------------------------
+    // Index-engineering audit of the banding itself: per band (0..3), how
+    // many candidate pairs it surfaces and what fraction verify at the
+    // committed J ≥ 0.5 — a band whose precision sits far below its peers
+    // is wasted join fan-out (too few rows per signature slice), and a
+    // band surfacing almost no UNIQUE candidates is redundant; together
+    // with lsh_recall_curve (recall side) this closes the banding
+    // P/R loop. Verdicts by exact integer cross-multiplication 2·|∩| ≥
+    // |∪|; precision ONE bare division per band.
+    //
+    // Scale shape: the shared signature pass with the band index carried
+    // (posexplode) → per-band candidate joins (same keyed shape as the
+    // dedup family, never all-pairs) → a 4-row agg.
+    "band_effectiveness" -> Q(
+      fn = (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles", graft.functions.ShingleFunctions.shingleSet(col("toks")))
+          .select("doc_id", "shingles")
+          .cache()
+        val bands = sh.select(col("doc_id"),
+            graft.functions.MinhashFunctions.minhashSignature(col("shingles")).as("sigs"))
+          .filter(col("sigs").isNotNull)
+          .select(col("doc_id"), posexplode(bandKeysCol))
+          .toDF("doc_id", "band", "bk")
+        val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.band").as("band"), col("x.doc_id").as("a_id"),
+            col("y.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+          .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("u", size(array_union(col("sa"), col("sb"))).cast("long"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("i") * 2 >= col("u"), 1L).otherwise(0L)).as("n_verified"))
+          .select(col("band"), col("n_cand"), col("n_verified"),
+            (col("n_verified").cast("double") / col("n_cand").cast("double"))
+              .as("precision"))
+          .orderBy("band")
+      },
+      oracle = Some {
+        val sigs = (0 until NumHashes).map(k =>
+          s"list_min(list_transform(shingles, s -> substring(md5(s), ${4 * k + 1}, 4))) AS sig$k").mkString(",\n       ")
+        val bandSelects = (0 until NumHashes / BandSize).map(b =>
+          s"SELECT doc_id, $b AS band, md5('$b' || '|' || sig${2 * b} || '|' || sig${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSqlDuck AS shingles FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, shingles,
+           |       $sigs
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.band, x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+           |),
+           |v AS (SELECT band,
+           |             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+           |             CAST(len(list_distinct(a.shingles || b.shingles)) AS BIGINT) AS u
+           |      FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id),
+           |agg AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_cand,
+           |               CAST(SUM(CASE WHEN i * 2 >= u THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+           |        FROM v GROUP BY band)
+           |SELECT CAST(band AS INTEGER) AS band, n_cand, n_verified,
+           |       CAST(n_verified AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision
+           |FROM agg ORDER BY band""".stripMargin
+      }),
+
     // ---- Jaccard threshold curve over the banded candidates (r8) ---------
     // The dedup-aggressiveness dial: how many verified near-dup pairs
     // survive at J ≥ 0.3 … 0.8? The pipeline commits to ONE threshold
