@@ -704,7 +704,100 @@ object StatQueries {
           |       END AS f_stat
           |FROM a""".stripMargin)),
 
-    // ---- Kruskal–Wallis: length ranks by source (added r8) ---------------
+    // ---- Spearman rank correlation: length vs quality (added r8) ---------
+    // The rank companion of ols_length_quality's Pearson view: monotone
+    // association robust to the score's nonlinear clamps (the quality
+    // formula saturates at 50 tokens / 200 chars — Pearson under-reads
+    // the relationship past the clamp, Spearman doesn't care). Spearman
+    // with ties = Pearson on MIDRANKS, and both midrank tables are exact
+    // integers from value-grid cumulative counts (2·midrank = 2·cum −
+    // cnt + 1): the n_chars grid uses the auc-style value-domain window;
+    // the fine-grained q6 grid is BANDED (q6 div 10⁵ partitions + a tiny
+    // offsets frame — the quality_rank_parity stitching applied to
+    // cumulative counts) so no global window ever sees a corpus-sized
+    // frame. C, Vx, Vy are exact DECIMAL cross-products; the emitted
+    // statistic is the SIGNED rho² = C·|C|/(Vx·Vy) — ONE bare division
+    // (rho itself would need a √ of a ratio; the signed square carries
+    // the same ordering information on an exact grid).
+    "spearman_length_quality" -> Q(
+      fn = (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .select(col("doc_id"), col("n_chars").as("x"),
+            floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long").as("y"))
+        val xg = base.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("x"))))
+          .select(col("x"), (col("cum") * 2 - col("cnt") + 1).as("mx2"))
+        val ygrid = base.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+          .withColumn("band", expr("y div 100000"))
+        val yoff = ygrid.groupBy("band").agg(sum(col("cnt")).as("bc"))
+          .withColumn("off", coalesce(sum(col("bc")).over(
+            Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("band"), col("off"))
+        val yg = ygrid
+          .withColumn("icum", sum(col("cnt")).over(
+            Window.partitionBy("band").orderBy(col("y"))))
+          .join(broadcast(yoff), Seq("band"))
+          .select(col("y"), ((col("off") + col("icum")) * 2 - col("cnt") + 1).as("my2"))
+        val m = base.join(broadcast(xg), Seq("x")).join(yg, Seq("y"))
+        m.agg(count(lit(1)).as("n"),
+            sum(col("mx2")).as("sx"), sum(col("my2")).as("sy"),
+            sum(big(col("mx2")) * big(col("my2"))).as("sxy"),
+            sum(big(col("mx2")) * big(col("mx2"))).as("sxx"),
+            sum(big(col("my2")) * big(col("my2"))).as("syy"))
+          .select(col("n"),
+            when((big(col("n")) * col("sxx") - big(col("sx")) * big(col("sx"))) === 0
+              || (big(col("n")) * col("syy") - big(col("sy")) * big(col("sy"))) === 0,
+              lit(null).cast("double"))
+              .otherwise {
+                val c = big(col("n")) * col("sxy") - big(col("sx")) * big(col("sy"))
+                val vx = big(col("n")) * col("sxx") - big(col("sx")) * big(col("sx"))
+                val vy = big(col("n")) * col("syy") - big(col("sy")) * big(col("sy"))
+                (c * abs(c)).cast("double") / (vx * vy).cast("double")
+              }.as("rho2_signed"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, n_chars AS x, string_split(text, ' ') AS toks,
+           |                  length(text) AS nc FROM documents),
+           |b AS (SELECT doc_id, x,
+           |             CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                        w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                        AS DOUBLE) / len(toks))
+           |                  + 0.3 * least(1.0, CAST(nc AS DOUBLE) / 200.0))
+           |                  * 1000000.0) AS BIGINT) AS y
+           |      FROM t),
+           |xg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY x),
+           |xm AS (SELECT x, (SUM(cnt) OVER (ORDER BY x)) * 2 - cnt + 1 AS mx2 FROM xg),
+           |yg AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY y),
+           |ym AS (SELECT y, (SUM(cnt) OVER (ORDER BY y)) * 2 - cnt + 1 AS my2 FROM yg),
+           |m AS (SELECT b.doc_id, xm.mx2, ym.my2
+           |      FROM b JOIN xm USING (x) JOIN ym USING (y)),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(mx2) AS BIGINT) AS sx, CAST(SUM(my2) AS BIGINT) AS sy,
+           |             SUM(CAST(mx2 AS HUGEINT) * my2) AS sxy,
+           |             SUM(CAST(mx2 AS HUGEINT) * mx2) AS sxx,
+           |             SUM(CAST(my2 AS HUGEINT) * my2) AS syy
+           |      FROM m)
+           |SELECT n,
+           |       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+           |              OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+           |            THEN NULL
+           |            ELSE CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+           |                      * abs(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+           |                      AS DOUBLE)
+           |                 / CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+           |                        * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+           |                        AS DOUBLE)
+           |       END AS rho2_signed
+           |FROM a""".stripMargin)),
     // The rank-based robust twin of anova_length_by_source — outlier doc
     // lengths can't drag the verdict because only RANKS enter:
     //   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)

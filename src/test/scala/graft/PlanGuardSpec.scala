@@ -260,6 +260,9 @@ class PlanGuardSpec extends SparkTestBase {
     // kruskal_length_by_source: the midrank cumulative window over the
     // per-length value grid — value-domain bounded like ks_source_lengths.
     "kruskal_length_by_source",
+    // spearman_length_quality: the n_chars midrank window (value-domain
+    // grid) and the ≤11-row q6 band-offsets window — both aggregated.
+    "spearman_length_quality",
     // rolling_active_users: the WAU rolling-set window runs over the
     // day-grain aggregate — calendar-span bounded like survival_km.
     "rolling_active_users")
@@ -311,6 +314,7 @@ class PlanGuardSpec extends SparkTestBase {
       "greedy_source_cover" -> 3L, // one argmax row per greedy round
       "quality_rank_parity" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
       "kruskal_length_by_source" -> nChars, // length value-domain grid
+      "spearman_length_quality" -> nChars, // length grid (covers the ≤11-row band frame)
       "gini_user_revenue" -> { // distinct revenue buckets (cents div 1e5)
         Tables.load(spark, SfDir, "events")
           .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")

@@ -1379,6 +1379,39 @@ class R8OpsSpec extends SparkTestBase {
     assert(h == expH && h >= 0.0)
   }
 
+  test("spearman_length_quality: in-process midrank Pearson replay") {
+    val Array((n, rho2)) =
+      graft.SparkEntry.queries("spearman_length_quality")(spark, dir)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val text = r.getString(1)
+        val toks = text.split(" ", -1)
+        val nStop = toks.count(TextQueries.stopwords.contains)
+        val q = 0.4 * math.min(1.0, toks.length.toDouble / 50.0) +
+          0.3 * (1.0 - nStop.toDouble / toks.length) +
+          0.3 * math.min(1.0, text.length.toDouble / 200.0)
+        (r.getLong(0), math.floor(q * 1000000.0).toLong)
+      }
+    assert(n == docs.length.toLong)
+    def mid2(vals: Seq[Long]): Map[Long, Long] = {
+      val sorted = vals.sorted
+      sorted.distinct.map { v =>
+        v -> (sorted.indexWhere(_ == v) + 1 + sorted.lastIndexWhere(_ == v) + 1).toLong
+      }.toMap
+    }
+    val mx = mid2(docs.map(_._1)); val my = mid2(docs.map(_._2))
+    val xs = docs.map(d => BigInt(mx(d._1))); val ys = docs.map(d => BigInt(my(d._2)))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(b => b * b).sum
+    val c = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+    assert(rho2.contains((c * c.abs).toDouble / (vx * vy).toDouble))
+    assert(rho2.get.abs <= 1.0 + 1e-12)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
