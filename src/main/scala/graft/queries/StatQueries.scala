@@ -814,6 +814,86 @@ object StatQueries {
     // Scale shape: one (value, source) grid agg; the cumulative window
     // runs over the value-domain grid (R2 whitelist, ks_source_lengths
     // shape); ≤|sources| rank-sum agg → 1-row fold.
+    // ---- Theil inequality decomposition of token mass (added r8) ---------
+    // WHY Theil instead of another Gini: it decomposes EXACTLY —
+    // T_total = T_between + Σ_s share_s·T_within_s — so "is token mass
+    // unequal because sources differ in size, or because docs differ
+    // within sources?" gets a quantitative answer (the mix-design vs
+    // doc-curation attribution). All three tiers fold to LnGrid forms:
+    //   T_total  = Σ_d x_d·ln6(x_d·n, S) / (S·10⁶)
+    //   T_between = Σ_s S_s·ln6(S_s·n, n_s·S) / (S·10⁶)
+    //   T_within_s = Σ_{d∈s} x_d·ln6(x_d·n_s, S_s) / (S_s·10⁶)
+    // — exact int64 weighted sums, ONE bare division per emitted row; the
+    // decomposition identity holds to grid precision (spec-checked with
+    // that tolerance). Operand bound x·n < 9.2e9 holds to ~10⁸ docs;
+    // beyond that use the wide chain (documented).
+    //
+    // Scale shape: one per-doc token-count pass → doc-keyed ln chains →
+    // per-source + 1-row aggs; the between tier is ≤|sources| rows.
+    "theil_decomposition" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("x"))
+        val src = d.groupBy("source").agg(count(lit(1)).as("ns"), sum(col("x")).as("ss"))
+        val tot = src.agg(sum(col("ns")).as("n"), sum(col("ss")).as("st"))
+        val dj = d.join(broadcast(src), Seq("source")).crossJoin(broadcast(tot))
+        val dT = LnGrid.withLn6(dj, col("x") * col("n"), col("st"), "lt6", "__tt_")
+        val dW = LnGrid.withLn6(dT, col("x") * col("ns"), col("ss"), "lw6", "__tw_")
+        val within = dW.groupBy(col("source"), col("ss"), col("st"))
+          .agg(sum(col("x") * col("lw6")).as("wsum"))
+          .select(col("source").as("component"),
+            (col("wsum").cast("double")
+              / (col("ss") * lit(1000000L)).cast("double")).as("t_nats"),
+            (col("ss").cast("double") / col("st").cast("double")).as("share"))
+        val total = dW.groupBy(col("st"))
+          .agg(sum(col("x") * col("lt6")).as("tsum"))
+          .select(lit("__total").as("component"),
+            (col("tsum").cast("double")
+              / (col("st") * lit(1000000L)).cast("double")).as("t_nats"),
+            lit(1.0).as("share"))
+        val bj = src.crossJoin(broadcast(tot))
+        val between = LnGrid.withLn6(bj, col("ss") * col("n"), col("ns") * col("st"),
+            "lb6", "__tb_")
+          .groupBy(col("st"))
+          .agg(sum(col("ss") * col("lb6")).as("bsum"))
+          .select(lit("__between").as("component"),
+            (col("bsum").cast("double")
+              / (col("st") * lit(1000000L)).cast("double")).as("t_nats"),
+            lit(1.0).as("share"))
+        within.unionByName(total).unionByName(between).orderBy("component")
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, source,
+           |             CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+           |           FROM documents),
+           |src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+           |               CAST(SUM(x) AS BIGINT) AS ss
+           |        FROM d GROUP BY source),
+           |tt AS (SELECT CAST(SUM(ns) AS BIGINT) AS n, CAST(SUM(ss) AS BIGINT) AS st
+           |       FROM src),
+           |dj AS (SELECT d.doc_id, d.source, d.x, src.ns, src.ss, tt.n, tt.st
+           |       FROM d JOIN src USING (source), tt),
+           |${LnGrid.sqlCtes("dj", "x * n", "st", "lt6", "tt_")},
+           |${LnGrid.sqlCtes("tt_out", "x * ns", "ss", "lw6", "tw_")},
+           |w AS (SELECT source AS component,
+           |             CAST(SUM(x * lw6) AS DOUBLE) / CAST(ss * 1000000 AS DOUBLE) AS t_nats,
+           |             CAST(ss AS DOUBLE) / CAST(st AS DOUBLE) AS share
+           |      FROM tw_out GROUP BY source, ss, st),
+           |tl AS (SELECT '__total' AS component,
+           |              CAST(SUM(x * lt6) AS DOUBLE) / CAST(st * 1000000 AS DOUBLE) AS t_nats,
+           |              1.0 AS share
+           |       FROM tw_out GROUP BY st),
+           |bj AS (SELECT src.source, src.ns, src.ss, tt.n, tt.st FROM src, tt),
+           |${LnGrid.sqlCtes("bj", "ss * n", "ns * st", "lb6", "tb_")},
+           |btw AS (SELECT '__between' AS component,
+           |               CAST(SUM(ss * lb6) AS DOUBLE) / CAST(st * 1000000 AS DOUBLE) AS t_nats,
+           |               1.0 AS share
+           |        FROM tb_out GROUP BY st)
+           |SELECT * FROM (SELECT * FROM w UNION ALL SELECT * FROM tl
+           |               UNION ALL SELECT * FROM btw)
+           |ORDER BY component""".stripMargin)),
+
     "kruskal_length_by_source" -> Q(
       fn = (s, dir) => {
         val grid = Tables.load(s, dir, "documents")

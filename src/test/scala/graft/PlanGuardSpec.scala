@@ -113,6 +113,8 @@ class PlanGuardSpec extends SparkTestBase {
       "temporal_split_audit",
       // interleave_schedule: ≤|sources| weights × the 1-row total broadcast
       "interleave_schedule",
+      // theil_decomposition: 1-row grand-total broadcasts (doc + source tiers)
+      "theil_decomposition",
       // quality_rank_parity: ≤|sources| rank-sum agg × the 1-row N broadcast
       "quality_rank_parity",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast

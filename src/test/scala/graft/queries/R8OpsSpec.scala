@@ -1412,6 +1412,21 @@ class R8OpsSpec extends SparkTestBase {
     assert(rho2.get.abs <= 1.0 + 1e-12)
   }
 
+  test("theil_decomposition: identity T_total ~= T_between + sum(share*T_within) on the grid") {
+    val out = graft.SparkEntry.queries("theil_decomposition")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val total = out.find(_._1 == "__total").get._2
+    val between = out.find(_._1 == "__between").get._2
+    val within = out.filterNot(x => x._1.startsWith("__"))
+    assert(within.nonEmpty)
+    val withinMix = within.map { case (_, t, share) => t * share }.sum
+    // each ln6 carries ~2e-6 grid error; weighted sums keep it bounded
+    assert(math.abs(total - (between + withinMix)) < 1e-4,
+      s"Theil identity broken: $total vs ${between + withinMix}")
+    assert(total >= -1e-9 && between >= -1e-9)
+    assert(within.map(_._3).sum > 0.999999 && within.map(_._3).sum < 1.000001)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
