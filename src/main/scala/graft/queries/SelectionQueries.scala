@@ -796,6 +796,50 @@ object SelectionQueries {
            |         AND (n_stop >= 2) AS pass
            |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- Herfindahl concentration of the source mix (added r8) -----------
+    // The antitrust-standard concentration index applied to the training
+    // mix: HHI = Σ share_s² over source token shares, and its reciprocal
+    // — the EFFECTIVE number of sources (20 listed sources acting like
+    // 3.2 effective ones means the mix is an oligopoly and de-dup or
+    // re-weighting one giant source changes everything). The mix-design
+    // summary gini_source_tokens (rank view) and theil_decomposition
+    // (log view) bracket; HHI is the moment regulators and mixture papers
+    // quote. EXACT: HHI = ΣS_s²/S², eff = S²/ΣS_s² — each ONE bare
+    // division of exact int64 sums (ΣS_s² ≤ 2e14 at gate scale; DECIMAL
+    // at 100 TB per the token_burstiness discipline).
+    //
+    // Scale shape: one per-source token agg → a 1-row roll-up.
+    "source_hhi" -> Q(
+      fn = (s, dir) => {
+        val src = Tables.load(s, dir, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("ss"))
+        src.agg(count(lit(1)).as("n_sources"), sum(col("ss")).as("st"),
+            sum(col("ss") * col("ss")).as("s2"))
+          .select(col("n_sources"), col("st").as("total_tokens"),
+            when(col("st") === 0, lit(null).cast("double"))
+              .otherwise(col("s2").cast("double")
+                / (col("st") * col("st")).cast("double")).as("hhi"),
+            when(col("s2") === 0, lit(null).cast("double"))
+              .otherwise((col("st") * col("st")).cast("double")
+                / col("s2").cast("double")).as("effective_sources"))
+      },
+      oracle = Some(
+        """WITH src AS (SELECT source,
+          |               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ss
+          |             FROM documents GROUP BY source),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+          |             CAST(SUM(ss) AS BIGINT) AS st,
+          |             CAST(SUM(ss * ss) AS BIGINT) AS s2
+          |      FROM src)
+          |SELECT n_sources, st AS total_tokens,
+          |       CASE WHEN st = 0 THEN NULL
+          |            ELSE CAST(s2 AS DOUBLE) / CAST(st * st AS DOUBLE) END AS hhi,
+          |       CASE WHEN s2 = 0 THEN NULL
+          |            ELSE CAST(st * st AS DOUBLE) / CAST(s2 AS DOUBLE) END
+          |         AS effective_sources
+          |FROM a""".stripMargin)),
+
     // ---- quality rank parity across sources (added r8) -------------------
     // The mix-fairness audit: does the quality scorer systematically rank
     // one source's documents low? Per source, the mean GLOBAL quality

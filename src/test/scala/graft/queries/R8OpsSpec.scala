@@ -1427,6 +1427,21 @@ class R8OpsSpec extends SparkTestBase {
     assert(within.map(_._3).sum > 0.999999 && within.map(_._3).sum < 1.000001)
   }
 
+  test("source_hhi: BigInt replay; 1/n <= HHI <= 1; eff_sources = 1/HHI") {
+    val Array((k, st, hhi, eff)) =
+      graft.SparkEntry.queries("source_hhi")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val ss = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).length.toLong))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+    assert(k == ss.size.toLong && st == ss.sum)
+    val s2 = ss.map(x => BigInt(x) * x).sum
+    assert(hhi == s2.toDouble / (BigInt(st) * st).toDouble)
+    assert(eff == (BigInt(st) * st).toDouble / s2.toDouble)
+    assert(hhi * k >= 0.999999 && hhi <= 1.0 && eff <= k.toDouble + 1e-9)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
