@@ -322,6 +322,68 @@ object SimilarityQueries {
            |       CAST(SUM(agree) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS consistency
            |FROM ag GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ---- embedding isotropy ratio (added r8) -----------------------------
+    // The anisotropic-cone pathology check (Ethayarajh 2019; Mu & Viswanath
+    // 2018's all-but-the-top motivation): if embeddings huddle in a narrow
+    // cone, the mean vector's norm approaches the average vector norm and
+    // cosine similarities inflate corpus-wide. Score = ‖mean v‖²/mean‖v‖²
+    // ∈ [0, 1]: ≈ 0 isotropic (directions cancel), → 1 a degenerate cone
+    // (run the centering/top-PC removal before any cosine-based dedup).
+    // Computed on the SHARED int8 quantization codes (the `quantized`
+    // builder embedding_quantize/quantized_topk already trust) so every
+    // sum is an exact integer: ratio = Σ_d S_d² / (n·Σᵢ‖qᵢ‖²) — ONE bare
+    // division; the scale factors cancel in the ratio.
+    //
+    // Scale shape: one map-side quantize pass → per-dim sums via explode
+    // into a 64-row agg + a 1-row norm agg; nothing corpus-sized past
+    // the first aggs.
+    "embedding_isotropy" -> Q(
+      fn = (s, dir) => {
+        val q = quantized(Tables.load(s, dir, "embeddings"))
+          .select(col("vec_id"), col("qv"))
+        val dims = q.select(posexplode(col("qv"))).toDF("d", "c")
+          .groupBy("d").agg(sum(col("c")).as("sd"))
+        val dimSq = dims.agg(
+          sum(col("sd").cast("decimal(38,0)") * col("sd").cast("decimal(38,0)")).as("s2"),
+          count(lit(1)).as("dim"))
+        val norms = q.select(expr(
+            "aggregate(qv, cast(0 as bigint), (acc, x) -> acc + cast(x as bigint) * x)")
+            .as("n2"))
+          .agg(sum(col("n2")).as("nn2"), count(lit(1)).as("n"))
+        dimSq.crossJoin(broadcast(norms))
+          .select(col("n"), col("dim"),
+            when(col("nn2") === 0, lit(null).cast("double"))
+              .otherwise(col("s2").cast("double")
+                / (col("n").cast("decimal(38,0)")
+                   * col("nn2").cast("decimal(38,0)")).cast("double"))
+              .as("isotropy_ratio"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT vec_id, embedding,
+          |             list_max(list_transform(embedding,
+          |                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          |           FROM embeddings),
+          |q AS (SELECT vec_id,
+          |             list_transform(embedding,
+          |               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)
+          |                         AS BIGINT)) AS qv
+          |      FROM e WHERE maxabs > 0),
+          |dims AS (SELECT i AS d, CAST(SUM(qv[i]) AS BIGINT) AS sd
+          |         FROM q, UNNEST(range(1, len(qv) + 1)) AS u(i)
+          |         GROUP BY i),
+          |ds AS (SELECT SUM(CAST(sd AS HUGEINT) * sd) AS s2,
+          |              CAST(COUNT(*) AS BIGINT) AS dim FROM dims),
+          |nr AS (SELECT CAST(SUM(list_reduce(list_transform(qv, x -> x * x),
+          |                                   (a, b) -> a + b)) AS BIGINT) AS nn2,
+          |              CAST(COUNT(*) AS BIGINT) AS n
+          |       FROM q)
+          |SELECT nr.n, ds.dim,
+          |       CASE WHEN nr.nn2 = 0 THEN NULL
+          |            ELSE CAST(ds.s2 AS DOUBLE)
+          |                 / CAST(CAST(nr.n AS HUGEINT) * nr.nn2 AS DOUBLE) END
+          |         AS isotropy_ratio
+          |FROM ds, nr""".stripMargin)),
+
     "embedding_audit" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

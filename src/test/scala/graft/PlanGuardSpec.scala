@@ -115,6 +115,8 @@ class PlanGuardSpec extends SparkTestBase {
       "interleave_schedule",
       // theil_decomposition: 1-row grand-total broadcasts (doc + source tiers)
       "theil_decomposition",
+      // embedding_isotropy: 64-row dim-sum frame × the 1-row norm broadcast
+      "embedding_isotropy",
       // quality_rank_parity: ≤|sources| rank-sum agg × the 1-row N broadcast
       "quality_rank_parity",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast

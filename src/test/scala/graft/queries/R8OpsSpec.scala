@@ -1442,6 +1442,26 @@ class R8OpsSpec extends SparkTestBase {
     assert(hhi * k >= 0.999999 && hhi <= 1.0 && eff <= k.toDouble + 1e-9)
   }
 
+  test("embedding_isotropy: BigInt replay over the shared quantization codes") {
+    val Array((n, dim, iso)) =
+      graft.SparkEntry.queries("embedding_isotropy")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .collect().map(_.getSeq[Float](1).toArray)
+      .filter(v => v.map(math.abs(_)).max > 0)
+      .map { v =>
+        val maxabs = v.map(x => math.abs(x.toDouble)).max
+        val scale = 127.0 / maxabs
+        v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+      }
+    assert(n == vecs.length.toLong && dim == vecs.head.length.toLong)
+    val sd = Array.tabulate(vecs.head.length)(d => vecs.map(_(d)).sum)
+    val s2 = sd.map(x => BigInt(x) * x).sum
+    val nn2 = vecs.map(v => v.map(x => BigInt(x) * x).sum).sum
+    assert(iso == s2.toDouble / (BigInt(n) * nn2).toDouble)
+    assert(iso >= 0.0 && iso <= 1.0 + 1e-9)
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
