@@ -955,6 +955,59 @@ object StatQueries {
     // Scale shape: user-keyed revenue agg → per-shard rank windows (never
     // one reducer over all users) + a ≤|buckets| offsets frame → 1-row
     // roll-up.
+    // ---- Population Stability Index, A/A-wired (added r8) ----------------
+    // The MLOps-standard drift score (banking scorecard lineage): PSI =
+    // Σ_bins (p_b − q_b)·ln(p_b/q_b), conventionally read as < 0.1 stable
+    // / 0.1–0.25 drifting / > 0.25 shifted. Complements KS (sup gap) and
+    // EMD (area) with the bin-level log-weighted view. Wired as its own
+    // A/A NULL TEST: the two populations are the even/odd doc_id halves,
+    // so PSI ≈ 0 is the calibrated expectation and any production use
+    // swaps one half for yesterday's corpus. ENGINE-VERSION-PROOF: fixed-
+    // width 64-char bins (no quantile estimation), add-one smoothing
+    // keeps every ln operand positive, and the algebra folds to
+    //   PSI = Σ_b (ĉ1·n̂2 − ĉ2·n̂1)·ln6(ĉ1·n̂2, ĉ2·n̂1) / (n̂1·n̂2·10⁶)
+    // (hatted = smoothed counts/totals) — exact int64 cross-products
+    // through LnGrid, ONE bare division.
+    //
+    // Scale shape: one (bin, half) agg over fixed-width bins → ≤\|bins\|
+    // rows + 1-row totals broadcast → 1-row roll-up.
+    "psi_length_parity" -> Q(
+      fn = (s, dir) => {
+        val b = Tables.load(s, dir, "documents")
+          .select(expr("n_chars div 64").as("bin"), (col("doc_id") % 2).as("half"))
+        val grid = b.groupBy("bin")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+          .withColumn("h1", col("c1") + 1).withColumn("h2", col("c2") + 1)
+        val tot = grid.agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
+          count(lit(1)).as("n_bins"))
+        val j = grid.crossJoin(broadcast(tot))
+        LnGrid.withLn6(j, col("h1") * col("n2"), col("h2") * col("n1"),
+            "l6", "__psi_")
+          .groupBy(col("n1"), col("n2"), col("n_bins"))
+          .agg(sum((col("h1") * col("n2") - col("h2") * col("n1")) * col("l6"))
+            .as("psum"))
+          .select(col("n_bins"),
+            (col("psum").cast("double")
+              / (col("n1") * col("n2") * lit(1000000L)).cast("double")).as("psi"))
+      },
+      oracle = Some(
+        s"""WITH b AS (SELECT n_chars // 64 AS bin, doc_id % 2 AS half FROM documents),
+           |grid AS (SELECT bin,
+           |                CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS h1,
+           |                CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS h2
+           |         FROM b GROUP BY bin),
+           |tt AS (SELECT CAST(SUM(h1) AS BIGINT) AS n1, CAST(SUM(h2) AS BIGINT) AS n2,
+           |              CAST(COUNT(*) AS BIGINT) AS n_bins FROM grid),
+           |j AS (SELECT grid.*, tt.n1, tt.n2, tt.n_bins FROM grid, tt),
+           |${LnGrid.sqlCtes("j", "h1 * n2", "h2 * n1", "l6", "psi_")},
+           |a AS (SELECT n1, n2, n_bins,
+           |             CAST(SUM((h1 * n2 - h2 * n1) * l6) AS BIGINT) AS psum
+           |      FROM psi_out GROUP BY n1, n2, n_bins)
+           |SELECT n_bins,
+           |       CAST(psum AS DOUBLE) / CAST(n1 * n2 * 1000000 AS DOUBLE) AS psi
+           |FROM a""".stripMargin)),
+
     "gini_user_revenue" -> Q(
       fn = (s, dir) => {
         val u = Tables.load(s, dir, "events")

@@ -117,6 +117,8 @@ class PlanGuardSpec extends SparkTestBase {
       "theil_decomposition",
       // embedding_isotropy: 64-row dim-sum frame × the 1-row norm broadcast
       "embedding_isotropy",
+      // psi_length_parity: bin grid × the 1-row smoothed-totals broadcast
+      "psi_length_parity",
       // quality_rank_parity: ≤|sources| rank-sum agg × the 1-row N broadcast
       "quality_rank_parity",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast

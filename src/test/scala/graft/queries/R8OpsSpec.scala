@@ -1462,6 +1462,27 @@ class R8OpsSpec extends SparkTestBase {
     assert(iso >= 0.0 && iso <= 1.0 + 1e-9)
   }
 
+  test("psi_length_parity: ln6Ref replay; the A/A null test reads stable (< 0.1)") {
+    val Array((nBins, psi)) =
+      graft.SparkEntry.queries("psi_length_parity")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0) % 2, r.getLong(1) / 64))
+    val bins = docs.map(_._2).distinct
+    assert(nBins == bins.length.toLong)
+    val h1 = bins.map(b => b -> (docs.count(d => d._1 == 0 && d._2 == b) + 1L)).toMap
+    val h2 = bins.map(b => b -> (docs.count(d => d._1 == 1 && d._2 == b) + 1L)).toMap
+    val n1 = h1.values.sum; val n2 = h2.values.sum
+    val psum = bins.map { b =>
+      val x = h1(b) * n2; val y = h2(b) * n1
+      (x - y) * LnGrid.ln6Ref(x, y)
+    }.sum
+    assert(psi == psum.toDouble / (n1 * n2 * 1000000L).toDouble)
+    // PSI ≥ 0 always ((p−q) and ln(p/q) share sign); A/A halves are stable
+    assert(psi >= 0.0 && psi < 0.1, s"A/A PSI should read stable, got $psi")
+  }
+
   test("holt_smooth: in-process recurrence replay, bit-for-bit; resid NULL only at t=1") {
     val out = graft.SparkEntry.queries("holt_smooth")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
