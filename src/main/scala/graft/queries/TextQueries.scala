@@ -2416,6 +2416,81 @@ object TextQueries {
           |       CAST(octet_length(encode(substring(text, CAST(i * 256 + 1 AS INTEGER), 256))) AS INTEGER) AS n_frame_bytes,
           |       md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS frame_hash
           |FROM f WHERE i % 4 = 0
-          |ORDER BY doc_id, frame_idx""".stripMargin))
+          |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- exact duplicated-substring extraction (added r9) ----------------
+    // The Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    // Models Better") operator the chunk family approximates: find the
+    // MAXIMAL runs of ≥50 consecutive tokens that are repeated verbatim
+    // across ≥2 distinct documents — the exact-substring dedup signal at
+    // its declared grain, not the chunk-aligned stand-in
+    // (dedup_chunk_overlap only sees 50-token windows at stride 40, so a
+    // duplicated passage straddling a chunk boundary can hide; stride-1
+    // windows see every alignment). Method: suffix-array semantics via
+    // sorted gram runs — every 50-token window (stride 1) is hashed; a
+    // window duplicated across documents marks its start position; maximal
+    // runs of consecutive duplicated positions in a doc are exactly the
+    // maximal duplicated substrings (a duplicated span of L ≥ 50 tokens is
+    // L−49 consecutive duplicated windows, and conversely). Reported per
+    // source: span count, affected docs, duplicated token mass (span
+    // lengths overlap-free by maximality), longest span.
+    //
+    // Scale shape: the stride-1 explode is the honest cost — n_tokens rows
+    // per doc, each carrying a 16-byte hash (never the window text) into
+    // ONE hash agg keyed by the gram hash; positions of duplicated grams
+    // join back on that same key (co-partitioned, no broadcast of anything
+    // corpus-sized); the islands window partitions by doc_id over ≤
+    // doc-length position rows (PlanGuard R3-clean). At 100 TB the md5 of
+    // a 50-token slice per position is the hot loop — swap in a rolling
+    // (Rabin-Karp) native expression there (the winnowing_fingerprints
+    // path, MinWindowMd5's sibling) and, as Lee et al. do, shard the gram
+    // table by hash prefix; the plan shape is unchanged. All-integer
+    // hashed surface (exact by construction).
+    "dedup_substrings" -> Q(
+      fn = (s, dir) => {
+        val grams = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 50)
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1, size(toks) - 49)")).as("p"),
+            col("toks"))
+          .select(col("doc_id"), col("source"), col("p").cast("long").as("p"),
+            expr("md5(array_join(slice(toks, int(p), 50), ' '))").as("gh"))
+        val dup = grams.groupBy("gh")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("gh")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+        val spans = grams.join(dup, Seq("gh"))
+          .select("doc_id", "source", "p")
+          .withColumn("grp", col("p") - row_number().over(w))
+          .groupBy(col("doc_id"), col("source"), col("grp"))
+          .agg(min(col("p")).as("a"), max(col("p")).as("b"))
+          .withColumn("span_tokens", col("b") - col("a") + lit(50L))
+        spans.groupBy("source")
+          .agg(count(lit(1)).as("n_spans"),
+            countDistinct(col("doc_id")).as("n_docs_affected"),
+            sum(col("span_tokens")).as("dup_tokens"),
+            max(col("span_tokens")).as("max_span_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT doc_id, source, UNNEST(range(1, len(toks) - 48)) AS p, toks
+          |      FROM t WHERE len(toks) >= 50),
+          |h AS (SELECT doc_id, source, CAST(p AS BIGINT) AS p,
+          |             md5(array_to_string(toks[p : p + 49], ' ')) AS gh FROM g),
+          |dup AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+          |isl AS (SELECT doc_id, source, p,
+          |               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          |        FROM h JOIN dup USING (gh)),
+          |spans AS (SELECT doc_id, source, MIN(p) AS a, MAX(p) AS b
+          |          FROM isl GROUP BY doc_id, source, grp)
+          |SELECT source, COUNT(*) AS n_spans,
+          |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+          |       CAST(SUM(b - a + 50) AS BIGINT) AS dup_tokens,
+          |       CAST(MAX(b - a + 50) AS BIGINT) AS max_span_tokens
+          |FROM spans GROUP BY source ORDER BY source""".stripMargin))
   )
 }
