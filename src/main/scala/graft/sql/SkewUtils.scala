@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   * reveal it; these utilities cover the cases AQE can't: replicated
   * broadcast-free joins against a *known-small* right side with a skewed
   * key, and pre-aggregation under a skewed group key.
+  *
+  * The when-to-salt boundary, machine-proven in AqeSkewJoinSpec: AQE's
+  * OptimizeSkewedJoin fires on a sort-merge join whose runtime partition
+  * stats exceed `skewedPartitionThresholdInBytes` and factor × median —
+  * UNLESS the join's consumer requires the join key's partitioning (a
+  * same-key groupBy downstream: the split would re-shuffle, so the rule
+  * declines unless `forceOptimizeSkewedJoin` is set). Skewed aggregation
+  * keys and forced-broadcast/shuffled-hash joins are never rewritten.
+  * Those three cases — join-then-same-key-agg, skewed groupBy, replicated
+  * small-side join — are what [[saltedAgg]]/[[saltedJoin]] are for.
   */
 object SkewUtils {
 
