@@ -468,11 +468,8 @@ object SimilarityQueries {
         val scored = broadcast(q).crossJoin(c)
           .filter(col("qid") =!= col("cid"))
           .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
-        scored.groupBy("qid")
-          .agg(graft.functions.TopK.topK(TopK)(col("cid"), col("sim")).as("top"))
-          .select(col("qid"), posexplode(col("top")))
-          .select(col("qid"), col("col.cid").as("cid"),
-            Q.grid6(col("col.sim")).as("sim"), (col("pos") + 1).cast("int").as("rk"))
+        graft.functions.TopK.ranked(scored.select("qid", "cid", "sim"), "qid", TopK)
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
           .orderBy("qid", "rk")
       },
       oracle = Some(
