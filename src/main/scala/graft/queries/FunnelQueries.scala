@@ -1963,6 +1963,268 @@ object FunnelQueries {
           |              SELECT 1 FROM sc o
           |              WHERE o.num * sc.den > sc.num * o.den)
           |            THEN 1 ELSE 0 END AS INTEGER) AS is_best
-          |FROM sc ORDER BY d""".stripMargin))
+          |FROM sc ORDER BY d""".stripMargin)),
+
+    // ---- multi-lag autocorrelation profile (added r9) ---------------------
+    // volume_autocorr generalized from lag 1 to the profile {1, 2, 3, 7}:
+    // the lag-7 row is the weekly-seasonality detector (a strong ACF(7)
+    // with weak ACF(1..3) = day-of-week cycle, exactly what
+    // seasonality_profile sees in hour-grain and holt_smooth's trend term
+    // smooths over), and the 1-vs-2-vs-3 decay shape separates trending
+    // (slow decay) from mean-reverting (alternating sign) load. Same exact
+    // integer sufficient statistics and fixed IEEE chain as
+    // volume_autocorr — each (type, lag) leg's Pearson r over the
+    // day-ordered pairs, DECIMAL(38,0)/HUGEINT cross terms, constant
+    // series report 0 via the exact integer CASE.
+    //
+    // Scale shape: ONE (type-keyed) window exchange computes all four lag
+    // columns (one sort, four frames), stack() unpivots map-side, and the
+    // (type, lag) agg collapses to ≤ |types|×4 rows — the whole query past
+    // the day-grain aggregate is calendar-bounded.
+    "acf_lags" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val lagged = daily
+          .withColumn("p1", lag(col("c"), 1).over(w))
+          .withColumn("p2", lag(col("c"), 2).over(w))
+          .withColumn("p3", lag(col("c"), 3).over(w))
+          .withColumn("p7", lag(col("c"), 7).over(w))
+          .select(col("event_type"), col("c"),
+            expr("stack(4, 1L, p1, 2L, p2, 3L, p3, 7L, p7) as (lag, prev)"))
+          .filter(col("prev").isNotNull)
+        val m = lagged.groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("prev")).as("sa"), sum(col("prev") * col("prev")).as("saa"),
+            sum(col("c")).as("sb"), sum(col("c") * col("c")).as("sbb"),
+            sum(col("prev") * col("c")).as("sab"))
+        val va = big(col("n")) * big(col("saa")) - big(col("sa")) * big(col("sa"))
+        val vb = big(col("n")) * big(col("sbb")) - big(col("sb")) * big(col("sb"))
+        val cv = (big(col("n")) * big(col("sab")) - big(col("sa")) * big(col("sb")))
+          .cast("double")
+        m.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+            when(va === 0 || vb === 0, lit(0.0d))
+              .otherwise(cv / (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+              .as("acf"))
+          .orderBy("event_type", "lag")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |lagged AS (
+          |  SELECT event_type, c,
+          |         LAG(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS p1,
+          |         LAG(c, 2) OVER (PARTITION BY event_type ORDER BY d) AS p2,
+          |         LAG(c, 3) OVER (PARTITION BY event_type ORDER BY d) AS p3,
+          |         LAG(c, 7) OVER (PARTITION BY event_type ORDER BY d) AS p7
+          |  FROM daily),
+          |st AS (
+          |  SELECT event_type, CAST(1 AS BIGINT) AS lag, p1 AS prev, c FROM lagged
+          |  UNION ALL
+          |  SELECT event_type, 2, p2, c FROM lagged
+          |  UNION ALL
+          |  SELECT event_type, 3, p3, c FROM lagged
+          |  UNION ALL
+          |  SELECT event_type, 7, p7, c FROM lagged),
+          |m AS (
+          |  SELECT event_type, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+          |         CAST(SUM(prev) AS HUGEINT) AS sa,
+          |         CAST(SUM(prev * prev) AS HUGEINT) AS saa,
+          |         CAST(SUM(c) AS HUGEINT) AS sb,
+          |         CAST(SUM(c * c) AS HUGEINT) AS sbb,
+          |         CAST(SUM(prev * c) AS HUGEINT) AS sab
+          |  FROM st WHERE prev IS NOT NULL GROUP BY event_type, lag)
+          |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+          |       CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN 0.0
+          |            ELSE CAST(n * sab - sa * sb AS DOUBLE)
+          |                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+          |                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) END AS acf
+          |FROM m ORDER BY event_type, lag""".stripMargin)),
+
+    // ---- stationary distribution of the event Markov chain (added r9) ----
+    // Where transition_matrix models ONE step, the stationary distribution
+    // π (the chain's long-run occupancy) is what the priority buckets'
+    // steady-state load actually converges to: π ≈ empirical share means
+    // the stream is near mixing equilibrium; a gap (a type over-represented
+    // in π vs its observed share) means the chain predicts traffic drift
+    // toward that type — the forward-looking companion of type_drift's
+    // retrospective KL. Computed as 12 unrolled power-iteration steps from
+    // the uniform vector (the attribution_markov finite-semantics rule: a
+    // fixed iteration count is a DEFINED quantity, a convergence test is
+    // an engine-dependent guess).
+    //
+    // ENGINE-VERSION-PROOF: transitions on the exact 10⁻⁶ integer grid
+    // (p6 = c·10⁶ div tot — transition_matrix's counts), π carried as
+    // exact int64 micro-units, each step π'(j) = Σ_i (π6(i)·p6(i,j)) div
+    // 10⁶ with per-term floor — pure integer arithmetic, bit-identical
+    // anywhere; the reported doubles are ONE bare division each.
+    //
+    // Scale shape: ONE user_id window exchange builds the edge counts
+    // (transition_matrix's plan); everything after is ≤|types|² rows — the
+    // 12 steps are 12 joins over broadcast-tiny frames, constant cost at
+    // any corpus size.
+    "markov_stationary" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = Tables.load(s, dir, "events")
+        val seq0 = ev
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+        val p = seq0.groupBy("cur", "nxt").agg(count(lit(1)).as("cnt"))
+        val tot = p.groupBy("cur").agg(sum(col("cnt")).as("tot"))
+        val p6 = p.join(broadcast(tot), Seq("cur"))
+          .select(col("cur"), col("nxt"), expr("(cnt * 1000000L) div tot").as("p6"))
+        // deterministic uniform start: 10^6 split evenly, remainder to the
+        // lexicographically first states
+        val states = ev.select(col("event_type").as("state")).distinct()
+        val ws = Window.orderBy(col("state"))
+        val init = states
+          .withColumn("rn", row_number().over(ws).cast("long"))
+          .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+          .select(col("state"),
+            (expr("1000000L div ns")
+              + when(col("rn") <= expr("1000000L % ns"), 1L).otherwise(0L))
+              .as("pi6"))
+        var pi = init
+        for (_ <- 1 to 12) {
+          pi = p6.join(pi, p6("cur") === pi("state"))
+            .groupBy(col("nxt").as("state2"))
+            .agg(sum(expr("(pi6 * p6) div 1000000L")).as("pi6"))
+            .select(col("state2").as("state"), col("pi6"))
+        }
+        val emp = ev.groupBy(col("event_type").as("state"))
+          .agg(count(lit(1)).as("n_ev"))
+        val nTot = ev.agg(count(lit(1)).as("n_all"))
+        states.join(pi, Seq("state"), "left").na.fill(0L, Seq("pi6"))
+          .join(emp, Seq("state"), "left").na.fill(0L, Seq("n_ev"))
+          .crossJoin(broadcast(nTot))
+          .select(col("state"), col("pi6"),
+            (col("pi6").cast("double") / lit(1000000.0d)).as("pi"),
+            expr("(n_ev * 1000000L) div n_all").as("empirical6"),
+            (col("n_ev").cast("double") / col("n_all").cast("double"))
+              .as("empirical_share"))
+          .orderBy("state")
+      },
+      oracle = Some {
+        val steps = (1 to 12).map { i =>
+          val prev = if (i == 1) "s0" else s"s${i - 1}"
+          s"""s$i AS (
+             |  SELECT p.nxt AS state,
+             |         CAST(SUM((pr.pi6 * p.p6) // 1000000) AS BIGINT) AS pi6
+             |  FROM $prev pr JOIN p6 p ON p.cur = pr.state
+             |  GROUP BY p.nxt)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH seq0 AS (
+           |  SELECT event_type AS cur,
+           |         LEAD(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |p AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM seq0 WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+           |t AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS tot FROM p GROUP BY cur),
+           |p6 AS (SELECT p.cur, p.nxt, (cnt * 1000000) // tot AS p6
+           |       FROM p JOIN t USING (cur)),
+           |states AS (SELECT DISTINCT event_type AS state FROM events),
+           |s0 AS (
+           |  SELECT state,
+           |         1000000 // (SELECT COUNT(*) FROM states)
+           |           + CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY state) AS BIGINT)
+           |                       <= 1000000 % (SELECT COUNT(*) FROM states)
+           |                  THEN 1 ELSE 0 END AS pi6
+           |  FROM states),
+           |$steps,
+           |emp AS (SELECT event_type AS state, CAST(COUNT(*) AS BIGINT) AS n_ev
+           |        FROM events GROUP BY event_type),
+           |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM events)
+           |SELECT st.state, COALESCE(s12.pi6, 0) AS pi6,
+           |       CAST(COALESCE(s12.pi6, 0) AS DOUBLE) / 1000000.0 AS pi,
+           |       (COALESCE(emp.n_ev, 0) * 1000000) // na.n_all AS empirical6,
+           |       CAST(COALESCE(emp.n_ev, 0) AS DOUBLE)
+           |         / CAST(na.n_all AS DOUBLE) AS empirical_share
+           |FROM states st
+           |LEFT JOIN s12 ON st.state = s12.state
+           |LEFT JOIN emp ON st.state = emp.state, na
+           |ORDER BY st.state""".stripMargin
+      }),
+
+    // ---- weekly growth accounting: user lifecycle states (added r9) -------
+    // The canonical growth-accounting decomposition (new / retained /
+    // resurrected / churning) every DAU-style dashboard is built on —
+    // retention_cohorts follows ONE cohort forward, this classifies EVERY
+    // active user per calendar week by where they came from:
+    //   new         = first-ever active week,
+    //   retained    = also active the immediately previous week,
+    //   resurrected = active before, but not last week;
+    // and churn_next = active this week, silent the next (only counted
+    // when a next week exists in the corpus — the honest right-censoring
+    // cut, survival_km's argument). Identity n_active = new + retained +
+    // resurrected holds by construction and is spec-pinned. Weeks are
+    // Monday date_trunc (the cohort_ltv cross-engine precedent); all
+    // outputs exact counts, zero float surface.
+    //
+    // Scale shape: one (user, week) distinct agg, then ALL user-ordered
+    // windows (first/lag/lead) share ONE user_id exchange; the week
+    // roll-up collapses to ≤ calendar-weeks rows; the 1-row max-week
+    // broadcast is R1-whitelisted.
+    "lifecycle_states" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+        val maxW = uw.agg(max(col("wk")).as("max_wk"))
+        val lab = uw
+          .withColumn("first_wk", min(col("wk")).over(
+            Window.partitionBy(col("user_id"))))
+          .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+          .withColumn("next_wk", lead(col("wk"), 1).over(w))
+          .crossJoin(broadcast(maxW))
+        lab.groupBy(col("wk"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("prev_wk").isNotNull
+              && datediff(col("wk"), col("prev_wk")) === 7, 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("prev_wk").isNotNull
+              && datediff(col("wk"), col("prev_wk")) > 7, 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when(col("wk") < col("max_wk")
+              && (col("next_wk").isNull || datediff(col("next_wk"), col("wk")) > 7),
+              1L).otherwise(0L)).as("n_churn_next"))
+          .orderBy("wk")
+      },
+      oracle = Some(
+        """WITH uw AS (
+          |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+          |  FROM events),
+          |mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+          |lab AS (
+          |  SELECT user_id, wk,
+          |         MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+          |         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+          |         LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+          |  FROM uw)
+          |SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+          |       CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          |       CAST(SUM(CASE WHEN prev_wk IS NOT NULL
+          |                      AND datediff('day', prev_wk, wk) = 7
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+          |       CAST(SUM(CASE WHEN prev_wk IS NOT NULL
+          |                      AND datediff('day', prev_wk, wk) > 7
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+          |       CAST(SUM(CASE WHEN wk < mx.max_wk
+          |                      AND (next_wk IS NULL
+          |                           OR datediff('day', wk, next_wk) > 7)
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churn_next
+          |FROM lab, mx GROUP BY wk ORDER BY wk""".stripMargin))
   )
 }

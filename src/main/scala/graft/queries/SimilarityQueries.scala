@@ -119,6 +119,51 @@ object SimilarityQueries {
        |    FROM embeddings e CROSS JOIN cents c) t
        |  WHERE crk = 1)""".stripMargin
 
+  /** Parametrized IVF retrieval leg for the probe-count tuning curve
+    * (added r9): ivf_topk's EXACT plan with `nprobe` probed lists instead
+    * of the fixed 4 — shares [[ivfLists]]/[[ivfCentroids]] so every curve
+    * point measures the production index. Returns (qid, cid) of the
+    * top-[[TopK]] per query. */
+  private def ivfProbeLeg(s: org.apache.spark.sql.SparkSession, dir: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = ivfCentroids(emb)
+    val lists = ivfLists(emb)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("psim", cosineSimilarity(col("qv"), col("centv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id").as("list_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    probes.join(lists, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** Oracle twin of [[ivfProbeLeg]]: CTE `ap_$np (qid, cid)` — assumes
+    * [[ivfListsSql]]'s `cents`/`lists` CTEs are already in scope. */
+  private def ivfProbeSql(np: Int): String =
+    s"""pr_$np AS (
+       |  SELECT qid, qv, cent_id AS list_id FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCosSql("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
+       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
+       |  WHERE prk <= $np),
+       |ap_$np AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${duckCosSql("p.qv", "l.cv")} DESC, cid) AS rk
+       |    FROM pr_$np p JOIN lists l ON p.list_id = l.list_id
+       |    WHERE qid != cid) t
+       |  WHERE rk <= $TopK)""".stripMargin
+
   /** Symmetric int8 quantization columns: `maxabs`, `scale` (= 127/max|x|),
     * `qv` (int8 codes as ints) — shared by embedding_quantize and
     * quantized_topk so both queries provably quantize identically. */
@@ -1777,5 +1822,182 @@ object SimilarityQueries {
            |SELECT qid, CAST(pick_rank AS INT) AS pick_rank, cid,
            |       CAST(s6 AS DOUBLE) / CAST(4000000 AS DOUBLE) AS mmr
            |FROM sel5 ORDER BY qid, pick_rank""".stripMargin
-      }))
+      }),
+
+    // ---- IVF probe-count tuning curve (added r9) --------------------------
+    // The dial an IVF deployment actually turns: recall@10 as a function
+    // of nprobe ∈ {1, 2, 4} — each probed list costs ~corpus/n_lists scan
+    // work, so this curve IS the recall/latency trade-off (recall_at_k
+    // pins the operating point, the curve says what the next probe buys;
+    // ivf_balance says what a probe costs when lists skew). Every leg
+    // reuses the SAME gated [[ivfLists]] builder and truth =
+    // similarity_topk's exact top-10, with the oracle nesting the same
+    // CTE text — the recall_at_k no-drift discipline: the curve cannot
+    // measure anything but the production retriever.
+    //
+    // Scale shape: three probe variants of the retriever's own plan (each
+    // a ≤5-row query broadcast against the assignment agg) + three
+    // broadcast-sized top-k joins and 5-row aggs — constant eval overhead.
+    // n_hit exact int; recall ONE bare division by the constant k.
+    "ivf_probe_curve" -> Q(
+      fn = (s, dir) => {
+        val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
+        def leg(nprobe: Int) = {
+          val approx = ivfProbeLeg(s, dir, nprobe)
+            .select(col("qid"), col("cid"), lit(1L).as("hit"))
+          exact.join(approx, Seq("qid", "cid"), "left")
+            .groupBy("qid")
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+            .select(lit(nprobe.toLong).as("nprobe"), col("qid"), col("n_hit"),
+              (col("n_hit").cast("double") / lit(TopK)).as("recall"))
+        }
+        leg(1).unionAll(leg(2)).unionAll(leg(4)).orderBy("nprobe", "qid")
+      },
+      oracle = Some {
+        def legSql(np: Int) =
+          s"""SELECT $np AS nprobe, e.qid,
+             |       CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             |FROM exact e LEFT JOIN ap_$np a ON e.qid = a.qid AND e.cid = a.cid
+             |GROUP BY e.qid""".stripMargin
+        val probeCtes = Seq(1, 2, 4).map(np => ivfProbeSql(np)).mkString(",\n")
+        s"""WITH exact AS (${base("similarity_topk").oracle.get}),
+           |$ivfListsSql,
+           |$probeCtes,
+           |r AS (${legSql(1)}
+           |UNION ALL
+           |${legSql(2)}
+           |UNION ALL
+           |${legSql(4)})
+           |SELECT CAST(nprobe AS BIGINT) AS nprobe, qid, n_hit,
+           |       CAST(n_hit AS DOUBLE) / $TopK AS recall
+           |FROM r ORDER BY nprobe, qid""".stripMargin
+      }),
+
+    // ---- PQ quantization-distortion audit (added r9) ----------------------
+    // The index-health number for the PQ compression point pq_topk serves
+    // from: per subspace, the mean and max squared L2 error between each
+    // vector's sub-slice and its assigned codebook centroid — the
+    // distortion that bounds ADC ranking error (a subspace with 10× the
+    // others' distortion is where re-training k-means codebooks pays
+    // first; the PQ twin of ivf_balance's list-skew audit). Composed from
+    // the IDENTICAL encode argmin as pq_topk (min(struct(d2, cent_id))
+    // over the 16-entry codebook, the proven floatL2Sq ↔ duckL2Full fold
+    // pair), so the audit measures the production encoder's own
+    // assignments.
+    //
+    // Float parity: each per-vector d2 is a deterministic double floored
+    // onto the 6 dp grid and summed as exact DECIMAL; mean is the
+    // decimal→double cast + ONE division; max is a decimal order
+    // statistic.
+    //
+    // Scale shape: the encode's map-side argmin agg (one row per (vec,
+    // subspace) reaches the shuffle) → an 8-row subspace roll-up.
+    "pq_distortion" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        def l2(a: String, b: String): Column =
+          graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
+        def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
+          src.select(col("vec_id").as(idCol),
+              explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+            .select(col(idCol), col("j"),
+              expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
+        val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+        val errs = subspaces(emb, "cid", "subv")
+          .join(broadcast(cents), Seq("j"))
+          .groupBy("cid", "j")
+          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
+          .select(col("j"),
+            Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
+        errs.groupBy("j")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"),
+            max(col("d2")).as("max_d2"))
+          .select(col("j").cast("long").as("subspace"), col("n_vecs"),
+            col("sum_d2").cast("double").as("total_d2"),
+            (col("sum_d2").cast("double") / col("n_vecs").cast("double"))
+              .as("mean_d2"),
+            col("max_d2").cast("double").as("max_d2"))
+          .orderBy("subspace")
+      },
+      oracle = Some {
+        def duckL2(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH js AS (SELECT UNNEST(range(8)) AS j),
+           |cents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
+           |          FROM embeddings, js WHERE vec_id < 16),
+           |vecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
+           |         FROM embeddings, js),
+           |enc AS (
+           |  SELECT cid, j, d2 FROM (
+           |    SELECT v.cid, v.j, ${duckL2("v.subv", "c.centv")} AS d2,
+           |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
+           |                              ORDER BY ${duckL2("v.subv", "c.centv")}, c.cent_id) AS crk
+           |    FROM vecs v JOIN cents c ON v.j = c.j) t
+           |  WHERE crk = 1),
+           |g AS (SELECT j, CAST(floor(d2 * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS d2
+           |      FROM enc)
+           |SELECT CAST(j AS BIGINT) AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |       CAST(SUM(d2) AS DOUBLE) AS total_d2,
+           |       CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_d2,
+           |       CAST(MAX(d2) AS DOUBLE) AS max_d2
+           |FROM g GROUP BY j ORDER BY subspace""".stripMargin
+      }),
+
+    // ---- per-dimension embedding statistics (added r9) --------------------
+    // The dead-dimension audit completing the representation-health family:
+    // embedding_isotropy summarizes the cone pathology in ONE number and
+    // embedding_pca_power finds the dominant axis — this is the per-axis
+    // profile (mean, variance, exact-zero share for each of the 64 dims)
+    // that says WHICH dimensions carry no signal (var ≈ 0 = dead unit —
+    // prune before ANN), which are biased (|mean| ≫ 0 = the common-
+    // direction component centering removes), and whether zeros cluster
+    // (ReLU-style sparsity vs encoder failure). Computed on the SHARED
+    // int8 quantization codes ([[quantized]] — the embedding_isotropy
+    // precedent), so every sum is exact integer.
+    //
+    // Float parity: mean and zero_share are ONE bare division each;
+    // variance is one division of DECIMAL(38,0) cross-products.
+    //
+    // Scale shape: map-side quantize + posexplode → a 64-row (dim) hash
+    // agg with map-side combine — the cheapest full-table per-dim audit.
+    "embedding_dim_stats" -> Q(
+      fn = (s, dir) => {
+        val big = (c: Column) => c.cast("decimal(38,0)")
+        val qd = quantized(Tables.load(s, dir, "embeddings"))
+          .select(posexplode(col("qv")).as(Seq("pos", "q")))
+          .select(col("pos").cast("long").as("pos"), col("q").cast("long").as("q"))
+        qd.groupBy("pos")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(big(col("q")) * big(col("q"))).as("sqq"),
+            sum(when(col("q") === 0, 1L).otherwise(0L)).as("zn"))
+          .select(col("pos"), col("n"), col("sq").as("sum_q"),
+            (col("sq").cast("double") / col("n").cast("double")).as("mean_q"),
+            when(col("n") < 2, lit(null).cast("double"))
+              .otherwise((big(col("n")) * col("sqq") - big(col("sq")) * big(col("sq")))
+                .cast("double")
+                / (big(col("n")) * big(col("n") - 1)).cast("double"))
+              .as("var_q"),
+            (col("zn").cast("double") / col("n").cast("double")).as("zero_share"))
+          .orderBy("pos")
+      },
+      oracle = Some(
+        s"""WITH $duckQuantizedCtes,
+           |el AS (SELECT vec_id, UNNEST(range(1, 65)) AS p, qv FROM q),
+           |dq AS (SELECT CAST(p - 1 AS BIGINT) AS pos, CAST(qv[p] AS BIGINT) AS qx
+           |       FROM el),
+           |m AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(qx) AS BIGINT) AS sq,
+           |             SUM(CAST(qx AS HUGEINT) * qx) AS sqq,
+           |             CAST(SUM(CASE WHEN qx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zn
+           |      FROM dq GROUP BY pos)
+           |SELECT pos, n, sq AS sum_q,
+           |       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+           |       CASE WHEN n < 2 THEN NULL
+           |            ELSE CAST(CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+           |                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) END AS var_q,
+           |       CAST(zn AS DOUBLE) / CAST(n AS DOUBLE) AS zero_share
+           |FROM m ORDER BY pos""".stripMargin))
+  )
 }

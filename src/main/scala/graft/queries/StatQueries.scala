@@ -1236,6 +1236,345 @@ object StatQueries {
           |       n_obs * 1000000 - nt.n * benford_p6 AS dev6,
           |       CASE WHEN nt.n = 0 THEN NULL
           |            ELSE CAST(n_obs AS DOUBLE) / CAST(nt.n AS DOUBLE) END AS share
-          |FROM j, nt ORDER BY digit""".stripMargin))
+          |FROM j, nt ORDER BY digit""".stripMargin)),
+
+    // ---- Theil–Sen robust trend of daily volumes (added r9) --------------
+    // The robust slope estimator (median of all pairwise slopes, Sen 1968)
+    // for each event type's daily-volume series — up to ~29% contaminated
+    // days cannot move it, where the OLS slope (ols_length_quality's
+    // machinery applied to time) chases every outlier burst. The number a
+    // capacity review wants beside mad_anomalies' robust level: "is this
+    // stream growing, and at what rate, ignoring incident days".
+    //
+    // ENGINE-VERSION-PROOF: each pairwise slope is the exact rational
+    // (c_j − c_i)/(d_j − d_i); the median is selected by ORDER ON AN EXACT
+    // INTEGER KEY — the slope offset-shifted positive and floored to the
+    // 10⁻⁶ grid, key = (num + 10⁷·den)·10⁶ div den (monotone in the true
+    // rational; 10⁷ bounds the daily count by ingest contract — widen to
+    // DECIMAL at larger scales), with (num, den, d_i, d_j) as the total
+    // tie-break, so both engines pick the identical pair. The lower median
+    // (nearest-rank (P+1) div 2) avoids averaging two rationals. Reported
+    // slope is ONE bare division of the chosen pair's exact ints.
+    //
+    // Scale shape: the pair join runs over the DAY-GRAIN aggregate —
+    // calendar-span bounded (span²/2 pairs per type at any corpus size,
+    // the changepoint_daily argument), never corpus rows; the rank window
+    // partitions by type over that bounded pair frame.
+    "theil_sen_trend" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
+        val b = daily.select(col("event_type"), col("d").as("db"), col("c").as("cb"))
+        val pairs = a.join(b, Seq("event_type")).filter(col("db") > col("da"))
+          .withColumn("num", col("cb") - col("ca"))
+          .withColumn("den", datediff(col("db"), col("da")).cast("long"))
+          .withColumn("key",
+            expr("((num + 10000000L * den) * 1000000L) div den"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("key"), col("num"), col("den"), col("da"), col("db"))
+        pairs
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("np", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("event_type"), col("np").as("n_pairs"),
+            col("num").as("slope_num"), col("den").as("slope_den"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("slope_per_day"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |pairs AS (
+          |  SELECT a.event_type,
+          |         b.c - a.c AS num,
+          |         CAST(b.d - a.d AS BIGINT) AS den,
+          |         a.d AS da, b.d AS db
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND b.d > a.d),
+          |keyed AS (
+          |  SELECT *, (num + 10000000 * den) * 1000000 // den AS key
+          |  FROM pairs),
+          |ranked AS (
+          |  SELECT *,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          |             ORDER BY key, num, den, da, db) AS BIGINT) AS rn,
+          |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+          |  FROM keyed)
+          |SELECT event_type, np AS n_pairs, num AS slope_num, den AS slope_den,
+          |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_per_day
+          |FROM ranked WHERE rn = (np + 1) // 2
+          |ORDER BY event_type""".stripMargin)),
+
+    // ---- Mann–Kendall trend test on daily volumes (added r9) -------------
+    // The distribution-free trend VERDICT beside theil_sen_trend's slope
+    // (the two are the standard pairing: MK decides IF a monotone trend
+    // exists, Theil–Sen says how steep): S = Σ_{i<j} sign(c_j − c_i) over
+    // the day-ordered series, with the tie-corrected variance
+    // 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). The α = 0.05 verdict is
+    // decided ENTIRELY in exact integers by cross-multiplication:
+    //   significant ⟺ S ≠ 0 ∧ 18·10⁴·(|S|−1)² > 38416·var18
+    // (1.96² = 3.8416 — the prop_ztest constant discipline; the ∓1 is the
+    // standard continuity correction). No float can flip the verdict; the
+    // reported z is a fixed chain of correctly-rounded IEEE ops (÷, sqrt,
+    // ÷) over exact ints with identical parenthesization on both engines.
+    //
+    // Scale shape: pair sums and tie groups both live on the day-grain
+    // aggregate (calendar-bounded); cross-products widened to
+    // DECIMAL(38,0)/HUGEINT. One corpus pass total.
+    "mann_kendall_trend" -> Q(
+      fn = (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
+        val b = daily.select(col("event_type"), col("d").as("db"), col("c").as("cb"))
+        val sPart = a.join(b, Seq("event_type")).filter(col("db") > col("da"))
+          .groupBy("event_type")
+          .agg(sum(when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s_stat"))
+        val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val ties = daily.groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"))
+        val m = sPart.join(nDays, Seq("event_type")).join(ties, Seq("event_type"))
+          .withColumn("var18",
+            col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
+        val absS = abs(col("s_stat"))
+        m.select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+            col("var18"),
+            when(col("s_stat") === 0 || col("var18") <= 0, lit(0.0d))
+              .otherwise((col("s_stat") - signum(col("s_stat")).cast("long"))
+                .cast("double")
+                / sqrt(col("var18").cast("double") / lit(18.0d)))
+              .as("z_mk"),
+            when(col("s_stat") =!= 0 && col("var18") > 0
+                && big(lit(180000L)) * big(absS - 1) * big(absS - 1)
+                   > big(lit(38416L)) * big(col("var18")),
+                signum(col("s_stat")).cast("int"))
+              .otherwise(lit(0)).as("trend"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |sp AS (
+          |  SELECT a.event_type,
+          |         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+          |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND b.d > a.d
+          |  GROUP BY a.event_type),
+          |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          |       FROM daily GROUP BY event_type),
+          |ti AS (SELECT event_type,
+          |              CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+          |       FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+          |             FROM daily GROUP BY event_type, c)
+          |       GROUP BY event_type),
+          |m AS (SELECT sp.event_type, sp.s_stat, nd.n,
+          |             n * (n - 1) * (2 * n + 5) - ti.tt AS var18
+          |      FROM sp JOIN nd USING (event_type) JOIN ti USING (event_type))
+          |SELECT event_type, n AS n_days, s_stat, var18,
+          |       CASE WHEN s_stat = 0 OR var18 <= 0 THEN 0.0
+          |            ELSE CAST(s_stat - CAST(sign(s_stat) AS BIGINT) AS DOUBLE)
+          |                 / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS z_mk,
+          |       CASE WHEN s_stat <> 0 AND var18 > 0
+          |                 AND CAST(180000 AS HUGEINT) * (abs(s_stat) - 1)
+          |                     * (abs(s_stat) - 1)
+          |                     > CAST(38416 AS HUGEINT) * var18
+          |            THEN CAST(sign(s_stat) AS INTEGER) ELSE 0 END AS trend
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- Wald–Wolfowitz runs test on daily volumes (added r9) ------------
+    // Randomness-of-sequence check per event type: the daily series
+    // dichotomized against its own median (mad_anomalies' exact med2
+    // doubling trick — ties with the median are excluded, the standard
+    // treatment), runs of consecutive same-side days counted, and the run
+    // count tested against its null distribution. Too FEW runs = regime
+    // clumping (level shifts, weekly cycles — the pattern cusum/changepoint
+    // then localize); too MANY = alternating/oscillating load. Completes
+    // the nonparametric triad: mann_kendall (monotone trend), runs_test
+    // (serial randomness), fano_burstiness (dispersion).
+    //
+    // ENGINE-VERSION-PROOF: with m = n1·n2, μ = 1 + 2m/n and
+    // σ² = 2m(2m−n)/(n²(n−1)), the α = 0.05 verdict is the exact integer
+    // cross-multiplication (A = R·n − n − 2m, so R − μ = A/n):
+    //   significant ⟺ A²·(n−1)·10⁴ > 38416·2m·(2m−n)
+    // — DECIMAL(38,0)/HUGEINT cross-products, no float in the verdict; the
+    // reported z = A / sqrt(2m(2m−n)/(n−1)) is a fixed chain of
+    // correctly-rounded IEEE ops (÷ inside, sqrt, final ÷).
+    //
+    // Scale shape: one day-grain hash agg; the median list and the lag
+    // window both live on the calendar-bounded per-type series.
+    "runs_test_volume" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val med = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n0"), sort_array(collect_list(col("c"))).as("arr"))
+          .select(col("event_type"), expr(
+            "element_at(arr, int((n0 - 1) div 2) + 1) + element_at(arr, int(n0 div 2) + 1)")
+            .as("med2"))
+        val signed = daily.join(med, Seq("event_type"))
+          .withColumn("sgn",
+            when(col("c") * 2 > col("med2"), 1L)
+              .when(col("c") * 2 < col("med2"), -1L).otherwise(0L))
+          .filter(col("sgn") =!= 0)
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val m = signed
+          .withColumn("prev", lag(col("sgn"), 1).over(w))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+              .otherwise(0L)).as("runs"),
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"))
+          .withColumn("n", col("n1") + col("n2"))
+          .withColumn("m2", lit(2L) * col("n1") * col("n2"))
+          .withColumn("a", col("runs") * col("n") - col("n") - col("m2"))
+        m.select(col("event_type"), col("n").as("n_days_used"),
+            col("n1").as("n_above"), col("n2").as("n_below"), col("runs"),
+            when(col("n1") === 0 || col("n2") === 0 || col("n") < 2
+                || col("m2") * (col("m2") - col("n")) <= 0, lit(0.0d))
+              .otherwise(col("a").cast("double")
+                / sqrt((col("m2") * (col("m2") - col("n"))).cast("double")
+                  / (col("n") - 1).cast("double")))
+              .as("z_runs"),
+            when(col("n1") > 0 && col("n2") > 0 && col("n") >= 2
+                && col("m2") * (col("m2") - col("n")) > 0
+                && big(col("a")) * big(col("a")) * big(col("n") - 1) * 10000L
+                   > big(lit(38416L)) * big(col("m2")) * big(col("m2") - col("n")),
+                lit(1)).otherwise(lit(0)).as("nonrandom"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |med AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+          |               list_sort(list(c)) AS arr
+          |        FROM daily GROUP BY event_type),
+          |m2 AS (SELECT event_type,
+          |              arr[CAST((n0 - 1) // 2 AS INTEGER) + 1]
+          |                + arr[CAST(n0 // 2 AS INTEGER) + 1] AS med2
+          |       FROM med),
+          |sg AS (SELECT daily.event_type, daily.d,
+          |              CASE WHEN daily.c * 2 > m2.med2 THEN 1
+          |                   WHEN daily.c * 2 < m2.med2 THEN -1 ELSE 0 END AS sgn
+          |       FROM daily JOIN m2 USING (event_type)),
+          |nz AS (SELECT *, LAG(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev
+          |       FROM sg WHERE sgn <> 0),
+          |st AS (SELECT event_type,
+          |              CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn
+          |                            THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+          |              CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |              CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          |       FROM nz GROUP BY event_type),
+          |fx AS (SELECT *, n1 + n2 AS n, 2 * n1 * n2 AS m2x FROM st),
+          |fy AS (SELECT *, runs * n - n - m2x AS a FROM fx)
+          |SELECT event_type, n AS n_days_used, n1 AS n_above, n2 AS n_below, runs,
+          |       CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR m2x * (m2x - n) <= 0 THEN 0.0
+          |            ELSE CAST(a AS DOUBLE)
+          |                 / sqrt(CAST(m2x * (m2x - n) AS DOUBLE)
+          |                        / CAST(n - 1 AS DOUBLE)) END AS z_runs,
+          |       CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2 AND m2x * (m2x - n) > 0
+          |                 AND CAST(a AS HUGEINT) * a * (n - 1) * 10000
+          |                     > CAST(38416 AS HUGEINT) * m2x * (m2x - n)
+          |            THEN 1 ELSE 0 END AS nonrandom
+          |FROM fy ORDER BY event_type""".stripMargin)),
+
+    // ---- Pareto curve: top-p% user share of revenue (added r9) ------------
+    // The whale-curve POINTS a monetization review quotes ("top 1% of
+    // payers = X% of revenue") — gini_user_revenue compresses the whole
+    // curve into one number, user_ltv_quantiles gives the per-user value
+    // axis; this reads off the canonical cutoffs p ∈ {1, 5, 10, 25}.
+    // Top-p% count = ⌈p·n/100⌉ (exact integer ceil), membership by the
+    // user's revenue-DESCENDING rank.
+    //
+    // Corpus-scale ranks use the gini_user_revenue STITCHED discipline:
+    // shard by the monotone revenue bucket (c div 10⁵, descending), rank
+    // within shard, add tiny-frame offsets — provably ≡ the global
+    // ROW_NUMBER the ORACLE spells directly (the hash match is the
+    // stitching proof, the quality_rank_parity precedent). All sums exact
+    // cents; share is ONE bare division of exact ints.
+    //
+    // Scale shape: user revenue agg → g-partitioned rank windows + a
+    // ≤|buckets| offsets frame → one 1-row conditional-sum agg → a 4-row
+    // stack. Never a single-reducer window over users.
+    "pareto_user_share" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+          .withColumn("g", expr("c div 100000"))
+        val rn = u.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("c").desc, col("user_id"))))
+        val offsets = u.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("g").desc).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("g"), col("off"))
+        val ranked = rn.join(broadcast(offsets), Seq("g"))
+          .withColumn("r", col("off") + col("rn"))
+        def kOf(p: Int) = expr(s"($p * n + 99) div 100")
+        val m = ranked
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("total"))
+        val sums = ranked.crossJoin(broadcast(m))
+          .agg(max(col("n")).as("n"), max(col("total")).as("total"),
+            sum(when(col("r") <= kOf(1), col("c")).otherwise(0L)).as("c1"),
+            sum(when(col("r") <= kOf(5), col("c")).otherwise(0L)).as("c5"),
+            sum(when(col("r") <= kOf(10), col("c")).otherwise(0L)).as("c10"),
+            sum(when(col("r") <= kOf(25), col("c")).otherwise(0L)).as("c25"))
+        sums.select(col("n"), col("total"),
+            expr("stack(4, 1L, (1 * n + 99) div 100, c1, 5L, (5 * n + 99) div 100, c5, " +
+              "10L, (10 * n + 99) div 100, c10, 25L, (25 * n + 99) div 100, c25) " +
+              "as (pct, k_users, cents_topk)"))
+          .select(col("pct"), col("k_users"), col("cents_topk"),
+            col("n").as("n_payers"), col("total").as("total_cents"),
+            when(col("total") === 0, lit(0.0d))
+              .otherwise(col("cents_topk").cast("double") / col("total").cast("double"))
+              .as("share"))
+          .orderBy("pct")
+      },
+      oracle = Some(
+        """WITH u AS (SELECT user_id,
+          |             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+          |           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS r
+          |      FROM u),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total
+          |      FROM u),
+          |s AS (SELECT n, total,
+          |             CAST(SUM(CASE WHEN r.r <= (1 * n + 99) // 100 THEN c ELSE 0 END) AS BIGINT) AS c1,
+          |             CAST(SUM(CASE WHEN r.r <= (5 * n + 99) // 100 THEN c ELSE 0 END) AS BIGINT) AS c5,
+          |             CAST(SUM(CASE WHEN r.r <= (10 * n + 99) // 100 THEN c ELSE 0 END) AS BIGINT) AS c10,
+          |             CAST(SUM(CASE WHEN r.r <= (25 * n + 99) // 100 THEN c ELSE 0 END) AS BIGINT) AS c25
+          |      FROM r, m GROUP BY n, total),
+          |st AS (SELECT 1 AS pct, (1 * n + 99) // 100 AS k_users, c1 AS cents_topk,
+          |              n, total FROM s
+          |       UNION ALL
+          |       SELECT 5, (5 * n + 99) // 100, c5, n, total FROM s
+          |       UNION ALL
+          |       SELECT 10, (10 * n + 99) // 100, c10, n, total FROM s
+          |       UNION ALL
+          |       SELECT 25, (25 * n + 99) // 100, c25, n, total FROM s)
+          |SELECT CAST(pct AS BIGINT) AS pct, CAST(k_users AS BIGINT) AS k_users,
+          |       cents_topk, n AS n_payers, total AS total_cents,
+          |       CASE WHEN total = 0 THEN 0.0
+          |            ELSE CAST(cents_topk AS DOUBLE) / CAST(total AS DOUBLE) END AS share
+          |FROM st ORDER BY pct""".stripMargin))
   )
 }

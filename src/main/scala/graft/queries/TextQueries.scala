@@ -2491,6 +2491,162 @@ object TextQueries {
           |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
           |       CAST(SUM(b - a + 50) AS BIGINT) AS dup_tokens,
           |       CAST(MAX(b - a + 50) AS BIGINT) AS max_span_tokens
-          |FROM spans GROUP BY source ORDER BY source""".stripMargin))
+          |FROM spans GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Yule's characteristic K per source (added r9) --------------------
+    // The classic repeat-rate lexical-diversity constant (Yule 1944):
+    // K = 10⁴·(Σc² − N)/N² over the source's token frequency spectrum —
+    // scale-INVARIANT where raw TTR collapses with corpus size (that's the
+    // point: K is comparable across sources of different volume, the flaw
+    // sttr_diversity fixes by segmenting and vocab_richness by
+    // extrapolating). High K = a few tokens dominate (templated/repetitive
+    // prose), low K = even spread. The third leg of the diversity triad:
+    // simpson_diversity is the probability form (K ≈ 10⁴·Simpson-D for
+    // large N), token_entropy the information form, K the classical
+    // stylometry constant reviewers recognize.
+    //
+    // ENGINE-VERSION-PROOF: Σc² through DECIMAL(38,0)/HUGEINT (int64 would
+    // overflow at 100 TB source sizes), the reported K ONE bare division
+    // of exact integers scaled by 10⁴ in the numerator.
+    //
+    // Scale shape: one (source, tok) hash agg with map-side combine, then
+    // a ≤|sources| roll-up — the simpson_diversity plan exactly.
+    "yule_k" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        tc.groupBy("source")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+            sum(big(col("c")) * big(col("c"))).as("s2"))
+          .select(col("source"), col("n").as("n_tokens"), col("v").as("n_types"),
+            when(col("n") < 2, lit(null).cast("double"))
+              .otherwise((big(lit(10000L)) * (col("s2") - big(col("n")))).cast("double")
+                / (big(col("n")) * big(col("n"))).cast("double"))
+              .as("yule_k"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH tc AS (
+          |  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          |      FROM tc GROUP BY source, tok),
+          |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+          |             CAST(COUNT(*) AS BIGINT) AS v,
+          |             SUM(CAST(c AS HUGEINT) * c) AS s2
+          |      FROM f GROUP BY source)
+          |SELECT source, n AS n_tokens, v AS n_types,
+          |       CASE WHEN n < 2 THEN NULL
+          |            ELSE CAST(10000 * (s2 - n) AS DOUBLE)
+          |                 / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) END AS yule_k
+          |FROM m ORDER BY source""".stripMargin)),
+
+    // ---- segmental type-token ratio per source (added r9) -----------------
+    // STTR (the MATTR/standardized-TTR family): each document split into
+    // consecutive FULL 50-token segments, TTR = distinct/50 per segment,
+    // averaged per source over segment COUNT — the length-bias-free
+    // lexical-diversity number (raw TTR of a long doc is incomparably
+    // lower than a short one's; fixing the window removes the bias, the
+    // same reason MTLD/MATTR exist). Complements yule_k (frequency-
+    // spectrum view) with the positional view: a doc that cycles the same
+    // 20 tokens shows low STTR even when corpus-level K looks healthy.
+    //
+    // All-integer surface: segment distinct counts are exact ints
+    // (array_distinct over a fixed slice — map-side, no shuffle), the
+    // source mean is ONE bare division Σdistinct/(50·nseg); docs shorter
+    // than one full segment are excluded by definition (n div 50 = 0).
+    //
+    // Scale shape: segments generate map-side (sequence + slice — the
+    // chunk_documents idiom), collapse immediately into the per-(doc)
+    // projection, and the only shuffle is the ≤|sources| roll-up.
+    "sttr_diversity" -> Q(
+      fn = (s, dir) => {
+        val segs = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 50)
+          .select(col("source"),
+            explode(expr("sequence(0, size(toks) div 50 - 1)")).as("i"),
+            col("toks"))
+          .select(col("source"),
+            expr("size(array_distinct(slice(toks, int(i * 50 + 1), 50)))")
+              .cast("long").as("d"))
+        segs.groupBy("source")
+          .agg(count(lit(1)).as("n_segments"), sum(col("d")).as("sum_distinct"))
+          .select(col("source"), col("n_segments"), col("sum_distinct"),
+            (col("sum_distinct").cast("double")
+              / (col("n_segments") * 50L).cast("double")).as("sttr"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          |f AS (SELECT source, toks FROM t WHERE len(toks) >= 50),
+          |g AS (SELECT source, UNNEST(range(len(toks) // 50)) AS i, toks FROM f),
+          |seg AS (SELECT source,
+          |               CAST(len(list_distinct(toks[i * 50 + 1 : i * 50 + 50]))
+          |                    AS BIGINT) AS d
+          |        FROM g)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+          |       CAST(SUM(d) AS BIGINT) AS sum_distinct,
+          |       CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) * 50 AS DOUBLE) AS sttr
+          |FROM seg GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Flesch reading-ease profile per source (added r9) ----------------
+    // The standard readability score, syllables proxied by vowel-group
+    // runs ([aeiouy]+ — the classic cheap estimator) and sentences by
+    // terminal punctuation with a floor of 1 (this synthetic corpus has
+    // no punctuation, so every doc reads as one sentence — the operator's
+    // semantics are corpus-independent and the punctuation path is
+    // exercised by the spec's fixture, the auc_dup_quality label-choice
+    // precedent). FK = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), computed
+    // per doc ENTIRELY in integers on the common denominator S·W:
+    //   score6 = (206835000·S·W − 1015000·W² − 84600000·Syl·S) div (S·W)
+    // (trunc-toward-zero 6 dp grid — Spark `div` ≡ DuckDB `//` on
+    // negatives too, so very long "sentences" that push FK negative stay
+    // bit-identical). Per-source mean is ONE bare division of the exact
+    // score6 sum; min/max are integer order statistics.
+    //
+    // Scale shape: map-only per-doc projection (two regexp counts + one
+    // split size) → ≤|sources| hash agg. Scan-speed at any corpus size.
+    "readability_fk" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("w"),
+            expr("cast(regexp_count(text, '[aeiouy]+') as bigint)").as("syl"),
+            greatest(expr("cast(regexp_count(text, '[.!?]') as bigint)"), lit(1L))
+              .as("sent"))
+          .filter(col("w") >= 1)
+          .withColumn("score6",
+            expr("""(206835000L * sent * w - 1015000L * w * w
+                    | - 84600000L * syl * sent) div (sent * w)""".stripMargin))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("score6")).as("sum6"),
+            min(col("score6")).as("min_score6"), max(col("score6")).as("max_score6"))
+          .select(col("source"), col("n_docs"),
+            col("min_score6"), col("max_score6"),
+            (col("sum6").cast("double")
+              / (col("n_docs") * 1000000L).cast("double")).as("mean_fk"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT source,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          |         CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl,
+          |         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT), 1)
+          |           AS sent
+          |  FROM documents),
+          |sc AS (
+          |  SELECT source,
+          |         (206835000 * sent * w - 1015000 * w * w
+          |          - 84600000 * syl * sent) // (sent * w) AS score6
+          |  FROM d WHERE w >= 1)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(MIN(score6) AS BIGINT) AS min_score6,
+          |       CAST(MAX(score6) AS BIGINT) AS max_score6,
+          |       CAST(SUM(score6) AS DOUBLE)
+          |         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_fk
+          |FROM sc GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -1100,6 +1100,76 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming lifecycle / growth accounting (added r9) ----------------
+
+  /** One user-activity observation at calendar-week grain (`weekDay` =
+    * epoch day of the week's Monday — the batch `lifecycle_states`
+    * date_trunc convention). */
+  final case class WeekEvent(userId: Long, weekDay: Long)
+
+  /** A lifecycle classification emission. `state` ∈ new / retained /
+    * resurrected (for the week that just became active) or `churned`
+    * (for the LAST-ACTIVE week, emitted the moment a later week proves
+    * the >7-day gap). */
+  final case class LifecycleRow(userId: Long, weekDay: Long, state: String)
+
+  /** Streaming twin of the batch `lifecycle_states` query: per user, each
+    * arriving active week classified against the previous one — the
+    * growth-accounting dashboard (new / retained / resurrected per week)
+    * maintained incrementally, with per-week counts converging to the
+    * batch decomposition exactly (spec-pinned across a mid-stream split).
+    * Churn differs by CONSTRUCTION, not semantics: the stream emits a
+    * `churned` row only when a later week ARRIVES and proves the gap —
+    * the right-censored tail (users who simply stop) needs event-time
+    * timers to flush, the idle-bucket alert's machinery, and the batch
+    * query's max-week cut is the retrospective equivalent; the spec pins
+    * streamed churn ≡ the gap-proven subset of the batch column. State is
+    * ONE long per user (`last_week_day`, unit in name). In-batch disorder
+    * repairs in the sort; across batches the funnel ordering contract
+    * applies; weeks ≤ the absorbed frontier are duplicates and no-op. */
+  final class LifecycleProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, WeekEvent, LifecycleRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var lastWk: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastWk = getHandle.getValueState[Long]("last_week_day",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[WeekEvent],
+        timerValues: TimerValues): Iterator[LifecycleRow] = {
+      val weeks = rows.map(_.weekDay).toArray.distinct.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[LifecycleRow]
+      var last = if (lastWk.exists()) lastWk.get() else Long.MinValue
+      weeks.foreach { w =>
+        if (last == Long.MinValue) {
+          out += LifecycleRow(key, w, "new"); last = w
+        } else if (w == last + 7) {
+          out += LifecycleRow(key, w, "retained"); last = w
+        } else if (w > last + 7) {
+          out += LifecycleRow(key, last, "churned")
+          out += LifecycleRow(key, w, "resurrected"); last = w
+        } // w ≤ last: duplicate of an absorbed week — no-op
+      }
+      if (last != Long.MinValue) lastWk.update(last)
+      out.iterator
+    }
+  }
+
+  /** See [[LifecycleProcessor]]. */
+  def lifecycleStream(weeks: Dataset[WeekEvent]): Dataset[LifecycleRow] = {
+    import weeks.sparkSession.implicits._
+    weeks
+      .groupByKey(_.userId)
+      .transformWithState(
+        new LifecycleProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming activity streaks (added r8) -----------------------------
 
   /** One user-activity observation at day grain (epoch days). */

@@ -123,6 +123,18 @@ class PlanGuardSpec extends SparkTestBase {
       "quality_rank_parity",
       // knn_label_consistency: the shared ivfLists 16-centroid broadcast
       "knn_label_consistency",
+      // ivf_probe_curve: composes similarity_topk + three probe variants of
+      // the IVF leg — their whitelisted ≤5-row query / 16-row centroid
+      // broadcasts (recall_at_k shape ×3)
+      "ivf_probe_curve",
+      // markov_stationary: the 1-row event-total broadcast onto the
+      // ≤|types| state spine
+      "markov_stationary",
+      // pareto_user_share: the 1-row (n, total) broadcast onto the ranked
+      // payer frame
+      "pareto_user_share",
+      // lifecycle_states: the 1-row max-week broadcast (right-censoring cut)
+      "lifecycle_states",
       // cluster_purity: the 16-row codebook broadcast (kmeans_step shape)
       "cluster_purity",
       // silhouette_positive_share: the same 16-row codebook broadcast
@@ -271,7 +283,13 @@ class PlanGuardSpec extends SparkTestBase {
     "spearman_length_quality",
     // rolling_active_users: the WAU rolling-set window runs over the
     // day-grain aggregate — calendar-span bounded like survival_km.
-    "rolling_active_users")
+    "rolling_active_users",
+    // markov_stationary: the uniform-start rank/count windows over the
+    // DISTINCT-event-type aggregate — ≤|types| rows by construction.
+    "markov_stationary",
+    // pareto_user_share: the stitched-rank OFFSETS window over the
+    // ≤|revenue-bucket| aggregate frame — gini_user_revenue's shape.
+    "pareto_user_share")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -306,6 +324,14 @@ class PlanGuardSpec extends SparkTestBase {
           org.apache.spark.sql.functions.col("ts"))),
         org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col("ts")))) + 1).cast("long")).head().getLong(0)
+    val revenueBuckets: Long = Tables.load(spark, SfDir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("c"))
+      .select(org.apache.spark.sql.functions.expr("c div 100000"))
+      .distinct().count()
     val bounds: Map[String, Long] = Map(
       "shuffle_deterministic" -> 16L, // hex-prefix offset table
       "curriculum_schedule" -> 48L, // tercile × hex-prefix offsets
@@ -321,17 +347,11 @@ class PlanGuardSpec extends SparkTestBase {
       "quality_rank_parity" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
       "kruskal_length_by_source" -> nChars, // length value-domain grid
       "spearman_length_quality" -> nChars, // length grid (covers the ≤11-row band frame)
-      "gini_user_revenue" -> { // distinct revenue buckets (cents div 1e5)
-        Tables.load(spark, SfDir, "events")
-          .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
-          .groupBy("user_id")
-          .agg((org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("value").cast("decimal(18,2)")) * 100)
-            .cast("long").as("c"))
-          .select(org.apache.spark.sql.functions.expr("c div 100000"))
-          .distinct().count()
-      },
-      "rolling_active_users" -> daySpan) // per-day active-set frame
+      "gini_user_revenue" -> revenueBuckets, // distinct revenue buckets (cents div 1e5)
+      "rolling_active_users" -> daySpan, // per-day active-set frame
+      "markov_stationary" -> // distinct event types (the state spine)
+        events.select("event_type").distinct().count(),
+      "pareto_user_share" -> revenueBuckets) // same bucket offsets frame as gini
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
