@@ -2225,6 +2225,91 @@ object FunnelQueries {
           |                      AND (next_wk IS NULL
           |                           OR datediff('day', wk, next_wk) > 7)
           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churn_next
-          |FROM lab, mx GROUP BY wk ORDER BY wk""".stripMargin))
+          |FROM lab, mx GROUP BY wk ORDER BY wk""".stripMargin)),
+
+    // ---- session duration profile by day-of-week (added r9) ---------------
+    // The session-QUALITY axis the session family still lacked:
+    // session_paths mines what journeys LOOK like, q_session_window counts
+    // them — this measures how LONG engagement lasts and when: per
+    // day-of-week of the session's first event (the staffing/capacity
+    // grain), session count, events per session, mean duration and exact
+    // nearest-rank p50/p90 duration in whole microseconds. Sessions are
+    // the SAME 30-minute-gap rule as session_paths (gap ≥ 1800 s starts a
+    // new session), so the two operators provably segment identically.
+    // Day-of-week via Spark weekday() ≡ DuckDB isodow−1 (the welch_ttest
+    // mapping precedent, 0 = Monday). Zero-event... single-event sessions
+    // have duration 0 — included (they are the bounce-rate mass).
+    //
+    // Float parity: durations are exact integer micros; mean is ONE bare
+    // division; p50/p90 are integer order statistics (nearest-rank, the
+    // user_ltv_quantiles contract; approx_percentile is the documented
+    // 100 TB drop-in).
+    //
+    // Scale shape: ONE user_id window exchange builds sid (session_paths'
+    // own plan), the (user, sid) agg reuses that partitioning prefix; the
+    // dow roll-up is 7 rows with a per-dow sorted duration list bounded by
+    // sessions/dow — at 100 TB swap the exact list for approx_percentile.
+    "session_duration_profile" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+        val sess = Tables.load(s, dir, "events")
+          .withColumn("brk",
+            when(lag(col("ts"), 1).over(wOrd).isNull
+              || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd))
+                   >= 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(wRun))
+          .groupBy("user_id", "sid")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            max(unix_micros(col("ts"))).as("t1"),
+            count(lit(1)).as("n_ev"),
+            min(col("ts")).as("start_ts"))
+          .select(weekday(to_date(col("start_ts"))).cast("long").as("dow"),
+            (col("t1") - col("t0")).as("dur_us"), col("n_ev"))
+        sess.groupBy("dow")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            sum(col("dur_us")).as("sum_dur_us"),
+            sort_array(collect_list(col("dur_us"))).as("arr"))
+          .select(col("dow"), col("n_sessions"), col("n_events"),
+            (col("sum_dur_us").cast("double") / col("n_sessions").cast("double"))
+              .as("mean_dur_us"),
+            expr("element_at(arr, int((n_sessions + 1) div 2))").as("p50_dur_us"),
+            expr("element_at(arr, int((n_sessions * 9 + 9) div 10))").as("p90_dur_us"))
+          .orderBy("dow")
+      },
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN LAG(ts) OVER w IS NULL
+          |               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+          |                  >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sid AS (
+          |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM g),
+          |sess AS (
+          |  SELECT user_id, sid,
+          |         CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+          |         CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1,
+          |         CAST(COUNT(*) AS BIGINT) AS n_ev,
+          |         MIN(ts) AS start_ts
+          |  FROM sid GROUP BY user_id, sid),
+          |d AS (SELECT CAST(isodow(CAST(start_ts AS DATE)) - 1 AS BIGINT) AS dow,
+          |             t1 - t0 AS dur_us, n_ev
+          |      FROM sess),
+          |m AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          |             CAST(SUM(n_ev) AS BIGINT) AS n_events,
+          |             CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+          |             list_sort(list(dur_us)) AS arr
+          |      FROM d GROUP BY dow)
+          |SELECT dow, n_sessions, n_events,
+          |       CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS mean_dur_us,
+          |       arr[CAST((n_sessions + 1) // 2 AS INTEGER)] AS p50_dur_us,
+          |       arr[CAST((n_sessions * 9 + 9) // 10 AS INTEGER)] AS p90_dur_us
+          |FROM m ORDER BY dow""".stripMargin))
   )
 }

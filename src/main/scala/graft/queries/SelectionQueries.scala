@@ -1633,5 +1633,117 @@ object SelectionQueries {
          |       CAST(SUM(n_dup) AS BIGINT) AS n_dup,
          |       CAST(SUM(n_dup) AS DOUBLE) / SUM(n_ngrams) AS dup_rate
          |FROM qb JOIN dup USING (doc_id)
-         |GROUP BY ppl_bucket ORDER BY ppl_bucket""".stripMargin)))
+         |GROUP BY ppl_bucket ORDER BY ppl_bucket""".stripMargin)),
+
+  // ---- deterministic weighted reservoir sample (added r9) ----------------
+  // Weighted sampling WITHOUT replacement — the A-ES/A-ExpJ family
+  // (Efraimidis & Spirakis 2006): per source, the k = 5 documents with the
+  // best priority u^(1/w) (u uniform, w = n_chars), i.e. the smallest
+  // (−ln u)/w — longer documents proportionally likelier, yet any doc can
+  // win. THE missing half of the sampling surface: reservoir_sample is
+  // uniform, sample_temperature reweights BETWEEN sources; this picks
+  // WITHIN a source by token mass (the "sample exemplars proportional to
+  // training contribution" curation verb). Deterministic end-to-end: u is
+  // the 24-bit md5 of (seed ∥ doc_id) + 1, −ln u rides [[LnGrid]]
+  // (nlu6 = ln6(2²⁴, u) ≥ 0), and the selection key is the exact integer
+  // priority6 = (nlu6·10⁶) div w with doc_id tie-break — both engines walk
+  // the identical grid order (the theil_sen key discipline; rerun-identity
+  // on any engine/partitioning, zero float surface).
+  //
+  // Scale shape: map-only hash + Ln6 kernel per row, then rank ≤ k per
+  // source compiles to WindowGroupLimit map-side pruning (the
+  // reservoir_sample precedent) — the shuffle carries ≤ k·|sources| rows
+  // per task, a reducer never sees the corpus.
+  "weighted_reservoir" -> Q(
+    fn = (s, dir) => {
+      val hexSum = (0 until 6).map { i =>
+        s"(instr('0123456789abcdef', substring(dg, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+      }.mkString(" + ")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("dg", md5(concat(lit("wres:42|"), col("doc_id").cast("string"))))
+        .withColumn("u", expr(hexSum) + 1L)
+      val keyed = graft.queries.LnGrid.withLn6(d, lit(1L << 24), col("u"), "nlu6")
+        .withColumn("priority6", expr("(nlu6 * 1000000L) div n_chars"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("priority6"), col("doc_id"))
+      keyed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"),
+          col("n_chars").as("weight"), col("priority6"))
+        .orderBy("source", "rk")
+    },
+    oracle = Some {
+      val hexSum = (0 until 6).map { i =>
+        s"(strpos('0123456789abcdef', substring(dg, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |         md5('wres:42|' || CAST(doc_id AS VARCHAR)) AS dg
+         |  FROM documents),
+         |du AS (SELECT *, CAST($hexSum AS BIGINT) + 1 AS u FROM d),
+         |${graft.queries.LnGrid.sqlCtes("du", "16777216", "u", "nlu6", "wr_")},
+         |keyed AS (SELECT doc_id, source, n_chars,
+         |                 (nlu6 * 1000000) // n_chars AS priority6
+         |          FROM wr_out),
+         |ranked AS (SELECT *,
+         |                  ROW_NUMBER() OVER (PARTITION BY source
+         |                      ORDER BY priority6, doc_id) AS rk
+         |           FROM keyed)
+         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id,
+         |       n_chars AS weight, priority6
+         |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+    }),
+
+  // ---- stratified k-fold assignment audit (added r9) ---------------------
+  // Deterministic 5-fold cross-validation assignment by md5 hash band —
+  // train_split's 80/10/10 machinery generalized to the k-fold eval setup:
+  // fold = (h2·5) div 256 over the first-2-hex-chars band (sizes
+  // 52/51/51/51/51 of 256 ≈ 20% each), so assignment is a pure function
+  // of doc_id — stable under corpus growth (the train_split proof) and
+  // engine-independent (integer band arithmetic, no float). The audit
+  // emits the (fold, source) balance table a CV harness checks before
+  // trusting fold-to-fold variance: doc and token mass per cell plus the
+  // realized within-source fraction (ONE bare division) — a source
+  // concentrated in one fold makes that fold's eval unrepresentative.
+  //
+  // Scale shape: map-side band arithmetic → one (fold, source) agg with
+  // map-side combine → broadcast per-source totals; ≤ 5·|sources| rows.
+  "stratified_kfold" -> Q(
+    fn = (s, dir) => {
+      val h2 = "(instr('0123456789abcdef', substring(dg, 1, 1)) - 1) * 16 " +
+        "+ (instr('0123456789abcdef', substring(dg, 2, 1)) - 1)"
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("dg", md5(concat(lit("kfold:"), col("doc_id").cast("string"))))
+        .withColumn("fold", expr(s"(($h2) * 5) div 256"))
+      val cell = d.groupBy("fold", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val tot = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      cell.join(broadcast(tot), Seq("source"))
+        .select(col("fold"), col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast("double") / col("n_src").cast("double"))
+            .as("frac_of_source"))
+        .orderBy("fold", "source")
+    },
+    oracle = Some {
+      val h2 = "(strpos('0123456789abcdef', substring(dg, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substring(dg, 2, 1)) - 1)"
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         md5('kfold:' || CAST(doc_id AS VARCHAR)) AS dg
+         |  FROM documents),
+         |f AS (SELECT *, (($h2) * 5) // 256 AS fold FROM d),
+         |cell AS (SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |         FROM f GROUP BY fold, source),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+         |        FROM f GROUP BY source)
+         |SELECT CAST(fold AS BIGINT) AS fold, cell.source, n_docs, n_tokens,
+         |       CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS frac_of_source
+         |FROM cell JOIN tot ON cell.source = tot.source
+         |ORDER BY fold, cell.source""".stripMargin
+    }))
 }

@@ -345,6 +345,89 @@ class R9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("weighted_reservoir: replay the A-ES grid priority via ln6Ref; top-5 per source") {
+    val rows = graft.SparkEntry.queries("weighted_reservoir")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(concat(lit("wres:42|"), col("doc_id").cast("string"))).as("dg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def hex24(dg: String): Long =
+      dg.take(6).foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+    val expected = docs.map { case (id, src, w, dg) =>
+      val u = hex24(dg) + 1
+      val nlu6 = LnGrid.ln6Ref(1L << 24, u)
+      (src, id, w, nlu6 * 1000000L / w)
+    }.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (d._4, d._2)).take(5).zipWithIndex.map { case (d, i) =>
+        (src, i + 1, d._2, d._3, d._4)
+      }.toSeq
+    }.toSet
+    assert(rows.toSet == expected, s"reservoir diverged: ${
+      (rows.toSet diff expected).take(3)} vs ${(expected diff rows.toSet).take(3)}")
+  }
+
+  test("stratified_kfold: folds partition the corpus; assignment replays from md5 bands") {
+    val rows = graft.SparkEntry.queries("stratified_kfold")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        md5(concat(lit("kfold:"), col("doc_id").cast("string"))).as("dg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val byCell = docs.groupBy { case (_, src, _, dg) =>
+      val h2 = "0123456789abcdef".indexOf(dg(0)) * 16 + "0123456789abcdef".indexOf(dg(1))
+      (h2 * 5 / 256L, src)
+    }
+    val srcTot = docs.groupBy(_._2).map { case (s2, ds) => s2 -> ds.size.toLong }
+    val expected = byCell.map { case ((f, s2), ds) =>
+      (f, s2, ds.size.toLong, ds.map(_._3).sum, ds.size.toDouble / srcTot(s2).toDouble)
+    }.toSet
+    assert(rows.toSet == expected, "kfold cells diverged")
+    assert(rows.map(_._3).sum == docs.length.toLong, "folds must partition the corpus")
+    assert(rows.map(_._1).distinct.sorted.toSeq.forall(f => f >= 0 && f <= 4))
+  }
+
+  test("session_duration_profile: replay sessionization and all statistics") {
+    val rows = graft.SparkEntry.queries("session_duration_profile")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      s.foreach { e =>
+        if (cur.nonEmpty && e._2 - cur.last >= 1800L * 1000000L) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        cur += e._2
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }.toSeq
+    // dow of the session start in UTC, 0 = Monday (weekday()/isodow-1)
+    def dow(us: Long): Long = {
+      val d = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      d.getDayOfWeek.getValue.toLong - 1
+    }
+    sessions.groupBy(s2 => dow(s2.head)).foreach { case (d, ss) =>
+      val durs = ss.map(s2 => s2.last - s2.head).sorted
+      val (n, nev, mean, p50, p90) = rows(d)
+      assert(n == ss.size.toLong, s"dow $d session count")
+      assert(nev == ss.map(_.size.toLong).sum, s"dow $d events")
+      assert(mean == durs.sum.toDouble / durs.size, s"dow $d mean")
+      assert(p50 == durs(((durs.size + 1) / 2 - 1).toInt), s"dow $d p50")
+      assert(p90 == durs(((durs.size * 9 + 9) / 10 - 1).toInt), s"dow $d p90")
+    }
+  }
+
   test("lifecycle_states: decomposition identity and replay from (user, week) sets") {
     val rows = graft.SparkEntry.queries("lifecycle_states")(spark, dir)
       .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),

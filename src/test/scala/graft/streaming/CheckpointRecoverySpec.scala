@@ -178,6 +178,30 @@ class CheckpointRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("lifecycleStream: restart mid-stream, classifications == uninterrupted run") {
+    val weeks = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id").as("userId"),
+        datediff(date_trunc("week", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("weekDay"))
+      .distinct()
+      .orderBy("weekDay", "userId")
+    val rows = weeks.as[WeekEvent].collect()
+    val midWk = rows(rows.length / 2).weekDay
+    val schema = "userId BIGINT, weekDay BIGINT"
+    def mk(df: DataFrame) = lifecycleStream(df.as[WeekEvent])
+    withRocksDB {
+      val a = driveRuns(schema, Seq(rows.toSeq.toDF()), mk)
+      val b = driveRuns(schema,
+        Seq(rows.filter(_.weekDay <= midWk).toSeq.toDF(),
+          rows.filter(_.weekDay > midWk).toSeq.toDF()), mk)
+      // a lost last_week_day state would re-classify the first
+      // post-restart week of every straddling user as "new" — the
+      // classification multiset is the complete detector
+      val byRun = Seq(a, b).map(_.groupBy(identity).view.mapValues(_.size).toMap)
+      assert(byRun(1) == byRun(0), "restart changed the lifecycle classifications")
+    }
+  }
+
   test("packStream: restart mid-stream, final pack accounting == uninterrupted") {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id").as("docId"),

@@ -1086,6 +1086,60 @@ class PriorityStreamsSpec extends SparkTestBase {
       (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("lifecycleStream per-week classifications == batch lifecycle_states across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val weeks = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .sortBy(x => (x._2, x._1))
+    val mid = weeks(weeks.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(Long, Long)]
+      val q = PriorityStreams.lifecycleStream(
+        in.toDF().toDF("userId", "weekDay").as[PriorityStreams.WeekEvent])
+        .writeStream.format("memory").queryName("lifecycle_out")
+        .outputMode("update").start()
+      in.addData(weeks.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(weeks.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val rows = spark.table("lifecycle_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // each (user, week) classified exactly once; churned at most once per gap
+    assert(rows.groupBy(r => (r._1, r._2, r._3 == "churned")).values.forall(_.size == 1),
+      "duplicate lifecycle emission")
+    val perWeek = rows.filter(_._3 != "churned")
+      .groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.size.toLong }
+    val batch = graft.SparkEntry.queries("lifecycle_states")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (wk, nNew, nRet, nRes, _) =>
+      assert(perWeek.getOrElse((wk, "new"), 0L) == nNew, s"week $wk new")
+      assert(perWeek.getOrElse((wk, "retained"), 0L) == nRet, s"week $wk retained")
+      assert(perWeek.getOrElse((wk, "resurrected"), 0L) == nRes, s"week $wk resurrected")
+    }
+    // churn: the stream emits exactly the GAP-PROVEN subset of the batch
+    // column (a later week arrived, >7-day gap); the never-return tail is
+    // right-censored until event-time timers flush it — replay that subset
+    val byUser = weeks.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).sorted.toSeq }
+    val expectedChurn = byUser.toSeq.flatMap { case (u, ws) =>
+      ws.zip(ws.drop(1)).collect { case (a, b) if b > a + 7 => (u, a, "churned") }
+    }.toSet
+    val streamedChurn = rows.filter(_._3 == "churned").toSet
+    assert(streamedChurn == expectedChurn, s"churn diverged: ${
+      (streamedChurn diff expectedChurn).take(3)} vs ${
+      (expectedChurn diff streamedChurn).take(3)}")
+    // ...and it never exceeds the batch churn_next count for any week
+    val churnPerWeek = streamedChurn.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    batch.foreach { case (wk, _, _, _, nChurn) =>
+      assert(churnPerWeek.getOrElse(wk, 0L) <= nChurn, s"week $wk churn exceeds batch")
+    }
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
