@@ -2310,6 +2310,65 @@ object FunnelQueries {
           |       CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS mean_dur_us,
           |       arr[CAST((n_sessions + 1) // 2 AS INTEGER)] AS p50_dur_us,
           |       arr[CAST((n_sessions * 9 + 9) // 10 AS INTEGER)] AS p90_dur_us
+          |FROM m ORDER BY dow""".stripMargin)),
+
+    // ---- classical seasonal decomposition: weekly indices (added r9) ------
+    // The additive decomposition volume = trend + seasonal + residual at
+    // its classical construction (the statsmodels/STL-step-one recipe):
+    // trend = centered 7-day moving average (full windows only — edges
+    // excluded, the honest boundary), seasonal index per day-of-week =
+    // mean detrended deviation. The EXPLICIT day-of-week effect
+    // seasonality_profile sees at hour grain and acf_lags detects at
+    // lag 7 — here quantified in events/day units, the number a capacity
+    // plan subtracts before sizing for trend. ALL-INTEGER surface: the
+    // centered window keeps the 7-day SUM (no ÷7), deviations are
+    // n-scaled d7 = 7·c − sum7 exact ints, and the reported index is the
+    // ONE bare division Σd7/(7·n_dow). Σ over all full-window days of d7
+    // telescopes toward 0 (spec pins the near-zero identity: seasonal
+    // indices sum to ≈ 0 weighted by day counts).
+    //
+    // Scale shape: one day-grain hash agg; the centered ROWS window is
+    // global but runs over the calendar-span-bounded aggregate (the
+    // changepoint_daily R2 argument); the dow roll-up is 7 rows.
+    "classical_decomposition" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        daily
+          .withColumn("sum7", sum(col("c")).over(w7))
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .filter(col("cnt7") === 7)
+          .select(weekday(col("d")).cast("long").as("dow"),
+            (col("c") * 7 - col("sum7")).as("d7"))
+          .groupBy("dow")
+          .agg(count(lit(1)).as("n_days"), sum(col("d7")).as("d7_sum"))
+          .select(col("dow"), col("n_days"), col("d7_sum"),
+            (col("d7_sum").cast("double") / (col("n_days") * 7L).cast("double"))
+              .as("seasonal_index"))
+          .orderBy("dow")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY CAST(ts AS DATE)),
+          |ma AS (
+          |  SELECT d, c,
+          |         SUM(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          |           AS sum7,
+          |         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          |           AS cnt7
+          |  FROM daily),
+          |dev AS (SELECT CAST(isodow(d) - 1 AS BIGINT) AS dow,
+          |               c * 7 - sum7 AS d7
+          |        FROM ma WHERE cnt7 = 7),
+          |m AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+          |             CAST(SUM(d7) AS BIGINT) AS d7_sum
+          |      FROM dev GROUP BY dow)
+          |SELECT dow, n_days, d7_sum,
+          |       CAST(d7_sum AS DOUBLE) / CAST(n_days * 7 AS DOUBLE) AS seasonal_index
           |FROM m ORDER BY dow""".stripMargin))
   )
 }

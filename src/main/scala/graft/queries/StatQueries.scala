@@ -1575,6 +1575,167 @@ object StatQueries {
           |       cents_topk, n AS n_payers, total AS total_cents,
           |       CASE WHEN total = 0 THEN 0.0
           |            ELSE CAST(cents_topk AS DOUBLE) / CAST(total AS DOUBLE) END AS share
-          |FROM st ORDER BY pct""".stripMargin))
+          |FROM st ORDER BY pct""".stripMargin)),
+
+    // ---- calibration curve of the quality score (added r9) ----------------
+    // auc_dup_quality measures whether a signal DISCRIMINATES; this
+    // measures whether it's CALIBRATED — the reliability diagram: per
+    // quality-score band (q6 div 10⁵, the spearman banding), observed
+    // duplicated-text rate vs the band's mean predicted score. A signal
+    // can have great AUC and terrible calibration (every thresholding
+    // decision then sits at the wrong operating point) — the standard ML
+    // eval pairing, applied to the registry's own quality score and
+    // dup_ngram_ratio's df ≥ 2 label (both spelled VERBATIM from their
+    // source queries — the rater_agreement no-drift discipline).
+    //
+    // Float parity: per band, rate and mean score are ONE bare division
+    // each; the calibration gap numerator |10⁶·pos − Σq6| is an exact
+    // int64 emitted alongside (Σ over bands / (N·10⁶) is the ECE a
+    // dashboard derives — kept per-band so the table shows WHERE the
+    // miscalibration lives).
+    //
+    // Scale shape: the label pass is dup_ngram_ratio's digest plan; the
+    // score is a map-side projection; one ≤11-band hash agg ends it.
+    "score_calibration" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs.withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+            .as("gh"))
+          .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+          .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
+        val scored = docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .withColumn("y",
+            floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long"))
+          .join(lab, Seq("doc_id"), "left")
+          .select(expr("y div 100000").as("band"), col("y"),
+            coalesce(col("pos"), lit(0L)).as("pos"))
+        scored.groupBy("band")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("y")).as("sq6"))
+          .select(col("band"), col("n"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n").cast("double")).as("dup_rate"),
+            (col("sq6").cast("double") / (col("n") * 1000000L).cast("double"))
+              .as("mean_score"),
+            abs(col("n_pos") * 1000000L - col("sq6")).as("gap6_num"))
+          .orderBy("band")
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |occ AS (SELECT doc_id,
+           |               UNNEST(list_transform(range(len(toks) - 4),
+           |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+           |        FROM d WHERE len(toks) >= 5),
+           |dfx AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh),
+           |lab AS (SELECT occ.doc_id, MAX(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS pos
+           |        FROM occ JOIN dfx USING (gh) GROUP BY occ.doc_id),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           |             length(text) AS nc FROM documents),
+           |q AS (SELECT doc_id,
+           |             CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                        w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                        AS DOUBLE) / len(toks))
+           |                  + 0.3 * least(1.0, CAST(nc AS DOUBLE) / 200.0))
+           |                  * 1000000.0) AS BIGINT) AS y
+           |      FROM t),
+           |sc AS (SELECT y // 100000 AS band, y, COALESCE(lab.pos, 0) AS pos
+           |       FROM q LEFT JOIN lab USING (doc_id)),
+           |m AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(pos) AS BIGINT) AS n_pos,
+           |             CAST(SUM(y) AS BIGINT) AS sq6
+           |      FROM sc GROUP BY band)
+           |SELECT band, n, n_pos,
+           |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS dup_rate,
+           |       CAST(sq6 AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_score,
+           |       abs(n_pos * 1000000 - sq6) AS gap6_num
+           |FROM m ORDER BY band""".stripMargin)),
+
+    // ---- two-sided trimmed mean of event value per type (added r9) --------
+    // The robust-location companion of mad_anomalies' robust scale and
+    // welch_ttest's raw means: the 5%-per-side trimmed mean of the value
+    // column per event type — heavy tails (exactly what hill_tail_index
+    // and benford exist to flag) can move a raw mean arbitrarily; the
+    // trimmed mean bounds any tail's influence. Computed EXACTLY on the
+    // integer cents value grid: with per-value counts and cumulative
+    // positions, each grid value contributes
+    //   overlap = max(0, min(cum, n−k) − max(cum−cnt, k))   (k = n div 20)
+    // occurrences to the trimmed window [k, n−k) — all int64, no sort of
+    // corpus rows, no percentile_approx semantics. Both means are ONE
+    // bare division of exact cents sums.
+    //
+    // Scale shape: one (type, cents) hash agg; the cumulative window
+    // partitions by type over the value-domain-bounded grid (the
+    // ks_source_lengths argument); per-type totals join back broadcast.
+    "trimmed_mean_value" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val grid = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("cast(floor(value * 100) as bigint)").as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+        val tot = grid.groupBy("event_type")
+          .agg(sum(col("cnt")).as("n"), sum(col("cents") * col("cnt")).as("sum_cents"))
+          .withColumn("k", expr("n div 20"))
+        val win = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        grid.withColumn("cum", sum(col("cnt")).over(win))
+          .join(broadcast(tot), Seq("event_type"))
+          .withColumn("ov",
+            greatest(lit(0L),
+              least(col("cum"), col("n") - col("k"))
+                - greatest(col("cum") - col("cnt"), col("k"))))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+            max(col("sum_cents")).as("sum_cents"),
+            sum(col("ov") * col("cents")).as("trim_cents"),
+            sum(col("ov")).as("trim_n"))
+          .select(col("event_type"), col("n"), col("k"),
+            (col("sum_cents").cast("double") / (col("n") * 100L).cast("double"))
+              .as("mean_value"),
+            when(col("trim_n") === 0, lit(null).cast("double"))
+              .otherwise(col("trim_cents").cast("double")
+                / (col("trim_n") * 100L).cast("double"))
+              .as("trimmed_mean_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH grid AS (
+          |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY event_type, CAST(FLOOR(value * 100) AS BIGINT)),
+          |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+          |               CAST(SUM(cents * cnt) AS BIGINT) AS sum_cents
+          |        FROM grid GROUP BY event_type),
+          |tk AS (SELECT *, n // 20 AS k FROM tot),
+          |c AS (SELECT grid.event_type, cents, cnt,
+          |             SUM(cnt) OVER (PARTITION BY grid.event_type
+          |                            ORDER BY cents) AS cum,
+          |             n, k, sum_cents
+          |      FROM grid JOIN tk USING (event_type)),
+          |ov AS (SELECT *,
+          |              GREATEST(0, LEAST(cum, n - k) - GREATEST(cum - cnt, k)) AS ovl
+          |       FROM c),
+          |m AS (SELECT event_type, MAX(n) AS n, MAX(k) AS k,
+          |             MAX(sum_cents) AS sum_cents,
+          |             CAST(SUM(ovl * cents) AS BIGINT) AS trim_cents,
+          |             CAST(SUM(ovl) AS BIGINT) AS trim_n
+          |      FROM ov GROUP BY event_type)
+          |SELECT event_type, n, k,
+          |       CAST(sum_cents AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean_value,
+          |       CASE WHEN trim_n = 0 THEN NULL
+          |            ELSE CAST(trim_cents AS DOUBLE)
+          |                 / CAST(trim_n * 100 AS DOUBLE) END AS trimmed_mean_value
+          |FROM m ORDER BY event_type""".stripMargin))
   )
 }

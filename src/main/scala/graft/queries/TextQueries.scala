@@ -2647,6 +2647,56 @@ object TextQueries {
           |       CAST(MAX(score6) AS BIGINT) AS max_score6,
           |       CAST(SUM(score6) AS DOUBLE)
           |         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_fk
-          |FROM sc GROUP BY source ORDER BY source""".stripMargin))
+          |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- near-dup graph degree profile (added r9) --------------------------
+    // The degree distribution of the verified MinHash near-dup pair graph —
+    // the STRUCTURE audit between pairs and clusters: dup_cluster_profile
+    // histograms component SIZES, this histograms per-document DEGREE.
+    // The two differ exactly when clusters are non-cliques (a chain of
+    // borderline pairs vs a template clique), which is the transitivity
+    // question a dedup threshold review asks: high max-degree hubs are
+    // templates (safe to collapse), long low-degree chains are
+    // threshold-sensitive (keep-one deletes non-duplicates). Pairs come
+    // from the SAME gated pipeline as dedup_minhash_lsh (oracle nests the
+    // shared CTE text) — spec pins Σ degree = 2·|pairs| exactly.
+    //
+    // Scale shape: the shared banded candidate pipeline (never all-pairs)
+    // → one doc-keyed degree agg (each pair contributes to two docs via a
+    // map-side union) → a ≤max-degree histogram agg; the isolated-doc row
+    // (degree 0) comes from one 1-row corpus-count broadcast.
+    "dup_degree_profile" -> Q(
+      fn = (s, dir) => {
+        val (pairs, shCache) = minhashPairsWithHandle(s, dir)
+        shCache // query-scoped cache (see Q's cache-lifecycle contract)
+        val deg = pairs.select(col("a_id").as("doc_id"))
+          .unionAll(pairs.select(col("b_id").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        val tot = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
+        val touched = deg.agg(count(lit(1)).as("n_touched"))
+        val zero = tot.crossJoin(touched)
+          .select(lit(0L).as("degree"), (col("n_corpus") - col("n_touched")).as("n_docs"))
+          .filter(col("n_docs") > 0)
+        hist.unionAll(zero).orderBy("degree")
+      },
+      oracle = Some(
+        s"""WITH $minhashPairsSqlCtes,
+           |deg AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+           |    SELECT a_id AS doc_id FROM pairs
+           |    UNION ALL
+           |    SELECT b_id FROM pairs) u
+           |  GROUP BY doc_id),
+           |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |         FROM deg GROUP BY degree),
+           |zero AS (
+           |  SELECT CAST(0 AS BIGINT) AS degree,
+           |         (SELECT COUNT(*) FROM documents)
+           |           - (SELECT COUNT(*) FROM deg) AS n_docs)
+           |SELECT degree, n_docs FROM hist
+           |UNION ALL
+           |SELECT degree, n_docs FROM zero WHERE n_docs > 0
+           |ORDER BY degree""".stripMargin))
   )
 }
