@@ -33,11 +33,22 @@ object TopK {
       ((front :+ item) ++ back).take(k)
     }
 
+    /** Canonicalize −0.0 → 0.0 on entry: better() compares with IEEE ==
+      * (−0.0 == 0.0, ties fall to cid) but best()'s Scala total ordering
+      * ranks 0.0 strictly above −0.0 — a ±0.0 tie at the k boundary could
+      * otherwise rank differently between insert and merge/finish, and
+      * differently from the row_number window path (which normalizes −0.0
+      * to 0.0) this aggregator is documented to match. */
+    private def canon(item: Scored): Scored =
+      if (item.sim == 0.0) item.copy(sim = 0.0) else item
+
     override def zero: Seq[Scored] = Seq.empty
-    override def reduce(buf: Seq[Scored], item: Scored): Seq[Scored] =
+    override def reduce(buf: Seq[Scored], raw: Scored): Seq[Scored] = {
+      val item = canon(raw)
       if (buf.size < k) insert(buf, item)
       else if (better(item, buf.last)) insert(buf, item)
       else buf
+    }
     override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = best(a ++ b)
     override def finish(buf: Seq[Scored]): Seq[Scored] = best(buf)
     override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()

@@ -62,6 +62,80 @@ object WindowMd5Util {
     UTF8String.fromString(new String(hex))
   }
 
+  /** All `width`-token window fingerprints of a document in ONE rolling
+    * (Rabin-Karp) pass — the 100 TB swap for dedup_substrings' hot loop,
+    * where the md5-of-a-joined-50-token-slice per position costs O(width)
+    * byte copies + a 300-byte digest per position; this costs O(1) per
+    * position after the per-token base hashes.
+    *
+    * Each token is reduced to two independent 64-bit FNV-1a hashes
+    * (different offset bases), then combined positionally with two odd
+    * multipliers mod 2⁶⁴ — a 128-bit polynomial fingerprint, so cross-doc
+    * collisions stay negligible at 100 TB gram counts (~10¹² grams →
+    * ~10⁻¹⁵ birthday mass). Token boundaries are inherent (tokens hashed
+    * individually before combining), so no separator ambiguity.
+    *
+    * Returns array<binary> — one 16-byte big-endian (h1 ∥ h2) fingerprint
+    * per window position i ∈ [0, n−width] — or null for a null token or
+    * fewer than `width` tokens (the callers filter those upstream).
+    * Duplicated-position SETS are spec-pinned equal to the md5 form's
+    * (RollingHashSpec); the gram identity itself intentionally differs. */
+  def rollingWindowHashes(toks: ArrayData, width: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < width) return null
+    val a1 = new Array[Long](n)
+    val a2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      val bytes = toks.getUTF8String(i).getBytes
+      // FNV-1a 64-bit, two offset bases for two independent lanes
+      var h1 = 0xcbf29ce484222325L
+      var h2 = 0x6c62272e07bb0142L
+      var j = 0
+      while (j < bytes.length) {
+        h1 = (h1 ^ (bytes(j) & 0xffL)) * 0x100000001b3L
+        h2 = (h2 ^ (bytes(j) & 0xffL)) * 0x100000001b3L
+        j += 1
+      }
+      a1(i) = h1
+      a2(i) = h2
+      i += 1
+    }
+    val B1 = 0x5deece66dL // odd multipliers: invertible mod 2^64
+    val B2 = 0x9e3779b97f4a7c15L | 1L
+    // B^(width-1) for the roll-out term
+    var p1 = 1L; var p2 = 1L
+    i = 1
+    while (i < width) { p1 *= B1; p2 *= B2; i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < width) {
+      h1 = h1 * B1 + a1(i)
+      h2 = h2 * B2 + a2(i)
+      i += 1
+    }
+    val m = n - width + 1
+    val out = new Array[Any](m)
+    var pos = 0
+    while (pos < m) {
+      val b = new Array[Byte](16)
+      var k = 0
+      while (k < 8) {
+        b(k) = (h1 >>> (56 - 8 * k)).toByte
+        b(8 + k) = (h2 >>> (56 - 8 * k)).toByte
+        k += 1
+      }
+      out(pos) = b
+      if (pos + 1 < m) {
+        h1 = (h1 - a1(pos) * p1) * B1 + a1(pos + width)
+        h2 = (h2 - a2(pos) * p2) * B2 + a2(pos + width)
+      }
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -218,10 +292,56 @@ case class MinWindowMd5(child: Expression, width: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[WindowMd5Util.rollingWindowHashes]] as a map-side expression (§2.5
+  * preference (b), added r10): every window fingerprint of the document in
+  * one rolling pass — the Rabin-Karp production path for dedup_substrings
+  * (cited in its Scale-shape note since r9). Null semantics mirror
+  * [[MinWindowMd5]]. */
+case class RollingWindowHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"width must be >= 1: $width")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowMd5Util.rollingWindowHashes(a.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val fp = ctx.freshName("rwh")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $fp =
+         |  graft.functions.WindowMd5Util.rollingWindowHashes($a, $width);
+         |if ($fp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $fp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WindowMd5Functions {
   /** Column-API entry point. */
   def minWindowMd5(toks: Column, width: Int): Column =
     Bridge.column(MinWindowMd5(Bridge.expression(toks), width))
+
+  /** Column-API entry point for the rolling window fingerprints. */
+  def rollingWindowHashes(toks: Column, width: Int): Column =
+    Bridge.column(RollingWindowHashes(Bridge.expression(toks), width))
 
   /** Column-API entry point for the winnowing fingerprint set. */
   def winnowFingerprints(toks: Column, k: Int, w: Int): Column =

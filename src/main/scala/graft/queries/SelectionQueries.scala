@@ -1661,6 +1661,10 @@ object SelectionQueries {
       }.mkString(" + ")
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
+        // w = n_chars must be ≥ 1: a zero-length doc would make priority6
+        // NULL (÷0), and NULL ordering DIVERGES cross-engine (Spark ASC =
+        // NULLS FIRST, DuckDB = NULLS LAST) — excluded in both engines
+        .filter(col("n_chars") >= 1)
         .withColumn("dg", md5(concat(lit("wres:42|"), col("doc_id").cast("string"))))
         .withColumn("u", expr(hexSum) + 1L)
       val keyed = graft.queries.LnGrid.withLn6(d, lit(1L << 24), col("u"), "nlu6")
@@ -1680,7 +1684,7 @@ object SelectionQueries {
       s"""WITH d AS (
          |  SELECT doc_id, source, n_chars,
          |         md5('wres:42|' || CAST(doc_id AS VARCHAR)) AS dg
-         |  FROM documents),
+         |  FROM documents WHERE n_chars >= 1),
          |du AS (SELECT *, CAST($hexSum AS BIGINT) + 1 AS u FROM d),
          |${graft.queries.LnGrid.sqlCtes("du", "16777216", "u", "nlu6", "wr_")},
          |keyed AS (SELECT doc_id, source, n_chars,

@@ -1538,7 +1538,11 @@ object StatQueries {
             sum(when(col("r") <= kOf(5), col("c")).otherwise(0L)).as("c5"),
             sum(when(col("r") <= kOf(10), col("c")).otherwise(0L)).as("c10"),
             sum(when(col("r") <= kOf(25), col("c")).otherwise(0L)).as("c25"))
-        sums.select(col("n"), col("total"),
+        // degenerate guard: with ZERO payers the no-groupBy agg still emits
+        // one all-NULL row while the oracle's `FROM r, m GROUP BY` emits 0
+        // rows — drop it so both engines agree on the empty corpus
+        sums.filter(col("n").isNotNull && col("n") > 0)
+          .select(col("n"), col("total"),
             expr("stack(4, 1L, (1 * n + 99) div 100, c1, 5L, (5 * n + 99) div 100, c5, " +
               "10L, (10 * n + 99) div 100, c10, 25L, (25 * n + 99) div 100, c25) " +
               "as (pct, k_users, cents_topk)"))

@@ -2432,30 +2432,37 @@ object TextQueries {
     // runs of consecutive duplicated positions in a doc are exactly the
     // maximal duplicated substrings (a duplicated span of L ≥ 50 tokens is
     // L−49 consecutive duplicated windows, and conversely). Reported per
-    // source: span count, affected docs, duplicated token mass (span
-    // lengths overlap-free by maximality), longest span.
+    // source: span count, affected docs, duplicated token mass, longest
+    // span. NOTE dup_tokens is an UPPER BOUND on distinct duplicated
+    // tokens: two maximal duplicated-position runs separated by a gap of
+    // < 50 positions have overlapping 50-token windows, so the overlapped
+    // tokens are counted in both spans (consistent with the oracle, which
+    // shares the grain).
     //
     // Scale shape: the stride-1 explode is the honest cost — n_tokens rows
-    // per doc, each carrying a 16-byte hash (never the window text) into
-    // ONE hash agg keyed by the gram hash; positions of duplicated grams
-    // join back on that same key (co-partitioned, no broadcast of anything
-    // corpus-sized); the islands window partitions by doc_id over ≤
-    // doc-length position rows (PlanGuard R3-clean). At 100 TB the md5 of
-    // a 50-token slice per position is the hot loop — swap in a rolling
-    // (Rabin-Karp) native expression there (the winnowing_fingerprints
-    // path, MinWindowMd5's sibling) and, as Lee et al. do, shard the gram
-    // table by hash prefix; the plan shape is unchanged. All-integer
-    // hashed surface (exact by construction).
+    // per doc, each carrying a 16-byte fingerprint (never the window text)
+    // into ONE hash agg keyed by the gram fingerprint; positions of
+    // duplicated grams join back on that same key (co-partitioned, no
+    // broadcast of anything corpus-sized); the islands window partitions
+    // by doc_id over ≤ doc-length position rows (PlanGuard R3-clean).
+    // The per-position hash is [[RollingWindowHashes]] (r10, the swap the
+    // r9 note promised): all window fingerprints of a doc in ONE
+    // Rabin-Karp pass — O(1)/position vs the md5 form's O(width) slice +
+    // 300-byte digest (A/B in PLANS.md; RollingHashSpec pins the
+    // duplicated-position sets ≡ the md5 form's). The 128-bit fingerprint
+    // keeps cross-doc collisions negligible at 100 TB gram counts; shard
+    // the gram table by hash prefix there, as Lee et al. do — the plan
+    // shape is unchanged.
     "dedup_substrings" -> Q(
       fn = (s, dir) => {
         val grams = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 50)
           .select(col("doc_id"), col("source"),
-            explode(expr("sequence(1, size(toks) - 49)")).as("p"),
-            col("toks"))
-          .select(col("doc_id"), col("source"), col("p").cast("long").as("p"),
-            expr("md5(array_join(slice(toks, int(p), 50), ' '))").as("gh"))
+            posexplode(graft.functions.WindowMd5Functions
+              .rollingWindowHashes(col("toks"), 50)))
+          .select(col("doc_id"), col("source"),
+            (col("pos") + 1).cast("long").as("p"), col("col").as("gh"))
         val dup = grams.groupBy("gh")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
@@ -2617,9 +2624,15 @@ object TextQueries {
             greatest(expr("cast(regexp_count(text, '[.!?]') as bigint)"), lit(1L))
               .as("sent"))
           .filter(col("w") >= 1)
+          // numerator widened to DECIMAL(38,0) (oracle: HUGEINT): the
+          // 1015000·w² term overflows int64 at w ≥ ~3M tokens, and Spark
+          // (non-ANSI) would wrap silently while DuckDB raises — the
+          // acf_lags/yule_k widening discipline; score6 itself fits int64
           .withColumn("score6",
-            expr("""(206835000L * sent * w - 1015000L * w * w
-                    | - 84600000L * syl * sent) div (sent * w)""".stripMargin))
+            expr("""cast((206835000L * cast(sent as decimal(38,0)) * w
+                    | - 1015000L * cast(w as decimal(38,0)) * w
+                    | - 84600000L * cast(syl as decimal(38,0)) * sent)
+                    | div (sent * w) as bigint)""".stripMargin))
         d.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("score6")).as("sum6"),
             min(col("score6")).as("min_score6"), max(col("score6")).as("max_score6"))
@@ -2639,8 +2652,10 @@ object TextQueries {
           |  FROM documents),
           |sc AS (
           |  SELECT source,
-          |         (206835000 * sent * w - 1015000 * w * w
-          |          - 84600000 * syl * sent) // (sent * w) AS score6
+          |         CAST((206835000 * CAST(sent AS HUGEINT) * w
+          |               - 1015000 * CAST(w AS HUGEINT) * w
+          |               - 84600000 * CAST(syl AS HUGEINT) * sent)
+          |              // (sent * w) AS BIGINT) AS score6
           |  FROM d WHERE w >= 1)
           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           |       CAST(MIN(score6) AS BIGINT) AS min_score6,

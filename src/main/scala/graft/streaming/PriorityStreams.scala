@@ -1159,6 +1159,95 @@ object PriorityStreams {
     }
   }
 
+  /** A user-activity week observation with a REAL event timestamp (timer
+    * operators need a timestamp column to watermark — the [[TimedEvent]]
+    * convention). `weekDay` remains the Monday epoch day. */
+  final case class TimedWeekEvent(userId: Long, weekDay: Long, ts: java.sql.Timestamp)
+
+  /** [[LifecycleProcessor]] with EVENT-TIME TIMERS flushing the
+    * right-censored churn tail (r10, the wiring SURVEY row 383 promised):
+    * the plain twin can only emit `churned` when a LATER week arrives and
+    * proves the gap — a user who simply stops is never flushed. Here every
+    * batch re-arms a timer at the end of the user's week+1 (epoch ms of
+    * day lastWeek+14); when the WATERMARK passes it with no newer
+    * activity, the expired timer emits the terminal `churned` row once —
+    * exactly the batch query's `churn_next` semantics, now proven by event
+    * time instead of the retrospective max-week cut. State is one (long,
+    * bool) per user: `last_week_day` plus the churn-emitted latch (so the
+    * gap-proof path and the timer path can never double-emit; a
+    * resurrection resets it and re-arms). State is kept after churn so a
+    * returning user classifies `resurrected`, as in batch — a production
+    * deployment bounds the churned tail with TTL if needed. */
+  final class LifecycleTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedWeekEvent, LifecycleRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Boolean)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Boolean)]("last_week_day_churn_emitted",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaBoolean), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TimedWeekEvent],
+        timerValues: TimerValues): Iterator[LifecycleRow] = {
+      val weeks = rows.map(_.weekDay).toArray.distinct.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[LifecycleRow]
+      var (last, emitted) =
+        if (st.exists()) st.get() else (Long.MinValue, false)
+      weeks.foreach { w =>
+        if (last == Long.MinValue) {
+          out += LifecycleRow(key, w, "new"); last = w; emitted = false
+        } else if (w == last + 7) {
+          out += LifecycleRow(key, w, "retained"); last = w; emitted = false
+        } else if (w > last + 7) {
+          if (!emitted) out += LifecycleRow(key, last, "churned")
+          out += LifecycleRow(key, w, "resurrected"); last = w; emitted = false
+        } // w ≤ last: duplicate of an absorbed week — no-op
+      }
+      if (last != Long.MinValue) {
+        st.update((last, emitted))
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        // churn is proven once event time passes the END of week last+1 =
+        // the start of day last+14 (weeks step by 7 Monday epoch days)
+        if (!emitted) getHandle.registerTimer((last + 14) * 86400000L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[LifecycleRow] = {
+      if (!st.exists()) return Iterator.empty
+      val (last, emitted) = st.get()
+      // stale-timer guard: only the CURRENT week's deadline may fire (a
+      // resurrection deletes + re-arms, but defend in depth)
+      if (emitted || expiredTimerInfo.getExpiryTimeInMs < (last + 14) * 86400000L)
+        Iterator.empty
+      else {
+        st.update((last, true))
+        Iterator.single(LifecycleRow(key, last, "churned"))
+      }
+    }
+  }
+
+  /** [[LifecycleTimerProcessor]] over a watermarked week stream — the
+    * caller applies `withWatermark` on `ts` upstream (the [[idleBuckets]]
+    * contract). */
+  def lifecycleTimerStream(weeks: Dataset[TimedWeekEvent]): Dataset[LifecycleRow] = {
+    import weeks.sparkSession.implicits._
+    weeks
+      .groupByKey(_.userId)
+      .transformWithState(
+        new LifecycleTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
   /** See [[LifecycleProcessor]]. */
   def lifecycleStream(weeks: Dataset[WeekEvent]): Dataset[LifecycleRow] = {
     import weeks.sparkSession.implicits._

@@ -142,7 +142,11 @@ class PlanGuardSpec extends SparkTestBase {
       // source_separability: 1-row V/N broadcasts into the constants frame
       // + the ≤|sources| NB-constants broadcast against the per-doc frame
       // (the dense doc×source score grid — 20-row side, map-side product)
-      "source_separability")
+      "source_separability",
+      // dup_degree_profile: the 1-row corpus-count aggregate × the 1-row
+      // touched-count aggregate (both sides are single-row by
+      // construction — the zero-degree remainder row)
+      "dup_degree_profile")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -289,7 +293,10 @@ class PlanGuardSpec extends SparkTestBase {
     "markov_stationary",
     // pareto_user_share: the stitched-rank OFFSETS window over the
     // ≤|revenue-bucket| aggregate frame — gini_user_revenue's shape.
-    "pareto_user_share")
+    "pareto_user_share",
+    // classical_decomposition: the centered 7-day ROWS window over the
+    // day-grain aggregate — calendar-span bounded like changepoint_daily.
+    "classical_decomposition")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -351,7 +358,8 @@ class PlanGuardSpec extends SparkTestBase {
       "rolling_active_users" -> daySpan, // per-day active-set frame
       "markov_stationary" -> // distinct event types (the state spine)
         events.select("event_type").distinct().count(),
-      "pareto_user_share" -> revenueBuckets) // same bucket offsets frame as gini
+      "pareto_user_share" -> revenueBuckets, // same bucket offsets frame as gini
+      "classical_decomposition" -> daySpan) // centered MA over the daily series
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

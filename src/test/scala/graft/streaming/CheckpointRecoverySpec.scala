@@ -202,6 +202,51 @@ class CheckpointRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("lifecycleTimerStream: restart ACROSS a timer firing == uninterrupted run") {
+    // the r10 timer twin: run B's leg-1 query registers event-time timers
+    // (one per user at weekDay+14), stops on the checkpoint, and leg 2's
+    // NEW query must recover both the value state AND the timer registry —
+    // a lost timer would silently drop the flushed `churned` tail; a lost
+    // latch would double-emit it.
+    val weeks = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id").as("userId"),
+        datediff(date_trunc("week", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("weekDay"))
+      .distinct()
+      .withColumn("ts", (col("weekDay") * 86400).cast("timestamp"))
+      .orderBy("weekDay", "userId")
+    val rows = weeks.as[TimedWeekEvent].collect()
+    val midWk = rows(rows.length / 2).weekDay
+    val maxWk = rows.map(_.weekDay).max
+    val dayMs = 86400000L
+    // sentinel (same in both runs): advances the watermark past EVERY
+    // user's week+14 deadline; the trailing duplicate forces one more
+    // microbatch so timers armed before it fire against that watermark
+    val sentinel = TimedWeekEvent(-1L, maxWk + 70,
+      new Timestamp((maxWk + 70) * dayMs))
+    val schema = "userId BIGINT, weekDay BIGINT, ts TIMESTAMP"
+    def mk(df: DataFrame) = lifecycleTimerStream(
+      df.withWatermark("ts", "0 seconds").as[TimedWeekEvent])
+    withRocksDB {
+      val a = driveRuns(schema,
+        Seq((rows.toSeq :+ sentinel).toDF(), Seq(sentinel).toDF()), mk)
+      val b = driveRuns(schema,
+        Seq(rows.filter(_.weekDay <= midWk).toSeq.toDF(),
+          (rows.filter(_.weekDay > midWk).toSeq :+ sentinel).toDF(),
+          Seq(sentinel).toDF()), mk)
+      val byRun = Seq(a, b).map(_.filter(_.userId != -1L)
+        .groupBy(identity).view.mapValues(_.size).toMap)
+      assert(byRun(0).valuesIterator.forall(_ == 1), "uninterrupted run double-emitted")
+      assert(byRun(1) == byRun(0),
+        "restart across a timer firing changed the lifecycle emissions")
+      // the flushed tail must actually exist: with the watermark past every
+      // deadline, every user's terminal week is churned exactly once
+      val users = rows.map(_.userId).distinct.length
+      assert(byRun(0).keysIterator.count(_.state == "churned") >=  users,
+        "timer flush missing: every user's terminal week must churn")
+    }
+  }
+
   test("packStream: restart mid-stream, final pack accounting == uninterrupted") {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id").as("docId"),

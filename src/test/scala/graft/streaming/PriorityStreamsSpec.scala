@@ -1140,6 +1140,62 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("lifecycleTimerStream: event-time timers flush churn == batch churn_next exactly") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val weeks = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .sortBy(x => (x._2, x._1))
+    val maxWk = weeks.map(_._2).max
+    val dayMs = 86400000L
+    def row(u: Long, w: Long) = (u, w, new Timestamp(w * dayMs))
+    val sentinel = -1L // excluded from every comparison below
+    withRocksDB {
+      val in = MemoryStream[(Long, Long, Timestamp)]
+      val q = PriorityStreams.lifecycleTimerStream(
+        in.toDF().toDF("userId", "weekDay", "ts")
+          .withWatermark("ts", "0 seconds")
+          .as[PriorityStreams.TimedWeekEvent])
+        .writeStream.format("memory").queryName("lifecycle_timer_out")
+        .outputMode("update").start()
+      val mid = weeks(weeks.length / 2)._2
+      in.addData(weeks.filter(_._2 <= mid).map(x => row(x._1, x._2)))
+      q.processAllAvailable()
+      in.addData(weeks.filter(_._2 > mid).map(x => row(x._1, x._2)))
+      q.processAllAvailable()
+      // push the watermark to day maxWk+13: every deadline (W+14)d with
+      // W < maxWk is passed, but NOT the corpus-edge week's (maxWk+14)d —
+      // exactly the batch query's right-censoring cut, proven by event time
+      in.addData((sentinel, maxWk + 7, new Timestamp((maxWk + 13) * dayMs)))
+      q.processAllAvailable()
+      // one more batch so timers armed before the sentinel fire against
+      // the advanced watermark (duplicate week: classification no-op)
+      in.addData((sentinel, maxWk + 7, new Timestamp((maxWk + 13) * dayMs)))
+      q.processAllAvailable(); q.stop()
+    }
+    val rows = spark.table("lifecycle_timer_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(_._1 != sentinel)
+    assert(rows.groupBy(identity).values.forall(_.size == 1),
+      "duplicate lifecycle emission (the churn latch must prevent double-fire)")
+    val batch = graft.SparkEntry.queries("lifecycle_states")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(batch.nonEmpty)
+    val perWeek = rows.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.size.toLong }
+    batch.foreach { case (wk, nNew, nRet, nRes, nChurn) =>
+      assert(perWeek.getOrElse((wk, "new"), 0L) == nNew, s"week $wk new")
+      assert(perWeek.getOrElse((wk, "retained"), 0L) == nRet, s"week $wk retained")
+      assert(perWeek.getOrElse((wk, "resurrected"), 0L) == nRes, s"week $wk resurrected")
+      // THE r10 claim: gap-proven + timer-flushed churn ≡ batch churn_next
+      assert(perWeek.getOrElse((wk, "churned"), 0L) == nChurn, s"week $wk churned")
+    }
+    assert(rows.count(_._3 == "churned") ==
+      batch.map(_._5).sum, "total churn mass must equal the batch column")
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
