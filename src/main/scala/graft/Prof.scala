@@ -11,7 +11,12 @@ object Prof {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+    // tolerate partial corpora (ScaleGen dirs carry only documents/
+    // embeddings/events): warm what exists
+    Tables.names.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists())
+        Tables.load(spark, dir, n).count()
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dedup_exact","dedup_minhash_lsh","ngram_jaccard_pairs","ivf_topk","bucket_discarded")
     for (q <- names; i <- 1 to 3) {

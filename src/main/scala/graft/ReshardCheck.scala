@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Second measured decade (r10, verdict item 5): the r9 sf1 table showed
+  * knn_label_consistency nearest to linear (8.85× at 10× data) because
+  * within-list 1-NN pair work grows with list occupancy — (n/L)²·L at
+  * fixed L = 16. Its own docs prescribe scaling n_lists with corpus size
+  * to hold n/L constant; this main MEASURES that prescription: at a given
+  * SF dir it times [[graft.queries.SimilarityQueries.knnConsistencyFrom]]
+  * both as-is (L = 16) and re-sharded (L chosen to hold n/L at the sf0.1
+  * occupancy of 125), plus dedup_clusters as-is for the companion number.
+  * Prints one JSON line. Usage:
+  *   sbt "runMain graft.ReshardCheck <sfDir> [L1 L2 ...]"
+  */
+object ReshardCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf10")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-reshard-check")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    // hold n/L at sf0.1's occupancy (2000 vectors / 16 lists = 125)
+    val reshardL = math.max(16, (n / 125L).toInt)
+    val lists: Seq[Int] = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(16, reshardL)
+    Tables.load(spark, sfDir, "documents").count() // warm footers
+
+    def time(tag: String)(body: => Unit): (String, Double) = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val t = try { body; (System.nanoTime() - t0) / 1e9 }
+                catch { case e: Throwable =>
+                  System.err.println(s"[reshard] $tag FAILED: ${e.getMessage}"); -1.0 }
+        spark.catalog.clearCache()
+        t
+      }
+      tag -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
+
+    val knnTimes = lists.map { l =>
+      time(s"knn_L$l") {
+        graft.queries.SimilarityQueries.knnConsistencyFrom(emb, l)
+          .queryExecution.toRdd.count(); ()
+      }
+    }
+    val clusterTime = time("dedup_clusters") {
+      SparkEntry.queries("dedup_clusters")(spark, sfDir)
+        .queryExecution.toRdd.count(); ()
+    }
+    val qs = (knnTimes :+ clusterTime).map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"reshard_check","qunit":"ms","sf_dir":"$sfDir","n_vectors":$n,"reshard_L":$reshardL,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -20,7 +20,12 @@ object ScaleCheck {
     // the 3 retriever evals + the flagged n²/L candidate
     "recall_at_k", "retrieval_mrr", "ndcg_eval", "knn_label_consistency",
     // r9 newcomer with a stride-1 explode worth watching
-    "dedup_substrings")
+    "dedup_substrings",
+    // r10 additions (verdict item 8): the two heaviest r9 queries not yet
+    // in the measured-decade set — score_calibration's stride-5-gram label
+    // pass is dup_ngram_ratio-shaped; markov_stationary's pair fan-out is
+    // calendar-bounded but worth pinning
+    "score_calibration", "markov_stationary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")

@@ -64,9 +64,27 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events (r10): user_id/event_id shift per replica so user-grain ops
+    // scale linearly; ts/type/value stay — the calendar span is IDENTICAL,
+    // so day-grain series ops (markov/trend/decomposition family) keep a
+    // bounded true answer while volume grows 10× — exactly their 100 TB
+    // contract ("quadratic in CALENDAR DAYS, never rows").
+    val ev = Tables.load(spark, src, "events")
+    val uBase = ev.agg(max("user_id")).head().getLong(0) + 1
+    val eBase = ev.agg(max("event_id")).head().getLong(0) + 1
+    ev.select(col("*"), repCol)
+      .select(
+        (col("event_id") + col("rep").cast("long") * eBase).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep").cast("long") * uBase).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"""{"metric":"scale_gen","out":"$out","reps":$reps,"documents":$nd,"embeddings":$ne}""")
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"""{"metric":"scale_gen","out":"$out","reps":$reps,"documents":$nd,"embeddings":$ne,"events":$nv}""")
     spark.stop()
   }
 }

@@ -514,6 +514,71 @@ object StreamBench {
     }
     val islRps = (3L * IslUsers) / islSecs
 
+    // ---- streaming lifecycle accounting: stateful throughput ---------------
+    // lifecycleStream over 3M user-week observations across 1,000,000
+    // RocksDB-backed user keys (r10, verdict item 7 — the one nontrivial
+    // twin without a measured leg). Closed-form week pattern per user:
+    // weeks {W, W+7, W+21} — so every user emits EXACTLY new@W,
+    // retained@W+7, churned@W+7 (the 14-day gap proves it in-stream), and
+    // resurrected@W+21: 4M emissions, 1M each per state, 1M state keys, or
+    // the leg fails. All three weeks of a user share a file (repartition
+    // by userId) so the in-batch sort owns the ordering contract. State is
+    // ONE long per user regardless of history length.
+    val LifeUsers = 1_000_000L
+    val LifeW0 = 20006L
+    val lifeEvents = 3L * LifeUsers
+    val prevProviderL = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (lifeSecs, lifeStateKeys, lifeRows) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-life-src").toString
+      spark.range(lifeEvents).select(
+        pmod(col("id"), lit(LifeUsers)).as("userId"),
+        expr(s"""$LifeW0 + CASE CAST(id div $LifeUsers AS INT)
+                |  WHEN 0 THEN 0 WHEN 1 THEN 7 ELSE 21 END""".stripMargin)
+          .cast("long").as("weekDay"))
+        .repartition(8, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val weeks = spark.readStream
+        .schema("userId BIGINT, weekDay BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.WeekEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-life-bench").toString
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      @volatile var rows = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.lifecycleStream(weeks)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.LifecycleRow], _: Long) =>
+          // ONE action per batch (the debounce-leg discipline): fold the
+          // per-state counts in a single pass
+          val m = b.groupBy("state").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+          m.foreach { case (s, n) =>
+            counts.merge(s, n, (a, x) => a + x); rows += n }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys == LifeUsers, s"lifecycle state keys $keys != $LifeUsers")
+      assert(rows == 4L * LifeUsers, s"lifecycle emissions $rows != ${4L * LifeUsers}")
+      Seq("new", "retained", "churned", "resurrected").foreach { s =>
+        val n: Long = Option(counts.get(s)).map(_.longValue).getOrElse(0L)
+        assert(n == LifeUsers, s"lifecycle $s count $n != $LifeUsers")
+      }
+      (secs, keys, rows)
+    } finally prevProviderL match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val lifeRps = lifeEvents / lifeSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -720,7 +785,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }

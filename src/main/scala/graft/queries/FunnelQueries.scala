@@ -2369,6 +2369,135 @@ object FunnelQueries {
           |      FROM dev GROUP BY dow)
           |SELECT dow, n_days, d7_sum,
           |       CAST(d7_sum AS DOUBLE) / CAST(n_days * 7 AS DOUBLE) AS seasonal_index
-          |FROM m ORDER BY dow""".stripMargin))
+          |FROM m ORDER BY dow""".stripMargin)),
+
+    // ---- RFM tercile segmentation (added r10) ------------------------------
+    // The classic CRM segmentation: every payer coded by Recency (days
+    // since last purchase), Frequency (purchase count), Monetary (exact
+    // cents) terciles — 27 possible segments, reported with user count and
+    // revenue share. Tercile cutoffs are EXACT nearest-rank order
+    // statistics computed on each dimension's value grid with cumulative
+    // counts (the trimmed_mean_value machinery, never a corpus sort):
+    // cutoff_k = min value whose cumulative count ≥ ⌈k·n/3⌉. Code 0 =
+    // lowest tercile by VALUE on every axis (so r_code 0 = most recent,
+    // f_code 0 = least frequent — the sign convention is documented, a
+    // dashboard relabels). Revenue share is ONE bare division.
+    //
+    // Scale shape: one user-grain agg (purchases only); three value-grid
+    // aggs with cumulative windows — each grid is value-domain bounded
+    // (recency ≤ calendar days; frequency/monetary by the ingest domain,
+    // the gini_user_revenue bucket argument) and R2-whitelisted with a
+    // measured bound; cutoffs broadcast back as one 1-row frame; final
+    // ≤27-row roll-up.
+    "rfm_segments" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+        val maxD = ev.agg(max(to_date(col("ts"))).as("maxd"))
+        val u = ev.groupBy("user_id")
+          .agg(max(to_date(col("ts"))).as("lastd"),
+            count(lit(1)).as("f"),
+            (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("m"))
+          .crossJoin(broadcast(maxD))
+          .select(col("user_id"),
+            datediff(col("maxd"), col("lastd")).cast("long").as("r"),
+            col("f"), col("m"))
+        def cutoffs(dim: String): org.apache.spark.sql.DataFrame = {
+          val grid = u.groupBy(col(dim).as("v")).agg(count(lit(1)).as("c"))
+          val wc = Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val n = u.agg(count(lit(1)).as("n"))
+          grid.withColumn("cum", sum(col("c")).over(wc))
+            .crossJoin(broadcast(n))
+            .agg(
+              min(when(col("cum") >= expr("(n + 2) div 3"), col("v"))).as(s"${dim}1"),
+              min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("v"))).as(s"${dim}2"))
+        }
+        val cuts = broadcast(cutoffs("r").crossJoin(cutoffs("f")).crossJoin(cutoffs("m")))
+        u.crossJoin(cuts)
+          .select(col("user_id"), col("m"),
+            when(col("r") <= col("r1"), 0L).when(col("r") <= col("r2"), 1L).otherwise(2L).as("r_code"),
+            when(col("f") <= col("f1"), 0L).when(col("f") <= col("f2"), 1L).otherwise(2L).as("f_code"),
+            when(col("m") <= col("m1"), 0L).when(col("m") <= col("m2"), 1L).otherwise(2L).as("m_code"))
+          .groupBy("r_code", "f_code", "m_code")
+          .agg(count(lit(1)).as("n_users"), sum(col("m")).as("cents"))
+          .orderBy("r_code", "f_code", "m_code")
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+          |                   CAST(value AS DECIMAL(18,2)) AS v
+          |            FROM events WHERE event_type = 'purchase'),
+          |mx AS (SELECT MAX(d) AS maxd FROM ev),
+          |u AS (SELECT user_id,
+          |             CAST(datediff('day', MAX(d), (SELECT maxd FROM mx)) AS BIGINT) AS r,
+          |             CAST(COUNT(*) AS BIGINT) AS f,
+          |             CAST(SUM(v) * 100 AS BIGINT) AS m
+          |      FROM ev GROUP BY user_id),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+          |rc AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS r1,
+          |              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS r2
+          |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+          |               SELECT r AS v, COUNT(*) AS c FROM u GROUP BY r) g) q, n),
+          |fc AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS f1,
+          |              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS f2
+          |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+          |               SELECT f AS v, COUNT(*) AS c FROM u GROUP BY f) g) q, n),
+          |mc AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS m1,
+          |              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS m2
+          |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+          |               SELECT m AS v, COUNT(*) AS c FROM u GROUP BY m) g) q, n),
+          |coded AS (
+          |  SELECT user_id, m,
+          |         CASE WHEN r <= r1 THEN 0 WHEN r <= r2 THEN 1 ELSE 2 END AS r_code,
+          |         CASE WHEN f <= f1 THEN 0 WHEN f <= f2 THEN 1 ELSE 2 END AS f_code,
+          |         CASE WHEN m <= m1 THEN 0 WHEN m <= m2 THEN 1 ELSE 2 END AS m_code
+          |  FROM u, rc, fc, mc)
+          |SELECT CAST(r_code AS BIGINT) AS r_code, CAST(f_code AS BIGINT) AS f_code,
+          |       CAST(m_code AS BIGINT) AS m_code,
+          |       CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(m) AS BIGINT) AS cents
+          |FROM coded GROUP BY r_code, f_code, m_code
+          |ORDER BY r_code, f_code, m_code""".stripMargin)),
+
+    // ---- inter-event gap profile (added r10) -------------------------------
+    // The traffic-shape primitive beneath sessionization: per event type,
+    // the distribution of within-user gaps to the PREVIOUS event (any
+    // type — the gap is attributed to the arriving event), log₁₀-bucketed
+    // by digit count of the gap in microseconds (an exact integer
+    // "order of magnitude" — length of the decimal spelling, identical on
+    // both engines). The 30-minute session gap, debounce windows, and
+    // duplicate-burst heuristics are all read directly off this table.
+    //
+    // Scale shape: ONE user_id window exchange (session_paths' own
+    // partitioning) → (type, digits) hash agg with map-side combine —
+    // ≤ |types|·20 output rows.
+    "inter_event_gap_profile" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .withColumn("digits", length(col("gap").cast("string")).cast("long"))
+          .groupBy("event_type", "digits")
+          .agg(count(lit(1)).as("n"), min(col("gap")).as("min_gap_us"),
+            max(col("gap")).as("max_gap_us"))
+          .orderBy("event_type", "digits")
+      },
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+          |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          |  FROM events),
+          |d AS (SELECT event_type, gap,
+          |             CAST(length(CAST(gap AS VARCHAR)) AS BIGINT) AS digits
+          |      FROM g WHERE gap IS NOT NULL)
+          |SELECT event_type, digits, CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+          |       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+          |FROM d GROUP BY event_type, digits ORDER BY event_type, digits""".stripMargin))
   )
 }

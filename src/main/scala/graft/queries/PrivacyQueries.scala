@@ -194,6 +194,47 @@ object PrivacyQueries {
            |SELECT event_type, d, n,
            |       CAST(n * 1000000 + lap6i AS DOUBLE) / 1000000.0 AS noisy
            |FROM lp ORDER BY event_type, d""".stripMargin
-      })
+      }),
+
+    // ---- k-anonymity audit (added r10) --------------------------------------
+    // The release-gate beside safe_export's masking: under the quasi-
+    // identifier (event_type, day) — the granularity safe_export actually
+    // publishes — how identifiable is each row? A cell of size k means any
+    // row in it hides among k; cells with k < 5 fail the classic k ≥ 5
+    // release rule. Reported per event type: cell count, the minimum k,
+    // how many cells and rows sit below 5, and the failing-row share (ONE
+    // bare division). The number a privacy review asks for FIRST, computed
+    // before any generalization decision.
+    //
+    // Scale shape: one (type, day) hash agg with map-side combine (the
+    // cell frame is calendar × types bounded) → ≤|types| roll-up.
+    "k_anonymity_audit" -> Q(
+      fn = (s, dir) => {
+        val cells = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("k"))
+        cells.groupBy("event_type")
+          .agg(count(lit(1)).as("n_cells"), sum(col("k")).as("n_rows"),
+            min(col("k")).as("min_k"),
+            sum(when(col("k") < 5, 1L).otherwise(0L)).as("cells_lt5"),
+            sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_lt5"))
+          .select(col("event_type"), col("n_cells"), col("n_rows"), col("min_k"),
+            col("cells_lt5"), col("rows_lt5"),
+            (col("rows_lt5").cast("double") / col("n_rows").cast("double"))
+              .as("share_rows_lt5"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH cells AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS k
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       CAST(SUM(k) AS BIGINT) AS n_rows,
+          |       CAST(MIN(k) AS BIGINT) AS min_k,
+          |       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS cells_lt5,
+          |       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_lt5,
+          |       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+          |         / CAST(SUM(k) AS DOUBLE) AS share_rows_lt5
+          |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -95,8 +95,18 @@ object SimilarityQueries {
     * from ever winning the argmin. first(cv) is deterministic: one cv per
     * cid group by construction. */
   private[graft] def ivfLists(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ivfListsN(emb, 16)
+
+  /** [[ivfLists]] with a parameterized list count (r10): the 100 TB
+    * re-shard dial — n_lists scales with corpus size to hold n/L constant,
+    * so within-list pair work stays (n/L)²·L = n²/L. The registry's
+    * retriever keeps L = 16 (right for the gate corpus); `graft
+    * .ReshardCheck` measures the re-shard at the sf10 decade. */
+  private[graft] def ivfListsN(emb: org.apache.spark.sql.DataFrame, nLists: Int): org.apache.spark.sql.DataFrame =
     emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(ivfCentroids(emb)))
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") < nLists)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))))
       .withColumn("csim", cosineSimilarity(col("cv"), col("centv")))
       .groupBy("cid")
       .agg(min(struct(
@@ -104,6 +114,31 @@ object SimilarityQueries {
           col("cent_id"))).as("m"),
         first(col("cv")).as("cv"))
       .select(col("cid"), col("cv"), col("m.cent_id").as("list_id"))
+
+  /** knn_label_consistency's body with a parameterized list count — the
+    * registry query is `knnConsistencyFrom(emb, 16)` verbatim, so the
+    * re-shard measurement provably times the production operator. */
+  private[graft] def knnConsistencyFrom(emb: org.apache.spark.sql.DataFrame, nLists: Int): org.apache.spark.sql.DataFrame = {
+    val withLab = ivfListsN(emb, nLists)
+      .join(emb.select(col("vec_id").as("cid"), col("label")), Seq("cid"))
+    val a = withLab.select(col("list_id"), col("cid").as("a_id"),
+      col("cv").as("va"), col("label").as("la"))
+    val b = withLab.select(col("list_id"), col("cid").as("b_id"),
+      col("cv").as("vb"), col("label").as("lb"))
+    val nn = a.join(b, Seq("list_id")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2",
+        graft.functions.VectorFunctions.floatL2Sq(col("va"), col("vb")))
+      .groupBy(col("a_id"), col("la"))
+      .agg(min(struct(col("d2"), col("b_id"), col("lb"))).as("m"))
+      .select(col("la").as("label"),
+        when(col("la") === col("m.lb"), 1L).otherwise(0L).as("agree"))
+    nn.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("agree")).as("nn_agree"))
+      .select(col("label"), col("n"), col("nn_agree"),
+        (col("nn_agree").cast("double") / col("n").cast("double"))
+          .as("consistency"))
+      .orderBy("label")
+  }
 
   private def duckCosSql(a: String, b: String) =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
@@ -327,28 +362,7 @@ object SimilarityQueries {
     // raising n_lists: pairs stay (n/L)²·L — the audit's own ivf_balance
     // measures exactly that) → per-vector argmin agg → ≤|labels| roll-up.
     "knn_label_consistency" -> Q(
-      fn = (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val withLab = ivfLists(emb)
-          .join(emb.select(col("vec_id").as("cid"), col("label")), Seq("cid"))
-        val a = withLab.select(col("list_id"), col("cid").as("a_id"),
-          col("cv").as("va"), col("label").as("la"))
-        val b = withLab.select(col("list_id"), col("cid").as("b_id"),
-          col("cv").as("vb"), col("label").as("lb"))
-        val nn = a.join(b, Seq("list_id")).filter(col("a_id") =!= col("b_id"))
-          .withColumn("d2",
-            graft.functions.VectorFunctions.floatL2Sq(col("va"), col("vb")))
-          .groupBy(col("a_id"), col("la"))
-          .agg(min(struct(col("d2"), col("b_id"), col("lb"))).as("m"))
-          .select(col("la").as("label"),
-            when(col("la") === col("m.lb"), 1L).otherwise(0L).as("agree"))
-        nn.groupBy("label")
-          .agg(count(lit(1)).as("n"), sum(col("agree")).as("nn_agree"))
-          .select(col("label"), col("n"), col("nn_agree"),
-            (col("nn_agree").cast("double") / col("n").cast("double"))
-              .as("consistency"))
-          .orderBy("label")
-      },
+      fn = (s, dir) => knnConsistencyFrom(Tables.load(s, dir, "embeddings"), 16),
       oracle = Some(
         s"""WITH $ivfListsSql,
            |wl AS (SELECT l.cid, l.cv, l.list_id, e.label
@@ -366,6 +380,209 @@ object SimilarityQueries {
            |       CAST(SUM(agree) AS BIGINT) AS nn_agree,
            |       CAST(SUM(agree) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS consistency
            |FROM ag GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- reciprocal 1-NN rate (added r10) ---------------------------------
+    // The hubness audit (Radovanović et al. 2010): in healthy embedding
+    // spaces most 1-NN relations are SYMMETRIC; hubs — points that are
+    // everyone's neighbor while their own neighbor is elsewhere — depress
+    // the reciprocal rate and are the standard high-dimensionality
+    // pathology flag (they dominate retrieval lists and poison kNN
+    // labels). Same within-IVF-list 1-NN as knn_label_consistency (the
+    // retriever's own partition of the space), so the two audits read the
+    // same geometry. Rate is ONE bare division of exact counts.
+    //
+    // Scale shape: the shared ivfLists assignment → list-bounded pair join
+    // (n²/L, the knn argument) → per-vector argmin agg → the reciprocity
+    // self-join runs on the NN frame (one row per vector, equi-keyed) →
+    // 1-row roll-up.
+    "reciprocal_nn_rate" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val lists = ivfLists(emb)
+        val a = lists.select(col("list_id"), col("cid").as("a_id"), col("cv").as("va"))
+        val b = lists.select(col("list_id"), col("cid").as("b_id"), col("cv").as("vb"))
+        val nn = a.join(b, Seq("list_id")).filter(col("a_id") =!= col("b_id"))
+          .withColumn("d2",
+            graft.functions.VectorFunctions.floatL2Sq(col("va"), col("vb")))
+          .groupBy(col("a_id"))
+          .agg(min(struct(col("d2"), col("b_id"))).as("m"))
+          .select(col("a_id"), col("m.b_id").as("nn_id"))
+        val rec = nn.as("x").join(nn.as("y"),
+            col("x.nn_id") === col("y.a_id") && col("y.nn_id") === col("x.a_id")
+              && col("x.a_id") < col("y.a_id"))
+          .agg(count(lit(1)).as("n_reciprocal_pairs"))
+        nn.agg(count(lit(1)).as("n_vectors"))
+          .crossJoin(rec)
+          .select(col("n_vectors"), col("n_reciprocal_pairs"),
+            // empty-corpus guard: 0/0 raises under ANSI, NULL on both engines
+            when(col("n_vectors") === 0, lit(null).cast("double"))
+              .otherwise((col("n_reciprocal_pairs") * 2).cast("double")
+                / col("n_vectors").cast("double")).as("reciprocal_rate"))
+      },
+      oracle = Some(
+        s"""WITH $ivfListsSql,
+           |p AS (SELECT a.cid AS a_id, b.cid AS b_id,
+           |             ${duckL2Full("a.cv", "b.cv")} AS d2
+           |      FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.cid <> b.cid),
+           |nn AS (SELECT a_id, b_id AS nn_id FROM (
+           |         SELECT a_id, b_id,
+           |                ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rk
+           |         FROM p) t WHERE rk = 1),
+           |rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal_pairs
+           |        FROM nn x JOIN nn y
+           |          ON x.nn_id = y.a_id AND y.nn_id = x.a_id AND x.a_id < y.a_id),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM nn)
+           |SELECT n_vectors, n_reciprocal_pairs,
+           |       CASE WHEN n_vectors = 0 THEN NULL
+           |            ELSE CAST(n_reciprocal_pairs * 2 AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+           |       END AS reciprocal_rate
+           |FROM tot, rec""".stripMargin)),
+
+    // ---- PQ codebook usage audit (added r10) -------------------------------
+    // The dead-code detector pairing pq_distortion's error lens with a
+    // UTILIZATION lens: per subspace, how many of the 16 codes are
+    // actually assigned, the top code's share, and the Simpson
+    // concentration of the code histogram — a subspace assigning
+    // everything to 3 codes wastes its bits and is the first to re-train
+    // (the same failure ivf_balance catches at the coarse level).
+    // IDENTICAL encode argmin as pq_topk/pq_distortion (the proven
+    // floatL2Sq fold pair with (d2, cent_id) tie-break). Exact integer
+    // surface: share and concentration are each ONE bare division;
+    // conc = (Σc²−n)/(n(n−1)) is simpson_diversity's spelling.
+    //
+    // Scale shape: the encode argmin collapses map-side; then an 8×16
+    // code histogram agg and an 8-row roll-up — constant beyond the scan.
+    "pq_code_usage" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        def l2(a: String, b: String): Column =
+          graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
+        def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
+          src.select(col("vec_id").as(idCol),
+              explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+            .select(col(idCol), col("j"),
+              expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
+        val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+        val codes = subspaces(emb, "cid", "subv")
+          .join(broadcast(cents), Seq("j"))
+          .groupBy("cid", "j")
+          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
+          .select(col("j"), col("m.cent_id").as("code"))
+        val hist = codes.groupBy("j", "code").agg(count(lit(1)).as("c"))
+        hist.groupBy("j")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("codes_used"),
+            max(col("c")).as("top_c"), sum(col("c") * col("c")).as("sc2"))
+          .select(col("j").cast("long").as("subspace"), col("n"), col("codes_used"),
+            (col("top_c").cast("double") / col("n").cast("double")).as("top_code_share"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise((col("sc2") - col("n")).cast("double")
+                / (col("n") * (col("n") - 1)).cast("double")).as("concentration"))
+          .orderBy("subspace")
+      },
+      oracle = Some {
+        def duckL2(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH js AS (SELECT UNNEST(range(8)) AS j),
+           |cents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
+           |          FROM embeddings, js WHERE vec_id < 16),
+           |vecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
+           |         FROM embeddings, js),
+           |enc AS (
+           |  SELECT cid, j, cent_id AS code FROM (
+           |    SELECT v.cid, v.j, c.cent_id,
+           |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
+           |                              ORDER BY ${duckL2("v.subv", "c.centv")}, c.cent_id) AS crk
+           |    FROM vecs v JOIN cents c ON v.j = c.j) t
+           |  WHERE crk = 1),
+           |h AS (SELECT j, code, CAST(COUNT(*) AS BIGINT) AS c FROM enc GROUP BY j, code),
+           |m AS (SELECT j, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS codes_used,
+           |             CAST(MAX(c) AS BIGINT) AS top_c, CAST(SUM(c * c) AS BIGINT) AS sc2
+           |      FROM h GROUP BY j)
+           |SELECT CAST(j AS BIGINT) AS subspace, n, codes_used,
+           |       CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE) AS top_code_share,
+           |       CASE WHEN n <= 1 THEN NULL
+           |            ELSE CAST(sc2 - n AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+           |       END AS concentration
+           |FROM m ORDER BY subspace""".stripMargin }),
+
+    // ---- greedy k-center coreset picks (added r10) -------------------------
+    // Farthest-first traversal (Gonzalez 1985) — the classic 2-approx
+    // k-center coreset: seed at vec_id 0, then twice pick the vector
+    // maximizing its distance to the nearest already-picked center, and
+    // report the final coverage radius (max over vectors of min distance
+    // to the 3 picks). The diversity-maximizing counterpoint to semdedup's
+    // redundancy removal: these are the exemplars a labeling budget goes
+    // to first. Distances via the proven floatL2Sq ↔ duckL2Full fold pair;
+    // every argmax is min(struct(−d2, vec_id)) — deterministic tie-break,
+    // exact double bits cross-engine; reported d2 on the grid6.
+    //
+    // Scale shape: k−1 = 2 corpus passes, each a map-side distance
+    // projection + a 1-row argmax agg broadcast back (the kmeans_train
+    // unrolled-rounds discipline — no driver loop, no collect); the
+    // radius pass is one more map + 1-row agg.
+    "coreset_kcenter" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        def l2(a: Column, b: Column): Column =
+          graft.functions.VectorFunctions.floatL2Sq(a, b)
+        val c1 = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("cv1")))
+        val d1 = emb.crossJoin(c1)
+          .select(col("vec_id"), col("embedding"),
+            l2(col("embedding"), col("cv1")).as("d1"))
+        val pick2 = broadcast(d1
+          .agg(min(struct(negate(col("d1")).as("nd"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("p2")))
+        val c2 = broadcast(d1.crossJoin(pick2).filter(col("vec_id") === col("p2"))
+          .select(col("embedding").as("cv2"), col("d1").as("p2_d2")))
+        val d2 = d1.crossJoin(c2)
+          .select(col("vec_id"), col("embedding"), col("p2_d2"),
+            least(col("d1"), l2(col("embedding"), col("cv2"))).as("md"))
+        val pick3 = broadcast(d2
+          .agg(min(struct(negate(col("md")).as("nd"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("p3")))
+        val c3 = broadcast(d2.crossJoin(pick3).filter(col("vec_id") === col("p3"))
+          .select(col("embedding").as("cv3"), col("md").as("p3_d2"), col("p3")))
+        val radius = d2.crossJoin(c3)
+          .select(col("p2_d2"), col("p3_d2"), col("p3"),
+            least(col("md"), l2(col("embedding"), col("cv3"))).as("fd"))
+          .crossJoin(pick2)
+          .agg(max(col("fd")).as("radius_d2"),
+            first(col("p2")).as("p2"), first(col("p3")).as("p3"),
+            first(col("p2_d2")).as("p2_d2"), first(col("p3_d2")).as("p3_d2"))
+        radius.select(
+          expr("stack(3, 1L, 0L, cast(0.0 as double), 2L, p2, p2_d2, 3L, p3, p3_d2) as (round, picked_vec_id, pick_d2_raw)"),
+          col("radius_d2"))
+          .select(col("round"), col("picked_vec_id"),
+            Q.grid6(col("pick_d2_raw")).as("pick_d2"),
+            Q.grid6(col("radius_d2")).as("coverage_radius_d2"))
+          .orderBy("round")
+      },
+      oracle = Some(
+        s"""WITH c1 AS (SELECT embedding AS cv1 FROM embeddings WHERE vec_id = 0),
+           |d1 AS (SELECT vec_id, embedding, ${duckL2Full("embedding", "cv1")} AS d1
+           |       FROM embeddings, c1),
+           |p2 AS (SELECT vec_id AS p2 FROM d1 ORDER BY d1 DESC, vec_id LIMIT 1),
+           |c2 AS (SELECT embedding AS cv2, d1 AS p2_d2 FROM d1, p2 WHERE vec_id = p2),
+           |d2 AS (SELECT vec_id, embedding, p2_d2,
+           |              LEAST(d1, ${duckL2Full("embedding", "cv2")}) AS md
+           |       FROM d1, c2),
+           |p3 AS (SELECT vec_id AS p3 FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+           |c3 AS (SELECT embedding AS cv3, md AS p3_d2, p2_d2 FROM d2, p3 WHERE vec_id = p3),
+           |r AS (SELECT MAX(LEAST(md, ${duckL2Full("embedding", "cv3")})) AS radius_d2
+           |      FROM d2, c3),
+           |rows_out AS (
+           |  SELECT 1 AS round, CAST(0 AS BIGINT) AS picked_vec_id, 0.0 AS pick_d2_raw FROM c1
+           |  UNION ALL SELECT 2, p2, p2_d2 FROM p2, c2
+           |  UNION ALL SELECT 3, p3, p3_d2 FROM p3, c3)
+           |SELECT CAST(round AS BIGINT) AS round, picked_vec_id,
+           |       floor(pick_d2_raw * 1000000.0) / 1000000.0 AS pick_d2,
+           |       floor((SELECT radius_d2 FROM r) * 1000000.0) / 1000000.0
+           |         AS coverage_radius_d2
+           |FROM rows_out ORDER BY round""".stripMargin)),
 
     // ---- embedding isotropy ratio (added r8) -----------------------------
     // The anisotropic-cone pathology check (Ethayarajh 2019; Mu & Viswanath
@@ -1173,6 +1390,52 @@ object SimilarityQueries {
           .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
         scored.withColumn("rk", row_number().over(w))
           .filter(col("rk") > TopK && col("rk") <= NegHi)
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"),
+            col("rk"), (col("qlabel") === col("clabel")).cast("int").as("same_label"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+           |           FROM embeddings WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv, label AS clabel FROM embeddings),
+           |scored AS (
+           |  SELECT qid, cid, qlabel, clabel,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
+           |  FROM q CROSS JOIN c WHERE qid != cid),
+           |ranked AS (
+           |  SELECT qid, cid, qlabel, clabel, sim,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM scored)
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk,
+           |       CAST(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS INTEGER) AS same_label
+           |FROM ranked WHERE rk > $TopK AND rk <= $NegHi ORDER BY qid, rk""".stripMargin)),
+
+    // ---- hard negatives via the typed TopK aggregator (added r10) --------
+    // The production path SURVEY row 252 promised ("swap in the typed TopK
+    // aggregator at production query counts"): identical output contract
+    // and oracle as hard_negatives, but ranking through TopK.ranked with
+    // k = NegHi — at most NegHi rows per query leave each map task instead
+    // of every scored pair entering a rank window (TopKBench r9: agg 1.63×
+    // at 1000 queries; the registry's 5-query window form stays for the
+    // small-workload regime). Labels re-attach AFTER the bounded-buffer
+    // ranking: the ranked frame is ≤ queries·NegHi rows, broadcast back
+    // onto the corpus for clabel — never a second corpus-wide rank input.
+    "hard_negatives_agg" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val scored = broadcast(q.select("qid", "qv")).crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+        val ranked = graft.functions.TopK
+          .ranked(scored.select("qid", "cid", "sim"), "qid", NegHi)
+          .filter(col("rk") > TopK)
+        val lab = emb.select(col("vec_id").as("cid"), col("label").as("clabel"))
+        lab.join(broadcast(ranked), Seq("cid"))
+          .join(broadcast(q.select("qid", "qlabel")), Seq("qid"))
           .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"),
             col("rk"), (col("qlabel") === col("clabel")).cast("int").as("same_label"))
           .orderBy("qid", "rk")

@@ -1740,6 +1740,162 @@ object StatQueries {
           |       CASE WHEN trim_n = 0 THEN NULL
           |            ELSE CAST(trim_cents AS DOUBLE)
           |                 / CAST(trim_n * 100 AS DOUBLE) END AS trimmed_mean_value
-          |FROM m ORDER BY event_type""".stripMargin))
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- Kendall's τ-b: length vs quality, per source (added r10) ---------
+    // The rank-association companion of spearman_length_quality: τ-b is
+    // the concordant-vs-discordant pair probability — more robust to the
+    // heavy ties both variables carry (length repeats, 11 quality bands)
+    // because the b-correction removes tied pairs from BOTH margins.
+    // Computed EXACTLY on the (length, band) contingency grid: concordant
+    // C = Σ c₁c₂ over cell pairs with x₁<x₂ ∧ y₁<y₂, discordant D the
+    // y₁>y₂ mirror, tie masses Tx/Ty from the marginals — never a pairwise
+    // join over docs. Denominator √((n₀−Tx)(n₀−Ty)) via [[Q.isqrt]]
+    // (engine-version-proof); the product stays < 2⁵² for n ≲ 10⁸ docs
+    // per source — beyond that widen to a decimal isqrt (documented
+    // bound, the readability_fk discipline). τ is ONE bare division of
+    // exact ints.
+    //
+    // Scale shape: per-doc map pass → one (source, x, y) hash agg; the
+    // pair join runs over the GRID (value-domain × 11 bands, the
+    // ks_source_lengths argument), never docs; ≤|sources| roll-up.
+    "kendall_tau_length_quality" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val scored = docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .withColumn("y",
+            expr("""floor((0.4 * least(1.0, cast(n_tokens as double) / 50.0)
+                    | + 0.3 * (1.0 - cast(n_stop as double) / n_tokens)
+                    | + 0.3 * least(1.0, cast(length(text) as double) / 200.0))
+                    | * 1000000.0) div 100000""".stripMargin))
+          .select(col("source"), col("n_chars").as("x"), col("y"))
+        val grid = scored.groupBy("source", "x", "y").agg(count(lit(1)).as("c"))
+        val tot = grid.groupBy("source").agg(sum(col("c")).as("n"))
+        val tx = grid.groupBy("source", "x").agg(sum(col("c")).as("cx"))
+          .groupBy("source").agg(sum(expr("(cx * (cx - 1)) div 2")).as("tx"))
+        val ty = grid.groupBy("source", "y").agg(sum(col("c")).as("cy"))
+          .groupBy("source").agg(sum(expr("(cy * (cy - 1)) div 2")).as("ty"))
+        val pairs = grid.as("a").join(grid.as("b"),
+            col("a.source") === col("b.source") && col("a.x") < col("b.x"))
+          .groupBy(col("a.source").as("source"))
+          .agg(
+            sum(when(col("a.y") < col("b.y"), col("a.c") * col("b.c")).otherwise(0L)).as("concordant"),
+            sum(when(col("a.y") > col("b.y"), col("a.c") * col("b.c")).otherwise(0L)).as("discordant"))
+        tot.join(tx, Seq("source")).join(ty, Seq("source"))
+          .join(pairs, Seq("source"), "left")
+          .select(col("source"), col("n"),
+            coalesce(col("concordant"), lit(0L)).as("concordant"),
+            coalesce(col("discordant"), lit(0L)).as("discordant"),
+            expr("(n * (n - 1)) div 2").as("n0"), col("tx"), col("ty"))
+          .withColumn("denom",
+            Q.isqrt((col("n0") - col("tx")) * (col("n0") - col("ty"))))
+          .select(col("source"), col("n"), col("concordant"), col("discordant"),
+            when(col("denom") === 0, lit(null).cast("double"))
+              .otherwise((col("concordant") - col("discordant")).cast("double")
+                / col("denom").cast("double")).as("tau_b"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT source, n_chars AS x, string_split(text, ' ') AS toks, text
+           |           FROM documents),
+           |sc AS (SELECT source, x,
+           |              CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                   + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                         w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                         AS DOUBLE) / len(toks))
+           |                   + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0))
+           |                   * 1000000.0) AS BIGINT) // 100000 AS y
+           |       FROM t),
+           |grid AS (SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM sc GROUP BY source, x, y),
+           |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM grid GROUP BY source),
+           |txm AS (SELECT source, CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS tx FROM (
+           |          SELECT source, x, SUM(c) AS cx FROM grid GROUP BY source, x) q
+           |        GROUP BY source),
+           |tym AS (SELECT source, CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS ty FROM (
+           |          SELECT source, y, SUM(c) AS cy FROM grid GROUP BY source, y) q
+           |        GROUP BY source),
+           |p AS (SELECT a.source,
+           |             CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS concordant,
+           |             CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS discordant
+           |      FROM grid a JOIN grid b ON a.source = b.source AND a.x < b.x
+           |      GROUP BY a.source),
+           |m AS (SELECT tot.source, n,
+           |             COALESCE(concordant, 0) AS concordant,
+           |             COALESCE(discordant, 0) AS discordant,
+           |             n * (n - 1) // 2 AS n0, tx, ty
+           |      FROM tot JOIN txm USING (source) JOIN tym USING (source)
+           |      LEFT JOIN p ON p.source = tot.source),
+           |d AS (SELECT *,
+           |             CAST(floor(sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))) AS BIGINT) AS s0
+           |      FROM m),
+           |dd AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= (n0 - tx) * (n0 - ty) THEN s0 + 1
+           |                      WHEN s0 * s0 > (n0 - tx) * (n0 - ty) THEN s0 - 1
+           |                      ELSE s0 END AS denom
+           |       FROM d)
+           |SELECT source, n, concordant, discordant,
+           |       CASE WHEN denom = 0 THEN NULL
+           |            ELSE CAST(concordant - discordant AS DOUBLE) / CAST(denom AS DOUBLE)
+           |       END AS tau_b
+           |FROM dd ORDER BY source""".stripMargin)),
+
+    // ---- Page-Hinkley drift test over daily volume (added r10) ------------
+    // The sequential changepoint monitor beside cusum_drift's batch CUSUM:
+    // per event type, PH_t = Σ_{i≤t}(x_i − mean_i) against the running
+    // minimum — an alarm fires when the excursion PH_t − min_{≤t} exceeds
+    // λ (50 events/day here). The prefix mean rides the exact micro grid
+    // mean6_i = (S_i·10⁶) div i, so dev6, PH6, and the excursion are all
+    // int64 and the alarm comparison is exact (zero float anywhere).
+    //
+    // Scale shape: one day-grain hash agg; the prefix windows partition by
+    // type over the calendar-bounded series (changepoint_daily argument);
+    // ≤|types| roll-up.
+    "page_hinkley_drift" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lambda6 = 50L * 1000000L
+        daily
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("s", sum(col("x")).over(cum))
+          .withColumn("dev6", col("x") * 1000000L - expr("(s * 1000000L) div t"))
+          .withColumn("ph6", sum(col("dev6")).over(cum))
+          .withColumn("runmin6", min(col("ph6")).over(cum))
+          .withColumn("exc6", col("ph6") - col("runmin6"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            max(col("exc6")).as("max_excursion6"),
+            sum(when(col("exc6") > lambda6, 1L).otherwise(0L)).as("n_alarm_days"),
+            min(when(col("exc6") > lambda6, col("d"))).as("first_alarm_day"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |c AS (SELECT event_type, d, x,
+          |             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t,
+          |             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS s
+          |      FROM daily),
+          |dev AS (SELECT *, x * 1000000 - (s * 1000000) // t AS dev6 FROM c),
+          |ph AS (SELECT *,
+          |              CAST(SUM(dev6) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS ph6
+          |       FROM dev),
+          |ex AS (SELECT *,
+          |              ph6 - CAST(MIN(ph6) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS exc6
+          |       FROM ph)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+          |       CAST(MAX(exc6) AS BIGINT) AS max_excursion6,
+          |       CAST(SUM(CASE WHEN exc6 > 50000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+          |       MIN(CASE WHEN exc6 > 50000000 THEN d END) AS first_alarm_day
+          |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -2500,6 +2500,49 @@ object TextQueries {
           |       CAST(MAX(b - a + 50) AS BIGINT) AS max_span_tokens
           |FROM spans GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- cross-source exact-substring contamination matrix (added r10) ----
+    // dedup_substrings says HOW MUCH text is duplicated; this says BETWEEN
+    // WHOM: for each ordered source pair (a < b), the number of distinct
+    // 50-token windows both sources contain verbatim — the contamination
+    // matrix that catches a scraped mirror, a shared boilerplate vendor,
+    // or a train/eval bleed BEFORE it shows up as benchmark inflation
+    // (source_dup_matrix is the near-dup/minhash analogue; this is the
+    // exact-substring grain). Same [[RollingWindowHashes]] gram frame as
+    // dedup_substrings (one rolling pass per doc); the oracle counts the
+    // same distinct-window sets through md5 grams — gram identities
+    // differ, the per-pair distinct counts cannot (RollingHashSpec's
+    // collision argument).
+    //
+    // Scale shape: digests-only — (source, gh) distinct agg, then an
+    // equi-join on gh whose fan-out is ≤ |sources| per key; output
+    // ≤ |sources|² rows. Never carries window text.
+    "dup_span_sources" -> Q(
+      fn = (s, dir) => {
+        val grams = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 50)
+          .select(col("source"),
+            posexplode(graft.functions.WindowMd5Functions
+              .rollingWindowHashes(col("toks"), 50)))
+          .select(col("source"), col("col").as("gh"))
+          .distinct()
+        grams.as("a").join(grams.as("b"),
+            col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT source, UNNEST(range(1, len(toks) - 48)) AS p, toks
+          |      FROM t WHERE len(toks) >= 50),
+          |h AS (SELECT DISTINCT source,
+          |             md5(array_to_string(toks[p : p + 49], ' ')) AS gh FROM g)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+          |FROM h a JOIN h b ON a.gh = b.gh AND a.source < b.source
+          |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin)),
+
     // ---- Yule's characteristic K per source (added r9) --------------------
     // The classic repeat-rate lexical-diversity constant (Yule 1944):
     // K = 10⁴·(Σc² − N)/N² over the source's token frequency spectrum —

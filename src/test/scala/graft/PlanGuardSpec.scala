@@ -74,6 +74,7 @@ class PlanGuardSpec extends SparkTestBase {
       "skipgram_pmi", // broadcasts of the 1-row pair-total and token-total aggregates
       "cluster_source_mix", // broadcast of the 16-row centroid codebook (kmeans_step shape)
       "hard_negatives", // broadcast of the ≤5-row query-vector side (similarity_topk shape)
+      "hard_negatives_agg", // same ≤5-row query broadcast + the ≤q·NegHi ranked-frame broadcast
       "source_lang_chi2", // S×L contingency grid from the marginals (≤ 20×5) + 1-row total broadcasts
       "ndcg_eval", // composes the retrievers — their whitelisted ≤5-row query-side broadcasts
       "map_eval", // same composition — the retrievers' whitelisted broadcasts
@@ -146,7 +147,17 @@ class PlanGuardSpec extends SparkTestBase {
       // dup_degree_profile: the 1-row corpus-count aggregate × the 1-row
       // touched-count aggregate (both sides are single-row by
       // construction — the zero-degree remainder row)
-      "dup_degree_profile")
+      "dup_degree_profile",
+      // rfm_segments: the 1-row max-day / n / tercile-cutoff broadcasts
+      "rfm_segments",
+      // reciprocal_nn_rate: the shared ivfLists 16-centroid broadcast
+      // (knn_label_consistency shape) + the 1-row totals × 1-row
+      // reciprocal-count product
+      "reciprocal_nn_rate",
+      // coreset_kcenter: the kmeans_train unrolled-rounds discipline —
+      // 1-row pick/center broadcasts per greedy round (×2) + the 1-row
+      // radius aggregate
+      "coreset_kcenter")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -296,7 +307,11 @@ class PlanGuardSpec extends SparkTestBase {
     "pareto_user_share",
     // classical_decomposition: the centered 7-day ROWS window over the
     // day-grain aggregate — calendar-span bounded like changepoint_daily.
-    "classical_decomposition")
+    "classical_decomposition",
+    // rfm_segments: three tercile-cutoff cumulative windows, each over a
+    // value-domain-bounded grid (recency days / frequency values /
+    // monetary cents sums) — the auc_dup_quality argument ×3.
+    "rfm_segments")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -359,7 +374,23 @@ class PlanGuardSpec extends SparkTestBase {
       "markov_stationary" -> // distinct event types (the state spine)
         events.select("event_type").distinct().count(),
       "pareto_user_share" -> revenueBuckets, // same bucket offsets frame as gini
-      "classical_decomposition" -> daySpan) // centered MA over the daily series
+      "classical_decomposition" -> daySpan, // centered MA over the daily series
+      "rfm_segments" -> { // max of the three tercile value grids
+        val purch = Tables.load(spark, SfDir, "events")
+          .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ts"))).as("lastd"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("f"),
+            (org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("value").cast("decimal(18,2)")) * 100)
+              .cast("long").as("m"))
+        Seq(purch.select("lastd").distinct().count(),
+          purch.select("f").distinct().count(),
+          purch.select("m").distinct().count()).max
+      })
     assert(bounds.keySet == globalWindowOk,
       s"whitelist and bound claims out of lockstep: ${bounds.keySet.diff(globalWindowOk)} / ${globalWindowOk.diff(bounds.keySet)}")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
