@@ -1896,6 +1896,161 @@ object StatQueries {
           |       CAST(MAX(exc6) AS BIGINT) AS max_excursion6,
           |       CAST(SUM(CASE WHEN exc6 > 50000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
           |       MIN(CASE WHEN exc6 > 50000000 THEN d END) AS first_alarm_day
-          |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin))
+          |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Cliff's delta: doc length between source groups (added r10) ------
+    // The ORDINAL effect size pairing ks_source_lengths' distribution
+    // distance: δ = P(x₁ > x₂) − P(x₁ < x₂) over the SAME two-group split
+    // (source id < 10 vs rest, the ks spelling verbatim) — KS says the
+    // distributions differ, δ says which group's docs are LONGER and by
+    // how much dominance (|δ| > 0.474 is Romano's "large"). Computed
+    // exactly on the merged value grid: greater-pairs = Σ_v c₁(v)·F₂(v−1)
+    // via one cumulative window, never an n₁×n₂ pair join; δ is ONE bare
+    // division of exact DECIMAL counts.
+    //
+    // Scale shape: one value-grid agg; ONE cumulative window over the
+    // grid (value-domain bounded, the ks argument, R2-whitelisted);
+    // 1-row roll-up.
+    "cliffs_delta_length" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.load(s, dir, "documents")
+          .select(col("n_chars").as("v"),
+            when(expr("int(substring(source, 4, 8))") < 10, 1L).otherwise(0L).as("g1"))
+        val grid = g.groupBy("v")
+          .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+        val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val win = Window.orderBy(col("v"))
+        val cum = grid.select(col("v"), col("c1"), col("c2"),
+          sum(col("c2")).over(win).as("f2"))
+        cum.crossJoin(broadcast(tot))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            sum(big(col("c1")) * big(col("f2") - col("c2"))).as("gt"),
+            sum(big(col("c1")) * big(col("n2") - col("f2"))).as("lt"))
+          .select(col("n1"), col("n2"),
+            col("gt").cast("decimal(38,0)").as("gt_pairs"),
+            col("lt").cast("decimal(38,0)").as("lt_pairs"),
+            when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+              .otherwise((col("gt") - col("lt")).cast("double")
+                / (big(col("n1")) * big(col("n2"))).cast("double"))
+              .as("cliffs_delta"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT n_chars AS v,
+          |             CASE WHEN CAST(substring(source, 4) AS INT) < 10
+          |                  THEN 1 ELSE 0 END AS g1
+          |           FROM documents),
+          |grid AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+          |                CAST(SUM(1 - g1) AS BIGINT) AS c2
+          |         FROM g GROUP BY v),
+          |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM grid),
+          |cum AS (SELECT v, c1, c2, SUM(c2) OVER (ORDER BY v) AS f2 FROM grid),
+          |a AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+          |             SUM(CAST(c1 AS HUGEINT) * (f2 - c2)) AS gt,
+          |             SUM(CAST(c1 AS HUGEINT) * (n2 - f2)) AS lt
+          |      FROM cum CROSS JOIN tot)
+          |SELECT n1, n2,
+          |       CAST(gt AS DECIMAL(38,0)) AS gt_pairs,
+          |       CAST(lt AS DECIMAL(38,0)) AS lt_pairs,
+          |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+          |            ELSE CAST(gt - lt AS DOUBLE)
+          |                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS cliffs_delta
+          |FROM a""".stripMargin)),
+
+    // ---- isotonic calibration of the quality score (added r10) ------------
+    // The FIX for what score_calibration DIAGNOSES: the isotonic (PAV)
+    // regression of observed dup rate on the score bands — the standard
+    // post-hoc calibrator (Zadrozny & Elkan 2002). On the ≤11-row band
+    // frame the pool-adjacent-violators solution is the minimax identity
+    //   iso(i) = max_{j≤i} min_{k≥i} rate(j..k)
+    // computed here on the exact micro grid (rate6(j,k) = (P·10⁶) div N
+    // per contiguous band segment) — every comparison is int64, so the
+    // fitted curve is bit-identical on any engine; monotonicity is BY
+    // CONSTRUCTION (spec pins it and the pooling identity). The label and
+    // band passes are score_calibration's verbatim (no-drift discipline).
+    //
+    // Scale shape: the corpus work is score_calibration's digest plan;
+    // everything after the ≤11-row band agg — prefix window, segment
+    // self-join (≤66 rows), the i×(j,k) minimax joins — is constant-size.
+    "isotonic_calibration" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs.withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+            .as("gh"))
+          .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+          .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
+        val bands = docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .withColumn("y",
+            floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long"))
+          .join(lab, Seq("doc_id"), "left")
+          .select(expr("y div 100000").as("band"),
+            coalesce(col("pos"), lit(0L)).as("pos"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        val win = Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bands
+          .select(col("band"), col("n"), col("p"),
+            sum(col("n")).over(win).as("cn"), sum(col("p")).over(win).as("cp"))
+        val segs = cum.as("j").join(cum.as("k"), col("j.band") <= col("k.band"))
+          .select(col("j.band").as("jb"), col("k.band").as("kb"),
+            expr("((k.cp - (j.cp - j.p)) * 1000000L) div (k.cn - (j.cn - j.n))").as("rate6"))
+        val mins = segs.join(cum.select(col("band").as("ib")),
+            col("jb") <= col("ib") && col("ib") <= col("kb"))
+          .groupBy("ib", "jb").agg(min(col("rate6")).as("minr"))
+        val iso = mins.groupBy("ib").agg(max(col("minr")).as("iso6"))
+        cum.join(iso, col("band") === col("ib"))
+          .select(col("band"), col("n"), col("p"),
+            expr("(p * 1000000L) div n").as("raw_rate6"), col("iso6"))
+          .orderBy("band")
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |occ AS (SELECT doc_id,
+           |               UNNEST(list_transform(range(len(toks) - 4),
+           |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+           |        FROM d WHERE len(toks) >= 5),
+           |dfx AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh),
+           |lab AS (SELECT occ.doc_id, MAX(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS pos
+           |        FROM occ JOIN dfx USING (gh) GROUP BY occ.doc_id),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           |             length(text) AS nc FROM documents),
+           |q AS (SELECT doc_id,
+           |             CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                        w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                        AS DOUBLE) / len(toks))
+           |                  + 0.3 * least(1.0, CAST(nc AS DOUBLE) / 200.0))
+           |                  * 1000000.0) AS BIGINT) AS y
+           |      FROM t),
+           |bands AS (SELECT y // 100000 AS band, CAST(COUNT(*) AS BIGINT) AS n,
+           |                 CAST(SUM(COALESCE(pos, 0)) AS BIGINT) AS p
+           |          FROM q LEFT JOIN lab USING (doc_id) GROUP BY y // 100000),
+           |cum AS (SELECT band, n, p,
+           |               CAST(SUM(n) OVER (ORDER BY band) AS BIGINT) AS cn,
+           |               CAST(SUM(p) OVER (ORDER BY band) AS BIGINT) AS cp
+           |        FROM bands),
+           |segs AS (SELECT j.band AS jb, k.band AS kb,
+           |                ((k.cp - (j.cp - j.p)) * 1000000) // (k.cn - (j.cn - j.n)) AS rate6
+           |         FROM cum j JOIN cum k ON j.band <= k.band),
+           |mins AS (SELECT i.band AS ib, s.jb, MIN(s.rate6) AS minr
+           |         FROM segs s JOIN cum i ON s.jb <= i.band AND i.band <= s.kb
+           |         GROUP BY i.band, s.jb),
+           |iso AS (SELECT ib, CAST(MAX(minr) AS BIGINT) AS iso6 FROM mins GROUP BY ib)
+           |SELECT band, n, p, (p * 1000000) // n AS raw_rate6, iso6
+           |FROM cum JOIN iso ON cum.band = iso.ib ORDER BY band""".stripMargin))
   )
 }

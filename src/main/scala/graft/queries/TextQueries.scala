@@ -2543,6 +2543,91 @@ object TextQueries {
           |FROM h a JOIN h b ON a.gh = b.gh AND a.source < b.source
           |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin)),
 
+    // ---- Burrows' Delta stylometric distance (added r10) ------------------
+    // The classic authorship/register distance (Burrows 2002): over the 50
+    // highest-frequency corpus tokens (function words dominate — exactly
+    // the stylometric signal), z-score each source's relative frequency
+    // against the cross-source distribution, and Delta(a,b) = mean |z_a −
+    // z_b|. Sources pairing as near-identical here share a template or a
+    // pipeline, not just topic — the register-level dual of
+    // dup_span_sources' verbatim matrix. ENGINE-VERSION-PROOF throughout:
+    // freq6 = (c·10⁶) div n_s, token mean6 = Σfreq6 div S, σ6 =
+    // isqrt(Σdev² div S), z6 = (dev·10⁶) div σ6 (zero-variance tokens
+    // contribute z = 0), delta6 = Σ|z6_a − z6_b| div 50 — all int64, ONE
+    // bare division nowhere (the reported delta is delta6/10⁶ as a final
+    // exact-int cast chain).
+    //
+    // Scale shape: one (source, tok) agg filtered to the top-50 broadcast
+    // vocab (TakeOrderedAndProject) → a 50·|sources| frame; everything
+    // after is constant-size (token stats, pair join ≤ 50·|sources|²).
+    "burrows_delta" -> Q(
+      fn = (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("tc"))
+          .orderBy(col("tc").desc, col("tok")).limit(50).select("tok")
+        val srcTot = toks.groupBy("source").agg(count(lit(1)).as("n"))
+        val freq = toks.join(broadcast(top), Seq("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        // dense (source × top-token) frame: a source missing a top token
+        // has freq 0, and MUST participate (its z is strongly negative)
+        val dense = srcTot.crossJoin(broadcast(top))
+          .join(freq, Seq("source", "tok"), "left")
+          .select(col("source"), col("tok"),
+            expr("(coalesce(c, 0L) * 1000000L) div n").as("f6"))
+        val stats = dense.groupBy("tok")
+          .agg(sum(col("f6")).as("sf"), sum(col("f6") * col("f6")).as("sff"),
+            count(lit(1)).as("ns2"))
+          .select(col("tok"), expr("sf div ns2").as("mean6"),
+            Q.isqrt(expr("(sff - (sf * sf) div ns2) div ns2")).as("sigma6"))
+        val z = dense.join(broadcast(stats), Seq("tok"))
+          .select(col("source"), col("tok"),
+            when(col("sigma6") === 0, 0L)
+              .otherwise(expr("((f6 - mean6) * 1000000L) div sigma6")).as("z6"))
+        z.as("a").join(z.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(expr("sum(abs(a.z6 - b.z6)) div 50").as("delta6"))
+          .select(col("source_a"), col("source_b"), col("delta6"),
+            (col("delta6").cast("double") / 1000000.0).as("delta"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          |top AS (SELECT tok FROM (
+          |          SELECT tok, COUNT(*) AS tc FROM t GROUP BY tok
+          |          ORDER BY tc DESC, tok LIMIT 50) q),
+          |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY source),
+          |fr AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          |       FROM t JOIN top USING (tok) GROUP BY source, tok),
+          |dense AS (SELECT st.source, top.tok,
+          |                 (COALESCE(c, 0) * 1000000) // n AS f6
+          |          FROM st CROSS JOIN top
+          |          LEFT JOIN fr ON fr.source = st.source AND fr.tok = top.tok),
+          |stats0 AS (SELECT tok, CAST(SUM(f6) AS BIGINT) AS sf,
+          |                  CAST(SUM(f6 * f6) AS BIGINT) AS sff,
+          |                  CAST(COUNT(*) AS BIGINT) AS ns2
+          |           FROM dense GROUP BY tok),
+          |stats1 AS (SELECT tok, sf // ns2 AS mean6,
+          |                  (sff - (sf * sf) // ns2) // ns2 AS var12
+          |           FROM stats0),
+          |stats AS (SELECT tok, mean6,
+          |                 CASE WHEN (s0 + 1) * (s0 + 1) <= var12 THEN s0 + 1
+          |                      WHEN s0 * s0 > var12 THEN s0 - 1
+          |                      ELSE s0 END AS sigma6
+          |          FROM (SELECT *, CAST(floor(sqrt(CAST(var12 AS DOUBLE))) AS BIGINT) AS s0
+          |                FROM stats1) q),
+          |z AS (SELECT source, dense.tok,
+          |             CASE WHEN sigma6 = 0 THEN 0
+          |                  ELSE ((f6 - mean6) * 1000000) // sigma6 END AS z6
+          |      FROM dense JOIN stats ON dense.tok = stats.tok)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |       CAST(SUM(abs(a.z6 - b.z6)) // 50 AS BIGINT) AS delta6,
+          |       CAST(CAST(SUM(abs(a.z6 - b.z6)) // 50 AS BIGINT) AS DOUBLE) / 1000000.0
+          |         AS delta
+          |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+          |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin)),
+
     // ---- Yule's characteristic K per source (added r9) --------------------
     // The classic repeat-rate lexical-diversity constant (Yule 1944):
     // K = 10⁴·(Σc² − N)/N² over the source's token frequency spectrum —

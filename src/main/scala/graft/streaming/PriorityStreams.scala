@@ -1259,6 +1259,77 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming Page-Hinkley drift monitor (added r10) -------------------
+
+  /** A Page-Hinkley emission for one processed day: the exact micro-grid
+    * excursion and whether it crossed λ. Input rides the shared
+    * [[DayCount]] (holtStream's day-grain observation type). */
+  final case class PhRow(eventType: String, epochDay: Long, exc6: Long, alarm: Boolean)
+
+  /** Streaming twin of the batch `page_hinkley_drift` query: per event
+    * type, the PH recursion (prefix mean on the exact micro grid
+    * S·10⁶ div t, cumulative deviation, running min) maintained
+    * incrementally — each arriving day emits its excursion and alarm flag,
+    * bit-equal to the batch column (spec pins the full sequence across a
+    * mid-stream split + checkpoint recovery). State is FIVE longs per type
+    * (t, s, ph6, runmin6, last_day); in-batch disorder repairs in the
+    * sort; days ≤ the absorbed frontier are duplicates and no-op (the
+    * funnel ordering contract across batches). */
+  final class PageHinkleyProcessor(lambda6: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DayCount, PhRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, Long)](
+        "t_s_ph6_runmin6_lastday",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DayCount],
+        timerValues: TimerValues): Iterator[PhRow] = {
+      val days = rows.map(r => (r.epochDay, r.c)).toArray
+        .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).max) } // dup day: one obs
+        .toArray.sortBy(_._1)
+      var (t, s, ph, runmin, lastDay) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, Long.MaxValue, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PhRow]
+      days.foreach { case (d, x) =>
+        if (d > lastDay) {
+          t += 1; s += x
+          val dev6 = x * 1000000L - (s * 1000000L) / t
+          ph += dev6
+          runmin = math.min(runmin, ph)
+          out += PhRow(key, d, ph - runmin, ph - runmin > lambda6)
+          lastDay = d
+        } // d ≤ lastDay: duplicate of an absorbed day — no-op
+      }
+      if (t > 0) st.update((t, s, ph, runmin, lastDay))
+      out.iterator
+    }
+  }
+
+  /** See [[PageHinkleyProcessor]]; λ = 50 events/day on the micro grid,
+    * the batch query's constant. */
+  def pageHinkleyStream(days: Dataset[DayCount],
+      lambda6: Long = 50L * 1000000L): Dataset[PhRow] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new PageHinkleyProcessor(lambda6),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming activity streaks (added r8) -----------------------------
 
   /** One user-activity observation at day grain (epoch days). */

@@ -157,7 +157,17 @@ class PlanGuardSpec extends SparkTestBase {
       // coreset_kcenter: the kmeans_train unrolled-rounds discipline —
       // 1-row pick/center broadcasts per greedy round (×2) + the 1-row
       // radius aggregate
-      "coreset_kcenter")
+      "coreset_kcenter",
+      // cliffs_delta_length: the 1-row totals broadcast (ks_source_lengths
+      // shape)
+      "cliffs_delta_length",
+      // isotonic_calibration: inequality self-joins over the ≤11-row band
+      // prefix frame (the PAV minimax grid — constant-size by construction)
+      "isotonic_calibration",
+      // burrows_delta: the 50-row top-vocab broadcast × the ≤|sources|
+      // totals frame (the dense grid), plus the vocab broadcast onto the
+      // token stream
+      "burrows_delta")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -311,7 +321,13 @@ class PlanGuardSpec extends SparkTestBase {
     // rfm_segments: three tercile-cutoff cumulative windows, each over a
     // value-domain-bounded grid (recency days / frequency values /
     // monetary cents sums) — the auc_dup_quality argument ×3.
-    "rfm_segments")
+    "rfm_segments",
+    // cliffs_delta_length: ONE cumulative window over the merged length
+    // grid — the ks_source_lengths argument.
+    "cliffs_delta_length",
+    // isotonic_calibration: the band prefix window over the ≤11-row
+    // quality-band aggregate (quality_rank_parity's bound).
+    "isotonic_calibration")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -375,6 +391,8 @@ class PlanGuardSpec extends SparkTestBase {
         events.select("event_type").distinct().count(),
       "pareto_user_share" -> revenueBuckets, // same bucket offsets frame as gini
       "classical_decomposition" -> daySpan, // centered MA over the daily series
+      "cliffs_delta_length" -> (nChars + 2), // merged length grid
+      "isotonic_calibration" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
       "rfm_segments" -> { // max of the three tercile value grids
         val purch = Tables.load(spark, SfDir, "events")
           .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")

@@ -211,6 +211,77 @@ class R10BatchSpec extends SparkTestBase {
     assert(radius <= rows(2)._3 + 1e-6, "coverage radius bounded by last pick")
   }
 
+  test("cliffs_delta_length: grid pair-counting == direct pairwise replay") {
+    val out = graft.SparkEntry.queries("cliffs_delta_length")(spark, dir).head()
+    val lens = graft.Tables.load(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0).drop(3).toInt < 10, r.getLong(1)))
+    val g1 = lens.filter(_._1).map(_._2)
+    val g2 = lens.filterNot(_._1).map(_._2)
+    var gt = 0L; var lt = 0L
+    for (a <- g1; b <- g2) { if (a > b) gt += 1 else if (a < b) lt += 1 }
+    assert(out.getLong(0) == g1.length.toLong && out.getLong(1) == g2.length.toLong)
+    assert(out.getDecimal(2).longValueExact == gt, "greater pairs")
+    assert(out.getDecimal(3).longValueExact == lt, "lesser pairs")
+    assert(out.getDouble(4) == (gt - lt).toDouble / (g1.length.toLong * g2.length),
+      "delta division")
+  }
+
+  test("isotonic_calibration: minimax replay + monotonicity + pooling identity") {
+    val out = graft.SparkEntry.queries("isotonic_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // monotone by construction
+    out.map(_._5).sliding(2).foreach(p =>
+      if (p.size == 2) assert(p(0) <= p(1), "iso6 must be non-decreasing"))
+    // replay the minimax on the collected (n, p) band frame
+    val bands = out.map(x => (x._2, x._3))
+    val cn = bands.scanLeft(0L)(_ + _._1).tail
+    val cp = bands.scanLeft(0L)(_ + _._2).tail
+    def rate6(j: Int, k: Int): Long = {
+      val pp = cp(k) - (if (j == 0) 0L else cp(j - 1))
+      val nn = cn(k) - (if (j == 0) 0L else cn(j - 1))
+      pp * 1000000L / nn
+    }
+    out.indices.foreach { i =>
+      val iso = (0 to i).map(j => (i until bands.length).map(k => rate6(j, k)).min).max
+      assert(out(i)._5 == iso, s"band ${out(i)._1} minimax replay")
+      assert(out(i)._4 == bands(i)._2 * 1000000L / bands(i)._1, s"band ${out(i)._1} raw rate")
+    }
+  }
+
+  test("burrows_delta: full replay of the integer z-score algebra") {
+    val out = graft.SparkEntry.queries("burrows_delta")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    val top = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(50).map(_._1)
+    val srcN = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val counts = toks.filter(x => top.contains(x._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sources = srcN.keys.toSeq.sorted
+    val f6 = (for (s <- sources; t <- top)
+      yield (s, t) -> counts.getOrElse((s, t), 0L) * 1000000L / srcN(s)).toMap
+    val z6 = top.flatMap { t =>
+      val fs = sources.map(s => f6((s, t)))
+      val ns = fs.length.toLong
+      val sf = fs.sum; val sff = fs.map(x => x * x).sum
+      val mean6 = sf / ns
+      val var12 = (sff - sf * sf / ns) / ns
+      val s0 = math.sqrt(var12.toDouble).toLong
+      val sigma = if ((s0 + 1) * (s0 + 1) <= var12) s0 + 1
+        else if (s0 * s0 > var12) s0 - 1 else s0
+      sources.map(s => (s, t) ->
+        (if (sigma == 0) 0L else (f6((s, t)) - mean6) * 1000000L / sigma))
+    }.toMap
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+    } yield (a, b) -> top.map(t => math.abs(z6((a, t)) - z6((b, t)))).sum / 50L).toMap
+    assert(out == expected, "per-pair delta6 replay")
+  }
+
   test("dup_span_sources: rolling-hash pair counts == md5-gram pair counts") {
     val base = graft.Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))

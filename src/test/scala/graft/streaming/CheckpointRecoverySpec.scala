@@ -247,6 +247,31 @@ class CheckpointRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("pageHinkleyStream: restart mid-stream, excursions == uninterrupted run") {
+    // a lost (t, s, ph, runmin) quadruple would restart the prefix mean at
+    // the split and shift every post-restart excursion — the emission
+    // multiset is the complete detector
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type").as("eventType"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epochDay"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("epochDay", "eventType")
+    val rows = daily.as[DayCount].collect()
+    val midDay = rows(rows.length / 2).epochDay
+    val schema = "eventType STRING, epochDay BIGINT, c BIGINT"
+    def mk(df: DataFrame) = pageHinkleyStream(df.as[DayCount])
+    withRocksDB {
+      val a = driveRuns(schema, Seq(rows.toSeq.toDF()), mk)
+      val b = driveRuns(schema,
+        Seq(rows.filter(_.epochDay <= midDay).toSeq.toDF(),
+          rows.filter(_.epochDay > midDay).toSeq.toDF()), mk)
+      val byRun = Seq(a, b).map(_.groupBy(identity).view.mapValues(_.size).toMap)
+      assert(byRun(0).valuesIterator.forall(_ == 1), "duplicate PH emission")
+      assert(byRun(1) == byRun(0), "restart changed the PH excursions")
+    }
+  }
+
   test("packStream: restart mid-stream, final pack accounting == uninterrupted") {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id").as("docId"),

@@ -1196,6 +1196,55 @@ class PriorityStreamsSpec extends SparkTestBase {
       batch.map(_._5).sum, "total churn mass must equal the batch column")
   }
 
+  test("pageHinkleyStream per-day excursions == batch recursion across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .sortBy(x => (x._2, x._1))
+    val mid = daily(daily.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(String, Long, Long)]
+      val q = PriorityStreams.pageHinkleyStream(
+        in.toDF().toDF("eventType", "epochDay", "c").as[PriorityStreams.DayCount])
+        .writeStream.format("memory").queryName("ph_out")
+        .outputMode("update").start()
+      in.addData(daily.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(daily.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val streamed = spark.table("ph_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // replay the exact batch recursion per type (the R10BatchSpec algebra)
+    var expMax = Map.empty[String, Long]
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2)
+      var s = 0L; var ph = 0L; var runmin = Long.MaxValue; var mx = 0L
+      series.zipWithIndex.foreach { case ((_, d, x), i) =>
+        s += x
+        ph += x * 1000000L - (s * 1000000L) / (i + 1)
+        runmin = math.min(runmin, ph)
+        val exc = ph - runmin
+        mx = math.max(mx, exc)
+        assert(streamed((t, d)) == ((exc, exc > 50000000L)), s"$t day $d excursion")
+      }
+      expMax += t -> mx
+    }
+    assert(streamed.size == daily.length, "one emission per (type, day)")
+    // summary consistency with the batch query
+    val batch = graft.SparkEntry.queries("page_hinkley_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    batch.foreach { case (t, (mx, nAlarm)) =>
+      assert(expMax(t) == mx, s"$t replay max vs batch")
+      val streamedForType = streamed.filter(_._1._1 == t)
+      assert(streamedForType.values.map(_._1).max == mx, s"$t streamed max vs batch")
+      assert(streamedForType.values.count(_._2).toLong == nAlarm, s"$t alarms vs batch")
+    }
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
