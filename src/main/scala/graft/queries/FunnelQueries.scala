@@ -2371,6 +2371,146 @@ object FunnelQueries {
           |       CAST(d7_sum AS DOUBLE) / CAST(n_days * 7 AS DOUBLE) AS seasonal_index
           |FROM m ORDER BY dow""".stripMargin)),
 
+    // ---- seasonal strength of the weekly cycle (added r10) -----------------
+    // HOW MUCH of daily-volume variation the day-of-week effect explains:
+    // classical_decomposition produces the per-dow indices; this reports
+    // the variance decomposition η² = SS_dow / SS_total over the SAME
+    // n-scaled integer deviations d7 = 7c − sum7 (spelled verbatim), plus
+    // the one-way F — the Hyndman "strength of seasonality" dial that says
+    // whether a capacity plan should bother with dow-aware sizing. Exact
+    // through the anova_length_by_source discipline: per-dow sufficient
+    // stats are int64, the Q fold runs over the sorted ≤7-row dow frame
+    // (deterministic order), and η²/F are fixed chains of correctly-
+    // rounded ops on exact ints.
+    //
+    // Scale shape: one day-grain agg; the centered window over the
+    // calendar-bounded series (classical_decomposition's whitelisted
+    // shape); a ≤7-row dow agg ends the corpus work.
+    "seasonal_strength" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        val dev = daily
+          .withColumn("sum7", sum(col("c")).over(w7))
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .filter(col("cnt7") === 7)
+          .select(weekday(col("d")).cast("long").as("dow"),
+            (col("c") * 7 - col("sum7")).as("d7"))
+        val g = dev.groupBy("dow")
+          .agg(count(lit(1)).as("ng"), sum(col("d7")).as("tg"),
+            sum(col("d7") * col("d7")).as("sg"))
+        g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+            sum(col("tg")).as("t"), sum(col("sg")).as("ss"),
+            sort_array(collect_list(struct(col("dow"), col("tg"), col("ng"))))
+              .as("terms"))
+          .withColumn("q", expr(
+            "aggregate(terms, cast(0.0 as double), (acc, x) -> acc + (cast(x.tg as double) * cast(x.tg as double)) / cast(x.ng as double))"))
+          .select(col("k"), col("n"),
+            (col("q") - (col("t").cast("double") * col("t").cast("double"))
+              / col("n").cast("double")).as("ss_dow"),
+            (col("ss").cast("double") - col("q")).as("ss_resid"))
+          .select(col("k"), col("n"), col("ss_dow"), col("ss_resid"),
+            when(col("ss_dow") + col("ss_resid") === 0.0, lit(null).cast("double"))
+              .otherwise(col("ss_dow") / (col("ss_dow") + col("ss_resid")))
+              .as("eta_sq"),
+            when(col("k") <= 1 || col("n") <= col("k"), lit(null).cast("double"))
+              .otherwise((col("ss_dow") / (col("k") - 1).cast("double"))
+                / (col("ss_resid") / (col("n") - col("k")).cast("double")))
+              .as("f_stat"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY CAST(ts AS DATE)),
+          |ma AS (SELECT d, c,
+          |         SUM(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+          |         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+          |       FROM daily),
+          |dev AS (SELECT CAST(isodow(d) - 1 AS BIGINT) AS dow, c * 7 - sum7 AS d7
+          |        FROM ma WHERE cnt7 = 7),
+          |g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng,
+          |             CAST(SUM(d7) AS BIGINT) AS tg,
+          |             CAST(SUM(d7 * d7) AS BIGINT) AS sg
+          |      FROM dev GROUP BY dow),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+          |             CAST(SUM(tg) AS BIGINT) AS t, CAST(SUM(sg) AS BIGINT) AS ss,
+          |             list_reduce(
+          |               list_prepend(CAST(0.0 AS DOUBLE),
+          |                 list(CAST(tg AS DOUBLE) * CAST(tg AS DOUBLE) / ng ORDER BY dow)),
+          |               (acc, x) -> acc + x) AS q
+          |      FROM g),
+          |m AS (SELECT k, n,
+          |             q - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE) AS ss_dow,
+          |             CAST(ss AS DOUBLE) - q AS ss_resid
+          |      FROM a)
+          |SELECT k, n, ss_dow, ss_resid,
+          |       CASE WHEN ss_dow + ss_resid = 0.0 THEN NULL
+          |            ELSE ss_dow / (ss_dow + ss_resid) END AS eta_sq,
+          |       CASE WHEN k <= 1 OR n <= k THEN NULL
+          |            ELSE (ss_dow / CAST(k - 1 AS DOUBLE))
+          |                 / (ss_resid / CAST(n - k AS DOUBLE)) END AS f_stat
+          |FROM m""".stripMargin)),
+
+    // ---- discrete-time churn hazard by tenure week (added r10) -------------
+    // The life-table beside survival_km's day-grain KM and
+    // lifecycle_states' calendar accounting: for each TENURE week k
+    // (weeks from a user's first to last active week), the hazard of that
+    // span ENDING at k — d(k) = users whose last active week is first+7k
+    // and whose inactivity is proven (last < corpus max week, the
+    // lifecycle right-censoring cut), risk(k) = users with span ≥ k.
+    // hazard is ONE bare division; censored counts reported honestly per
+    // tenure. The retention curve a growth model fits is 1−hazard
+    // composed over k.
+    //
+    // Scale shape: one (user, week) distinct agg → per-user first/last
+    // agg (ONE user exchange) → ≤ calendar-weeks tenure roll-up with a
+    // cumulative risk window over the ≤weeks grid.
+    "churn_hazard_by_tenure" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val maxW = uw.agg(max(col("wk")).as("max_wk"))
+        val spans = uw.groupBy("user_id")
+          .agg(min(col("wk")).as("first_wk"), max(col("wk")).as("last_wk"))
+          .crossJoin(broadcast(maxW))
+          .select(
+            expr("datediff(last_wk, first_wk) div 7").cast("long").as("k"),
+            when(col("last_wk") < col("max_wk"), 1L).otherwise(0L).as("ended"))
+        val byK = spans.groupBy("k")
+          .agg(count(lit(1)).as("n_spans"), sum(col("ended")).as("churned"),
+            sum(lit(1L) - col("ended")).as("censored"))
+        val wDesc = Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byK.withColumn("at_risk", sum(col("n_spans")).over(wDesc))
+          .select(col("k"), col("at_risk"), col("churned"), col("censored"),
+            (col("churned").cast("double") / col("at_risk").cast("double"))
+              .as("hazard"))
+          .orderBy("k")
+      },
+      oracle = Some(
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |                   CAST(date_trunc('week', ts) AS DATE) AS wk
+          |            FROM events),
+          |mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+          |sp AS (SELECT CAST(datediff('day', MIN(wk), MAX(wk)) // 7 AS BIGINT) AS k,
+          |              CASE WHEN MAX(wk) < (SELECT max_wk FROM mx) THEN 1 ELSE 0 END AS ended
+          |       FROM uw GROUP BY user_id),
+          |byk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          |               CAST(SUM(ended) AS BIGINT) AS churned,
+          |               CAST(SUM(1 - ended) AS BIGINT) AS censored
+          |        FROM sp GROUP BY k),
+          |r AS (SELECT *, CAST(SUM(n_spans) OVER (ORDER BY k DESC) AS BIGINT) AS at_risk
+          |      FROM byk)
+          |SELECT k, at_risk, churned, censored,
+          |       CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+          |FROM r ORDER BY k""".stripMargin)),
+
     // ---- RFM tercile segmentation (added r10) ------------------------------
     // The classic CRM segmentation: every payer coded by Recency (days
     // since last purchase), Frequency (purchase count), Monetary (exact

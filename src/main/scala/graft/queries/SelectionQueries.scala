@@ -1749,5 +1749,65 @@ object SelectionQueries {
          |       CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS frac_of_source
          |FROM cell JOIN tot ON cell.source = tot.source
          |ORDER BY fold, cell.source""".stripMargin
-    }))
+    }),
+
+    // ---- sample-ratio-mismatch check on the train split (added r10) -------
+    // The SRM gate every experimentation/data platform runs before
+    // trusting a split: do train_split's REALIZED counts match the
+    // designed 204/26/26-of-256 hash-band weights? χ² = Σ(256·obs −
+    // n·w)²/(256·n·w) over the three cells — numerators exact int64
+    // (the 256-denominator cross-multiplication keeps the expectation
+    // rational), the three divisions + two adds a fixed chain of
+    // correctly-rounded IEEE ops (the token_budget_plan doctrine; no
+    // fold-order ambiguity because the cells are pivoted to columns).
+    // χ² > 5.99 (df = 2, α = .05) flags the split as broken — with a
+    // pure hash assignment this only fires on an implementation bug,
+    // which is exactly what a gate is for.
+    //
+    // Scale shape: map-side band arithmetic → one 3-row agg pivoted to a
+    // single row — scan-bound at any corpus size.
+    "ab_srm_check" -> Q(
+      fn = (s, dir) => {
+        val assigned = Tables.load(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+          .withColumn("split",
+            when(col("h2") < "cc", "train")
+              .when(col("h2") < "e6", "val").otherwise("test"))
+        def term(o: org.apache.spark.sql.Column, w: Long) = {
+          val num = (o * 256L - col("n") * w) * (o * 256L - col("n") * w)
+          num.cast("double") / (col("n") * (256L * w)).cast("double")
+        }
+        assigned.agg(count(lit(1)).as("n"),
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("o_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("o_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("o_test"))
+          .filter(col("n") > 0)
+          .select(col("n"), col("o_train"), col("o_val"), col("o_test"),
+            (term(col("o_train"), 204L) + term(col("o_val"), 26L)
+              + term(col("o_test"), 26L)).as("chi2"))
+          .select(col("n"), col("o_train"), col("o_val"), col("o_test"),
+            col("chi2"), (col("chi2") > 5.99).as("srm_flag"))
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'cc' THEN 'train'
+          |              WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM documents),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS o_train,
+          |             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS o_val,
+          |             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS o_test
+          |      FROM a),
+          |c AS (SELECT *,
+          |        CAST((o_train * 256 - n * 204) * (o_train * 256 - n * 204) AS DOUBLE)
+          |          / CAST(n * (256 * 204) AS DOUBLE)
+          |        + CAST((o_val * 256 - n * 26) * (o_val * 256 - n * 26) AS DOUBLE)
+          |          / CAST(n * (256 * 26) AS DOUBLE)
+          |        + CAST((o_test * 256 - n * 26) * (o_test * 256 - n * 26) AS DOUBLE)
+          |          / CAST(n * (256 * 26) AS DOUBLE) AS chi2
+          |      FROM m WHERE n > 0)
+          |SELECT n, o_train, o_val, o_test, chi2, chi2 > 5.99 AS srm_flag
+          |FROM c""".stripMargin)))
 }

@@ -2543,6 +2543,67 @@ object TextQueries {
           |FROM h a JOIN h b ON a.gh = b.gh AND a.source < b.source
           |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin)),
 
+    // ---- head/tail token-position drift per source (added r10) ------------
+    // The boilerplate-POSITION detector: per source, total-variation
+    // distance between the unigram distribution of each doc's first 50
+    // tokens and its last 50 tokens (docs ≥ 100 tokens, so head and tail
+    // never overlap). Headers, footers, navigation chrome, and license
+    // blocks live at document edges — a high TV says the source needs the
+    // boilerplate_prefixes treatment before training. Exact micro-grid
+    // surface: p6 = (c·10⁶) div n per side, TV6 = Σ|p6h − p6t| div 2 over
+    // the union vocabulary (sum of exact ints), reported TV one final
+    // cast chain.
+    //
+    // Scale shape: map-side slice (head/tail arrays, no full-text
+    // explode), one (source, side, tok) hash agg, a full-outer tok join
+    // per source (vocab-bounded), ≤|sources| roll-up.
+    "token_position_drift" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 100)
+        val head = d.select(col("source"),
+          explode(expr("slice(toks, 1, 50)")).as("tok"), lit(1L).as("h"))
+        val tail0 = d.select(col("source"),
+          explode(expr("slice(toks, -50, 50)")).as("tok"), lit(0L).as("h"))
+        val c = head.unionAll(tail0)
+          .groupBy("source", "tok")
+          .agg(sum(col("h")).as("ch"), sum(lit(1L) - col("h")).as("ct"))
+        val tot = c.groupBy("source")
+          .agg(sum(col("ch")).as("nh"), sum(col("ct")).as("nt"))
+        c.join(broadcast(tot), Seq("source"))
+          .select(col("source"),
+            abs(expr("(ch * 1000000L) div nh") - expr("(ct * 1000000L) div nt"))
+              .as("adiff"))
+          .groupBy("source")
+          .agg(expr("sum(adiff) div 2").as("tv6"))
+          .join(broadcast(tot), Seq("source"))
+          .select(col("source"), col("nh").as("head_tokens"),
+            col("nt").as("tail_tokens"), col("tv6"),
+            (col("tv6").cast("double") / 1000000.0).as("tv"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          |f AS (SELECT source, toks FROM d WHERE len(toks) >= 100),
+          |hd AS (SELECT source, UNNEST(toks[1:50]) AS tok, 1 AS h FROM f),
+          |tl AS (SELECT source, UNNEST(toks[-50:]) AS tok, 0 AS h FROM f),
+          |c AS (SELECT source, tok, CAST(SUM(h) AS BIGINT) AS ch,
+          |             CAST(SUM(1 - h) AS BIGINT) AS ct
+          |      FROM (SELECT * FROM hd UNION ALL SELECT * FROM tl) u
+          |      GROUP BY source, tok),
+          |tot AS (SELECT source, CAST(SUM(ch) AS BIGINT) AS nh,
+          |               CAST(SUM(ct) AS BIGINT) AS nt
+          |        FROM c GROUP BY source),
+          |a AS (SELECT c.source AS src,
+          |             abs((ch * 1000000) // nh - (ct * 1000000) // nt) AS adiff
+          |      FROM c JOIN tot ON c.source = tot.source),
+          |m AS (SELECT src AS source, CAST(SUM(adiff) // 2 AS BIGINT) AS tv6
+          |      FROM a GROUP BY src)
+          |SELECT m.source AS source, nh AS head_tokens, nt AS tail_tokens, tv6,
+          |       CAST(tv6 AS DOUBLE) / 1000000.0 AS tv
+          |FROM m JOIN tot ON m.source = tot.source ORDER BY m.source""".stripMargin)),
+
     // ---- Burrows' Delta stylometric distance (added r10) ------------------
     // The classic authorship/register distance (Burrows 2002): over the 50
     // highest-frequency corpus tokens (function words dominate — exactly

@@ -167,7 +167,10 @@ class PlanGuardSpec extends SparkTestBase {
       // burrows_delta: the 50-row top-vocab broadcast × the ≤|sources|
       // totals frame (the dense grid), plus the vocab broadcast onto the
       // token stream
-      "burrows_delta")
+      "burrows_delta",
+      // churn_hazard_by_tenure: the 1-row max-week broadcast
+      // (lifecycle_states' right-censoring cut)
+      "churn_hazard_by_tenure")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -327,7 +330,13 @@ class PlanGuardSpec extends SparkTestBase {
     "cliffs_delta_length",
     // isotonic_calibration: the band prefix window over the ≤11-row
     // quality-band aggregate (quality_rank_parity's bound).
-    "isotonic_calibration")
+    "isotonic_calibration",
+    // seasonal_strength: classical_decomposition's centered day-grain
+    // window — calendar-span bounded.
+    "seasonal_strength",
+    // churn_hazard_by_tenure: the descending risk-set window over the
+    // ≤calendar-weeks tenure aggregate (survival_km's argument).
+    "churn_hazard_by_tenure")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -392,6 +401,8 @@ class PlanGuardSpec extends SparkTestBase {
       "pareto_user_share" -> revenueBuckets, // same bucket offsets frame as gini
       "classical_decomposition" -> daySpan, // centered MA over the daily series
       "cliffs_delta_length" -> (nChars + 2), // merged length grid
+      "seasonal_strength" -> daySpan, // centered MA over the daily series
+      "churn_hazard_by_tenure" -> (daySpan / 7 + 2), // tenure-week grid
       "isotonic_calibration" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
       "rfm_segments" -> { // max of the three tercile value grids
         val purch = Tables.load(spark, SfDir, "events")

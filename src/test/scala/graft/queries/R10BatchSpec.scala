@@ -282,6 +282,106 @@ class R10BatchSpec extends SparkTestBase {
     assert(out == expected, "per-pair delta6 replay")
   }
 
+  test("seasonal_strength: variance decomposition identity vs classical_decomposition") {
+    val out = graft.SparkEntry.queries("seasonal_strength")(spark, dir).head()
+    // replay the deviations (the classical_decomposition algebra) and the
+    // one-way decomposition SSB + SSW = SST
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val devs = daily.indices.collect {
+      case i if i >= 3 && i + 3 < daily.size =>
+        val sum7 = (i - 3 to i + 3).map(j => daily(j)._2).sum
+        (daily(i)._1.getDayOfWeek.getValue.toLong - 1L, daily(i)._2 * 7 - sum7)
+    }
+    val n = devs.size.toLong
+    val k = devs.map(_._1).distinct.size.toLong
+    val t = devs.map(_._2).sum
+    val ss = devs.map(x => x._2 * x._2).sum
+    val q = devs.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (_, g)) =>
+        val tg = g.map(_._2).sum
+        acc + tg.toDouble * tg.toDouble / g.size }
+    val ssDow = q - t.toDouble * t.toDouble / n
+    val ssResid = ss.toDouble - q
+    assert(out.getLong(0) == k && out.getLong(1) == n)
+    assert(out.getDouble(2) == ssDow && out.getDouble(3) == ssResid, "SS replay")
+    assert(out.getDouble(4) == ssDow / (ssDow + ssResid), "eta_sq")
+    assert(out.getDouble(4) >= 0.0 - 1e-9 && out.getDouble(4) <= 1.0 + 1e-9)
+  }
+
+  test("churn_hazard_by_tenure: life-table replay + risk-set telescoping") {
+    val out = graft.SparkEntry.queries("churn_hazard_by_tenure")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val uw = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val maxW = uw.map(_._2).max
+    val spans = uw.groupBy(_._1).values.map { rs =>
+      val ds = rs.map(_._2)
+      ((ds.max - ds.min) / 7, ds.max < maxW)
+    }.toSeq
+    val expected = spans.groupBy(_._1).map { case (kk, g) =>
+      kk -> (spans.count(_._1 >= kk).toLong,
+        g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected, "life-table replay")
+    // risk-set telescoping: risk(k) − (churned + censored at k) = risk(next k)
+    out.sliding(2).foreach { p =>
+      if (p.size == 2) {
+        val ((_, (r1, c1, z1)), (_, (r2, _, _))) = (p(0), p(1))
+        assert(r1 - c1 - z1 >= r2, "risk set must shrink by at least the k-exits")
+      }
+    }
+  }
+
+  test("token_position_drift: full replay of the head/tail TV distance") {
+    val out = graft.SparkEntry.queries("token_position_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 100)
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val head = ds.flatMap(_._2.take(50))
+      val tail0 = ds.flatMap(_._2.takeRight(50))
+      val hc = head.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val tc = tail0.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nh = head.length.toLong; val nt = tail0.length.toLong
+      val tv6 = (hc.keySet ++ tc.keySet).toSeq.map { t =>
+        math.abs(hc.getOrElse(t, 0L) * 1000000L / nh - tc.getOrElse(t, 0L) * 1000000L / nt)
+      }.sum / 2
+      src -> (nh, nt, tv6)
+    }
+    assert(out == expected, "head/tail TV replay")
+  }
+
+  test("ab_srm_check: chi-squared replay and the unbiased-hash expectation") {
+    val out = graft.SparkEntry.queries("ab_srm_check")(spark, dir).head()
+    val splits = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map { r =>
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:${r.getLong(0)}".getBytes("UTF-8"))
+      val h2 = f"${dg(0) & 0xff}%02x"
+      if (h2 < "cc") "train" else if (h2 < "e6") "val" else "test"
+    }
+    val n = splits.length.toLong
+    val o = splits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def term(obs: Long, w: Long) = {
+      val num = (obs * 256L - n * w).toDouble * (obs * 256L - n * w)
+      num / (n * (256L * w)).toDouble
+    }
+    val chi2 = term(o.getOrElse("train", 0L), 204L) +
+      term(o.getOrElse("val", 0L), 26L) + term(o.getOrElse("test", 0L), 26L)
+    assert(out.getLong(0) == n)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((o.getOrElse("train", 0L), o.getOrElse("val", 0L), o.getOrElse("test", 0L))))
+    assert(out.getDouble(4) == chi2, "chi2 replay")
+    assert(!out.getBoolean(5), "a pure hash split must not trip SRM")
+  }
+
   test("dup_span_sources: rolling-hash pair counts == md5-gram pair counts") {
     val base = graft.Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
