@@ -2511,6 +2511,59 @@ object FunnelQueries {
           |       CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
           |FROM r ORDER BY k""".stripMargin)),
 
+    // ---- DAU stickiness: day-over-day returning users (added r10) ----------
+    // The day-grain loyalty pulse beside rolling_active_users' DAU/WAU:
+    // per day, how many of today's actives were ALSO active yesterday —
+    // returning count, day-over-day retention (returning/prev_dau), and
+    // the Jaccard of the two active sets. A product with rising DAU but
+    // falling stickiness is buying traffic, not keeping it. Exact counts;
+    // each ratio is ONE bare division.
+    //
+    // Scale shape: one (user, day) distinct agg → a self-join keyed
+    // (user_id, day = day+1) — co-partitioned equi-join, never a set
+    // intersection per day — then a ≤calendar-days roll-up joined to the
+    // per-day DAU frame.
+    "dau_stickiness" -> Q(
+      fn = (s, dir) => {
+        val ud = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+        val ret = ud.as("t").join(ud.as("y"),
+            col("t.user_id") === col("y.user_id")
+              && col("t.d") === date_add(col("y.d"), 1))
+          .groupBy(col("t.d").as("d")).agg(count(lit(1)).as("n_returning"))
+        dau.as("a").join(dau.as("b"), col("a.d") === date_add(col("b.d"), 1))
+          .select(col("a.d").as("d"), col("a.dau").as("dau"),
+            col("b.dau").as("prev_dau"))
+          .join(ret, Seq("d"), "left")
+          .select(col("d"), col("dau"), col("prev_dau"),
+            coalesce(col("n_returning"), lit(0L)).as("n_returning"))
+          .select(col("d"), col("dau"), col("prev_dau"), col("n_returning"),
+            (col("n_returning").cast("double") / col("prev_dau").cast("double"))
+              .as("dod_retention"),
+            (col("n_returning").cast("double")
+              / (col("dau") + col("prev_dau") - col("n_returning")).cast("double"))
+              .as("active_jaccard"))
+          .orderBy("d")
+      },
+      oracle = Some(
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+          |ret AS (SELECT t.d, CAST(COUNT(*) AS BIGINT) AS n_returning
+          |        FROM ud t JOIN ud y
+          |          ON t.user_id = y.user_id AND t.d = y.d + INTERVAL 1 DAY
+          |        GROUP BY t.d),
+          |m AS (SELECT a.d, a.dau, b.dau AS prev_dau,
+          |             COALESCE(n_returning, 0) AS n_returning
+          |      FROM dau a JOIN dau b ON a.d = b.d + INTERVAL 1 DAY
+          |      LEFT JOIN ret ON ret.d = a.d)
+          |SELECT d, dau, prev_dau, n_returning,
+          |       CAST(n_returning AS DOUBLE) / CAST(prev_dau AS DOUBLE) AS dod_retention,
+          |       CAST(n_returning AS DOUBLE)
+          |         / CAST(dau + prev_dau - n_returning AS DOUBLE) AS active_jaccard
+          |FROM m ORDER BY d""".stripMargin)),
+
     // ---- RFM tercile segmentation (added r10) ------------------------------
     // The classic CRM segmentation: every payer coded by Recency (days
     // since last purchase), Frequency (purchase count), Monetary (exact

@@ -288,9 +288,8 @@ object SelectionQueries {
         val tf = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
-            .as("gh"))
+          .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
         val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
         tf.join(df, Seq("gh")) // un-hinted: vocab-sized
@@ -626,9 +625,8 @@ object SelectionQueries {
         val byGh = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("source"), explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
-            .as("gh"))
+          .select(col("source"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("gh")
           .agg(sort_array(collect_set(col("source"))).as("srcs"))
         val sizes = byGh.select(explode(col("srcs")).as("source"))

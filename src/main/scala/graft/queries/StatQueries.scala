@@ -63,9 +63,8 @@ object StatQueries {
         val docs = Tables.load(s, dir, "documents")
         val tf = docs.withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
-            .as("gh"))
+          .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
         val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
         val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
@@ -1605,9 +1604,8 @@ object StatQueries {
         val docs = Tables.load(s, dir, "documents")
         val tf = docs.withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
-            .as("gh"))
+          .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
         val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
         val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
@@ -1740,6 +1738,71 @@ object StatQueries {
           |       CASE WHEN trim_n = 0 THEN NULL
           |            ELSE CAST(trim_cents AS DOUBLE)
           |                 / CAST(trim_n * 100 AS DOUBLE) END AS trimmed_mean_value
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- winsorized mean per event type (added r10) ------------------------
+    // trimmed_mean_value's sibling: winsorizing CLAMPS the k tail values
+    // to the (k+1)-th / (n−k)-th order statistics instead of dropping
+    // them — the robust mean that keeps n constant (the survey-stats
+    // convention when group sizes must stay comparable). Same exact
+    // cents-grid machinery: winsorized sum = trimmed interior + k·low +
+    // k·high where low/high are exact order statistics from the
+    // cumulative grid (min v with cum ≥ k+1 / cum ≥ n−k). ONE bare
+    // division; spec replays the definitional clamp.
+    //
+    // Scale shape: trimmed_mean_value's plan exactly — one (type, cents)
+    // agg, a type-partitioned cumulative window over the value grid,
+    // broadcast totals, ≤|types| roll-up.
+    "winsorized_mean_value" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val grid = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("cast(floor(value * 100) as bigint)").as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+        val tot = grid.groupBy("event_type")
+          .agg(sum(col("cnt")).as("n"))
+          .withColumn("k", expr("n div 20"))
+        val win = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        grid.withColumn("cum", sum(col("cnt")).over(win))
+          .join(broadcast(tot), Seq("event_type"))
+          .withColumn("ov",
+            greatest(lit(0L),
+              least(col("cum"), col("n") - col("k"))
+                - greatest(col("cum") - col("cnt"), col("k"))))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+            sum(col("ov") * col("cents")).as("trim_cents"),
+            min(when(col("cum") >= col("k") + 1, col("cents"))).as("low_cents"),
+            min(when(col("cum") >= col("n") - col("k"), col("cents"))).as("high_cents"))
+          .select(col("event_type"), col("n"), col("k"),
+            col("low_cents"), col("high_cents"),
+            ((col("trim_cents") + col("k") * col("low_cents")
+              + col("k") * col("high_cents")).cast("double")
+              / (col("n") * 100L).cast("double")).as("winsorized_mean_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH grid AS (
+          |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY event_type, CAST(FLOOR(value * 100) AS BIGINT)),
+          |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+          |               CAST(SUM(cnt) AS BIGINT) // 20 AS k
+          |        FROM grid GROUP BY event_type),
+          |c AS (SELECT grid.event_type, cents, cnt,
+          |             SUM(cnt) OVER (PARTITION BY grid.event_type ORDER BY cents) AS cum,
+          |             n, k
+          |      FROM grid JOIN tot USING (event_type)),
+          |m AS (SELECT event_type, MAX(n) AS n, MAX(k) AS k,
+          |             CAST(SUM(GREATEST(0, LEAST(cum, n - k) - GREATEST(cum - cnt, k))
+          |                      * cents) AS BIGINT) AS trim_cents,
+          |             MIN(CASE WHEN cum >= k + 1 THEN cents END) AS low_cents,
+          |             MIN(CASE WHEN cum >= n - k THEN cents END) AS high_cents
+          |      FROM c GROUP BY event_type)
+          |SELECT event_type, n, k, low_cents, high_cents,
+          |       CAST(trim_cents + k * low_cents + k * high_cents AS DOUBLE)
+          |         / CAST(n * 100 AS DOUBLE) AS winsorized_mean_value
           |FROM m ORDER BY event_type""".stripMargin)),
 
     // ---- Kendall's τ-b: length vs quality, per source (added r10) ---------
@@ -1898,6 +1961,88 @@ object StatQueries {
           |       MIN(CASE WHEN exc6 > 50000000 THEN d END) AS first_alarm_day
           |FROM ex GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- decision-stump split: length vs dup label (added r10) ------------
+    // The one-feature CART stump: the n_chars threshold minimizing
+    // weighted Gini impurity against the dup label (dup_ngram_ratio's
+    // df ≥ 2, the shared spelling) — "is document length a usable dedup
+    // prior, and where is the cut?" The stump score also IS the feature-
+    // usefulness number a curation pipeline ranks features by. Exact
+    // surface: per candidate threshold (every grid value except the max),
+    // score6 = (cp·(cn−cp)·10⁶) div cn + ((P−cp)·(N−cn−P+cp)·10⁶) div
+    // (N−cn) — the N/2-scaled weighted Gini on the micro grid, all int64;
+    // argmin by min(struct(score6, v)) is deterministic.
+    //
+    // Scale shape: the label pass is the shared rolling-gram digest plan;
+    // one value-grid agg + ONE cumulative window (value-domain bounded,
+    // R2-whitelisted) + a 1-row argmin — constant past the label pass.
+    "best_split_length_dup" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs.withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
+          .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+          .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
+        val sc = docs.join(lab, Seq("doc_id"), "left")
+          .select(col("n_chars").as("v"), coalesce(col("pos"), lit(0L)).as("pos"))
+        val grid = sc.groupBy("v")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        val win = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = grid.agg(sum(col("n")).as("nn"), sum(col("p")).as("pp"))
+        val cand = grid
+          .select(col("v"), sum(col("n")).over(win).as("cn"),
+            sum(col("p")).over(win).as("cp"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cn") < col("nn")) // the max value is not a split
+          .select(col("v"), col("cn"), col("cp"), col("nn"), col("pp"),
+            (expr("(cp * (cn - cp) * 1000000L) div cn")
+              + expr("((pp - cp) * ((nn - cn) - (pp - cp)) * 1000000L) div (nn - cn)"))
+              .as("score6"))
+        cand.agg(min(struct(col("score6"), col("v"), col("cn"), col("cp"),
+            col("nn"), col("pp"))).as("m"))
+          .select(col("m.v").as("best_threshold"), col("m.score6").as("gini_score6"),
+            col("m.cn").as("n_left"), col("m.cp").as("pos_left"),
+            (col("m.nn") - col("m.cn")).as("n_right"),
+            (col("m.pp") - col("m.cp")).as("pos_right"),
+            (col("m.cp").cast("double") / col("m.cn").cast("double")).as("dup_rate_left"),
+            ((col("m.pp") - col("m.cp")).cast("double")
+              / (col("m.nn") - col("m.cn")).cast("double")).as("dup_rate_right"))
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |occ AS (SELECT doc_id,
+          |               UNNEST(list_transform(range(len(toks) - 4),
+          |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+          |        FROM d WHERE len(toks) >= 5),
+          |dfx AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh),
+          |lab AS (SELECT occ.doc_id, MAX(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS pos
+          |        FROM occ JOIN dfx USING (gh) GROUP BY occ.doc_id),
+          |sc AS (SELECT n_chars AS v, COALESCE(pos, 0) AS pos
+          |       FROM documents LEFT JOIN lab USING (doc_id)),
+          |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+          |         FROM sc GROUP BY v),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM grid),
+          |cum AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cn,
+          |               CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS cp
+          |        FROM grid),
+          |cand AS (SELECT v, cn, cp, nn, pp,
+          |                (cp * (cn - cp) * 1000000) // cn
+          |                + ((pp - cp) * ((nn - cn) - (pp - cp)) * 1000000) // (nn - cn)
+          |                  AS score6
+          |         FROM cum, tot WHERE cn < nn),
+          |best AS (SELECT * FROM cand ORDER BY score6, v LIMIT 1)
+          |SELECT v AS best_threshold, score6 AS gini_score6,
+          |       cn AS n_left, cp AS pos_left,
+          |       nn - cn AS n_right, pp - cp AS pos_right,
+          |       CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE) AS dup_rate_left,
+          |       CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE) AS dup_rate_right
+          |FROM best""".stripMargin)),
+
     // ---- Cliff's delta: doc length between source groups (added r10) ------
     // The ORDINAL effect size pairing ks_source_lengths' distribution
     // distance: δ = P(x₁ > x₂) − P(x₁ < x₂) over the SAME two-group split
@@ -1978,9 +2123,8 @@ object StatQueries {
         val docs = Tables.load(s, dir, "documents")
         val tf = docs.withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
-            .as("gh"))
+          .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
         val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
         val lab = tf.join(df, Seq("gh")).groupBy("doc_id")

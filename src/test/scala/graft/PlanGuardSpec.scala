@@ -170,7 +170,10 @@ class PlanGuardSpec extends SparkTestBase {
       "burrows_delta",
       // churn_hazard_by_tenure: the 1-row max-week broadcast
       // (lifecycle_states' right-censoring cut)
-      "churn_hazard_by_tenure")
+      "churn_hazard_by_tenure",
+      // best_split_length_dup: the 1-row (N, P) totals broadcast onto the
+      // candidate grid
+      "best_split_length_dup")
 
   // One analysis+optimization pass per query, shared by every rule below.
   // Plans are built, never executed (dedup_clusters' builder runs its own
@@ -336,7 +339,10 @@ class PlanGuardSpec extends SparkTestBase {
     "seasonal_strength",
     // churn_hazard_by_tenure: the descending risk-set window over the
     // ≤calendar-weeks tenure aggregate (survival_km's argument).
-    "churn_hazard_by_tenure")
+    "churn_hazard_by_tenure",
+    // best_split_length_dup: the candidate-threshold cumulative window
+    // over the length value grid — auc_dup_quality's argument.
+    "best_split_length_dup")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -401,6 +407,7 @@ class PlanGuardSpec extends SparkTestBase {
       "pareto_user_share" -> revenueBuckets, // same bucket offsets frame as gini
       "classical_decomposition" -> daySpan, // centered MA over the daily series
       "cliffs_delta_length" -> (nChars + 2), // merged length grid
+      "best_split_length_dup" -> (nChars + 2), // candidate-threshold grid
       "seasonal_strength" -> daySpan, // centered MA over the daily series
       "churn_hazard_by_tenure" -> (daySpan / 7 + 2), // tenure-week grid
       "isotonic_calibration" -> 11L, // quality bands q6 div 1e5 ∈ 0..10

@@ -53,6 +53,32 @@ class RollingHashSpec extends SparkTestBase {
     assert(fp(Seq("only"), 1).get.size == 1)
   }
 
+  test("width-5 df≥2 label sets ≡ the md5 form's (the gram-label consumers' contract)") {
+    // dup_ngram_ratio / auc_dup_quality / score_calibration /
+    // isotonic_calibration / source_overlap all key on "5-token window
+    // duplicated across ≥2 docs" — the r10 swap changes the gram IDENTITY
+    // to the rolling fingerprint; the per-doc label and per-gram df sets
+    // must not move
+    val base = graft.Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+    def labels(grams: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val tf = grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+      val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("gh")).groupBy("doc_id")
+        .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1) * 1000000L + r.getLong(2))).toMap
+    }
+    val md5L = labels(base.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks) - 5), i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"))
+      .as("gh")))
+    val rollL = labels(base.select(col("doc_id"),
+      explode(WindowMd5Functions.rollingWindowHashes(col("toks"), 5)).as("gh")))
+    assert(md5L == rollL, "per-doc (pos, n_dup) must be hash-identity-independent")
+    assert(md5L.values.exists(_ >= 1000000L), "fixture must contain dup labels")
+  }
+
   test("duplicated-position sets ≡ the md5 form's on the gate corpus") {
     // the md5 form dedup_substrings shipped with (r9) vs the rolling form
     // it runs now: positions whose 50-token window is duplicated across

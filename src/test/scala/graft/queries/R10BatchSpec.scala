@@ -382,6 +382,74 @@ class R10BatchSpec extends SparkTestBase {
     assert(!out.getBoolean(5), "a pure hash split must not trip SRM")
   }
 
+  test("best_split_length_dup: exhaustive stump replay") {
+    val out = graft.SparkEntry.queries("best_split_length_dup")(spark, dir).head()
+    // labels via the independent md5 path (also re-proves the rolling swap)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val grams = docs.flatMap { case (id, _, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length >= 5)
+        (0 to toks.length - 5).map(i => (toks.slice(i, i + 5).mkString(" "), id))
+      else Seq.empty
+    }
+    val df2 = grams.groupBy(_._1).collect {
+      case (g, occ) if occ.map(_._2).distinct.size >= 2 => g }.toSet
+    val posDocs = grams.collect { case (g, id) if df2(g) => id }.toSet
+    val pts = docs.map(d => (d._2, if (posDocs(d._1)) 1L else 0L))
+    val nn = pts.length.toLong
+    val pp = pts.map(_._2).sum
+    val vs = pts.map(_._1).distinct.sorted
+    val best = vs.dropRight(1).map { v =>
+      val left = pts.filter(_._1 <= v)
+      val cn = left.length.toLong; val cp = left.map(_._2).sum
+      val score = cp * (cn - cp) * 1000000L / cn +
+        (pp - cp) * ((nn - cn) - (pp - cp)) * 1000000L / (nn - cn)
+      (score, v, cn, cp)
+    }.minBy(x => (x._1, x._2))
+    assert(out.getLong(0) == best._2, "best threshold")
+    assert(out.getLong(1) == best._1, "gini score")
+    assert(out.getLong(2) == best._3 && out.getLong(3) == best._4, "left cell")
+    assert(out.getLong(4) == nn - best._3 && out.getLong(5) == pp - best._4, "right cell")
+  }
+
+  test("dau_stickiness: full replay of the day-over-day set algebra") {
+    val out = graft.SparkEntry.queries("dau_stickiness")(spark, dir)
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ud = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val byDay = ud.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._1).toSet }
+    val expected = byDay.keys.toSeq.sorted.flatMap { d =>
+      byDay.get(d - 1).map { prev =>
+        val cur = byDay(d)
+        d -> (cur.size.toLong, prev.size.toLong, (cur intersect prev).size.toLong)
+      }
+    }.toMap
+    assert(out == expected, "per-day (dau, prev_dau, returning) replay")
+  }
+
+  test("winsorized_mean_value: clamp replay vs the definitional sorted form") {
+    val out = graft.SparkEntry.queries("winsorized_mean_value")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+    val expected = evs.groupBy(_._1).map { case (t, rs) =>
+      val cents = rs.map(_._2).sorted
+      val n = cents.length.toLong; val k = (n / 20).toInt
+      val low = cents(k); val high = cents((n - k - 1).toInt)
+      val clamped = cents.map(c => math.max(low, math.min(high, c)))
+      t -> (n, k.toLong, low, high,
+        clamped.sum.toDouble / (n * 100L).toDouble)
+    }
+    assert(out == expected,
+      "overlap-counted winsorization must equal the definitional clamp")
+  }
+
   test("dup_span_sources: rolling-hash pair counts == md5-gram pair counts") {
     val base = graft.Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
