@@ -2543,6 +2543,69 @@ object TextQueries {
           |FROM h a JOIN h b ON a.gh = b.gh AND a.source < b.source
           |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin)),
 
+    // ---- degenerate-repetition audit per source (added r10) ---------------
+    // The "aaaa…" / copy-paste-loop detector every pretraining filter
+    // ships: per doc, the share of tokens taken by its single most
+    // frequent token (top1_share) — a doc whose top token owns >30% of
+    // its mass is near-certainly templated/degenerate (the Gopher rule's
+    // first line). Rolled up per source as a 4-band histogram (≤10%,
+    // ≤30%, ≤50%, >50%) plus the flagged-doc share. Exact micro-grid:
+    // share6 = (top·10⁶) div n per doc; band edges integer comparisons;
+    // the reported share ONE bare division.
+    //
+    // Scale shape: one (doc, tok) hash agg → per-doc max/sum agg (both
+    // collapse map-side) → ≤|sources|·4 roll-up. Scan-bound.
+    "repetition_ratio" -> Q(
+      fn = (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c"))
+        val perDoc = tf.groupBy("doc_id", "source")
+          .agg(max(col("c")).as("top"), sum(col("c")).as("n"))
+          .withColumn("share6", expr("(top * 1000000L) div n"))
+          .withColumn("band",
+            when(col("share6") <= 100000L, 0L)
+              .when(col("share6") <= 300000L, 1L)
+              .when(col("share6") <= 500000L, 2L).otherwise(3L))
+        perDoc.groupBy("source", "band")
+          .agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(perDoc.groupBy("source")
+            .agg(count(lit(1)).as("n_src"),
+              sum(when(col("share6") > 300000L, 1L).otherwise(0L)).as("n_flagged"))),
+            Seq("source"))
+          .select(col("source"), col("band"), col("n_docs"),
+            col("n_flagged"),
+            (col("n_flagged").cast("double") / col("n_src").cast("double"))
+              .as("flagged_share"))
+          .orderBy("source", "band")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+          |           FROM documents),
+          |tf AS (SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          |       FROM t GROUP BY doc_id, source, tok),
+          |pd AS (SELECT doc_id, source,
+          |              (MAX(c) * 1000000) // SUM(c) AS share6
+          |       FROM tf GROUP BY doc_id, source),
+          |b AS (SELECT source,
+          |             CASE WHEN share6 <= 100000 THEN 0
+          |                  WHEN share6 <= 300000 THEN 1
+          |                  WHEN share6 <= 500000 THEN 2 ELSE 3 END AS band,
+          |             share6
+          |      FROM pd),
+          |h AS (SELECT source, CAST(band AS BIGINT) AS band,
+          |             CAST(COUNT(*) AS BIGINT) AS n_docs
+          |      FROM b GROUP BY source, band),
+          |f AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+          |             CAST(SUM(CASE WHEN share6 > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+          |               AS n_flagged
+          |      FROM b GROUP BY source)
+          |SELECT h.source AS source, band, n_docs, n_flagged,
+          |       CAST(n_flagged AS DOUBLE) / CAST(n_src AS DOUBLE) AS flagged_share
+          |FROM h JOIN f ON h.source = f.source
+          |ORDER BY h.source, band""".stripMargin)),
+
     // ---- head/tail token-position drift per source (added r10) ------------
     // The boilerplate-POSITION detector: per source, total-variation
     // distance between the unigram distribution of each doc's first 50

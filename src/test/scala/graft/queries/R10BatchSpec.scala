@@ -450,6 +450,31 @@ class R10BatchSpec extends SparkTestBase {
       "overlap-counted winsorization must equal the definitional clamp")
   }
 
+  test("repetition_ratio: full replay of the top-token-share banding") {
+    val out = graft.SparkEntry.queries("repetition_ratio")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map { r =>
+        val counts = r.getString(1).split(" ", -1)
+          .groupBy(identity).view.mapValues(_.length.toLong)
+        val n = counts.values.sum
+        (r.getString(0), counts.values.max * 1000000L / n)
+      }
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val flagged = ds.count(_._2 > 300000L).toLong
+      val nSrc = ds.length.toLong
+      ds.groupBy(d =>
+          if (d._2 <= 100000L) 0L else if (d._2 <= 300000L) 1L
+          else if (d._2 <= 500000L) 2L else 3L)
+        .map { case (b, g) =>
+          (src, b) -> (g.size.toLong, flagged, flagged.toDouble / nSrc) }
+    }
+    assert(out == expected, "per-(source, band) replay")
+    assert(out.keys.map(_._2).forall(b => b >= 0 && b <= 3))
+  }
+
   test("dup_span_sources: rolling-hash pair counts == md5-gram pair counts") {
     val base = graft.Tables.load(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
