@@ -1259,6 +1259,58 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming DAU stickiness (added r10) -------------------------------
+
+  /** One per-user-per-day activity emission: `returning` = the user was
+    * also active the previous calendar day. */
+  final case class StickRow(userId: Long, epochDay: Long, returning: Boolean)
+
+  /** Streaming twin of the batch `dau_stickiness` query: per user, each
+    * newly-absorbed active day emits whether it CONTINUES yesterday's
+    * activity — so per-day (count, count-where-returning) equal the batch
+    * (dau, n_returning) columns exactly (spec-pinned across a mid-stream
+    * split; the downstream per-day roll-up is the consumer's trivial agg).
+    * State is ONE long per user (`last_day`); duplicate days no-op; the
+    * funnel ordering contract applies across batches. */
+  final class StickinessProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayEvent, StickRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var lastDay: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastDay = getHandle.getValueState[Long]("last_day",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[DayEvent],
+        timerValues: TimerValues): Iterator[StickRow] = {
+      val days = rows.map(_.epochDay).toArray.distinct.sorted
+      var last = if (lastDay.exists()) lastDay.get() else Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[StickRow]
+      days.foreach { d =>
+        if (d > last) {
+          out += StickRow(key, d, last != Long.MinValue && d == last + 1)
+          last = d
+        } // d ≤ last: duplicate of an absorbed day — no-op
+      }
+      if (last != Long.MinValue) lastDay.update(last)
+      out.iterator
+    }
+  }
+
+  /** See [[StickinessProcessor]]. */
+  def stickinessStream(days: Dataset[DayEvent]): Dataset[StickRow] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.userId)
+      .transformWithState(
+        new StickinessProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming Page-Hinkley drift monitor (added r10) -------------------
 
   /** A Page-Hinkley emission for one processed day: the exact micro-grid

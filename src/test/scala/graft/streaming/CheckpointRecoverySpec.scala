@@ -272,6 +272,30 @@ class CheckpointRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("stickinessStream: restart mid-stream, returning flags == uninterrupted run") {
+    // a lost last_day would mark the first post-restart day of every
+    // straddling user as non-returning — the emission multiset detects it
+    val days = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id").as("userId"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epochDay"))
+      .distinct()
+      .orderBy("epochDay", "userId")
+    val rows = days.as[DayEvent].collect()
+    val midDay = rows(rows.length / 2).epochDay
+    val schema = "userId BIGINT, epochDay BIGINT"
+    def mk(df: DataFrame) = stickinessStream(df.as[DayEvent])
+    withRocksDB {
+      val a = driveRuns(schema, Seq(rows.toSeq.toDF()), mk)
+      val b = driveRuns(schema,
+        Seq(rows.filter(_.epochDay <= midDay).toSeq.toDF(),
+          rows.filter(_.epochDay > midDay).toSeq.toDF()), mk)
+      val byRun = Seq(a, b).map(_.groupBy(identity).view.mapValues(_.size).toMap)
+      assert(byRun(0).valuesIterator.forall(_ == 1), "duplicate stickiness emission")
+      assert(byRun(1) == byRun(0), "restart changed the returning flags")
+    }
+  }
+
   test("packStream: restart mid-stream, final pack accounting == uninterrupted") {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id").as("docId"),

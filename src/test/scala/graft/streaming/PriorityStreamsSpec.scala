@@ -1245,6 +1245,43 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("stickinessStream per-day counts == batch dau_stickiness across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ud = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .sortBy(x => (x._2, x._1))
+    val mid = ud(ud.length / 2)._2
+    withRocksDB {
+      val in = MemoryStream[(Long, Long)]
+      val q = PriorityStreams.stickinessStream(
+        in.toDF().toDF("userId", "epochDay").as[PriorityStreams.DayEvent])
+        .writeStream.format("memory").queryName("stick_out")
+        .outputMode("update").start()
+      in.addData(ud.filter(_._2 <= mid))
+      q.processAllAvailable()
+      in.addData(ud.filter(_._2 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val rows = spark.table("stick_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.groupBy(identity).values.forall(_.size == 1), "duplicate emission")
+    assert(rows.length == ud.length, "one emission per (user, day)")
+    val perDay = rows.groupBy(_._2).map { case (d, rs) =>
+      d -> (rs.size.toLong, rs.count(_._3).toLong) }
+    val batch = graft.SparkEntry.queries("dau_stickiness")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (d, dau, prevDau, nReturning) =>
+      assert(perDay(d)._1 == dau, s"day $d dau")
+      assert(perDay.getOrElse(d - 1, (0L, 0L))._1 == prevDau, s"day $d prev dau")
+      // THE claim: "returning" emissions = the batch set intersection
+      assert(perDay(d)._2 == nReturning, s"day $d returning")
+    }
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
