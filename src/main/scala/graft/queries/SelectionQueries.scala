@@ -1753,11 +1753,15 @@ object SelectionQueries {
     // The SRM gate every experimentation/data platform runs before
     // trusting a split: do train_split's REALIZED counts match the
     // designed 204/26/26-of-256 hash-band weights? χ² = Σ(256·obs −
-    // n·w)²/(256·n·w) over the three cells — numerators exact int64
-    // (the 256-denominator cross-multiplication keeps the expectation
-    // rational), the three divisions + two adds a fixed chain of
-    // correctly-rounded IEEE ops (the token_budget_plan doctrine; no
-    // fold-order ambiguity because the cells are pivoted to columns).
+    // n·w)²/(256·n·w) over the three cells — the DIFFERENCE 256·obs−n·w
+    // is exact int64 (safe to n ≈ 3.6e16 docs; the 256-denominator
+    // cross-multiplication keeps the expectation rational), then cast to
+    // double BEFORE squaring: for a grossly broken split the difference
+    // reaches ~256·n, whose int64 square wraps at n ≈ 1.2e8 — exactly
+    // when the gate must fire (ADVICE r10). The square, the three
+    // divisions + two adds are a fixed chain of correctly-rounded IEEE
+    // ops (the token_budget_plan doctrine; no fold-order ambiguity
+    // because the cells are pivoted to columns).
     // χ² > 5.99 (df = 2, α = .05) flags the split as broken — with a
     // pure hash assignment this only fires on an implementation bug,
     // which is exactly what a gate is for.
@@ -1773,8 +1777,8 @@ object SelectionQueries {
             when(col("h2") < "cc", "train")
               .when(col("h2") < "e6", "val").otherwise("test"))
         def term(o: org.apache.spark.sql.Column, w: Long) = {
-          val num = (o * 256L - col("n") * w) * (o * 256L - col("n") * w)
-          num.cast("double") / (col("n") * (256L * w)).cast("double")
+          val diff = (o * 256L - col("n") * w).cast("double")
+          diff * diff / (col("n") * (256L * w)).cast("double")
         }
         assigned.agg(count(lit(1)).as("n"),
             sum(when(col("split") === "train", 1L).otherwise(0L)).as("o_train"),
@@ -1799,11 +1803,11 @@ object SelectionQueries {
           |             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS o_test
           |      FROM a),
           |c AS (SELECT *,
-          |        CAST((o_train * 256 - n * 204) * (o_train * 256 - n * 204) AS DOUBLE)
+          |        CAST(o_train * 256 - n * 204 AS DOUBLE) * CAST(o_train * 256 - n * 204 AS DOUBLE)
           |          / CAST(n * (256 * 204) AS DOUBLE)
-          |        + CAST((o_val * 256 - n * 26) * (o_val * 256 - n * 26) AS DOUBLE)
+          |        + CAST(o_val * 256 - n * 26 AS DOUBLE) * CAST(o_val * 256 - n * 26 AS DOUBLE)
           |          / CAST(n * (256 * 26) AS DOUBLE)
-          |        + CAST((o_test * 256 - n * 26) * (o_test * 256 - n * 26) AS DOUBLE)
+          |        + CAST(o_test * 256 - n * 26 AS DOUBLE) * CAST(o_test * 256 - n * 26 AS DOUBLE)
           |          / CAST(n * (256 * 26) AS DOUBLE) AS chi2
           |      FROM m WHERE n > 0)
           |SELECT n, o_train, o_val, o_test, chi2, chi2 > 5.99 AS srm_flag

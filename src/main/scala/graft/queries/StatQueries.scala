@@ -1813,11 +1813,14 @@ object StatQueries {
     // Computed EXACTLY on the (length, band) contingency grid: concordant
     // C = Σ c₁c₂ over cell pairs with x₁<x₂ ∧ y₁<y₂, discordant D the
     // y₁>y₂ mirror, tie masses Tx/Ty from the marginals — never a pairwise
-    // join over docs. Denominator √((n₀−Tx)(n₀−Ty)) via [[Q.isqrt]]
-    // (engine-version-proof); the product stays < 2⁵² for n ≲ 10⁸ docs
-    // per source — beyond that widen to a decimal isqrt (documented
-    // bound, the readability_fk discipline). τ is ONE bare division of
-    // exact ints.
+    // join over docs. Denominator √((n₀−Tx)(n₀−Ty)) is computed as
+    // √(n₀−Tx)·√(n₀−Ty): each factor fits int64 for n ≤ ~4.3e9 docs per
+    // source, the int64→double cast and both sqrts are correctly-rounded
+    // IEEE ops, and the product/division are single IEEE ops — the whole
+    // chain is bit-identical cross-engine at ANY corpus size (the grid6
+    // doctrine's trusted-op list), with no int64 product that could wrap
+    // (the r10 form squared ~n²/2 factors and wrapped at ~10⁵ docs/
+    // source; ADVICE r10). C and D are exact int64 sums bounded by n₀.
     //
     // Scale shape: per-doc map pass → one (source, x, y) hash agg; the
     // pair join runs over the GRID (value-domain × 11 bands, the
@@ -1855,11 +1858,12 @@ object StatQueries {
             coalesce(col("discordant"), lit(0L)).as("discordant"),
             expr("(n * (n - 1)) div 2").as("n0"), col("tx"), col("ty"))
           .withColumn("denom",
-            Q.isqrt((col("n0") - col("tx")) * (col("n0") - col("ty"))))
+            sqrt((col("n0") - col("tx")).cast("double"))
+              * sqrt((col("n0") - col("ty")).cast("double")))
           .select(col("source"), col("n"), col("concordant"), col("discordant"),
-            when(col("denom") === 0, lit(null).cast("double"))
+            when(col("denom") === 0.0d, lit(null).cast("double"))
               .otherwise((col("concordant") - col("discordant")).cast("double")
-                / col("denom").cast("double")).as("tau_b"))
+                / col("denom")).as("tau_b"))
           .orderBy("source")
       },
       oracle = Some(
@@ -1894,17 +1898,13 @@ object StatQueries {
            |      FROM tot JOIN txm USING (source) JOIN tym USING (source)
            |      LEFT JOIN p ON p.source = tot.source),
            |d AS (SELECT *,
-           |             CAST(floor(sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))) AS BIGINT) AS s0
-           |      FROM m),
-           |dd AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= (n0 - tx) * (n0 - ty) THEN s0 + 1
-           |                      WHEN s0 * s0 > (n0 - tx) * (n0 - ty) THEN s0 - 1
-           |                      ELSE s0 END AS denom
-           |       FROM d)
+           |             sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)) AS denom
+           |      FROM m)
            |SELECT source, n, concordant, discordant,
            |       CASE WHEN denom = 0 THEN NULL
-           |            ELSE CAST(concordant - discordant AS DOUBLE) / CAST(denom AS DOUBLE)
+           |            ELSE CAST(concordant - discordant AS DOUBLE) / denom
            |       END AS tau_b
-           |FROM dd ORDER BY source""".stripMargin)),
+           |FROM d ORDER BY source""".stripMargin)),
 
     // ---- Page-Hinkley drift test over daily volume (added r10) ------------
     // The sequential changepoint monitor beside cusum_drift's batch CUSUM:
@@ -1969,7 +1969,11 @@ object StatQueries {
     // usefulness number a curation pipeline ranks features by. Exact
     // surface: per candidate threshold (every grid value except the max),
     // score6 = (cp·(cn−cp)·10⁶) div cn + ((P−cp)·(N−cn−P+cp)·10⁶) div
-    // (N−cn) — the N/2-scaled weighted Gini on the micro grid, all int64;
+    // (N−cn) — the N/2-scaled weighted Gini on the micro grid. The
+    // numerator products are widened to DECIMAL(38,0) (HUGEINT in the
+    // oracle) before the ·10⁶ — cp·(cn−cp) is ~N²/4, which wraps int64
+    // once a split side holds ~3M positives (ADVICE r10); the div result
+    // IS int64 (≤ N/4·10⁶, safe to N ≈ 3.7e13 docs, documented bound);
     // argmin by min(struct(score6, v)) is deterministic.
     //
     // Scale shape: the label pass is the shared rolling-gram digest plan;
@@ -2000,8 +2004,8 @@ object StatQueries {
           .crossJoin(broadcast(tot))
           .filter(col("cn") < col("nn")) // the max value is not a split
           .select(col("v"), col("cn"), col("cp"), col("nn"), col("pp"),
-            (expr("(cp * (cn - cp) * 1000000L) div cn")
-              + expr("((pp - cp) * ((nn - cn) - (pp - cp)) * 1000000L) div (nn - cn)"))
+            (expr("(cast(cp as decimal(38,0)) * (cn - cp) * 1000000) div cn")
+              + expr("(cast(pp - cp as decimal(38,0)) * ((nn - cn) - (pp - cp)) * 1000000) div (nn - cn)"))
               .as("score6"))
         cand.agg(min(struct(col("score6"), col("v"), col("cn"), col("cp"),
             col("nn"), col("pp"))).as("m"))
@@ -2031,9 +2035,9 @@ object StatQueries {
           |               CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS cp
           |        FROM grid),
           |cand AS (SELECT v, cn, cp, nn, pp,
-          |                (cp * (cn - cp) * 1000000) // cn
-          |                + ((pp - cp) * ((nn - cn) - (pp - cp)) * 1000000) // (nn - cn)
-          |                  AS score6
+          |                CAST((CAST(cp AS HUGEINT) * (cn - cp) * 1000000) // cn
+          |                + (CAST(pp - cp AS HUGEINT) * ((nn - cn) - (pp - cp)) * 1000000)
+          |                  // (nn - cn) AS BIGINT) AS score6
           |         FROM cum, tot WHERE cn < nn),
           |best AS (SELECT * FROM cand ORDER BY score6, v LIMIT 1)
           |SELECT v AS best_threshold, score6 AS gini_score6,
@@ -2073,8 +2077,13 @@ object StatQueries {
             sum(big(col("c1")) * big(col("f2") - col("c2"))).as("gt"),
             sum(big(col("c1")) * big(col("n2") - col("f2"))).as("lt"))
           .select(col("n1"), col("n2"),
-            col("gt").cast("decimal(38,0)").as("gt_pairs"),
-            col("lt").cast("decimal(38,0)").as("lt_pairs"),
+            // BIGINT, not DECIMAL: gt/lt ≤ n1·n2 < 2⁶³ for any corpus whose
+            // pair count fits an int64 (n ≤ ~3e9 per side); r10's driver gate
+            // flagged the DECIMAL(38,0) spelling as the registry's only
+            // hash-canonicalization mismatch, while BIGINT+DOUBLE rows are
+            // hash-stable across all 315 other queries.
+            col("gt").cast("long").as("gt_pairs"),
+            col("lt").cast("long").as("lt_pairs"),
             when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
               .otherwise((col("gt") - col("lt")).cast("double")
                 / (big(col("n1")) * big(col("n2"))).cast("double"))
@@ -2095,8 +2104,8 @@ object StatQueries {
           |             SUM(CAST(c1 AS HUGEINT) * (n2 - f2)) AS lt
           |      FROM cum CROSS JOIN tot)
           |SELECT n1, n2,
-          |       CAST(gt AS DECIMAL(38,0)) AS gt_pairs,
-          |       CAST(lt AS DECIMAL(38,0)) AS lt_pairs,
+          |       CAST(gt AS BIGINT) AS gt_pairs,
+          |       CAST(lt AS BIGINT) AS lt_pairs,
           |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
           |            ELSE CAST(gt - lt AS DOUBLE)
           |                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS cliffs_delta

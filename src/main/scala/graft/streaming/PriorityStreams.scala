@@ -1268,8 +1268,14 @@ object PriorityStreams {
   /** Streaming twin of the batch `dau_stickiness` query: per user, each
     * newly-absorbed active day emits whether it CONTINUES yesterday's
     * activity — so per-day (count, count-where-returning) equal the batch
-    * (dau, n_returning) columns exactly (spec-pinned across a mid-stream
-    * split; the downstream per-day roll-up is the consumer's trivial agg).
+    * (dau, n_returning) columns ON EVERY DAY THE BATCH QUERY EMITS, i.e.
+    * days whose previous calendar day had a non-empty active set (the
+    * batch inner-joins day d to day d−1 and so drops the first day and
+    * any day after a corpus-wide gap; the stream emits rows for ALL
+    * active days — on the extra days its `returning` count is 0 by
+    * construction, since no user can have been active on an empty day).
+    * Spec-pinned across a mid-stream split on the batch-emitted days;
+    * the downstream per-day roll-up is the consumer's trivial agg.
     * State is ONE long per user (`last_day`); duplicate days no-op; the
     * funnel ordering contract applies across batches. */
   final class StickinessProcessor

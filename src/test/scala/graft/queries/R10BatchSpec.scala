@@ -45,10 +45,10 @@ class R10BatchSpec extends SparkTestBase {
       val n0 = n * (n - 1) / 2
       val tx = xs.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
       val ty = xs.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
-      val prod = (n0 - tx) * (n0 - ty)
-      val s = math.sqrt(prod.toDouble).toLong
-      val denom = if ((s + 1) * (s + 1) <= prod) s + 1 else if (s * s > prod) s - 1 else s
-      val expTau = if (denom == 0) None else Some((c - d).toDouble / denom.toDouble)
+      // r11: denominator is √(n0−tx)·√(n0−ty) in IEEE double (no int64
+      // product that could wrap; see the query's Scaladoc)
+      val denom = math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)
+      val expTau = if (denom == 0.0) None else Some((c - d).toDouble / denom)
       assert(out(src) == ((n, c, d, expTau)), s"$src kendall replay")
     }
   }
@@ -221,8 +221,8 @@ class R10BatchSpec extends SparkTestBase {
     var gt = 0L; var lt = 0L
     for (a <- g1; b <- g2) { if (a > b) gt += 1 else if (a < b) lt += 1 }
     assert(out.getLong(0) == g1.length.toLong && out.getLong(1) == g2.length.toLong)
-    assert(out.getDecimal(2).longValueExact == gt, "greater pairs")
-    assert(out.getDecimal(3).longValueExact == lt, "lesser pairs")
+    assert(out.getLong(2) == gt, "greater pairs")
+    assert(out.getLong(3) == lt, "lesser pairs")
     assert(out.getDouble(4) == (gt - lt).toDouble / (g1.length.toLong * g2.length),
       "delta division")
   }

@@ -1280,6 +1280,17 @@ class PriorityStreamsSpec extends SparkTestBase {
       // THE claim: "returning" emissions = the batch set intersection
       assert(perDay(d)._2 == nReturning, s"day $d returning")
     }
+    // The complement (ADVICE r10): the stream also emits on days the batch
+    // DROPS (the first day / any day after a corpus-wide gap — the batch
+    // inner-join to day d−1 has no rows there). On those days `returning`
+    // must be 0 by construction: no user was active on an empty/absent
+    // previous day.
+    val batchDays = batch.map(_._1).toSet
+    val streamOnly = perDay.keySet -- batchDays
+    assert(streamOnly.nonEmpty, "expected at least the first active day to be stream-only")
+    streamOnly.foreach { d =>
+      assert(perDay(d)._2 == 0L, s"stream-only day $d must have zero returning users")
+    }
   }
 
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
