@@ -1,9 +1,14 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Column-API surface over Spark's INTERNAL bloom-filter expressions
   * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
@@ -48,4 +53,57 @@ object BloomFunctions {
     Bridge.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         Bridge.logicalPlan(df)))
+
+  /** [[BloomMightContainBroadcast]] as a Column — the TORRENT-shipped twin
+    * of [[mightContain]]. The scalar-subquery form binds the serialized
+    * filter as a plan literal, so the full bitmap rides inside EVERY
+    * downstream stage's task binary (measured: the registry's only
+    * `Broadcasting large task binary` warnings, 2.5-3.7 MiB × 8 stages for
+    * decontaminate_bloom at a 10⁶-item filter). At a 100 TB cluster's
+    * stage × task counts that is real scheduler/RPC pressure. This form
+    * serializes only a Broadcast HANDLE into the task binary; the bitmap
+    * ships once per executor over the torrent protocol, exactly like a
+    * broadcast-hash-join relation. Same no-false-negative contract. */
+  def mightContainBroadcast(bf: Broadcast[Array[Byte]], hashed: Column): Column =
+    Bridge.column(BloomMightContainBroadcast(bf, Bridge.expression(hashed)))
+}
+
+/** Bloom membership probe whose filter arrives via a [[Broadcast]] handle
+  * instead of a plan literal (SURVEY §2.5 preference (b); see
+  * [[BloomFunctions.mightContainBroadcast]] for why). `bytes` is the
+  * serialized form produced by [[BloomFilterAggregate]] (collect the 1-row
+  * aggregate, broadcast its binary cell); deserialization happens lazily
+  * once per task from the executor-local broadcast block. */
+case class BloomMightContainBroadcast(
+    bcast: Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a LONG probe (xxhash64), got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "might_contain_broadcast"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bcast.value))
+
+  /** Codegen entry point (the generated code holds this expression as a
+    * reference object and calls through). */
+  def filterValue(): BloomFilter = filter
+
+  override def nullSafeEval(h: Any): Any =
+    filter.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcastExpr", this,
+      classOf[BloomMightContainBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = $ref.filterValue().mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -102,12 +102,18 @@ object CurationQueries {
         val bloom = bench.agg(
           graft.functions.BloomFunctions
             .bloomFilterAgg(xxhash64(col("s")), 1000000L).as("bf"))
-        // might_contain binds its filter side once per query → scalar
-        // subquery, evaluated on the driver and shipped with the task
-        // binaries (the same shape Spark's own runtime join pruning emits)
+        // The filter ships as a Broadcast HANDLE, not a plan literal: the
+        // r7 scalar-subquery form embedded the full bitmap in every
+        // downstream task binary (2.5-3.7 MiB × 8 stages — the registry's
+        // only large-task-binary warnings; r10 verdict item). head() here
+        // is the same driver-side evaluation ScalarSubquery performed —
+        // ONE binary cell — and the bitmap now rides the torrent protocol
+        // once per executor like a broadcast join relation.
+        val bfBytes = bloom.head().getAs[Array[Byte]](0)
+        val bfBcast = s.sparkContext.broadcast(bfBytes)
         val cont = sh.filter(col("doc_id") % 97 =!= 0)
-          .filter(graft.functions.BloomFunctions.mightContain(
-            graft.functions.BloomFunctions.scalar(bloom), xxhash64(col("s"))))
+          .filter(graft.functions.BloomFunctions.mightContainBroadcast(
+            bfBcast, xxhash64(col("s"))))
           .join(bench, Seq("s"), "left_semi") // exact verify on the sliver
           .select("doc_id").distinct()
         docs.filter(col("doc_id") % 97 =!= 0)
