@@ -53,11 +53,30 @@ object ReshardCheck {
           .queryExecution.toRdd.count(); ()
       }
     }
-    val clusterTime = time("dedup_clusters") {
-      SparkEntry.queries("dedup_clusters")(spark, sfDir)
-        .queryExecution.toRdd.count(); ()
+    // SPARK_GRAFT_SKIP_ASIS=1 skips the exact-candidate cluster leg — at
+    // sf10 it is KNOWN to exceed a single box's disk (the r10 finding the
+    // band-local legs below exist to fix); reported as -1 when skipped.
+    val clusterTime =
+      if (sys.env.get("SPARK_GRAFT_SKIP_ASIS").contains("1")) ("dedup_clusters", -1.0)
+      else time("dedup_clusters") {
+        SparkEntry.queries("dedup_clusters")(spark, sfDir)
+          .queryExecution.toRdd.count(); ()
+      }
+    // r11: the band-local CC path — (a) same (6, 6) dial, proving the
+    // band-local verify alone removes the candidate-materialization spill
+    // (arrays shuffle numBands×corpus, never per-candidate); (b) the
+    // re-shard dial (12-bit bands, 24 bands) holding per-bucket occupancy
+    // AND near-dup recall — the LSH twin of the knn L re-shard above.
+    val clusterBandLocal = Seq(
+      ("dedup_clusters_bandlocal_6x6", 6, 6),
+      ("dedup_clusters_bandlocal_24x12", 24, 12)).map { case (tag, nb, bb) =>
+      time(tag) {
+        graft.queries.SimilarityQueries
+          .clustersBandLocal(emb, 0.40, numBands = nb, bandBits = bb)
+          .queryExecution.toRdd.count(); ()
+      }
     }
-    val qs = (knnTimes :+ clusterTime).map { case (k, v) =>
+    val qs = (knnTimes ++ (clusterTime +: clusterBandLocal)).map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"reshard_check","qunit":"ms","sf_dir":"$sfDir","n_vectors":$n,"reshard_L":$reshardL,"queries":$qs}""")

@@ -579,6 +579,241 @@ object StreamBench {
     }
     val lifeRps = lifeEvents / lifeSecs
 
+    // ---- streaming DAU stickiness: stateful throughput (r11) ---------------
+    // stickinessStream over 3M user-day observations across 1,000,000
+    // RocksDB-backed user keys (r10 verdict: the r10 twins lacked measured
+    // legs). Closed-form day pattern per user: days {D, D+1, D+3} — so every
+    // user emits exactly (D, returning=false), (D+1, returning=true),
+    // (D+3, returning=false): 3M emissions of which exactly 1M returning,
+    // 1M state keys, or the leg fails. All three days of a user share a
+    // file (repartition by userId) so the in-batch sort owns ordering.
+    // State is ONE long per user.
+    val StickUsers = 1_000_000L
+    val StickD0 = 20006L
+    val stickEvents = 3L * StickUsers
+    val prevProviderS = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (stickSecs, stickStateKeys, stickRows, stickReturning) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-stick-src").toString
+      spark.range(stickEvents).select(
+        pmod(col("id"), lit(StickUsers)).as("userId"),
+        expr(s"""$StickD0 + CASE CAST(id div $StickUsers AS INT)
+                |  WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 3 END""".stripMargin)
+          .cast("long").as("epochDay"))
+        .repartition(8, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      val days = spark.readStream
+        .schema("userId BIGINT, epochDay BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.DayEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stick-bench").toString
+      @volatile var rows = 0L
+      @volatile var returning = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.stickinessStream(days)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.StickRow], _: Long) =>
+          // ONE action per batch: fold the returning split in a single pass
+          b.groupBy("returning").count().collect().foreach { r =>
+            rows += r.getLong(1)
+            if (r.getBoolean(0)) returning += r.getLong(1)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys == StickUsers, s"stickiness state keys $keys != $StickUsers")
+      assert(rows == stickEvents, s"stickiness emissions $rows != $stickEvents")
+      assert(returning == StickUsers,
+        s"stickiness returning $returning != $StickUsers (exactly day D+1 per user)")
+      (secs, keys, rows, returning)
+    } finally prevProviderS match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val stickRps = stickEvents / stickSecs
+
+    // ---- streaming Page-Hinkley drift: stateful throughput (r11) -----------
+    // pageHinkleyStream over 12.8M (type, day, count) observations — 64
+    // event types × 200k days each. The key space is deliberately SMALL
+    // (state is per monitored series; that is the operator's 100 TB shape:
+    // state scales with series count, never events), so this leg measures
+    // the per-key sequential recursion throughput, not key fan-out. Every
+    // type carries the same deterministic volume series
+    // x_i = 100 + (i² mod 37); a driver-side replay of the PH recursion is
+    // the ground truth — each type's emission count, max excursion, and
+    // alarm-day count must equal the replay exactly, or the leg fails.
+    // Each type's full series shares a file (repartition by eventType) so
+    // the in-batch sort owns ordering.
+    val PhTypes = 64
+    val PhDays = 200_000
+    val PhD0 = 19000L
+    val phEvents = PhTypes.toLong * PhDays
+    val (phReplayMaxExc, phReplayAlarms) = {
+      var t = 0L; var s = 0L; var ph = 0L
+      var runmin = Long.MaxValue; var maxExc = 0L; var alarms = 0L
+      var i = 0
+      while (i < PhDays) {
+        val x = 100L + (i.toLong * i.toLong) % 37L
+        t += 1; s += x
+        ph += x * 1000000L - (s * 1000000L) / t
+        runmin = math.min(runmin, ph)
+        val exc = ph - runmin
+        if (exc > 50000000L) alarms += 1
+        if (exc > maxExc) maxExc = exc
+        i += 1
+      }
+      (maxExc, alarms)
+    }
+    val prevProviderPh = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (phSecs, phStateKeys, phRows) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-ph-src").toString
+      spark.range(phEvents).select(
+        concat(lit("t"), pmod(col("id"), lit(PhTypes)).cast("string")).as("eventType"),
+        (lit(PhD0) + expr(s"id div $PhTypes")).cast("long").as("epochDay"),
+        expr(s"100L + ((id div $PhTypes) * (id div $PhTypes)) % 37L").as("c"))
+        .repartition(8, col("eventType"))
+        .write.mode("overwrite").parquet(srcDir)
+      val days = spark.readStream
+        .schema("eventType STRING, epochDay BIGINT, c BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.DayCount]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ph-bench").toString
+      val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.pageHinkleyStream(days)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PhRow], _: Long) =>
+          // ONE action per batch: per-type (rows, maxExc, alarms)
+          b.groupBy("eventType")
+            .agg(count(lit(1)).as("n"), max(col("exc6")).as("mx"),
+              sum(when(col("alarm"), 1L).otherwise(0L)).as("al"))
+            .collect().foreach { r =>
+              acc.merge(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)),
+                (a, x) => (a._1 + x._1, math.max(a._2, x._2), a._3 + x._3))
+            }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys == PhTypes.toLong, s"PH state keys $keys != $PhTypes")
+      assert(acc.size == PhTypes, s"PH types seen ${acc.size} != $PhTypes")
+      var rows = 0L
+      acc.asScala.foreach { case (tn, (n, mx, al)) =>
+        rows += n
+        assert(n == PhDays.toLong, s"PH $tn emissions $n != $PhDays")
+        assert(mx == phReplayMaxExc, s"PH $tn max excursion $mx != replay $phReplayMaxExc")
+        assert(al == phReplayAlarms, s"PH $tn alarms $al != replay $phReplayAlarms")
+      }
+      (secs, keys, rows)
+    } finally prevProviderPh match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val phRps = phEvents / phSecs
+
+    // ---- streaming lifecycle with event-time timers: throughput (r11) ------
+    // lifecycleTimerStream over 2M user-week observations across 1,000,000
+    // RocksDB-backed user keys, PLUS the timer flush path under load: every
+    // user gets weeks {W, W+7} and then goes silent, so the terminal
+    // `churned` row can ONLY come from the event-time timer firing when the
+    // watermark (advanced by a later-mtime sentinel file) passes week+14 —
+    // 1M timers must fire, or the leg fails. Expected emissions per user:
+    // new@W, retained@W+7, churned@W+7 (timer) — 3M rows, 0 resurrected.
+    // Ordering is pinned by THREE sequential queries on one checkpoint
+    // (main data, sentinel, trailing sentinel duplicate to force the
+    // post-watermark microbatch — the CheckpointRecoverySpec sentinel
+    // discipline at bench scale). The watermark delay is 8 DAYS, not the
+    // spec's 0 seconds: the corpus spans weeks W and W+7 across
+    // micro-batches in no guaranteed order, so a 0-second watermark
+    // late-drops every week-W row after the first batch that saw W+7
+    // (measured: 2/3 of the corpus silently dropped when first tried).
+    // 8 days covers the 7-day in-flight disorder; the W+70 sentinel still
+    // pushes the watermark to W+62, past every user's W+21 deadline. The
+    // restart between queries also proves checkpoint recovery across a
+    // timer arming at 1M-key scale.
+    val LtUsers = 1_000_000L
+    val LtW0 = 20006L
+    val ltEvents = 2L * LtUsers
+    val dayMs2 = 86400L
+    val prevProviderLt = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (ltSecs, ltStateKeys, ltCounts) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-lt-src").toString
+      spark.range(ltEvents).select(
+        pmod(col("id"), lit(LtUsers)).as("userId"),
+        (lit(LtW0) + when(col("id") < LtUsers, 0L).otherwise(7L)).as("weekDay"))
+        .withColumn("ts", timestamp_seconds(col("weekDay") * dayMs2))
+        .repartition(6, col("userId"))
+        .write.mode("overwrite").parquet(srcDir)
+      def appendSentinel(): Unit =
+        Seq((-1L, LtW0 + 70L)).toDF("userId", "weekDay")
+          .withColumn("ts", timestamp_seconds(col("weekDay") * dayMs2))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-lt-bench").toString
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      @volatile var lastKeys = 0L
+      def runOnce(): Unit = {
+        val weeks = spark.readStream
+          .schema("userId BIGINT, weekDay BIGINT, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "2")
+          .parquet(srcDir)
+          .withWatermark("ts", "8 days")
+          .as[PriorityStreams.TimedWeekEvent]
+        val q = PriorityStreams.lifecycleTimerStream(weeks)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.LifecycleRow], _: Long) =>
+            // ONE action per batch; the sentinel user's rows are excluded
+            b.filter(col("userId") =!= -1L).groupBy("state").count().collect()
+              .foreach(r => counts.merge(r.getString(0), r.getLong(1), (a, x) => a + x))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // numRowsTotal includes the timer/latch column families alongside
+        // the value state on this operator — pin the floor, not the exact sum
+        Option(q.lastProgress).foreach(p =>
+          lastKeys = p.stateOperators.map(_.numRowsTotal).sum)
+      }
+      val t0 = System.nanoTime()
+      runOnce()               // all main data; watermark ends at W+7
+      appendSentinel(); runOnce() // watermark -> W+70 at batch end
+      appendSentinel(); runOnce() // timers fire against that watermark
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = lastKeys
+      assert(keys >= LtUsers, s"lifecycle-timer state keys $keys < $LtUsers")
+      def c(s: String): Long = Option(counts.get(s)).map(_.longValue).getOrElse(0L)
+      assert(c("new") == LtUsers, s"lifecycle-timer new ${c("new")} != $LtUsers")
+      assert(c("retained") == LtUsers, s"lifecycle-timer retained ${c("retained")} != $LtUsers")
+      assert(c("churned") == LtUsers,
+        s"lifecycle-timer churned ${c("churned")} != $LtUsers (1M timers must fire)")
+      assert(c("resurrected") == 0L, s"lifecycle-timer resurrected ${c("resurrected")} != 0")
+      (secs, keys, counts.values.asScala.map(_.longValue).sum)
+    } finally prevProviderLt match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val ltRps = ltEvents / ltSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -785,7 +1020,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"stickiness_state_keys":$stickStateKeys,"stickiness_rows":$stickRows,"stickiness_returning":$stickReturning,"stickiness_rows_per_sec":$stickRps%.0f,"ph_state_keys":$phStateKeys,"ph_rows":$phRows,"ph_rows_per_sec":$phRps%.0f,"lifetimer_state_keys":$ltStateKeys,"lifetimer_rows":$ltCounts,"lifetimer_rows_per_sec":$ltRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }

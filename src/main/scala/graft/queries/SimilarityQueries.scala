@@ -325,6 +325,80 @@ object SimilarityQueries {
     (pairs, emb)
   }
 
+  /** [[lshNearDupPairsUnsorted]]'s 100 TB execution shape (r11) — band-LOCAL
+    * verification with a (bands, bits) re-shard dial.
+    *
+    * Why it exists: the gate-scale path materializes DISTINCT candidate
+    * pairs, then joins the embedding arrays back on to verify — so the
+    * verify join's shuffle carries TWO 64-float arrays per CANDIDATE, and
+    * the candidate count grows with per-bucket occupancy squared. At sf10
+    * (200k vectors, fixed 6×6 signatures → ~49² pairs per bucket) that
+    * shuffle exceeded the measurement box's 77 GB disk (BASELINE.md r10
+    * decade table) — the one operator whose scale story was an argument,
+    * not a number. Here each band row carries its OWN vector into the band
+    * self-join, so the only array shuffle is `numBands` copies of the
+    * corpus (strictly linear), and the cosine verify runs PIPELINED on the
+    * join output before anything is materialized — only verified pairs
+    * (tiny at any SF) reach the distinct. Result-identical to the
+    * exact-candidate path at the same dial (spec-pinned):
+    * verify-then-distinct ≡ distinct-then-verify for a deterministic
+    * predicate. The cosine is recomputed for pairs colliding in several
+    * bands — the price of never materializing candidates, cheap exactly
+    * when it matters (the spill regime has ≫ numBands·n candidates).
+    *
+    * The re-shard dial (the ivf_balance sizing rule applied to LSH): hold
+    * per-bucket occupancy n/2^bandBits roughly constant by raising
+    * `bandBits` with log₂(n), and raise `numBands` with it to hold
+    * near-dup recall — p(detect) = 1 − (1 − p^bits)^bands with
+    * p = 1 − θ/π. (6, 6) at 2k vectors ⇒ (12, 24) at 200k keeps
+    * p(detect | cos ≥ 0.9) ≈ 0.98 while cutting random-collision
+    * candidates ~16× (0.5¹²·24 vs 0.5⁶·6). Like the IVF L dial, re-
+    * sharding changes RECALL on far pairs (documented approximate-op
+    * trade); the default dial is the gate contract.
+    *
+    * Cache lifecycle: the signature frame backs both join branches and
+    * stays cached (the [[lshNearDupPairs]] note applies — long-lived
+    * sessions clear it after the final action). */
+  def lshNearDupPairsBandLocal(emb0: org.apache.spark.sql.DataFrame, threshold: Double,
+      numBands: Int = NumBands, bandBits: Int = BandBits): org.apache.spark.sql.DataFrame = {
+    val emb = emb0
+      .filter(norm2(col("embedding")) > 0)
+      .select(col("vec_id") +: col("embedding") +:
+        (0 until numBands).map { b =>
+          hyperplaneSig(col("embedding"), b * bandBits until (b + 1) * bandBits)
+            .as(s"sig$b")
+        }: _*)
+      .cache()
+    val bands = emb.select(col("vec_id"), col("embedding"),
+        explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band"), col(s"sig$b").as("sig"))
+        }: _*)).as("bs"))
+      .select(col("vec_id"), col("embedding"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", cosineSimilarity(col("x.embedding"), col("y.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        Q.grid6(col("sim")).as("sim"))
+      .distinct()
+  }
+
+  /** dedup_clusters' scale path: connected components over
+    * [[lshNearDupPairsBandLocal]] pairs — the same [[Q.connectedComponents]]
+    * loop as the registry query, fed by the spill-free pair generator, with
+    * the (bands, bits) dial exposed for the measured re-shard decade
+    * ([[graft.ReshardCheck]]). */
+  def clustersBandLocal(emb: org.apache.spark.sql.DataFrame, threshold: Double,
+      numBands: Int = NumBands, bandBits: Int = BandBits): org.apache.spark.sql.DataFrame = {
+    val pairs = lshNearDupPairsBandLocal(emb, threshold, numBands, bandBits)
+      .select(col("a_id"), col("b_id"))
+    val sym = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    Q.connectedComponents(sym)
+      .select(col("id").as("vec_id"), col("label").as("cluster"))
+  }
+
   /** Every retriever/dedup entry except the composed eval below. */
   private val base: Map[String, Q] = Map(
 
@@ -845,6 +919,29 @@ object SimilarityQueries {
     // oracle runs the identical algorithm, so the gate compares exactly.
     "dedup_embedding_cosine" -> Q(
       fn = (s, dir) => lshNearDupPairs(Tables.load(s, dir, "embeddings"), 0.35),
+      oracle = Some(
+        s"""WITH ${lshPairsSqlCtes(0.35)}
+           |SELECT a_id, b_id,
+           |       floor(${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")}))
+           |         * 1000000.0) / 1000000.0 AS sim
+           |FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+           |WHERE ${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.35
+           |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- band-local near-dup pairs: the spill-free scale shape (r11) -----
+    // dedup_embedding_cosine's 100 TB execution shape, result-identical by
+    // construction at the default dial (the decontaminate_bloom oracle
+    // pattern: the oracle IS the exact-candidate plan's SQL, which is the
+    // point — a DuckDB gate for "engine-side plan change that provably
+    // doesn't change the answer"). See [[lshNearDupPairsBandLocal]] for
+    // the sf10 spill this shape removes and the (bands, bits) re-shard
+    // dial; [[graft.ReshardCheck]] measures both at the sf10 decade.
+    "dedup_cosine_bandlocal" -> Q(
+      fn = (s, dir) =>
+        lshNearDupPairsBandLocal(Tables.load(s, dir, "embeddings"), 0.35)
+          .orderBy("a_id", "b_id"),
       oracle = Some(
         s"""WITH ${lshPairsSqlCtes(0.35)}
            |SELECT a_id, b_id,

@@ -2111,6 +2111,88 @@ object StatQueries {
           |                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS cliffs_delta
           |FROM a""".stripMargin)),
 
+    // ---- Mann-Whitney U: doc length between source groups (added r11) -----
+    // The RANK-SUM test completing the two-group family: ks_source_lengths
+    // (distribution distance), cliffs_delta_length (effect size), and now
+    // the significance test — same split (source id < 10 vs rest), same
+    // n_chars surface. Computed EXACTLY on the merged value grid: the
+    // greater-pair mass gt is cliffs' spelling verbatim, tie mass is one
+    // more grid sum, so 2U = 2·gt + ties is exact DECIMAL and the identity
+    // δ = (2U − n₁n₂)/(n₁n₂) ties the two queries together (spec-pinned).
+    // The tie-corrected normal z uses
+    //   4σ² = n₁n₂·((n³−n) − Σ(t³−t)) / (3n(n−1)),
+    // every integer exact in DECIMAL(38,0)/HUGEINT (n³ wraps int64 at
+    // n ≈ 2e6 — the kendall_tau lesson applied on day one), then ONE
+    // fixed chain of correctly-rounded IEEE ops (casts, mult, div, sqrt)
+    // for z — bit-identical cross-engine at any corpus size. u2 = 2U is
+    // emitted as BIGINT (exact for n₁n₂ < 2⁶² i.e. n ≲ 3e9 per side,
+    // documented bound).
+    //
+    // Scale shape: one value-grid agg; ONE cumulative window over the
+    // grid (value-domain bounded, the ks argument, R2-whitelisted);
+    // 1-row roll-up.
+    "mann_whitney_length" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.load(s, dir, "documents")
+          .select(col("n_chars").as("v"),
+            when(expr("int(substring(source, 4, 8))") < 10, 1L).otherwise(0L).as("g1"))
+        val grid = g.groupBy("v")
+          .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+        val win = Window.orderBy(col("v"))
+        val cum = grid.select(col("v"), col("c1"), col("c2"),
+          sum(col("c2")).over(win).as("f2"))
+        cum
+          .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(big(col("c1")) * big(col("f2") - col("c2"))).as("gt"),
+            sum(big(col("c1")) * big(col("c2"))).as("ties"),
+            sum(big(col("c1") + col("c2")) * big(col("c1") + col("c2"))
+              * big(col("c1") + col("c2"))
+              - big(col("c1") + col("c2"))).as("tmass"))
+          .withColumn("n", col("n1") + col("n2"))
+          .withColumn("u2", (big(lit(2)) * col("gt") + col("ties")).cast("long"))
+          .withColumn("a", big(col("n1")) * big(col("n2")))
+          .withColumn("bterm",
+            big(col("n")) * big(col("n")) * big(col("n")) - big(col("n")) - col("tmass"))
+          .withColumn("denom",
+            sqrt(col("a").cast("double") * col("bterm").cast("double")
+              / (lit(3.0d) * col("n").cast("double") * (col("n") - 1).cast("double"))))
+          .select(col("n1"), col("n2"), col("u2"),
+            when(col("denom") === 0.0d || col("n") < 2, lit(null).cast("double"))
+              .otherwise((big(col("u2")) - col("a")).cast("double") / col("denom"))
+              .as("z"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT n_chars AS v,
+          |             CASE WHEN CAST(substring(source, 4) AS INT) < 10
+          |                  THEN 1 ELSE 0 END AS g1
+          |           FROM documents),
+          |grid AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+          |                CAST(SUM(1 - g1) AS BIGINT) AS c2
+          |         FROM g GROUP BY v),
+          |cum AS (SELECT v, c1, c2, SUM(c2) OVER (ORDER BY v) AS f2 FROM grid),
+          |a AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+          |             SUM(CAST(c1 AS HUGEINT) * (f2 - c2)) AS gt,
+          |             SUM(CAST(c1 AS HUGEINT) * c2) AS ties,
+          |             SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+          |                 - (c1 + c2)) AS tmass
+          |      FROM cum),
+          |m AS (SELECT *, n1 + n2 AS n,
+          |             CAST(2 * gt + ties AS BIGINT) AS u2,
+          |             CAST(n1 AS HUGEINT) * n2 AS aa,
+          |             CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+          |               - (n1 + n2) - tmass AS bterm
+          |      FROM a),
+          |d AS (SELECT *,
+          |             sqrt(CAST(aa AS DOUBLE) * CAST(bterm AS DOUBLE)
+          |                  / (3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS denom
+          |      FROM m)
+          |SELECT n1, n2, u2,
+          |       CASE WHEN denom = 0 OR n < 2 THEN NULL
+          |            ELSE CAST(CAST(u2 AS HUGEINT) - aa AS DOUBLE) / denom
+          |       END AS z
+          |FROM d""".stripMargin)),
+
     // ---- isotonic calibration of the quality score (added r10) ------------
     // The FIX for what score_calibration DIAGNOSES: the isotonic (PAV)
     // regression of observed dup rate on the score bands — the standard

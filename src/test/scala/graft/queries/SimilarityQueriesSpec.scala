@@ -80,6 +80,64 @@ class SimilarityQueriesSpec extends SparkTestBase {
     assert(spark.sparkContext.getCheckpointDir.isEmpty)
   }
 
+  // THE band-local claim (r11): verify-then-distinct == distinct-then-
+  // verify for a deterministic predicate, so the spill-free shape is
+  // result-identical to the exact-candidate path at the same dial — at
+  // BOTH registry thresholds, on the real corpus at two SFs.
+  test("band-local pairs == exact-candidate pairs at the default dial") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         thr <- Seq(0.35, 0.40)) {
+      val emb = graft.Tables.load(spark, d, "embeddings")
+      val exact = SimilarityQueries.lshNearDupPairs(emb, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      val bandLocal = SimilarityQueries.lshNearDupPairsBandLocal(emb, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      assert(bandLocal == exact, s"$d thr=$thr: band-local pair set diverged")
+      assert(exact.nonEmpty, s"$d thr=$thr: vacuous (no pairs)")
+    }
+  }
+
+  test("clustersBandLocal == dedup_clusters labeling") {
+    val expected = graft.SparkEntry.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val got = SimilarityQueries
+      .clustersBandLocal(graft.Tables.load(spark, dir, "embeddings"), 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got == expected, "band-local CC labeling diverged")
+    assert(expected.nonEmpty)
+  }
+
+  // The re-shard dial's recall claim: at (24 bands × 12 bits) — the sf10
+  // sizing — planted cos≈0.94 near-dups are still found (p(detect) ≈ 0.98
+  // per the OR-amplification formula), while the bucket occupancy that
+  // caused the sf10 spill drops 64×. Same planted-pair harness as the
+  // default-dial recall test below.
+  test("band-local (24,12) re-shard dial keeps planted near-dup recall") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val rows = (0 until n).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val nrm = math.sqrt(base.map(x => x.toDouble * x).sum)
+      val copy = base.map(x => (x + (0.35 * nrm / 8.0 * rnd.nextGaussian()).toFloat))
+      Seq((i.toLong, base), ((1000 + i).toLong, copy))
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val found = SimilarityQueries
+      .lshNearDupPairsBandLocal(df, 0.9, numBands = 24, bandBits = 12)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val planted = (0 until n).map(i => (i.toLong, (1000 + i).toLong)).toSet
+    assert(found.subsetOf(planted), s"non-planted pairs: ${found.diff(planted).take(5)}")
+    val recall = found.size.toDouble / n
+    assert(recall >= 0.85, s"planted recall at (24,12): $recall (${found.size}/$n)")
+  }
+
   // The regime the operator exists for: TRUE near-dups. 40 seeded random
   // base vectors, each with a perturbed copy at cos ≈ 0.94; theoretical
   // band-collision probability there is ~0.99 per pair, so >= 36/40
