@@ -47,12 +47,16 @@ object ReshardCheck {
       tag -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
 
-    val knnTimes = lists.map { l =>
-      time(s"knn_L$l") {
-        graft.queries.SimilarityQueries.knnConsistencyFrom(emb, l)
-          .queryExecution.toRdd.count(); ()
+    // SPARK_GRAFT_SKIP_KNN=1 skips the (already-measured r10) knn decade so
+    // a targeted run can time just the cluster legs.
+    val knnTimes =
+      if (sys.env.get("SPARK_GRAFT_SKIP_KNN").contains("1")) Seq.empty
+      else lists.map { l =>
+        time(s"knn_L$l") {
+          graft.queries.SimilarityQueries.knnConsistencyFrom(emb, l)
+            .queryExecution.toRdd.count(); ()
+        }
       }
-    }
     // SPARK_GRAFT_SKIP_ASIS=1 skips the exact-candidate cluster leg — at
     // sf10 it is KNOWN to exceed a single box's disk (the r10 finding the
     // band-local legs below exist to fix); reported as -1 when skipped.

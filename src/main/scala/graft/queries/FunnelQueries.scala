@@ -2691,6 +2691,196 @@ object FunnelQueries {
           |SELECT event_type, digits, CAST(COUNT(*) AS BIGINT) AS n,
           |       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
           |       CAST(MAX(gap) AS BIGINT) AS max_gap_us
-          |FROM d GROUP BY event_type, digits ORDER BY event_type, digits""".stripMargin))
+          |FROM d GROUP BY event_type, digits ORDER BY event_type, digits""".stripMargin)),
+
+    // ---- CUPED variance reduction audit (added r11) ----------------------
+    // The experimentation-platform staple (Deng et al. 2013): before
+    // trusting an A/B readout on user spend, how much metric variance
+    // would the pre-period covariate remove? Users' spend cents are split
+    // at the calendar midpoint into pre (x) and post (y);
+    // θ = cov(x,y)/var(x) is the CUPED coefficient and ρ² = cov²/(vx·vy)
+    // is exactly the variance fraction the adjustment removes. All sums
+    // are exact integer cents in DECIMAL(38,0)/HUGEINT (Σx·y wraps int64
+    // at ~10⁶ users of ~$100k spend); the n-scaled cross moments
+    // cov_n = n·Sxy − Sx·Sy etc. stay exact decimals; θ is ONE bare
+    // decimal→double division and ρ² one fixed IEEE chain over the
+    // decimal→double casts. Zero-variance guards return NULL.
+    //
+    // Scale shape: 1-row calendar-bounds broadcast → ONE user-grain hash
+    // agg (map-side combine) → 1-row moment roll-up; never a user sort.
+    "cuped_adjustment" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val users = ev.crossJoin(broadcast(bounds))
+          // div, not /: Spark int division via / yields DOUBLE and its
+          // int cast TRUNCATES while DuckDB's ROUNDS — floor-div on both
+          .withColumn("mid",
+            expr("date_add(d0, CAST((datediff(d1, d0) + 1) div 2 AS INT))"))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("d") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+            sum(when(col("d") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        users
+          .agg(count(lit(1)).as("n"),
+            sum(big(col("x"))).as("sx"), sum(big(col("y"))).as("sy"),
+            sum(big(col("x")) * big(col("y"))).as("sxy"),
+            sum(big(col("x")) * big(col("x"))).as("sxx"),
+            sum(big(col("y")) * big(col("y"))).as("syy"))
+          .withColumn("covn", big(col("n")) * col("sxy") - col("sx") * col("sy"))
+          .withColumn("vxn", big(col("n")) * col("sxx") - col("sx") * col("sx"))
+          .withColumn("vyn", big(col("n")) * col("syy") - col("sy") * col("sy"))
+          .select(col("n").as("n_users"),
+            when(col("vxn") === 0, lit(null).cast("double"))
+              .otherwise(col("covn").cast("double") / col("vxn").cast("double"))
+              .as("theta"),
+            when(col("vxn") === 0 || col("vyn") === 0, lit(null).cast("double"))
+              .otherwise(col("covn").cast("double") * col("covn").cast("double")
+                / (col("vxn").cast("double") * col("vyn").cast("double")))
+              .as("rho2"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+          |                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          |            FROM events),
+          |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+          |u AS (SELECT user_id,
+          |             CAST(SUM(CASE WHEN d < d0 + CAST((date_diff('day', d0, d1) + 1) // 2 AS INT)
+          |                           THEN cents ELSE 0 END) AS BIGINT) AS x,
+          |             CAST(SUM(CASE WHEN d >= d0 + CAST((date_diff('day', d0, d1) + 1) // 2 AS INT)
+          |                           THEN cents ELSE 0 END) AS BIGINT) AS y
+          |      FROM ev CROSS JOIN b GROUP BY user_id),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          |             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+          |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+          |             SUM(CAST(y AS HUGEINT) * y) AS syy
+          |      FROM u),
+          |c AS (SELECT n, n * sxy - sx * sy AS covn,
+          |             n * sxx - sx * sx AS vxn,
+          |             n * syy - sy * sy AS vyn
+          |      FROM m)
+          |SELECT n AS n_users,
+          |       CASE WHEN vxn = 0 THEN NULL
+          |            ELSE CAST(covn AS DOUBLE) / CAST(vxn AS DOUBLE) END AS theta,
+          |       CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+          |            ELSE CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+          |                 / (CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE)) END AS rho2
+          |FROM c""".stripMargin)),
+
+    // ---- deterministic HyperLogLog cardinality audit (added r11) ----------
+    // The mergeable-sketch story every 100 TB pipeline leans on (Flajolet
+    // 2007): per event type, a 64-register HLL estimate of distinct users
+    // beside the exact count — the number that says whether the sketch a
+    // dashboard/stream would use is trustworthy on THIS key distribution.
+    // Unlike approx_count_distinct (whose registers are engine-internal),
+    // every bit here is derived from md5 and reproduced by the DuckDB
+    // oracle: register j = max over items of (leading-zero run of the
+    // 60-bit md5 suffix) + 1, bucket = top 6 bits; duplicates are free
+    // (max is idempotent — the property that makes the sketch mergeable
+    // across partitions, streams, and days). The harmonic sum is EXACT:
+    // Σ2^(62−M_j) as integers (never a float accumulation — 64 powers of
+    // two don't fit a 53-bit mantissa, so float order would diverge);
+    // the raw estimate α·m²·2⁶²/S and the small-range linear-counting
+    // branch m·ln(m/V) (ln via [[LnGrid]]) are fixed IEEE chains.
+    //
+    // Scale shape: map-side hash/register derivation → (type, bucket ≤ 64)
+    // agg with map-side combine → ≤|types| roll-up; the exact side is one
+    // distinct-collapse agg (at 100 TB the exact leg is the expensive one
+    // — the audit exists to decide when to STOP running it).
+    "hll_distinct_audit" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("dg", md5(concat(lit("hll:"), col("user_id").cast("string"))))
+          .withColumn("h8",
+            expr("""(instr('0123456789abcdef', substring(dg, 1, 1)) - 1) * 16
+                   | + instr('0123456789abcdef', substring(dg, 2, 1)) - 1""".stripMargin))
+          .withColumn("bucket", expr("h8 div 4"))
+          .withColumn("sfx", expr("substring(dg, 3, 15)"))
+          .withColumn("zs", expr("length(regexp_extract(sfx, '^(0*)', 1))"))
+          .withColumn("cv",
+            expr("instr('0123456789abcdef', substring(sfx, zs + 1, 1)) - 1"))
+          .withColumn("rho",
+            expr("""CASE WHEN zs >= 15 THEN 61L
+                   | ELSE CAST(zs AS BIGINT) * 4L
+                   |   + (CASE WHEN cv >= 8 THEN 0L WHEN cv >= 4 THEN 1L
+                   |           WHEN cv >= 2 THEN 2L ELSE 3L END) + 1L END""".stripMargin))
+        val reg = ev.groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("rho")).as("m"))
+        val agg = reg.groupBy("event_type")
+          .agg(count(lit(1)).as("nb"),
+            // decimal sum: 64 registers at m = 1 total 2^67 > int64
+            sum(expr("cast(shiftleft(1L, cast(62 - m as int)) as decimal(38,0))"))
+              .as("sp"))
+          .withColumn("v_zero", lit(64L) - col("nb"))
+          .withColumn("s62",
+            big(col("sp")) + big(col("v_zero")) * big(lit(4611686018427387904L)))
+          .withColumn("hll_raw",
+            (lit(0.709) * lit(4096.0) * lit(4611686018427387904.0))
+              / col("s62").cast("double"))
+        val est = LnGrid
+          .withLn6(agg, lit(64L), greatest(col("v_zero"), lit(1L)), "l6", "__hll_")
+          .withColumn("hll_est",
+            when(col("hll_raw") <= 160.0 && col("v_zero") > 0,
+              (lit(64.0) * col("l6").cast("double")) / lit(1000000.0))
+              .otherwise(col("hll_raw")))
+        val exact = Tables.load(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(est, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            col("nb").as("n_buckets_used"), col("v_zero"),
+            col("hll_raw"), col("hll_est"),
+            ((col("hll_est") - col("n_exact").cast("double"))
+              / col("n_exact").cast("double")).as("rel_err"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH dgt AS (SELECT event_type,
+           |              md5('hll:' || CAST(user_id AS VARCHAR)) AS dg
+           |            FROM events),
+           |hx AS (SELECT event_type,
+           |          ((instr('0123456789abcdef', substring(dg, 1, 1)) - 1) * 16
+           |            + instr('0123456789abcdef', substring(dg, 2, 1)) - 1) // 4 AS bucket,
+           |          substring(dg, 3, 15) AS sfx
+           |       FROM dgt),
+           |rr AS (SELECT event_type, bucket,
+           |          length(regexp_extract(sfx, '^(0*)', 1)) AS zs,
+           |          instr('0123456789abcdef',
+           |            substring(sfx, CAST(length(regexp_extract(sfx, '^(0*)', 1)) + 1 AS INT), 1))
+           |            - 1 AS cv
+           |       FROM hx),
+           |rho AS (SELECT event_type, bucket,
+           |          CASE WHEN zs >= 15 THEN 61
+           |               ELSE zs * 4 + (CASE WHEN cv >= 8 THEN 0 WHEN cv >= 4 THEN 1
+           |                                   WHEN cv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+           |        FROM rr),
+           |reg AS (SELECT event_type, bucket, CAST(MAX(rho) AS BIGINT) AS m
+           |        FROM rho GROUP BY 1, 2),
+           |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb,
+           |          CAST(SUM(CAST(1 AS BIGINT) << CAST(62 - m AS INT)) AS HUGEINT) AS sp
+           |        FROM reg GROUP BY 1),
+           |ag2 AS (SELECT *, 64 - nb AS v_zero,
+           |          sp + CAST(64 - nb AS HUGEINT) * 4611686018427387904 AS s62,
+           |          CAST(GREATEST(64 - nb, 1) AS BIGINT) AS vt
+           |        FROM agg),
+           |raw AS (SELECT *,
+           |          ((0.709 * 4096.0) * 4611686018427387904.0) / CAST(s62 AS DOUBLE) AS hll_raw
+           |        FROM ag2),
+           |${LnGrid.sqlCtes("raw", "64", "vt", "l6", "hll_")},
+           |est AS (SELECT *, CASE WHEN hll_raw <= 160.0 AND v_zero > 0
+           |                       THEN (64.0 * CAST(l6 AS DOUBLE)) / 1000000.0
+           |                       ELSE hll_raw END AS hll_est
+           |        FROM hll_out),
+           |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           |       FROM events GROUP BY 1)
+           |SELECT ex.event_type, n_exact, nb AS n_buckets_used,
+           |       CAST(v_zero AS BIGINT) AS v_zero, hll_raw, hll_est,
+           |       (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+           |FROM ex JOIN est ON ex.event_type = est.event_type
+           |ORDER BY ex.event_type""".stripMargin))
   )
 }

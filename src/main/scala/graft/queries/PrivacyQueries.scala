@@ -235,6 +235,51 @@ object PrivacyQueries {
           |       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_lt5,
           |       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
           |         / CAST(SUM(k) AS DOUBLE) AS share_rows_lt5
+          |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- l-diversity audit (added r11) -----------------------------------
+    // k_anonymity_audit's stronger sibling (Machanavajjhala 2007): a cell
+    // can satisfy k ≥ 5 and STILL leak if every row in it shares the same
+    // sensitive value — homogeneity attack. Under the same published
+    // quasi-identifier (event_type, day), the sensitive attribute is the
+    // whole-unit spend band floor(value): per type — cell count, the
+    // minimum distinct-sensitive count l, cells and rows below the classic
+    // l ≥ 3 rule, failing-row share (ONE bare division). Together the two
+    // audits answer "is any published cell small" AND "is any published
+    // cell uniform".
+    //
+    // Scale shape: one (type, day, band) distinct-collapse agg → one
+    // (type, day) cell agg (calendar × types bounded) → ≤|types| roll-up.
+    "l_diversity_audit" -> Q(
+      fn = (s, dir) => {
+        val cells = Tables.load(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            floor(col("value")).cast("long").as("sens"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+        cells.groupBy("event_type")
+          .agg(count(lit(1)).as("n_cells"), min(col("l")).as("min_l"),
+            sum(when(col("l") < 3, 1L).otherwise(0L)).as("cells_lt3"),
+            sum(when(col("l") < 3, col("k")).otherwise(0L)).as("rows_lt3"),
+            sum(col("k")).as("n_rows"))
+          .select(col("event_type"), col("n_cells"), col("min_l"),
+            col("cells_lt3"), col("rows_lt3"),
+            (col("rows_lt3").cast("double") / col("n_rows").cast("double"))
+              .as("share_rows_lt3"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH cells AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS k,
+          |         CAST(COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS l
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       CAST(MIN(l) AS BIGINT) AS min_l,
+          |       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS cells_lt3,
+          |       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS rows_lt3,
+          |       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS DOUBLE)
+          |         / CAST(SUM(k) AS DOUBLE) AS share_rows_lt3
           |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -792,6 +792,79 @@ object SimilarityQueries {
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
       headline = true),
 
+    // ---- Matryoshka prefix-dimension retrieval audit (added r11) ---------
+    // The embedding-truncation question MRL training popularized (Kusupati
+    // 2022): if the index stores only the first d dims (2×/4×/8× cheaper
+    // storage AND dot products), how much of the full-dimension top-10 is
+    // retained? Per prefix d ∈ {8, 16, 32}: exact brute-force top-10 by
+    // prefix cosine vs the full-64-dim top-10 ground truth (similarity_
+    // topk's spelling verbatim), recall = overlap/ranked — exact ints,
+    // ONE bare division. On RANDOM (non-MRL) embeddings recall decays
+    // hard with truncation — which is exactly the audit's point: it
+    // measures whether a given checkpoint's embeddings earn their
+    // truncated index before the 100 TB reindex is paid.
+    //
+    // Scale shape: the ≤5-row query side broadcasts against ONE corpus
+    // scan per prefix (similarity_topk's whitelisted shape ×4); the
+    // overlap join runs on the ≤4·q·10-row ranked frames.
+    "matryoshka_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def top(d: Int) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+          broadcast(q).crossJoin(c)
+            .filter(col("qid") =!= col("cid"))
+            .withColumn("sim", cosineSimilarity(
+              slice(col("qv"), 1, d), slice(col("cv"), 1, d)))
+            .filter(col("sim").isNotNull)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= TopK)
+            .select(col("qid"), col("cid"))
+        }
+        val full = top(64).withColumn("hit", lit(1))
+        Seq(8, 16, 32).map(d => top(d).withColumn("dim", lit(d)))
+          .reduce(_ union _)
+          .join(full, Seq("qid", "cid"), "left")
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n_ranked"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+          .select(col("dim"), col("n_ranked"), col("n_overlap"),
+            (col("n_overlap").cast("double") / col("n_ranked").cast("double"))
+              .as("recall"))
+          .orderBy("dim")
+      },
+      oracle = Some {
+        def rankedCte(name: String, d: Int) =
+          s"""$name AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid,
+             |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+             |    FROM (SELECT qid, cid,
+             |                 ${duckCosSql(s"qv[1:$d]", s"cv[1:$d]")} AS sim
+             |          FROM q CROSS JOIN c WHERE qid != cid)
+             |    WHERE sim IS NOT NULL)
+             |  WHERE rk <= $TopK)""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           |${rankedCte("r8", 8)},
+           |${rankedCte("r16", 16)},
+           |${rankedCte("r32", 32)},
+           |${rankedCte("rfull", 64)},
+           |pre AS (SELECT 8 AS dim, qid, cid FROM r8
+           |        UNION ALL SELECT 16, qid, cid FROM r16
+           |        UNION ALL SELECT 32, qid, cid FROM r32)
+           |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           |       CAST(SUM(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |       CAST(SUM(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS recall
+           |FROM pre LEFT JOIN rfull f ON pre.qid = f.qid AND pre.cid = f.cid
+           |GROUP BY dim ORDER BY dim""".stripMargin
+      }),
+
     // ---- same top-k via the typed bounded-buffer aggregator --------------
     // (identical output contract and oracle as similarity_topk: two engine
     // paths — window row_number vs typed Aggregator — one ground truth)

@@ -2193,6 +2193,83 @@ object StatQueries {
           |       END AS z
           |FROM d""".stripMargin)),
 
+    // ---- SPRT sequential conversion test (added r11) -----------------------
+    // Wald's sequential probability ratio test on the daily purchase share —
+    // the always-valid sequential monitor an experimentation platform runs
+    // INSTEAD of a fixed-horizon test when it wants to stop early:
+    // H₀ p = 9/50 vs H₁ p = 11/50 at α = β = 0.05. Per day,
+    // ΔLLR = k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) with k purchases of n events;
+    // both log terms are ratios of SMALL INTEGERS (11/9 and 39/41), so the
+    // constants come from [[LnGrid.ln6Ref]] evaluated at build time and
+    // INLINED AS THE SAME TEXT into both engines (the Ln2_9 one-constant
+    // discipline) — the whole path is int64: llr6_t is an exact prefix sum,
+    // the ±ln(19)·10⁶ Wald bounds are exact literals, and the decision is
+    // pure integer comparison. int64-safe to ~10¹² events/day (k·lA6 ≲
+    // 2·10¹⁷/day over a 10⁴-day calendar — documented bound).
+    //
+    // Scale shape: one day-grain hash agg; ONE calendar-bounded cumulative
+    // window (changepoint_daily's R2 argument); 1-row roll-up.
+    "sprt_conversion" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lA6 = LnGrid.ln6Ref(11, 9)   // ln(0.22/0.18)·10⁶, positive
+        val lB6 = LnGrid.ln6Ref(39, 41)  // ln(0.78/0.82)·10⁶, negative
+        val bound6 = LnGrid.ln6Ref(19, 1) // ln((1−β)/α)·10⁶ at α = β = .05
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("llr6",
+            sum(col("k") * lit(lA6) + (col("n") - col("k")) * lit(lB6)).over(w))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("n")).as("n_events"), sum(col("k")).as("n_purchases"),
+            max(col("llr6")).as("max_llr6"), min(col("llr6")).as("min_llr6"),
+            min(when(col("llr6") >= bound6, col("d"))).as("h1_cross_day"),
+            min(when(col("llr6") <= -bound6, col("d"))).as("h0_cross_day"),
+            max(struct(col("d"), col("llr6"))).as("last"))
+          .select(col("n_days"), col("n_events"), col("n_purchases"),
+            col("last.llr6").as("final_llr6"),
+            col("max_llr6"), col("min_llr6"),
+            col("h1_cross_day"), col("h0_cross_day"),
+            when(col("h1_cross_day").isNotNull &&
+                (col("h0_cross_day").isNull
+                  || col("h1_cross_day") <= col("h0_cross_day")), "accept_h1")
+              .when(col("h0_cross_day").isNotNull, "accept_h0")
+              .otherwise("continue").as("decision"))
+      },
+      oracle = Some {
+        val lA6 = LnGrid.ln6Ref(11, 9)
+        val lB6 = LnGrid.ln6Ref(39, 41)
+        val bound6 = LnGrid.ln6Ref(19, 1)
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+           |  FROM events GROUP BY CAST(ts AS DATE)),
+           |c AS (SELECT d, n, k,
+           |             CAST(SUM(k * ($lA6) + (n - k) * ($lB6)) OVER (ORDER BY d) AS BIGINT) AS llr6
+           |      FROM daily),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           |             CAST(SUM(n) AS BIGINT) AS n_events,
+           |             CAST(SUM(k) AS BIGINT) AS n_purchases,
+           |             CAST(MAX(llr6) AS BIGINT) AS max_llr6,
+           |             CAST(MIN(llr6) AS BIGINT) AS min_llr6,
+           |             MIN(CASE WHEN llr6 >= $bound6 THEN d END) AS h1_cross_day,
+           |             MIN(CASE WHEN llr6 <= -($bound6) THEN d END) AS h0_cross_day,
+           |             CAST(arg_max(llr6, d) AS BIGINT) AS final_llr6
+           |      FROM c)
+           |SELECT n_days, n_events, n_purchases, final_llr6, max_llr6, min_llr6,
+           |       h1_cross_day, h0_cross_day,
+           |       CASE WHEN h1_cross_day IS NOT NULL
+           |                  AND (h0_cross_day IS NULL OR h1_cross_day <= h0_cross_day)
+           |            THEN 'accept_h1'
+           |            WHEN h0_cross_day IS NOT NULL THEN 'accept_h0'
+           |            ELSE 'continue' END AS decision
+           |FROM a""".stripMargin
+      }),
+
     // ---- isotonic calibration of the quality score (added r10) ------------
     // The FIX for what score_calibration DIAGNOSES: the isotonic (PAV)
     // regression of observed dup rate on the score bands — the standard

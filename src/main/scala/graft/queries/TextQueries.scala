@@ -584,6 +584,70 @@ object TextQueries {
     // Scale shape: vocab agg with map-side combine → TakeOrderedAndProject
     // keeps only 100 rows; everything after runs on ≤100 rows (the rank
     // window sits strictly over the limit — PlanGuard R2's bounded case).
+    // ---- Good-Turing frequency smoothing table (added r11) ---------------
+    // The classic unseen-mass estimator (Good 1953; the smoothing beneath
+    // Katz backoff), at the corpus's 5-token-window grain — the same grain
+    // the dedup family keys on (the 31-type synthetic unigram vocabulary
+    // has min count 26, so unigram GT would be vacuous; 5-gram counts are
+    // singleton-rich, exactly GT's regime): the frequency-of-frequencies
+    // table N_r for r ≤ 10, the GT-discounted count
+    // r* = (r+1)·N_{r+1}/N_r per row, and the unseen probability mass
+    // P₀ = N₁/N — how much probability a 5-gram LM trained on this corpus
+    // should reserve for never-seen windows (pairs with heaps_law_fit's
+    // vocabulary growth, vocab_coverage's OOV rate, and ngram_novelty).
+    // Window identity is the rolling fingerprint on the Spark side and
+    // md5 in the oracle (the dup_ngram_ratio convention — the N_r
+    // histogram depends only on the count multiset, identical under any
+    // injective window key). All counts exact int64; r* and P₀ fixed
+    // two-op IEEE chains over exact ints, bit-identical cross-engine.
+    //
+    // Scale shape: the shared rolling-gram digest pass → ONE (gh) hash agg
+    // with map-side combine → frequency-of-frequencies agg over the count
+    // domain (≤ √N distinct counts) → ≤10-row output with a tiny r+1
+    // self-join and a 1-row totals broadcast.
+    "good_turing_smoothing" -> Q(
+      fn = (s, dir) => {
+        val grams = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
+          .groupBy("gh").agg(count(lit(1)).as("c"))
+        val ff = grams.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+        val tot = grams.agg(sum(col("c")).as("n_windows"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+        ff.filter(col("r") <= 10)
+          .join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+            Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_r"),
+            coalesce(col("n_next"), lit(0L)).as("n_next"),
+            ((col("r") + 1).cast("double")
+              * coalesce(col("n_next"), lit(0L)).cast("double")
+              / col("n_r").cast("double")).as("r_star"),
+            col("n_windows"),
+            (col("n1").cast("double") / col("n_windows").cast("double"))
+              .as("p0_unseen"))
+          .orderBy("r")
+      },
+      oracle = Some(
+        """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |occ AS (SELECT UNNEST(list_transform(range(len(toks) - 4),
+          |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+          |        FROM d WHERE len(toks) >= 5),
+          |u AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY gh),
+          |ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM u GROUP BY c),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_windows,
+          |               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+          |        FROM u)
+          |SELECT a.r, a.n_r, COALESCE(b.n_r, 0) AS n_next,
+          |       CAST(a.r + 1 AS DOUBLE) * CAST(COALESCE(b.n_r, 0) AS DOUBLE)
+          |         / CAST(a.n_r AS DOUBLE) AS r_star,
+          |       n_windows,
+          |       CAST(n1 AS DOUBLE) / CAST(n_windows AS DOUBLE) AS p0_unseen
+          |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1 CROSS JOIN tot
+          |WHERE a.r <= 10 ORDER BY a.r""".stripMargin)),
+
     "zipf_fit" -> Q(
       fn = (s, dir) => {
         val vocab = Tables.load(s, dir, "documents")

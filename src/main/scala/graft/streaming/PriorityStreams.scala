@@ -1693,6 +1693,87 @@ object PriorityStreams {
             .cast("int")).as("is_anomaly"))
   }
 
+  // ---- streaming HyperLogLog distinct-count audit (added r11) ------------
+
+  /** One keyed item observation for the streaming HLL sketch. */
+  final case class HllItem(groupKey: String, itemId: Long)
+
+  /** Per-batch sketch emission: register occupancy + the two estimates,
+    * each recomputed from the merged registers (Update mode — the last
+    * emission per key is the current cardinality estimate). */
+  final case class HllRow(groupKey: String, nBucketsUsed: Long, vZero: Long,
+      hllRaw: Double, hllEst: Double)
+
+  /** Streaming twin of the batch `hll_distinct_audit` sketch side: per key,
+    * 64 HLL registers maintained as transformWithState state (64 BYTES per
+    * key — the whole point of the sketch: state is constant regardless of
+    * cardinality), max-merged per arriving item. Because register merge is
+    * an idempotent, commutative, associative max, the stream's final
+    * registers — and therefore the raw α·m²·2⁶²/S estimate and the
+    * linear-counting branch — equal the batch query's bit-for-bit on any
+    * batch split or arrival order (spec-pinned; duplicates are free). The
+    * estimate chain reuses the batch spelling exactly: exact BigInt
+    * harmonic sum, one IEEE division, [[graft.queries.LnGrid.ln6Ref]] for
+    * the m·ln(m/V) small-range branch. */
+  final class HllProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, HllItem, HllRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var regs: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState[Array[Byte]]("hll_registers",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HllItem],
+        timerValues: TimerValues): Iterator[HllRow] = {
+      val m = if (regs.exists()) regs.get() else new Array[Byte](64)
+      // one digest instance per handleInputRows call (single-threaded here;
+      // MessageDigest.getInstance("MD5") is a cheap lookup)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { it =>
+        // the batch query's md5 spelling verbatim: 'hll:' || CAST(id AS STRING)
+        val h = md.digest(s"hll:${it.itemId}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h8 = Integer.parseInt(h.substring(0, 2), 16)
+        val b = h8 / 4
+        val sfx = h.substring(2, 17)
+        val zs = sfx.takeWhile(_ == '0').length
+        val rho =
+          if (zs >= 15) 61
+          else {
+            val cv = Integer.parseInt(sfx.charAt(zs).toString, 16)
+            val lead = if (cv >= 8) 0 else if (cv >= 4) 1 else if (cv >= 2) 2 else 3
+            zs * 4 + lead + 1
+          }
+        if (rho > m(b)) m(b) = rho.toByte
+      }
+      regs.update(m)
+      val present = m.count(_ > 0)
+      val vZero = 64L - present
+      val s62 = m.map(x => if (x > 0) BigInt(1) << (62 - x.toInt) else BigInt(1) << 62).sum
+      val raw = ((0.709 * 4096.0) * 4611686018427387904.0) / s62.toDouble
+      val est =
+        if (raw <= 160.0 && vZero > 0)
+          (64.0 * graft.queries.LnGrid.ln6Ref(64, math.max(vZero, 1L)).toDouble) / 1000000.0
+        else raw
+      Iterator.single(HllRow(key, present.toLong, vZero, raw, est))
+    }
+  }
+
+  /** See [[HllProcessor]]. */
+  def hllStream(items: Dataset[HllItem]): Dataset[HllRow] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.groupKey)
+      .transformWithState(
+        new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- FAIR-pool priority scheduling ------------------------------------
 
   /** The Spark-native expression of bucket priority at execution time: a

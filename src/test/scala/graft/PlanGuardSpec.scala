@@ -91,6 +91,9 @@ class PlanGuardSpec extends SparkTestBase {
       "retention_halflife", // broadcast of the 1-row user-total aggregate
       "attribution_markov", // 1-row coefficient pivot × the 5-row VALUES variant dimension
       "token_burstiness", // broadcast of the 1-row doc-count aggregate
+      "good_turing_smoothing", // broadcast of the 1-row (n_tokens, n1) totals aggregate
+      "matryoshka_recall", // ≤5-row query-side broadcast ×4 prefixes (similarity_topk shape)
+      "cuped_adjustment", // broadcast of the 1-row calendar-bounds aggregate
       // changepoint_daily: 1-row totals broadcast + the exact-argmax
       // anti-join whose BOTH sides are the day-grain aggregate (calendar-
       // span bounded by construction, never corpus rows)
@@ -342,7 +345,13 @@ class PlanGuardSpec extends SparkTestBase {
     "churn_hazard_by_tenure",
     // best_split_length_dup: the candidate-threshold cumulative window
     // over the length value grid — auc_dup_quality's argument.
-    "best_split_length_dup")
+    "best_split_length_dup",
+    // mann_whitney_length: ONE cumulative window over the merged length
+    // grid — cliffs_delta_length's argument (it reuses the same grid).
+    "mann_whitney_length",
+    // sprt_conversion: the LLR prefix-sum window over the day-grain
+    // aggregate — calendar-span bounded like changepoint_daily.
+    "sprt_conversion")
 
   test("R2: global windows only over limit-bounded inputs") {
     val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -408,6 +417,8 @@ class PlanGuardSpec extends SparkTestBase {
       "classical_decomposition" -> daySpan, // centered MA over the daily series
       "cliffs_delta_length" -> (nChars + 2), // merged length grid
       "best_split_length_dup" -> (nChars + 2), // candidate-threshold grid
+      "mann_whitney_length" -> (nChars + 2), // same merged length grid as cliffs
+      "sprt_conversion" -> daySpan, // LLR prefix over the daily series
       "seasonal_strength" -> daySpan, // centered MA over the daily series
       "churn_hazard_by_tenure" -> (daySpan / 7 + 2), // tenure-week grid
       "isotonic_calibration" -> 11L, // quality bands q6 div 1e5 ∈ 0..10

@@ -1245,6 +1245,41 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("hllStream final registers == batch hll_distinct_audit across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val items = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val mid = items(items.length / 2)._3
+    withRocksDB {
+      val in = MemoryStream[(String, Long)]
+      val q = PriorityStreams.hllStream(
+        in.toDF().toDF("groupKey", "itemId").as[PriorityStreams.HllItem])
+        .writeStream.format("memory").queryName("hll_out")
+        .outputMode("update").start()
+      in.addData(items.filter(_._3 <= mid).map(x => (x._1, x._2)))
+      q.processAllAvailable()
+      in.addData(items.filter(_._3 > mid).map(x => (x._1, x._2)))
+      q.processAllAvailable(); q.stop()
+    }
+    // last emission per key = the current estimate (Update mode)
+    val last = spark.table("hll_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap // Map keeps the LAST occurrence per key
+    // THE max-merge claim: final stream registers == the batch sketch
+    // bit-for-bit (occupancy, raw, and corrected estimate), despite the
+    // mid-stream split and duplicate users across batches
+    val batch = graft.SparkEntry.queries("hll_distinct_audit")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(batch.nonEmpty && last.keySet == batch.keySet)
+    batch.foreach { case (t, exp) =>
+      assert(last(t) == exp, s"$t streaming sketch diverged from batch")
+    }
+  }
+
   test("stickinessStream per-day counts == batch dau_stickiness across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
