@@ -81,9 +81,20 @@ object Q {
     * fault-tolerant FS and survive executor loss; otherwise (local mode,
     * tests, bench) keep the fast in-memory local checkpoint. Both are eager,
     * so loop structure and convergence reads are identical either way. */
-  private[queries] def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private[queries] def truncate(df: DataFrame): DataFrame = {
+    val ck =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    // Cap the inherited stats estimate: checkpoint preserves the ORIGIN
+    // plan's Statistics, and in an iterative loop that inheritance
+    // compounds doubly-exponentially (round estimate = product of inherited
+    // sizes, next checkpoint inherits the product) until Catalyst grinds
+    // minutes per planning pass inside BigInteger multiplication — see
+    // [[org.apache.spark.sql.graftbridge.Bridge.capRddStats]] for the r11
+    // live capture. Small frames keep their true estimates (broadcasts
+    // unaffected); anything above 1 PB clamps.
+    org.apache.spark.sql.graftbridge.Bridge.capRddStats(ck)
+  }
 
   /** Exact integer square root ⌊√x⌋ for a non-negative int64 column —
     * engine-VERSION-proof (r8 doctrine, see the class doc). The double

@@ -36,6 +36,52 @@ object Bridge {
   def waitUntilListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Cap the inherited size estimate of every checkpointed `LogicalRDD`
+    * leaf in `df`'s plan at `capBytes`.
+    *
+    * Why this exists (r11): `Dataset.localCheckpoint`/`checkpoint` preserve
+    * the ORIGIN plan's `Statistics` on the resulting `LogicalRDD`
+    * (`LogicalRDD.fromDataset`) so downstream planning keeps good
+    * estimates. In an ITERATIVE checkpoint loop (connected components:
+    * join → agg → checkpoint per round) that inheritance COMPOUNDS — each
+    * round's join estimate multiplies the inherited sizes, the next
+    * checkpoint inherits the product, and the `BigInt` size estimate grows
+    * doubly-exponentially in rounds. By round ~14 the estimates hold
+    * millions of bits and Catalyst's `SizeInBytesOnlyStatsPlanVisitor`
+    * spends MINUTES inside `BigInteger.multiplyToomCook3` per planning
+    * pass (observed live: the sf1 band-local cluster leg pinned one core
+    * for 12+ minutes inside stats estimation — jstack'd mid-grind).
+    *
+    * The cap keeps small frames' real estimates (broadcast decisions
+    * intact) and clamps anything above `capBytes`, so a k-round loop's
+    * estimates are bounded by cap²·|plan| per round instead of
+    * size^(2^k). Leaves partitioning/ordering/constraints untouched.
+    *
+    * Implementation note: this matches the plan ROOT only — a checkpointed
+    * Dataset's analyzed plan IS the `LogicalRDD` leaf — because
+    * `plan.transform` CANNOT swap the node: `LogicalRDD`'s curried second
+    * parameter list (session/stats/constraints) is excluded from case-class
+    * equality, so `fastEquals` judges the stats-modified replacement equal
+    * to the original and transform keeps the OLD node (silently — found the
+    * hard way). A non-root `LogicalRDD` is left untouched and the frame
+    * returned as-is. */
+  def capRddStats(
+      df: org.apache.spark.sql.DataFrame,
+      capBytes: BigInt = BigInt("1000000000000000") /* 1 PB */)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD if l.stats.sizeInBytes > capBytes =>
+        classic.Dataset.ofRows(spark,
+          LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(spark,
+            Some(Statistics(sizeInBytes = capBytes)), None))
+      case _ => df
+    }
+  }
+
   /** ANSI division-by-zero error, exactly the exception `Divide` raises
     * (QueryExecutionErrors is `private[sql]`; codegen calls this via the
     * static forwarder `org.apache.spark.sql.graftbridge.Bridge.divideByZeroError`). */
