@@ -792,6 +792,146 @@ object SimilarityQueries {
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
       headline = true),
 
+    // ---- degree assortativity of the near-dup graph (added r11) ----------
+    // Newman's degree assortativity over the LSH pair graph (threshold
+    // 0.35, the shared pipeline): Pearson correlation of endpoint degrees
+    // over the DIRECTED edge list (each undirected edge counted both ways,
+    // so Σx = Σy and one moment set suffices) — r > 0 means near-dup-heavy
+    // docs link to each other (a dense boilerplate core, dedup it as a
+    // block), r < 0 means hub-and-spoke (one template with many leaves,
+    // keep the hub). Complements dup_degree_profile (the marginal degree
+    // view) with the JOINT structure. Exact ints in DECIMAL(38,0)/HUGEINT
+    // (Σxy ≤ max_deg²·2m wraps int64 early); r is ONE fixed decimal→double
+    // chain; degenerate regular graphs (zero variance) → NULL.
+    //
+    // Scale shape: the shared banded pair pipeline (never all-pairs) →
+    // one degree agg → two degree-attach joins keyed on node id → 1-row
+    // moment roll-up.
+    "dup_graph_assortativity" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        // unsorted variant: the moments are order-free, so the pair
+        // pipeline's global sort would be a wasted range exchange
+        val pairs = lshNearDupPairsUnsorted(Tables.load(s, dir, "embeddings"), 0.35)
+          ._1.select(col("a_id"), col("b_id"))
+        val sym = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val deg = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("d"))
+        sym
+          .join(deg.select(col("id").as("a_id"), col("d").as("x")), Seq("a_id"))
+          .join(deg.select(col("id").as("b_id"), col("d").as("y")), Seq("b_id"))
+          .agg(count(lit(1)).as("n"), sum(big(col("x"))).as("sx"),
+            sum(big(col("x")) * big(col("y"))).as("sxy"),
+            sum(big(col("x")) * big(col("x"))).as("sxx"))
+          .withColumn("num", big(col("n")) * col("sxy") - col("sx") * col("sx"))
+          .withColumn("den", big(col("n")) * col("sxx") - col("sx") * col("sx"))
+          .select((col("n") / 2).cast("long").as("n_edges"),
+            when(col("den") === 0, lit(null).cast("double"))
+              .otherwise(col("num").cast("double") / col("den").cast("double"))
+              .as("assortativity"))
+      },
+      oracle = Some(
+        s"""WITH ${lshPairsSqlCtes(0.35)},
+           |p AS (SELECT a_id, b_id
+           |      FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+           |      WHERE ${duckDot("a.embedding", "b.embedding")}
+           |             / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.35),
+           |sym AS (SELECT a_id AS s, b_id AS t FROM p
+           |        UNION ALL SELECT b_id, a_id FROM p),
+           |deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY s),
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |             SUM(CAST(dx.d AS HUGEINT)) AS sx,
+           |             SUM(CAST(dx.d AS HUGEINT) * dy.d) AS sxy,
+           |             SUM(CAST(dx.d AS HUGEINT) * dx.d) AS sxx
+           |      FROM sym JOIN deg dx ON sym.s = dx.id JOIN deg dy ON sym.t = dy.id),
+           |c AS (SELECT n, CAST(n AS HUGEINT) * sxy - sx * sx AS num,
+           |             CAST(n AS HUGEINT) * sxx - sx * sx AS den
+           |      FROM m)
+           |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           |       CASE WHEN den = 0 THEN NULL
+           |            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS assortativity
+           |FROM c""".stripMargin)),
+
+    // ---- modularity of the near-dup clustering (added r11) ---------------
+    // Newman-Girvan modularity of dedup_clusters' OWN partition over its
+    // OWN pair graph (threshold 0.40, the cluster query's spelling):
+    // Q = Σ_c (m_c/m − (D_c/2m)²) — "how much denser are the clusters than
+    // a degree-preserving random graph". For a connected-components
+    // partition every edge is intra-cluster (m_c sums to m by
+    // construction — the spec pins it), so Q here measures how much the
+    // degree mass concentrates per component: the audit that says whether
+    // the near-dup graph is a few dense blocks (high Q — safe to dedup
+    // per cluster) or one sprawling percolated component (Q → 0 — the
+    // threshold is too low and survivorship picks get arbitrary). Exact:
+    // Q·4m² = Σ_c (4·m_c·m − D_c²) in DECIMAL/HUGEINT, ONE division.
+    //
+    // Scale shape: the shared pipeline + the SAME CC loop as
+    // dedup_clusters → label-keyed edge/degree aggs (≤|clusters| rows) →
+    // 1-row roll-up.
+    "cluster_modularity" -> Q(
+      fn = (s, dir) => {
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val (pairsDf, sigCache) =
+          lshNearDupPairsUnsorted(Tables.load(s, dir, "embeddings"), 0.40)
+        val pairs = pairsDf.select(col("a_id"), col("b_id"))
+        val sym = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val labels = Q.connectedComponents(sym)
+        sigCache.unpersist()
+        val edges = pairs
+          .join(labels.select(col("id").as("a_id"), col("label").as("ca")), Seq("a_id"))
+          .join(labels.select(col("id").as("b_id"), col("label").as("cb")), Seq("b_id"))
+        val mTot = edges.agg(count(lit(1)).as("m"))
+        val perC = edges
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("mc"))
+        val degC = sym
+          .join(labels.select(col("id").as("a_id"), col("label").as("c")), Seq("a_id"))
+          .groupBy("c").agg(count(lit(1)).as("dc"))
+        degC.join(perC, Seq("c"), "left")
+          .crossJoin(broadcast(mTot))
+          .withColumn("mc", coalesce(col("mc"), lit(0L)))
+          .agg(count(lit(1)).as("n_clusters"), max(col("m")).as("n_edges"),
+            sum(big(col("mc")) * big(col("m")) * 4
+              - big(col("dc")) * big(col("dc"))).as("qnum"))
+          .select(col("n_clusters"), col("n_edges"),
+            when(col("n_edges") === 0, lit(null).cast("double"))
+              .otherwise(col("qnum").cast("double")
+                / (big(col("n_edges")) * big(col("n_edges")) * 4).cast("double"))
+              .as("modularity"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE ${lshPairsSqlCtes(0.40)},
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+           |  WHERE ${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.40),
+           |sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+           |        UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(s, d) AS (
+           |  SELECT s, d FROM sym
+           |  UNION
+           |  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s WHERE r.s != e2.d
+           |),
+           |lab AS (SELECT s AS id, LEAST(s, MIN(d)) AS label
+           |        FROM reach GROUP BY s),
+           |edges AS (SELECT la.label AS ca, lb.label AS cb FROM pairs
+           |          JOIN lab la ON la.id = a_id JOIN lab lb ON lb.id = b_id),
+           |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+           |pc AS (SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS mc
+           |       FROM edges WHERE ca = cb GROUP BY ca),
+           |dc AS (SELECT label AS c, CAST(COUNT(*) AS BIGINT) AS dcv
+           |       FROM sym JOIN lab ON lab.id = sym.s GROUP BY label),
+           |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters, MAX(m) AS n_edges,
+           |             SUM(CAST(COALESCE(mc, 0) AS HUGEINT) * m * 4
+           |                 - CAST(dcv AS HUGEINT) * dcv) AS qnum
+           |      FROM dc LEFT JOIN pc USING (c) CROSS JOIN mt)
+           |SELECT n_clusters, CAST(n_edges AS BIGINT) AS n_edges,
+           |       CASE WHEN n_edges = 0 THEN NULL
+           |            ELSE CAST(qnum AS DOUBLE)
+           |                 / CAST(CAST(n_edges AS HUGEINT) * n_edges * 4 AS DOUBLE) END AS modularity
+           |FROM q""".stripMargin)),
+
     // ---- Matryoshka prefix-dimension retrieval audit (added r11) ---------
     // The embedding-truncation question MRL training popularized (Kusupati
     // 2022): if the index stores only the first d dims (2×/4×/8× cheaper

@@ -2193,6 +2193,78 @@ object StatQueries {
           |       END AS z
           |FROM d""".stripMargin)),
 
+    // ---- Brier score of the quality score vs the dup label (added r11) ----
+    // The PROPER scoring rule completing the calibration family:
+    // score_calibration shows WHERE miscalibration lives, auc_dup_quality
+    // measures discrimination, the Brier score is the single number that
+    // decomposes into both (Murphy 1973): mean (p − y)² of the micro-grid
+    // quality score against the df ≥ 2 dup label, per source. Exact
+    // surface: Σ(y6 − pos·10⁶)² accumulates in DECIMAL(38,0) (each term
+    // ≤ 10¹², the sum wraps int64 at ~9M docs/source), brier is ONE
+    // decimal→double division by n·10¹². The label and score passes are
+    // score_calibration's verbatim (no-drift discipline).
+    //
+    // Scale shape: the shared rolling-gram label plan → per-doc map-side
+    // scoring → ≤|sources| roll-up.
+    "brier_score_dup" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs.withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
+            .rollingWindowHashes(col("toks"), 5)).as("gh"))
+          .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+          .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
+        docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .withColumn("y6",
+            floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long"))
+          .join(lab, Seq("doc_id"), "left")
+          .withColumn("pos", coalesce(col("pos"), lit(0L)))
+          .withColumn("e", col("y6") - col("pos") * 1000000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(big(col("e")) * big(col("e"))).as("se2"))
+          .select(col("source"), col("n"), col("n_pos"),
+            (col("se2").cast("double")
+              / (big(col("n")) * big(lit(1000000000000L))).cast("double"))
+              .as("brier"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks, text
+           |           FROM documents),
+           |occ AS (SELECT doc_id,
+           |               UNNEST(list_transform(range(len(toks) - 4),
+           |                 i -> md5(array_to_string(toks[i + 1 : i + 5], ' ')))) AS gh
+           |        FROM d WHERE len(toks) >= 5),
+           |dfx AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh),
+           |lab AS (SELECT occ.doc_id, MAX(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS pos
+           |        FROM occ JOIN dfx USING (gh) GROUP BY occ.doc_id),
+           |sc AS (SELECT source,
+           |              CAST(floor((0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           |                   + 0.3 * (1.0 - CAST(len(list_filter(toks,
+           |                         w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |                         AS DOUBLE) / len(toks))
+           |                   + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0))
+           |                   * 1000000.0) AS BIGINT) AS y6,
+           |              CAST(COALESCE(pos, 0) AS BIGINT) AS pos
+           |       FROM d LEFT JOIN lab USING (doc_id)),
+           |e AS (SELECT source, pos, y6 - pos * 1000000 AS e FROM sc)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+           |       CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE)
+           |         / CAST(CAST(COUNT(*) AS HUGEINT) * 1000000000000 AS DOUBLE) AS brier
+           |FROM e GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- SPRT sequential conversion test (added r11) -----------------------
     // Wald's sequential probability ratio test on the daily purchase share —
     // the always-valid sequential monitor an experimentation platform runs

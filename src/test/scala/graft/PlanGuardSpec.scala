@@ -93,6 +93,7 @@ class PlanGuardSpec extends SparkTestBase {
       "token_burstiness", // broadcast of the 1-row doc-count aggregate
       "good_turing_smoothing", // broadcast of the 1-row (n_tokens, n1) totals aggregate
       "matryoshka_recall", // ≤5-row query-side broadcast ×4 prefixes (similarity_topk shape)
+      "cluster_modularity", // broadcast of the 1-row total-edge-count aggregate
       "cuped_adjustment", // broadcast of the 1-row calendar-bounds aggregate
       // changepoint_daily: 1-row totals broadcast + the exact-argmax
       // anti-join whose BOTH sides are the day-grain aggregate (calendar-

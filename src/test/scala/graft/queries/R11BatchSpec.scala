@@ -199,6 +199,91 @@ class R11BatchSpec extends SparkTestBase {
     }
   }
 
+  test("dup_graph_assortativity: Pearson replay from the registry pair set") {
+    val out = graft.SparkEntry.queries("dup_graph_assortativity")(spark, dir).head()
+    spark.catalog.clearCache()
+    // same threshold, same pipeline — the registry's own pair query is the
+    // edge-set ground truth
+    val pairs = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val n = BigInt(xs.length)
+    val sx = xs.map(x => BigInt(x._1)).sum
+    val sxy = xs.map(x => BigInt(x._1) * x._2).sum
+    val sxx = xs.map(x => BigInt(x._1) * x._1).sum
+    val num = n * sxy - sx * sx
+    val den = n * sxx - sx * sx
+    assert(out.getLong(0) == pairs.length.toLong, "edge count")
+    if (den == 0) assert(out.isNullAt(1))
+    else assert(out.getDouble(1) == num.toDouble / den.toDouble, "assortativity replay")
+  }
+
+  test("cluster_modularity: replay from the registry labels + CC identities") {
+    val out = graft.SparkEntry.queries("cluster_modularity")(spark, dir).head()
+    spark.catalog.clearCache()
+    val labels = graft.SparkEntry.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val pairs = SimilarityQueries
+      .lshNearDupPairs(graft.Tables.load(spark, dir, "embeddings"), 0.40)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val m = pairs.length.toLong
+    // CC identity: every edge is intra-cluster
+    assert(pairs.forall(p => labels(p._1) == labels(p._2)), "inter-cluster edge?!")
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val degC = sym.groupBy(p => labels(p._1)).view.mapValues(_.length.toLong).toMap
+    val mC = pairs.groupBy(p => labels(p._1)).view.mapValues(_.length.toLong).toMap
+    assert(mC.values.sum == m, "intra-cluster edges must sum to m")
+    val qnum = degC.map { case (c, dc) =>
+      BigInt(mC.getOrElse(c, 0L)) * m * 4 - BigInt(dc) * dc }.sum
+    assert(out.getLong(0) == degC.size.toLong, "cluster count")
+    assert(out.getLong(1) == m, "edge count")
+    assert(out.getDouble(2) == qnum.toDouble / (BigInt(m) * m * 4).toDouble,
+      "modularity replay")
+    assert(out.getDouble(2) >= -0.5 && out.getDouble(2) <= 1.0, "modularity range")
+  }
+
+  test("brier_score_dup: replay from an independent md5 label pass") {
+    val out = graft.SparkEntry.queries("brier_score_dup")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent label pass at the md5 grain
+    val occ = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, _, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length >= 5)
+        (0 to toks.length - 5).foreach { i =>
+          val h = md.digest(toks.slice(i, i + 5).mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          occ.getOrElseUpdate(h, scala.collection.mutable.Set.empty) += id
+        }
+    }
+    val dupDocs = occ.values.filter(_.size >= 2).flatten.toSet
+    val stop = TextQueries.stopwords.toSet
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      var n = 0L; var nPos = 0L; var se2 = BigInt(0)
+      rows.foreach { case (id, _, text) =>
+        val toks = text.split(" ", -1)
+        val y6 = math.floor((0.4 * math.min(1.0, toks.length.toDouble / 50.0)
+          + 0.3 * (1.0 - toks.count(stop).toDouble / toks.length)
+          + 0.3 * math.min(1.0, text.length.toDouble / 200.0)) * 1000000.0).toLong
+        val pos = if (toks.length >= 5 && dupDocs(id)) 1L else 0L
+        val e = y6 - pos * 1000000L
+        n += 1; nPos += pos; se2 += BigInt(e) * e
+      }
+      val exp = (n, nPos, se2.toDouble / (BigInt(n) * BigInt("1000000000000")).toDouble)
+      assert(out(src) == exp, s"$src brier replay")
+    }
+  }
+
   test("sprt_conversion: full replay of the integer LLR path") {
     val out = graft.SparkEntry.queries("sprt_conversion")(spark, dir).head()
     val lA6 = graft.queries.LnGrid.ln6Ref(11, 9)
