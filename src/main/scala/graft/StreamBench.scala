@@ -814,6 +814,92 @@ object StreamBench {
     }
     val ltRps = ltEvents / ltSecs
 
+    // ---- streaming HLL sketch: stateful throughput (r11) -------------------
+    // hllStream over 5M item observations across 100,000 RocksDB-backed
+    // sketch keys (50 items each, duplicated ids across batches exercise
+    // the max-merge idempotence). Ground truth is a driver-side register
+    // replay for three sampled keys (md5 math is exact, the R11BatchSpec
+    // algebra); globally every key must emit in exactly ONE batch (keys
+    // share a file via repartition) and state is 100k register blobs.
+    val HllKeys = 100_000L
+    val hllEvents = 50L * HllKeys
+    val prevProviderH = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (hllSecs, hllStateKeys, hllRows) = try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-hll-src").toString
+      spark.range(hllEvents).select(
+        format_string("g%06d", pmod(col("id"), lit(HllKeys))).as("groupKey"),
+        // 50 distinct items per key (duplicate-idempotence is the twin
+        // spec's job; this leg measures register-update throughput)
+        expr(s"pmod(id, $HllKeys) * 1000000L + id div $HllKeys").as("itemId"))
+        .repartition(8, col("groupKey"))
+        .write.mode("overwrite").parquet(srcDir)
+      val items = spark.readStream
+        .schema("groupKey STRING, itemId BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .as[PriorityStreams.HllItem]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-hll-bench").toString
+      val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Double)]()
+      @volatile var rows = 0L
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.hllStream(items)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.HllRow], _: Long) =>
+          // one count + one 3-key filter per batch
+          rows += b.count()
+          b.filter(col("groupKey").isin("g000000", "g012345", "g099999"))
+            .collect().foreach(r =>
+              acc.put(r.groupKey, (r.nBucketsUsed, r.vZero, r.hllEst)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys == HllKeys, s"hll state keys $keys != $HllKeys")
+      assert(rows == HllKeys, s"hll emissions $rows != $HllKeys (one batch per key)")
+      // driver replay of the sampled keys (distinct items 0..49 per key)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Seq("g000000", "g012345", "g099999").foreach { k =>
+        val base = k.drop(1).toLong * 1000000L
+        val regs = new Array[Int](64)
+        (0L until 50L).map(base + _).foreach { item =>
+          val h = md.digest(s"hll:$item".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val b = Integer.parseInt(h.substring(0, 2), 16) / 4
+          val sfx = h.substring(2, 17)
+          val zs = sfx.takeWhile(_ == '0').length
+          val rho =
+            if (zs >= 15) 61
+            else {
+              val cv = Integer.parseInt(sfx.charAt(zs).toString, 16)
+              zs * 4 + (if (cv >= 8) 0 else if (cv >= 4) 1 else if (cv >= 2) 2 else 3) + 1
+            }
+          regs(b) = math.max(regs(b), rho)
+        }
+        val present = regs.count(_ > 0)
+        val v = 64L - present
+        val s62 = regs.map(x => if (x > 0) BigInt(1) << (62 - x) else BigInt(1) << 62).sum
+        val raw = ((0.709 * 4096.0) * 4611686018427387904.0) / s62.toDouble
+        val est =
+          if (raw <= 160.0 && v > 0)
+            (64.0 * graft.queries.LnGrid.ln6Ref(64, math.max(v, 1L)).toDouble) / 1000000.0
+          else raw
+        val got = acc.get(k)
+        assert(got != null, s"hll sampled key $k never emitted")
+        assert(got == ((present.toLong, v, est)), s"hll $k register replay: $got")
+      }
+      (secs, keys, rows)
+    } finally prevProviderH match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val hllRps = hllEvents / hllSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -1020,7 +1106,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"stickiness_state_keys":$stickStateKeys,"stickiness_rows":$stickRows,"stickiness_returning":$stickReturning,"stickiness_rows_per_sec":$stickRps%.0f,"ph_state_keys":$phStateKeys,"ph_rows":$phRows,"ph_rows_per_sec":$phRps%.0f,"lifetimer_state_keys":$ltStateKeys,"lifetimer_rows":$ltCounts,"lifetimer_rows_per_sec":$ltRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"stickiness_state_keys":$stickStateKeys,"stickiness_rows":$stickRows,"stickiness_returning":$stickReturning,"stickiness_rows_per_sec":$stickRps%.0f,"ph_state_keys":$phStateKeys,"ph_rows":$phRows,"ph_rows_per_sec":$phRps%.0f,"lifetimer_state_keys":$ltStateKeys,"lifetimer_rows":$ltCounts,"lifetimer_rows_per_sec":$ltRps%.0f,"hll_state_keys":$hllStateKeys,"hll_rows":$hllRows,"hll_rows_per_sec":$hllRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
