@@ -14,9 +14,12 @@ object BinProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
+    // mirror Bench's session shape (the warnings being attributed occur
+    // under ITS config — local thread count changes AQE's coalesced shapes)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,9 +29,13 @@ object BinProbe {
       .foreach { case (name, fn) =>
         System.err.println(s"[binprobe] >>> $name")
         System.err.flush()
-        try { fn(spark, sfDir).collect(); () }
-        catch { case e: Throwable =>
-          System.err.println(s"[binprobe] $name FAILED: ${e.getMessage}")
+        val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
+        (1 to reps).foreach { _ =>
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+          catch { case e: Throwable =>
+            System.err.println(s"[binprobe] $name FAILED: ${e.getMessage}")
+          }
+          spark.catalog.clearCache()
         }
       }
     System.err.println("[binprobe] done")

