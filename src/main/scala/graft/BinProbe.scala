@@ -31,8 +31,11 @@ object BinProbe {
         System.err.flush()
         val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
         (1 to reps).foreach { _ =>
+          // NonFatal only: an OOM/LinkageError leaves the JVM undefined and
+          // later stderr warnings would be misattributed — the tool's whole
+          // purpose — so fatal errors must terminate the probe.
           try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[binprobe] $name FAILED: ${e.getMessage}")
           }
           spark.catalog.clearCache()

@@ -18,6 +18,19 @@ import graft.streaming.PriorityStreams
   * Run: sbt "runMain graft.StreamBench"   (prints one JSON line)
   */
 object StreamBench {
+
+  /** foreachBatch RE-RUNS its function on a batch retry (same batchId);
+    * the legs below accumulate into driver vars/maps, so a retry would
+    * double-count and spuriously fail the exactness asserts. Each leg
+    * guards its body with its own instance: the body runs exactly once
+    * per batchId (batchIds restart at 0 per query, hence per-leg). */
+  private final class OncePerBatch {
+    private val seen =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    def apply(batchId: Long)(body: => Unit): Unit =
+      if (seen.add(batchId)) body
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,9 +82,10 @@ object StreamBench {
     val keyed = rate.select(keyedFrom(col("value")))
     val routed = PriorityStreams.routeStream(keyed, cfg, 10, col("key"), discardUnroutable = true)
     @volatile var streamed = 0L
+    val onceRoute = new OncePerBatch
     val q = routed.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        streamed += b.count(); ()
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        onceRoute(bid) { streamed += b.count() }; ()
       }
       .trigger(Trigger.ProcessingTime("1 second")).start()
     val s0 = System.nanoTime()
@@ -142,11 +156,12 @@ object StreamBench {
         .as[PriorityStreams.BucketEvent]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-bench").toString
       @volatile var emitted = 0L
+      val once = new OncePerBatch
       val st0 = System.nanoTime()
       val sq = PriorityStreams.backlogTrackerTws(events)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.BucketBacklog], _: Long) =>
-          emitted += b.count(); ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.BucketBacklog], bid: Long) =>
+          once(bid) { emitted += b.count() }; ()
         }
         .option("checkpointLocation", ckpt)
         .outputMode("update")
@@ -202,11 +217,12 @@ object StreamBench {
         .as[PriorityStreams.FunnelEvent]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-bench").toString
       @volatile var advances = 0L
+      val once = new OncePerBatch
       val f0 = System.nanoTime()
       val fq = PriorityStreams.funnelStream(events)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.FunnelAdvance], _: Long) =>
-          advances += b.count(); ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.FunnelAdvance], bid: Long) =>
+          once(bid) { advances += b.count() }; ()
         }
         .option("checkpointLocation", ckpt)
         .outputMode("update")
@@ -254,11 +270,12 @@ object StreamBench {
         .as[PriorityStreams.Scd2Event]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-bench").toString
       @volatile var rows = 0L
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.scd2Stream(events)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.Scd2Row], _: Long) =>
-          rows += b.count(); ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.Scd2Row], bid: Long) =>
+          once(bid) { rows += b.count() }; ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -305,11 +322,12 @@ object StreamBench {
         .as[PriorityStreams.TransEvent]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-trans-bench").toString
       @volatile var rows = 0L
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.transitionStream(events)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.Transition], _: Long) =>
-          rows += b.count(); ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.Transition], bid: Long) =>
+          once(bid) { rows += b.count() }; ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -360,16 +378,19 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-deb-bench").toString
       @volatile var rows = 0L
       @volatile var kept = 0L
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.debounceStream(events, 300000000L)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.DebounceDecision], _: Long) =>
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.DebounceDecision], bid: Long) =>
           // ONE action per batch: a second action re-executes the stateful
           // operator against the store (numRowsTotal doubles and the work
           // is done twice) — count kept and total in the same pass
-          val m = b.groupBy("kept").count().collect()
-            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-          kept += m.getOrElse(true, 0L); rows += m.values.sum; ()
+          once(bid) {
+            val m = b.groupBy("kept").count().collect()
+              .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+            kept += m.getOrElse(true, 0L); rows += m.values.sum
+          }; ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -418,15 +439,17 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-pack-bench").toString
       val finals = new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long, Long, Long)]()
       @volatile var rows = 0L
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.packStream(docs, 256L)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PackStat], _: Long) =>
-          val got = b.collect() // ≤ touched keys per batch
-          rows += got.length
-          got.foreach(p => finals.put((p.source, p.blk),
-            (p.nDocs, p.nTokens, p.nPacks, p.nPadding)))
-          ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PackStat], bid: Long) =>
+          once(bid) {
+            val got = b.collect() // ≤ touched keys per batch
+            rows += got.length
+            got.foreach(p => finals.put((p.source, p.blk),
+              (p.nDocs, p.nTokens, p.nPacks, p.nPadding)))
+          }; ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -480,17 +503,19 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-isl-bench").toString
       val finals = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
       @volatile var rows = 0L
+      val once = new OncePerBatch
       @volatile var closed = 0L
       val t0 = System.nanoTime()
       val q = PriorityStreams.islandsStream(days)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.StreakRow], _: Long) =>
-          val got = b.collect()
-          rows += got.length
-          closed += got.count(_.closed)
-          got.filter(!_.closed).foreach(r =>
-            finals.put(r.userId, (r.startDay, r.endDay, r.lenDays)))
-          ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.StreakRow], bid: Long) =>
+          once(bid) {
+            val got = b.collect()
+            rows += got.length
+            closed += got.count(_.closed)
+            got.filter(!_.closed).foreach(r =>
+              finals.put(r.userId, (r.startDay, r.endDay, r.lenDays)))
+          }; ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -548,16 +573,19 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-life-bench").toString
       val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
       @volatile var rows = 0L
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.lifecycleStream(weeks)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.LifecycleRow], _: Long) =>
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.LifecycleRow], bid: Long) =>
           // ONE action per batch (the debounce-leg discipline): fold the
           // per-state counts in a single pass
-          val m = b.groupBy("state").count().collect()
-            .map(r => r.getString(0) -> r.getLong(1))
-          m.foreach { case (s, n) =>
-            counts.merge(s, n, (a, x) => a + x); rows += n }
+          once(bid) {
+            val m = b.groupBy("state").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1))
+            m.foreach { case (s, n) =>
+              counts.merge(s, n, (a, x) => a + x); rows += n }
+          }
           ()
         }
         .option("checkpointLocation", ckpt)
@@ -611,15 +639,18 @@ object StreamBench {
         .as[PriorityStreams.DayEvent]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-stick-bench").toString
       @volatile var rows = 0L
+      val once = new OncePerBatch
       @volatile var returning = 0L
       val t0 = System.nanoTime()
       val q = PriorityStreams.stickinessStream(days)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.StickRow], _: Long) =>
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.StickRow], bid: Long) =>
           // ONE action per batch: fold the returning split in a single pass
-          b.groupBy("returning").count().collect().foreach { r =>
-            rows += r.getLong(1)
-            if (r.getBoolean(0)) returning += r.getLong(1)
+          once(bid) {
+            b.groupBy("returning").count().collect().foreach { r =>
+              rows += r.getLong(1)
+              if (r.getBoolean(0)) returning += r.getLong(1)
+            }
           }
           ()
         }
@@ -691,18 +722,21 @@ object StreamBench {
         .as[PriorityStreams.DayCount]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ph-bench").toString
       val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.pageHinkleyStream(days)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PhRow], _: Long) =>
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PhRow], bid: Long) =>
           // ONE action per batch: per-type (rows, maxExc, alarms)
-          b.groupBy("eventType")
-            .agg(count(lit(1)).as("n"), max(col("exc6")).as("mx"),
-              sum(when(col("alarm"), 1L).otherwise(0L)).as("al"))
-            .collect().foreach { r =>
-              acc.merge(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)),
-                (a, x) => (a._1 + x._1, math.max(a._2, x._2), a._3 + x._3))
-            }
+          once(bid) {
+            b.groupBy("eventType")
+              .agg(count(lit(1)).as("n"), max(col("exc6")).as("mx"),
+                sum(when(col("alarm"), 1L).otherwise(0L)).as("al"))
+              .collect().foreach { r =>
+                acc.merge(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)),
+                  (a, x) => (a._1 + x._1, math.max(a._2, x._2), a._3 + x._3))
+              }
+          }
           ()
         }
         .option("checkpointLocation", ckpt)
@@ -770,6 +804,7 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-lt-bench").toString
       val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
       @volatile var lastKeys = 0L
+      val once = new OncePerBatch
       def runOnce(): Unit = {
         val weeks = spark.readStream
           .schema("userId BIGINT, weekDay BIGINT, ts TIMESTAMP")
@@ -779,10 +814,12 @@ object StreamBench {
           .as[PriorityStreams.TimedWeekEvent]
         val q = PriorityStreams.lifecycleTimerStream(weeks)
           .writeStream
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.LifecycleRow], _: Long) =>
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.LifecycleRow], bid: Long) =>
             // ONE action per batch; the sentinel user's rows are excluded
-            b.filter(col("userId") =!= -1L).groupBy("state").count().collect()
-              .foreach(r => counts.merge(r.getString(0), r.getLong(1), (a, x) => a + x))
+            once(bid) {
+              b.filter(col("userId") =!= -1L).groupBy("state").count().collect()
+                .foreach(r => counts.merge(r.getString(0), r.getLong(1), (a, x) => a + x))
+            }
             ()
           }
           .option("checkpointLocation", ckpt)
@@ -844,15 +881,18 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-hll-bench").toString
       val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Double)]()
       @volatile var rows = 0L
+      val once = new OncePerBatch
       val t0 = System.nanoTime()
       val q = PriorityStreams.hllStream(items)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.HllRow], _: Long) =>
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.HllRow], bid: Long) =>
           // one count + one 3-key filter per batch
-          rows += b.count()
-          b.filter(col("groupKey").isin("g000000", "g012345", "g099999"))
-            .collect().foreach(r =>
-              acc.put(r.groupKey, (r.nBucketsUsed, r.vZero, r.hllEst)))
+          once(bid) {
+            rows += b.count()
+            b.filter(col("groupKey").isin("g000000", "g012345", "g099999"))
+              .collect().foreach(r =>
+                acc.put(r.groupKey, (r.nBucketsUsed, r.vZero, r.hllEst)))
+          }
           ()
         }
         .option("checkpointLocation", ckpt)

@@ -29,6 +29,13 @@ object CurationQueries {
   private val shingles5Duck =
     "list_distinct(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i + 1 : i + 5], ' ')))"
 
+  /** decontaminate_bloom's last-built bitmap broadcast — each new build
+    * unpersists the previous one so repeated invocations hold at most one
+    * live ~1 MB broadcast per session instead of leaking them. */
+  private val lastBloomBcast =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.broadcast.Broadcast[Array[Byte]]](null)
+
   val all: Map[String, Q] = Map(
 
     // ---- benchmark decontamination --------------------------------------
@@ -109,13 +116,38 @@ object CurationQueries {
         // is the same driver-side evaluation ScalarSubquery performed —
         // ONE binary cell — and the bitmap now rides the torrent protocol
         // once per executor like a broadcast join relation.
+        //
+        // FN CONTRACT NOTE: that head() makes this registry fn EAGER —
+        // building the frame runs the bloom aggregation (plan-only
+        // consumers pay it too). Accepted: the bitmap must exist before
+        // the downstream plan can be constructed, exactly like a
+        // broadcast-join relation materializing at planning time.
         val bfBytes = bloom.head().getAs[Array[Byte]](0)
-        val bfBcast = s.sparkContext.broadcast(bfBytes)
-        val cont = sh.filter(col("doc_id") % 97 =!= 0)
-          .filter(graft.functions.BloomFunctions.mightContainBroadcast(
-            bfBcast, xxhash64(col("s"))))
-          .join(bench, Seq("s"), "left_semi") // exact verify on the sliver
-          .select("doc_id").distinct()
+        // an empty bench sliver aggregates to a null cell — there is
+        // nothing to prefilter against, and shipping null would NPE in
+        // BloomFilter.readFrom on executors. cont is definitionally empty
+        // (no benchmark shingles → no contamination), so skip the bloom
+        // leg entirely and keep the exact (empty) semi-join.
+        val cont =
+          if (bfBytes == null) {
+            sh.filter(col("doc_id") % 97 =!= 0)
+              .join(bench, Seq("s"), "left_semi")
+              .select("doc_id").distinct()
+          } else {
+            val bfBcast = s.sparkContext.broadcast(bfBytes)
+            // at most ONE live bitmap broadcast per session: unpersist the
+            // previous invocation's executor copies (unpersist, not
+            // destroy — an older frame re-executing just re-fetches from
+            // the driver) instead of leaking ~1 MB per build for the
+            // session lifetime.
+            val prev = lastBloomBcast.getAndSet(bfBcast)
+            if (prev != null) prev.unpersist(blocking = false)
+            sh.filter(col("doc_id") % 97 =!= 0)
+              .filter(graft.functions.BloomFunctions.mightContainBroadcast(
+                bfBcast, xxhash64(col("s"))))
+              .join(bench, Seq("s"), "left_semi") // exact verify on the sliver
+              .select("doc_id").distinct()
+          }
         docs.filter(col("doc_id") % 97 =!= 0)
           .join(cont.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
           .groupBy("source")

@@ -357,10 +357,22 @@ object SimilarityQueries {
     * trade); the default dial is the gate contract.
     *
     * Cache lifecycle: the signature frame backs both join branches and
-    * stays cached (the [[lshNearDupPairs]] note applies — long-lived
-    * sessions clear it after the final action). */
+    * stays cached. Callers that materialize the pairs (truncate/CC loop)
+    * should use [[lshNearDupPairsBandLocalWithSig]] and `unpersist()` the
+    * returned signature frame — NOT `catalog.clearCache()`, which is a
+    * session-global side effect that drops every cached Dataset the
+    * caller owns (r11 ADVICE). */
   def lshNearDupPairsBandLocal(emb0: org.apache.spark.sql.DataFrame, threshold: Double,
-      numBands: Int = NumBands, bandBits: Int = BandBits): org.apache.spark.sql.DataFrame = {
+      numBands: Int = NumBands, bandBits: Int = BandBits): org.apache.spark.sql.DataFrame =
+    lshNearDupPairsBandLocalWithSig(emb0, threshold, numBands, bandBits)._1
+
+  /** [[lshNearDupPairsBandLocal]] plus the cached signature frame, so the
+    * caller can `unpersist()` exactly that frame once the pairs are
+    * materialized (checkpointed) instead of clearing the whole catalog
+    * cache. */
+  def lshNearDupPairsBandLocalWithSig(emb0: org.apache.spark.sql.DataFrame, threshold: Double,
+      numBands: Int = NumBands, bandBits: Int = BandBits)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = emb0
       .filter(norm2(col("embedding")) > 0)
       .select(col("vec_id") +: col("embedding") +:
@@ -375,13 +387,14 @@ object SimilarityQueries {
         }: _*)).as("bs"))
       .select(col("vec_id"), col("embedding"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+    val pairs = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim", cosineSimilarity(col("x.embedding"), col("y.embedding")))
       .filter(col("sim") >= threshold)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
         Q.grid6(col("sim")).as("sim"))
       .distinct()
+    (pairs, emb)
   }
 
   /** dedup_clusters' scale path: connected components over
@@ -391,12 +404,16 @@ object SimilarityQueries {
     * ([[graft.ReshardCheck]]). */
   def clustersBandLocal(emb: org.apache.spark.sql.DataFrame, threshold: Double,
       numBands: Int = NumBands, bandBits: Int = BandBits): org.apache.spark.sql.DataFrame = {
-    val pairs = lshNearDupPairsBandLocal(emb, threshold, numBands, bandBits)
-      .select(col("a_id"), col("b_id"))
+    val (pairsRaw, sig) =
+      lshNearDupPairsBandLocalWithSig(emb, threshold, numBands, bandBits)
+    val pairs = pairsRaw.select(col("a_id"), col("b_id"))
     val sym = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    Q.connectedComponents(sym)
-      .select(col("id").as("vec_id"), col("label").as("cluster"))
+    val labels = Q.connectedComponents(sym)
+    // CC checkpoints eagerly, so labels no longer reference the signature
+    // cache — drop exactly that frame (repeated legs were accumulating it)
+    sig.unpersist()
+    labels.select(col("id").as("vec_id"), col("label").as("cluster"))
   }
 
   /** Every retriever/dedup entry except the composed eval below. */
@@ -874,13 +891,16 @@ object SimilarityQueries {
         // band-local pair generation (spec-pinned ≡ the exact-candidate
         // set): skips the candidate distinct + verify join — measured
         // 4.98 → ~3 s at sf0.1, and it is the shape that survives sf10
-        val pairs = Q.truncate(
-          lshNearDupPairsBandLocal(Tables.load(s, dir, "embeddings"), 0.40)
-            .select(col("a_id"), col("b_id")))
+        val (pairsRaw, sig) =
+          lshNearDupPairsBandLocalWithSig(Tables.load(s, dir, "embeddings"), 0.40)
+        val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        // truncate is an eager checkpoint — pairs no longer reference the
+        // signature cache, so drop exactly that frame (NOT clearCache():
+        // that's session-global and would nuke caller-owned caches)
+        sig.unpersist()
         val sym = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         val labels = Q.connectedComponents(sym)
-        s.catalog.clearCache() // the band-local signature cache
         val edges = pairs
           .join(labels.select(col("id").as("a_id"), col("label").as("ca")), Seq("a_id"))
           .join(labels.select(col("id").as("b_id"), col("label").as("cb")), Seq("b_id"))

@@ -74,10 +74,14 @@ object Bridge {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     df.queryExecution.analyzed match {
       case l: LogicalRDD if l.stats.sizeInBytes > capBytes =>
+        // keep the origin plan's constraints (e.g. not-null) — only the
+        // Statistics are being replaced. `l.constraints` IS the
+        // originConstraints view (filtered to the output set), so passing
+        // it back through preserves exactly what the origin plan proved.
         classic.Dataset.ofRows(spark,
           LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
             l.isStreaming, l.stream)(spark,
-            Some(Statistics(sizeInBytes = capBytes)), None))
+            Some(Statistics(sizeInBytes = capBytes)), Some(l.constraints)))
       case _ => df
     }
   }
