@@ -397,6 +397,125 @@ object TrainQueries {
           |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
           |rk AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM c)
           |SELECT CAST(rank AS INTEGER) AS rank, pair, n FROM rk
-          |WHERE rank <= 25 ORDER BY rank""".stripMargin))
+          |WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+
+    // ---- BPE training: the CHAINED merge loop (added r12) -----------------
+    // bpe_top_merges is one candidate-ranking pass; this is the actual
+    // trainer (Sennrich et al. 2016): 6 rounds of count-adjacent-pairs →
+    // take the most frequent pair (count DESC, pair ASC tie-break) → apply
+    // the merge greedily LEFT-TO-RIGHT NON-OVERLAPPING to every word →
+    // repeat on the merged symbols. Output is the learned merge table in
+    // order: (iter, pair, n). The r10/r11 verdicts carried this as the one
+    // declared trainer hole; the kmeans_step→3-chained-iteration oracle
+    // precedent (kmeans_train above) is followed exactly.
+    //
+    // The classic scale formulation: BPE trains on the WORD-FREQUENCY
+    // DICTIONARY, not the corpus — one corpus pass builds (word, n), and
+    // every merge round then runs on the vocab-sized frame with
+    // multiplicity-weighted pair counts. At 100 TB the corpus pass is the
+    // only corpus-sized stage; the 6 rounds touch |vocab| rows each.
+    // Words are normalized to ^[a-z]+$ first (standard BPE
+    // pre-tokenization; also what makes the '|' separator in the oracle's
+    // string encoding collision-free).
+    //
+    // Merge application, engine-proof on both sides:
+    //   Spark: a left fold over the symbol array —
+    //     acc ++ [x], or acc[:-1] ++ [a+b] when (last(acc), x) = (a, b).
+    //     The fold IS greedy left-to-right non-overlapping: a merged
+    //     symbol (strictly longer than a) can never equal a, so "aaa"
+    //     under (a,a) gives [aa, a], never [a, aa].
+    //   DuckDB: each word is encoded with every symbol WRAPPED in pipes
+    //     ("|a||b||c|") and the merge is replace(st, '|a||b|', '|ab|') —
+    //     wrapped symbols share no characters with their neighbors, so
+    //     replace-all's left-to-right non-overlapping scan is exactly the
+    //     fold (a leading-only or trailing-only separator provably
+    //     diverges on odd chains and symbol prefixes — worked example in
+    //     the r12 notes).
+    // The per-round argmax is a 1-row driver read (the CC-loop convergence
+    // probe precedent), which makes the merge pair a plan literal; the
+    // vocab state is Q.truncate'd per round so round k never recomputes
+    // rounds 1..k-1 (construction is therefore EAGER — ~13 small jobs —
+    // the decontaminate_bloom / CC-loop contract note applies).
+    "bpe_train" -> Q(
+      fn = (s, dir) => {
+        val Rounds = 6
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        var state = Q.truncate(
+          vocab.select(split(col("w"), "").as("syms"), col("n")))
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        var k = 1
+        var exhausted = false
+        while (k <= Rounds && !exhausted) {
+          val top = state.filter(size(col("syms")) >= 2)
+            .select(explode(expr(
+              """transform(sequence(1, size(syms) - 1),
+                |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
+                .stripMargin)).as("pair"), col("n"))
+            .groupBy("pair").agg(sum(col("n")).as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val pair = top(0).getString(0)
+            val cnt = top(0).getLong(1)
+            merges += ((k, pair, cnt))
+            val Array(a, b) = pair.split(" ", 2)
+            def q(x: String) = "'" + x.replace("'", "''") + "'"
+            state = Q.truncate(state.select(expr(
+              s"""aggregate(syms, CAST(array() AS array<string>),
+                 |  (acc, x) -> CASE WHEN size(acc) > 0
+                 |                    AND element_at(acc, -1) = ${q(a)}
+                 |                    AND x = ${q(b)}
+                 |              THEN concat(slice(acc, 1, size(acc) - 1),
+                 |                          array(${q(a + b)}))
+                 |              ELSE concat(acc, array(x)) END)""".stripMargin)
+              .as("syms"), col("n")))
+            k += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          merges.toSeq.map { case (i, p, n) =>
+            org.apache.spark.sql.Row(i, p, n)
+          }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("iter",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("pair",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+          .orderBy("iter")
+      },
+      oracle = Some {
+        val rounds = (1 to 6).map { k =>
+          s"""p$k AS (SELECT pair, SUM(n) AS n
+             |        FROM (SELECT UNNEST(list_transform(range(1, len(sy)),
+             |                       i -> sy[i] || ' ' || sy[i + 1])) AS pair, n
+             |              FROM (SELECT string_split(trim(st, '|'), '||') AS sy, n
+             |                    FROM w${k - 1}) WHERE len(sy) >= 2)
+             |        GROUP BY pair),
+             |m$k AS (SELECT CAST($k AS INTEGER) AS iter, pair, CAST(n AS BIGINT) AS n
+             |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
+             |w$k AS (SELECT replace(st,
+             |                 '|' || split_part(pair, ' ', 1) || '||' || split_part(pair, ' ', 2) || '|',
+             |                 '|' || replace(pair, ' ', '') || '|') AS st, w${k - 1}.n AS n
+             |        FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
+        }.mkString(",\n")
+        val union = (2 to 6).map(k => s"UNION ALL SELECT * FROM m$k").mkString("\n")
+        s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+           |           FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+           |           WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2
+           |           GROUP BY w),
+           |w0 AS (SELECT '|' || array_to_string(regexp_extract_all(w, '[a-z]'), '||') || '|' AS st, n
+           |       FROM v),
+           |$rounds
+           |SELECT * FROM m1
+           |$union
+           |ORDER BY iter""".stripMargin
+      })
   )
 }
