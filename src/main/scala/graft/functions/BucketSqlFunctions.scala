@@ -26,17 +26,29 @@ object BucketSqlFunctions {
     CaseWhen(Seq((cond, first)), None)
   }
 
+  // last (session, cfg) bound to bucket_of — createOrReplaceTempFunction
+  // logs "SimpleFunctionRegistry: bucket_of replaced" on every re-bind, so a
+  // min-of-3 bench run of bucket_of_sql used to emit the warning twice per
+  // session for a no-op replacement (r11 verdict item 8). A NEW config still
+  // replaces the binding immediately.
+  private val lastBucketOf =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, BucketPriorityConfig)]()
+
   /** Register `bucket_of(key)` bound to `cfg` in this session's function
-    * registry. Re-registering with a new config replaces the binding. */
+    * registry. Idempotent per (session, cfg); re-registering with a new
+    * config replaces the binding. */
   def registerBucketOf(spark: SparkSession, cfg: BucketPriorityConfig): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bucket_of",
-      exprs => {
-        require(exprs.length == 1,
-          s"bucket_of requires exactly 1 argument, got ${exprs.length}")
-        bucketOfExpr(exprs.head, cfg)
-      },
-      "built-in")
+    if (lastBucketOf.get() != ((spark, cfg))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bucket_of",
+        exprs => {
+          require(exprs.length == 1,
+            s"bucket_of requires exactly 1 argument, got ${exprs.length}")
+          bucketOfExpr(exprs.head, cfg)
+        },
+        "built-in")
+      lastBucketOf.set((spark, cfg))
+    }
 
   /** Register everything the SQL surface offers. */
   def registerAll(spark: SparkSession, cfg: BucketPriorityConfig): Unit = {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +54,24 @@ import graft.Tables
   * correctly-rounded op (a cast or a division).
   */
 object SelectionQueries {
+
+  /** ab_srm_check's per-cell χ² term over the (n, o_cell) sufficient
+    * statistics: the difference 256·obs − n·w is exact int64 (safe to
+    * n ≈ 3.6e16 docs), cast to double BEFORE squaring — for a grossly
+    * broken split the difference reaches ~256·n, whose int64 square wraps
+    * at n ≈ 1.2e8, exactly when the gate must fire (ADVICE r10). Shared
+    * with R12BatchSpec's synthetic 1e8-row sufficient-statistics sweep so
+    * the spec exercises the production expression verbatim. */
+  private[queries] def srmTerm(o: Column, w: Long): Column = {
+    val diff = (o * 256L - col("n") * w).cast("double")
+    // denominator as double-first multiply: the int64 product n*(256*w)
+    // wraps at n ~ 1.7e14 (w=204) — far below the difference's 3.6e16
+    // bound (found by R12BatchSpec's sweep). For n < 2^53 both spellings
+    // are the correctly-rounded double of the same exact integer, so the
+    // hashed chi2 is bit-unchanged at every reachable corpus size; past
+    // 2^53 the double-first form keeps going where int64 wraps.
+    diff * diff / (col("n").cast("double") * lit((256L * w).toDouble))
+  }
 
   /** Gopher's canonical "must contain ≥2 of" stopword list
     * (Rae et al. 2021 §A.1.1), quoted for both SQL surfaces. */
@@ -1758,7 +1777,9 @@ object SelectionQueries {
     // cross-multiplication keeps the expectation rational), then cast to
     // double BEFORE squaring: for a grossly broken split the difference
     // reaches ~256·n, whose int64 square wraps at n ≈ 1.2e8 — exactly
-    // when the gate must fire (ADVICE r10). The square, the three
+    // when the gate must fire (ADVICE r10). The denominator n·(256·w) is
+    // likewise a double-first multiply (int64 wraps at n ≈ 1.7e14 —
+    // R12BatchSpec's sweep finding; bit-identical below 2^53). The square, the three
     // divisions + two adds are a fixed chain of correctly-rounded IEEE
     // ops (the token_budget_plan doctrine; no fold-order ambiguity
     // because the cells are pivoted to columns).
@@ -1776,18 +1797,14 @@ object SelectionQueries {
           .withColumn("split",
             when(col("h2") < "cc", "train")
               .when(col("h2") < "e6", "val").otherwise("test"))
-        def term(o: org.apache.spark.sql.Column, w: Long) = {
-          val diff = (o * 256L - col("n") * w).cast("double")
-          diff * diff / (col("n") * (256L * w)).cast("double")
-        }
         assigned.agg(count(lit(1)).as("n"),
             sum(when(col("split") === "train", 1L).otherwise(0L)).as("o_train"),
             sum(when(col("split") === "val", 1L).otherwise(0L)).as("o_val"),
             sum(when(col("split") === "test", 1L).otherwise(0L)).as("o_test"))
           .filter(col("n") > 0)
           .select(col("n"), col("o_train"), col("o_val"), col("o_test"),
-            (term(col("o_train"), 204L) + term(col("o_val"), 26L)
-              + term(col("o_test"), 26L)).as("chi2"))
+            (srmTerm(col("o_train"), 204L) + srmTerm(col("o_val"), 26L)
+              + srmTerm(col("o_test"), 26L)).as("chi2"))
           .select(col("n"), col("o_train"), col("o_val"), col("o_test"),
             col("chi2"), (col("chi2") > 5.99).as("srm_flag"))
       },
@@ -1804,11 +1821,11 @@ object SelectionQueries {
           |      FROM a),
           |c AS (SELECT *,
           |        CAST(o_train * 256 - n * 204 AS DOUBLE) * CAST(o_train * 256 - n * 204 AS DOUBLE)
-          |          / CAST(n * (256 * 204) AS DOUBLE)
+          |          / (CAST(n AS DOUBLE) * (256 * 204))
           |        + CAST(o_val * 256 - n * 26 AS DOUBLE) * CAST(o_val * 256 - n * 26 AS DOUBLE)
-          |          / CAST(n * (256 * 26) AS DOUBLE)
+          |          / (CAST(n AS DOUBLE) * (256 * 26))
           |        + CAST(o_test * 256 - n * 26 AS DOUBLE) * CAST(o_test * 256 - n * 26 AS DOUBLE)
-          |          / CAST(n * (256 * 26) AS DOUBLE) AS chi2
+          |          / (CAST(n AS DOUBLE) * (256 * 26)) AS chi2
           |      FROM m WHERE n > 0)
           |SELECT n, o_train, o_val, o_test, chi2, chi2 > 5.99 AS srm_flag
           |FROM c""".stripMargin)))

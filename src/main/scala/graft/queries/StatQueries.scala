@@ -31,6 +31,31 @@ object StatQueries {
 
   private val big = (c: Column) => c.cast("decimal(38,0)")
 
+  /** kendall_tau_length_quality's τ-b denominator: sqrt(n0−tx)·sqrt(n0−ty)
+    * over exact int64 tie statistics. The cross-engine argument (r11
+    * verdict item 7) is NOT reassociation-safety — sqrt(a)·sqrt(b) and
+    * sqrt(a·b) genuinely differ in the last ulp for some inputs — it is
+    * that BOTH engines spell the SAME chain: int64→double cast, IEEE-754
+    * sqrt, and double multiply are each required correctly rounded (sqrt
+    * is a §5 basic operation, unlike ln/exp), so identical exact inputs
+    * give identical bits on any conforming engine. R12BatchSpec sweeps
+    * adversarial magnitudes (2^53±, near-overflow n0, perfect squares ±1)
+    * against a driver-side Math.sqrt replay and exhibits a pair where the
+    * reassociated sqrt(a·b) spelling WOULD diverge. */
+  private[queries] def kendallDenom(n0: Column, tx: Column, ty: Column): Column =
+    sqrt((n0 - tx).cast("double")) * sqrt((n0 - ty).cast("double"))
+
+  /** best_split_length_dup's N/2-scaled weighted Gini on the micro grid,
+    * over cumulative sufficient statistics (cp, cn, pp, nn). The numerator
+    * products are widened to DECIMAL(38,0) BEFORE the ·10⁶ — cp·(cn−cp) is
+    * ~N²/4 and wraps int64 once a split side holds ~3M positives (ADVICE
+    * r10); the div result is ≤ N/4·10⁶, int64-safe to N ≈ 3.7e13 docs.
+    * Shared with R12BatchSpec's synthetic 1e8-row sufficient-statistics
+    * sweep so the spec exercises the production expression verbatim. */
+  private[queries] def bestSplitScore6: Column =
+    expr("(cast(cp as decimal(38,0)) * (cn - cp) * 1000000) div cn") +
+      expr("(cast(pp - cp as decimal(38,0)) * ((nn - cn) - (pp - cp)) * 1000000) div (nn - cn)")
+
   val all: Map[String, Q] = Map(
 
     // ---- ROC-AUC of a quality signal vs duplicated-text membership -------
@@ -1858,8 +1883,7 @@ object StatQueries {
             coalesce(col("discordant"), lit(0L)).as("discordant"),
             expr("(n * (n - 1)) div 2").as("n0"), col("tx"), col("ty"))
           .withColumn("denom",
-            sqrt((col("n0") - col("tx")).cast("double"))
-              * sqrt((col("n0") - col("ty")).cast("double")))
+            StatQueries.kendallDenom(col("n0"), col("tx"), col("ty")))
           .select(col("source"), col("n"), col("concordant"), col("discordant"),
             when(col("denom") === 0.0d, lit(null).cast("double"))
               .otherwise((col("concordant") - col("discordant")).cast("double")
@@ -2004,9 +2028,7 @@ object StatQueries {
           .crossJoin(broadcast(tot))
           .filter(col("cn") < col("nn")) // the max value is not a split
           .select(col("v"), col("cn"), col("cp"), col("nn"), col("pp"),
-            (expr("(cast(cp as decimal(38,0)) * (cn - cp) * 1000000) div cn")
-              + expr("(cast(pp - cp as decimal(38,0)) * ((nn - cn) - (pp - cp)) * 1000000) div (nn - cn)"))
-              .as("score6"))
+            StatQueries.bestSplitScore6.as("score6"))
         cand.agg(min(struct(col("score6"), col("v"), col("cn"), col("cp"),
             col("nn"), col("pp"))).as("m"))
           .select(col("m.v").as("best_threshold"), col("m.score6").as("gini_score6"),

@@ -123,4 +123,111 @@ class R12BatchSpec extends SparkTestBase {
     }
     assert(audit.keySet == spans.map(_._1).toSet, "type coverage")
   }
+
+  // ---- r11 verdict item 7a: the kendall sqrt-chain cross-engine audit ----
+  // tau_b's denominator is sqrt(n0-tx)*sqrt(n0-ty) over exact int64 tie
+  // statistics. That is NOT reassociation-safe in the abstract —
+  // sqrt(a)*sqrt(b) and sqrt(a*b) differ in the last ulp for some inputs —
+  // so the cross-engine claim rests on the SHARED SPELLING: both engines
+  // run int64->double cast, IEEE sqrt (a correctly-rounded basic op,
+  // unlike ln/exp), and one double multiply, each bit-determined by its
+  // inputs. This sweep pins (1) the Spark column == a driver-side
+  // Math.sqrt replay bit-for-bit over adversarial magnitudes, and (2) at
+  // least one pair where the REASSOCIATED spelling would diverge — proof
+  // the spec is sharp enough to catch a future respelling.
+  test("kendall denominator: sqrt-chain bit-equals Math.sqrt replay at adversarial magnitudes") {
+    import spark.implicits._
+    val maxN0 = (1L << 62) - 1 // n*(n-1)/2 headroom at n ~ 4.3e9 grid rows
+    // (n0, tx, ty) triples: powers straddling 2^52..2^53 (the integer-exact
+    // double boundary), perfect squares +/-1, primes, near-overflow, zeros
+    val triples: Seq[(Long, Long, Long)] = Seq(
+      (maxN0, 0L, 0L), (maxN0, maxN0 - 1, 1L),
+      (maxN0, (1L << 61), (1L << 61) + 1),
+      ((1L << 53) + 1, 1L, 2L), ((1L << 53) - 1, 0L, 1L),
+      ((1L << 52) + 1, 0L, 0L), (4503599627370497L, 3L, 5L),
+      (999999999999999989L, 999999937L, 999999893L),
+      (3037000499L * 3037000499L, 1L, 0L), // isqrt(Long.Max)^2
+      (225L, 0L, 0L), (226L, 1L, 2L), (2L, 1L, 1L), (1L, 0L, 0L),
+      (123456789012345678L, 98765432109L, 1234567890L)
+    ) ++ (0 to 40).map { i =>
+      val a = (maxN0 / 41) * i + i * i + 7
+      (a, a / 3, a / 7)
+    }
+    val got = triples.toDF("n0", "tx", "ty")
+      .select(col("n0"), col("tx"), col("ty"),
+        graft.queries.StatQueries.kendallDenom(col("n0"), col("tx"), col("ty")).as("denom"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    got.foreach { case ((n0, tx, ty), denom) =>
+      val ref = math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)
+      assert(java.lang.Double.doubleToLongBits(denom)
+        == java.lang.Double.doubleToLongBits(ref),
+        s"sqrt chain diverged from Math.sqrt replay at ($n0, $tx, $ty)")
+    }
+    // sharpness: the reassociated spelling sqrt(a*b) is NOT the same number
+    val diverging = got.exists { case ((n0, tx, ty), denom) =>
+      val a = (n0 - tx).toDouble; val b = (n0 - ty).toDouble
+      java.lang.Double.doubleToLongBits(denom) !=
+        java.lang.Double.doubleToLongBits(math.sqrt(a * b))
+    }
+    assert(diverging, "expected at least one pair where sqrt(a)*sqrt(b) != sqrt(a*b)")
+  }
+
+  // ---- r11 verdict item 7b: overflow regression sweep on the widened ----
+  // best_split / ab_srm paths at synthetic 1e8-row sufficient statistics.
+  // The r10 fixes widened cp*(cn-cp) to DECIMAL(38,0) and moved the SRM
+  // square to double; this sweep feeds the PRODUCTION expressions (shared
+  // helpers, not respellings) sufficient statistics far past the old int64
+  // wrap points and pins them against BigInt / strict-IEEE replays.
+  test("best_split score6: DECIMAL(38,0) widening survives 1e8..1e12-row sufficient stats") {
+    import spark.implicits._
+    // (cp, cn, pp, nn): split sides holding ~5e7..5e11 positives — the old
+    // int64 path wrapped at ~3e6 positives per side (cp*(cn-cp)*1e6 > 2^63)
+    val stats: Seq[(Long, Long, Long, Long)] = Seq(
+      (50000000L, 100000000L, 60000000L, 200000000L),
+      (99999999L, 100000000L, 99999999L, 100000001L),
+      (500000000000L, 1000000000000L, 600000000000L, 2000000000000L),
+      (3000000L, 6000000L, 3000001L, 12000000L), // the ADVICE r10 wrap point
+      (1L, 2L, 1L, 4L), (0L, 1L, 5L, 10L),
+      (123456789L, 987654321L, 234567891L, 1987654321L))
+    val got = stats.toDF("cp", "cn", "pp", "nn")
+      .select(col("cp"), col("cn"), col("pp"), col("nn"),
+        graft.queries.StatQueries.bestSplitScore6.as("score6"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getLong(4))) // decimal `div` yields LONG — the int64-safe doc bound
+    got.foreach { case ((cp, cn, pp, nn), score6) =>
+      val ref = (BigInt(cp) * (cn - cp) * 1000000) / cn +
+        (BigInt(pp - cp) * ((nn - cn) - (pp - cp)) * 1000000) / (nn - cn)
+      assert(BigInt(score6) == ref,
+        s"score6 diverged from BigInt replay at ($cp, $cn, $pp, $nn)")
+      assert(ref >= 0 && score6 >= 0, "Gini score must never go negative (wrap symptom)")
+    }
+  }
+
+  test("ab_srm chi2 term: double-before-square survives a broken split at n = 1.2e8+") {
+    import spark.implicits._
+    // (n, o): grossly broken splits where diff ~ 256*n — the old path
+    // squared the int64 diff, wrapping at n ~ 1.2e8 exactly when the gate
+    // must fire
+    val cells: Seq[(Long, Long)] = Seq(
+      (120000000L, 120000000L), (120000000L, 0L),
+      (3600000000000000L, 3600000000000000L), // n ~ 3.6e15, within the doc bound
+      (1000000000L, 999999999L), (256L, 204L), (1L, 1L), (100L, 0L))
+    for (w <- Seq(204L, 26L)) {
+      val got = cells.toDF("n", "o")
+        .select(col("n"), col("o"),
+          graft.queries.SelectionQueries.srmTerm(col("o"), w).as("term"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      got.foreach { case ((n, o), term) =>
+        val diff = (o * 256L - n * w).toDouble
+        val ref = diff * diff / (n.toDouble * (256L * w).toDouble)
+        assert(java.lang.Double.doubleToLongBits(term)
+          == java.lang.Double.doubleToLongBits(ref),
+          s"srm term diverged from strict-IEEE replay at (n=$n, o=$o, w=$w)")
+        assert(term >= 0.0, s"chi2 term negative at (n=$n, o=$o, w=$w) - wrap symptom")
+      }
+      // the gate actually fires: all-in-one-cell at n = 1.2e8 must flag
+      val broken = got.toMap.apply((120000000L, if (w == 204L) 120000000L else 0L))
+      assert(!broken.isNaN && broken > 5.99, s"broken-split term must exceed the df=2 gate (w=$w)")
+    }
+  }
 }
