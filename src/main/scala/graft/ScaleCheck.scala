@@ -25,10 +25,21 @@ object ScaleCheck {
     // in the measured-decade set — score_calibration's stride-5-gram label
     // pass is dup_ngram_ratio-shaped; markov_stationary's pair fan-out is
     // calendar-bounded but worth pinning
-    "score_calibration", "markov_stationary")
+    "score_calibration", "markov_stationary",
+    // r12 backfill (r11 verdict item 5): the r10/r11 heavies with bounded-
+    // frame arguments but no measured decade row — isotonic (PAV over the
+    // ≤11-row band frame), burrows (50-term z grid), kendall (value-grid
+    // SMJ), modularity/assortativity (band-local pair graph + CC), brier
+    // (digest label pass + 1-row roll-up)
+    "isotonic_calibration", "burrows_delta", "kendall_tau_length_quality",
+    "cluster_modularity", "dup_graph_assortativity", "brier_score_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    // optional explicit query list (args after sfDir) — a targeted backfill
+    // run times just the named queries instead of the whole tail set
+    val names: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq else TailQueries
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -46,7 +57,7 @@ object ScaleCheck {
     // warm-up: table footers + one light query
     Seq("documents", "embeddings").foreach(t => Tables.load(spark, sfDir, t).count())
 
-    val results = TailQueries.map { name =>
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -477,6 +477,104 @@ object PrivacyQueries {
           |       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS rows_lt3,
           |       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS DOUBLE)
           |         / CAST(SUM(k) AS DOUBLE) AS share_rows_lt3
-          |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin))
+          |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- t-closeness audit: the third leg of the release-gate triad (r12) -
+    // k_anonymity_audit bounds group SIZE, l_diversity_audit bounds
+    // sensitive-value VARIETY; t-closeness (Li, Li & Venkatasubramanian
+    // 2007) bounds what a class's sensitive DISTRIBUTION reveals: even a
+    // diverse cell leaks if its distribution sits far from the global one
+    // (skewness attack — "this cell is 90% high-value where the table is
+    // 10%"). Same cells as l_diversity (quasi-identifiers event_type x day,
+    // sensitive floor(value)); distance = EMD over the ORDERED value
+    // domain = gap-weighted L1 between the cell CDF and the global CDF
+    // (emd_source_lengths' exact integer spelling: |fa·N − cf·k| · gap,
+    // DECIMAL/HUGEINT), normalized by (k·N·span) so t ∈ [0,1]. Per type:
+    // worst cell t, cells/rows above t = 0.2, violating-row share (ONE
+    // bare division).
+    //
+    // Scale shape: one (type, day, sens) agg → cells x broadcast value-
+    // domain grid (≤ cells·|domain|, both audit-bounded: calendar x type
+    // cells, ingest-contract value domain — R1-whitelisted) → cell-
+    // PARTITIONED cumulative windows → per-cell agg → ≤|types| roll-up.
+    // The global-grid CDF window is value-domain bounded (R2, the
+    // emd_source_lengths argument).
+    "t_closeness_audit" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            expr("cast(floor(value) as long)").as("sens"))
+        val cellSens = ev.groupBy("event_type", "d", "sens")
+          .agg(count(lit(1)).as("c"))
+        val cells = cellSens.groupBy("event_type", "d").agg(sum(col("c")).as("k"))
+        val gridG = cellSens.groupBy("sens").agg(sum(col("c")).as("ct"))
+        val wv = Window.orderBy(col("sens"))
+        val corp = gridG.select(col("sens"),
+          sum(col("ct")).over(wv).as("cf"),
+          (lead(col("sens"), 1).over(wv) - col("sens")).as("gap"))
+        val tot = ev.agg(count(lit(1)).as("nn"),
+          (max(col("sens")) - min(col("sens"))).as("span"))
+        val wcell = Window.partitionBy(col("event_type"), col("d")).orderBy(col("sens"))
+        val perCell = cells.crossJoin(broadcast(corp))
+          .join(cellSens, Seq("event_type", "d", "sens"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("fa", sum(col("c")).over(wcell))
+          .filter(col("gap").isNotNull)
+          .crossJoin(broadcast(tot))
+          .groupBy(col("event_type"), col("d"), col("k"), col("nn"), col("span"))
+          .agg(sum(abs(big(col("fa")) * big(col("nn")) - big(col("cf")) * big(col("k")))
+            * big(col("gap"))).as("tnum"))
+          .withColumn("t", col("tnum").cast("double")
+            / (big(col("k")) * big(col("nn")) * big(col("span"))).cast("double"))
+        perCell.groupBy("event_type")
+          .agg(count(lit(1)).as("n_cells"), max(col("t")).as("max_t"),
+            sum(when(col("t") > 0.2, 1L).otherwise(0L)).as("cells_gt02"),
+            sum(when(col("t") > 0.2, col("k")).otherwise(0L)).as("rows_gt02"),
+            sum(col("k")).as("n_rows"))
+          .select(col("event_type"), col("n_cells"), col("max_t"),
+            col("cells_gt02"), col("rows_gt02"),
+            (col("rows_gt02").cast("double") / col("n_rows").cast("double"))
+              .as("share_rows_gt02"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d,
+          |                   CAST(FLOOR(value) AS BIGINT) AS sens
+          |            FROM events),
+          |cs AS (SELECT event_type, d, sens, CAST(COUNT(*) AS BIGINT) AS c
+          |       FROM ev GROUP BY event_type, d, sens),
+          |cells AS (SELECT event_type, d, CAST(SUM(c) AS BIGINT) AS k
+          |          FROM cs GROUP BY event_type, d),
+          |gridg AS (SELECT sens, CAST(SUM(c) AS BIGINT) AS ct FROM cs GROUP BY sens),
+          |corp AS (SELECT sens, SUM(ct) OVER (ORDER BY sens) AS cf,
+          |                LEAD(sens) OVER (ORDER BY sens) - sens AS gap
+          |         FROM gridg),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+          |               CAST(MAX(sens) - MIN(sens) AS BIGINT) AS span
+          |        FROM ev),
+          |dense AS (SELECT cl.event_type, cl.d, cl.k, g.sens, g.cf, g.gap,
+          |                 SUM(COALESCE(cs.c, 0)) OVER (PARTITION BY cl.event_type, cl.d
+          |                                              ORDER BY g.sens) AS fa
+          |          FROM cells cl CROSS JOIN corp g
+          |          LEFT JOIN cs ON cs.event_type = cl.event_type
+          |                      AND cs.d = cl.d AND cs.sens = g.sens),
+          |pc AS (SELECT event_type, d, k, nn, span,
+          |              SUM(abs(CAST(fa AS HUGEINT) * nn - CAST(cf AS HUGEINT) * k)
+          |                  * gap) AS tnum
+          |       FROM dense CROSS JOIN tot WHERE gap IS NOT NULL
+          |       GROUP BY event_type, d, k, nn, span),
+          |pt AS (SELECT event_type, d, k,
+          |              CAST(tnum AS DOUBLE)
+          |                / CAST(CAST(k AS HUGEINT) * nn * span AS DOUBLE) AS t
+          |       FROM pc)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       MAX(t) AS max_t,
+          |       CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS cells_gt02,
+          |       CAST(SUM(CASE WHEN t > 0.2 THEN k ELSE 0 END) AS BIGINT) AS rows_gt02,
+          |       CAST(SUM(CASE WHEN t > 0.2 THEN k ELSE 0 END) AS DOUBLE)
+          |         / CAST(SUM(k) AS DOUBLE) AS share_rows_gt02
+          |FROM pt GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

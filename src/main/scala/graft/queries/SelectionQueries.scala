@@ -73,6 +73,25 @@ object SelectionQueries {
     diff * diff / (col("n").cast("double") * lit((256L * w).toDouble))
   }
 
+
+  /** The shared length x quality 2x2 sufficient statistics per source
+    * (cmh_test / simpson_paradox_check): exposure = n_chars >= 200,
+    * outcome = the Gopher stopword signal (>= 2 canonical stopwords) —
+    * one map-side tokenize pass, then a per-source partial agg. Factored
+    * so the stratified test and the per-stratum diagnostic can never
+    * count their cells differently. */
+  private[queries] def lenQuality2x2(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"),
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("e"),
+        when(expr(s"size(filter(toks, t -> t IN ($GopherStopSql))) >= 2"), 1L)
+          .otherwise(0L).as("o"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("n1"),
+        sum(col("o")).as("m1"), sum(col("e") * col("o")).as("a"))
+
   /** Gopher's canonical "must contain ≥2 of" stopword list
     * (Rae et al. 2021 §A.1.1), quoted for both SQL surfaces. */
   private[queries] val GopherStopSql: String =
@@ -1828,5 +1847,142 @@ object SelectionQueries {
           |          / (CAST(n AS DOUBLE) * (256 * 26)) AS chi2
           |      FROM m WHERE n > 0)
           |SELECT n, o_train, o_val, o_test, chi2, chi2 > 5.99 AS srm_flag
-          |FROM c""".stripMargin)))
+          |FROM c""".stripMargin)),
+
+    // ---- Cochran-Mantel-Haenszel test: length x quality across sources ----
+    // (added r12) The stratified 2x2 association test every A/B and data-
+    // audit stack keeps beside the chi-square: is document LENGTH
+    // (n_chars >= 200) associated with the Gopher stopword-quality signal
+    // (>= 2 canonical stopwords) AFTER controlling for source? Pooling
+    // sources can manufacture or mask the association (Simpson; the
+    // companion query below shows the per-stratum signs) — CMH sums
+    // per-stratum evidence instead: chi2 = (SUM a_i − SUM E_i)² / SUM V_i
+    // with E_i = n1·m1/n and V_i = n1·n0·m1·m0 / (n²(n−1)).
+    // Exact surface: E and V ride the micro grid — e6 = (n1·m1·10⁶) div n,
+    // v6 = (n1·n0·m1·m0·10⁶) div (n²(n−1)) — numerators widened to
+    // DECIMAL(38,0)/HUGEINT (n1·n0·m1·m0 is ~n⁴, wrapping int64 past
+    // n ≈ 55k docs per stratum); per-stratum e6/v6 are int64, their sums
+    // are exact (≤ N·10⁶ — int64-safe to N ≈ 9e12 docs, documented); the
+    // chi2 is then ONE fixed correctly-rounded chain: diff cast to double
+    // BEFORE squaring (the ab_srm lesson), one multiply, one division.
+    // Strata with n < 2 or a degenerate margin contribute zero evidence
+    // (v6 = 0) and are excluded, matching the estimator's definition.
+    //
+    // Scale shape: one map-side tokenize+flag pass → per-source partial
+    // agg (map-side combined, ≤|sources| rows) → 1-row roll-up. Scan-bound
+    // at any corpus size.
+    "cmh_test" -> Q(
+      fn = (s, dir) => {
+        val cells = lenQuality2x2(Tables.load(s, dir, "documents"))
+          .filter(col("n") >= 2 && col("n1") > 0 && col("n1") < col("n")
+            && col("m1") > 0 && col("m1") < col("n"))
+          .select(col("a"),
+            expr("(cast(n1 as decimal(38,0)) * m1 * 1000000) div n").as("e6"),
+            expr("""(cast(n1 as decimal(38,0)) * (n - n1) * m1 * (n - m1) * 1000000)
+                   | div (cast(n as decimal(38,0)) * n * (n - 1))""".stripMargin).as("v6"))
+        cells.agg(count(lit(1)).as("k_strata"),
+            sum(col("a")).as("sum_a"),
+            sum(expr("cast(e6 as decimal(38,0))")).as("se6"),
+            sum(expr("cast(v6 as decimal(38,0))")).as("sv6"))
+          .select(col("k_strata"), col("sum_a"),
+            expr("cast(se6 as bigint)").as("sum_e6"),
+            expr("cast(sv6 as bigint)").as("sum_v6"),
+            (expr("cast(cast(sum_a as decimal(38,0)) * 1000000 - se6 as double)")
+              * expr("cast(cast(sum_a as decimal(38,0)) * 1000000 - se6 as double)")
+              / expr("cast(sv6 * 1000000 as double)")).as("chi2_cmh"))
+          .select(col("k_strata"), col("sum_a"), col("sum_e6"), col("sum_v6"),
+            col("chi2_cmh"), (col("chi2_cmh") > 3.84).as("assoc_flag"))
+      },
+      oracle = Some(
+        s"""WITH cells AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |         CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           |         CAST(SUM(CASE WHEN n_chars >= 200
+           |                AND len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS a
+           |  FROM documents GROUP BY source),
+           |ev AS (SELECT a,
+           |              (CAST(n1 AS HUGEINT) * m1 * 1000000) // n AS e6,
+           |              (CAST(n1 AS HUGEINT) * (n - n1) * m1 * (n - m1) * 1000000)
+           |                // (CAST(n AS HUGEINT) * n * (n - 1)) AS v6
+           |       FROM cells
+           |       WHERE n >= 2 AND n1 > 0 AND n1 < n AND m1 > 0 AND m1 < n),
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+           |             CAST(SUM(a) AS BIGINT) AS sum_a,
+           |             SUM(CAST(e6 AS HUGEINT)) AS se6,
+           |             SUM(CAST(v6 AS HUGEINT)) AS sv6
+           |      FROM ev),
+           |c AS (SELECT k_strata, sum_a,
+           |             CAST(se6 AS BIGINT) AS sum_e6, CAST(sv6 AS BIGINT) AS sum_v6,
+           |             CAST(CAST(sum_a AS HUGEINT) * 1000000 - se6 AS DOUBLE)
+           |               * CAST(CAST(sum_a AS HUGEINT) * 1000000 - se6 AS DOUBLE)
+           |               / CAST(sv6 * 1000000 AS DOUBLE) AS chi2_cmh
+           |      FROM m)
+           |SELECT k_strata, sum_a, sum_e6, sum_v6, chi2_cmh,
+           |       chi2_cmh > 3.84 AS assoc_flag
+           |FROM c""".stripMargin)),
+
+    // ---- Simpson-paradox diagnostic on the same 2x2 family (added r12) ----
+    // The per-stratum companion of cmh_test: for each source, does the
+    // length→quality association point the SAME WAY as the pooled table?
+    // A stratum whose sign OPPOSES the pooled sign is the classic Simpson
+    // flag — the pooled rate difference is a mixture artifact and any
+    // length-based curation rule calibrated on the pooled table is wrong
+    // for that source. Signs are EXACT: rate_e − rate_u = a/n1 − (m1−a)/n0
+    // compares as sign(a·n0 − (m1−a)·n1) — one cross-multiplication,
+    // widened to DECIMAL/HUGEINT (a·n0 ~ n², wraps int64 past ~3e9-doc
+    // strata); no division anywhere near the hashed columns. Degenerate
+    // strata (one exposure group empty) report dir 0 and never flag.
+    //
+    // Scale shape: the shared lenQuality2x2 map pass → ≤|sources| agg →
+    // 1-row pooled broadcast back onto it. Scan-bound.
+    "simpson_paradox_check" -> Q(
+      fn = (s, dir) => {
+        val cells = lenQuality2x2(Tables.load(s, dir, "documents"))
+        val pooled = cells.agg(sum(col("n")).as("pn"), sum(col("n1")).as("pn1"),
+          sum(col("m1")).as("pm1"), sum(col("a")).as("pa"))
+        def dirSign(a: String, n1: String, m1: String, n: String) =
+          when(col(n1) === 0L || col(n1) === col(n), lit(0))
+            .otherwise(signum(expr(
+              s"cast(cast($a as decimal(38,0)) * ($n - $n1) - cast(${m1} - $a as decimal(38,0)) * $n1 as double)"))
+              .cast("int"))
+        cells.crossJoin(broadcast(pooled))
+          .select(col("source"), col("n"), col("n1"), col("m1"), col("a"),
+            dirSign("a", "n1", "m1", "n").as("dir_source"),
+            dirSign("pa", "pn1", "pm1", "pn").as("dir_pooled"))
+          .withColumn("simpson_flag",
+            col("dir_source") * col("dir_pooled") === -1)
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH cells AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |         CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           |         CAST(SUM(CASE WHEN n_chars >= 200
+           |                AND len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS a
+           |  FROM documents GROUP BY source),
+           |pooled AS (SELECT CAST(SUM(n) AS BIGINT) AS pn, CAST(SUM(n1) AS BIGINT) AS pn1,
+           |                  CAST(SUM(m1) AS BIGINT) AS pm1, CAST(SUM(a) AS BIGINT) AS pa
+           |           FROM cells)
+           |SELECT source, n, n1, m1, a,
+           |       CASE WHEN n1 = 0 OR n1 = n THEN 0
+           |            ELSE CAST(sign(CAST(CAST(a AS HUGEINT) * (n - n1)
+           |                 - CAST(m1 - a AS HUGEINT) * n1 AS DOUBLE)) AS INTEGER) END AS dir_source,
+           |       CASE WHEN pn1 = 0 OR pn1 = pn THEN 0
+           |            ELSE CAST(sign(CAST(CAST(pa AS HUGEINT) * (pn - pn1)
+           |                 - CAST(pm1 - pa AS HUGEINT) * pn1 AS DOUBLE)) AS INTEGER) END AS dir_pooled,
+           |       (CASE WHEN n1 = 0 OR n1 = n THEN 0
+           |             ELSE CAST(sign(CAST(CAST(a AS HUGEINT) * (n - n1)
+           |                  - CAST(m1 - a AS HUGEINT) * n1 AS DOUBLE)) AS INTEGER) END)
+           |       * (CASE WHEN pn1 = 0 OR pn1 = pn THEN 0
+           |               ELSE CAST(sign(CAST(CAST(pa AS HUGEINT) * (pn - pn1)
+           |                    - CAST(pm1 - pa AS HUGEINT) * pn1 AS DOUBLE)) AS INTEGER) END)
+           |       = -1 AS simpson_flag
+           |FROM cells CROSS JOIN pooled
+           |ORDER BY source""".stripMargin)))
 }

@@ -73,6 +73,17 @@ object SimilarityQueries {
   private def norm2(embCol: Column): Column =
     graft.functions.VectorFunctions.floatDot(embCol, embCol)
 
+  /** The 8-bit hyperplane signature as DuckDB SQL — the oracle-side twin of
+    * [[hyperplaneSig]](_, 0 until 8), factored (r12) so lsh_topk and
+    * lsh_multiprobe_topk provably hash into the same buckets. */
+  private val hyperplaneSigSql8: String = (0 until 8).map { j =>
+    s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+       |  i -> CAST(embedding[i] AS DOUBLE) *
+       |       (CASE WHEN substring(md5('$j' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
+       |             THEN 1.0 ELSE -1.0 END)),
+       |  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
+  }.mkString(" || ")
+
   private val NumBands = 6
   private val BandBits = 6
 
@@ -1340,18 +1351,73 @@ object SimilarityQueries {
           .orderBy("qid", "rk")
       },
       oracle = Some {
-        val sigSql = (0 until 8).map { j =>
-          s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-             |  i -> CAST(embedding[i] AS DOUBLE) *
-             |       (CASE WHEN substring(md5('$j' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
-             |             THEN 1.0 ELSE -1.0 END)),
-             |  (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END""".stripMargin
-        }.mkString(" || ")
-        s"""WITH e AS (SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, embedding, $hyperplaneSigSql8 AS sig FROM embeddings),
            |q AS (SELECT vec_id AS qid, embedding AS qv, sig FROM e WHERE vec_id < $NumQueries),
            |c AS (SELECT vec_id AS cid, embedding AS cv, sig FROM e),
            |scored AS (
            |  SELECT qid, cid,
+           |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
+           |  FROM q JOIN c USING (sig) WHERE qid != cid),
+           |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+      }),
+
+    // ---- multi-probe LSH ANN: probe the bucket AND its 1-bit flips (r12) --
+    // The standard fix for single-probe LSH's recall-vs-memory bind (Lv et
+    // al., VLDB 2007): instead of more hash tables, each query ALSO probes
+    // the 8 buckets at Hamming distance 1 from its own signature — a
+    // near-neighbor that flipped one hyperplane bit is found without a
+    // second index. Probes are string bit-flips of the SHARED 8-bit
+    // signature ([[hyperplaneSig]] / [[hyperplaneSigSql8]] — factored so
+    // both engines and both LSH queries provably hash identically);
+    // candidates colliding in several probes are collapsed by a distinct
+    // BEFORE ranking (sim is deterministic, so the distinct is exact);
+    // exact cosine rerank, same (sim DESC, cid) total order as lsh_topk.
+    //
+    // Scale shape: the query side explodes to ≤ queries·9 rows and
+    // broadcasts (R1-whitelisted); the corpus side is ONE scan hashed on
+    // sig — identical to lsh_topk's shape, the multiprobe cost is only the
+    // 9× larger (still tiny) broadcast side. At 100 TB this is the shape
+    // that holds recall when bucket occupancy forces longer signatures.
+    "lsh_multiprobe_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            hyperplaneSig(col("embedding"), 0 until 8).as("sig"))
+        val probes = col("sig") +: (1 to 8).map { j =>
+          concat(substring(col("sig"), 1, j - 1),
+            when(substring(col("sig"), j, 1) === "1", "0").otherwise("1"),
+            substring(col("sig"), j + 1, 8 - j))
+        }
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            explode(array(probes: _*)).as("sig"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("sig"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        broadcast(q).join(c, Seq("sig"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            cosineSimilarity(col("qv"), col("cv")).as("sim"))
+          .distinct()
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some {
+        s"""WITH e AS (SELECT vec_id, embedding, $hyperplaneSigSql8 AS sig FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS qv,
+           |             UNNEST([sig] || list_transform(range(1, 9),
+           |               j -> substring(sig, 1, CAST(j - 1 AS INTEGER))
+           |                    || (CASE WHEN substring(sig, CAST(j AS INTEGER), 1) = '1'
+           |                             THEN '0' ELSE '1' END)
+           |                    || substring(sig, CAST(j + 1 AS INTEGER), 8))) AS sig
+           |      FROM e WHERE vec_id < $NumQueries),
+           |c AS (SELECT vec_id AS cid, embedding AS cv, sig FROM e),
+           |scored AS (
+           |  SELECT DISTINCT qid, cid,
            |         ${duckDot("qv", "cv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("cv", "cv")})) AS sim
            |  FROM q JOIN c USING (sig) WHERE qid != cid),
            |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored)

@@ -1930,6 +1930,157 @@ object StatQueries {
            |       END AS tau_b
            |FROM d ORDER BY source""".stripMargin)),
 
+    // ---- Hodges-Lehmann shift estimate: doc length between groups (r12) ---
+    // The LOCATION companion of cliffs_delta_length and mann_whitney_length
+    // over the SAME two-group split (source id < 10 vs rest, the ks
+    // spelling): the HL estimator = median of all n1*n2 pairwise
+    // differences x1 - x2 — the shift the rank tests detect, in CHARACTERS
+    // (the number a curation rule can act on), robust where the mean
+    // difference is outlier-owned. Computed exactly on the value grid:
+    // differences enumerate GRID x GRID (value-domain², never docs²) with
+    // pair-mass weights c1*c2; the weighted lower/upper middle elements
+    // come off ONE cumulative window over the difference grid; hl is the
+    // single bare division (lo+hi)/2. ALL pair-mass arithmetic is
+    // DECIMAL(38,0)/HUGEINT — n1*n2 wraps int64 past ~3e9 docs per group.
+    //
+    // Scale shape: one value-grid agg → grid x broadcast-grid product
+    // (value-domain bounded, R1-whitelisted) → difference-grid agg → ONE
+    // cumulative window over it (R2-whitelisted, bound = the difference
+    // domain) → 1-row roll-up. Constant past the first agg at any corpus.
+    "hodges_lehmann_shift" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.load(s, dir, "documents")
+          .select(col("n_chars").as("v"),
+            when(expr("int(substring(source, 4, 8))") < 10, 1L).otherwise(0L).as("g1"))
+        val grid = g.groupBy("v")
+          .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+        val g1 = grid.filter(col("c1") > 0).select(col("v").as("v1"), col("c1"))
+        val g2 = grid.filter(col("c2") > 0).select(col("v").as("v2"), col("c2"))
+        val dg = g1.crossJoin(broadcast(g2))
+          .groupBy((col("v1") - col("v2")).as("d"))
+          .agg(sum(big(col("c1")) * big(col("c2"))).as("w"))
+        val win = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        dg.withColumn("cw", sum(col("w")).over(win))
+          .crossJoin(broadcast(tot))
+          .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+            min(when(col("cw") * 2 >= big(col("n1")) * big(col("n2")) + 1, col("d"))).as("d_lo"),
+            min(when(col("cw") * 2 >= big(col("n1")) * big(col("n2")) + 2, col("d"))).as("d_hi"))
+          .select(col("n1"), col("n2"),
+            expr("cast(cast(n1 as decimal(38,0)) * n2 as double)").as("t_pairs"),
+            col("d_lo"), col("d_hi"),
+            ((col("d_lo") + col("d_hi")).cast("double") / lit(2.0)).as("hl_shift"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT n_chars AS v,
+          |                  CASE WHEN CAST(substring(source, 4, 8) AS INTEGER) < 10
+          |                       THEN 1 ELSE 0 END AS g1
+          |           FROM documents),
+          |grid AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+          |                CAST(SUM(1 - g1) AS BIGINT) AS c2
+          |         FROM g GROUP BY v),
+          |dg AS (SELECT a.v - b.v AS d,
+          |              SUM(CAST(a.c1 AS HUGEINT) * b.c2) AS w
+          |       FROM grid a CROSS JOIN grid b
+          |       WHERE a.c1 > 0 AND b.c2 > 0 GROUP BY a.v - b.v),
+          |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM grid),
+          |cum AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM dg),
+          |m AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+          |             MIN(CASE WHEN cw * 2 >= CAST(n1 AS HUGEINT) * n2 + 1 THEN d END) AS d_lo,
+          |             MIN(CASE WHEN cw * 2 >= CAST(n1 AS HUGEINT) * n2 + 2 THEN d END) AS d_hi
+          |      FROM cum CROSS JOIN tot)
+          |SELECT n1, n2, CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS t_pairs,
+          |       d_lo, d_hi,
+          |       CAST(d_lo + d_hi AS DOUBLE) / 2.0 AS hl_shift
+          |FROM m""".stripMargin)),
+
+    // ---- Brown-Forsythe (median-Levene) variance-homogeneity test (r12) ---
+    // The missing leg of the anova_length_by_source / kruskal triad: are
+    // the per-source doc-length VARIANCES equal? ANOVA's F assumes they
+    // are; a curation rule tuned on pooled variance is wrong for a source
+    // with a fat tail. Brown-Forsythe = one-way ANOVA on z = |x - median|
+    // (median, not mean — the robust variant that holds its size under
+    // skew, Brown & Forsythe 1974). Exact surface: per-source LOWER
+    // median off the per-source cumulative value grid (2*cum >= n, the
+    // mad_anomalies convention); z integer; the F pieces ride the micro
+    // grid — ssw6 = Σ_i ((n_i·Σz² - (Σz)²)·10⁶) div n_i and ssb6 =
+    // Σ_i (n_i·(m6_i - m6)²) div 10⁶ with DECIMAL/HUGEINT widening
+    // (n·Σz² ~ n²z², wraps int64 past ~55k-doc strata at z ~ 10³) — so
+    // F = (ssb6·(N-k)) / (ssw6·(k-1)) is ONE division of two exact
+    // integers, the only float op in the query.
+    //
+    // Scale shape: one (source, v) grid agg → source-PARTITIONED
+    // cumulative windows (value-domain bounded per source) → ≤|sources|
+    // median broadcast joined back for the z pass → per-source partial
+    // agg → 1-row roll-up. Two scans, both map-side combined.
+    "levene_bf_test" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"))
+        val grid = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        val wsrc = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val meds = grid.withColumn("cum", sum(col("c")).over(wsrc))
+          .join(docs.groupBy("source").agg(count(lit(1)).as("ns")), Seq("source"))
+          .groupBy("source")
+          .agg(min(when(col("cum") * 2 >= col("ns"), col("v"))).as("med"))
+        val z = docs.join(broadcast(meds), Seq("source"))
+          .select(col("source"), abs(col("v") - col("med")).as("z"))
+        val per = z.groupBy("source")
+          .agg(count(lit(1)).as("ni"), sum(col("z")).as("sz"),
+            sum(big(col("z")) * big(col("z"))).as("qz"))
+          .select(col("source"), col("ni"), col("sz"),
+            expr("(cast((ni * qz - cast(sz as decimal(38,0)) * sz) as decimal(38,0)) * 1000000) div ni").as("ssw6"),
+            expr("(cast(sz as decimal(38,0)) * 1000000) div ni").as("m6"))
+        val tot = per.agg(sum(col("ni")).as("nn"),
+          sum(col("sz")).as("szall"), count(lit(1)).as("k"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("m6all", expr("(cast(szall as decimal(38,0)) * 1000000) div nn"))
+          .agg(first(col("k")).as("k"), first(col("nn")).as("n"),
+            sum(expr("cast(ssw6 as decimal(38,0))")).as("ssw6d"),
+            sum(expr("(cast(ni as decimal(38,0)) * (m6 - m6all) * (m6 - m6all)) div 1000000")).as("ssb6d"))
+          .select(col("k"), col("n"),
+            expr("cast(ssb6d as bigint)").as("ssb6"),
+            expr("cast(ssw6d as bigint)").as("ssw6"),
+            (expr("cast(ssb6d * (n - k) as double)")
+              / expr("cast(ssw6d * (k - 1) as double)")).as("f_bf"))
+      },
+      oracle = Some(
+        """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+          |grid AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+          |         FROM docs GROUP BY source, v),
+          |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM docs GROUP BY source),
+          |cum AS (SELECT g.source, g.v,
+          |               SUM(c) OVER (PARTITION BY g.source ORDER BY g.v) AS cum, ns
+          |        FROM grid g JOIN ns ON g.source = ns.source),
+          |meds AS (SELECT source, MIN(CASE WHEN cum * 2 >= ns THEN v END) AS med
+          |         FROM cum GROUP BY source),
+          |z AS (SELECT d.source, abs(v - med) AS z
+          |      FROM docs d JOIN meds m ON d.source = m.source),
+          |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ni,
+          |               CAST(SUM(z) AS BIGINT) AS sz,
+          |               SUM(CAST(z AS HUGEINT) * z) AS qz
+          |        FROM z GROUP BY source),
+          |per2 AS (SELECT source, ni, sz,
+          |                ((ni * qz - CAST(sz AS HUGEINT) * sz) * 1000000) // ni AS ssw6,
+          |                (CAST(sz AS HUGEINT) * 1000000) // ni AS m6
+          |         FROM per),
+          |tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn, CAST(SUM(sz) AS BIGINT) AS szall,
+          |               CAST(COUNT(*) AS BIGINT) AS k
+          |        FROM per2),
+          |m AS (SELECT k, nn AS n,
+          |             SUM(CAST(ssw6 AS HUGEINT)) AS ssw6d,
+          |             SUM((CAST(ni AS HUGEINT)
+          |                  * (m6 - (CAST(szall AS HUGEINT) * 1000000) // nn)
+          |                  * (m6 - (CAST(szall AS HUGEINT) * 1000000) // nn)) // 1000000) AS ssb6d
+          |      FROM per2 CROSS JOIN tot GROUP BY k, nn)
+          |SELECT k, n, CAST(ssb6d AS BIGINT) AS ssb6, CAST(ssw6d AS BIGINT) AS ssw6,
+          |       CAST(ssb6d * (n - k) AS DOUBLE) / CAST(ssw6d * (k - 1) AS DOUBLE) AS f_bf
+          |FROM m""".stripMargin)),
+
     // ---- Page-Hinkley drift test over daily volume (added r10) ------------
     // The sequential changepoint monitor beside cusum_drift's batch CUSUM:
     // per event type, PH_t = Σ_{i≤t}(x_i − mean_i) against the running

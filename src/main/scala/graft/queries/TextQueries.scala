@@ -134,7 +134,7 @@ object TextQueries {
       .select(keep ++ Seq(col("shingles"), explode(bandKeysCol).as("bk")): _*)
   }
 
-  private[queries] def minhashPairsWithHandle(
+  private[graft] def minhashPairsWithHandle(
       s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sh = Tables.load(s, dir, "documents")
@@ -162,6 +162,43 @@ object TextQueries {
       .filter(col("jacc") >= 0.5)
       .select("a_id", "b_id", "jacc")
     (pairs, sh)
+  }
+
+  /** Band-local twin of [[minhashPairsWithHandle]] — the text-side port of
+    * [[SimilarityQueries.lshNearDupPairsBandLocalWithSig]] (r12, verdict
+    * item 4): each band row carries its own SHINGLE SET into the band
+    * self-join, the exact-Jaccard verify runs PIPELINED on the join output,
+    * and only verified pairs reach the distinct — the exact-candidate
+    * path's per-candidate shingle-carrier joins (two array shuffles per
+    * CANDIDATE) cannot spill, because candidates are never materialized.
+    * The price is the deterministic trade the cosine twin documents: the
+    * shingle arrays shuffle numBands(=4)× corpus on each join branch
+    * ALWAYS, vs the exact path's 2× per candidate — band-local wins
+    * exactly in the spill regime (candidates ≫ 4n), measured at the sf10
+    * decade by [[graft.MinhashDecade]]. Result-identical by construction:
+    * identical band keys ([[bandKeysCol]]), identical Jaccard predicate,
+    * and verify-then-distinct ≡ distinct-then-verify for a deterministic
+    * predicate (spec-pinned, R12BatchSpec).
+    *
+    * Returns the UNSORTED (a_id, b_id, jacc) frame plus the cached banded
+    * frame backing both join branches — callers unpersist() exactly that
+    * frame after materializing the pairs (never catalog.clearCache()). */
+  private[graft] def minhashPairsBandLocalWithHandle(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val bands = bandedSignatures(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("shingles"), col("bk"))
+      .cache()
+    val pairs = bands.as("x").join(bands.as("y"), Seq("bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jacc",
+        size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double")
+          / size(array_union(col("x.shingles"), col("y.shingles"))))
+      .filter(col("jacc") >= 0.5)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("jacc"))
+      .distinct()
+    (pairs, bands)
   }
 
   /** Min-label cluster ids over a verified near-dup pair frame
@@ -1916,6 +1953,29 @@ object TextQueries {
         val (pairsDf, shCache) = minhashPairsWithHandle(s, dir)
         val labels = clusterLabels(pairsDf)
         shCache.unpersist() // pairs are materialized in the CC checkpoint
+        labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $minhashClusterSqlCtes
+           |SELECT doc_id, cluster FROM lab ORDER BY doc_id""".stripMargin)),
+
+    // ---- band-local MinHash clusters: the text-side 100 TB shape (r12) ---
+    // dedup_minhash_clusters' spill-free execution shape — the text-side
+    // port of dedup_cosine_bandlocal (verdict item 4), result-identical at
+    // the shared dial by construction: same band keys (bandKeysCol), same
+    // Jaccard-0.5 verify, and verify-then-distinct ≡ distinct-then-verify
+    // for a deterministic predicate (R12BatchSpec pins pair-set AND
+    // cluster equality). The oracle IS dedup_minhash_clusters' SQL — the
+    // decontaminate_bloom pattern: a DuckDB gate for "engine-side plan
+    // change that provably doesn't change the answer". See
+    // [[minhashPairsBandLocalWithHandle]] for the shuffle trade and
+    // [[graft.MinhashDecade]] for the measured sf10 decade.
+    "dedup_minhash_clusters_bandlocal" -> Q(
+      fn = (s, dir) => {
+        val (pairsDf, bands) = minhashPairsBandLocalWithHandle(s, dir)
+        val labels = clusterLabels(pairsDf)
+        bands.unpersist() // pairs are materialized in the CC checkpoint
         labels.select(col("id").as("doc_id"), col("label").as("cluster"))
           .orderBy("doc_id")
       },

@@ -95,6 +95,16 @@ class PlanGuardSpec extends SparkTestBase {
       "matryoshka_recall", // ≤5-row query-side broadcast ×4 prefixes (similarity_topk shape)
       "cluster_modularity", // broadcast of the 1-row total-edge-count aggregate
       "cuped_adjustment", // broadcast of the 1-row calendar-bounds aggregate
+      // hodges_lehmann_shift: grid x broadcast-grid difference product —
+      // both sides value-domain bounded (n_chars grids), never corpus rows
+      "hodges_lehmann_shift",
+      // levene_bf_test: 1-row grand-total broadcast for the global mean
+      "levene_bf_test",
+      // simpson_paradox_check: 1-row pooled-2x2 broadcast onto ≤|sources|
+      "simpson_paradox_check",
+      // t_closeness_audit: cells x broadcast value-domain grid (calendar x
+      // type cells, ingest-contract sens domain) + the 1-row totals
+      "t_closeness_audit",
       // changepoint_daily: 1-row totals broadcast + the exact-argmax
       // anti-join whose BOTH sides are the day-grain aggregate (calendar-
       // span bounded by construction, never corpus rows)
@@ -328,6 +338,13 @@ class PlanGuardSpec extends SparkTestBase {
     // classical_decomposition: the centered 7-day ROWS window over the
     // day-grain aggregate — calendar-span bounded like changepoint_daily.
     "classical_decomposition",
+    // hodges_lehmann_shift: the weighted-median cumulative window over the
+    // pairwise-DIFFERENCE grid — bounded by the n_chars difference domain,
+    // never by pair count (pair mass rides DECIMAL weights).
+    "hodges_lehmann_shift",
+    // t_closeness_audit: the global-CDF window over the sens value grid —
+    // value-domain bounded like emd_source_lengths.
+    "t_closeness_audit",
     // rfm_segments: three tercile-cutoff cumulative windows, each over a
     // value-domain-bounded grid (recency days / frequency values /
     // monetary cents sums) — the auc_dup_quality argument ×3.
@@ -406,6 +423,15 @@ class PlanGuardSpec extends SparkTestBase {
       "attribution_markov" -> 5L, // 1-row coef pivot × the variant dimension
       "changepoint_daily" -> daySpan, // daily-volume series ≤ calendar span
       "emd_source_lengths" -> nChars, // corpus length-grid CDF window
+      "hodges_lehmann_shift" -> { // distinct pairwise length differences
+        val vs = docs.select("n_chars").distinct()
+        vs.select(org.apache.spark.sql.functions.col("n_chars").as("v1"))
+          .crossJoin(vs.select(org.apache.spark.sql.functions.col("n_chars").as("v2")))
+          .select(org.apache.spark.sql.functions.expr("v1 - v2")).distinct().count()
+      },
+      "t_closeness_audit" -> // sens value-domain grid (floor(value))
+        events.select(org.apache.spark.sql.functions.expr(
+          "cast(floor(value) as long)")).distinct().count(),
       "greedy_source_cover" -> 3L, // one argmax row per greedy round
       "quality_rank_parity" -> 11L, // quality bands q6 div 1e5 ∈ 0..10
       "kruskal_length_by_source" -> nChars, // length value-domain grid

@@ -230,4 +230,216 @@ class R12BatchSpec extends SparkTestBase {
       assert(!broken.isNaN && broken > 5.99, s"broken-split term must exceed the df=2 gate (w=$w)")
     }
   }
+
+  // ---- r12 verdict item 4: text-side band-local ≡ exact-candidate --------
+  // The claim dedup_minhash_clusters_bandlocal's oracle rests on: identical
+  // band keys + identical Jaccard predicate + (verify-then-distinct ≡
+  // distinct-then-verify for a deterministic predicate). Pinned directly:
+  // the PAIR SETS are equal, and so are the cluster labelings.
+  test("minhash band-local pairs and clusters equal the exact-candidate path") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val (pe, sh) = graft.queries.TextQueries.minhashPairsWithHandle(spark, d)
+      val exact = pe.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      sh.unpersist()
+      val (pb, bands) = graft.queries.TextQueries.minhashPairsBandLocalWithHandle(spark, d)
+      val bl = pb.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      bands.unpersist()
+      assert(bl == exact, s"pair sets diverge at $d: " +
+        s"only-bandlocal=${(bl -- exact).take(3)} only-exact=${(exact -- bl).take(3)}")
+    }
+    val a = graft.SparkEntry.queries("dedup_minhash_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = graft.SparkEntry.queries("dedup_minhash_clusters_bandlocal")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "cluster labelings diverge")
+  }
+
+  // ---- r12 operator batch: full in-process replays at sf0.001 ------------
+
+  /** The Gopher stopword list as the spec's own copy (kept in lockstep with
+    * SelectionQueries.GopherStopSql by the replays passing). */
+  private val GopherStops =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-source (n, n1, m1, a) 2x2 cells replayed row-by-row in Scala. */
+  private def cells2x2(d: String): Map[String, (Long, Long, Long, Long)] =
+    graft.Tables.load(spark, d, "documents")
+      .select("source", "n_chars", "text").collect()
+      .map { r =>
+        val e = if (r.getLong(1) >= 200L) 1L else 0L
+        val o = if (r.getString(2).split(" ", -1).count(GopherStops) >= 2) 1L else 0L
+        (r.getString(0), e, o)
+      }
+      .groupBy(_._1).view.map { case (src, g) =>
+        src -> ((g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+          g.map(x => x._2 * x._3).sum))
+      }.toMap
+
+  test("cmh_test: BigInt replay of the stratified chi2 from raw rows") {
+    val row = graft.SparkEntry.queries("cmh_test")(spark, dir).collect().head
+    val cells = cells2x2(dir).values.toSeq
+      .filter { case (n, n1, m1, _) => n >= 2 && n1 > 0 && n1 < n && m1 > 0 && m1 < n }
+    val e6 = cells.map { case (n, n1, m1, _) => BigInt(n1) * m1 * 1000000 / n }
+    val v6 = cells.map { case (n, n1, m1, _) =>
+      BigInt(n1) * (n - n1) * m1 * (n - m1) * 1000000 / (BigInt(n) * n * (n - 1)) }
+    val sa = cells.map(_._4).sum
+    assert(row.getLong(0) == cells.length, "k_strata")
+    assert(row.getLong(1) == sa, "sum_a")
+    assert(BigInt(row.getLong(2)) == e6.sum, "sum_e6")
+    assert(BigInt(row.getLong(3)) == v6.sum, "sum_v6")
+    val diff = (BigInt(sa) * 1000000 - e6.sum).toDouble
+    val ref = diff * diff / (v6.sum * 1000000).toDouble
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(4))
+      == java.lang.Double.doubleToLongBits(ref), "chi2 bits")
+    assert(row.getBoolean(5) == (ref > 3.84), "assoc_flag")
+  }
+
+  test("simpson_paradox_check: per-stratum and pooled signs replay exactly") {
+    val out = graft.SparkEntry.queries("simpson_paradox_check")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          (r.getInt(5), r.getInt(6), r.getBoolean(7)))).toMap
+    val cells = cells2x2(dir)
+    def sgn(a: Long, n1: Long, m1: Long, n: Long): Int =
+      if (n1 == 0 || n1 == n) 0
+      else (BigInt(a) * (n - n1) - BigInt(m1 - a) * n1).signum
+    val (pn, pn1, pm1, pa) = cells.values.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d2), (w, x, y, z)) => (a + w, b + x, c + y, d2 + z) }
+    val pooled = sgn(pa, pn1, pm1, pn)
+    assert(out.keySet == cells.keySet)
+    out.foreach { case (src, ((n, n1, m1, a), (ds, dp, flag))) =>
+      assert((n, n1, m1, a) == cells(src), s"$src cells")
+      assert(ds == sgn(a, n1, m1, n), s"$src dir_source")
+      assert(dp == pooled, s"$src dir_pooled")
+      assert(flag == (ds * dp == -1), s"$src flag")
+    }
+  }
+
+  test("hodges_lehmann_shift: brute-force pairwise-difference median replay") {
+    val row = graft.SparkEntry.queries("hodges_lehmann_shift")(spark, dir)
+      .collect().head
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0).substring(3).toInt < 10, r.getLong(1)))
+    val g1 = docs.filter(_._1).map(_._2); val g2 = docs.filterNot(_._1).map(_._2)
+    val diffs = (for (a <- g1; b <- g2) yield a - b).sorted
+    val t = diffs.length
+    val lo = diffs((t + 1) / 2 - 1) // 1-indexed ceil(T/2)
+    val hi = diffs(t / 2) // 1-indexed T/2 + 1
+    assert(row.getLong(0) == g1.length && row.getLong(1) == g2.length, "group sizes")
+    assert(row.getDouble(2) == t.toDouble, "t_pairs")
+    assert(row.getLong(3) == lo && row.getLong(4) == hi, s"middles: got ${row.getLong(3)},${row.getLong(4)} want $lo,$hi")
+    assert(row.getDouble(5) == (lo + hi).toDouble / 2.0, "hl_shift")
+  }
+
+  test("levene_bf_test: Brown-Forsythe micro-grid replay from raw rows") {
+    val row = graft.SparkEntry.queries("levene_bf_test")(spark, dir).collect().head
+    val bySrc = graft.Tables.load(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val per = bySrc.values.map { vs =>
+      val n = vs.length
+      val med = vs((n + 1) / 2 - 1) // lower median: min v with 2*cum >= n
+      val z = vs.map(v => math.abs(v - med))
+      val sz = z.map(BigInt(_)).sum; val qz = z.map(x => BigInt(x) * x).sum
+      val ssw6 = (BigInt(n) * qz - sz * sz) * 1000000 / n
+      val m6 = sz * 1000000 / n
+      (BigInt(n), sz, ssw6, m6)
+    }.toSeq
+    val nn = per.map(_._1).sum; val szall = per.map(_._2).sum
+    val m6all = szall * 1000000 / nn
+    val ssb6 = per.map { case (n, _, _, m6) => n * (m6 - m6all) * (m6 - m6all) / 1000000 }.sum
+    val ssw6 = per.map(_._3).sum
+    val k = per.length
+    assert(row.getLong(0) == k && BigInt(row.getLong(1)) == nn, "k / n")
+    assert(BigInt(row.getLong(2)) == ssb6 && BigInt(row.getLong(3)) == ssw6, "ss terms")
+    val f = (ssb6 * (nn - k)).toDouble / (ssw6 * (k - 1)).toDouble
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(4))
+      == java.lang.Double.doubleToLongBits(f), "F bits")
+  }
+
+  test("t_closeness_audit: per-cell EMD replay from raw event rows") {
+    val out = graft.SparkEntry.queries("t_closeness_audit")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val ev = graft.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "cast(ts as date) as d", "cast(floor(value) as long) as sens")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val nn = ev.length.toLong
+    val domain = ev.map(_._3).distinct.sorted
+    val span = domain.max - domain.min
+    val global = ev.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val gCum = domain.scanLeft(0L)((acc, v) => acc + global(v)).tail
+    val cells = ev.groupBy(e => (e._1, e._2))
+    val perCell = cells.map { case ((tpe, _), rows) =>
+      val k = rows.length.toLong
+      val cnt = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val cCum = domain.scanLeft(0L)((acc, v) => acc + cnt.getOrElse(v, 0L)).tail
+      // gap-weighted L1 between CDFs, exact integers
+      val tnum = domain.init.indices.map { i =>
+        val gap = domain(i + 1) - domain(i)
+        (BigInt(cCum(i)) * nn - BigInt(gCum(i)) * k).abs * gap
+      }.sum
+      (tpe, k, tnum.toDouble / (BigInt(k) * nn * span).toDouble)
+    }.toSeq
+    perCell.groupBy(_._1).foreach { case (tpe, g) =>
+      val (nc, maxT, cGt, rGt, share) = out(tpe)
+      assert(nc == g.length, s"$tpe n_cells")
+      assert(java.lang.Double.doubleToLongBits(maxT)
+        == java.lang.Double.doubleToLongBits(g.map(_._3).max), s"$tpe max_t")
+      assert(cGt == g.count(_._3 > 0.2), s"$tpe cells_gt02")
+      assert(rGt == g.filter(_._3 > 0.2).map(_._2).sum, s"$tpe rows_gt02")
+      assert(share == rGt.toDouble / g.map(_._2).sum.toDouble, s"$tpe share")
+    }
+  }
+
+  test("lsh_multiprobe_topk: full Scala replay (sigs, 1-bit probes, rerank)") {
+    val out = graft.SparkEntry.queries("lsh_multiprobe_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    def planeBit(j: Int, i: Int): Double = {
+      val h = mdf.digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+    val planes = (0 until 8).map(j => Array.tabulate(64)(i => planeBit(j, i)))
+    def sig(v: Array[Float]): String = (0 until 8).map { j =>
+      var acc = 0.0; var i = 0
+      while (i < 64) { acc += v(i).toDouble * planes(j)(i); i += 1 }
+      if (acc > 0) '1' else '0'
+    }.mkString
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sigs = emb.map { case (id, v) => id -> sig(v) }.toMap
+    val expected = emb.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val probes = (0 to 8).map { j =>
+        if (j == 0) sigs(qid)
+        else { val c = sigs(qid).toCharArray
+          c(j - 1) = if (c(j - 1) == '1') '0' else '1'; new String(c) }
+      }.toSet
+      emb.filter { case (cid, _) => cid != qid && probes(sigs(cid)) }
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, sm) => (-sm, cid) }
+        .take(10).zipWithIndex
+        .map { case ((cid, sm), i) =>
+          (qid, i + 1) -> ((cid, math.floor(sm * 1000000.0) / 1000000.0)) }
+    }.toMap
+    assert(out.keySet == expected.keySet, "rank frame keys")
+    expected.foreach { case (k, (cid, sm)) =>
+      assert(out(k)._1 == cid, s"$k cid")
+      assert(java.lang.Double.doubleToLongBits(out(k)._2)
+        == java.lang.Double.doubleToLongBits(sm), s"$k sim bits")
+    }
+    // the point of multiprobe: strictly more evidence than single-probe
+    val single = graft.SparkEntry.queries("lsh_topk")(spark, dir).collect().length
+    assert(out.size >= single, "multiprobe must never yield fewer ranked rows")
+  }
 }
