@@ -832,16 +832,19 @@ object SimilarityQueries {
     // (Σxy ≤ max_deg²·2m wraps int64 early); r is ONE fixed decimal→double
     // chain; degenerate regular graphs (zero variance) → NULL.
     //
-    // Scale shape: the shared banded pair pipeline (never all-pairs) →
-    // one degree agg → two degree-attach joins keyed on node id → 1-row
-    // moment roll-up.
+    // Scale shape: the BAND-LOCAL pair generator (r12 re-cut: the exact-
+    // candidate path at 0.35 was this query's sf1 wall — x14.3 at x10 data
+    // (ScaleCheck), because fixed 6-bit buckets grow candidates with
+    // occupancy SQUARED; band-local never materializes candidates and is
+    // result-identical by the dedup_cosine_bandlocal spec pin — re-measured
+    // x5.5 after the cut, 30.5 s -> 12.1 s at sf1) → one degree agg → two degree-attach joins keyed
+    // on node id → 1-row moment roll-up. The signature cache follows the
+    // query-scoped cache contract (Queries scaladoc).
     "dup_graph_assortativity" -> Q(
       fn = (s, dir) => {
         val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-        // unsorted variant: the moments are order-free, so the pair
-        // pipeline's global sort would be a wasted range exchange
-        val pairs = lshNearDupPairsUnsorted(Tables.load(s, dir, "embeddings"), 0.35)
-          ._1.select(col("a_id"), col("b_id"))
+        val pairs = lshNearDupPairsBandLocal(Tables.load(s, dir, "embeddings"), 0.35)
+          .select(col("a_id"), col("b_id"))
         val sym = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         val deg = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("d"))
