@@ -1984,5 +1984,134 @@ object SelectionQueries {
            |                    - CAST(pm1 - pa AS HUGEINT) * pn1 AS DOUBLE)) AS INTEGER) END)
            |       = -1 AS simpson_flag
            |FROM cells CROSS JOIN pooled
-           |ORDER BY source""".stripMargin)))
+           |ORDER BY source""".stripMargin)),
+
+    // ---- McNemar test: are the two curation rules asymmetric? (r12) -------
+    // rater_agreement's kappa says how much two keep-rules AGREE; McNemar
+    // asks the operational follow-up about their DISAGREEMENTS: among docs
+    // where the rules differ, is one systematically stricter (b = length-
+    // only-keep vs c = quality-only-keep)? Under H0 (symmetric
+    // disagreement) b ~ Binomial(b+c, 1/2); chi2 = (b−c)²/(b+c), df 1.
+    // Same exact 2x2 cells as cmh_test/simpson (shared lenQuality2x2 — the
+    // rules can never drift apart from the tests about them): b = e∧¬o =
+    // n1−a, c = ¬e∧o = m1−a. Per source plus a pooled row (source NULL,
+    // ordered first). The square rides double-AFTER-cast (b−c ≤ n wraps
+    // int64 squared past ~3e9-doc strata — the ab_srm lesson); b+c = 0
+    // strata report NULL (no disagreement, no evidence).
+    //
+    // Scale shape: the shared map pass → ≤|sources| agg (+1 pooled row);
+    // scan-bound at any corpus size.
+    "mcnemar_test" -> Q(
+      fn = (s, dir) => {
+        val cells = lenQuality2x2(Tables.load(s, dir, "documents"))
+        val pooled = cells.agg(sum(col("n")).as("n"), sum(col("n1")).as("n1"),
+            sum(col("m1")).as("m1"), sum(col("a")).as("a"))
+          .select(lit(null).cast("string").as("source"),
+            col("n"), col("n1"), col("m1"), col("a"))
+        cells.select(col("source"), col("n"), col("n1"), col("m1"), col("a"))
+          .unionByName(pooled)
+          .select(col("source"),
+            (col("n1") - col("a")).as("b_len_only"),
+            (col("m1") - col("a")).as("c_qual_only"))
+          .withColumn("chi2_mcnemar",
+            when(col("b_len_only") + col("c_qual_only") === 0L,
+              lit(null).cast("double"))
+              .otherwise(
+                (col("b_len_only") - col("c_qual_only")).cast("double")
+                  * (col("b_len_only") - col("c_qual_only")).cast("double")
+                  / (col("b_len_only") + col("c_qual_only")).cast("double")))
+          .withColumn("asym_flag",
+            coalesce(col("chi2_mcnemar") > 3.84, lit(false)))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      oracle = Some(
+        s"""WITH cells AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |         CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           |         CAST(SUM(CASE WHEN n_chars >= 200
+           |                AND len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS a
+           |  FROM documents GROUP BY source),
+           |all_rows AS (
+           |  SELECT source, n, n1, m1, a FROM cells
+           |  UNION ALL
+           |  SELECT CAST(NULL AS VARCHAR), CAST(SUM(n) AS BIGINT), CAST(SUM(n1) AS BIGINT),
+           |         CAST(SUM(m1) AS BIGINT), CAST(SUM(a) AS BIGINT) FROM cells),
+           |bc AS (SELECT source, n1 - a AS b_len_only, m1 - a AS c_qual_only FROM all_rows)
+           |SELECT source, b_len_only, c_qual_only,
+           |       CASE WHEN b_len_only + c_qual_only = 0 THEN NULL
+           |            ELSE CAST(b_len_only - c_qual_only AS DOUBLE)
+           |                 * CAST(b_len_only - c_qual_only AS DOUBLE)
+           |                 / CAST(b_len_only + c_qual_only AS DOUBLE) END AS chi2_mcnemar,
+           |       COALESCE(CASE WHEN b_len_only + c_qual_only = 0 THEN NULL
+           |            ELSE CAST(b_len_only - c_qual_only AS DOUBLE)
+           |                 * CAST(b_len_only - c_qual_only AS DOUBLE)
+           |                 / CAST(b_len_only + c_qual_only AS DOUBLE) END > 3.84,
+           |           false) AS asym_flag
+           |FROM bc ORDER BY source NULLS FIRST""".stripMargin)),
+
+    // ---- Cochran's Q: do the THREE curation rules pass equal shares? (r12) -
+    // The k-treatment extension of McNemar over the same documents: rules
+    // r1 = length ≥ 200, r2 = Gopher-stop ≥ 2 (the shared 2x2 pair), r3 =
+    // word count ≥ 20 (gopher_rules' floor). Q = (k−1)·(k·ΣG² − (ΣG)²) /
+    // (k·ΣL − ΣL²) with G_j = per-rule pass totals and L_i = per-doc pass
+    // counts — EVERY term an exact integer (ΣL ≤ 3N, ΣL² ≤ 9N; k·ΣG²
+    // widened to DECIMAL/HUGEINT past ~1e9 docs); Q is ONE division of two
+    // exact integers, compared against the df = 2 gate. A significant Q
+    // says the three rules keep meaningfully different corpus shares —
+    // they are filters, not redundant spellings of one rule.
+    //
+    // Scale shape: one map-side 3-flag pass → 1-row aggregate; scan-bound.
+    "cochran_q" -> Q(
+      fn = (s, dir) => {
+        val flags = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            when(col("n_chars") >= 200, 1L).otherwise(0L).as("r1"),
+            when(expr(s"size(filter(toks, t -> t IN ($GopherStopSql))) >= 2"), 1L)
+              .otherwise(0L).as("r2"),
+            when(size(col("toks")) >= 20, 1L).otherwise(0L).as("r3"))
+          .withColumn("l", col("r1") + col("r2") + col("r3"))
+        flags.agg(count(lit(1)).as("n"),
+            sum(col("r1")).as("g1"), sum(col("r2")).as("g2"), sum(col("r3")).as("g3"),
+            sum(col("l")).as("sum_l"), sum(col("l") * col("l")).as("sum_l2"))
+          .select(col("n"), col("g1"), col("g2"), col("g3"),
+            col("sum_l"), col("sum_l2"),
+            (expr("""cast(2 * (3 * (cast(g1 as decimal(38,0)) * g1
+                    | + cast(g2 as decimal(38,0)) * g2
+                    | + cast(g3 as decimal(38,0)) * g3)
+                    | - cast(sum_l as decimal(38,0)) * sum_l) as double)""".stripMargin)
+              / expr("cast(3 * cast(sum_l as decimal(38,0)) - sum_l2 as double)"))
+              .as("q_stat"))
+          .select(col("n"), col("g1"), col("g2"), col("g3"),
+            col("sum_l"), col("sum_l2"), col("q_stat"),
+            (col("q_stat") > 5.99).as("rules_differ_flag"))
+      },
+      oracle = Some(
+        s"""WITH flags AS (
+           |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+           |         CASE WHEN len(list_filter(string_split(text, ' '),
+           |              t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END AS r2,
+           |         CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END AS r3
+           |  FROM documents),
+           |f2 AS (SELECT r1, r2, r3, r1 + r2 + r3 AS l FROM flags),
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(r1) AS BIGINT) AS g1, CAST(SUM(r2) AS BIGINT) AS g2,
+           |             CAST(SUM(r3) AS BIGINT) AS g3,
+           |             CAST(SUM(l) AS BIGINT) AS sum_l,
+           |             CAST(SUM(l * l) AS BIGINT) AS sum_l2
+           |      FROM f2)
+           |SELECT n, g1, g2, g3, sum_l, sum_l2,
+           |       CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1 + CAST(g2 AS HUGEINT) * g2
+           |            + CAST(g3 AS HUGEINT) * g3)
+           |            - CAST(sum_l AS HUGEINT) * sum_l) AS DOUBLE)
+           |         / CAST(3 * CAST(sum_l AS HUGEINT) - sum_l2 AS DOUBLE) AS q_stat,
+           |       CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1 + CAST(g2 AS HUGEINT) * g2
+           |            + CAST(g3 AS HUGEINT) * g3)
+           |            - CAST(sum_l AS HUGEINT) * sum_l) AS DOUBLE)
+           |         / CAST(3 * CAST(sum_l AS HUGEINT) - sum_l2 AS DOUBLE) > 5.99
+           |         AS rules_differ_flag
+           |FROM m""".stripMargin)))
 }

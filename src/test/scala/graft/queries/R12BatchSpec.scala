@@ -442,4 +442,50 @@ class R12BatchSpec extends SparkTestBase {
     val single = graft.SparkEntry.queries("lsh_topk")(spark, dir).collect().length
     assert(out.size >= single, "multiprobe must never yield fewer ranked rows")
   }
+
+  test("mcnemar_test: disagreement cells replay from the shared 2x2") {
+    val out = graft.SparkEntry.queries("mcnemar_test")(spark, dir)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getBoolean(4)))).toMap
+    val cells = cells2x2(dir)
+    val (pn1, pm1, pa) = cells.values.foldLeft((0L, 0L, 0L)) {
+      case ((x, y, z), (_, n1, m1, a)) => (x + n1, y + m1, z + a) }
+    def check(key: String, n1: Long, m1: Long, a: Long): Unit = {
+      val (b, c, chi2, flag) = out(key)
+      assert(b == n1 - a && c == m1 - a, s"$key cells")
+      if (b + c == 0) assert(chi2.isNaN && !flag, s"$key null case")
+      else {
+        val ref = (b - c).toDouble * (b - c).toDouble / (b + c).toDouble
+        assert(java.lang.Double.doubleToLongBits(chi2)
+          == java.lang.Double.doubleToLongBits(ref), s"$key chi2 bits")
+        assert(flag == (ref > 3.84), s"$key flag")
+      }
+    }
+    cells.foreach { case (src, (_, n1, m1, a)) => check(src, n1, m1, a) }
+    check(null, pn1, pm1, pa)
+    assert(out.size == cells.size + 1, "pooled row present")
+  }
+
+  test("cochran_q: Q statistic replays from per-doc rule flags") {
+    val row = graft.SparkEntry.queries("cochran_q")(spark, dir).collect().head
+    val flags = graft.Tables.load(spark, dir, "documents")
+      .select("n_chars", "text").collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val r1 = if (r.getLong(0) >= 200L) 1L else 0L
+        val r2 = if (toks.count(GopherStops) >= 2) 1L else 0L
+        val r3 = if (toks.length >= 20) 1L else 0L
+        (r1, r2, r3)
+      }
+    val g1 = flags.map(_._1).sum; val g2 = flags.map(_._2).sum; val g3 = flags.map(_._3).sum
+    val ls = flags.map(f => f._1 + f._2 + f._3)
+    val sl = ls.sum; val sl2 = ls.map(l => l * l).sum
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) == ((flags.length.toLong, g1, g2, g3, sl, sl2)))
+    val q = (BigInt(2) * (3 * (BigInt(g1) * g1 + BigInt(g2) * g2 + BigInt(g3) * g3)
+      - BigInt(sl) * sl)).toDouble / (BigInt(3) * sl - sl2).toDouble
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(6))
+      == java.lang.Double.doubleToLongBits(q), "Q bits")
+    assert(row.getBoolean(7) == (q > 5.99), "flag")
+  }
 }
