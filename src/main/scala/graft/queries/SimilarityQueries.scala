@@ -1477,6 +1477,117 @@ object SimilarityQueries {
            |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
       }),
 
+    // ---- IVF-PQ ANN: coarse probe + product-quantized rank (r12) ---------
+    // The composition a production vector index actually deploys (FAISS
+    // IVFPQ): the IVF coarse quantizer prunes the corpus to 4 probed
+    // lists, then candidates are ranked by the PQ asymmetric-distance
+    // table — the scan touches 8 CODE BYTES per candidate, never the raw
+    // 64 floats. Composed from the SAME gated builders as its parents —
+    // ivfLists/ivfCentroids (ivf_topk's lists, oracle nests ivfListsSql
+    // verbatim) and pq_topk's subspace/codebook/ADC spelling (min-struct
+    // argmin encode, grid-quantized DECIMAL(16,6) ADC cells so the
+    // 8-term sum is exact in any order) — so the composite provably
+    // probes the lists ivf_topk probes and ranks with the codes pq_topk
+    // ranks with.
+    //
+    // Scale shape: probes = two tiny broadcasts (≤5-row queries × 16-row
+    // centroids); candidates = probed-list members only (n·nprobe/L);
+    // the code-attach join is equi-keyed on cid; the ADC table broadcasts
+    // at ≤ queries·8·16 rows. At 100 TB the per-candidate cost is 8 code
+    // bytes + 8 exact decimal adds — the whole point of IVF-PQ.
+    "ivf_pq_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        def l2(a: String, b: String): Column =
+          graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
+        def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
+          src.select(col("vec_id").as(idCol),
+              explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+            .select(col(idCol), col("j"),
+              expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
+        // IVF side: probe the 4 nearest lists (ivf_topk's spelling)
+        val cents = ivfCentroids(emb)
+        val lists = ivfLists(emb).select("cid", "list_id")
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
+        val probes = broadcast(q).crossJoin(broadcast(cents))
+          .withColumn("psim", cosineSimilarity(col("qv"), col("centv")))
+          .withColumn("prk", row_number().over(wProbe))
+          .filter(col("prk") <= 4)
+          .select(col("qid"), col("cent_id").as("list_id"))
+        // PQ side: codes + ADC table (pq_topk's spelling)
+        val pqcents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+        val codes = subspaces(emb, "cid", "subv")
+          .join(broadcast(pqcents), Seq("j"))
+          .groupBy("cid", "j")
+          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
+          .select(col("cid"), col("j"), col("m.cent_id").as("code"))
+        val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
+          .join(broadcast(pqcents), Seq("j"))
+          .select(col("qid"), col("j"), col("cent_id").as("code"),
+            Q.grid6(l2("qsubv", "centv")).cast("decimal(16,6)").as("qd2"))
+        // probe-pruned candidates ranked by ADC
+        val cand = probes.join(lists, Seq("list_id"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"))
+        val dist = cand.join(codes, Seq("cid"))
+          .join(broadcast(adc), Seq("qid", "j", "code"))
+          .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+        dist.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"),
+            col("adist").cast("double").as("adist"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some {
+        def duckL2(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH $ivfListsSql,
+           |probes AS (
+           |  SELECT qid, cent_id AS list_id FROM (
+           |    SELECT q.vec_id AS qid, c.cent_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCosSql("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
+           |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
+           |  WHERE prk <= 4),
+           |js AS (SELECT UNNEST(range(8)) AS j),
+           |pqcents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
+           |            FROM embeddings, js WHERE vec_id < 16),
+           |vecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
+           |         FROM embeddings, js),
+           |pqcodes AS (
+           |  SELECT cid, j, cent_id AS code FROM (
+           |    SELECT v.cid, v.j, c.cent_id,
+           |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
+           |                              ORDER BY ${duckL2("v.subv", "c.centv")}, c.cent_id) AS crk
+           |    FROM vecs v JOIN pqcents c ON v.j = c.j) t
+           |  WHERE crk = 1),
+           |pqadc AS (
+           |  SELECT q.cid AS qid, q.j, c.cent_id AS code,
+           |         CAST(floor((${duckL2("q.subv", "c.centv")}) * 1000000.0) / 1000000.0
+           |              AS DECIMAL(16,6)) AS qd2
+           |  FROM vecs q JOIN pqcents c ON q.j = c.j WHERE q.cid < $NumQueries),
+           |cand AS (
+           |  SELECT p.qid, l.cid FROM probes p JOIN lists l ON p.list_id = l.list_id
+           |  WHERE p.qid != l.cid),
+           |dist AS (
+           |  SELECT d.qid, d.cid, SUM(a.qd2) AS adist
+           |  FROM cand d JOIN pqcodes k ON k.cid = d.cid
+           |  JOIN pqadc a ON a.qid = d.qid AND a.j = k.j AND a.code = k.code
+           |  GROUP BY d.qid, d.cid),
+           |ranked AS (
+           |  SELECT qid, cid, adist,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk
+           |  FROM dist)
+           |SELECT qid, cid, CAST(adist AS DOUBLE) AS adist, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+      }),
+
     // ---- IVF index-health audit: list balance (added r8) ----------------
     // The ops number an IVF deployment watches: how evenly do the inverted
     // lists split the corpus? A hot list (load_factor ≫ 1) means every

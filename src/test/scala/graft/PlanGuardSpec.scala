@@ -95,6 +95,9 @@ class PlanGuardSpec extends SparkTestBase {
       "matryoshka_recall", // ≤5-row query-side broadcast ×4 prefixes (similarity_topk shape)
       "cluster_modularity", // broadcast of the 1-row total-edge-count aggregate
       "cuped_adjustment", // broadcast of the 1-row calendar-bounds aggregate
+      // ivf_pq_topk: ≤5-row query × 16-row centroid probe broadcasts
+      // (ivf_topk's shape) + the 16-row PQ codebook broadcast
+      "ivf_pq_topk",
       // hodges_lehmann_shift: grid x broadcast-grid difference product —
       // both sides value-domain bounded (n_chars grids), never corpus rows
       "hodges_lehmann_shift",

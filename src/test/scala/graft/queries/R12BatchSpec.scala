@@ -488,4 +488,27 @@ class R12BatchSpec extends SparkTestBase {
       == java.lang.Double.doubleToLongBits(q), "Q bits")
     assert(row.getBoolean(7) == (q > 5.99), "flag")
   }
+
+  test("ivf_pq_topk: ADC distances equal pq_topk's on shared pairs; probes prune") {
+    val ipq = graft.SparkEntry.queries("ivf_pq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = graft.SparkEntry.queries("pq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ipq.nonEmpty, "ivf_pq_topk returned nothing")
+    // composition soundness: same codes + same ADC table => identical
+    // approximate distance wherever both retrievers rank a pair
+    val shared = ipq.keySet & pq.keySet
+    assert(shared.nonEmpty, "no shared (qid, cid) pairs to cross-check")
+    shared.foreach { k =>
+      assert(java.lang.Double.doubleToLongBits(ipq(k))
+        == java.lang.Double.doubleToLongBits(pq(k)),
+        s"$k: ivf_pq adist ${ipq(k)} != pq_topk ${pq(k)}")
+    }
+    // pruning: IVF-PQ ranks a SUBSET of the corpus (probed lists), so per
+    // query it can never return more rows than pq_topk's corpus-wide rank
+    val perQ = ipq.keySet.groupBy(_._1).view.mapValues(_.size).toMap
+    val pqQ = pq.keySet.groupBy(_._1).view.mapValues(_.size).toMap
+    perQ.foreach { case (q, n) =>
+      assert(n <= pqQ.getOrElse(q, 0), s"query $q: probed rank longer than corpus-wide") }
+  }
 }
