@@ -1253,6 +1253,87 @@ object SimilarityQueries {
            |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
            |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin)),
 
+    // ---- DBSCAN over the near-dup graph: density-based clustering (r12) --
+    // The density-based clustering verb missing from the kmeans/CC family
+    // (Ester et al. 1996, made deterministic): eps-neighborhood = cosine
+    // ≥ 0.40 (dedup_clusters' closure-safe dial, band-local pair
+    // generator), minPts = 3 → CORE iff degree ≥ 2; clusters = connected
+    // components over CORE-CORE edges (+ self-loops so a core with only
+    // border neighbors clusters as its own singleton); BORDER = non-core
+    // with ≥1 core neighbor, attached to the MIN core-neighbor label (the
+    // textbook algorithm is scan-order-dependent exactly here — the min
+    // rule replaces that with a total order); everything else = NOISE.
+    // vs dedup_clusters (CC over ALL edges): DBSCAN refuses to chain
+    // through low-degree bridge vectors — the percolation-resistant
+    // variant. Output is the full labeling, dedup_clusters' shape.
+    //
+    // Scale shape: band-local pair generation (never all-pairs) → degree
+    // agg → equi-joins on id → the SAME bounded CC loop (core subgraph is
+    // smaller than dedup_clusters' input) → two label-attach joins.
+    "dbscan_clusters" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val pairs = lshNearDupPairsBandLocal(emb, 0.40)
+          .select(col("a_id"), col("b_id"))
+        val sym = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val deg = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("d"))
+        val core = deg.filter(col("d") >= 2).select("id")
+        val coreEdges = sym
+          .join(core.select(col("id").as("a_id")), Seq("a_id"))
+          .join(core.select(col("id").as("b_id")), Seq("b_id"))
+          .select("a_id", "b_id")
+          .union(core.select(col("id").as("a_id"), col("id").as("b_id")))
+        val coreLab = Q.connectedComponents(coreEdges)
+        val borderLab = sym
+          .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_anti")
+          .join(coreLab.select(col("id").as("b_id"), col("label")), Seq("b_id"))
+          .groupBy(col("a_id")).agg(min(col("label")).as("blabel"))
+        emb.select(col("vec_id"))
+          .join(coreLab.select(col("id").as("vec_id"), col("label").as("clab")),
+            Seq("vec_id"), "left")
+          .join(borderLab.select(col("a_id").as("vec_id"), col("blabel")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("clab").isNotNull, "core")
+              .when(col("blabel").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("clab"), col("blabel")).as("cluster"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE ${lshPairsSqlCtes(0.40)},
+           |p AS (SELECT a_id, b_id
+           |      FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+           |      WHERE ${duckDot("a.embedding", "b.embedding")}
+           |             / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.40),
+           |sym AS (SELECT a_id AS s, b_id AS d FROM p
+           |        UNION ALL SELECT b_id, a_id FROM p),
+           |deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY s),
+           |core AS (SELECT id FROM deg WHERE dg >= 2),
+           |ce AS (SELECT s, d FROM sym
+           |       WHERE s IN (SELECT id FROM core) AND d IN (SELECT id FROM core)
+           |       UNION ALL SELECT id, id FROM core),
+           |reach(s, d) AS (
+           |  SELECT s, d FROM ce
+           |  UNION
+           |  SELECT r.s, e2.d FROM reach r JOIN ce e2 ON r.d = e2.s WHERE r.s != e2.d
+           |),
+           |corelab AS (SELECT s AS id, LEAST(s, MIN(d)) AS label FROM reach GROUP BY s),
+           |borderlab AS (
+           |  SELECT sym.s AS id, MIN(cl.label) AS blabel
+           |  FROM sym JOIN corelab cl ON sym.d = cl.id
+           |  WHERE sym.s NOT IN (SELECT id FROM core) GROUP BY sym.s)
+           |SELECT emb.vec_id,
+           |       CASE WHEN c.label IS NOT NULL THEN 'core'
+           |            WHEN b.blabel IS NOT NULL THEN 'border'
+           |            ELSE 'noise' END AS role,
+           |       COALESCE(c.label, b.blabel) AS cluster
+           |FROM embeddings emb
+           |LEFT JOIN corelab c ON c.id = emb.vec_id
+           |LEFT JOIN borderlab b ON b.id = emb.vec_id
+           |ORDER BY emb.vec_id""".stripMargin)),
+
     // ---- SemDeDup: cluster-then-prune semantic dedup (added r6) ----------
     // The published cluster-restricted semantic dedup (SemDeDup, Abbas et
     // al. 2023, arXiv:2303.09540): k-means-cluster the embeddings, then

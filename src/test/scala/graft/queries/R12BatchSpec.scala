@@ -511,4 +511,41 @@ class R12BatchSpec extends SparkTestBase {
     perQ.foreach { case (q, n) =>
       assert(n <= pqQ.getOrElse(q, 0), s"query $q: probed rank longer than corpus-wide") }
   }
+
+  test("dbscan_clusters: roles and labels replay from dedup pair graph rules") {
+    val out = graft.SparkEntry.queries("dbscan_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // independent pair source: the band-local registry pair query runs at
+    // 0.35 — restrict to >= 0.40 via its similarity column (band-local ≡
+    // exact-candidate is pinned by its own spec)
+    val p40 = graft.SparkEntry.queries("dedup_cosine_bandlocal")(spark, dir)
+      .collect().filter(_.getDouble(2) >= 0.40)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (p40 ++ p40.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val core = adj.filter(_._2.size >= 2).keySet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map[Long, Long]() ++ core.map(c => c -> c)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    for (a <- core; b <- adj(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val coreLab = core.map(c => c -> find(c)).toMap
+    val vecIds = out.keySet
+    vecIds.foreach { v =>
+      val (role, lab) = out(v)
+      if (core(v)) {
+        assert(role == "core" && lab == coreLab(v), s"$v core: got ($role, $lab) want ${coreLab(v)}")
+      } else adj.get(v).map(_.filter(core)).filter(_.nonEmpty) match {
+        case Some(coreNbrs) =>
+          val want = coreNbrs.map(coreLab).min
+          assert(role == "border" && lab == want, s"$v border: got ($role, $lab) want $want")
+        case None =>
+          assert(role == "noise" && lab == -1L, s"$v noise: got ($role, $lab)")
+      }
+    }
+  }
 }
