@@ -2081,6 +2081,120 @@ object StatQueries {
           |       CAST(ssb6d * (n - k) AS DOUBLE) / CAST(ssw6d * (k - 1) AS DOUBLE) AS f_bf
           |FROM m""".stripMargin)),
 
+    // ---- Granger causality screen: click -> purchase daily volume (r12) ---
+    // The causal-screening leg of the time-series family (mann_kendall /
+    // theil_sen / changepoint / PH monitor): does yesterday's CLICK volume
+    // improve the 1-lag autoregression of today's PURCHASE volume? F-test
+    // of the restricted (y ~ y1) vs full (y ~ y1 + x1) OLS over the
+    // common-day series (Granger 1969, lag 1). Exactness: the six
+    // T-scaled central moments M_ab = T·Σab − Σa·Σb are exact integers
+    // (DECIMAL/HUGEINT; documented bound ~1e6 events/day before DECIMAL38
+    // would wrap the triple-product determinant); both RSS ratios come
+    // from the Schur-complement determinant identity RSS_f = det3/(T·det2),
+    // RSS_r = (Myy·M11 − M1y²)/(T·M11), so F = (T−3)·(RSS_r/RSS_f − 1) is
+    // a FIXED tree of correctly-rounded double ops on identically-cast
+    // exact inputs (the token_budget_plan doctrine — no fold-order
+    // ambiguity because every operand is a named scalar). Collinear or
+    // degenerate designs (det2/det3 ≤ 0) report NULL. The flag compares
+    // against 4.00 — the F(1, 60) α = .05 critical value for this
+    // calendar span, a documented constant, not a computed quantile.
+    //
+    // Scale shape: one day-grain hash agg (map-side combined) → two-series
+    // inner join on day → ONE global lag window over the common-day frame
+    // (calendar-bounded, R2-whitelisted) → 1-row moment roll-up. Constant
+    // past the first agg at any corpus size.
+    "granger_daily" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val xs = daily.filter(col("event_type") === "click")
+          .select(col("d"), col("n").as("x"))
+        val ys = daily.filter(col("event_type") === "purchase")
+          .select(col("d"), col("n").as("y"))
+        val w = Window.orderBy(col("d"))
+        val lagged = xs.join(ys, Seq("d"))
+          .select(col("d"), col("y"),
+            lag(col("y"), 1).over(w).as("y1"), lag(col("x"), 1).over(w).as("x1"))
+          .filter(col("y1").isNotNull && col("x1").isNotNull)
+        val mom = lagged.agg(count(lit(1)).as("t"),
+          sum(col("y")).as("sy"), sum(col("y1")).as("s1"), sum(col("x1")).as("sx"),
+          sum(big(col("y")) * big(col("y"))).as("syy"),
+          sum(big(col("y1")) * big(col("y1"))).as("s11"),
+          sum(big(col("x1")) * big(col("x1"))).as("sxx"),
+          sum(big(col("y1")) * big(col("y"))).as("s1y"),
+          sum(big(col("x1")) * big(col("y"))).as("sxy"),
+          sum(big(col("y1")) * big(col("x1"))).as("s1x"))
+        def m(ab: String, a: String, b: String) =
+          (big(col("t")) * col(ab) - big(col(a)) * big(col(b))).cast("double")
+        mom
+          .select(col("t"),
+            m("syy", "sy", "sy").as("myy"), m("s11", "s1", "s1").as("m11"),
+            m("sxx", "sx", "sx").as("mxx"), m("s1y", "s1", "sy").as("m1y"),
+            m("sxy", "sx", "sy").as("mxy"), m("s1x", "s1", "sx").as("m1x"))
+          .withColumn("det2", col("m11") * col("mxx") - col("m1x") * col("m1x"))
+          .withColumn("det3",
+            col("myy") * col("det2")
+              - col("m1y") * (col("m1y") * col("mxx") - col("m1x") * col("mxy"))
+              + col("mxy") * (col("m1y") * col("m1x") - col("m11") * col("mxy")))
+          .withColumn("nr", col("myy") * col("m11") - col("m1y") * col("m1y"))
+          .select(col("t").as("t_obs"),
+            col("m11").as("m11"), col("mxx").as("mxx"), col("myy").as("myy"),
+            when(col("t") <= 3 || col("det2") <= 0.0 || col("det3") <= 0.0,
+              lit(null).cast("double"))
+              .otherwise((col("t") - 3).cast("double")
+                * (col("nr") * col("det2") / (col("m11") * col("det3")) - 1.0))
+              .as("f_granger"))
+          .withColumn("causal_flag", coalesce(col("f_granger") > 4.00, lit(false)))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events WHERE event_type IN ('click', 'purchase')
+          |  GROUP BY CAST(ts AS DATE), event_type),
+          |xs AS (SELECT d, n AS x FROM daily WHERE event_type = 'click'),
+          |ys AS (SELECT d, n AS y FROM daily WHERE event_type = 'purchase'),
+          |lagged0 AS (SELECT xs.d, y,
+          |                   LAG(y) OVER (ORDER BY xs.d) AS y1,
+          |                   LAG(x) OVER (ORDER BY xs.d) AS x1
+          |            FROM xs JOIN ys ON xs.d = ys.d),
+          |lagged AS (SELECT * FROM lagged0 WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+          |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+          |               CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y1) AS BIGINT) AS s1,
+          |               CAST(SUM(x1) AS BIGINT) AS sx,
+          |               SUM(CAST(y AS HUGEINT) * y) AS syy,
+          |               SUM(CAST(y1 AS HUGEINT) * y1) AS s11,
+          |               SUM(CAST(x1 AS HUGEINT) * x1) AS sxx,
+          |               SUM(CAST(y1 AS HUGEINT) * y) AS s1y,
+          |               SUM(CAST(x1 AS HUGEINT) * y) AS sxy,
+          |               SUM(CAST(y1 AS HUGEINT) * x1) AS s1x
+          |        FROM lagged),
+          |ms AS (SELECT t,
+          |              CAST(CAST(t AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS myy,
+          |              CAST(CAST(t AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS m11,
+          |              CAST(CAST(t AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS mxx,
+          |              CAST(CAST(t AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS m1y,
+          |              CAST(CAST(t AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS mxy,
+          |              CAST(CAST(t AS HUGEINT) * s1x - CAST(s1 AS HUGEINT) * sx AS DOUBLE) AS m1x
+          |       FROM mom),
+          |dets AS (SELECT t, myy, m11, mxx, m1y, mxy, m1x,
+          |                m11 * mxx - m1x * m1x AS det2,
+          |                myy * (m11 * mxx - m1x * m1x)
+          |                  - m1y * (m1y * mxx - m1x * mxy)
+          |                  + mxy * (m1y * m1x - m11 * mxy) AS det3,
+          |                myy * m11 - m1y * m1y AS nr
+          |         FROM ms)
+          |SELECT t AS t_obs, m11, mxx, myy,
+          |       CASE WHEN t <= 3 OR det2 <= 0.0 OR det3 <= 0.0 THEN NULL
+          |            ELSE CAST(t - 3 AS DOUBLE)
+          |                 * (nr * det2 / (m11 * det3) - 1.0) END AS f_granger,
+          |       COALESCE(CASE WHEN t <= 3 OR det2 <= 0.0 OR det3 <= 0.0 THEN NULL
+          |            ELSE CAST(t - 3 AS DOUBLE)
+          |                 * (nr * det2 / (m11 * det3) - 1.0) END > 4.00, false) AS causal_flag
+          |FROM dets""".stripMargin)),
+
     // ---- Page-Hinkley drift test over daily volume (added r10) ------------
     // The sequential changepoint monitor beside cusum_drift's batch CUSUM:
     // per event type, PH_t = Σ_{i≤t}(x_i − mean_i) against the running

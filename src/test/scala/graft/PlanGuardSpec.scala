@@ -348,6 +348,9 @@ class PlanGuardSpec extends SparkTestBase {
     // t_closeness_audit: the global-CDF window over the sens value grid —
     // value-domain bounded like emd_source_lengths.
     "t_closeness_audit",
+    // granger_daily: the lag window over the two-series common-day frame —
+    // calendar-span bounded like changepoint_daily.
+    "granger_daily",
     // rfm_segments: three tercile-cutoff cumulative windows, each over a
     // value-domain-bounded grid (recency days / frequency values /
     // monetary cents sums) — the auc_dup_quality argument ×3.
@@ -432,6 +435,7 @@ class PlanGuardSpec extends SparkTestBase {
           .crossJoin(vs.select(org.apache.spark.sql.functions.col("n_chars").as("v2")))
           .select(org.apache.spark.sql.functions.expr("v1 - v2")).distinct().count()
       },
+      "granger_daily" -> daySpan, // common-day two-series frame
       "t_closeness_audit" -> // sens value-domain grid (floor(value))
         events.select(org.apache.spark.sql.functions.expr(
           "cast(floor(value) as long)")).distinct().count(),

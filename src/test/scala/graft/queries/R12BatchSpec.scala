@@ -548,4 +548,40 @@ class R12BatchSpec extends SparkTestBase {
       }
     }
   }
+
+  test("granger_daily: moments and F replay from raw day-grain rows") {
+    val row = graft.SparkEntry.queries("granger_daily")(spark, dir).collect().head
+    val daily = graft.Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type").isin("click", "purchase"))
+      .selectExpr("cast(ts as date) as d", "event_type").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xs = daily.collect { case ((d, "click"), n) => d -> n }.toMap
+    val ys = daily.collect { case ((d, "purchase"), n) => d -> n }.toMap
+    val days = (xs.keySet & ys.keySet).toSeq.sorted
+    val lagged = days.zip(days.drop(1)).map { case (prev, cur) =>
+      (ys(cur), ys(prev), xs(prev)) } // (y, y1, x1) over the COMMON-day series
+    val t = lagged.length.toLong
+    def S(f: ((Long, Long, Long)) => BigInt): BigInt = lagged.map(f).sum
+    val (sy, s1, sx) = (S(_._1), S(_._2), S(_._3))
+    def M(sab: BigInt, sa: BigInt, sb: BigInt): Double = (t * sab - sa * sb).toDouble
+    val myy = M(S(r => BigInt(r._1) * r._1), sy, sy)
+    val m11 = M(S(r => BigInt(r._2) * r._2), s1, s1)
+    val mxx = M(S(r => BigInt(r._3) * r._3), sx, sx)
+    val m1y = M(S(r => BigInt(r._2) * r._1), s1, sy)
+    val mxy = M(S(r => BigInt(r._3) * r._1), sx, sy)
+    val m1x = M(S(r => BigInt(r._2) * r._3), s1, sx)
+    val det2 = m11 * mxx - m1x * m1x
+    val det3 = myy * det2 - m1y * (m1y * mxx - m1x * mxy) + mxy * (m1y * m1x - m11 * mxy)
+    val nr = myy * m11 - m1y * m1y
+    assert(row.getLong(0) == t, "t_obs")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(m11), "m11")
+    if (t > 3 && det2 > 0 && det3 > 0) {
+      val f = (t - 3).toDouble * (nr * det2 / (m11 * det3) - 1.0)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(f), "F bits")
+      assert(row.getBoolean(5) == (f > 4.00), "flag")
+    } else assert(row.isNullAt(4) && !row.getBoolean(5), "degenerate case")
+  }
 }
