@@ -62,7 +62,7 @@ object SelectionQueries {
     * at n ≈ 1.2e8, exactly when the gate must fire (ADVICE r10). Shared
     * with R12BatchSpec's synthetic 1e8-row sufficient-statistics sweep so
     * the spec exercises the production expression verbatim. */
-  private[queries] def srmTerm(o: Column, w: Long): Column = {
+  private[graft] def srmTerm(o: Column, w: Long): Column = {
     val diff = (o * 256L - col("n") * w).cast("double")
     // denominator as double-first multiply: the int64 product n*(256*w)
     // wraps at n ~ 1.7e14 (w=204) — far below the difference's 3.6e16

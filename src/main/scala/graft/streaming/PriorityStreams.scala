@@ -1281,6 +1281,60 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming SRM gate (added r12) -------------------------------------
+
+  /** One running-count emission per split arm per micro-batch. */
+  final case class SplitCountRow(split: String, n: Long)
+
+  /** Streaming twin of the batch `ab_srm_check` COUNTING stage: per split
+    * arm (train/val/test, the SAME md5-band rule text as the batch query),
+    * ONE long of state — the running assignment count. Counting is
+    * associative and duplicate-free by construction (each arriving doc_id
+    * increments exactly once), so the FINAL per-arm counts are bit-equal
+    * to the batch aggregate on ANY micro-batch split; the consumer closes
+    * the gate by running the batch chain's three srmTerm cells over the
+    * final counts — the spec pins both. The operational point: a training
+    * pipeline streaming shards into a split can watch the SRM gate LIVE
+    * instead of discovering a broken assignment after the epoch. */
+  final class SrmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, String, SplitCountRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[String],
+        timerValues: TimerValues): Iterator[SplitCountRow] = {
+      val cur = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(cur)
+      Iterator.single(SplitCountRow(key, cur))
+    }
+  }
+
+  /** See [[SrmProcessor]]. Input: a streaming frame with a `doc_id` BIGINT
+    * column; the split rule is the batch query's expression text verbatim. */
+  def srmStream(ids: org.apache.spark.sql.DataFrame): Dataset[SplitCountRow] = {
+    import ids.sparkSession.implicits._
+    ids
+      .select(org.apache.spark.sql.functions.expr(
+        "substring(md5(concat('split:', cast(doc_id as string))), 1, 2)").as("h2"))
+      .select(org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("h2") < "cc", "train")
+        .when(org.apache.spark.sql.functions.col("h2") < "e6", "val")
+        .otherwise("test").as("split"))
+      .as[String]
+      .groupByKey(identity)
+      .transformWithState(
+        new SrmProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming DAU stickiness (added r10) -------------------------------
 
   /** One per-user-per-day activity emission: `returning` = the user was

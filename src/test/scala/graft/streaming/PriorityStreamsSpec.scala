@@ -1328,6 +1328,45 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("srmStream final counts == batch ab_srm_check across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
+    val mid = ids(ids.length / 2)
+    withRocksDB {
+      val in = MemoryStream[Long]
+      val q = PriorityStreams.srmStream(in.toDF().toDF("doc_id"))
+        .writeStream.format("memory").queryName("srm_out")
+        .outputMode("update").start()
+      in.addData(ids.filter(_ <= mid))
+      q.processAllAvailable()
+      in.addData(ids.filter(_ > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    val rows = spark.table("srm_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // running counts are monotone — the final state per arm is the max
+    val finalCounts = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val b = graft.SparkEntry.queries("ab_srm_check")(spark, dir).collect().head
+    val (n, oTrain, oVal, oTest) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    assert(finalCounts.getOrElse("train", 0L) == oTrain, "train count")
+    assert(finalCounts.getOrElse("val", 0L) == oVal, "val count")
+    assert(finalCounts.getOrElse("test", 0L) == oTest, "test count")
+    assert(finalCounts.values.sum == n, "total")
+    // the consumer's gate: the batch chain's three srmTerm cells over the
+    // final stream counts reproduce the batch chi2 bit-for-bit
+    import spark.implicits._
+    val chi2 = Seq((n, oTrain, oVal, oTest)).toDF("n", "o_train", "o_val", "o_test")
+      .select((graft.queries.SelectionQueries.srmTerm(col("o_train"), 204L)
+        + graft.queries.SelectionQueries.srmTerm(col("o_val"), 26L)
+        + graft.queries.SelectionQueries.srmTerm(col("o_test"), 26L)).as("chi2"))
+      .collect().head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(chi2)
+      == java.lang.Double.doubleToLongBits(b.getDouble(4)), "chi2 bits")
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
