@@ -470,6 +470,83 @@ object SelectionQueries {
           |FROM c GROUP BY source, shard_id
           |ORDER BY source, shard_id""".stripMargin)),
 
+    // ---- Theil's U uncertainty coefficients: source <-> lang (r12) --------
+    // The ASYMMETRIC association pair completing the chi2 (symmetric test)
+    // / Cramér's V (symmetric effect) / MI (symmetric information) deck:
+    // U(lang|source) = I/H(lang) is the SHARE of language uncertainty the
+    // source explains, U(source|lang) the converse — they differ exactly
+    // when the table is rectangular-skewed, and each is the actionable
+    // number ("knowing source buys X% of the lang decision") that
+    // symmetric measures can't give. Exact surface: I·n·10⁶ is
+    // source_lang_mi's integer sum verbatim (shared LnGrid decomposition
+    // ln(o·n/(r·c)) = ln6(o,r) + ln6(n,c)); H(lang)·n·10⁶ = −Σ c·ln6(c,n)
+    // and H(source)·n·10⁶ = −Σ r·ln6(r,n) are the same grid over the
+    // ≤L/≤S marginal frames; each U is ONE bare division of exact ints
+    // (the common n·10⁶ scale cancels). Degenerate margins (H = 0, a
+    // single class) report NULL.
+    //
+    // Scale shape: ONE (source, lang) corpus agg → everything after runs
+    // over ≤ S·L rows; 1-row total broadcast (R1-whitelisted).
+    "theil_u_source_lang" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val r = o.groupBy("source").agg(sum(col("o")).as("r"))
+        val c0 = o.groupBy("lang").agg(sum(col("o")).as("c"))
+        val n = o.agg(sum(col("o")).as("n"))
+        val j0 = o.join(r, Seq("source")).join(c0, Seq("lang")).crossJoin(broadcast(n))
+        val j1 = LnGrid.withLn6(j0, col("o"), col("r"), "lor6", "__to_")
+        val j2 = LnGrid.withLn6(j1, col("n"), col("c"), "lnc6", "__tn_")
+        val mi = j2.select(col("o"), (col("lor6") + col("lnc6")).as("t6"))
+          .agg(sum(expr("cast(o as decimal(38,0)) * t6")).as("mi6"),
+            sum(col("o")).as("n"))
+        val hl = LnGrid.withLn6(c0.crossJoin(broadcast(n)),
+            col("c"), col("n"), "lcn6", "__tl_")
+          .agg((-sum(expr("cast(c as decimal(38,0)) * lcn6"))).as("hl6"))
+        val hs = LnGrid.withLn6(r.crossJoin(broadcast(n)),
+            col("r"), col("n"), "lrn6", "__ts_")
+          .agg((-sum(expr("cast(r as decimal(38,0)) * lrn6"))).as("hs6"))
+        mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+          .select(col("n").as("n_docs"),
+            expr("cast(mi6 as bigint)").as("mi6"),
+            expr("cast(hl6 as bigint)").as("h_lang6"),
+            expr("cast(hs6 as bigint)").as("h_source6"),
+            when(col("hl6") === 0, lit(null).cast("double"))
+              .otherwise(col("mi6").cast("double") / col("hl6").cast("double"))
+              .as("u_lang_given_source"),
+            when(col("hs6") === 0, lit(null).cast("double"))
+              .otherwise(col("mi6").cast("double") / col("hs6").cast("double"))
+              .as("u_source_given_lang"))
+      },
+      oracle = Some(
+        s"""WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+           |           FROM documents GROUP BY source, lang),
+           |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY source),
+           |c AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY lang),
+           |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+           |j AS (SELECT o.o, r.r, c.c, n.n
+           |      FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN n),
+           |${LnGrid.sqlCtes("j", "o", "r", "lor6", "to_")},
+           |${LnGrid.sqlCtes("to_out", "n", "c", "lnc6", "tn_")},
+           |mi AS (SELECT SUM(CAST(o AS HUGEINT) * (lor6 + lnc6)) AS mi6,
+           |              CAST(SUM(o) AS BIGINT) AS n
+           |       FROM tn_out),
+           |cl AS (SELECT c.c, n.n FROM c CROSS JOIN n),
+           |${LnGrid.sqlCtes("cl", "c", "n", "lcn6", "tl_")},
+           |hl AS (SELECT -SUM(CAST(c AS HUGEINT) * lcn6) AS hl6 FROM tl_out),
+           |rl AS (SELECT r.r, n.n FROM r CROSS JOIN n),
+           |${LnGrid.sqlCtes("rl", "r", "n", "lrn6", "ts_")},
+           |hs AS (SELECT -SUM(CAST(r AS HUGEINT) * lrn6) AS hs6 FROM ts_out)
+           |SELECT n AS n_docs,
+           |       CAST(mi6 AS BIGINT) AS mi6,
+           |       CAST(hl6 AS BIGINT) AS h_lang6,
+           |       CAST(hs6 AS BIGINT) AS h_source6,
+           |       CASE WHEN hl6 = 0 THEN NULL
+           |            ELSE CAST(mi6 AS DOUBLE) / CAST(hl6 AS DOUBLE) END AS u_lang_given_source,
+           |       CASE WHEN hs6 = 0 THEN NULL
+           |            ELSE CAST(mi6 AS DOUBLE) / CAST(hs6 AS DOUBLE) END AS u_source_given_lang
+           |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin)),
+
     // ---- source × language chi-squared independence test ------------------
     // The datacard hypothesis test behind "are languages spread evenly
     // across sources, or do domains specialize": Pearson's χ² over the

@@ -2081,6 +2081,88 @@ object StatQueries {
           |       CAST(ssb6d * (n - k) AS DOUBLE) / CAST(ssw6d * (k - 1) AS DOUBLE) AS f_bf
           |FROM m""".stripMargin)),
 
+    // ---- permutation entropy of the daily volume series (r12) -------------
+    // The ordinal-dynamics complexity measure (Bandt & Pompe 2002, m = 3)
+    // beside the TS family's trend/changepoint/burstiness legs: embed the
+    // daily total-volume series in consecutive (x_t, x_{t+1}, x_{t+2})
+    // triples, map each to its ORDINAL PATTERN (the permutation that
+    // sorts it, ties broken by position — the standard convention that
+    // keeps patterns well-defined on integer counts), and measure the
+    // Shannon entropy of the pattern distribution: ≈ln 6 = maximally
+    // unpredictable ordering dynamics, ≈0 = rigid (monotone ramps /
+    // strict weekly sawtooth). Pattern ranks are pure integer
+    // comparisons; the entropy rides LnGrid — h6 = −Σ c·ln6(c, T) exact
+    // int — and h_nats = h6/(T·10⁶) is the ONE bare division.
+    //
+    // Scale shape: one day-grain hash agg → ONE global lead window over
+    // the calendar-bounded series (R2-whitelisted) → ≤27-row pattern agg
+    // → 1-row roll-up with a 1-row T broadcast (R1-whitelisted).
+    "permutation_entropy" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("d"))
+        val tri = daily
+          .select(col("d"), col("x"),
+            lead(col("x"), 1).over(w).as("x1"), lead(col("x"), 2).over(w).as("x2"))
+          .filter(col("x1").isNotNull && col("x2").isNotNull)
+        // rank_i = #positions ordered before i under (value, position):
+        // j before i iff v_j < v_i, or v_j = v_i and j < i
+        val pat = tri.select((
+          (when(col("x1") < col("x"), 1).otherwise(0)
+            + when(col("x2") < col("x"), 1).otherwise(0)) * 9
+            + (when(col("x") <= col("x1"), 1).otherwise(0)
+              + when(col("x2") < col("x1"), 1).otherwise(0)) * 3
+            + (when(col("x") <= col("x2"), 1).otherwise(0)
+              + when(col("x1") <= col("x2"), 1).otherwise(0))).as("pattern"))
+        val cnts = pat.groupBy("pattern").agg(count(lit(1)).as("c"))
+        val tot = cnts.agg(sum(col("c")).as("t"), count(lit(1)).as("n_patterns"))
+        val withT = cnts.crossJoin(broadcast(tot))
+        val h = LnGrid.withLn6(withT, col("c"), col("t"), "lct6", "__pe_")
+          .agg(first(col("t")).as("t_triples"), first(col("n_patterns")).as("n_patterns"),
+            max(struct(col("c"), (-col("pattern")).as("np"))).as("m"),
+            (-sum(expr("cast(c as decimal(38,0)) * lct6"))).as("h6d"))
+        h.select(col("t_triples"), col("n_patterns"),
+            (-col("m.np")).as("top_pattern"), col("m.c").as("top_cnt"),
+            expr("cast(h6d as bigint)").as("h6"),
+            (col("h6d").cast("double")
+              / (col("t_triples") * lit(1000000L)).cast("double")).as("h_nats"))
+      },
+      oracle = Some(
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM events GROUP BY CAST(ts AS DATE)),
+           |tri0 AS (SELECT d, x,
+           |                LEAD(x, 1) OVER (ORDER BY d) AS x1,
+           |                LEAD(x, 2) OVER (ORDER BY d) AS x2
+           |         FROM daily),
+           |tri AS (SELECT * FROM tri0 WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+           |pat AS (SELECT
+           |  ((CASE WHEN x1 < x THEN 1 ELSE 0 END)
+           |    + (CASE WHEN x2 < x THEN 1 ELSE 0 END)) * 9
+           |  + ((CASE WHEN x <= x1 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)) * 3
+           |  + ((CASE WHEN x <= x2 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END)) AS pattern
+           |  FROM tri),
+           |cnts AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS c FROM pat GROUP BY pattern),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+           |               CAST(COUNT(*) AS BIGINT) AS n_patterns FROM cnts),
+           |wt AS (SELECT cnts.pattern, cnts.c, tot.t, tot.n_patterns
+           |       FROM cnts CROSS JOIN tot),
+           |${LnGrid.sqlCtes("wt", "c", "t", "lct6", "pe_")},
+           |agg AS (SELECT MAX(t) AS t_triples, MAX(n_patterns) AS n_patterns,
+           |               MAX(struct_pack(c := c, np := -pattern)) AS m,
+           |               -SUM(CAST(c AS HUGEINT) * lct6) AS h6d
+           |        FROM pe_out)
+           |SELECT t_triples, n_patterns,
+           |       -m.np AS top_pattern, m.c AS top_cnt,
+           |       CAST(h6d AS BIGINT) AS h6,
+           |       CAST(h6d AS DOUBLE)
+           |         / CAST(t_triples * 1000000 AS DOUBLE) AS h_nats
+           |FROM agg""".stripMargin)),
+
     // ---- Granger causality screen: click -> purchase daily volume (r12) ---
     // The causal-screening leg of the time-series family (mann_kendall /
     // theil_sen / changepoint / PH monitor): does yesterday's CLICK volume

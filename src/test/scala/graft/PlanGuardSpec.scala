@@ -95,6 +95,11 @@ class PlanGuardSpec extends SparkTestBase {
       "matryoshka_recall", // ≤5-row query-side broadcast ×4 prefixes (similarity_topk shape)
       "cluster_modularity", // broadcast of the 1-row total-edge-count aggregate
       "cuped_adjustment", // broadcast of the 1-row calendar-bounds aggregate
+      // theil_u_source_lang: 1-row grand-total broadcasts (source_kl /
+      // source_lang_mi shape) onto the ≤S·L / ≤L / ≤S marginal frames
+      "theil_u_source_lang",
+      // permutation_entropy: ≤27-row pattern frame × the 1-row T broadcast
+      "permutation_entropy",
       // ivf_pq_topk: ≤5-row query × 16-row centroid probe broadcasts
       // (ivf_topk's shape) + the 16-row PQ codebook broadcast
       "ivf_pq_topk",
@@ -351,6 +356,9 @@ class PlanGuardSpec extends SparkTestBase {
     // granger_daily: the lag window over the two-series common-day frame —
     // calendar-span bounded like changepoint_daily.
     "granger_daily",
+    // permutation_entropy: the lead window over the daily series —
+    // calendar-span bounded like changepoint_daily.
+    "permutation_entropy",
     // rfm_segments: three tercile-cutoff cumulative windows, each over a
     // value-domain-bounded grid (recency days / frequency values /
     // monetary cents sums) — the auc_dup_quality argument ×3.
@@ -436,6 +444,7 @@ class PlanGuardSpec extends SparkTestBase {
           .select(org.apache.spark.sql.functions.expr("v1 - v2")).distinct().count()
       },
       "granger_daily" -> daySpan, // common-day two-series frame
+      "permutation_entropy" -> daySpan, // daily total-volume series
       "t_closeness_audit" -> // sens value-domain grid (floor(value))
         events.select(org.apache.spark.sql.functions.expr(
           "cast(floor(value) as long)")).distinct().count(),

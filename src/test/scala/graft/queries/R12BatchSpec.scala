@@ -584,4 +584,54 @@ class R12BatchSpec extends SparkTestBase {
       assert(row.getBoolean(5) == (f > 4.00), "flag")
     } else assert(row.isNullAt(4) && !row.getBoolean(5), "degenerate case")
   }
+
+  test("theil_u_source_lang: U coefficients replay via ln6Ref from raw counts") {
+    val row = graft.SparkEntry.queries("theil_u_source_lang")(spark, dir).collect().head
+    val o = graft.Tables.load(spark, dir, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = o.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c = o.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = o.values.sum
+    val mi6 = o.map { case ((src, lg), cnt) =>
+      BigInt(cnt) * (graft.queries.LnGrid.ln6Ref(cnt, r(src))
+        + graft.queries.LnGrid.ln6Ref(n, c(lg))) }.sum
+    val hl6 = -c.values.map(cc => BigInt(cc) * graft.queries.LnGrid.ln6Ref(cc, n)).sum
+    val hs6 = -r.values.map(rr => BigInt(rr) * graft.queries.LnGrid.ln6Ref(rr, n)).sum
+    assert(row.getLong(0) == n && BigInt(row.getLong(1)) == mi6
+      && BigInt(row.getLong(2)) == hl6 && BigInt(row.getLong(3)) == hs6,
+      "integer sufficient statistics")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(4))
+      == java.lang.Double.doubleToLongBits(mi6.toDouble / hl6.toDouble), "U(lang|source)")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(5))
+      == java.lang.Double.doubleToLongBits(mi6.toDouble / hs6.toDouble), "U(source|lang)")
+    // asymmetric by design: the two coefficients differ on this table
+    assert(row.getDouble(4) != row.getDouble(5) || hl6 == hs6)
+  }
+
+  test("permutation_entropy: ordinal patterns and entropy replay from raw rows") {
+    val row = graft.SparkEntry.queries("permutation_entropy")(spark, dir).collect().head
+    val daily = graft.Tables.load(spark, dir, "events")
+      .selectExpr("cast(ts as date) as d").collect()
+      .map(_.getDate(0).toString).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1).map(_._2)
+    val tri = daily.sliding(3).filter(_.size == 3).toSeq
+    def rank(v: Seq[Long]): Int = {
+      def before(j: Int, i: Int) = v(j) < v(i) || (v(j) == v(i) && j < i)
+      val r0 = (if (before(1, 0)) 1 else 0) + (if (before(2, 0)) 1 else 0)
+      val r1 = (if (before(0, 1)) 1 else 0) + (if (before(2, 1)) 1 else 0)
+      val r2 = (if (before(0, 2)) 1 else 0) + (if (before(1, 2)) 1 else 0)
+      r0 * 9 + r1 * 3 + r2
+    }
+    val cnts = tri.map(rank).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = tri.length.toLong
+    val h6 = -cnts.values.map(cc => BigInt(cc) * graft.queries.LnGrid.ln6Ref(cc, t)).sum
+    assert(row.getLong(0) == t && row.getLong(1) == cnts.size, "t / n_patterns")
+    val top = cnts.toSeq.map { case (pt, cc) => (cc, -pt) }.max
+    assert(row.getInt(2) == -top._2 && row.getLong(3) == top._1, "top pattern")
+    assert(BigInt(row.getLong(4)) == h6, "h6")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(5))
+      == java.lang.Double.doubleToLongBits(h6.toDouble / (t * 1000000L).toDouble), "h_nats")
+  }
 }
