@@ -2001,6 +2001,65 @@ object SelectionQueries {
            |       chi2_cmh > 3.84 AS assoc_flag
            |FROM c""".stripMargin)),
 
+    // ---- Mantel-Haenszel common odds ratio on the same 2x2 family (r12) ---
+    // cmh_test answers IS there a length-quality association after
+    // controlling for source; this is the companion ESTIMATE of HOW BIG:
+    // OR_MH = Σ_i(a_i·d_i/n_i) / Σ_i(b_i·c_i/n_i) — the inverse-variance-
+    // flavored pooled odds ratio that, unlike the raw pooled table, cannot
+    // manufacture association from stratum-size imbalance (the same
+    // Simpson immunity as the test). Same shared lenQuality2x2 cells:
+    // a = both, b = len-only = n1−a, c = qual-only = m1−a, d = neither.
+    // Exact surface: each stratum term rides the micro grid — (a·d·10⁶)
+    // div n and (b·c·10⁶) div n, DECIMAL/HUGEINT-widened products
+    // (a·d ~ n²/4 wraps int64 past ~6M-doc strata) with int64 div
+    // results; the sums are exact; OR is the ONE bare division. A zero
+    // discordant sum reports NULL (the estimator is undefined, not ∞).
+    //
+    // Scale shape: the shared map pass → ≤|sources| agg → 1-row roll-up;
+    // scan-bound.
+    "mh_odds_ratio" -> Q(
+      fn = (s, dir) => {
+        val cells = lenQuality2x2(Tables.load(s, dir, "documents"))
+          .filter(col("n") > 0)
+          .select(col("a"), (col("n1") - col("a")).as("b"),
+            (col("m1") - col("a")).as("c"),
+            (col("n") - col("n1") - col("m1") + col("a")).as("d"), col("n"))
+          .select(
+            expr("(cast(a as decimal(38,0)) * d * 1000000) div n").as("ad6"),
+            expr("(cast(b as decimal(38,0)) * c * 1000000) div n").as("bc6"))
+        cells.agg(count(lit(1)).as("k_strata"),
+            sum(expr("cast(ad6 as decimal(38,0))")).as("sad6"),
+            sum(expr("cast(bc6 as decimal(38,0))")).as("sbc6"))
+          .select(col("k_strata"),
+            expr("cast(sad6 as bigint)").as("sum_ad6"),
+            expr("cast(sbc6 as bigint)").as("sum_bc6"),
+            when(col("sbc6") === 0, lit(null).cast("double"))
+              .otherwise(col("sad6").cast("double") / col("sbc6").cast("double"))
+              .as("or_mh"))
+      },
+      oracle = Some(
+        s"""WITH cells AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |         CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           |         CAST(SUM(CASE WHEN n_chars >= 200
+           |                AND len(list_filter(string_split(text, ' '),
+           |                t -> t IN ($GopherStopSql))) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS a
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT (CAST(a AS HUGEINT) * (n - n1 - m1 + a) * 1000000) // n AS ad6,
+           |             (CAST(n1 - a AS HUGEINT) * (m1 - a) * 1000000) // n AS bc6
+           |      FROM cells WHERE n > 0),
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+           |             SUM(CAST(ad6 AS HUGEINT)) AS sad6,
+           |             SUM(CAST(bc6 AS HUGEINT)) AS sbc6
+           |      FROM t)
+           |SELECT k_strata,
+           |       CAST(sad6 AS BIGINT) AS sum_ad6, CAST(sbc6 AS BIGINT) AS sum_bc6,
+           |       CASE WHEN sbc6 = 0 THEN NULL
+           |            ELSE CAST(sad6 AS DOUBLE) / CAST(sbc6 AS DOUBLE) END AS or_mh
+           |FROM m""".stripMargin)),
+
     // ---- Simpson-paradox diagnostic on the same 2x2 family (added r12) ----
     // The per-stratum companion of cmh_test: for each source, does the
     // length→quality association point the SAME WAY as the pooled table?

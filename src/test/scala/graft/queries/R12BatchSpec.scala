@@ -634,4 +634,19 @@ class R12BatchSpec extends SparkTestBase {
     assert(java.lang.Double.doubleToLongBits(row.getDouble(5))
       == java.lang.Double.doubleToLongBits(h6.toDouble / (t * 1000000L).toDouble), "h_nats")
   }
+
+  test("mh_odds_ratio: stratum odds terms replay in BigInt from the shared 2x2") {
+    val row = graft.SparkEntry.queries("mh_odds_ratio")(spark, dir).collect().head
+    val cells = cells2x2(dir).values.toSeq
+    val ad6 = cells.map { case (n, n1, m1, a) =>
+      BigInt(a) * (n - n1 - m1 + a) * 1000000 / n }
+    val bc6 = cells.map { case (n, n1, m1, a) =>
+      BigInt(n1 - a) * (m1 - a) * 1000000 / n }
+    assert(row.getLong(0) == cells.length, "k_strata")
+    assert(BigInt(row.getLong(1)) == ad6.sum && BigInt(row.getLong(2)) == bc6.sum,
+      "stratum sums")
+    if (bc6.sum == 0) assert(row.isNullAt(3))
+    else assert(java.lang.Double.doubleToLongBits(row.getDouble(3))
+      == java.lang.Double.doubleToLongBits(ad6.sum.toDouble / bc6.sum.toDouble), "OR bits")
+  }
 }
