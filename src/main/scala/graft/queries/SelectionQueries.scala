@@ -2001,6 +2001,90 @@ object SelectionQueries {
            |       chi2_cmh > 3.84 AS assoc_flag
            |FROM c""".stripMargin)),
 
+    // ---- Otsu adaptive quality threshold (r12) ----------------------------
+    // Every curation deck hand-picks its quality cutoff (the 0.55 in
+    // pipeline_curation); Otsu's method (1979) picks it FROM THE DATA: the
+    // threshold over the quality-score histogram that maximizes the
+    // between-class variance (M0·w1 − M1·w0)²/(w0·w1) — the classic
+    // bimodal-separation criterion, here over the 101-level q6 div 10⁴
+    // band grid of the shared composite quality score. Exact surface:
+    // band/count/moment sums are int64; the score rides DECIMAL(38,0) with
+    // an explicit bound (numerator ≲ 10⁴·n⁴ → exact to n ≈ 5.6e8 docs;
+    // beyond that pre-scale the band counts — the argmax is invariant to
+    // uniform count scaling); argmax via max(struct(score, −band)) takes
+    // the SMALLEST band on ties; class means are the two bare divisions.
+    //
+    // Scale shape: one map-side score pass → ≤101-row band agg → ONE
+    // cumulative window over the band grid (R2-whitelisted, bound 101) →
+    // 1-row argmax roll-up with a 1-row totals broadcast (R1).
+    "otsu_quality_threshold" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn("n_qstop",
+            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+          .withColumn("q6",
+            floor((lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 50.0) +
+              lit(0.3) * (lit(1.0) - col("n_qstop").cast("double") / col("n_words")) +
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+              * 1000000.0).cast("long"))
+          .select(expr("q6 div 10000").as("g"))
+        val hist = scored.groupBy("g").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.agg(sum(col("c")).as("ww"), sum(col("g") * col("c")).as("mm"))
+        val cand = hist
+          .select(col("g"), sum(col("c")).over(w).as("w0"),
+            sum(col("g") * col("c")).over(w).as("m0"))
+          .crossJoin(broadcast(tot))
+          .filter(col("w0") < col("ww"))
+          .select(col("g"), col("w0"), col("m0"), col("ww"), col("mm"),
+            expr("""((cast(m0 as decimal(38,0)) * (ww - w0)
+                   | - cast(mm - m0 as decimal(38,0)) * w0)
+                   | * (cast(m0 as decimal(38,0)) * (ww - w0)
+                   | - cast(mm - m0 as decimal(38,0)) * w0))
+                   | div (cast(w0 as decimal(38,0)) * (ww - w0))""".stripMargin)
+              .as("score"))
+        cand.agg(max(struct(col("score"), (-col("g")).as("ng"), col("w0"),
+            col("m0"), col("ww"), col("mm"))).as("b"))
+          .select((-col("b.ng")).as("best_band"),
+            col("b.w0").as("n_below"), (col("b.ww") - col("b.w0")).as("n_above"),
+            (col("b.m0").cast("double") / col("b.w0").cast("double")).as("mean_band_below"),
+            ((col("b.mm") - col("b.m0")).cast("double")
+              / (col("b.ww") - col("b.w0")).cast("double")).as("mean_band_above"),
+            col("b.score").as("between_var_score"))
+      },
+      oracle = Some(
+        s"""WITH sc AS (
+           |  SELECT CAST(floor((0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+           |       + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+           |             w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+           |             AS DOUBLE) / len(string_split(text, ' ')))
+           |       + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0))
+           |       * 1000000.0) AS BIGINT) // 10000 AS g
+           |  FROM documents),
+           |hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY g),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ww,
+           |               CAST(SUM(g * c) AS BIGINT) AS mm FROM hist),
+           |cum AS (SELECT g, CAST(SUM(c) OVER (ORDER BY g) AS BIGINT) AS w0,
+           |               CAST(SUM(g * c) OVER (ORDER BY g) AS BIGINT) AS m0
+           |        FROM hist),
+           |cand AS (SELECT g, w0, m0, ww, mm,
+           |                ((CAST(m0 AS HUGEINT) * (ww - w0)
+           |                  - CAST(mm - m0 AS HUGEINT) * w0)
+           |                 * (CAST(m0 AS HUGEINT) * (ww - w0)
+           |                  - CAST(mm - m0 AS HUGEINT) * w0))
+           |                // (CAST(w0 AS HUGEINT) * (ww - w0)) AS score
+           |         FROM cum CROSS JOIN tot WHERE w0 < ww),
+           |best AS (SELECT * FROM cand ORDER BY score DESC, g LIMIT 1)
+           |SELECT g AS best_band, w0 AS n_below, ww - w0 AS n_above,
+           |       CAST(m0 AS DOUBLE) / CAST(w0 AS DOUBLE) AS mean_band_below,
+           |       CAST(mm - m0 AS DOUBLE) / CAST(ww - w0 AS DOUBLE) AS mean_band_above,
+           |       CAST(score AS BIGINT) AS between_var_score
+           |FROM best""".stripMargin)),
+
     // ---- Mantel-Haenszel common odds ratio on the same 2x2 family (r12) ---
     // cmh_test answers IS there a length-quality association after
     // controlling for source; this is the companion ESTIMATE of HOW BIG:

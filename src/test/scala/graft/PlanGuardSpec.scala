@@ -95,6 +95,8 @@ class PlanGuardSpec extends SparkTestBase {
       "matryoshka_recall", // ≤5-row query-side broadcast ×4 prefixes (similarity_topk shape)
       "cluster_modularity", // broadcast of the 1-row total-edge-count aggregate
       "cuped_adjustment", // broadcast of the 1-row calendar-bounds aggregate
+      // otsu_quality_threshold: ≤101-row band frame × the 1-row totals
+      "otsu_quality_threshold",
       // theil_u_source_lang: 1-row grand-total broadcasts (source_kl /
       // source_lang_mi shape) onto the ≤S·L / ≤L / ≤S marginal frames
       "theil_u_source_lang",
@@ -359,6 +361,9 @@ class PlanGuardSpec extends SparkTestBase {
     // permutation_entropy: the lead window over the daily series —
     // calendar-span bounded like changepoint_daily.
     "permutation_entropy",
+    // otsu_quality_threshold: the cumulative window over the ≤101-level
+    // quality-band grid — constant-size by construction.
+    "otsu_quality_threshold",
     // rfm_segments: three tercile-cutoff cumulative windows, each over a
     // value-domain-bounded grid (recency days / frequency values /
     // monetary cents sums) — the auc_dup_quality argument ×3.
@@ -445,6 +450,7 @@ class PlanGuardSpec extends SparkTestBase {
       },
       "granger_daily" -> daySpan, // common-day two-series frame
       "permutation_entropy" -> daySpan, // daily total-volume series
+      "otsu_quality_threshold" -> 101L, // q6 div 1e4 band grid
       "t_closeness_audit" -> // sens value-domain grid (floor(value))
         events.select(org.apache.spark.sql.functions.expr(
           "cast(floor(value) as long)")).distinct().count(),

@@ -649,4 +649,31 @@ class R12BatchSpec extends SparkTestBase {
     else assert(java.lang.Double.doubleToLongBits(row.getDouble(3))
       == java.lang.Double.doubleToLongBits(ad6.sum.toDouble / bc6.sum.toDouble), "OR bits")
   }
+
+  test("otsu_quality_threshold: exhaustive threshold sweep replay in BigInt") {
+    val row = graft.SparkEntry.queries("otsu_quality_threshold")(spark, dir).collect().head
+    val stops = graft.queries.TextQueries.stopwords.toSet
+    val gs = graft.Tables.load(spark, dir, "documents")
+      .select("text").collect().map { r =>
+        val text = r.getString(0); val toks = text.split(" ", -1)
+        val q = 0.4 * math.min(1.0, toks.length.toDouble / 50.0) +
+          0.3 * (1.0 - toks.count(stops).toDouble / toks.length) +
+          0.3 * math.min(1.0, text.length.toDouble / 200.0)
+        math.floor(q * 1000000.0).toLong / 10000L
+      }
+    val hist = gs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ww = gs.length.toLong; val mm = hist.map { case (g, c) => g * c }.sum
+    val cands = hist.keys.toSeq.sorted.scanLeft((0L, 0L, 0L)) {
+      case ((_, w0, m0), g) => (g, w0 + hist(g), m0 + g * hist(g))
+    }.tail.filter(_._2 < ww).map { case (g, w0, m0) =>
+      val num = BigInt(m0) * (ww - w0) - BigInt(mm - m0) * w0
+      (num * num / (BigInt(w0) * (ww - w0)), g, w0, m0)
+    }
+    val best = cands.maxBy { case (sc, g, _, _) => (sc, -g) }
+    assert(row.getLong(0) == best._2, "best_band")
+    assert(row.getLong(1) == best._3 && row.getLong(2) == ww - best._3, "class sizes")
+    assert(BigInt(row.getLong(5)) == best._1, "between-class score")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(3)) ==
+      java.lang.Double.doubleToLongBits(best._4.toDouble / best._3.toDouble), "mean below")
+  }
 }
