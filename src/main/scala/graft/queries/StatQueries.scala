@@ -2081,6 +2081,76 @@ object StatQueries {
           |       CAST(ssb6d * (n - k) AS DOUBLE) / CAST(ssw6d * (k - 1) AS DOUBLE) AS f_bf
           |FROM m""".stripMargin)),
 
+    // ---- Cohen's d: standardized doc-length difference between groups -----
+    // (added r12) Completes the effect-size triad on the shared two-group
+    // split (source id < 10 vs rest): cliffs_delta gives ordinal dominance,
+    // hodges_lehmann the robust shift in characters, Cohen's d the
+    // STANDARDIZED difference the power-analysis and meta-analysis
+    // literature quotes (0.2/0.5/0.8 small/medium/large). Exact surface:
+    // per-group n/Σx/Σx² are exact ints (DECIMAL-widened squares); the
+    // estimate d = (m1 − m2)/s_pooled is a FIXED chain of correctly-
+    // rounded double ops on those exact inputs — two mean divisions, the
+    // pooled-variance arithmetic, ONE IEEE sqrt (a §5 basic op, the
+    // kendall-denominator doctrine), one final division. Degenerate
+    // inputs (a group of size < 2, zero pooled variance) report NULL.
+    //
+    // Scale shape: ONE map-side flag pass → 1-row aggregate. Scan-bound.
+    "cohen_d_length" -> Q(
+      fn = (s, dir) => {
+        val g = Tables.load(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("v"),
+            when(expr("int(substring(source, 4, 8))") < 10, 1L).otherwise(0L).as("g1"))
+        g.agg(
+            sum(col("g1")).as("n1"), sum(lit(1L) - col("g1")).as("n2"),
+            sum(col("g1") * col("v")).as("s1"),
+            sum((lit(1L) - col("g1")) * col("v")).as("s2"),
+            sum(expr("cast(g1 * v as decimal(38,0)) * v")).as("q1"),
+            sum(expr("cast((1 - g1) * v as decimal(38,0)) * v")).as("q2"))
+          .select(col("n1"), col("n2"),
+            (col("s1").cast("double") / col("n1").cast("double")).as("mean1"),
+            (col("s2").cast("double") / col("n2").cast("double")).as("mean2"),
+            when(col("n1") < 2 || col("n2") < 2, lit(null).cast("double"))
+              .otherwise(
+                ((col("q1").cast("double")
+                    - col("s1").cast("double") * col("s1").cast("double")
+                      / col("n1").cast("double"))
+                  + (col("q2").cast("double")
+                    - col("s2").cast("double") * col("s2").cast("double")
+                      / col("n2").cast("double")))
+                  / (col("n1") + col("n2") - 2).cast("double")).as("var_pooled"))
+          .select(col("n1"), col("n2"), col("mean1"), col("mean2"), col("var_pooled"),
+            when(col("var_pooled").isNull || col("var_pooled") <= 0.0,
+              lit(null).cast("double"))
+              .otherwise((col("mean1") - col("mean2")) / sqrt(col("var_pooled")))
+              .as("cohen_d"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+          |                  CASE WHEN CAST(substring(source, 4, 8) AS INTEGER) < 10
+          |                       THEN 1 ELSE 0 END AS g1
+          |           FROM documents),
+          |m AS (SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+          |             CAST(SUM(1 - g1) AS BIGINT) AS n2,
+          |             CAST(SUM(g1 * v) AS BIGINT) AS s1,
+          |             CAST(SUM((1 - g1) * v) AS BIGINT) AS s2,
+          |             SUM(CAST(g1 * v AS HUGEINT) * v) AS q1,
+          |             SUM(CAST((1 - g1) * v AS HUGEINT) * v) AS q2
+          |      FROM g),
+          |c AS (SELECT n1, n2,
+          |             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+          |             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+          |             CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+          |                  ELSE ((CAST(q1 AS DOUBLE)
+          |                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |                       + (CAST(q2 AS DOUBLE)
+          |                         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+          |                       / CAST(n1 + n2 - 2 AS DOUBLE) END AS var_pooled
+          |      FROM m)
+          |SELECT n1, n2, mean1, mean2, var_pooled,
+          |       CASE WHEN var_pooled IS NULL OR var_pooled <= 0.0 THEN NULL
+          |            ELSE (mean1 - mean2) / sqrt(var_pooled) END AS cohen_d
+          |FROM c""".stripMargin)),
+
     // ---- permutation entropy of the daily volume series (r12) -------------
     // The ordinal-dynamics complexity measure (Bandt & Pompe 2002, m = 3)
     // beside the TS family's trend/changepoint/burstiness legs: embed the

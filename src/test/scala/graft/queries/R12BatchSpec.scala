@@ -676,4 +676,26 @@ class R12BatchSpec extends SparkTestBase {
     assert(java.lang.Double.doubleToLongBits(row.getDouble(3)) ==
       java.lang.Double.doubleToLongBits(best._4.toDouble / best._3.toDouble), "mean below")
   }
+
+  test("cohen_d_length: fixed IEEE chain replays bit-exact from raw rows") {
+    val row = graft.SparkEntry.queries("cohen_d_length")(spark, dir).collect().head
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0).substring(3).toInt < 10, r.getLong(1)))
+    val g1 = docs.filter(_._1).map(_._2); val g2 = docs.filterNot(_._1).map(_._2)
+    val (n1, n2) = (g1.length.toLong, g2.length.toLong)
+    val (s1, s2) = (g1.sum, g2.sum)
+    val q1 = g1.map(v => BigInt(v) * v).sum; val q2 = g2.map(v => BigInt(v) * v).sum
+    val (m1, m2) = (s1.toDouble / n1.toDouble, s2.toDouble / n2.toDouble)
+    val vp = ((q1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble)
+      + (q2.toDouble - s2.toDouble * s2.toDouble / n2.toDouble)) / (n1 + n2 - 2).toDouble
+    val d = (m1 - m2) / math.sqrt(vp)
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(2))
+      == java.lang.Double.doubleToLongBits(m1), "mean1 bits")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(4))
+      == java.lang.Double.doubleToLongBits(vp), "pooled var bits")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(5))
+      == java.lang.Double.doubleToLongBits(d), "d bits")
+  }
 }
