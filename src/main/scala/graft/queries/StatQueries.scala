@@ -1966,8 +1966,8 @@ object StatQueries {
         dg.withColumn("cw", sum(col("w")).over(win))
           .crossJoin(broadcast(tot))
           .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
-            min(when(col("cw") * 2 >= big(col("n1")) * big(col("n2")) + 1, col("d"))).as("d_lo"),
-            min(when(col("cw") * 2 >= big(col("n1")) * big(col("n2")) + 2, col("d"))).as("d_hi"))
+            min(when(col("cw") * 2 >= big(col("n1")) * big(col("n2")), col("d"))).as("d_lo"),
+            min(when(col("cw") * 2 >= big(col("n1")) * big(col("n2")) + 1, col("d"))).as("d_hi"))
           .select(col("n1"), col("n2"),
             expr("cast(cast(n1 as decimal(38,0)) * n2 as double)").as("t_pairs"),
             col("d_lo"), col("d_hi"),
@@ -1988,8 +1988,8 @@ object StatQueries {
           |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM grid),
           |cum AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM dg),
           |m AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
-          |             MIN(CASE WHEN cw * 2 >= CAST(n1 AS HUGEINT) * n2 + 1 THEN d END) AS d_lo,
-          |             MIN(CASE WHEN cw * 2 >= CAST(n1 AS HUGEINT) * n2 + 2 THEN d END) AS d_hi
+          |             MIN(CASE WHEN cw * 2 >= CAST(n1 AS HUGEINT) * n2 THEN d END) AS d_lo,
+          |             MIN(CASE WHEN cw * 2 >= CAST(n1 AS HUGEINT) * n2 + 1 THEN d END) AS d_hi
           |      FROM cum CROSS JOIN tot)
           |SELECT n1, n2, CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS t_pairs,
           |       d_lo, d_hi,
@@ -2045,8 +2045,9 @@ object StatQueries {
           .select(col("k"), col("n"),
             expr("cast(ssb6d as bigint)").as("ssb6"),
             expr("cast(ssw6d as bigint)").as("ssw6"),
-            (expr("cast(ssb6d * (n - k) as double)")
-              / expr("cast(ssw6d * (k - 1) as double)")).as("f_bf"))
+            when(expr("ssw6d = 0") || col("k") <= 1, lit(null).cast("double"))
+              .otherwise(expr("cast(ssb6d * (n - k) as double)")
+                / expr("cast(ssw6d * (k - 1) as double)")).as("f_bf"))
       },
       oracle = Some(
         """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
@@ -2078,7 +2079,9 @@ object StatQueries {
           |                  * (m6 - (CAST(szall AS HUGEINT) * 1000000) // nn)) // 1000000) AS ssb6d
           |      FROM per2 CROSS JOIN tot GROUP BY k, nn)
           |SELECT k, n, CAST(ssb6d AS BIGINT) AS ssb6, CAST(ssw6d AS BIGINT) AS ssw6,
-          |       CAST(ssb6d * (n - k) AS DOUBLE) / CAST(ssw6d * (k - 1) AS DOUBLE) AS f_bf
+          |       CASE WHEN ssw6d = 0 OR k <= 1 THEN NULL
+          |            ELSE CAST(ssb6d * (n - k) AS DOUBLE)
+          |                 / CAST(ssw6d * (k - 1) AS DOUBLE) END AS f_bf
           |FROM m""".stripMargin)),
 
     // ---- Cohen's d: standardized doc-length difference between groups -----

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Semantic contracts for the round-13 fixes and operators.
+  *
+  * The r12 advice found hodges_lehmann_shift's weighted-median thresholds
+  * off by one — undetectable on the sf0.001 corpus because the straddled
+  * adjacent ranks share a value there, and undetectable by the oracle
+  * because the SQL copied the same conditions. The cure is SYNTHETIC
+  * sharpness fixtures where the lower and upper middles genuinely differ
+  * (even pair count), collapse (odd), and degenerate (a single pair):
+  * each case distinguishes the correct floor((P+1)/2) / floor(P/2)+1
+  * order statistics from every adjacent mis-ranking.
+  */
+class R13BatchSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Write a synthetic documents.parquet of (source, text, n_chars) rows
+    * into a fresh temp dir and return the dir (the registry queries load
+    * tables by directory, so a crafted corpus drops straight in). */
+  private def docsDir(rows: Seq[(String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13").toString
+    val data = rows.zipWithIndex.map { case ((src, text, nc), i) =>
+      Row(i.toLong, text, "en", src, nc)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def hl(dir: String): Row =
+    graft.SparkEntry.queries("hodges_lehmann_shift")(spark, dir).collect().head
+
+  test("hodges_lehmann_shift: even pair count with DISTINCT middles averages them") {
+    // g1 (src1, id < 10) lengths {10, 14}; g2 (src20) lengths {1, 3}
+    // diffs sorted = [7, 9, 11, 13], P = 4: lower middle = rank 2 = 9,
+    // upper middle = rank 3 = 11, HL = 10.0. The pre-fix thresholds
+    // selected ranks 3 and 3 -> HL 11.
+    val dir = docsDir(Seq(
+      ("src1", "a", 10L), ("src1", "a", 14L),
+      ("src20", "a", 1L), ("src20", "a", 3L)))
+    val r = hl(dir)
+    assert(r.getLong(3) == 9L && r.getLong(4) == 11L,
+      s"middles: got ${r.getLong(3)},${r.getLong(4)} want 9,11")
+    assert(r.getDouble(5) == 10.0, s"hl_shift: got ${r.getDouble(5)} want 10.0")
+  }
+
+  test("hodges_lehmann_shift: odd pair count returns the single median") {
+    // g1 {10, 14, 20}, g2 {1}: diffs = [9, 13, 19], P = 3: both middles =
+    // rank 2 = 13. Pre-fix d_hi picked rank 3 -> HL 16.
+    val dir = docsDir(Seq(
+      ("src1", "a", 10L), ("src1", "a", 14L), ("src1", "a", 20L),
+      ("src20", "a", 1L)))
+    val r = hl(dir)
+    assert(r.getLong(3) == 13L && r.getLong(4) == 13L,
+      s"middles: got ${r.getLong(3)},${r.getLong(4)} want 13,13")
+    assert(r.getDouble(5) == 13.0, s"hl_shift: got ${r.getDouble(5)} want 13.0")
+  }
+
+  test("hodges_lehmann_shift: a single pair is its own median (P = 1)") {
+    // Pre-fix, d_hi's cw*2 >= P+2 = 3 was never satisfiable at cw = 1 ->
+    // hl_shift NULL.
+    val dir = docsDir(Seq(("src1", "a", 10L), ("src20", "a", 1L)))
+    val r = hl(dir)
+    assert(r.getLong(3) == 9L && r.getLong(4) == 9L, "middles")
+    assert(!r.isNullAt(5) && r.getDouble(5) == 9.0, "hl_shift")
+  }
+
+  test("hodges_lehmann_shift: repeated values weight the pair mass") {
+    // g1 {5, 5, 9}, g2 {1}: diffs = [4, 4, 8], P = 3: median = 4 (the
+    // duplicated value) — pins the grid-weighted path where c1 > 1.
+    val dir = docsDir(Seq(
+      ("src1", "a", 5L), ("src1", "a", 5L), ("src1", "a", 9L),
+      ("src20", "a", 1L)))
+    val r = hl(dir)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 4L, "middles")
+    assert(r.getDouble(5) == 4.0, "hl_shift")
+  }
+
+  test("levene_bf_test: all-constant strata report NULL F, not a division artifact") {
+    // Two sources, each with constant doc length: every z = 0, ssw6d = 0.
+    // The guard must yield an explicit NULL (matching the oracle's CASE),
+    // never Infinity/NaN.
+    val dir = docsDir(Seq(
+      ("srcA", "a", 7L), ("srcA", "a", 7L), ("srcA", "a", 7L),
+      ("srcB", "a", 12L), ("srcB", "a", 12L)))
+    val r = graft.SparkEntry.queries("levene_bf_test")(spark, dir).collect().head
+    assert(r.getLong(0) == 2L, "k")
+    assert(r.getLong(3) == 0L, "ssw6")
+    assert(r.isNullAt(4), s"f_bf should be NULL on zero within-variance, got ${r.get(4)}")
+  }
+
+  test("cochran_q: unanimous rule passes report NULL Q and a false flag") {
+    // Every doc passes all three rules (>= 200 chars, >= 2 Gopher stops,
+    // >= 20 tokens): sum_l = 3N, sum_l2 = 9N, denominator 3*sum_l - sum_l2
+    // = 0. The guard must yield q_stat NULL and rules_differ_flag false
+    // (COALESCE), matching the oracle.
+    val text = Seq.fill(3)("the be to of and that have with").mkString(" ")
+    val dir = docsDir(Seq(
+      ("srcA", text, 250L), ("srcA", text, 300L), ("srcB", text, 201L)))
+    val r = graft.SparkEntry.queries("cochran_q")(spark, dir).collect().head
+    assert(r.getLong(4) == 9L && r.getLong(5) == 27L, "sum_l / sum_l2")
+    assert(r.isNullAt(6), s"q_stat should be NULL, got ${r.get(6)}")
+    assert(!r.getBoolean(7), "rules_differ_flag must coalesce to false")
+  }
+}
