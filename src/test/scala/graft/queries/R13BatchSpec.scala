@@ -101,6 +101,49 @@ class R13BatchSpec extends SparkTestBase {
     assert(r.isNullAt(4), s"f_bf should be NULL on zero within-variance, got ${r.get(4)}")
   }
 
+  test("bpe_apply: full Scala replay of train-then-tokenize") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("bpe_apply")(spark, dir).collect().head
+    // independent word-frequency dict + 6 greedy merge rounds (the
+    // R12BatchSpec bpe_train replay, carried through to the measurement)
+    var dict: Map[Vector[String], Long] = graft.Tables.load(spark, dir, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(w => w.matches("[a-z]+") && w.length >= 2)
+      .groupBy(identity).view
+      .map { case (w, g) => w.split("").toVector -> g.length.toLong }.toMap
+    (1 to 6).foreach { _ =>
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      dict.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _            =>
+        }
+      }
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, x + " " + y) }
+      dict = dict.toSeq.map { case (syms, cnt) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = a + b
+          else acc += x
+        }
+        acc.toVector -> cnt
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val nWords = dict.values.sum
+    val nChars = dict.map { case (syms, n) => syms.map(_.length).sum * n }.sum
+    val nToks = dict.map { case (syms, n) => syms.length * n }.sum
+    val nVocab = dict.keys.flatten.toSet.size
+    assert(r.getLong(0) == nWords, "n_words")
+    assert(r.getLong(1) == nChars, "n_chars")
+    assert(r.getLong(2) == nToks, "n_tokens")
+    assert(r.getLong(3) == nVocab.toLong, "n_vocab_syms")
+    assert(r.getDouble(4) == nToks.toDouble / nWords, "fertility_bpe")
+    assert(r.getDouble(5) == nChars.toDouble / nToks, "chars_per_token")
+    // the learned vocab must actually compress: fewer tokens than chars
+    assert(nToks < nChars, "merges applied")
+  }
+
   test("cochran_q: unanimous rule passes report NULL Q and a false flag") {
     // Every doc passes all three rules (>= 200 chars, >= 2 Gopher stops,
     // >= 20 tokens): sum_l = 3N, sum_l2 = 9N, denominator 3*sum_l - sum_l2
