@@ -225,6 +225,98 @@ object SimilarityQueries {
         // function of the double's bits on any build (r8 doctrine)
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5d) AS INT))"))
 
+  /** Shortlist depth for the two-stage IVF-PQ refine (top-50 by ADC →
+    * exact re-rank → top-10): 5× the serving k, the classic refine ratio. */
+  private val RefineShortlist = 50
+
+  /** The IVF-PQ candidate frame (qid, cid, adist): coarse-probe prune (4
+    * nearest lists, ivf_topk's spelling) + PQ asymmetric-distance rank
+    * (pq_topk's spelling) — the shared stage beneath ivf_pq_topk (rank,
+    * cut at k) and ivf_pq_refined_topk (shortlist, exact re-rank), so the
+    * two retrievers provably score candidates identically. */
+  private def ivfPqAdcDist(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    def l2(a: String, b: String): Column =
+      graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
+    def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
+      src.select(col("vec_id").as(idCol),
+          explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+        .select(col(idCol), col("j"),
+          expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
+    // IVF side: probe the 4 nearest lists (ivf_topk's spelling)
+    val cents = ivfCentroids(emb)
+    val lists = ivfLists(emb).select("cid", "list_id")
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("psim", cosineSimilarity(col("qv"), col("centv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 4)
+      .select(col("qid"), col("cent_id").as("list_id"))
+    // PQ side: codes + ADC table (pq_topk's spelling)
+    val pqcents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+    val codes = subspaces(emb, "cid", "subv")
+      .join(broadcast(pqcents), Seq("j"))
+      .groupBy("cid", "j")
+      .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
+      .select(col("cid"), col("j"), col("m.cent_id").as("code"))
+    val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
+      .join(broadcast(pqcents), Seq("j"))
+      .select(col("qid"), col("j"), col("cent_id").as("code"),
+        Q.grid6(l2("qsubv", "centv")).cast("decimal(16,6)").as("qd2"))
+    // probe-pruned candidates ranked by ADC
+    val cand = probes.join(lists, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    cand.join(codes, Seq("cid"))
+      .join(broadcast(adc), Seq("qid", "j", "code"))
+      .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+  }
+
+  /** Oracle twin of [[ivfPqAdcDist]] — CTE text ending in `dist(qid, cid,
+    * adist)`, nested by ivf_pq_topk and ivf_pq_refined_topk. */
+  private def ivfPqDistSql: String = {
+    def duckL2(a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, 9),
+         |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""$ivfListsSql,
+       |probes AS (
+       |  SELECT qid, cent_id AS list_id FROM (
+       |    SELECT q.vec_id AS qid, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCosSql("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
+       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
+       |  WHERE prk <= 4),
+       |js AS (SELECT UNNEST(range(8)) AS j),
+       |pqcents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
+       |            FROM embeddings, js WHERE vec_id < 16),
+       |vecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
+       |         FROM embeddings, js),
+       |pqcodes AS (
+       |  SELECT cid, j, cent_id AS code FROM (
+       |    SELECT v.cid, v.j, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
+       |                              ORDER BY ${duckL2("v.subv", "c.centv")}, c.cent_id) AS crk
+       |    FROM vecs v JOIN pqcents c ON v.j = c.j) t
+       |  WHERE crk = 1),
+       |pqadc AS (
+       |  SELECT q.cid AS qid, q.j, c.cent_id AS code,
+       |         CAST(floor((${duckL2("q.subv", "c.centv")}) * 1000000.0) / 1000000.0
+       |              AS DECIMAL(16,6)) AS qd2
+       |  FROM vecs q JOIN pqcents c ON q.j = c.j WHERE q.cid < $NumQueries),
+       |cand AS (
+       |  SELECT p.qid, l.cid FROM probes p JOIN lists l ON p.list_id = l.list_id
+       |  WHERE p.qid != l.cid),
+       |dist AS (
+       |  SELECT d.qid, d.cid, SUM(a.qd2) AS adist
+       |  FROM cand d JOIN pqcodes k ON k.cid = d.cid
+       |  JOIN pqadc a ON a.qid = d.qid AND a.j = k.j AND a.code = k.code
+       |  GROUP BY d.qid, d.cid)""".stripMargin
+  }
+
   /** Exact integer dot product of two int8 code vectors (≤ 127²·64 < 2^20,
     * so the bigint fold is exact — perfect cross-engine parity). */
   private def intDot(a: String, b: String): Column =
@@ -1585,44 +1677,7 @@ object SimilarityQueries {
     // bytes + 8 exact decimal adds — the whole point of IVF-PQ.
     "ivf_pq_topk" -> Q(
       fn = (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        def l2(a: String, b: String): Column =
-          graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
-        def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
-          src.select(col("vec_id").as(idCol),
-              explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
-            .select(col(idCol), col("j"),
-              expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
-        // IVF side: probe the 4 nearest lists (ivf_topk's spelling)
-        val cents = ivfCentroids(emb)
-        val lists = ivfLists(emb).select("cid", "list_id")
-        val q = emb.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val wProbe = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
-        val probes = broadcast(q).crossJoin(broadcast(cents))
-          .withColumn("psim", cosineSimilarity(col("qv"), col("centv")))
-          .withColumn("prk", row_number().over(wProbe))
-          .filter(col("prk") <= 4)
-          .select(col("qid"), col("cent_id").as("list_id"))
-        // PQ side: codes + ADC table (pq_topk's spelling)
-        val pqcents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
-        val codes = subspaces(emb, "cid", "subv")
-          .join(broadcast(pqcents), Seq("j"))
-          .groupBy("cid", "j")
-          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
-          .select(col("cid"), col("j"), col("m.cent_id").as("code"))
-        val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
-          .join(broadcast(pqcents), Seq("j"))
-          .select(col("qid"), col("j"), col("cent_id").as("code"),
-            Q.grid6(l2("qsubv", "centv")).cast("decimal(16,6)").as("qd2"))
-        // probe-pruned candidates ranked by ADC
-        val cand = probes.join(lists, Seq("list_id"))
-          .filter(col("qid") =!= col("cid"))
-          .select(col("qid"), col("cid"))
-        val dist = cand.join(codes, Seq("cid"))
-          .join(broadcast(adc), Seq("qid", "j", "code"))
-          .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+        val dist = ivfPqAdcDist(s, dir)
         val wTop = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
         dist.withColumn("rk", row_number().over(wTop))
@@ -1631,50 +1686,77 @@ object SimilarityQueries {
             col("adist").cast("double").as("adist"), col("rk"))
           .orderBy("qid", "rk")
       },
-      oracle = Some {
-        def duckL2(a: String, b: String) =
-          s"""list_reduce(list_transform(range(1, 9),
-             |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
-             |  (acc, v) -> acc + v)""".stripMargin
-        s"""WITH $ivfListsSql,
-           |probes AS (
-           |  SELECT qid, cent_id AS list_id FROM (
-           |    SELECT q.vec_id AS qid, c.cent_id,
-           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCosSql("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
-           |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
-           |  WHERE prk <= 4),
-           |js AS (SELECT UNNEST(range(8)) AS j),
-           |pqcents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
-           |            FROM embeddings, js WHERE vec_id < 16),
-           |vecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
-           |         FROM embeddings, js),
-           |pqcodes AS (
-           |  SELECT cid, j, cent_id AS code FROM (
-           |    SELECT v.cid, v.j, c.cent_id,
-           |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
-           |                              ORDER BY ${duckL2("v.subv", "c.centv")}, c.cent_id) AS crk
-           |    FROM vecs v JOIN pqcents c ON v.j = c.j) t
-           |  WHERE crk = 1),
-           |pqadc AS (
-           |  SELECT q.cid AS qid, q.j, c.cent_id AS code,
-           |         CAST(floor((${duckL2("q.subv", "c.centv")}) * 1000000.0) / 1000000.0
-           |              AS DECIMAL(16,6)) AS qd2
-           |  FROM vecs q JOIN pqcents c ON q.j = c.j WHERE q.cid < $NumQueries),
-           |cand AS (
-           |  SELECT p.qid, l.cid FROM probes p JOIN lists l ON p.list_id = l.list_id
-           |  WHERE p.qid != l.cid),
-           |dist AS (
-           |  SELECT d.qid, d.cid, SUM(a.qd2) AS adist
-           |  FROM cand d JOIN pqcodes k ON k.cid = d.cid
-           |  JOIN pqadc a ON a.qid = d.qid AND a.j = k.j AND a.code = k.code
-           |  GROUP BY d.qid, d.cid),
+      oracle = Some(
+        s"""WITH $ivfPqDistSql,
            |ranked AS (
            |  SELECT qid, cid, adist,
            |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk
            |  FROM dist)
            |SELECT qid, cid, CAST(adist AS DOUBLE) AS adist, CAST(rk AS INTEGER) AS rk
-           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
-      }),
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
+
+    // ---- two-stage ANN serving: PQ shortlist → exact re-rank (r13) -------
+    // The deployable serving shape (the r12 verdict's #2 item): ivf_pq_topk
+    // ranks by approximate ADC only; real deployments refine the PQ
+    // shortlist with EXACT distances on the survivors (Jégou et al. 2011
+    // §V — the "re-ranking with full vectors" step). Stage 1 = the SAME
+    // shared [[ivfPqAdcDist]] frame (so shortlist ≡ the composite
+    // retriever's candidate ranking by construction), top-`RefineShortlist`
+    // by ADC; stage 2 fetches the TRUE embeddings for the ≤ q×50 survivors
+    // and re-ranks by exact cosine — similarity_topk's spelling verbatim,
+    // so the refined output is directly comparable to the brute-force
+    // truth row-shape. recall_pq_family (below) measures how much recall
+    // the refine step buys back over raw ADC.
+    //
+    // Scale shape: stage 1 is ivf_pq_topk's plan (probe-pruned, 8 code
+    // bytes per candidate through the shuffle); stage 2 touches full
+    // vectors for only q×50 rows — a broadcast-able frame joined back to
+    // the corpus ONCE on vec_id. At 100 TB the full-vector reads stay
+    // q×50 regardless of corpus size; everything corpus-sized stays PQ.
+    "ivf_pq_refined_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val wAdc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+        val short = ivfPqAdcDist(s, dir)
+          .withColumn("srk", row_number().over(wAdc))
+          .filter(col("srk") <= RefineShortlist)
+          .select(col("qid"), col("cid"))
+        val q = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val rr = short
+          .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+            Seq("cid"))
+          .join(broadcast(q), Seq("qid"))
+          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        rr.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      oracle = Some(
+        s"""WITH $ivfPqDistSql,
+           |short AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS srk
+           |    FROM dist) t
+           |  WHERE srk <= $RefineShortlist),
+           |rr AS (
+           |  SELECT s.qid, s.cid,
+           |         ${duckCosSql("q.embedding", "c.embedding")} AS sim
+           |  FROM short s
+           |  JOIN embeddings q ON q.vec_id = s.qid
+           |  JOIN embeddings c ON c.vec_id = s.cid),
+           |ranked AS (
+           |  SELECT qid, cid, sim,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM rr)
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim,
+           |       CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
 
     // ---- IVF index-health audit: list balance (added r8) ----------------
     // The ops number an IVF deployment watches: how evenly do the inverted
@@ -2350,6 +2432,52 @@ object SimilarityQueries {
          |r AS (${leg("ivf_topk")}
          |UNION ALL
          |${leg("lsh_topk")})
+         |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
+         |FROM r ORDER BY method, qid""".stripMargin
+    }),
+
+  // ---- recall@10 across the PQ serving family (added r13) ---------------
+  // The eval row the two-stage refine exists for: recall@10 of pq_topk
+  // (flat ADC over the whole corpus), ivf_pq_topk (probe-pruned ADC), and
+  // ivf_pq_refined_topk (probe-pruned ADC shortlist → exact re-rank),
+  // against the brute-force cosine truth — the same no-drift composition
+  // as recall_at_k (legs reuse the gated retriever builders verbatim; the
+  // oracle nests their SQL as CTEs), so the refine step's recall buy-back
+  // over raw ADC is measured on exactly the retrievers users run.
+  //
+  // Scale shape: three retriever plans + ≤(q×10)-row joins — eval overhead
+  // is constant; the legs' own scale stories are their own rows.
+  "recall_pq_family" -> Q(
+    fn = (s, dir) => {
+      val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
+      def leg(name: String) = {
+        val approx = base(name).fn(s, dir)
+          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(name).as("method"), col("qid"), col("n_hit"),
+            (col("n_hit").cast("double") / lit(TopK)).as("recall"))
+      }
+      leg("pq_topk").unionAll(leg("ivf_pq_topk"))
+        .unionAll(leg("ivf_pq_refined_topk"))
+        .orderBy("method", "qid")
+    },
+    oracle = Some {
+      def leg(name: String) =
+        s"""SELECT '$name' AS method, e.qid,
+           |       CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |FROM exact e LEFT JOIN a_$name a ON e.qid = a.qid AND e.cid = a.cid
+           |GROUP BY e.qid""".stripMargin
+      s"""WITH exact AS (${base("similarity_topk").oracle.get}),
+         |a_pq_topk AS (${base("pq_topk").oracle.get}),
+         |a_ivf_pq_topk AS (${base("ivf_pq_topk").oracle.get}),
+         |a_ivf_pq_refined_topk AS (${base("ivf_pq_refined_topk").oracle.get}),
+         |r AS (${leg("pq_topk")}
+         |UNION ALL
+         |${leg("ivf_pq_topk")}
+         |UNION ALL
+         |${leg("ivf_pq_refined_topk")})
          |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
          |FROM r ORDER BY method, qid""".stripMargin
     }),

@@ -144,6 +144,50 @@ class R13BatchSpec extends SparkTestBase {
     assert(nToks < nChars, "merges applied")
   }
 
+  test("ivf_pq_refined_topk: exact re-rank sims replay; recall dominates raw ADC") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val refined = graft.SparkEntry.queries("ivf_pq_refined_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(refined.nonEmpty)
+    // each returned sim is the 1e-6-floored exact cosine of the pair, and
+    // ranks are sim-descending per query
+    refined.foreach { case (qid, cid, sim, _) =>
+      val exact = math.floor(cos(emb(qid), emb(cid)) * 1e6) / 1e6
+      assert(sim == exact, s"($qid,$cid): sim $sim != exact $exact")
+    }
+    refined.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, "sim desc")
+    }
+    // the refine theorem: the shortlist contains ADC's top-10, and exact
+    // re-ranking can only push a TRUE hit out in favor of strictly-closer
+    // vectors (themselves true hits) — so per-query recall@10 must
+    // dominate raw ADC's
+    val truth = graft.SparkEntry.queries("similarity_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = graft.SparkEntry.queries("ivf_pq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hits(rows: Seq[(Long, Long)]) =
+      rows.filter(truth).groupBy(_._1).view.mapValues(_.size).toMap
+    val hR = hits(refined.map(t => (t._1, t._2)).toSeq)
+    val hA = hits(adc.toSeq)
+    (hA.keySet ++ hR.keySet).foreach { qid =>
+      assert(hR.getOrElse(qid, 0) >= hA.getOrElse(qid, 0),
+        s"qid $qid: refined recall ${hR.getOrElse(qid, 0)} < ADC ${hA.getOrElse(qid, 0)}")
+    }
+  }
+
   test("cochran_q: unanimous rule passes report NULL Q and a false flag") {
     // Every doc passes all three rules (>= 200 chars, >= 2 Gopher stops,
     // >= 20 tokens): sum_l = 3N, sum_l2 = 9N, denominator 3*sum_l - sum_l2
