@@ -98,6 +98,78 @@ object SelectionQueries {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => s"'$w'").mkString(", ")
 
+  /** Otsu's between-class-variance argmax over the 101-level band grid of
+    * the shared composite quality score — the 1-row frame behind
+    * otsu_quality_threshold AND pipeline_curation's derived cutoff (r13:
+    * the pipeline's hand-chosen 0.55 is now the documented FALLBACK dial;
+    * the live threshold is this argmax), so the two surfaces provably
+    * agree on where the data splits. */
+  private[queries] def otsuBand(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_qstop",
+        expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
+      .withColumn("q6",
+        floor((lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 50.0) +
+          lit(0.3) * (lit(1.0) - col("n_qstop").cast("double") / col("n_words")) +
+          lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+          * 1000000.0).cast("long"))
+      .select(expr("q6 div 10000").as("g"))
+    val hist = scored.groupBy("g").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("c")).as("ww"), sum(col("g") * col("c")).as("mm"))
+    val cand = hist
+      .select(col("g"), sum(col("c")).over(w).as("w0"),
+        sum(col("g") * col("c")).over(w).as("m0"))
+      .crossJoin(broadcast(tot))
+      .filter(col("w0") < col("ww"))
+      .select(col("g"), col("w0"), col("m0"), col("ww"), col("mm"),
+        expr("""((cast(m0 as decimal(38,0)) * (ww - w0)
+               | - cast(mm - m0 as decimal(38,0)) * w0)
+               | * (cast(m0 as decimal(38,0)) * (ww - w0)
+               | - cast(mm - m0 as decimal(38,0)) * w0))
+               | div (cast(w0 as decimal(38,0)) * (ww - w0))""".stripMargin)
+          .as("score"))
+    cand.agg(max(struct(col("score"), (-col("g")).as("ng"), col("w0"),
+        col("m0"), col("ww"), col("mm"))).as("b"))
+      .select((-col("b.ng")).as("best_band"),
+        col("b.w0").as("n_below"), (col("b.ww") - col("b.w0")).as("n_above"),
+        (col("b.m0").cast("double") / col("b.w0").cast("double")).as("mean_band_below"),
+        ((col("b.mm") - col("b.m0")).cast("double")
+          / (col("b.ww") - col("b.w0")).cast("double")).as("mean_band_above"),
+        col("b.score").as("between_var_score"))
+  }
+
+  /** Oracle twin of [[otsuBand]] — CTE text ending in `best` (the 1-row
+    * argmax), nested by otsu_quality_threshold and pipeline_curation. */
+  private[queries] def otsuSqlCtes: String =
+    s"""sc AS (
+       |  SELECT CAST(floor((0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+       |       + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |             w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
+       |             AS DOUBLE) / len(string_split(text, ' ')))
+       |       + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0))
+       |       * 1000000.0) AS BIGINT) // 10000 AS g
+       |  FROM documents),
+       |hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY g),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ww,
+       |               CAST(SUM(g * c) AS BIGINT) AS mm FROM hist),
+       |cum AS (SELECT g, CAST(SUM(c) OVER (ORDER BY g) AS BIGINT) AS w0,
+       |               CAST(SUM(g * c) OVER (ORDER BY g) AS BIGINT) AS m0
+       |        FROM hist),
+       |cand AS (SELECT g, w0, m0, ww, mm,
+       |                ((CAST(m0 AS HUGEINT) * (ww - w0)
+       |                  - CAST(mm - m0 AS HUGEINT) * w0)
+       |                 * (CAST(m0 AS HUGEINT) * (ww - w0)
+       |                  - CAST(mm - m0 AS HUGEINT) * w0))
+       |                // (CAST(w0 AS HUGEINT) * (ww - w0)) AS score
+       |         FROM cum CROSS JOIN tot WHERE w0 < ww),
+       |best AS (SELECT * FROM cand ORDER BY score DESC, g LIMIT 1)""".stripMargin
+
   /** Every selection entry except the composed curriculum below. */
   private val base: Map[String, Q] = Map(
 
@@ -2018,67 +2090,9 @@ object SelectionQueries {
     // cumulative window over the band grid (R2-whitelisted, bound 101) →
     // 1-row argmax roll-up with a 1-row totals broadcast (R1).
     "otsu_quality_threshold" -> Q(
-      fn = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val scored = Tables.load(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("n_words", size(col("toks")).cast("long"))
-          .withColumn("n_qstop",
-            expr(s"size(filter(toks, t -> t IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))"))
-          .withColumn("q6",
-            floor((lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 50.0) +
-              lit(0.3) * (lit(1.0) - col("n_qstop").cast("double") / col("n_words")) +
-              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
-              * 1000000.0).cast("long"))
-          .select(expr("q6 div 10000").as("g"))
-        val hist = scored.groupBy("g").agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("g"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = hist.agg(sum(col("c")).as("ww"), sum(col("g") * col("c")).as("mm"))
-        val cand = hist
-          .select(col("g"), sum(col("c")).over(w).as("w0"),
-            sum(col("g") * col("c")).over(w).as("m0"))
-          .crossJoin(broadcast(tot))
-          .filter(col("w0") < col("ww"))
-          .select(col("g"), col("w0"), col("m0"), col("ww"), col("mm"),
-            expr("""((cast(m0 as decimal(38,0)) * (ww - w0)
-                   | - cast(mm - m0 as decimal(38,0)) * w0)
-                   | * (cast(m0 as decimal(38,0)) * (ww - w0)
-                   | - cast(mm - m0 as decimal(38,0)) * w0))
-                   | div (cast(w0 as decimal(38,0)) * (ww - w0))""".stripMargin)
-              .as("score"))
-        cand.agg(max(struct(col("score"), (-col("g")).as("ng"), col("w0"),
-            col("m0"), col("ww"), col("mm"))).as("b"))
-          .select((-col("b.ng")).as("best_band"),
-            col("b.w0").as("n_below"), (col("b.ww") - col("b.w0")).as("n_above"),
-            (col("b.m0").cast("double") / col("b.w0").cast("double")).as("mean_band_below"),
-            ((col("b.mm") - col("b.m0")).cast("double")
-              / (col("b.ww") - col("b.w0")).cast("double")).as("mean_band_above"),
-            col("b.score").as("between_var_score"))
-      },
+      fn = (s, dir) => otsuBand(Tables.load(s, dir, "documents")),
       oracle = Some(
-        s"""WITH sc AS (
-           |  SELECT CAST(floor((0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
-           |       + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-           |             w -> w IN (${TextQueries.stopwords.map(x => s"'$x'").mkString(", ")})))
-           |             AS DOUBLE) / len(string_split(text, ' ')))
-           |       + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0))
-           |       * 1000000.0) AS BIGINT) // 10000 AS g
-           |  FROM documents),
-           |hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY g),
-           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ww,
-           |               CAST(SUM(g * c) AS BIGINT) AS mm FROM hist),
-           |cum AS (SELECT g, CAST(SUM(c) OVER (ORDER BY g) AS BIGINT) AS w0,
-           |               CAST(SUM(g * c) OVER (ORDER BY g) AS BIGINT) AS m0
-           |        FROM hist),
-           |cand AS (SELECT g, w0, m0, ww, mm,
-           |                ((CAST(m0 AS HUGEINT) * (ww - w0)
-           |                  - CAST(mm - m0 AS HUGEINT) * w0)
-           |                 * (CAST(m0 AS HUGEINT) * (ww - w0)
-           |                  - CAST(mm - m0 AS HUGEINT) * w0))
-           |                // (CAST(w0 AS HUGEINT) * (ww - w0)) AS score
-           |         FROM cum CROSS JOIN tot WHERE w0 < ww),
-           |best AS (SELECT * FROM cand ORDER BY score DESC, g LIMIT 1)
+        s"""WITH $otsuSqlCtes
            |SELECT g AS best_band, w0 AS n_below, ww - w0 AS n_above,
            |       CAST(m0 AS DOUBLE) / CAST(w0 AS DOUBLE) AS mean_band_below,
            |       CAST(mm - m0 AS DOUBLE) / CAST(ww - w0 AS DOUBLE) AS mean_band_above,

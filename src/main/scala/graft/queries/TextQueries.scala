@@ -2433,6 +2433,16 @@ object TextQueries {
     // per-source corpus stats. The end-to-end shape of a training-data
     // pipeline, entirely declarative so Catalyst plans it as a whole
     // (semi-join against survivors, no materialization between stages).
+    //
+    // r13: the quality cutoff is DERIVED — the Otsu between-class-variance
+    // argmax over the same score's band grid (the shared
+    // SelectionQueries.otsuBand builder, so pipeline cut ≡
+    // otsu_quality_threshold's split by construction; spec-pinned in
+    // R13BatchSpec). The otsu 1-row frame broadcast-joins in (the
+    // quota/cutoff precedent); docs keep band > best_band. The old
+    // hand-chosen 0.55 (band 54) remains as the documented FALLBACK dial
+    // for a degenerate corpus where the argmax is undefined (empty or
+    // single-band histogram → best_band NULL).
     "pipeline_curation" -> Q(
       fn = (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -2440,16 +2450,22 @@ object TextQueries {
           .groupBy(md5(lower(trim(col("text")))).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
+        val cutoff = SelectionQueries.otsuBand(docs)
+          .select(coalesce(col("best_band"), lit(54L)).as("cut_band"))
         docs
           .join(survivors, Seq("doc_id"), "left_semi")
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN (${sqList(stopwords)})))"))
-          .withColumn("quality", Q.grid6(
+          .withColumn("q6", floor((
             lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
               lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
-              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0)))
-          .filter(col("quality") >= 0.55 && col("n_tokens").between(20, 100))
+              lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
+            * 1000000.0).cast("long"))
+          .withColumn("quality", col("q6").cast("double") / 1000000.0)
+          .crossJoin(broadcast(cutoff))
+          .filter(expr("q6 div 10000") > col("cut_band")
+            && col("n_tokens").between(20, 100))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_kept"),
@@ -2458,21 +2474,23 @@ object TextQueries {
           .orderBy("source")
       },
       oracle = Some(
-        s"""WITH survivors AS (
+        s"""WITH ${SelectionQueries.otsuSqlCtes},
+           |cutoff AS (SELECT COALESCE((SELECT g FROM best), 54) AS cut_band),
+           |survivors AS (
            |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(LOWER(TRIM(text)))),
            |scored AS (
            |  SELECT d.source, len(string_split(d.text, ' ')) AS n_tokens,
-           |         floor((0.4 * least(1.0, CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 50.0)
+           |         CAST(floor((0.4 * least(1.0, CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 50.0)
            |             + 0.3 * (1.0 - CAST(len(list_filter(string_split(d.text, ' '), t -> t IN (${sqList(stopwords)}))) AS DOUBLE)
            |                            / len(string_split(d.text, ' ')))
            |             + 0.3 * least(1.0, CAST(length(d.text) AS DOUBLE) / 200.0))
-           |             * 1000000.0) / 1000000.0 AS quality
+           |             * 1000000.0) AS BIGINT) AS q6
            |  FROM documents d
            |  WHERE EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = d.doc_id))
            |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           |       CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
-           |FROM scored
-           |WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 100
+           |       CAST(SUM(CAST(CAST(q6 AS DOUBLE) / 1000000.0 AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
+           |FROM scored CROSS JOIN cutoff
+           |WHERE q6 // 10000 > cut_band AND n_tokens BETWEEN 20 AND 100
            |GROUP BY source ORDER BY source""".stripMargin),
       headline = true),
 

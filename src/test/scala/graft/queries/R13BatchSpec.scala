@@ -188,6 +188,35 @@ class R13BatchSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_curation: the quality cut IS the Otsu argmax (full Scala replay)") {
+    val dir = "/root/testdata/sf0.001"
+    val best = graft.SparkEntry.queries("otsu_quality_threshold")(spark, dir)
+      .collect().head.getLong(0)
+    val out = graft.SparkEntry.queries("pipeline_curation")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stop = graft.queries.TextQueries.stopwords.toSet
+    val rows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exact-dedup survivors: min doc_id per lowercase-trimmed text
+    val surv = rows.groupBy(_._2.trim.toLowerCase)
+      .values.map(_.map(_._1).min).toSet
+    val kept = rows.filter(r => surv(r._1)).flatMap { case (_, text, src) =>
+      val toks = text.split(" ", -1)
+      val nTok = toks.length
+      val nStop = toks.count(stop)
+      val q6 = math.floor((0.4 * math.min(1.0, nTok / 50.0)
+        + 0.3 * (1.0 - nStop.toDouble / nTok)
+        + 0.3 * math.min(1.0, text.length / 200.0)) * 1e6).toLong
+      if (q6 / 10000 > best && nTok >= 20 && nTok <= 100) Some((src, nTok.toLong))
+      else None
+    }
+    val expect = kept.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    assert(out == expect,
+      s"per-source (n_kept, total_tokens) mismatch: got $out want $expect")
+  }
+
   test("cochran_q: unanimous rule passes report NULL Q and a false flag") {
     // Every doc passes all three rules (>= 200 chars, >= 2 Gopher stops,
     // >= 20 tokens): sum_l = 3N, sum_l2 = 9N, denominator 3*sum_l - sum_l2
