@@ -28,6 +28,38 @@ object PrivacyQueries {
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "\\+[0-9][0-9-]{5,}[0-9]"
 
+  /** The shared PII span classifier (r13): for a frame carrying `user_id`,
+    * `props`, and `event_type`, returns (event_type, nu, ne, np, nd) —
+    * per-row span counts per class, counted SEQUENTIALLY (each class on
+    * the string the previous class already masked, the safe_export_spans
+    * contract). Shared by the batch `pii_audit` gate and the streaming
+    * [[graft.streaming.PriorityStreams.piiStream]] twin, so the live gate
+    * and the post-hoc audit can never disagree about what a span is. */
+  private[graft] def piiClassified(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val uid = org.apache.spark.sql.functions.col("user_id")
+    val blurb = concat(
+      lit("note "), col("props"),
+      when(uid % 3 === 0,
+        concat(lit(" user"), uid.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(uid % 5 === 0,
+        concat(lit(" tel +1-555-"),
+          lpad((uid % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(uid % 7 === 0,
+        concat(lit(" https://ex.example/u/"), uid.cast("string")))
+        .otherwise(lit("")))
+    val m1 = regexp_replace(blurb, UrlPat, "<URL>")
+    val m2 = regexp_replace(m1, EmailPat, "<EMAIL>")
+    val m3 = regexp_replace(m2, PhonePat, "<PHONE>")
+    df.select(col("event_type"),
+      size(regexp_extract_all(blurb, lit(UrlPat), lit(0))).cast("long").as("nu"),
+      size(regexp_extract_all(m1, lit(EmailPat), lit(0))).cast("long").as("ne"),
+      size(regexp_extract_all(m2, lit(PhonePat), lit(0))).cast("long").as("np"),
+      (length(m3) - length(regexp_replace(m3, "[0-9]", ""))).cast("long").as("nd"))
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- k-anonymous pseudonymized usage report --------------------------
@@ -316,29 +348,7 @@ object PrivacyQueries {
     // ≤|types| rows before the one shuffle; scan-bound at 100 TB.
     "pii_audit" -> Q(
       fn = (s, dir) => {
-        val uid = col("user_id")
-        val blurb = concat(
-          lit("note "), col("props"),
-          when(uid % 3 === 0,
-            concat(lit(" user"), uid.cast("string"), lit("@example.com")))
-            .otherwise(lit("")),
-          when(uid % 5 === 0,
-            concat(lit(" tel +1-555-"),
-              lpad((uid % 10000).cast("string"), 4, "0")))
-            .otherwise(lit("")),
-          when(uid % 7 === 0,
-            concat(lit(" https://ex.example/u/"), uid.cast("string")))
-            .otherwise(lit("")))
-        val m1 = regexp_replace(blurb, UrlPat, "<URL>")
-        val m2 = regexp_replace(m1, EmailPat, "<EMAIL>")
-        val m3 = regexp_replace(m2, PhonePat, "<PHONE>")
-        val nUrl = size(regexp_extract_all(blurb, lit(UrlPat), lit(0))).cast("long")
-        val nEmail = size(regexp_extract_all(m1, lit(EmailPat), lit(0))).cast("long")
-        val nPhone = size(regexp_extract_all(m2, lit(PhonePat), lit(0))).cast("long")
-        val nDigit = (length(m3) - length(regexp_replace(m3, "[0-9]", ""))).cast("long")
-        Tables.load(s, dir, "events")
-          .select(col("event_type"), nUrl.as("nu"), nEmail.as("ne"),
-            nPhone.as("np"), nDigit.as("nd"))
+        piiClassified(Tables.load(s, dir, "events"))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n_rows"),

@@ -1335,6 +1335,84 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming PII release gate (added r13) -----------------------------
+
+  /** One running per-event-type PII accounting emission — the stream twin
+    * of the batch `pii_audit` row (first 9 columns; `share_clean` is the
+    * consumer's ONE bare division, the srmStream chi2 discipline). */
+  final case class PiiCountRow(
+      eventType: String, nRows: Long,
+      rowsEmail: Long, rowsPhone: Long, rowsUrl: Long,
+      nEmail: Long, nPhone: Long, nUrl: Long,
+      nDigitResidual: Long, rowsClean: Long)
+
+  /** Per-row span-class counts entering the gate (the shared
+    * [[graft.queries.PrivacyQueries.piiClassified]] projection). */
+  final case class PiiSpan(eventType: String, nu: Long, ne: Long, np: Long, nd: Long)
+
+  /** Streaming twin of the batch `pii_audit` release gate (r12 verdict #7):
+    * the gate should run AT INGEST, not post-hoc. Span classification is
+    * the map-only shared [[graft.queries.PrivacyQueries.piiClassified]]
+    * projection (the masker's own regex chain, so live gate ≡ post-hoc
+    * audit by construction); state is 9 longs per event type — the running
+    * accounting row. Every sum is associative and each arriving event
+    * contributes exactly once, so the FINAL per-type rows are bit-equal to
+    * the batch aggregate on ANY micro-batch split (spec-pinned). A release
+    * rule ("rows_email must stay 0") reads the latest emission per type
+    * live instead of discovering a leak after the export. */
+  final class PiiAuditProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, PiiSpan, PiiCountRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[PiiCountRow] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[PiiCountRow]("acc",
+        org.apache.spark.sql.Encoders.product[PiiCountRow], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[PiiSpan],
+        timerValues: TimerValues): Iterator[PiiCountRow] = {
+      var cur =
+        if (acc.exists()) acc.get()
+        else PiiCountRow(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      rows.foreach { r =>
+        cur = PiiCountRow(key,
+          cur.nRows + 1L,
+          cur.rowsEmail + (if (r.ne > 0) 1L else 0L),
+          cur.rowsPhone + (if (r.np > 0) 1L else 0L),
+          cur.rowsUrl + (if (r.nu > 0) 1L else 0L),
+          cur.nEmail + r.ne,
+          cur.nPhone + r.np,
+          cur.nUrl + r.nu,
+          cur.nDigitResidual + r.nd,
+          cur.rowsClean
+            + (if (r.ne == 0 && r.np == 0 && r.nu == 0 && r.nd == 0) 1L else 0L))
+      }
+      acc.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** See [[PiiAuditProcessor]]. Input: a streaming frame with `user_id`,
+    * `props`, `event_type` columns (the events wire shape). */
+  def piiStream(events: org.apache.spark.sql.DataFrame): Dataset[PiiCountRow] = {
+    import events.sparkSession.implicits._
+    graft.queries.PrivacyQueries.piiClassified(events)
+      .select(org.apache.spark.sql.functions.col("event_type").as("eventType"),
+        org.apache.spark.sql.functions.col("nu"),
+        org.apache.spark.sql.functions.col("ne"),
+        org.apache.spark.sql.functions.col("np"),
+        org.apache.spark.sql.functions.col("nd"))
+      .as[PiiSpan]
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new PiiAuditProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming DAU stickiness (added r10) -------------------------------
 
   /** One per-user-per-day activity emission: `returning` = the user was

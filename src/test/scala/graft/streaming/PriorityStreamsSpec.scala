@@ -1367,6 +1367,46 @@ class PriorityStreamsSpec extends SparkTestBase {
       == java.lang.Double.doubleToLongBits(b.getDouble(4)), "chi2 bits")
   }
 
+  test("piiStream final rows == batch pii_audit across a batch split") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("props"), col("event_type"))
+      .orderBy("event_id")
+      .as[(Long, Long, String, String)].collect()
+    val mid = events(events.length / 2)._1
+    withRocksDB {
+      val in = MemoryStream[(Long, Long, String, String)]
+      val q = PriorityStreams.piiStream(
+          in.toDF().toDF("event_id", "user_id", "props", "event_type"))
+        .writeStream.format("memory").queryName("pii_out")
+        .outputMode("update").start()
+      in.addData(events.filter(_._1 <= mid))
+      q.processAllAvailable()
+      in.addData(events.filter(_._1 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    // running rows are nRows-monotone — the final state per type is the max
+    val fin = spark.table("pii_out").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    val batch = graft.SparkEntry.queries("pii_audit")(spark, dir).collect()
+      .map(r => (r.getString(0), ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)), r.getDouble(10)))).toMap
+    assert(fin.keySet == batch.keySet, "event types")
+    fin.foreach { case (t, counts) =>
+      assert(counts == batch(t)._1, s"$t accounting")
+      // the consumer's gate: share_clean is ONE bare division over the
+      // final stream counts, bit-equal to the batch column
+      val share = counts._9.toDouble / counts._1.toDouble
+      assert(java.lang.Double.doubleToLongBits(share)
+        == java.lang.Double.doubleToLongBits(batch(t)._2), s"$t share_clean bits")
+    }
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
