@@ -11,6 +11,44 @@ import org.apache.spark.sql.SparkSession
   * fully executed via count() on its (already-aggregated) result.
   */
 object Bench {
+
+  /** Quiet-box wall-clock of [[canary]] (min of 5, steady-state runs land
+    * 660-870 ms across quiet sessions; 700 is the representative floor),
+    * measured at r13 via tools/bench_java.sh (graft.BoxCanary). FROZEN:
+    * the canary workload and this constant must never change together —
+    * box_factor = canary_now / this is only meaningful while both sides
+    * of the ratio stay fixed. (r12 verdict item 1: three rounds of bench
+    * drift were adjudicated to box slowdown by hand-built rebuilt-binary
+    * A/Bs; this bakes the calibration into every capture instead.) */
+  val CanaryBaselineMs: Long = 700L
+
+  /** The box-drift canary: a FIXED registry-independent workload touching
+    * the suite's main cost centers — codegen'd projection with md5 +
+    * regex, a hash-agg shuffle, a partitioned window, and a broadcast
+    * join — over generated data (no IO). Identical plan every run and
+    * every round, so any change in its wall-clock is ENVIRONMENT, not
+    * code. Returns seconds. */
+  def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val base = spark.range(0L, 2000000L, 1L, 32)
+      .select(col("id"), (col("id") % 9973L).as("k"),
+        md5(concat(lit("canary:"), col("id").cast("string"))).as("h"))
+      .withColumn("d", size(split(col("h"), "[a-f]")).cast("long"))
+    val agg = base.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"), max(col("h")).as("mh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k") % 97L).orderBy(col("sd").desc, col("k"))
+    val dims = spark.range(0L, 9973L, 1L, 4)
+      .select(col("id").as("k"), (col("id") * 7L % 13L).as("grp"))
+    agg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .join(broadcast(dims), Seq("k"))
+      .groupBy("grp").agg(sum(col("sd")).as("s"), count(lit(1)).as("c"))
+      .queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,6 +83,14 @@ object Bench {
     // trivial agg) and run one light query end-to-end.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("bucket_of_dist")(spark, sfDir).count()
+
+    // Box-drift canary (r13): the frozen synthetic workload, min of 5
+    // (runs 1-2 pay codegen/JIT; ~10 s total per capture). box_factor > 1 means the box is running
+    // that much slower than the frozen r13 calibration — the artifact
+    // carries both the raw total and the box-normalized one so a capture
+    // on a degraded box reads as what it is.
+    val canaryMs = math.round((1 to 5).map(_ => canary(spark)).min * 1000)
+    val boxFactor = math.round(canaryMs.toDouble / CanaryBaselineMs * 1000) / 1000.0
 
     // min of 3 runs: the first run of a query pays JIT/codegen for its
     // operator mix; the min reflects steady-state engine throughput and is
@@ -115,10 +161,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val load = loadAvg.map(d => r2(d).toString).mkString("[", ",", "]")
     val noise =
-      s"""{"med_maxmin":${r2(pct(0.5))},"p90_maxmin":${r2(pct(0.9))},"worst":$worst,"loadavg_start":$load}"""
+      s"""{"med_maxmin":${r2(pct(0.5))},"p90_maxmin":${r2(pct(0.9))},"worst":$worst,"loadavg_start":$load,""" +
+        s""""canary_ms":$canaryMs,"box_factor":$boxFactor}"""
+    val totalNorm = math.round(total / boxFactor * 1000) / 1000.0
     // full per-query map (and the same noise block) → file, for the judge
     val fullJson =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":$totalR,"value_box_norm":$totalNorm,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
         s""""queries":${msJson(results.sortBy(_._1))},"noise":$noise,"sf":"$sf"}"""
     // resolved against SPARK_GRAFT_OUT_DIR when set (the launch cwd is not a
     // contract — an sbt fork or external runner can start the JVM anywhere),
@@ -151,7 +199,7 @@ object Bench {
       s"[bench] loadavg ${loadAvg.headOption.getOrElse(-1.0)} >= 1.0 at start: " +
         s"NOT writing $fullName (set SPARK_GRAFT_BENCH_FORCE=1 to override)")
     val line =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":$totalR,"value_box_norm":$totalNorm,"unit":"sec","qunit":"ms","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"queries":$qs,"noise":$noise,""" +
         s""""full":"${fullFile.getPath}","sf":"$sf"}"""
     // stdout ONLY — sbt merges the forked process's stderr back into its
