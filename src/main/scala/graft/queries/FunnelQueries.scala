@@ -2046,6 +2046,121 @@ object FunnelQueries {
           |                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) END AS acf
           |FROM m ORDER BY event_type, lag""".stripMargin)),
 
+    // ---- Ljung-Box whiteness test over the ACF profile (added r13) -------
+    // acf_lags reports the autocorrelations; this is the PORTMANTEAU test
+    // that reads them as one number (Ljung & Box 1978): Q = n(n+2)
+    // Σ_{k=1..7} r_k²/(n−k) against χ²₇ — "is daily volume white noise,
+    // or is there structure worth modeling?" — the standard pre-flight
+    // before fitting holt_smooth/granger. EXACT surface: autocovariances
+    // ride the n-scaled centered grid y_t = n·c_t − S (multiplying the
+    // mean out instead of dividing), so C_k = Σ y_t y_{t−k} and
+    // C_0 = Σ y_t² are exact DECIMAL(38,0) integers and r_k = C_k/C_0
+    // exactly (the n² scales cancel). Q is then a FIXED per-row expression
+    // tree over those exact ints — (C_k/C_0)²/(n−k) left-fold-summed
+    // k = 1..7, spelled identically in both engines: a scalar IEEE chain
+    // on one row per type has no aggregation-order freedom, so it is
+    // bit-identical cross-engine (the cohen_d doctrine). C_0 = 0
+    // (constant series) → NULL, the levene convention.
+    //
+    // Scale shape: day-grain agg → per-type 1-row moment broadcast → ONE
+    // type-partitioned lag window (calendar-bounded) → ≤|types| roll-up.
+    "ljung_box" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val tot = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        val y = daily.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("d"), col("n"),
+            (big(col("n")) * col("c") - col("sc")).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val lagged = (1 to 7).foldLeft(y) { (df, k) =>
+          df.withColumn(s"y$k", lag(col("y"), k).over(w))
+        }
+        val aggs = Seq(first(col("n")).as("n"),
+            sum(col("y") * col("y")).as("c0")) ++
+          (1 to 7).map(k =>
+            sum(when(col(s"y$k").isNotNull, col("y") * col(s"y$k"))
+              .otherwise(lit(0))).as(s"ck$k"))
+        val cks = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        val qsum = (1 to 7).map { k =>
+          ((col(s"ck$k").cast("double") / col("c0").cast("double"))
+            * (col(s"ck$k").cast("double") / col("c0").cast("double")))
+            ./((col("n") - k).cast("double"))
+        }.reduce(_ + _)
+        cks.filter(col("n") > 7)
+          .select(col("event_type"), col("n").as("n_days"),
+            when(expr("c0 = 0"), lit(null).cast("double"))
+              .otherwise((col("n") * (col("n") + 2)).cast("double") * qsum)
+              .as("q_lb"))
+          .select(col("event_type"), col("n_days"), col("q_lb"),
+            coalesce(col("q_lb") > 14.067, lit(false)).as("structure_flag"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |               CAST(SUM(c) AS BIGINT) AS sc
+          |        FROM daily GROUP BY event_type),
+          |y AS (SELECT d.event_type, d.d, t.n,
+          |             CAST(t.n AS HUGEINT) * d.c - t.sc AS y
+          |      FROM daily d JOIN tot t ON d.event_type = t.event_type),
+          |lagged AS (
+          |  SELECT event_type, n, y,
+          |         LAG(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+          |         LAG(y, 2) OVER (PARTITION BY event_type ORDER BY d) AS y2,
+          |         LAG(y, 3) OVER (PARTITION BY event_type ORDER BY d) AS y3,
+          |         LAG(y, 4) OVER (PARTITION BY event_type ORDER BY d) AS y4,
+          |         LAG(y, 5) OVER (PARTITION BY event_type ORDER BY d) AS y5,
+          |         LAG(y, 6) OVER (PARTITION BY event_type ORDER BY d) AS y6,
+          |         LAG(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7
+          |  FROM y),
+          |cks AS (
+          |  SELECT event_type, MAX(n) AS n,
+          |         SUM(y * y) AS c0,
+          |         SUM(CASE WHEN y1 IS NOT NULL THEN y * y1 ELSE 0 END) AS ck1,
+          |         SUM(CASE WHEN y2 IS NOT NULL THEN y * y2 ELSE 0 END) AS ck2,
+          |         SUM(CASE WHEN y3 IS NOT NULL THEN y * y3 ELSE 0 END) AS ck3,
+          |         SUM(CASE WHEN y4 IS NOT NULL THEN y * y4 ELSE 0 END) AS ck4,
+          |         SUM(CASE WHEN y5 IS NOT NULL THEN y * y5 ELSE 0 END) AS ck5,
+          |         SUM(CASE WHEN y6 IS NOT NULL THEN y * y6 ELSE 0 END) AS ck6,
+          |         SUM(CASE WHEN y7 IS NOT NULL THEN y * y7 ELSE 0 END) AS ck7
+          |  FROM lagged GROUP BY event_type),
+          |m AS (
+          |  SELECT event_type, n AS n_days, c0,
+          |         CASE WHEN c0 = 0 THEN NULL
+          |              ELSE CAST(n * (n + 2) AS DOUBLE)
+          |                   * ((CAST(ck1 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck1 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 1 AS DOUBLE)
+          |                    + (CAST(ck2 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck2 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 2 AS DOUBLE)
+          |                    + (CAST(ck3 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck3 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 3 AS DOUBLE)
+          |                    + (CAST(ck4 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck4 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 4 AS DOUBLE)
+          |                    + (CAST(ck5 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck5 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 5 AS DOUBLE)
+          |                    + (CAST(ck6 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck6 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 6 AS DOUBLE)
+          |                    + (CAST(ck7 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      * (CAST(ck7 AS DOUBLE) / CAST(c0 AS DOUBLE))
+          |                      / CAST(n - 7 AS DOUBLE)) END AS q_lb
+          |  FROM cks WHERE n > 7)
+          |SELECT event_type, n_days, q_lb,
+          |       COALESCE(q_lb > 14.067, false) AS structure_flag
+          |FROM m ORDER BY event_type""".stripMargin)),
+
     // ---- stationary distribution of the event Markov chain (added r9) ----
     // Where transition_matrix models ONE step, the stationary distribution
     // π (the chain's long-run occupancy) is what the priority buckets'

@@ -1061,6 +1061,115 @@ object SimilarityQueries {
            |                 / CAST(CAST(n_edges AS HUGEINT) * n_edges * 4 AS DOUBLE) END AS modularity
            |FROM q""".stripMargin)),
 
+    // ---- k-core of the near-dup graph (added r13) --------------------------
+    // The density companion of dbscan_clusters/cluster_modularity on the
+    // SAME band-local pair graph (0.40, the cluster family): the 3-core —
+    // iteratively peel nodes with degree < 3 until fixpoint — is the
+    // boilerplate NUCLEUS a dedup pass should treat as one block (every
+    // survivor has ≥3 near-dup partners among survivors; leaves and chains
+    // peel away). Bounded-round semantics (the bpe_train doctrine): the
+    // operator is DEFINED as ≤12 peel rounds with a converged flag —
+    // peeling is monotone, so once a round removes nothing the remaining
+    // rounds are no-ops and the Spark early-stop ≡ the oracle's fixed
+    // 12-round unrolled CTE chain. All counts exact; share is ONE bare
+    // division. Per-round edge counts are driver convergence probes (the
+    // CC-loop precedent); state is Q.truncate'd per round.
+    //
+    // Scale shape: the shared spill-free pair generator → per round ONE
+    // degree agg + two semi-joins over the (shrinking) edge frame — at
+    // 100 TB each round is pair-frame-sized, never corpus², and the
+    // round count is bounded by construction.
+    "dup_graph_kcore" -> Q(
+      fn = (s, dir) => {
+        val K = 3
+        val MaxRounds = 12
+        val (pairsRaw, sig) = lshNearDupPairsBandLocalWithSig(
+          Tables.load(s, dir, "embeddings"), 0.40)
+        var edges = truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        sig.unpersist()
+        val nEdges0 = edges.count()
+        val nNodes0 = edges.select(col("a_id").as("id"))
+          .union(edges.select(col("b_id").as("id"))).distinct().count()
+        var prev = nEdges0
+        var roundsPeeled = 0
+        var converged = nEdges0 == 0L
+        var k = 0
+        while (k < MaxRounds && !converged) {
+          val sym = edges.select(col("a_id"), col("b_id"))
+            .union(edges.select(col("b_id"), col("a_id")))
+          val keep = sym.groupBy("a_id").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= K).select(col("a_id").as("id"))
+          edges = truncate(edges
+            .join(keep.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+            .join(keep.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
+            .select(col("a_id"), col("b_id")))
+          val c = edges.count()
+          if (c == prev) converged = true
+          else { roundsPeeled += 1; prev = c }
+          k += 1
+        }
+        val coreEdges = prev
+        val coreNodes =
+          if (coreEdges == 0L) 0L
+          else edges.select(col("a_id").as("id"))
+            .union(edges.select(col("b_id").as("id"))).distinct().count()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          Seq(org.apache.spark.sql.Row(nNodes0, nEdges0, coreNodes, coreEdges,
+            roundsPeeled, converged,
+            if (nEdges0 == 0L) null
+            else java.lang.Double.valueOf(coreEdges.toDouble / nEdges0))).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_nodes",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_edges",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("core_nodes",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("core_edges",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("rounds_peeled",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("converged",
+              org.apache.spark.sql.types.BooleanType, nullable = false),
+            org.apache.spark.sql.types.StructField("core_edge_share",
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
+      },
+      oracle = Some {
+        val rounds = (1 to 12).map { k =>
+          s"""d$k AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+             |          SELECT a_id AS id FROM e${k - 1}
+             |          UNION ALL SELECT b_id FROM e${k - 1}) u GROUP BY id),
+             |e$k AS MATERIALIZED (SELECT a_id, b_id FROM e${k - 1}
+             |        WHERE a_id IN (SELECT id FROM d$k WHERE deg >= 3)
+             |          AND b_id IN (SELECT id FROM d$k WHERE deg >= 3))""".stripMargin
+        }.mkString(",\n")
+        val cnts = (0 to 12)
+          .map(k => s"(SELECT COUNT(*) FROM e$k) AS c$k").mkString(",\n       ")
+        val peels = (1 to 12)
+          .map(k => s"CASE WHEN c$k < c${k - 1} THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH ${lshPairsSqlCtes(0.40)},
+           |e0 AS MATERIALIZED (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+           |  WHERE ${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.40),
+           |$rounds,
+           |c AS (SELECT $cnts)
+           |SELECT
+           |  (SELECT COUNT(DISTINCT id) FROM (
+           |     SELECT a_id AS id FROM e0 UNION ALL SELECT b_id FROM e0) u) AS n_nodes,
+           |  c0 AS n_edges,
+           |  (SELECT COUNT(DISTINCT id) FROM (
+           |     SELECT a_id AS id FROM e12 UNION ALL SELECT b_id FROM e12) u) AS core_nodes,
+           |  c12 AS core_edges,
+           |  CAST($peels AS INTEGER) AS rounds_peeled,
+           |  c12 = c11 AS converged,
+           |  CASE WHEN c0 = 0 THEN NULL
+           |       ELSE CAST(c12 AS DOUBLE) / c0 END AS core_edge_share
+           |FROM c""".stripMargin
+      }),
+
     // ---- Matryoshka prefix-dimension retrieval audit (added r11) ---------
     // The embedding-truncation question MRL training popularized (Kusupati
     // 2022): if the index stores only the first d dims (2×/4×/8× cheaper

@@ -454,28 +454,8 @@ object TrainQueries {
           .orderBy("iter")
       },
       oracle = Some {
-        val rounds = (1 to 6).map { k =>
-          s"""p$k AS (SELECT pair, SUM(n) AS n
-             |        FROM (SELECT UNNEST(list_transform(range(1, len(sy)),
-             |                       i -> sy[i] || ' ' || sy[i + 1])) AS pair, n
-             |              FROM (SELECT string_split(trim(st, '|'), '||') AS sy, n
-             |                    FROM w${k - 1}) WHERE len(sy) >= 2)
-             |        GROUP BY pair),
-             |m$k AS (SELECT CAST($k AS INTEGER) AS iter, pair, CAST(n AS BIGINT) AS n
-             |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
-             |w$k AS (SELECT replace(st,
-             |                 '|' || split_part(pair, ' ', 1) || '||' || split_part(pair, ' ', 2) || '|',
-             |                 '|' || replace(pair, ' ', '') || '|') AS st, w${k - 1}.n AS n
-             |        FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
-        }.mkString(",\n")
         val union = (2 to 6).map(k => s"UNION ALL SELECT * FROM m$k").mkString("\n")
-        s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-           |           FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-           |           WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2
-           |           GROUP BY w),
-           |w0 AS (SELECT '|' || array_to_string(regexp_extract_all(w, '[a-z]'), '||') || '|' AS st, n
-           |       FROM v),
-           |$rounds
+        s"""WITH $bpeOracleCtes
            |SELECT * FROM m1
            |$union
            |ORDER BY iter""".stripMargin
@@ -517,28 +497,9 @@ object TrainQueries {
             (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
       },
       oracle = Some {
-        // the bpe_train oracle's wrapped-symbol merge chain, measured at w6
-        // instead of returning the merge table
-        val rounds = (1 to 6).map { k =>
-          s"""p$k AS (SELECT pair, SUM(n) AS n
-             |        FROM (SELECT UNNEST(list_transform(range(1, len(sy)),
-             |                       i -> sy[i] || ' ' || sy[i + 1])) AS pair, n
-             |              FROM (SELECT string_split(trim(st, '|'), '||') AS sy, n
-             |                    FROM w${k - 1}) WHERE len(sy) >= 2)
-             |        GROUP BY pair),
-             |m$k AS (SELECT pair FROM p$k ORDER BY n DESC, pair LIMIT 1),
-             |w$k AS (SELECT replace(st,
-             |                 '|' || split_part(pair, ' ', 1) || '||' || split_part(pair, ' ', 2) || '|',
-             |                 '|' || replace(pair, ' ', '') || '|') AS st, w${k - 1}.n AS n
-             |        FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-           |           FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-           |           WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2
-           |           GROUP BY w),
-           |w0 AS (SELECT '|' || array_to_string(regexp_extract_all(w, '[a-z]'), '||') || '|' AS st, n
-           |       FROM v),
-           |$rounds,
+        // the shared trainer chain, measured at w6 instead of returning
+        // the merge table
+        s"""WITH $bpeOracleCtes,
            |f AS (SELECT string_split(trim(st, '|'), '||') AS sy, n FROM w6),
            |agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n_words,
            |               CAST(SUM(len(sy) * n) AS BIGINT) AS n_tokens
@@ -550,8 +511,75 @@ object TrainQueries {
            |       CAST(n_tokens AS DOUBLE) / n_words AS fertility_bpe,
            |       CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
            |FROM agg CROSS JOIN ch CROSS JOIN vs""".stripMargin
+      }),
+
+    // ---- learned-vocab token frequency table (added r13) ------------------
+    // The third consumer of the shared trainer: the top-20 symbols of the
+    // LEARNED vocabulary by corpus-weighted frequency — the artifact a
+    // tokenizer release ships next to its merge table (which symbols carry
+    // the corpus, are the merges earning their slots, is a merged symbol
+    // displacing its parts). Rank ties break token-ASC; share is ONE bare
+    // division of exact int64 sums.
+    //
+    // Scale shape: bpe_train's corpus pass + vocab-sized rounds, then ONE
+    // vocab-sized explode+agg → TakeOrderedAndProject keeps 20 rows.
+    "bpe_token_freq" -> Q(
+      fn = (s, dir) => {
+        val (_, state) = bpeTrainLoop(s, dir, rounds = 6)
+        val freq = state.select(explode(col("syms")).as("token"), col("n"))
+          .groupBy("token").agg(sum(col("n")).as("freq"))
+        val tot = freq.agg(sum(col("freq")).as("total"))
+        freq.crossJoin(broadcast(tot))
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("freq").desc, col("token"))).cast("int"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("token"), col("freq"),
+            (col("freq").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("rank")
+      },
+      oracle = Some {
+        s"""WITH $bpeOracleCtes,
+           |f AS (SELECT UNNEST(string_split(trim(st, '|'), '||')) AS token, n FROM w6),
+           |freq AS (SELECT token, CAST(SUM(n) AS BIGINT) AS freq FROM f GROUP BY token),
+           |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+           |rk AS (SELECT token, freq,
+           |              ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+           |       FROM freq)
+           |SELECT CAST(rank AS INTEGER) AS rank, token, freq,
+           |       CAST(freq AS DOUBLE) / total AS share
+           |FROM rk CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin
       })
   )
+
+  /** Oracle twin of [[bpeTrainLoop]]'s state chain: CTE text from the
+    * word-frequency dict `v` through the 6-round wrapped-symbol merge
+    * chain ending at `w6` (each round also binds `p_k`/`m_k`). Nested by
+    * bpe_train / bpe_apply / bpe_token_freq so the three oracles replay
+    * ONE trainer. */
+  private def bpeOracleCtes: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""p$k AS (SELECT pair, SUM(n) AS n
+         |        FROM (SELECT UNNEST(list_transform(range(1, len(sy)),
+         |                       i -> sy[i] || ' ' || sy[i + 1])) AS pair, n
+         |              FROM (SELECT string_split(trim(st, '|'), '||') AS sy, n
+         |                    FROM w${k - 1}) WHERE len(sy) >= 2)
+         |        GROUP BY pair),
+         |m$k AS (SELECT CAST($k AS INTEGER) AS iter, pair, CAST(n AS BIGINT) AS n
+         |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |w$k AS (SELECT replace(st,
+         |                 '|' || split_part(pair, ' ', 1) || '||' || split_part(pair, ' ', 2) || '|',
+         |                 '|' || replace(pair, ' ', '') || '|') AS st, w${k - 1}.n AS n
+         |        FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |      WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2
+       |      GROUP BY w),
+       |w0 AS (SELECT '|' || array_to_string(regexp_extract_all(w, '[a-z]'), '||') || '|' AS st, n
+       |       FROM v),
+       |$rounds""".stripMargin
+  }
 
   /** The shared 6-round greedy BPE trainer (Sennrich et al. 2016) over the
     * word-frequency dictionary: count adjacent symbol pairs (multiplicity-

@@ -217,6 +217,99 @@ class R13BatchSpec extends SparkTestBase {
       s"per-source (n_kept, total_tokens) mismatch: got $out want $expect")
   }
 
+  test("dup_graph_kcore: planted clique survives the peel, leaves fall (replay)") {
+    // 5 identical vectors (K5 clique: every degree 4 >= 3 -> the 3-core),
+    // 2 copies of an orthogonal vector (one edge, degree 1 -> peeled), and
+    // one zero vector (filtered by the norm guard).
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-kcore").toString
+    val dim = 64
+    def vec(axis: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f; a
+    }
+    val rows = (0 until 5).map(i => Row(i.toLong, vec(0).toSeq, 0)) ++
+      Seq(Row(5L, vec(7).toSeq, 1), Row(6L, vec(7).toSeq, 1),
+        Row(7L, Array.fill(dim)(0.0f).toSeq, 2))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.SparkEntry.queries("dup_graph_kcore")(spark, dir).collect().head
+    assert(r.getLong(0) == 7L, s"n_nodes: ${r.getLong(0)}")
+    assert(r.getLong(1) == 11L, s"n_edges: ${r.getLong(1)}") // C(5,2) + 1
+    assert(r.getLong(2) == 5L, s"core_nodes: ${r.getLong(2)}")
+    assert(r.getLong(3) == 10L, s"core_edges: ${r.getLong(3)}")
+    assert(r.getInt(4) == 1, s"rounds_peeled: ${r.getInt(4)}")
+    assert(r.getBoolean(5), "converged")
+    assert(r.getDouble(6) == 10.0 / 11.0, "core_edge_share")
+  }
+
+  test("dup_graph_kcore: Scala peel replay on the corpus pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("dup_graph_kcore")(spark, dir).collect().head
+    val pairs = graft.queries.SimilarityQueries
+      .lshNearDupPairsBandLocal(
+        graft.Tables.load(spark, dir, "embeddings"), 0.40)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    spark.catalog.clearCache()
+    var edges = pairs
+    var rounds = 0
+    var converged = edges.isEmpty
+    var k = 0
+    while (k < 12 && !converged) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = edges.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+      if (next.size == edges.size) converged = true
+      else { rounds += 1; edges = next }
+      k += 1
+    }
+    val nodes0 = pairs.flatMap(e => Seq(e._1, e._2))
+    val coreNodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(r.getLong(0) == nodes0.size.toLong, "n_nodes")
+    assert(r.getLong(1) == pairs.size.toLong, "n_edges")
+    assert(r.getLong(2) == coreNodes.size.toLong, "core_nodes")
+    assert(r.getLong(3) == edges.size.toLong, "core_edges")
+    assert(r.getInt(4) == rounds, "rounds_peeled")
+    assert(r.getBoolean(5) == converged, "converged")
+  }
+
+  private def dailyCounts(dir: String): Map[String, Seq[Long]] =
+    graft.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "cast(ts as date) as d")
+      .groupBy("event_type", "d").count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+  test("ljung_box: n-scaled autocovariances and the fixed Q chain replay bit-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("ljung_box")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    dailyCounts(dir).foreach { case (t, cs) =>
+      val n = cs.length
+      if (n > 7) {
+        val sc = cs.sum
+        val y = cs.map(c => BigInt(n) * c - sc)
+        val c0 = y.map(v => v * v).sum
+        def ck(k: Int) = (k until n).map(i => y(i) * y(i - k)).sum
+        // the SAME left-folded expression tree as the query
+        val q = (n * (n + 2)).toDouble * (1 to 7).map { k =>
+          (ck(k).toDouble / c0.toDouble) * (ck(k).toDouble / c0.toDouble) /
+            (n - k).toDouble
+        }.reduce(_ + _)
+        val (gn, gq, gf) = out(t)
+        assert(gn == n.toLong, s"$t n_days")
+        assert(java.lang.Double.doubleToLongBits(gq)
+          == java.lang.Double.doubleToLongBits(q), s"$t q bits")
+        assert(gf == (q > 14.067), s"$t flag")
+      }
+    }
+  }
+
   test("cochran_q: unanimous rule passes report NULL Q and a false flag") {
     // Every doc passes all three rules (>= 200 chars, >= 2 Gopher stops,
     // >= 20 tokens): sum_l = 3N, sum_l2 = 9N, denominator 3*sum_l - sum_l2
