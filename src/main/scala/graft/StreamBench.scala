@@ -943,6 +943,88 @@ object StreamBench {
     }
     val hllRps = hllEvents / hllSecs
 
+    // ---- streaming PII release gate: stateful throughput (r13) -------------
+    // piiStream over 2M synthetic events across 5 types: the map-only
+    // shared regex chain (4 regex extracts + 3 replaces per row) dominates
+    // — this leg measures the LIVE gate's scan-speed claim. user_id cycles
+    // 0..10⁶ so every %3/%5/%7 span branch is exercised. Exactness: the
+    // final per-type stream rows must equal the BATCH pii_audit aggregate
+    // over the same generated frame, field for field (classification is
+    // deterministic, counting is associative — any mismatch is a bug).
+    val PiiEvents = 2_000_000L
+    val prevProviderPii = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (piiSecs, piiStateKeys, piiRowsClean) = try {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-pii-src").toString
+      spark.range(PiiEvents).select(
+          col("id").as("event_id"),
+          pmod(col("id") * 7919L, lit(1_000_000L)).as("user_id"),
+          format_string("p%d q%d", pmod(col("id"), lit(97L)),
+            pmod(col("id"), lit(13L))).as("props"),
+          format_string("t%d", pmod(col("id"), lit(5L))).as("event_type"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(srcDir)
+      val events = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, props STRING, event_type STRING")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-pii-bench").toString
+      val fin = new java.util.concurrent.ConcurrentHashMap[String, PriorityStreams.PiiCountRow]()
+      val once = new OncePerBatch
+      val t0 = System.nanoTime()
+      val q = PriorityStreams.piiStream(events)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PriorityStreams.PiiCountRow], bid: Long) =>
+          once(bid) {
+            // running rows are nRows-monotone: keep the largest per type
+            b.collect().foreach { r =>
+              fin.merge(r.eventType, r,
+                (a, x) => if (x.nRows > a.nRows) x else a)
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(keys >= 5, s"pii state keys $keys < 5")
+      // batch replay over the same frame — the stream's final accounting
+      // must reproduce it exactly
+      val batch = graft.queries.PrivacyQueries
+        .piiClassified(spark.read.parquet(srcDir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ne") > 0, 1L).otherwise(0L)).as("re"),
+          sum(when(col("np") > 0, 1L).otherwise(0L)).as("rp"),
+          sum(when(col("nu") > 0, 1L).otherwise(0L)).as("ru"),
+          sum(col("ne")).as("se"), sum(col("np")).as("sp"),
+          sum(col("nu")).as("su"), sum(col("nd")).as("sd"),
+          sum(when(col("ne") === 0 && col("np") === 0 && col("nu") === 0
+            && col("nd") === 0, 1L).otherwise(0L)).as("rc"))
+        .collect()
+      assert(batch.length == fin.size, "pii type count")
+      batch.foreach { r =>
+        val g = fin.get(r.getString(0))
+        assert(g != null, s"pii type ${r.getString(0)} never emitted")
+        val want = PriorityStreams.PiiCountRow(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9))
+        assert(g == want, s"pii ${r.getString(0)}: stream $g != batch $want")
+      }
+      val totalRows = fin.values().toArray.map(_.asInstanceOf[PriorityStreams.PiiCountRow].nRows).sum
+      assert(totalRows == PiiEvents, s"pii rows $totalRows != $PiiEvents")
+      import scala.jdk.CollectionConverters._
+      (secs, keys, fin.values().asScala.map(_.rowsClean).sum)
+    } finally prevProviderPii match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val piiRps = PiiEvents / piiSecs
+
     // ---- streaming drift monitor: declarative windowed agg throughput -----
     // driftStream over 10M events spread across 200 six-hour windows and 8
     // event types. Update mode with an effectively-infinite watermark: file
@@ -1149,7 +1231,7 @@ object StreamBench {
       spark.sql("DROP TABLE IF EXISTS bench_dim_b")
     }
 
-    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"stickiness_state_keys":$stickStateKeys,"stickiness_rows":$stickRows,"stickiness_returning":$stickReturning,"stickiness_rows_per_sec":$stickRps%.0f,"ph_state_keys":$phStateKeys,"ph_rows":$phRows,"ph_rows_per_sec":$phRps%.0f,"lifetimer_state_keys":$ltStateKeys,"lifetimer_rows":$ltCounts,"lifetimer_rows_per_sec":$ltRps%.0f,"hll_state_keys":$hllStateKeys,"hll_rows":$hllRows,"hll_rows_per_sec":$hllRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
+    println(f"""{"metric":"route_throughput","batch_rows_per_sec":$batchRps%.0f,"native_exec_rows_per_sec":$nativeRps%.0f,"stream_rows_per_sec":$streamRps%.0f,"batch_rows":$routedCount,"stream_rows":$streamed,"routed_write_rows_per_sec":$writeRps%.0f,"routed_write_rows":$written,"layout_check":"pass","tws_state_keys":$stateRowsTotal,"tws_rows_per_sec":$stateRps%.0f,"funnel_state_keys":$funnelStateKeys,"funnel_advances":$funnelAdvances,"funnel_rows_per_sec":$funnelRps%.0f,"scd2_state_keys":$scd2StateKeys,"scd2_rows":$scd2Rows,"scd2_rows_per_sec":$scd2Rps%.0f,"trans_state_keys":$transStateKeys,"trans_rows":$transRows,"trans_rows_per_sec":$transRps%.0f,"debounce_state_keys":$debStateKeys,"debounce_rows":$debRows,"debounce_kept":$debKept,"debounce_rows_per_sec":$debRps%.0f,"pack_state_keys":$packStateKeys,"pack_rows":$packRows,"pack_rows_per_sec":$packRps%.0f,"islands_state_keys":$islStateKeys,"islands_rows":$islRows,"islands_closed":$islClosed,"islands_rows_per_sec":$islRps%.0f,"lifecycle_state_keys":$lifeStateKeys,"lifecycle_rows":$lifeRows,"lifecycle_rows_per_sec":$lifeRps%.0f,"stickiness_state_keys":$stickStateKeys,"stickiness_rows":$stickRows,"stickiness_returning":$stickReturning,"stickiness_rows_per_sec":$stickRps%.0f,"ph_state_keys":$phStateKeys,"ph_rows":$phRows,"ph_rows_per_sec":$phRps%.0f,"lifetimer_state_keys":$ltStateKeys,"lifetimer_rows":$ltCounts,"lifetimer_rows_per_sec":$ltRps%.0f,"hll_state_keys":$hllStateKeys,"hll_rows":$hllRows,"hll_rows_per_sec":$hllRps%.0f,"pii_state_keys":$piiStateKeys,"pii_rows_clean":$piiRowsClean,"pii_rows_per_sec":$piiRps%.0f,"drift_windows":${driftFinal.size},"drift_rows_per_sec":$driftRps%.0f,"anomaly_rows":${anomFinal.size},"anomaly_rows_per_sec":$anomRps%.0f,"skew_plain_sec":$plainSecs%.2f,"skew_salted_sec":$saltedSecs%.2f,"skew_aqe_sec":$aqeSecs%.2f,"bucketed_write_sec":$bucketedWriteSecs%.2f,"bj_plain_join_sec":$bjPlainSecs%.2f,"bj_bucketed_join_sec":$bjBucketedSecs%.2f}""")
     spark.stop()
   }
 }
