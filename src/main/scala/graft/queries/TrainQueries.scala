@@ -529,11 +529,15 @@ object TrainQueries {
         val freq = state.select(explode(col("syms")).as("token"), col("n"))
           .groupBy("token").agg(sum(col("n")).as("freq"))
         val tot = freq.agg(sum(col("freq")).as("total"))
+        // TakeOrderedAndProject keeps 20 rows BEFORE the rank window (the
+        // bpe_top_merges pattern) — never a global window over the vocab;
+        // the 1-row total attaches before the limit so the window sits on
+        // a direct limit-bounded chain
         freq.crossJoin(broadcast(tot))
+          .orderBy(col("freq").desc, col("token")).limit(20)
           .withColumn("rank",
             row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(col("freq").desc, col("token"))).cast("int"))
-          .filter(col("rank") <= 20)
           .select(col("rank"), col("token"), col("freq"),
             (col("freq").cast("double") / col("total").cast("double")).as("share"))
           .orderBy("rank")

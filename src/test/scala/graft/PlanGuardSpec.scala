@@ -105,6 +105,20 @@ class PlanGuardSpec extends SparkTestBase {
       // ivf_pq_topk: ≤5-row query × 16-row centroid probe broadcasts
       // (ivf_topk's shape) + the 16-row PQ codebook broadcast
       "ivf_pq_topk",
+      // ivf_pq_refined_topk: composes ivf_pq_topk's whitelisted broadcasts
+      // + the ≤q×50 ADC-shortlist side joined back on vec_id (r13)
+      "ivf_pq_refined_topk",
+      // recall_pq_family: composes the three PQ retrievers — their
+      // whitelisted query/centroid/codebook broadcasts (r13)
+      "recall_pq_family",
+      // bpe_apply: 1-row totals × 1-row vocab-size aggregate product (r13)
+      "bpe_apply",
+      // bpe_token_freq: 1-row token-total broadcast onto the post-limit
+      // ≤20-row frame (r13)
+      "bpe_token_freq",
+      // pipeline_curation: the otsu 1-row cutoff broadcast (r13 — the
+      // quota/cutoff precedent)
+      "pipeline_curation",
       // hodges_lehmann_shift: grid x broadcast-grid difference product —
       // both sides value-domain bounded (n_chars grids), never corpus rows
       "hodges_lehmann_shift",
@@ -364,6 +378,9 @@ class PlanGuardSpec extends SparkTestBase {
     // otsu_quality_threshold: the cumulative window over the ≤101-level
     // quality-band grid — constant-size by construction.
     "otsu_quality_threshold",
+    // pipeline_curation: contains the same otsu ≤101-band cumulative
+    // window (r13 — the derived cutoff).
+    "pipeline_curation",
     // rfm_segments: three tercile-cutoff cumulative windows, each over a
     // value-domain-bounded grid (recency days / frequency values /
     // monetary cents sums) — the auc_dup_quality argument ×3.
@@ -451,6 +468,7 @@ class PlanGuardSpec extends SparkTestBase {
       "granger_daily" -> daySpan, // common-day two-series frame
       "permutation_entropy" -> daySpan, // daily total-volume series
       "otsu_quality_threshold" -> 101L, // q6 div 1e4 band grid
+      "pipeline_curation" -> 101L, // the same otsu band-grid window (r13)
       "t_closeness_audit" -> // sens value-domain grid (floor(value))
         events.select(org.apache.spark.sql.functions.expr(
           "cast(floor(value) as long)")).distinct().count(),
