@@ -104,10 +104,13 @@ object SelectionQueries {
     * the pipeline's hand-chosen 0.55 is now the documented FALLBACK dial;
     * the live threshold is this argmax), so the two surfaces provably
     * agree on where the data splits. */
-  private[queries] def otsuBand(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = docs
+  /** Per-document quality band g = q6 div 10⁴ ∈ 0..100 — the map-only
+    * projection beneath [[otsuBand]] AND the streaming
+    * [[graft.streaming.PriorityStreams.qualityBandStream]] twin, so the
+    * live histogram and the batch argmax classify identically. */
+  private[graft] def qualityBand(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_qstop",
@@ -118,7 +121,11 @@ object SelectionQueries {
           lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
           * 1000000.0).cast("long"))
       .select(expr("q6 div 10000").as("g"))
-    val hist = scored.groupBy("g").agg(count(lit(1)).as("c"))
+
+  private[queries] def otsuBand(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = qualityBand(docs).groupBy("g").agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("g"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.agg(sum(col("c")).as("ww"), sum(col("g") * col("c")).as("mm"))

@@ -1413,6 +1413,58 @@ object PriorityStreams {
         OutputMode.Update())
   }
 
+  // ---- streaming quality-band histogram (added r13) ------------------------
+
+  /** One running (band, count) emission — the live quality histogram the
+    * Otsu threshold derives from. */
+  final case class BandCount(band: Long, n: Long)
+
+  /** Streaming twin of the quality-band histogram beneath
+    * otsu_quality_threshold / pipeline_curation's derived cutoff: band
+    * classification is the SHARED map-only
+    * [[graft.queries.SelectionQueries.qualityBand]] projection, state is
+    * ONE long per band (≤101 keys — never a single-key bottleneck, and
+    * the per-batch shuffle collapses to ≤101 rows via the groupByKey
+    * partial), counting is associative and exactly-once per doc, so the
+    * FINAL per-band counts are bit-equal to the batch histogram on ANY
+    * micro-batch split. The consumer closes the loop by running the Otsu
+    * argmax over the latest counts — a training pipeline watches its
+    * DATA-DRIVEN curation threshold move live instead of recomputing it
+    * per epoch (spec pins final counts ≡ batch hist AND the replayed
+    * argmax ≡ otsu_quality_threshold's row). */
+  final class QualityHistProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Long, BandCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[BandCount] = {
+      val cur = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(cur)
+      Iterator.single(BandCount(key, cur))
+    }
+  }
+
+  /** See [[QualityHistProcessor]]. Input: a streaming frame with the
+    * documents wire shape (`text` column; the score reads only text). */
+  def qualityBandStream(docs: org.apache.spark.sql.DataFrame): Dataset[BandCount] = {
+    import docs.sparkSession.implicits._
+    graft.queries.SelectionQueries.qualityBand(docs)
+      .select(org.apache.spark.sql.functions.col("g")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(
+        new QualityHistProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- streaming DAU stickiness (added r10) -------------------------------
 
   /** One per-user-per-day activity emission: `returning` = the user was

@@ -1407,6 +1407,51 @@ class PriorityStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("qualityBandStream final hist == batch; replayed Otsu argmax == registry row") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val mid = docs(docs.length / 2)._1
+    withRocksDB {
+      val in = MemoryStream[(Long, String)]
+      val q = PriorityStreams.qualityBandStream(
+          in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("qband_out")
+        .outputMode("update").start()
+      in.addData(docs.filter(_._1 <= mid))
+      q.processAllAvailable()
+      in.addData(docs.filter(_._1 > mid))
+      q.processAllAvailable(); q.stop()
+    }
+    // running counts are monotone — final state per band is the max
+    val fin = spark.table("qband_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchHist = graft.queries.SelectionQueries
+      .qualityBand(graft.Tables.load(spark, dir, "documents"))
+      .groupBy("g").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fin == batchHist, s"stream hist $fin != batch $batchHist")
+    // the consumer's gate: Otsu between-class argmax over the FINAL stream
+    // counts reproduces the registry row exactly (BigInt replay)
+    val ww = fin.values.map(BigInt(_)).sum
+    val mm = fin.map { case (g, c) => BigInt(g) * c }.sum
+    val cand = fin.toSeq.sorted.scanLeft((0L, BigInt(0), BigInt(0))) {
+      case ((_, w0, m0), (g, c)) => (g, w0 + c, m0 + BigInt(g) * c)
+    }.drop(1).filter(_._2 < ww).map { case (g, w0, m0) =>
+      val a = m0 * (ww - w0) - (mm - m0) * w0
+      (g, w0, m0, (a * a) / (w0 * (ww - w0)))
+    }
+    val best = cand.minBy { case (g, _, _, score) => (-score, g) }
+    val row = graft.SparkEntry.queries("otsu_quality_threshold")(spark, dir)
+      .collect().head
+    assert(row.getLong(0) == best._1, "best_band")
+    assert(row.getLong(1) == best._2.toLong, "n_below")
+    assert(row.getLong(5) == best._4.toLong, "between_var_score")
+  }
+
   test("packStream final accounting == batch pack_efficiency streams across a batch split") {
     implicit val sql = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
