@@ -155,6 +155,108 @@ object GraphQueries {
            |FROM ranked WHERE rank <= $TopK ORDER BY rank""".stripMargin
       }),
 
+    // ---- PageRank over the near-dup graph (added r13) ---------------------
+    // textrank_keywords' PageRank lifted from the word graph to the DOC
+    // near-dup graph (band-local pairs at 0.40, the cluster family): the
+    // top-ranked docs are the TEMPLATE HUBS — the documents the most
+    // near-duplicates orbit — which is the survivor a hub-and-spoke dedup
+    // policy keeps (dup_graph_assortativity r < 0 says the graph IS
+    // hub-and-spoke; this names the hubs). Same float discipline as
+    // textrank verbatim: per-edge share = 1/deg on the 6 dp grid, 5 damped
+    // iterations of exact-decimal sums, dangling leak, uniform init over
+    // the PAIR-GRAPH nodes. Top-20 by (pr DESC, vec_id).
+    //
+    // Scale shape: the expensive stage is the shared spill-free pair
+    // generator; the graph frames are checkpoint-truncated, so the 5
+    // iterations run over pair-graph-sized frames — broadcastable joins,
+    // noise next to the corpus pass at 100 TB.
+    "dup_graph_pagerank" -> Q(
+      fn = (s, dir) => {
+        val (pairsRaw, sig) = SimilarityQueries.lshNearDupPairsBandLocalWithSig(
+          Tables.load(s, dir, "embeddings"), 0.40)
+        val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        sig.unpersist()
+        val sym = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        val outw = sym.groupBy("a_id").agg(count(lit(1)).as("outw"))
+        val shared = Q.truncate(sym.join(outw, Seq("a_id"))
+          .select(col("a_id"), col("b_id"),
+            Q.grid6(lit(1.0) / col("outw")).cast("decimal(10,6)").as("share")))
+        val nodes = Q.truncate(sym.select(col("a_id").as("id")).distinct())
+        val ncount = nodes.agg(count(lit(1)).as("n"))
+        def iterate(pr: DataFrame): DataFrame = {
+          val contrib = pr.join(shared, pr("id") === shared("a_id"))
+            .select(col("b_id").as("id"),
+              Q.grid6(col("pr").cast("double") * col("share").cast("double"))
+                .cast("decimal(12,6)").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("acc"))
+          nodes.crossJoin(broadcast(ncount)).join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              Q.grid6(
+                lit(OneMinusD) / col("n") +
+                  lit(Damping) * coalesce(col("acc"), lit(0).cast("decimal(12,6)")).cast("double"))
+                .cast("decimal(12,6)").as("pr"))
+        }
+        var pr: DataFrame = nodes.crossJoin(broadcast(ncount))
+          .select(col("id"),
+            Q.grid6(lit(1.0) / col("n")).cast("decimal(12,6)").as("pr"))
+        for (_ <- 1 to Iterations) pr = iterate(pr)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("id"))
+        pr.orderBy(col("pr").desc, col("id")).limit(TopK)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("id").as("vec_id"),
+            col("pr").cast("double").as("pr"))
+          .orderBy("rank")
+      },
+      oracle = Some {
+        val duckDot = (a: String, b: String) =>
+          s"""list_reduce(list_transform(range(1, 65),
+             |  i -> CAST($a[i] AS DOUBLE) * $b[i]), (acc, v) -> acc + v)""".stripMargin
+        val base =
+          s"""p0 AS MATERIALIZED (
+             |  SELECT a_id, b_id FROM cand
+             |  JOIN e x ON x.vec_id = a_id JOIN e y ON y.vec_id = b_id
+             |  WHERE ${duckDot("x.embedding", "y.embedding")}
+             |         / (sqrt(${duckDot("x.embedding", "x.embedding")}) * sqrt(${duckDot("y.embedding", "y.embedding")})) >= 0.40),
+             |sym AS MATERIALIZED (
+             |  SELECT a_id, b_id FROM p0 UNION ALL SELECT b_id, a_id FROM p0),
+             |outw AS (SELECT a_id, COUNT(*) AS outw FROM sym GROUP BY a_id),
+             |shared AS MATERIALIZED (
+             |  SELECT s.a_id, s.b_id,
+             |         CAST(floor(CAST(1 AS DOUBLE) / o.outw * 1000000.0) / 1000000.0
+             |              AS DECIMAL(10,6)) AS share
+             |  FROM sym s JOIN outw o ON s.a_id = o.a_id),
+             |nodes AS MATERIALIZED (SELECT DISTINCT a_id AS id FROM sym),
+             |nc AS (SELECT COUNT(*) AS n FROM nodes),
+             |pr0 AS (SELECT id,
+             |          CAST(floor(CAST(1 AS DOUBLE) / n * 1000000.0) / 1000000.0
+             |               AS DECIMAL(12,6)) AS pr
+             |        FROM nodes CROSS JOIN nc)""".stripMargin
+        val iters = (1 to Iterations).map { i =>
+          s"""pr$i AS MATERIALIZED (
+             |  SELECT nodes.id,
+             |         CAST(floor((CAST($OneMinusD AS DOUBLE) / nc.n +
+             |           CAST($Damping AS DOUBLE) * CAST(COALESCE(s.acc, CAST(0 AS DECIMAL(12,6))) AS DOUBLE))
+             |           * 1000000.0) / 1000000.0
+             |           AS DECIMAL(12,6)) AS pr
+             |  FROM nodes CROSS JOIN nc
+             |  LEFT JOIN (SELECT sh.b_id AS id,
+             |               SUM(CAST(floor(CAST(p.pr AS DOUBLE) * CAST(sh.share AS DOUBLE)
+             |                   * 1000000.0) / 1000000.0
+             |                   AS DECIMAL(12,6))) AS acc
+             |             FROM pr${i - 1} p JOIN shared sh ON p.id = sh.a_id
+             |             GROUP BY sh.b_id) s ON nodes.id = s.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${SimilarityQueries.lshPairsSqlCtes040},
+           |$base,
+           |$iters,
+           |ranked AS (SELECT id, pr,
+           |             ROW_NUMBER() OVER (ORDER BY pr DESC, id) AS rank
+           |           FROM pr$Iterations)
+           |SELECT CAST(rank AS INTEGER) AS rank, id AS vec_id, CAST(pr AS DOUBLE) AS pr
+           |FROM ranked WHERE rank <= $TopK ORDER BY rank""".stripMargin
+      }),
+
     // ---- triangle count / transitivity of the co-occurrence graph --------
     // The local-structure member of the graph toolbox (TextRank measures
     // centrality, dedup_clusters connectivity): how CLIQUISH is the word

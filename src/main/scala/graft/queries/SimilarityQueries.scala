@@ -344,6 +344,10 @@ object SimilarityQueries {
     * [[lshNearDupPairs]]'s candidate generation, shared by the pair and
     * cluster queries. (The threshold only enters the final verify, so `cand`
     * is threshold-independent; the param is kept for self-documentation.) */
+  /** [[lshPairsSqlCtes]] at the cluster-family 0.40 threshold, exposed for
+    * cross-file oracles (GraphQueries.dup_graph_pagerank nests it). */
+  private[queries] def lshPairsSqlCtes040: String = lshPairsSqlCtes(0.40)
+
   private def lshPairsSqlCtes(threshold: Double): String = {
     def sigSql(b: Int) = (b * BandBits until (b + 1) * BandBits).map { j =>
       s"""CASE WHEN list_reduce(list_transform(range(1, 65),

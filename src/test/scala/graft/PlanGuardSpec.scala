@@ -51,6 +51,7 @@ class PlanGuardSpec extends SparkTestBase {
       "tfidf_topterms", // broadcast of the 1-row doc-count aggregate
       "sample_temperature", // broadcast of the 1-row min-source-count aggregate
       "textrank_keywords", // broadcast of the 1-row node-count aggregate (×6 iterations)
+      "dup_graph_pagerank", // same 1-row node-count broadcast ×6 (textrank's shape, r13)
       "kmeans_step", // broadcast of the 16-row centroid codebook (assignment product)
       "kmeans_train", // same ≤16-row centroid broadcast, once per Lloyd round (×3)
       "mix_weights", // broadcasts of the 1-row token-total and 1-row weight-sum aggregates

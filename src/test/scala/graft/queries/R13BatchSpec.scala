@@ -310,6 +310,39 @@ class R13BatchSpec extends SparkTestBase {
     }
   }
 
+  test("dup_graph_pagerank: full Scala replay of the 5 damped iterations") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("dup_graph_pagerank")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val pairs = graft.queries.SimilarityQueries
+      .lshNearDupPairsBandLocal(
+        graft.Tables.load(spark, dir, "embeddings"), 0.40)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    spark.catalog.clearCache()
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = sym.map(_._1).distinct.sorted
+    val n = nodes.length
+    def g6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    // exact-decimal sums on the 6dp grid: accumulate in micro-units (Long)
+    var pr: Map[Long, Double] = nodes.map(_ -> g6(1.0 / n)).toMap
+    (1 to 5).foreach { _ =>
+      val acc = new scala.collection.mutable.HashMap[Long, Long]()
+      sym.foreach { case (a, b) =>
+        val c = g6(pr(a) * g6(1.0 / deg(a)))
+        acc(b) = acc.getOrElse(b, 0L) + math.round(c * 1e6)
+      }
+      pr = nodes.map { id =>
+        id -> g6(0.15 / n + 0.85 * (acc.getOrElse(id, 0L).toDouble / 1e6))
+      }.toMap
+    }
+    val expect = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(20)
+      .zipWithIndex.map { case ((id, p), i) => (i + 1, id, p) }
+    assert(out.toSeq == expect,
+      s"pagerank replay mismatch:\n got ${out.toSeq}\nwant $expect")
+  }
+
   test("cochran_q: unanimous rule passes report NULL Q and a false flag") {
     // Every doc passes all three rules (>= 200 chars, >= 2 Gopher stops,
     // >= 20 tokens): sum_l = 3N, sum_l2 = 9N, denominator 3*sum_l - sum_l2
