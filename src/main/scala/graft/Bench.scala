@@ -12,14 +12,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Quiet-box wall-clock of [[canary]] (min of 5, steady-state runs land
-    * 660-870 ms across quiet sessions; 700 is the representative floor),
-    * measured at r13 via tools/bench_java.sh (graft.BoxCanary). FROZEN:
-    * the canary workload and this constant must never change together —
-    * box_factor = canary_now / this is only meaningful while both sides
-    * of the ratio stay fixed. (r12 verdict item 1: three rounds of bench
-    * drift were adjudicated to box slowdown by hand-built rebuilt-binary
-    * A/Bs; this bakes the calibration into every capture instead.) */
+  /** Quiet-box wall-clock of [[canary]] as measured IN-BENCH (the same
+    * shared-JVM heap state every capture's canary runs under — r13's
+    * baseline was the FLOOR of STANDALONE BoxCanary runs, which sits ~10%
+    * below the in-Bench reading and systematically inflated box_factor;
+    * r14 ADVICE item 1). Recalibrated r14 from quiet-box (loadavg < 1)
+    * in-Bench captures: median of the pre/post canaries across quiet r14
+    * runs (old 700 → new value recorded in PLANS.md's canary trend
+    * table). FROZEN henceforth: the canary workload and this constant
+    * must never change together — box_factor = canary_now / this is only
+    * meaningful while both sides of the ratio stay fixed. */
   val CanaryBaselineMs: Long = 700L
 
   /** The box-drift canary: a FIXED registry-independent workload touching
@@ -84,13 +86,15 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("bucket_of_dist")(spark, sfDir).count()
 
-    // Box-drift canary (r13): the frozen synthetic workload, min of 5
-    // (runs 1-2 pay codegen/JIT; ~10 s total per capture). box_factor > 1 means the box is running
-    // that much slower than the frozen r13 calibration — the artifact
-    // carries both the raw total and the box-normalized one so a capture
-    // on a degraded box reads as what it is.
+    // Box-drift canary (r13, hardened r14): the frozen synthetic workload,
+    // min of 5 (runs 1-2 pay codegen/JIT; ~10 s total per capture).
+    // box_factor > 1 means the box is running that much slower than the
+    // frozen calibration — the artifact carries both the raw total and the
+    // box-normalized one so a capture on a degraded box reads as what it
+    // is. r14: the canary ALSO re-runs after the suite (a single pre-suite
+    // point can't see drift during the ~4-min capture; r14 ADVICE item 1)
+    // and box_factor uses the MEAN of the pre/post readings.
     val canaryMs = math.round((1 to 5).map(_ => canary(spark)).min * 1000)
-    val boxFactor = math.round(canaryMs.toDouble / CanaryBaselineMs * 1000) / 1000.0
 
     // min of 3 runs: the first run of a query pays JIT/codegen for its
     // operator mix; the min reflects steady-state engine throughput and is
@@ -121,6 +125,13 @@ object Bench {
     val results = runs.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    // Post-suite canary (r14): min of 3 — the JVM is fully warm, so the
+    // JIT-paying first runs of the pre-suite min-of-5 aren't needed. The
+    // pre/post pair brackets the capture; their mean feeds box_factor and
+    // their spread is itself a drift diagnostic.
+    val canaryPostMs = math.round((1 to 3).map(_ => canary(spark)).min * 1000)
+    val boxFactor = math.round(
+      (canaryMs + canaryPostMs) / 2.0 / CanaryBaselineMs * 1000) / 1000.0
     // The printed line must stay well under the driver's output-capture
     // window: round 4's line (93 queries × full names in ms + noise block,
     // ~2.8 KB) overflowed it and the driver recorded parsed:null — the
@@ -162,7 +173,7 @@ object Bench {
     val load = loadAvg.map(d => r2(d).toString).mkString("[", ",", "]")
     val noise =
       s"""{"med_maxmin":${r2(pct(0.5))},"p90_maxmin":${r2(pct(0.9))},"worst":$worst,"loadavg_start":$load,""" +
-        s""""canary_ms":$canaryMs,"box_factor":$boxFactor}"""
+        s""""canary_ms":$canaryMs,"canary_post_ms":$canaryPostMs,"box_factor":$boxFactor}"""
     val totalNorm = math.round(total / boxFactor * 1000) / 1000.0
     // full per-query map (and the same noise block) → file, for the judge
     val fullJson =

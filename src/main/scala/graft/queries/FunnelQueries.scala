@@ -2062,8 +2062,16 @@ object FunnelQueries {
     // bit-identical cross-engine (the cohen_d doctrine). C_0 = 0
     // (constant series) → NULL, the levene convention.
     //
+    // LAG CONVENTION (r14, the acf_lags row-lag convention): lag k is a
+    // ROW offset over the per-type OBSERVED-day series ordered by date —
+    // a missing calendar day makes its neighbors adjacent rather than
+    // zero-filling the gap. On the gate corpus every (type, day) cell is
+    // populated so row-lag ≡ day-lag; on a sparse series this tests
+    // whiteness of the observed sequence, not of the zero-filled daily
+    // grid (densify upstream if the latter is wanted).
+    //
     // Scale shape: day-grain agg → per-type 1-row moment broadcast → ONE
-    // type-partitioned lag window (calendar-bounded) → ≤|types| roll-up.
+    // type-partitioned lag window (day-grain-bounded) → ≤|types| roll-up.
     "ljung_box" -> Q(
       fn = (s, dir) => {
         import org.apache.spark.sql.expressions.Window
