@@ -229,6 +229,24 @@ object SimilarityQueries {
     * exact re-rank → top-10): 5× the serving k, the classic refine ratio. */
   private val RefineShortlist = 50
 
+  /** The coarse probe set (qid, list_id): each query's 4 nearest IVF lists
+    * by cosine (ivf_topk's spelling; 5×16 broadcast product). Extracted
+    * r14 so [[ivfPqAdcDist]] and the residual-PQ dist share ONE probe
+    * builder — the two retrievers provably probe the same lists. */
+  private def ivfProbes(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cents = ivfCentroids(emb)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
+    broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("psim", cosineSimilarity(col("qv"), col("centv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 4)
+      .select(col("qid"), col("cent_id").as("list_id"))
+  }
+
   /** The IVF-PQ candidate frame (qid, cid, adist): coarse-probe prune (4
     * nearest lists, ivf_topk's spelling) + PQ asymmetric-distance rank
     * (pq_topk's spelling) — the shared stage beneath ivf_pq_topk (rank,
@@ -245,17 +263,8 @@ object SimilarityQueries {
         .select(col(idCol), col("j"),
           expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
     // IVF side: probe the 4 nearest lists (ivf_topk's spelling)
-    val cents = ivfCentroids(emb)
     val lists = ivfLists(emb).select("cid", "list_id")
-    val q = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("psim").desc, col("cent_id"))
-    val probes = broadcast(q).crossJoin(broadcast(cents))
-      .withColumn("psim", cosineSimilarity(col("qv"), col("centv")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 4)
-      .select(col("qid"), col("cent_id").as("list_id"))
+    val probes = ivfProbes(emb)
     // PQ side: codes + ADC table (pq_topk's spelling)
     val pqcents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
     val codes = subspaces(emb, "cid", "subv")
@@ -274,6 +283,52 @@ object SimilarityQueries {
     cand.join(codes, Seq("cid"))
       .join(broadcast(adc), Seq("qid", "j", "code"))
       .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+  }
+
+  /** ivf_pq_topk's tail over a (qid, cid, adist) frame: per-query top-k by
+    * ADC. Factored out (r14, ADVICE item 2) so recall_pq_family can feed
+    * it a Q.truncate'd [[ivfPqAdcDist]] instead of re-deriving the heavy
+    * shared frame per leg; the registry query is
+    * `ivfPqRankTopk(ivfPqAdcDist(s, dir))` verbatim. */
+  private def ivfPqRankTopk(dist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    dist.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("cid"),
+        col("adist").cast("double").as("adist"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** ivf_pq_refined_topk's tail over a (qid, cid, adist) frame: ADC
+    * shortlist (top-[[RefineShortlist]]) → exact-cosine re-rank → top-k.
+    * Factored out with [[ivfPqRankTopk]] (r14) for the same shared-frame
+    * reason; the registry query is
+    * `ivfPqRefineTopk(s, dir, ivfPqAdcDist(s, dir))` verbatim. */
+  private def ivfPqRefineTopk(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      dist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val short = dist
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= RefineShortlist)
+      .select(col("qid"), col("cid"))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val rr = short
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    rr.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
+      .orderBy("qid", "rk")
   }
 
   /** Oracle twin of [[ivfPqAdcDist]] — CTE text ending in `dist(qid, cid,
@@ -315,6 +370,260 @@ object SimilarityQueries {
        |  FROM cand d JOIN pqcodes k ON k.cid = d.cid
        |  JOIN pqadc a ON a.qid = d.qid AND a.j = k.j AND a.code = k.code
        |  GROUP BY d.qid, d.cid)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Trained residual PQ — the real IVFADC (r14, VERDICT item 1).
+  // Jégou, Douze & Schmid 2011 §IV: PQ codebooks are k-means-TRAINED per
+  // subspace, and what gets encoded is the RESIDUAL v − c(v) w.r.t. the
+  // vector's coarse IVF centroid, not the raw vector — residuals are
+  // near-zero-centered with far less variance than raw vectors, which is
+  // where most of the raw-ADC recall loss (0.36 at r13) comes from.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace residual slices (cid, list_id, j, rsub: array<double>):
+    * every vector's residual against its OWN coarse centroid (the shared
+    * gated [[ivfLists]] assignment, so the residual space is exactly the
+    * retriever's), split into the 8 PQ subspaces. Float parity: each
+    * residual component is CAST(float→double) − CAST(float→double) — one
+    * correctly-rounded IEEE subtract of exact casts, bit-identical on
+    * both engines. */
+  private def pqResidualSub(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val resid = ivfLists(emb)
+      .join(broadcast(ivfCentroids(emb)), col("list_id") === col("cent_id"))
+      .select(col("cid"), col("list_id"),
+        expr("zip_with(cv, centv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")
+          .as("r"))
+    resid.select(col("cid"), col("list_id"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("r"))
+      .select(col("cid"), col("list_id"), col("j"),
+        expr("slice(r, int(j * 8 + 1), 8)").as("rsub"))
+  }
+
+  /** Lloyd rounds per subspace for the trained residual codebooks: 2 —
+    * each round is one corpus pass (the honest cost of k-means at 100 TB;
+    * kmeans_train's precedent runs 3 on full vectors). */
+  private val PqTrainRounds = 2
+
+  /** Per-subspace k-means training over the residuals: returns (codebook
+    * (j, code, centv array<double>), final update table (j, code, dim,
+    * n_members, s6)). All 8 subspaces train in ONE frame with `j` as a
+    * grouping key — 8 parallel Lloyd runs per round, not 8 sequential
+    * jobs. Init codewords are the residual slices of vec_id 16..31 (the
+    * first 16 vectors ARE the coarse centroids, so their residuals are
+    * identically zero — seeding from them would collapse every codebook
+    * to one point; the next 16 vectors are the deterministic non-
+    * degenerate choice). Float discipline is kmeans_train's verbatim:
+    * assignment argmin via min(struct(d2, code)) with the NULLS-LAST
+    * coalesce (map-side combine — one row per (cid, j) reaches the
+    * shuffle), update means as CAST(exact-DECIMAL grid6 sum AS DOUBLE)/n
+    * — one correctly-rounded division — so every number feeding round
+    * k+1 is bit-identical cross-engine. A codeword that loses all
+    * members in a round drops out of the codebook on BOTH engines (the
+    * GROUP BY simply has no row) — deterministic, and the audit for it
+    * is pq_code_usage's codes_used column. */
+  private def pqResidualTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pqResidualTrainFrom(truncate(pqResidualSub(s, dir)))
+
+  /** Init codebook: residual slices of vec_id 16..31 (see
+    * [[pqResidualTrainFrom]]'s doc for why not 0..15). */
+  private def pqResidualInitCb(rsub: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rsub.filter(col("cid") >= 16 && col("cid") < 32)
+      .select(col("j"), (col("cid") - 16).cast("int").as("code"),
+        col("rsub").as("centv"))
+
+  /** [[pqResidualTrain]] over a PREPARED (ideally Q.truncate'd) residual
+    * frame — rsub feeds every Lloyd round plus the callers' encode stage,
+    * so materializing it once saves [[PqTrainRounds]] re-derivations of
+    * the coarse-assign chain (the r12 multi-branch rule). */
+  private def pqResidualTrainFrom(rsub: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    var cb = pqResidualInitCb(rsub)
+    var update: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to PqTrainRounds) {
+      val assigned = rsub.join(broadcast(cb), Seq("j"))
+        .groupBy("cid", "j")
+        .agg(min(struct(
+            coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
+              lit(Double.PositiveInfinity)).as("d2"),
+            col("code"))).as("m"),
+          first(col("rsub")).as("rsub"))
+        .select(col("j"), col("m.code").as("code"), col("rsub"))
+      update = assigned
+        .select(col("j"), col("code"), posexplode(col("rsub")).as(Seq("dim", "v")))
+        .groupBy("j", "code", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          sum(Q.grid6(col("v")).cast("decimal(16,6)")).as("s6"))
+      cb = update
+        .withColumn("m",
+          col("s6").cast("decimal(20,6)").cast("double") / col("n_members"))
+        .groupBy(col("j"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
+          .as("centv"))
+    }
+    (cb, update)
+  }
+
+  /** 8-dim L2² over already-double sublists — the oracle spelling of the
+    * codegen'd VectorL2Sq fold on residual slices. */
+  private def duckL2Res(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, 9),
+       |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Oracle twin of [[pqResidualSub]] + [[pqResidualTrain]] — CTE text
+    * from `cents`/`lists` (nests [[ivfListsSql]]) through the trained
+    * codebook `cb$PqTrainRounds` and final update `u$PqTrainRounds`.
+    * Round CTEs are MATERIALIZED (the r13 chained-CTE rule: DuckDB
+    * otherwise inlines the chain exponentially). */
+  private def pqResidualTrainSql: String = {
+    val rounds = (1 to PqTrainRounds).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT cid, j, code, rsub FROM (
+         |    SELECT r.cid, r.j, c.code, r.rsub,
+         |           ROW_NUMBER() OVER (PARTITION BY r.cid, r.j
+         |                              ORDER BY ${duckL2Res("r.rsub", "c.centv")}, c.code) AS rk
+         |    FROM rsub r JOIN cb${k - 1} c ON r.j = c.j) t
+         |  WHERE rk = 1),
+         |u$k AS MATERIALIZED (
+         |  SELECT j, code, CAST(u.i - 1 AS INTEGER) AS dim,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(floor(rsub[u.i] * 1000000.0) / 1000000.0
+         |                       AS DECIMAL(16,6))) AS DECIMAL(20,6)) AS s
+         |  FROM a$k, UNNEST(range(1, 9)) AS u(i)
+         |  GROUP BY j, code, dim),
+         |cb$k AS MATERIALIZED (
+         |  SELECT j, code, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centv
+         |  FROM u$k GROUP BY j, code)""".stripMargin
+    }.mkString(",\n")
+    s"""$ivfListsSql,
+       |js AS (SELECT UNNEST(range(8)) AS j),
+       |resid AS MATERIALIZED (
+       |  SELECT l.cid, l.list_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(l.cv[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE)) AS r
+       |  FROM lists l JOIN cents c ON l.list_id = c.cent_id),
+       |rsub AS MATERIALIZED (
+       |  SELECT cid, list_id, j, r[j*8+1 : j*8+8] AS rsub FROM resid, js),
+       |cb0 AS (SELECT j, CAST(cid - 16 AS INTEGER) AS code, rsub AS centv
+       |        FROM rsub WHERE cid >= 16 AND cid < 32),
+       |$rounds""".stripMargin
+  }
+
+  /** The residual-IVFADC candidate frame (qid, cid, adist): the SAME
+    * coarse probes as [[ivfPqAdcDist]] (shared [[ivfProbes]] builder),
+    * but candidates are scored by trained-residual-PQ ADC — the query's
+    * residual is taken against EACH PROBED LIST's centroid (the ADC
+    * table is per (qid, list_id): q×4probes×8j×≤16codes rows, broadcast),
+    * and a candidate's 8 lookups use the ADC rows of its OWN list.
+    * Scale shape: identical to ivfPqAdcDist — corpus-sized work carries
+    * 8 code bytes per vector; the trained codebook is Q.truncate'd once
+    * (its lineage holds 2 Lloyd corpus passes and feeds 2 plan
+    * branches). */
+  private def ivfPqResidualDist(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val rsub = truncate(pqResidualSub(s, dir))
+    val cb = truncate(pqResidualTrainFrom(rsub)._1)
+    val codes = rsub.join(broadcast(cb), Seq("j"))
+      .groupBy("cid", "j")
+      .agg(min(struct(
+          coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
+            lit(Double.PositiveInfinity)).as("d2"),
+          col("code"))).as("m"))
+      .select(col("cid"), col("j"), col("m.code").as("code"))
+    val cents = ivfCentroids(emb)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = ivfProbes(emb)
+    val qrsub = probes
+      .join(broadcast(cents), col("list_id") === col("cent_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("list_id"),
+        expr("zip_with(qv, centv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")
+          .as("qr"))
+      .select(col("qid"), col("list_id"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("qr"))
+      .select(col("qid"), col("list_id"), col("j"),
+        expr("slice(qr, int(j * 8 + 1), 8)").as("qrsub"))
+    val adc = qrsub.join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("list_id"), col("j"), col("code"),
+        Q.grid6(graft.functions.VectorFunctions.l2Sq(col("qrsub"), col("centv")))
+          .cast("decimal(16,6)").as("qd2"))
+    val lists = ivfLists(emb).select("cid", "list_id")
+    val cand = probes.join(lists, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("list_id"))
+    cand.join(codes, Seq("cid"))
+      .join(broadcast(adc), Seq("qid", "list_id", "j", "code"))
+      .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+  }
+
+  /** Oracle twin of [[ivfPqResidualDist]] — CTE text (extends
+    * [[pqResidualTrainSql]]) ending in `dist(qid, cid, adist)`. */
+  private def ivfPqResidualDistSql: String =
+    s"""$pqResidualTrainSql,
+       |codes AS MATERIALIZED (
+       |  SELECT cid, j, code FROM (
+       |    SELECT r.cid, r.j, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY r.cid, r.j
+       |                              ORDER BY ${duckL2Res("r.rsub", "c.centv")}, c.code) AS rk
+       |    FROM rsub r JOIN cb$PqTrainRounds c ON r.j = c.j) t
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT qid, cent_id AS list_id FROM (
+       |    SELECT q.vec_id AS qid, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCosSql("q.embedding", "c.centv")} DESC, c.cent_id) AS prk
+       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
+       |  WHERE prk <= 4),
+       |qrsub AS (
+       |  SELECT p.qid, p.list_id, js.j,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE)
+       |         )[js.j*8+1 : js.j*8+8] AS qrsub
+       |  FROM probes p
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  JOIN cents c ON c.cent_id = p.list_id, js),
+       |adc AS (
+       |  SELECT r.qid, r.list_id, r.j, c.code,
+       |         CAST(floor((${duckL2Res("r.qrsub", "c.centv")}) * 1000000.0) / 1000000.0
+       |              AS DECIMAL(16,6)) AS qd2
+       |  FROM qrsub r JOIN cb$PqTrainRounds c ON r.j = c.j),
+       |cand AS (
+       |  SELECT p.qid, l.cid, p.list_id
+       |  FROM probes p JOIN lists l ON p.list_id = l.list_id
+       |  WHERE p.qid != l.cid),
+       |dist AS (
+       |  SELECT d.qid, d.cid, SUM(a.qd2) AS adist
+       |  FROM cand d JOIN codes k ON k.cid = d.cid
+       |  JOIN adc a ON a.qid = d.qid AND a.list_id = d.list_id
+       |            AND a.j = k.j AND a.code = k.code
+       |  GROUP BY d.qid, d.cid)""".stripMargin
+
+  /** The raw-PQ per-(vec, subspace) assigned squared error (j, d2
+    * DECIMAL(16,6)) — pq_topk's encode argmin against the untrained
+    * first-16 codebooks, gridded. Extracted r14 so pq_distortion and
+    * pq_train_distortion's raw leg provably measure the same encoder. */
+  private def pqRawErrs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    def l2(a: String, b: String): Column =
+      graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
+    def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
+      src.select(col("vec_id").as(idCol),
+          explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+        .select(col(idCol), col("j"),
+          expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
+    val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+    subspaces(emb, "cid", "subv")
+      .join(broadcast(cents), Seq("j"))
+      .groupBy("cid", "j")
+      .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
+      .select(col("j"), Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
   }
 
   /** Exact integer dot product of two int8 code vectors (≤ 127²·64 < 2^20,
@@ -1789,16 +2098,7 @@ object SimilarityQueries {
     // at ≤ queries·8·16 rows. At 100 TB the per-candidate cost is 8 code
     // bytes + 8 exact decimal adds — the whole point of IVF-PQ.
     "ivf_pq_topk" -> Q(
-      fn = (s, dir) => {
-        val dist = ivfPqAdcDist(s, dir)
-        val wTop = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-        dist.withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= TopK)
-          .select(col("qid"), col("cid"),
-            col("adist").cast("double").as("adist"), col("rk"))
-          .orderBy("qid", "rk")
-      },
+      fn = (s, dir) => ivfPqRankTopk(ivfPqAdcDist(s, dir)),
       oracle = Some(
         s"""WITH $ivfPqDistSql,
            |ranked AS (
@@ -1827,28 +2127,7 @@ object SimilarityQueries {
     // the corpus ONCE on vec_id. At 100 TB the full-vector reads stay
     // q×50 regardless of corpus size; everything corpus-sized stays PQ.
     "ivf_pq_refined_topk" -> Q(
-      fn = (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val wAdc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-        val short = ivfPqAdcDist(s, dir)
-          .withColumn("srk", row_number().over(wAdc))
-          .filter(col("srk") <= RefineShortlist)
-          .select(col("qid"), col("cid"))
-        val q = emb.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val rr = short
-          .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")),
-            Seq("cid"))
-          .join(broadcast(q), Seq("qid"))
-          .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
-        val wTop = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-        rr.withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= TopK)
-          .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
-          .orderBy("qid", "rk")
-      },
+      fn = (s, dir) => ivfPqRefineTopk(s, dir, ivfPqAdcDist(s, dir)),
       oracle = Some(
         s"""WITH $ivfPqDistSql,
            |short AS (
@@ -2406,7 +2685,52 @@ object SimilarityQueries {
            |       CAST(SUM(sv) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_score,
            |       CAST(MIN(sv) AS DOUBLE) / 1000000.0 AS min_score,
            |       CAST(MAX(sv) AS DOUBLE) / 1000000.0 AS max_score
-           |FROM sc GROUP BY label ORDER BY label""".stripMargin))
+           |FROM sc GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- trained residual-PQ codebooks (r14, VERDICT item 1) -------------
+    // The training half of real IVFADC (Jégou 2011 §IV): per-subspace
+    // k-means over coarse-centroid RESIDUALS — [[pqResidualTrain]]'s full
+    // float-discipline story. Output is the final Lloyd update table
+    // (subspace, code, dim, n_members, c_sum) — kmeans_train's shape
+    // sliced 8× — so the oracle pins every trained codebook coordinate's
+    // exact-decimal sum, not just a summary.
+    //
+    // Scale shape: 1 + PqTrainRounds corpus passes (coarse assign +
+    // residual slice is pipelined into each round's scan); every shuffle
+    // carries one row per (vec, subspace) via the map-side argmin
+    // combine; the codebook itself is ≤ 8×16 rows — broadcast-sized at
+    // any corpus size.
+    "pq_train" -> Q(
+      fn = (s, dir) =>
+        pqResidualTrain(s, dir)._2
+          .select(col("j").cast("long").as("subspace"), col("code"),
+            col("dim").cast("int").as("dim"), col("n_members"),
+            col("s6").cast("decimal(20,6)").cast("double").as("c_sum"))
+          .orderBy("subspace", "code", "dim"),
+      oracle = Some(
+        s"""WITH $pqResidualTrainSql
+           |SELECT CAST(j AS BIGINT) AS subspace, code, CAST(dim AS INTEGER) AS dim,
+           |       n AS n_members, CAST(s AS DOUBLE) AS c_sum
+           |FROM u$PqTrainRounds ORDER BY subspace, code, dim""".stripMargin)),
+
+    // ---- residual-IVFADC retrieval (r14, VERDICT item 1) ------------------
+    // The serving half: [[ivfPqResidualDist]] (same coarse probes as
+    // ivf_pq_topk via the shared [[ivfProbes]]; candidates scored by
+    // trained-residual ADC with per-probed-list query residuals) ranked by
+    // the SAME [[ivfPqRankTopk]] tail — so the only difference from
+    // ivf_pq_topk is what IVFADC prescribes: trained codebooks + residual
+    // encoding. recall_pq_family measures what that buys over the raw-ADC
+    // 0.36 recall floor.
+    "ivf_pq_residual_topk" -> Q(
+      fn = (s, dir) => ivfPqRankTopk(ivfPqResidualDist(s, dir)),
+      oracle = Some(
+        s"""WITH $ivfPqResidualDistSql,
+           |ranked AS (
+           |  SELECT qid, cid, adist,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk
+           |  FROM dist)
+           |SELECT qid, cid, CAST(adist AS DOUBLE) AS adist, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
   )
 
   /** The Spark leg of the exact-decimal power iteration: micro-quantized
@@ -2562,18 +2886,29 @@ object SimilarityQueries {
   // is constant; the legs' own scale stories are their own rows.
   "recall_pq_family" -> Q(
     fn = (s, dir) => {
-      val exact = base("similarity_topk").fn(s, dir).select(col("qid"), col("cid"))
-      def leg(name: String) = {
-        val approx = base(name).fn(s, dir)
-          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      // Shared heavy frames materialized ONCE (r14, ADVICE item 2 — the
+      // repo's own r12 rule): the ADC dist frame feeds the ivf_pq_topk AND
+      // ivf_pq_refined_topk legs, and the brute-force truth joins into
+      // every leg — without the truncation each plan branch re-derives the
+      // subtree. The legs consume the gated retrievers' OWN tails
+      // (ivfPqRankTopk / ivfPqRefineTopk — the registry queries are those
+      // tails over the same builder), so no-drift composition is preserved.
+      val exact = Q.truncate(
+        base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")))
+      val dist = Q.truncate(ivfPqAdcDist(s, dir))
+      def leg(name: String, approx0: org.apache.spark.sql.DataFrame) = {
+        val approx = approx0.select(col("qid"), col("cid"), lit(1L).as("hit"))
         exact.join(approx, Seq("qid", "cid"), "left")
           .groupBy("qid")
           .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
           .select(lit(name).as("method"), col("qid"), col("n_hit"),
             (col("n_hit").cast("double") / lit(TopK)).as("recall"))
       }
-      leg("pq_topk").unionAll(leg("ivf_pq_topk"))
-        .unionAll(leg("ivf_pq_refined_topk"))
+      leg("pq_topk", base("pq_topk").fn(s, dir))
+        .unionAll(leg("ivf_pq_topk", ivfPqRankTopk(dist)))
+        .unionAll(leg("ivf_pq_refined_topk", ivfPqRefineTopk(s, dir, dist)))
+        .unionAll(leg("ivf_pq_residual_topk",
+          ivfPqRankTopk(ivfPqResidualDist(s, dir))))
         .orderBy("method", "qid")
     },
     oracle = Some {
@@ -2586,11 +2921,14 @@ object SimilarityQueries {
          |a_pq_topk AS (${base("pq_topk").oracle.get}),
          |a_ivf_pq_topk AS (${base("ivf_pq_topk").oracle.get}),
          |a_ivf_pq_refined_topk AS (${base("ivf_pq_refined_topk").oracle.get}),
+         |a_ivf_pq_residual_topk AS (${base("ivf_pq_residual_topk").oracle.get}),
          |r AS (${leg("pq_topk")}
          |UNION ALL
          |${leg("ivf_pq_topk")}
          |UNION ALL
-         |${leg("ivf_pq_refined_topk")})
+         |${leg("ivf_pq_refined_topk")}
+         |UNION ALL
+         |${leg("ivf_pq_residual_topk")})
          |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
          |FROM r ORDER BY method, qid""".stripMargin
     }),
@@ -2999,21 +3337,7 @@ object SimilarityQueries {
     // subspace) reaches the shuffle) → an 8-row subspace roll-up.
     "pq_distortion" -> Q(
       fn = (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        def l2(a: String, b: String): Column =
-          graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
-        def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
-          src.select(col("vec_id").as(idCol),
-              explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
-            .select(col(idCol), col("j"),
-              expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
-        val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
-        val errs = subspaces(emb, "cid", "subv")
-          .join(broadcast(cents), Seq("j"))
-          .groupBy("cid", "j")
-          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
-          .select(col("j"),
-            Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
+        val errs = pqRawErrs(s, dir)
         errs.groupBy("j")
           .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"),
             max(col("d2")).as("max_d2"))
@@ -3048,6 +3372,103 @@ object SimilarityQueries {
            |       CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_d2,
            |       CAST(MAX(d2) AS DOUBLE) AS max_d2
            |FROM g GROUP BY j ORDER BY subspace""".stripMargin
+      }),
+
+    // ---- trained-vs-raw PQ distortion (r14, VERDICT item 1's measure) ----
+    // The number pq_train exists to move: per subspace, mean/max squared
+    // reconstruction error of three encoders — `raw_pq` (first-16
+    // codebooks over raw subvectors — pq_distortion's leg, shared
+    // [[pqRawErrs]] builder), `residual_init` (the UNTRAINED init
+    // codebooks over coarse residuals — the before-training point), and
+    // `residual_pq` (the Lloyd-trained codebooks — the same assignment
+    // ivf_pq_residual_topk encodes with). All three reconstruct v (the
+    // residual decode adds the coarse centroid back, which is error-free)
+    // so the d2 columns are directly comparable; residual_init →
+    // residual_pq is the TRAINING win isolated (k-means is monotone on
+    // its training data — measured −27% mean_d2 at sf0.01), while raw_pq
+    // → residual_pq also carries the residual-space change. Float parity:
+    // all legs are the proven grid6-decimal error surfaces; mean is one
+    // division.
+    //
+    // Scale shape: raw leg = pq_distortion's map-side argmin; residual
+    // legs = the trainer's passes + two more argmins over the ONE
+    // truncated rsub frame — every shuffle carries one row per (vec,
+    // subspace); final roll-up is 24 rows.
+    "pq_train_distortion" -> Q(
+      fn = (s, dir) => {
+        val raw = pqRawErrs(s, dir)
+          .select(lit("raw_pq").as("method"), col("j"), col("d2"))
+        val rsub = truncate(pqResidualSub(s, dir))
+        def resErrs(cb: org.apache.spark.sql.DataFrame, method: String) =
+          rsub.join(broadcast(cb), Seq("j"))
+            .groupBy("cid", "j")
+            .agg(min(struct(
+                coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
+                  lit(Double.PositiveInfinity)).as("d2"),
+                col("code"))).as("m"))
+            .select(lit(method).as("method"), col("j"),
+              Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
+        val trained = resErrs(pqResidualTrainFrom(rsub)._1, "residual_pq")
+        val init = resErrs(pqResidualInitCb(rsub), "residual_init")
+        raw.unionAll(init).unionAll(trained).groupBy("method", "j")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"),
+            max(col("d2")).as("max_d2"))
+          .select(col("method"), col("j").cast("long").as("subspace"),
+            col("n_vecs"),
+            col("sum_d2").cast("double").as("total_d2"),
+            (col("sum_d2").cast("double") / col("n_vecs").cast("double"))
+              .as("mean_d2"),
+            col("max_d2").cast("double").as("max_d2"))
+          .orderBy("method", "subspace")
+      },
+      oracle = Some {
+        def duckL2F(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH $pqResidualTrainSql,
+           |rawcents AS (SELECT vec_id AS cent_id, j, embedding[j*8+1 : j*8+8] AS centv
+           |             FROM embeddings, js WHERE vec_id < 16),
+           |rawvecs AS (SELECT vec_id AS cid, j, embedding[j*8+1 : j*8+8] AS subv
+           |            FROM embeddings, js),
+           |rawenc AS (
+           |  SELECT cid, j, d2 FROM (
+           |    SELECT v.cid, v.j, ${duckL2F("v.subv", "c.centv")} AS d2,
+           |           ROW_NUMBER() OVER (PARTITION BY v.cid, v.j
+           |                              ORDER BY ${duckL2F("v.subv", "c.centv")}, c.cent_id) AS crk
+           |    FROM rawvecs v JOIN rawcents c ON v.j = c.j) t
+           |  WHERE crk = 1),
+           |resenc AS (
+           |  SELECT cid, j, d2 FROM (
+           |    SELECT r.cid, r.j, ${duckL2Res("r.rsub", "c.centv")} AS d2,
+           |           ROW_NUMBER() OVER (PARTITION BY r.cid, r.j
+           |                              ORDER BY ${duckL2Res("r.rsub", "c.centv")}, c.code) AS crk
+           |    FROM rsub r JOIN cb$PqTrainRounds c ON r.j = c.j) t
+           |  WHERE crk = 1),
+           |resenc0 AS (
+           |  SELECT cid, j, d2 FROM (
+           |    SELECT r.cid, r.j, ${duckL2Res("r.rsub", "c.centv")} AS d2,
+           |           ROW_NUMBER() OVER (PARTITION BY r.cid, r.j
+           |                              ORDER BY ${duckL2Res("r.rsub", "c.centv")}, c.code) AS crk
+           |    FROM rsub r JOIN cb0 c ON r.j = c.j) t
+           |  WHERE crk = 1),
+           |u AS (SELECT 'raw_pq' AS method, j,
+           |             CAST(floor(d2 * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS d2
+           |      FROM rawenc
+           |      UNION ALL
+           |      SELECT 'residual_init' AS method, j,
+           |             CAST(floor(d2 * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS d2
+           |      FROM resenc0
+           |      UNION ALL
+           |      SELECT 'residual_pq' AS method, j,
+           |             CAST(floor(d2 * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS d2
+           |      FROM resenc)
+           |SELECT method, CAST(j AS BIGINT) AS subspace,
+           |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |       CAST(SUM(d2) AS DOUBLE) AS total_d2,
+           |       CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_d2,
+           |       CAST(MAX(d2) AS DOUBLE) AS max_d2
+           |FROM u GROUP BY method, j ORDER BY method, subspace""".stripMargin
       }),
 
     // ---- per-dimension embedding statistics (added r9) --------------------

@@ -642,6 +642,11 @@ object TrainQueries {
     (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], String, Int,
       (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame))]()
 
+  /** Count of ACTUAL trainer executions (memo misses) — observability for
+    * R14BatchSpec's one-trainer-per-session pin; no query reads it. */
+  private[queries] val bpeTrainerRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def bpeTrainLoop(
       s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
@@ -650,6 +655,7 @@ object TrainQueries {
         return res
       case _ =>
     }
+    bpeTrainerRuns.incrementAndGet()
     val vocab = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)

@@ -109,9 +109,12 @@ class PlanGuardSpec extends SparkTestBase {
       // ivf_pq_refined_topk: composes ivf_pq_topk's whitelisted broadcasts
       // + the ≤q×50 ADC-shortlist side joined back on vec_id (r13)
       "ivf_pq_refined_topk",
-      // recall_pq_family: composes the three PQ retrievers — their
-      // whitelisted query/centroid/codebook broadcasts (r13)
+      // recall_pq_family: composes the four PQ retrievers — their
+      // whitelisted query/centroid/codebook broadcasts (r13, +residual r14)
       "recall_pq_family",
+      // ivf_pq_residual_topk: ivf_pq_topk's ≤5-row query × 16-row centroid
+      // probe broadcasts + the ≤q×4-probe residual-ADC broadcast (r14)
+      "ivf_pq_residual_topk",
       // bpe_apply: 1-row totals × 1-row vocab-size aggregate product (r13)
       "bpe_apply",
       // bpe_token_freq: 1-row token-total broadcast onto the post-limit
