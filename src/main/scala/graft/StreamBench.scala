@@ -945,9 +945,10 @@ object StreamBench {
 
     // ---- streaming PII release gate: stateful throughput (r13) -------------
     // piiStream over 2M synthetic events across 5 types: the map-only
-    // shared regex chain (4 regex extracts + 3 replaces per row) dominates
-    // — this leg measures the LIVE gate's scan-speed claim. user_id cycles
-    // 0..10⁶ so every %3/%5/%7 span branch is exercised. Exactness: the
+    // shared regex chain (5 regex extracts + 4 replaces + the Luhn fold
+    // per row since r14's card/IP classes) dominates — this leg measures
+    // the LIVE gate's scan-speed claim. user_id cycles 0..10⁶ so every
+    // %3/%5/%7/%9/%11/%13 span branch is exercised. Exactness: the
     // final per-type stream rows must equal the BATCH pii_audit aggregate
     // over the same generated frame, field for field (classification is
     // deterministic, counting is associative — any mismatch is a bug).
@@ -1001,9 +1002,13 @@ object StreamBench {
           sum(when(col("ne") > 0, 1L).otherwise(0L)).as("re"),
           sum(when(col("np") > 0, 1L).otherwise(0L)).as("rp"),
           sum(when(col("nu") > 0, 1L).otherwise(0L)).as("ru"),
+          sum(when(col("nc") > 0, 1L).otherwise(0L)).as("rca"),
+          sum(when(col("ni") > 0, 1L).otherwise(0L)).as("ri"),
           sum(col("ne")).as("se"), sum(col("np")).as("sp"),
-          sum(col("nu")).as("su"), sum(col("nd")).as("sd"),
+          sum(col("nu")).as("su"), sum(col("nc")).as("sc"),
+          sum(col("ni")).as("si"), sum(col("nd")).as("sd"),
           sum(when(col("ne") === 0 && col("np") === 0 && col("nu") === 0
+            && col("nc") === 0 && col("ni") === 0
             && col("nd") === 0, 1L).otherwise(0L)).as("rc"))
         .collect()
       assert(batch.length == fin.size, "pii type count")
@@ -1012,7 +1017,8 @@ object StreamBench {
         assert(g != null, s"pii type ${r.getString(0)} never emitted")
         val want = PriorityStreams.PiiCountRow(r.getString(0), r.getLong(1),
           r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-          r.getLong(7), r.getLong(8), r.getLong(9))
+          r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+          r.getLong(11), r.getLong(12), r.getLong(13))
         assert(g == want, s"pii ${r.getString(0)}: stream $g != batch $want")
       }
       val totalRows = fin.values().toArray.map(_.asInstanceOf[PriorityStreams.PiiCountRow].nRows).sum

@@ -27,17 +27,61 @@ object PrivacyQueries {
   private val UrlPat = "https?://[A-Za-z0-9./_%?=&#-]+"
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "\\+[0-9][0-9-]{5,}[0-9]"
+  /** Dotted-quad shape (r14) — the standard release heuristic; octet-range
+    * validation (≤ 255) would need alternation both engines support but a
+    * release review treats ANY dotted quad as a leak candidate, so the
+    * broad shape is the conservative gate. */
+  private val IpPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  /** 16-digit PAN candidate (r14) — a match is only MASKED when its Luhn
+    * checksum validates (pure integer arithmetic, below), so a random
+    * 16-digit id is not over-masked. */
+  private val CardPat = "[0-9]{16}"
 
-  /** The shared PII span classifier (r13): for a frame carrying `user_id`,
-    * `props`, and `event_type`, returns (event_type, nu, ne, np, nd) —
-    * per-row span counts per class, counted SEQUENTIALLY (each class on
-    * the string the previous class already masked, the safe_export_spans
-    * contract). Shared by the batch `pii_audit` gate and the streaming
-    * [[graft.streaming.PriorityStreams.piiStream]] twin, so the live gate
-    * and the post-hoc audit can never disagree about what a span is. */
-  private[graft] def piiClassified(df: org.apache.spark.sql.DataFrame)
+  /** Luhn sum of the first `n` digits of string column `c` (1-indexed,
+    * digits at ODD positions doubled — correct for a 16-digit PAN whose
+    * check digit sits at even position 16), as a SQL expression string.
+    * Exact integer arithmetic; both engines spell the identical CASE
+    * chain. Callers must guard length (substring('' ...) casts fail under
+    * ANSI). */
+  private def luhnSumExpr(c: String, n: Int): String =
+    s"""aggregate(sequence(1, $n), 0, (acc, i) -> acc + CASE WHEN i % 2 = 1
+       |  THEN CASE WHEN CAST(substring($c, i, 1) AS INT) * 2 > 9
+       |            THEN CAST(substring($c, i, 1) AS INT) * 2 - 9
+       |            ELSE CAST(substring($c, i, 1) AS INT) * 2 END
+       |  ELSE CAST(substring($c, i, 1) AS INT) END)""".stripMargin
+
+  /** DuckDB twin of [[luhnSumExpr]]. */
+  private def duckLuhnSum(c: String, n: Int): String =
+    s"""list_sum(list_transform(range(1, ${n + 1}), i -> CASE WHEN i % 2 = 1
+       |  THEN CASE WHEN CAST(substring($c, CAST(i AS INTEGER), 1) AS INTEGER) * 2 > 9
+       |            THEN CAST(substring($c, CAST(i AS INTEGER), 1) AS INTEGER) * 2 - 9
+       |            ELSE CAST(substring($c, CAST(i AS INTEGER), 1) AS INTEGER) * 2 END
+       |  ELSE CAST(substring($c, CAST(i AS INTEGER), 1) AS INTEGER) END))""".stripMargin
+
+  /** The deterministic release-text fixture + sequential masker chain
+    * (r12, extended r14 with card/IP): adds to `df` the columns `blurb`
+    * (the release text: props plus user_id-derived spans on interleaved
+    * residue classes — uid%3 email, uid%5 phone, uid%7 URL, uid%9 IP,
+    * uid%11 a Luhn-VALID 16-digit card, uid%13 a Luhn-INVALID one that
+    * must NOT be masked), the masking intermediates `m1..m5` (URL → email
+    * → phone → card → IP — the order contract; residual digits are the
+    * caller's final scrub), and the sequential per-class counts
+    * `nu/ne/np/nc/ni/nd`, each counted on the string the previous class
+    * already masked so counts ≡ redactions by construction.
+    *
+    * Card masking is CONDITIONAL: the leftmost 16-digit candidate is
+    * Luhn-validated and only then literal-replaced (one candidate per row
+    * by fixture construction; the leftmost-candidate semantics is the
+    * documented contract). The valid fixture card is lpad(uid, 15, '0')
+    * plus the computed Luhn check digit; the invalid one shifts that
+    * digit by 5 (mod 10), so its digit mass must flow to `nd` instead. */
+  private[graft] def piiMasked(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val uid = org.apache.spark.sql.functions.col("user_id")
+    val uid = col("user_id")
+    val withCard = df
+      .withColumn("card15", lpad(uid.cast("string"), 15, "0"))
+      .withColumn("s15", expr(luhnSumExpr("card15", 15)))
+      .withColumn("luhn_check", (lit(10) - col("s15") % 10) % 10)
     val blurb = concat(
       lit("note "), col("props"),
       when(uid % 3 === 0,
@@ -49,16 +93,119 @@ object PrivacyQueries {
         .otherwise(lit("")),
       when(uid % 7 === 0,
         concat(lit(" https://ex.example/u/"), uid.cast("string")))
+        .otherwise(lit("")),
+      when(uid % 9 === 0,
+        concat(lit(" ip 10."), (uid % 256).cast("string"), lit(".0."),
+          (uid % 100).cast("string")))
+        .otherwise(lit("")),
+      when(uid % 11 === 0,
+        concat(lit(" card "), col("card15"), col("luhn_check").cast("string")))
+        .otherwise(lit("")),
+      when(uid % 13 === 0,
+        concat(lit(" badcard "), col("card15"),
+          ((col("luhn_check") + 5) % 10).cast("string")))
         .otherwise(lit("")))
-    val m1 = regexp_replace(blurb, UrlPat, "<URL>")
-    val m2 = regexp_replace(m1, EmailPat, "<EMAIL>")
-    val m3 = regexp_replace(m2, PhonePat, "<PHONE>")
-    df.select(col("event_type"),
-      size(regexp_extract_all(blurb, lit(UrlPat), lit(0))).cast("long").as("nu"),
-      size(regexp_extract_all(m1, lit(EmailPat), lit(0))).cast("long").as("ne"),
-      size(regexp_extract_all(m2, lit(PhonePat), lit(0))).cast("long").as("np"),
-      (length(m3) - length(regexp_replace(m3, "[0-9]", ""))).cast("long").as("nd"))
+    withCard.withColumn("blurb", blurb)
+      .withColumn("m1", regexp_replace(col("blurb"), UrlPat, "<URL>"))
+      .withColumn("m2", regexp_replace(col("m1"), EmailPat, "<EMAIL>"))
+      .withColumn("m3", regexp_replace(col("m2"), PhonePat, "<PHONE>"))
+      .withColumn("cand", regexp_extract(col("m3"), CardPat, 0))
+      // CASE, not AND: the luhn casts must never evaluate on a no-match ''
+      // candidate (ANSI cast error); CaseWhen is the guaranteed-lazy
+      // construct on both engines
+      .withColumn("card_ok",
+        when(length(col("cand")) === 16,
+          expr(luhnSumExpr("cand", 16)) % 10 === 0).otherwise(lit(false)))
+      // literal replace of the VALIDATED candidate only — a regex replace
+      // would also swallow a Luhn-invalid run sharing the row
+      .withColumn("m4",
+        when(col("card_ok"), expr("replace(m3, cand, '<CARD>')"))
+          .otherwise(col("m3")))
+      .withColumn("m5", regexp_replace(col("m4"), IpPat, "<IP>"))
+      .withColumn("nu",
+        size(regexp_extract_all(col("blurb"), lit(UrlPat), lit(0))).cast("long"))
+      .withColumn("ne",
+        size(regexp_extract_all(col("m1"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("np",
+        size(regexp_extract_all(col("m2"), lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("nc", when(col("card_ok"), 1L).otherwise(0L))
+      .withColumn("ni",
+        size(regexp_extract_all(col("m4"), lit(IpPat), lit(0))).cast("long"))
+      .withColumn("nd",
+        (length(col("m5")) - length(regexp_replace(col("m5"), "[0-9]", "")))
+          .cast("long"))
   }
+
+  /** The shared PII span classifier (r13, +card/IP r14): for a frame
+    * carrying `user_id`, `props`, and `event_type`, returns (event_type,
+    * nu, ne, np, nc, ni, nd) — per-row span counts per class, counted
+    * SEQUENTIALLY (each class on the string the previous class already
+    * masked, the safe_export_spans contract). Shared by the batch
+    * `pii_audit` gate and the streaming
+    * [[graft.streaming.PriorityStreams.piiStream]] twin, so the live gate
+    * and the post-hoc audit can never disagree about what a span is. */
+  private[graft] def piiClassified(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    piiMasked(df).select(col("event_type"),
+      col("nu"), col("ne"), col("np"), col("nc"), col("ni"), col("nd"))
+
+  /** Oracle twin of [[piiMasked]] — CTE text ending in `c(event_id,
+    * user_id, event_type, blurb, m1..m5, nu, ne, np, nc, ni, nd)`, shared
+    * by safe_export_spans and pii_audit. */
+  private def piiMaskSqlCtes: String =
+    s"""b AS (
+       |  SELECT event_id, user_id, event_type, props,
+       |         lpad(CAST(user_id AS VARCHAR), 15, '0') AS card15
+       |  FROM events),
+       |b2 AS (
+       |  SELECT *, (10 - (${duckLuhnSum("card15", 15)}) % 10) % 10 AS luhn_check
+       |  FROM b),
+       |b3 AS (
+       |  SELECT event_id, user_id, event_type,
+       |         'note ' || props ||
+       |           CASE WHEN user_id % 3 = 0
+       |                THEN ' user' || CAST(user_id AS VARCHAR) || '@example.com'
+       |                ELSE '' END ||
+       |           CASE WHEN user_id % 5 = 0
+       |                THEN ' tel +1-555-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')
+       |                ELSE '' END ||
+       |           CASE WHEN user_id % 7 = 0
+       |                THEN ' https://ex.example/u/' || CAST(user_id AS VARCHAR)
+       |                ELSE '' END ||
+       |           CASE WHEN user_id % 9 = 0
+       |                THEN ' ip 10.' || CAST(user_id % 256 AS VARCHAR) ||
+       |                     '.0.' || CAST(user_id % 100 AS VARCHAR)
+       |                ELSE '' END ||
+       |           CASE WHEN user_id % 11 = 0
+       |                THEN ' card ' || card15 || CAST(luhn_check AS VARCHAR)
+       |                ELSE '' END ||
+       |           CASE WHEN user_id % 13 = 0
+       |                THEN ' badcard ' || card15 || CAST((luhn_check + 5) % 10 AS VARCHAR)
+       |                ELSE '' END
+       |         AS blurb
+       |  FROM b2),
+       |s1 AS (SELECT *, regexp_replace(blurb, '$UrlPat', '<URL>', 'g') AS m1 FROM b3),
+       |s2 AS (SELECT *, regexp_replace(m1, '$EmailPat', '<EMAIL>', 'g') AS m2 FROM s1),
+       |s3 AS (SELECT *, regexp_replace(m2, '$PhonePat', '<PHONE>', 'g') AS m3 FROM s2),
+       |s3c AS (SELECT *, regexp_extract(m3, '$CardPat') AS cand FROM s3),
+       |s4 AS (SELECT *,
+       |              CASE WHEN len(cand) = 16
+       |                   THEN CASE WHEN (${duckLuhnSum("cand", 16)}) % 10 = 0
+       |                             THEN TRUE ELSE FALSE END
+       |                   ELSE FALSE END AS card_ok
+       |       FROM s3c),
+       |s5 AS (SELECT *, CASE WHEN card_ok THEN replace(m3, cand, '<CARD>')
+       |                      ELSE m3 END AS m4
+       |       FROM s4),
+       |s6 AS (SELECT *, regexp_replace(m4, '$IpPat', '<IP>', 'g') AS m5 FROM s5),
+       |c AS (SELECT event_id, user_id, event_type, blurb, m1, m2, m3, m4, m5,
+       |             CAST(len(regexp_extract_all(blurb, '$UrlPat')) AS BIGINT) AS nu,
+       |             CAST(len(regexp_extract_all(m1, '$EmailPat')) AS BIGINT) AS ne,
+       |             CAST(len(regexp_extract_all(m2, '$PhonePat')) AS BIGINT) AS np,
+       |             CAST(CASE WHEN card_ok THEN 1 ELSE 0 END AS BIGINT) AS nc,
+       |             CAST(len(regexp_extract_all(m4, '$IpPat')) AS BIGINT) AS ni,
+       |             CAST(length(m5) - length(regexp_replace(m5, '[0-9]', '', 'g')) AS BIGINT) AS nd
+       |      FROM s6)""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -260,81 +407,50 @@ object PrivacyQueries {
     // all (the r8 caveat deferred exactly this).
     //
     // FIXTURE NOTE: the synthetic events.props carries no natural
-    // email/URL/phone spans (measured: zero matches corpus-wide), which
-    // would make the gate vacuous. The query therefore builds its release
-    // text deterministically from the row itself — props plus
+    // email/URL/phone/IP/card spans (measured: zero matches corpus-wide),
+    // which would make the gate vacuous. The query therefore builds its
+    // release text deterministically from the row itself — props plus
     // user_id-derived contact spans on interleaved residue classes
-    // (uid%3 → email, uid%5 → phone, uid%7 → URL; the decontaminate
-    // doc_id%97 precedent) — so every class, every overlap combination
-    // (15, 21, 35, 105 residues), and the no-span case are all exercised
-    // and the DuckDB twin replays the identical construction.
+    // (uid%3 → email, uid%5 → phone, uid%7 → URL, uid%9 → IPv4, uid%11 →
+    // a Luhn-VALID card, uid%13 → a Luhn-INVALID card that must NOT be
+    // masked; the decontaminate doc_id%97 precedent) — so every class,
+    // every overlap combination, and the no-span case are all exercised
+    // and the DuckDB twin replays the identical construction. r14 adds
+    // the card/IP classes (VERDICT item 5): masking order extends to
+    // URL → email → phone → card (Luhn-gated, leftmost candidate) →
+    // IPv4 → residual digits, all via the shared [[piiMasked]] chain.
     //
     // Scale shape: pure map-only projection (regex per row, no shuffle
     // before the output sort) — scan speed at 100 TB, embarrassingly
     // partition-parallel.
     "safe_export_spans" -> Q(
       fn = (s, dir) => {
-        val uid = col("user_id")
-        val blurb = concat(
-          lit("note "), col("props"),
-          when(uid % 3 === 0,
-            concat(lit(" user"), uid.cast("string"), lit("@example.com")))
-            .otherwise(lit("")),
-          when(uid % 5 === 0,
-            concat(lit(" tel +1-555-"),
-              lpad((uid % 10000).cast("string"), 4, "0")))
-            .otherwise(lit("")),
-          when(uid % 7 === 0,
-            concat(lit(" https://ex.example/u/"), uid.cast("string")))
-            .otherwise(lit("")))
-        val m1 = regexp_replace(blurb, UrlPat, "<URL>")
-        val m2 = regexp_replace(m1, EmailPat, "<EMAIL>")
-        val m3 = regexp_replace(m2, PhonePat, "<PHONE>")
-        val m4 = regexp_replace(m3, "[0-9]", "#")
-        Tables.load(s, dir, "events")
-          .select(
+        val m = piiMasked(Tables.load(s, dir, "events"))
+        m.select(
             col("event_id"),
-            substring(md5(concat(lit("graft-2026:"), uid.cast("string"))), 1, 12)
+            substring(md5(concat(lit("graft-2026:"), col("user_id").cast("string"))), 1, 12)
               .as("pseudo"),
-            m4.as("text_masked"),
-            size(regexp_extract_all(blurb, lit(UrlPat), lit(0))).cast("long").as("n_url"),
-            size(regexp_extract_all(m1, lit(EmailPat), lit(0))).cast("long").as("n_email"),
-            size(regexp_extract_all(m2, lit(PhonePat), lit(0))).cast("long").as("n_phone"),
-            (length(m3) - length(regexp_replace(m3, "[0-9]", ""))).cast("long")
-              .as("n_digit"))
+            regexp_replace(col("m5"), "[0-9]", "#").as("text_masked"),
+            col("nu").as("n_url"), col("ne").as("n_email"),
+            col("np").as("n_phone"), col("nc").as("n_card"),
+            col("ni").as("n_ip"), col("nd").as("n_digit"))
           .orderBy("event_id")
       },
       oracle = Some(
-        s"""WITH b AS (
-           |  SELECT event_id, user_id,
-           |         'note ' || props
-           |           || CASE WHEN user_id % 3 = 0
-           |                THEN ' user' || CAST(user_id AS VARCHAR) || '@example.com'
-           |                ELSE '' END
-           |           || CASE WHEN user_id % 5 = 0
-           |                THEN ' tel +1-555-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')
-           |                ELSE '' END
-           |           || CASE WHEN user_id % 7 = 0
-           |                THEN ' https://ex.example/u/' || CAST(user_id AS VARCHAR)
-           |                ELSE '' END AS blurb
-           |  FROM events),
-           |s1 AS (SELECT *, regexp_replace(blurb, '$UrlPat', '<URL>', 'g') AS m1 FROM b),
-           |s2 AS (SELECT *, regexp_replace(m1, '$EmailPat', '<EMAIL>', 'g') AS m2 FROM s1),
-           |s3 AS (SELECT *, regexp_replace(m2, '$PhonePat', '<PHONE>', 'g') AS m3 FROM s2)
+        s"""WITH $piiMaskSqlCtes
            |SELECT event_id,
            |       substring(md5('graft-2026:' || CAST(user_id AS VARCHAR)), 1, 12) AS pseudo,
-           |       regexp_replace(m3, '[0-9]', '#', 'g') AS text_masked,
-           |       CAST(len(regexp_extract_all(blurb, '$UrlPat')) AS BIGINT) AS n_url,
-           |       CAST(len(regexp_extract_all(m1, '$EmailPat')) AS BIGINT) AS n_email,
-           |       CAST(len(regexp_extract_all(m2, '$PhonePat')) AS BIGINT) AS n_phone,
-           |       CAST(length(m3) - length(regexp_replace(m3, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
-           |FROM s3 ORDER BY event_id""".stripMargin)),
+           |       regexp_replace(m5, '[0-9]', '#', 'g') AS text_masked,
+           |       nu AS n_url, ne AS n_email, np AS n_phone,
+           |       nc AS n_card, ni AS n_ip, nd AS n_digit
+           |FROM c ORDER BY event_id""".stripMargin)),
 
     // ---- PII release-gate audit (added r12) --------------------------------
     // The aggregate gate a privacy review runs BEFORE approving
     // safe_export_spans' row-level release: per event type — rows scanned,
-    // rows carrying each span class (email/phone/URL), total spans per
-    // class, residual digit characters that the typed masks did NOT absorb,
+    // rows carrying each span class (email/phone/URL/card/IP — card/IP
+    // added r14, Luhn-gated card counting), total spans per class,
+    // residual digit characters that the typed masks did NOT absorb,
     // and the clean-row share (no span of any class AND no residual digit —
     // ONE bare division of exact counts). A release rule reads one number
     // per class: "n_email_rows must be 0 after masking" is checkable
@@ -355,50 +471,40 @@ object PrivacyQueries {
             sum(when(col("ne") > 0, 1L).otherwise(0L)).as("rows_email"),
             sum(when(col("np") > 0, 1L).otherwise(0L)).as("rows_phone"),
             sum(when(col("nu") > 0, 1L).otherwise(0L)).as("rows_url"),
+            sum(when(col("nc") > 0, 1L).otherwise(0L)).as("rows_card"),
+            sum(when(col("ni") > 0, 1L).otherwise(0L)).as("rows_ip"),
             sum(col("ne")).as("n_email"),
             sum(col("np")).as("n_phone"),
             sum(col("nu")).as("n_url"),
+            sum(col("nc")).as("n_card"),
+            sum(col("ni")).as("n_ip"),
             sum(col("nd")).as("n_digit_residual"),
             sum(when(col("ne") === 0 && col("np") === 0 && col("nu") === 0
+              && col("nc") === 0 && col("ni") === 0
               && col("nd") === 0, 1L).otherwise(0L)).as("rows_clean"))
           .withColumn("share_clean",
             col("rows_clean").cast("double") / col("n_rows").cast("double"))
           .orderBy("event_type")
       },
       oracle = Some(
-        s"""WITH b AS (
-           |  SELECT event_type,
-           |         'note ' || props
-           |           || CASE WHEN user_id % 3 = 0
-           |                THEN ' user' || CAST(user_id AS VARCHAR) || '@example.com'
-           |                ELSE '' END
-           |           || CASE WHEN user_id % 5 = 0
-           |                THEN ' tel +1-555-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')
-           |                ELSE '' END
-           |           || CASE WHEN user_id % 7 = 0
-           |                THEN ' https://ex.example/u/' || CAST(user_id AS VARCHAR)
-           |                ELSE '' END AS blurb
-           |  FROM events),
-           |s1 AS (SELECT *, regexp_replace(blurb, '$UrlPat', '<URL>', 'g') AS m1 FROM b),
-           |s2 AS (SELECT *, regexp_replace(m1, '$EmailPat', '<EMAIL>', 'g') AS m2 FROM s1),
-           |s3 AS (SELECT *, regexp_replace(m2, '$PhonePat', '<PHONE>', 'g') AS m3 FROM s2),
-           |c AS (SELECT event_type,
-           |             CAST(len(regexp_extract_all(blurb, '$UrlPat')) AS BIGINT) AS nu,
-           |             CAST(len(regexp_extract_all(m1, '$EmailPat')) AS BIGINT) AS ne,
-           |             CAST(len(regexp_extract_all(m2, '$PhonePat')) AS BIGINT) AS np,
-           |             CAST(length(m3) - length(regexp_replace(m3, '[0-9]', '', 'g')) AS BIGINT) AS nd
-           |      FROM s3)
+        s"""WITH $piiMaskSqlCtes
            |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
            |       CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_email,
            |       CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_phone,
            |       CAST(SUM(CASE WHEN nu > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_url,
+           |       CAST(SUM(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_card,
+           |       CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_ip,
            |       CAST(SUM(ne) AS BIGINT) AS n_email,
            |       CAST(SUM(np) AS BIGINT) AS n_phone,
            |       CAST(SUM(nu) AS BIGINT) AS n_url,
+           |       CAST(SUM(nc) AS BIGINT) AS n_card,
+           |       CAST(SUM(ni) AS BIGINT) AS n_ip,
            |       CAST(SUM(nd) AS BIGINT) AS n_digit_residual,
-           |       CAST(SUM(CASE WHEN ne = 0 AND np = 0 AND nu = 0 AND nd = 0
+           |       CAST(SUM(CASE WHEN ne = 0 AND np = 0 AND nu = 0 AND nc = 0
+           |                      AND ni = 0 AND nd = 0
            |                THEN 1 ELSE 0 END) AS BIGINT) AS rows_clean,
-           |       CAST(SUM(CASE WHEN ne = 0 AND np = 0 AND nu = 0 AND nd = 0
+           |       CAST(SUM(CASE WHEN ne = 0 AND np = 0 AND nu = 0 AND nc = 0
+           |                      AND ni = 0 AND nd = 0
            |                THEN 1 ELSE 0 END) AS DOUBLE)
            |         / CAST(COUNT(*) AS DOUBLE) AS share_clean
            |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),

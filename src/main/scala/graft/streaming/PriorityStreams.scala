@@ -1338,23 +1338,26 @@ object PriorityStreams {
   // ---- streaming PII release gate (added r13) -----------------------------
 
   /** One running per-event-type PII accounting emission — the stream twin
-    * of the batch `pii_audit` row (first 9 columns; `share_clean` is the
-    * consumer's ONE bare division, the srmStream chi2 discipline). */
+    * of the batch `pii_audit` row (all count columns; `share_clean` is the
+    * consumer's ONE bare division, the srmStream chi2 discipline). r14:
+    * card (Luhn-gated) and IPv4 classes added alongside the batch gate. */
   final case class PiiCountRow(
       eventType: String, nRows: Long,
       rowsEmail: Long, rowsPhone: Long, rowsUrl: Long,
-      nEmail: Long, nPhone: Long, nUrl: Long,
+      rowsCard: Long, rowsIp: Long,
+      nEmail: Long, nPhone: Long, nUrl: Long, nCard: Long, nIp: Long,
       nDigitResidual: Long, rowsClean: Long)
 
   /** Per-row span-class counts entering the gate (the shared
     * [[graft.queries.PrivacyQueries.piiClassified]] projection). */
-  final case class PiiSpan(eventType: String, nu: Long, ne: Long, np: Long, nd: Long)
+  final case class PiiSpan(eventType: String, nu: Long, ne: Long, np: Long,
+      nc: Long, ni: Long, nd: Long)
 
   /** Streaming twin of the batch `pii_audit` release gate (r12 verdict #7):
     * the gate should run AT INGEST, not post-hoc. Span classification is
     * the map-only shared [[graft.queries.PrivacyQueries.piiClassified]]
     * projection (the masker's own regex chain, so live gate ≡ post-hoc
-    * audit by construction); state is 9 longs per event type — the running
+    * audit by construction); state is 13 longs per event type — the running
     * accounting row. Every sum is associative and each arriving event
     * contributes exactly once, so the FINAL per-type rows are bit-equal to
     * the batch aggregate on ANY micro-batch split (spec-pinned). A release
@@ -1376,19 +1379,24 @@ object PriorityStreams {
         timerValues: TimerValues): Iterator[PiiCountRow] = {
       var cur =
         if (acc.exists()) acc.get()
-        else PiiCountRow(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        else PiiCountRow(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
       rows.foreach { r =>
         cur = PiiCountRow(key,
           cur.nRows + 1L,
           cur.rowsEmail + (if (r.ne > 0) 1L else 0L),
           cur.rowsPhone + (if (r.np > 0) 1L else 0L),
           cur.rowsUrl + (if (r.nu > 0) 1L else 0L),
+          cur.rowsCard + (if (r.nc > 0) 1L else 0L),
+          cur.rowsIp + (if (r.ni > 0) 1L else 0L),
           cur.nEmail + r.ne,
           cur.nPhone + r.np,
           cur.nUrl + r.nu,
+          cur.nCard + r.nc,
+          cur.nIp + r.ni,
           cur.nDigitResidual + r.nd,
           cur.rowsClean
-            + (if (r.ne == 0 && r.np == 0 && r.nu == 0 && r.nd == 0) 1L else 0L))
+            + (if (r.ne == 0 && r.np == 0 && r.nu == 0 && r.nc == 0
+                   && r.ni == 0 && r.nd == 0) 1L else 0L))
       }
       acc.update(cur)
       Iterator.single(cur)
@@ -1404,6 +1412,8 @@ object PriorityStreams {
         org.apache.spark.sql.functions.col("nu"),
         org.apache.spark.sql.functions.col("ne"),
         org.apache.spark.sql.functions.col("np"),
+        org.apache.spark.sql.functions.col("nc"),
+        org.apache.spark.sql.functions.col("ni"),
         org.apache.spark.sql.functions.col("nd"))
       .as[PiiSpan]
       .groupByKey(_.eventType)

@@ -13,18 +13,34 @@ class R12BatchSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Independent Luhn sum (1-indexed, odd positions doubled — the 16-digit
+    * PAN convention with the check digit at even position 16). */
+  private def luhnSum(s: String): Int =
+    s.zipWithIndex.map { case (ch, i0) =>
+      val d = ch - '0'
+      if ((i0 + 1) % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+    }.sum
+
   /** The span fixture shared by safe_export_spans / pii_audit, replayed
-    * with java.util.regex directly (not through Spark). */
+    * with java.util.regex directly (not through Spark). r14: IP + Luhn-
+    * valid/invalid card residue classes added alongside the registry's. */
   private def blurbOf(props: String, uid: Long): String = {
     val sb = new StringBuilder("note ").append(props)
+    val card15 = f"$uid%015d"
+    val check = (10 - luhnSum(card15) % 10) % 10
     if (uid % 3 == 0) sb.append(" user").append(uid).append("@example.com")
     if (uid % 5 == 0) sb.append(" tel +1-555-").append(f"${uid % 10000}%04d")
     if (uid % 7 == 0) sb.append(" https://ex.example/u/").append(uid)
+    if (uid % 9 == 0) sb.append(" ip 10.").append(uid % 256).append(".0.").append(uid % 100)
+    if (uid % 11 == 0) sb.append(" card ").append(card15).append(check)
+    if (uid % 13 == 0) sb.append(" badcard ").append(card15).append((check + 5) % 10)
     sb.toString
   }
   private val UrlPat = "https?://[A-Za-z0-9./_%?=&#-]+"
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "\\+[0-9][0-9-]{5,}[0-9]"
+  private val IpPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val CardPat = "[0-9]{16}"
 
   test("bpe_train: full Scala replay of the 6-round greedy merge loop") {
     val out = graft.SparkEntry.queries("bpe_train")(spark, dir)
@@ -65,11 +81,13 @@ class R12BatchSpec extends SparkTestBase {
   test("safe_export_spans: java.util.regex replay of the sequential masking") {
     val rows = graft.SparkEntry.queries("safe_export_spans")(spark, dir)
       .collect().map(r => r.getLong(0) ->
-        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
     val ev = graft.Tables.load(spark, dir, "events")
       .select("event_id", "user_id", "props").collect()
     assert(ev.length == rows.size, "row conservation")
     var sawUrl = false; var sawEmail = false; var sawPhone = false
+    var sawCard = false; var sawIp = false; var sawBadCardUnmasked = false
     ev.foreach { r =>
       val (eid, uid, props) = (r.getLong(0), r.getLong(1), r.getString(2))
       val blurb = blurbOf(props, uid)
@@ -83,41 +101,64 @@ class R12BatchSpec extends SparkTestBase {
       val m2 = m1.replaceAll(EmailPat, "<EMAIL>")
       val nPhone = countAll(m2, PhonePat)
       val m3 = m2.replaceAll(PhonePat, "<PHONE>")
-      val nDigit = m3.count(_.isDigit).toLong
-      val m4 = m3.replaceAll("[0-9]", "#")
+      // card: leftmost 16-digit candidate, masked only when Luhn-valid
+      // (literal replace — the invalid fixture on the same row must stay)
+      val cm = java.util.regex.Pattern.compile(CardPat).matcher(m3)
+      val cand = if (cm.find()) cm.group(0) else ""
+      val cardOk = cand.length == 16 && luhnSum(cand) % 10 == 0
+      val nCard = if (cardOk) 1L else 0L
+      val m4 = if (cardOk) m3.replace(cand, "<CARD>") else m3
+      val nIp = countAll(m4, IpPat)
+      val m5 = m4.replaceAll(IpPat, "<IP>")
+      val nDigit = m5.count(_.isDigit).toLong
+      val m6 = m5.replaceAll("[0-9]", "#")
       val got = rows(eid)
-      assert(got == ((m4, nUrl, nEmail, nPhone, nDigit)), s"event $eid replay")
+      assert(got == ((m6, nUrl, nEmail, nPhone, nCard, nIp, nDigit)),
+        s"event $eid replay")
       // the release contract itself: nothing PII-shaped survives the mask
-      assert(countAll(m4, UrlPat) + countAll(m4, EmailPat)
-        + countAll(m4, PhonePat) == 0, s"event $eid: span survived masking")
-      assert(!m4.exists(_.isDigit), s"event $eid: digit survived masking")
+      assert(countAll(m6, UrlPat) + countAll(m6, EmailPat)
+        + countAll(m6, PhonePat) + countAll(m6, CardPat)
+        + countAll(m6, IpPat) == 0, s"event $eid: span survived masking")
+      assert(!m6.exists(_.isDigit), s"event $eid: digit survived masking")
       sawUrl ||= nUrl > 0; sawEmail ||= nEmail > 0; sawPhone ||= nPhone > 0
+      sawCard ||= nCard > 0; sawIp ||= nIp > 0
+      // a Luhn-INVALID candidate must be digit-scrubbed, never <CARD>-masked
+      sawBadCardUnmasked ||= uid % 13 == 0 && uid % 11 != 0 && nCard == 0
     }
-    assert(sawUrl && sawEmail && sawPhone, "fixture failed to exercise every class")
+    assert(sawUrl && sawEmail && sawPhone && sawCard && sawIp,
+      "fixture failed to exercise every class")
+    assert(sawBadCardUnmasked, "fixture never exercised the Luhn-reject path")
   }
 
   test("pii_audit: per-type totals == safe_export_spans column sums") {
+    // audit columns: n_rows, rows_email, rows_phone, rows_url, rows_card,
+    // rows_ip, n_email, n_phone, n_url, n_card, n_ip, n_digit_residual,
+    // rows_clean, share_clean (card/IP classes since r14)
     val audit = graft.SparkEntry.queries("pii_audit")(spark, dir)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
-          r.getLong(9), r.getDouble(10))).toMap
+        ((1 to 13).map(r.getLong).toVector, r.getDouble(14))).toMap
     val types = graft.Tables.load(spark, dir, "events")
       .select("event_id", "event_type").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // span columns: n_url, n_email, n_phone, n_card, n_ip, n_digit
     val spans = graft.SparkEntry.queries("safe_export_spans")(spark, dir)
       .collect().map(r => (types(r.getLong(0)),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
-    spans.groupBy(_._1).foreach { case (t, g) =>
-      val (nRows, rowsEmail, rowsPhone, rowsUrl, nEmail, nPhone, nUrl,
-        nDigit, rowsClean, shareClean) = audit(t)
+        (3 to 8).map(r.getLong).toVector))
+    spans.groupBy(_._1).foreach { case (t, g0) =>
+      val g = g0.map(_._2)
+      val (counts, shareClean) = audit(t)
+      val Vector(nRows, rowsEmail, rowsPhone, rowsUrl, rowsCard, rowsIp,
+        nEmail, nPhone, nUrl, nCard, nIp, nDigit, rowsClean) = counts
+      def col(i: Int) = g.map(_(i))
       assert(nRows == g.length, s"$t n_rows")
-      assert(nUrl == g.map(_._2).sum && nEmail == g.map(_._3).sum
-        && nPhone == g.map(_._4).sum && nDigit == g.map(_._5).sum,
+      assert(nUrl == col(0).sum && nEmail == col(1).sum
+        && nPhone == col(2).sum && nCard == col(3).sum
+        && nIp == col(4).sum && nDigit == col(5).sum,
         s"$t span totals diverge from the row-level export")
-      assert(rowsUrl == g.count(_._2 > 0) && rowsEmail == g.count(_._3 > 0)
-        && rowsPhone == g.count(_._4 > 0), s"$t row flags")
-      val clean = g.count(x => x._2 == 0 && x._3 == 0 && x._4 == 0 && x._5 == 0)
+      assert(rowsUrl == col(0).count(_ > 0) && rowsEmail == col(1).count(_ > 0)
+        && rowsPhone == col(2).count(_ > 0) && rowsCard == col(3).count(_ > 0)
+        && rowsIp == col(4).count(_ > 0), s"$t row flags")
+      val clean = g.count(_.forall(_ == 0))
       assert(rowsClean == clean, s"$t rows_clean")
       assert(shareClean == clean.toDouble / g.length.toDouble, s"$t share_clean")
     }

@@ -1387,21 +1387,19 @@ class PriorityStreamsSpec extends SparkTestBase {
       q.processAllAvailable(); q.stop()
     }
     // running rows are nRows-monotone — the final state per type is the max
+    // (13 count columns since r14's card/IP classes)
     val fin = spark.table("pii_out").collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
-        r.getLong(9))))
-      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      .map(r => (r.getString(0), (1 to 13).map(r.getLong).toVector))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_.head)).toMap
     val batch = graft.SparkEntry.queries("pii_audit")(spark, dir).collect()
-      .map(r => (r.getString(0), ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
-        r.getLong(9)), r.getDouble(10)))).toMap
+      .map(r => (r.getString(0),
+        ((1 to 13).map(r.getLong).toVector, r.getDouble(14)))).toMap
     assert(fin.keySet == batch.keySet, "event types")
     fin.foreach { case (t, counts) =>
       assert(counts == batch(t)._1, s"$t accounting")
       // the consumer's gate: share_clean is ONE bare division over the
       // final stream counts, bit-equal to the batch column
-      val share = counts._9.toDouble / counts._1.toDouble
+      val share = counts.last.toDouble / counts.head.toDouble
       assert(java.lang.Double.doubleToLongBits(share)
         == java.lang.Double.doubleToLongBits(batch(t)._2), s"$t share_clean bits")
     }
