@@ -39,6 +39,81 @@ object GraphQueries {
     * data-dependent cap: every post-corpus-pass structure is ≤ E edges. */
   private val TopEdges = 500
 
+  /** The full PageRank frame (id, pr DECIMAL(12,6)) over a near-dup pair
+    * frame — dup_graph_pagerank's loop, factored r14 so
+    * dedup_policy_compare's `pagerank_hub` policy provably ranks with the
+    * SAME 5 damped exact-decimal iterations the audit query reports
+    * (textrank's float discipline verbatim; see the object doc). Caller
+    * supplies a lineage-truncated (a_id, b_id) pair frame. */
+  private[queries] def dupPagerankFrom(pairs: DataFrame): DataFrame = {
+    val sym = pairs.union(pairs.select(col("b_id"), col("a_id")))
+    val outw = sym.groupBy("a_id").agg(count(lit(1)).as("outw"))
+    val shared = Q.truncate(sym.join(outw, Seq("a_id"))
+      .select(col("a_id"), col("b_id"),
+        Q.grid6(lit(1.0) / col("outw")).cast("decimal(10,6)").as("share")))
+    val nodes = Q.truncate(sym.select(col("a_id").as("id")).distinct())
+    val ncount = nodes.agg(count(lit(1)).as("n"))
+    def iterate(pr: DataFrame): DataFrame = {
+      val contrib = pr.join(shared, pr("id") === shared("a_id"))
+        .select(col("b_id").as("id"),
+          Q.grid6(col("pr").cast("double") * col("share").cast("double"))
+            .cast("decimal(12,6)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("acc"))
+      nodes.crossJoin(broadcast(ncount)).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          Q.grid6(
+            lit(OneMinusD) / col("n") +
+              lit(Damping) * coalesce(col("acc"), lit(0).cast("decimal(12,6)")).cast("double"))
+            .cast("decimal(12,6)").as("pr"))
+    }
+    var pr: DataFrame = nodes.crossJoin(broadcast(ncount))
+      .select(col("id"),
+        Q.grid6(lit(1.0) / col("n")).cast("decimal(12,6)").as("pr"))
+    for (_ <- 1 to Iterations) pr = iterate(pr)
+    pr
+  }
+
+  /** Oracle twin of [[dupPagerankFrom]] — CTE text from a `pairs(a_id,
+    * b_id)` CTE through `prN(id, pr)`; `prFinalCte` names the last one.
+    * CTE names are prefixed `pg` so callers can co-nest the CC and kcore
+    * chains without collisions. */
+  private[queries] def dupPagerankSqlCtes: String = {
+    val base =
+      s"""pgsym AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |pgoutw AS (SELECT a_id, COUNT(*) AS outw FROM pgsym GROUP BY a_id),
+         |pgshared AS MATERIALIZED (
+         |  SELECT s.a_id, s.b_id,
+         |         CAST(floor(CAST(1 AS DOUBLE) / o.outw * 1000000.0) / 1000000.0
+         |              AS DECIMAL(10,6)) AS share
+         |  FROM pgsym s JOIN pgoutw o ON s.a_id = o.a_id),
+         |pgnodes AS MATERIALIZED (SELECT DISTINCT a_id AS id FROM pgsym),
+         |pgnc AS (SELECT COUNT(*) AS n FROM pgnodes),
+         |pgpr0 AS (SELECT id,
+         |            CAST(floor(CAST(1 AS DOUBLE) / n * 1000000.0) / 1000000.0
+         |                 AS DECIMAL(12,6)) AS pr
+         |          FROM pgnodes CROSS JOIN pgnc)""".stripMargin
+    val iters = (1 to Iterations).map { i =>
+      s"""pgpr$i AS MATERIALIZED (
+         |  SELECT pgnodes.id,
+         |         CAST(floor((CAST($OneMinusD AS DOUBLE) / pgnc.n +
+         |           CAST($Damping AS DOUBLE) * CAST(COALESCE(s.acc, CAST(0 AS DECIMAL(12,6))) AS DOUBLE))
+         |           * 1000000.0) / 1000000.0
+         |           AS DECIMAL(12,6)) AS pr
+         |  FROM pgnodes CROSS JOIN pgnc
+         |  LEFT JOIN (SELECT sh.b_id AS id,
+         |               SUM(CAST(floor(CAST(p.pr AS DOUBLE) * CAST(sh.share AS DOUBLE)
+         |                   * 1000000.0) / 1000000.0
+         |                   AS DECIMAL(12,6))) AS acc
+         |             FROM pgpr${i - 1} p JOIN pgshared sh ON p.id = sh.a_id
+         |             GROUP BY sh.b_id) s ON pgnodes.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters"
+  }
+
+  /** The last CTE name emitted by [[dupPagerankSqlCtes]]. */
+  private[queries] def dupPagerankFinalCte: String = s"pgpr$Iterations"
+
   val all: Map[String, Q] = Map(
 
     // ---- TextRank keywords (PageRank over the bigram graph) --------------
@@ -176,30 +251,7 @@ object GraphQueries {
           Tables.load(s, dir, "embeddings"), 0.40)
         val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
         sig.unpersist()
-        val sym = pairs.union(pairs.select(col("b_id"), col("a_id")))
-        val outw = sym.groupBy("a_id").agg(count(lit(1)).as("outw"))
-        val shared = Q.truncate(sym.join(outw, Seq("a_id"))
-          .select(col("a_id"), col("b_id"),
-            Q.grid6(lit(1.0) / col("outw")).cast("decimal(10,6)").as("share")))
-        val nodes = Q.truncate(sym.select(col("a_id").as("id")).distinct())
-        val ncount = nodes.agg(count(lit(1)).as("n"))
-        def iterate(pr: DataFrame): DataFrame = {
-          val contrib = pr.join(shared, pr("id") === shared("a_id"))
-            .select(col("b_id").as("id"),
-              Q.grid6(col("pr").cast("double") * col("share").cast("double"))
-                .cast("decimal(12,6)").as("c"))
-            .groupBy("id").agg(sum(col("c")).as("acc"))
-          nodes.crossJoin(broadcast(ncount)).join(contrib, Seq("id"), "left")
-            .select(col("id"),
-              Q.grid6(
-                lit(OneMinusD) / col("n") +
-                  lit(Damping) * coalesce(col("acc"), lit(0).cast("decimal(12,6)")).cast("double"))
-                .cast("decimal(12,6)").as("pr"))
-        }
-        var pr: DataFrame = nodes.crossJoin(broadcast(ncount))
-          .select(col("id"),
-            Q.grid6(lit(1.0) / col("n")).cast("decimal(12,6)").as("pr"))
-        for (_ <- 1 to Iterations) pr = iterate(pr)
+        val pr = dupPagerankFrom(pairs)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pr").desc, col("id"))
         pr.orderBy(col("pr").desc, col("id")).limit(TopK)

@@ -47,6 +47,40 @@ object SimilarityQueries {
   private def truncate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Q.truncate(df)
 
+  /** The bounded k-core peel (dup_graph_kcore's loop, factored r14):
+    * repeatedly drop nodes with degree < k from the undirected pair
+    * frame until stable or `maxRounds` (12 — spec-pinned ≡ the oracle's
+    * fixed unroll; convergence within the bound is reported, never
+    * assumed). Returns (final edges, final edge count, rounds peeled,
+    * converged). Per-round edge counts are bounded driver reads (the CC
+    * convergence-probe precedent); each round's frame is truncated so
+    * round r never recomputes rounds 1..r−1. */
+  private[queries] def kcorePeel(
+      edges0: org.apache.spark.sql.DataFrame, nEdges0: Long,
+      k: Int = 3, maxRounds: Int = 12)
+      : (org.apache.spark.sql.DataFrame, Long, Int, Boolean) = {
+    var edges = edges0
+    var prev = nEdges0
+    var roundsPeeled = 0
+    var converged = nEdges0 == 0L
+    var r = 0
+    while (r < maxRounds && !converged) {
+      val sym = edges.select(col("a_id"), col("b_id"))
+        .union(edges.select(col("b_id"), col("a_id")))
+      val keep = sym.groupBy("a_id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a_id").as("id"))
+      edges = truncate(edges
+        .join(keep.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(keep.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
+        .select(col("a_id"), col("b_id")))
+      val c = edges.count()
+      if (c == prev) converged = true
+      else { roundsPeeled += 1; prev = c }
+      r += 1
+    }
+    (edges, prev, roundsPeeled, converged)
+  }
+
   /** Deterministic "random" hyperplane j: component i is +1 iff the first
     * hex char of md5("j:i") >= '8' — Scala and DuckDB construct the
     * identical planes from the same digests. */
@@ -1393,35 +1427,17 @@ object SimilarityQueries {
     // 100 TB each round is pair-frame-sized, never corpus², and the
     // round count is bounded by construction.
     "dup_graph_kcore" -> Q(
+      // peel loop factored into [[kcorePeel]] (r14) so dedup_policy_compare's
+      // kcore_member policy provably uses the audit query's own core set
       fn = (s, dir) => {
-        val K = 3
-        val MaxRounds = 12
         val (pairsRaw, sig) = lshNearDupPairsBandLocalWithSig(
           Tables.load(s, dir, "embeddings"), 0.40)
-        var edges = truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        val edges0 = truncate(pairsRaw.select(col("a_id"), col("b_id")))
         sig.unpersist()
-        val nEdges0 = edges.count()
-        val nNodes0 = edges.select(col("a_id").as("id"))
-          .union(edges.select(col("b_id").as("id"))).distinct().count()
-        var prev = nEdges0
-        var roundsPeeled = 0
-        var converged = nEdges0 == 0L
-        var k = 0
-        while (k < MaxRounds && !converged) {
-          val sym = edges.select(col("a_id"), col("b_id"))
-            .union(edges.select(col("b_id"), col("a_id")))
-          val keep = sym.groupBy("a_id").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= K).select(col("a_id").as("id"))
-          edges = truncate(edges
-            .join(keep.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
-            .join(keep.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
-            .select(col("a_id"), col("b_id")))
-          val c = edges.count()
-          if (c == prev) converged = true
-          else { roundsPeeled += 1; prev = c }
-          k += 1
-        }
-        val coreEdges = prev
+        val nEdges0 = edges0.count()
+        val nNodes0 = edges0.select(col("a_id").as("id"))
+          .union(edges0.select(col("b_id").as("id"))).distinct().count()
+        val (edges, coreEdges, roundsPeeled, converged) = kcorePeel(edges0, nEdges0)
         val coreNodes =
           if (coreEdges == 0L) 0L
           else edges.select(col("a_id").as("id"))
@@ -2931,6 +2947,127 @@ object SimilarityQueries {
          |${leg("ivf_pq_residual_topk")})
          |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
          |FROM r ORDER BY method, qid""".stripMargin
+    }),
+
+  // ---- dedup survivorship policy table (r14, VERDICT item 6) ------------
+  // The graph deck measures hub-and-spoke structure (assortativity r < 0,
+  // pagerank names the hubs, kcore names the nucleus) — this is the
+  // DECISION TABLE a dedup review reads off those measurements: for each
+  // survivorship policy, per near-dup cluster (the SAME gated CC labels
+  // as dedup_clusters over the cosine-0.40 band-local graph), the
+  // survivor it keeps and the reclaimable character mass:
+  //   min_id       — dedup_clusters' canonical representative
+  //   longest      — dedup_survivorship's keep-most-content rule
+  //   pagerank_hub — keep the template hub (max pr, the SHARED
+  //                  dupPagerankFrom loop — 5 damped exact-decimal
+  //                  iterations, dup_graph_pagerank's ranking verbatim)
+  //   kcore_member — keep a 3-core member (min id among core members;
+  //                  clusters with no core member fall back to min id) —
+  //                  the SHARED kcorePeel, dup_graph_kcore's core set
+  // n_members/total_chars are per-cluster invariants (identical across
+  // policies — mass conservation, spec-pinned); survivor + reclaimed ≡
+  // total by construction. Char mass joins documents on doc_id = vec_id
+  // (the corpus contract: every embedding row has its document row).
+  //
+  // Scale shape: ONE band-local pair generation feeds all four policies
+  // (pairs truncated once); CC + pagerank + kcore all run on pair-graph-
+  // sized frames; the policy aggregations are min(struct) map-side
+  // argmins per cluster — no new corpus pass, no all-pairs anywhere.
+  "dedup_policy_compare" -> Q(
+    fn = (s, dir) => {
+      val (pairsRaw, sig) = lshNearDupPairsBandLocalWithSig(
+        Tables.load(s, dir, "embeddings"), 0.40)
+      val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
+      sig.unpersist()
+      val sym = pairs.union(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("n_chars"))
+      val members = Q.truncate(Q.connectedComponents(sym)
+        .select(col("label").as("cluster"), col("id"))
+        .join(docs, Seq("id")))
+      val pr = GraphQueries.dupPagerankFrom(pairs)
+      val (coreEdges, _, _, _) = kcorePeel(pairs, pairs.count())
+      val core = coreEdges.select(col("a_id").as("id"))
+        .union(coreEdges.select(col("b_id").as("id"))).distinct()
+        .withColumn("is_core", lit(0L))
+      def policy(name: String, src: org.apache.spark.sql.DataFrame, pri: Column) =
+        src.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("n_chars")).as("total_chars"),
+            min(struct(pri.as("p"), col("id"), col("n_chars").as("sc"))).as("m"))
+          .select(lit(name).as("policy"), col("cluster"),
+            col("m.id").as("survivor_id"), col("n_members"), col("total_chars"),
+            col("m.sc").as("survivor_chars"),
+            (col("total_chars") - col("m.sc")).as("reclaimed_chars"))
+      val withPr = members.join(pr, Seq("id"))
+      val withCore = members.join(core, Seq("id"), "left")
+      policy("min_id", members, lit(0L))
+        .unionAll(policy("longest", members, negate(col("n_chars"))))
+        .unionAll(policy("pagerank_hub", withPr, negate(col("pr"))))
+        .unionAll(policy("kcore_member", withCore,
+          coalesce(col("is_core"), lit(1L))))
+        .orderBy("policy", "cluster")
+    },
+    oracle = Some {
+      val kcoreRounds = (1 to 12).map { k =>
+        s"""kd$k AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+           |          SELECT a_id AS id FROM ke${k - 1}
+           |          UNION ALL SELECT b_id FROM ke${k - 1}) u GROUP BY id),
+           |ke$k AS MATERIALIZED (SELECT a_id, b_id FROM ke${k - 1}
+           |        WHERE a_id IN (SELECT id FROM kd$k WHERE deg >= 3)
+           |          AND b_id IN (SELECT id FROM kd$k WHERE deg >= 3))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${lshPairsSqlCtes(0.40)},
+         |pairs AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+         |  WHERE ${duckDot("a.embedding", "b.embedding")}
+         |         / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.40),
+         |csym AS (SELECT a_id AS s2, b_id AS d2 FROM pairs
+         |         UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(s2, d2) AS (
+         |  SELECT s2, d2 FROM csym
+         |  UNION
+         |  SELECT r.s2, e2.d2 FROM reach r JOIN csym e2 ON r.d2 = e2.s2 WHERE r.s2 != e2.d2
+         |),
+         |labels AS (SELECT s2 AS id, LEAST(s2, MIN(d2)) AS cluster
+         |           FROM reach GROUP BY s2),
+         |members AS MATERIALIZED (
+         |  SELECT l.cluster, l.id, d.n_chars
+         |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+         |${GraphQueries.dupPagerankSqlCtes},
+         |ke0 AS MATERIALIZED (SELECT a_id, b_id FROM pairs),
+         |$kcoreRounds,
+         |core AS (SELECT DISTINCT id FROM (
+         |  SELECT a_id AS id FROM ke12 UNION ALL SELECT b_id FROM ke12) u),
+         |agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |        FROM members GROUP BY cluster),
+         |pm AS (SELECT 'min_id' AS policy, cluster, id, n_chars,
+         |              ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY id) AS rk
+         |       FROM members),
+         |pl AS (SELECT 'longest' AS policy, cluster, id, n_chars,
+         |              ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, id) AS rk
+         |       FROM members),
+         |pp AS (SELECT 'pagerank_hub' AS policy, m.cluster, m.id, m.n_chars,
+         |              ROW_NUMBER() OVER (PARTITION BY m.cluster ORDER BY p.pr DESC, m.id) AS rk
+         |       FROM members m JOIN ${GraphQueries.dupPagerankFinalCte} p ON p.id = m.id),
+         |pk AS (SELECT 'kcore_member' AS policy, m.cluster, m.id, m.n_chars,
+         |              ROW_NUMBER() OVER (PARTITION BY m.cluster
+         |                ORDER BY CASE WHEN c.id IS NULL THEN 1 ELSE 0 END, m.id) AS rk
+         |       FROM members m LEFT JOIN core c ON c.id = m.id),
+         |winners AS (
+         |  SELECT * FROM pm WHERE rk = 1
+         |  UNION ALL SELECT * FROM pl WHERE rk = 1
+         |  UNION ALL SELECT * FROM pp WHERE rk = 1
+         |  UNION ALL SELECT * FROM pk WHERE rk = 1)
+         |SELECT w.policy, w.cluster, w.id AS survivor_id,
+         |       a.n_members, a.total_chars,
+         |       CAST(w.n_chars AS BIGINT) AS survivor_chars,
+         |       CAST(a.total_chars - w.n_chars AS BIGINT) AS reclaimed_chars
+         |FROM winners w JOIN agg a ON a.cluster = w.cluster
+         |ORDER BY policy, w.cluster""".stripMargin
     }),
 
   // ---- ANN quality eval #2: mean reciprocal rank ------------------------

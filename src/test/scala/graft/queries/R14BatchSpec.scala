@@ -86,6 +86,37 @@ class R14BatchSpec extends SparkTestBase {
       "residual training must not lose recall vs raw ADC on the gate corpus")
   }
 
+  test("dedup_policy_compare: mass conservation + policy dominance") {
+    val rows = graft.SparkEntry.queries("dedup_policy_compare")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap // (policy, cluster) -> (survivor, members, total, schars, reclaimed)
+    val policies = rows.keySet.map(_._1)
+    assert(policies == Set("min_id", "longest", "pagerank_hub", "kcore_member"))
+    val clusters = rows.keySet.map(_._2)
+    policies.foreach { p =>
+      assert(rows.keySet.filter(_._1 == p).map(_._2) == clusters,
+        s"$p covers a different cluster set")
+    }
+    clusters.foreach { c =>
+      val per = policies.toSeq.map(p => rows((p, c)))
+      // the cluster's membership and mass are policy-INVARIANT…
+      assert(per.map(t => (t._2, t._3)).distinct.size == 1,
+        s"cluster $c: n_members/total_chars vary across policies")
+      // …and every policy conserves it: survivor + reclaimed == total
+      per.foreach { case (_, _, total, schars, reclaimed) =>
+        assert(schars + reclaimed == total, s"cluster $c: mass not conserved")
+      }
+      // min_id keeps the CC label itself (min-label construction)
+      assert(rows(("min_id", c))._1 == c, s"cluster $c: min_id survivor != label")
+      // longest reclaims the least mass of any policy, by definition
+      val reclaimedLongest = rows(("longest", c))._5
+      per.foreach { case (_, _, _, _, rec) =>
+        assert(reclaimedLongest <= rec, s"cluster $c: longest not optimal")
+      }
+    }
+  }
+
   test("pq_train: full Scala replay of coarse-assign -> residual -> 2 Lloyd rounds") {
     val out = graft.SparkEntry.queries("pq_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
