@@ -12,16 +12,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Quiet-box wall-clock of [[canary]] as measured IN-BENCH (the same
-    * shared-JVM heap state every capture's canary runs under — r13's
-    * baseline was the FLOOR of STANDALONE BoxCanary runs, which sits ~10%
-    * below the in-Bench reading and systematically inflated box_factor;
-    * r14 ADVICE item 1). Recalibrated r14 from quiet-box (loadavg < 1)
-    * in-Bench captures: median of the pre/post canaries across quiet r14
-    * runs (old 700 → new value recorded in PLANS.md's canary trend
-    * table). FROZEN henceforth: the canary workload and this constant
-    * must never change together — box_factor = canary_now / this is only
-    * meaningful while both sides of the ratio stay fixed. */
+  /** Quiet-box wall-clock of [[canary]]. Set at r13 as the floor of
+    * STANDALONE BoxCanary runs (660-870 ms); the r14 ADVICE flagged that
+    * basis as potentially flattering (floor + a claimed in-Bench +10%
+    * would inflate box_factor). r14 VALIDATED the constant against
+    * IN-BENCH quiet captures instead of recalibrating: the quiet r14
+    * captures read pre/post canaries bracketing 700 (716/605 and the
+    * committed capture's readings — PLANS.md canary trend table), i.e.
+    * 700 ≈ the in-Bench quiet median, so the baseline stands and the
+    * trend line is NOT reset. The pre/post MEAN now feeds box_factor
+    * (drift during the capture is visible as pre/post spread). FROZEN:
+    * the canary workload and this constant must never change together —
+    * box_factor = canary_now / this is only meaningful while both sides
+    * of the ratio stay fixed. */
   val CanaryBaselineMs: Long = 700L
 
   /** The box-drift canary: a FIXED registry-independent workload touching
