@@ -2746,7 +2746,41 @@ object SimilarityQueries {
            |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk
            |  FROM dist)
            |SELECT qid, cid, CAST(adist AS DOUBLE) AS adist, CAST(rk AS INTEGER) AS rk
-           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+           |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)),
+
+    // ---- the FULL modern serving stack (r14): trained residual PQ
+    // shortlist → exact re-rank --------------------------------------------
+    // Composes the round's two halves into the deployable end state every
+    // FAISS-era system actually runs (IVFADC + re-ranking, Jégou 2011
+    // §IV+§V together): [[ivfPqResidualDist]] (trained codebooks, residual
+    // encoding) supplies the candidate scores, [[ivfPqRefineTopk]] takes
+    // the top-50 shortlist and re-ranks by exact cosine — both stages the
+    // SAME gated builders as their standalone audit queries, so
+    // recall_pq_family's 5-leg table reads as one coherent ablation:
+    // raw-flat → raw-pruned → +refine, and trained-residual → +refine.
+    "ivf_pq_residual_refined_topk" -> Q(
+      fn = (s, dir) => ivfPqRefineTopk(s, dir, ivfPqResidualDist(s, dir)),
+      oracle = Some(
+        s"""WITH $ivfPqResidualDistSql,
+           |short AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS srk
+           |    FROM dist) t
+           |  WHERE srk <= $RefineShortlist),
+           |rr AS (
+           |  SELECT s.qid, s.cid,
+           |         ${duckCosSql("q.embedding", "c.embedding")} AS sim
+           |  FROM short s
+           |  JOIN embeddings q ON q.vec_id = s.qid
+           |  JOIN embeddings c ON c.vec_id = s.cid),
+           |rranked AS (
+           |  SELECT qid, cid, sim,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM rr)
+           |SELECT qid, cid, floor(sim * 1000000.0) / 1000000.0 AS sim,
+           |       CAST(rk AS INTEGER) AS rk
+           |FROM rranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
   )
 
   /** The Spark leg of the exact-decimal power iteration: micro-quantized
@@ -2920,11 +2954,13 @@ object SimilarityQueries {
           .select(lit(name).as("method"), col("qid"), col("n_hit"),
             (col("n_hit").cast("double") / lit(TopK)).as("recall"))
       }
+      val rdist = Q.truncate(ivfPqResidualDist(s, dir))
       leg("pq_topk", base("pq_topk").fn(s, dir))
         .unionAll(leg("ivf_pq_topk", ivfPqRankTopk(dist)))
         .unionAll(leg("ivf_pq_refined_topk", ivfPqRefineTopk(s, dir, dist)))
-        .unionAll(leg("ivf_pq_residual_topk",
-          ivfPqRankTopk(ivfPqResidualDist(s, dir))))
+        .unionAll(leg("ivf_pq_residual_topk", ivfPqRankTopk(rdist)))
+        .unionAll(leg("ivf_pq_residual_refined_topk",
+          ivfPqRefineTopk(s, dir, rdist)))
         .orderBy("method", "qid")
     },
     oracle = Some {
@@ -2938,13 +2974,16 @@ object SimilarityQueries {
          |a_ivf_pq_topk AS (${base("ivf_pq_topk").oracle.get}),
          |a_ivf_pq_refined_topk AS (${base("ivf_pq_refined_topk").oracle.get}),
          |a_ivf_pq_residual_topk AS (${base("ivf_pq_residual_topk").oracle.get}),
+         |a_ivf_pq_residual_refined_topk AS (${base("ivf_pq_residual_refined_topk").oracle.get}),
          |r AS (${leg("pq_topk")}
          |UNION ALL
          |${leg("ivf_pq_topk")}
          |UNION ALL
          |${leg("ivf_pq_refined_topk")}
          |UNION ALL
-         |${leg("ivf_pq_residual_topk")})
+         |${leg("ivf_pq_residual_topk")}
+         |UNION ALL
+         |${leg("ivf_pq_residual_refined_topk")})
          |SELECT method, qid, n_hit, CAST(n_hit AS DOUBLE) / $TopK AS recall
          |FROM r ORDER BY method, qid""".stripMargin
     }),

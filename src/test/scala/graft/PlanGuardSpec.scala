@@ -115,6 +115,9 @@ class PlanGuardSpec extends SparkTestBase {
       // ivf_pq_residual_topk: ivf_pq_topk's ≤5-row query × 16-row centroid
       // probe broadcasts + the ≤q×4-probe residual-ADC broadcast (r14)
       "ivf_pq_residual_topk",
+      // ivf_pq_residual_refined_topk: composes the residual retriever's
+      // whitelisted broadcasts + the refine stage's ≤q×50 shortlist (r14)
+      "ivf_pq_residual_refined_topk",
       // dedup_policy_compare: composes dup_graph_pagerank's whitelisted
       // nodes × 1-row node-count broadcast (r14)
       "dedup_policy_compare",
