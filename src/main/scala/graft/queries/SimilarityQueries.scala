@@ -289,6 +289,19 @@ object SimilarityQueries {
   private def ivfPqAdcDist(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
+    ivfPqAdcDistFrom(emb, ivfLists(emb).select("cid", "list_id"), ivfProbes(emb))
+  }
+
+  /** [[ivfPqAdcDist]] over PREPARED coarse frames — recall_pq_family
+    * derives (lists, probes) ONCE and feeds every leg (r14: the eval's
+    * legs otherwise re-run the corpus-sized ivfLists argmin per leg — the
+    * r13 ADVICE shared-frame rule). The registry query passes freshly
+    * built frames, so its plan is unchanged. */
+  private def ivfPqAdcDistFrom(
+      emb: org.apache.spark.sql.DataFrame,
+      lists: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     def l2(a: String, b: String): Column =
       graft.functions.VectorFunctions.floatL2Sq(col(a), col(b))
     def subspaces(src: org.apache.spark.sql.DataFrame, idCol: String, subName: String) =
@@ -296,9 +309,6 @@ object SimilarityQueries {
           explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
         .select(col(idCol), col("j"),
           expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
-    // IVF side: probe the 4 nearest lists (ivf_topk's spelling)
-    val lists = ivfLists(emb).select("cid", "list_id")
-    val probes = ivfProbes(emb)
     // PQ side: codes + ADC table (pq_topk's spelling)
     val pqcents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
     val codes = subspaces(emb, "cid", "subv")
@@ -425,8 +435,18 @@ object SimilarityQueries {
   private def pqResidualSub(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val resid = ivfLists(emb)
-      .join(broadcast(ivfCentroids(emb)), col("list_id") === col("cent_id"))
+    pqResidualSubFrom(ivfLists(emb), ivfCentroids(emb))
+  }
+
+  /** [[pqResidualSub]] over a PREPARED full (cid, cv, list_id) coarse
+    * assignment + (cent_id, centv) codebook — recall_pq_family shares ONE
+    * truncated ivfLists across its legs (r14). */
+  private def pqResidualSubFrom(
+      listsFull: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val resid = listsFull
+      .join(broadcast(cents), col("list_id") === col("cent_id"))
       .select(col("cid"), col("list_id"),
         expr("zip_with(cv, centv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")
           .as("r"))
@@ -561,7 +581,18 @@ object SimilarityQueries {
   private def ivfPqResidualDist(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val rsub = truncate(pqResidualSub(s, dir))
+    ivfPqResidualDistFrom(emb, truncate(pqResidualSub(s, dir)),
+      ivfLists(emb).select("cid", "list_id"), ivfProbes(emb))
+  }
+
+  /** [[ivfPqResidualDist]] over PREPARED frames (truncated rsub + coarse
+    * lists/probes) — the recall_pq_family shared-frame path (r14). */
+  private def ivfPqResidualDistFrom(
+      emb: org.apache.spark.sql.DataFrame,
+      rsub: org.apache.spark.sql.DataFrame,
+      lists: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val cb = truncate(pqResidualTrainFrom(rsub)._1)
     val codes = rsub.join(broadcast(cb), Seq("j"))
       .groupBy("cid", "j")
@@ -573,7 +604,6 @@ object SimilarityQueries {
     val cents = ivfCentroids(emb)
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val probes = ivfProbes(emb)
     val qrsub = probes
       .join(broadcast(cents), col("list_id") === col("cent_id"))
       .join(broadcast(q), Seq("qid"))
@@ -588,7 +618,6 @@ object SimilarityQueries {
       .select(col("qid"), col("list_id"), col("j"), col("code"),
         Q.grid6(graft.functions.VectorFunctions.l2Sq(col("qrsub"), col("centv")))
           .cast("decimal(16,6)").as("qd2"))
-    val lists = ivfLists(emb).select("cid", "list_id")
     val cand = probes.join(lists, Seq("list_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("list_id"))
@@ -2945,7 +2974,13 @@ object SimilarityQueries {
       // tails over the same builder), so no-drift composition is preserved.
       val exact = Q.truncate(
         base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")))
-      val dist = Q.truncate(ivfPqAdcDist(s, dir))
+      // the coarse stage (ivfLists argmin — the one corpus-sized pass the
+      // IVF legs share) is derived ONCE and feeds both dist builders
+      val emb = Tables.load(s, dir, "embeddings")
+      val listsFull = Q.truncate(ivfLists(emb))
+      val lists = listsFull.select(col("cid"), col("list_id"))
+      val probes = ivfProbes(emb)
+      val dist = Q.truncate(ivfPqAdcDistFrom(emb, lists, probes))
       def leg(name: String, approx0: org.apache.spark.sql.DataFrame) = {
         val approx = approx0.select(col("qid"), col("cid"), lit(1L).as("hit"))
         exact.join(approx, Seq("qid", "cid"), "left")
@@ -2954,7 +2989,8 @@ object SimilarityQueries {
           .select(lit(name).as("method"), col("qid"), col("n_hit"),
             (col("n_hit").cast("double") / lit(TopK)).as("recall"))
       }
-      val rdist = Q.truncate(ivfPqResidualDist(s, dir))
+      val rsub = Q.truncate(pqResidualSubFrom(listsFull, ivfCentroids(emb)))
+      val rdist = Q.truncate(ivfPqResidualDistFrom(emb, rsub, lists, probes))
       leg("pq_topk", base("pq_topk").fn(s, dir))
         .unionAll(leg("ivf_pq_topk", ivfPqRankTopk(dist)))
         .unionAll(leg("ivf_pq_refined_topk", ivfPqRefineTopk(s, dir, dist)))
