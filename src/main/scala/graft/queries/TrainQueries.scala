@@ -299,69 +299,20 @@ object TrainQueries {
     // 100 TB you persist the (vec, cluster) assignment per round and the
     // scans pipeline map-side.
     "kmeans_train" -> Q(
+      // loop factored into [[kmeansTrainLoop]] (r14) so ivf_trained_topk's
+      // coarse quantizer provably trains with this query's own iterations
       fn = (s, dir) => {
-        import org.apache.spark.sql.DataFrame
-        import graft.functions.VectorFunctions.l2Sq
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        var cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centv"))
-        var update: DataFrame = null
-        for (_ <- 1 to 3) {
-          val assigned = emb
-            .crossJoin(broadcast(cents))
-            .groupBy("vec_id")
-            .agg(min(struct(
-                coalesce(l2Sq(col("embedding"), col("centv")),
-                  lit(Double.PositiveInfinity)).as("d2"),
-                col("cent_id"))).as("m"),
-              first(col("embedding")).as("embedding"))
-            .select(col("m.cent_id").as("cluster"), col("embedding"))
-          update = assigned
-            .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-            .groupBy("cluster", "dim")
-            .agg(count(lit(1)).as("n_members"),
-              sum(Q.grid6(col("v").cast("double")).cast("decimal(16,6)")).as("s6"))
-          cents = update
-            .withColumn("m", col("s6").cast("decimal(20,6)").cast("double") / col("n_members"))
-            .groupBy(col("cluster").as("cent_id"))
-            .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
-              .as("centv"))
-        }
-        update.select(col("cluster"), col("dim"), col("n_members"),
+        kmeansTrainLoop(emb)._2
+          .select(col("cluster"), col("dim"), col("n_members"),
             col("s6").cast("decimal(20,6)").cast("double").as("c_sum"))
           .orderBy("cluster", "dim")
       },
-      oracle = Some {
-        def l2(e: String, c: String) =
-          s"""list_reduce(list_transform(range(1, 65),
-             |  i -> ($e[i] - $c[i]) * ($e[i] - $c[i])),
-             |  (acc, v) -> acc + v)""".stripMargin
-        val iters = (1 to 3).map { k =>
-          s"""a$k AS (
-             |  SELECT cluster, emb FROM (
-             |    SELECT e.vec_id, e.emb, c.cent_id AS cluster,
-             |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |                              ORDER BY ${l2("e.emb", "c.centv")}, c.cent_id) AS rk
-             |    FROM e CROSS JOIN c${k - 1} c) t
-             |  WHERE rk = 1),
-             |f$k AS (
-             |  SELECT cluster, CAST(u.i - 1 AS INTEGER) AS dim,
-             |         CAST(floor(emb[u.i] * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS v6
-             |  FROM a$k, UNNEST(range(1, 65)) AS u(i)),
-             |u$k AS (SELECT cluster, dim, COUNT(*) AS n, CAST(SUM(v6) AS DECIMAL(20,6)) AS s
-             |        FROM f$k GROUP BY cluster, dim),
-             |c$k AS (SELECT cluster AS cent_id, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centv
-             |        FROM u$k GROUP BY cluster)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           |           FROM embeddings),
-           |c0 AS (SELECT vec_id AS cent_id, emb AS centv FROM e WHERE vec_id < 16),
-           |$iters
+      oracle = Some(
+        s"""WITH $kmeansSqlCtes
            |SELECT cluster, dim, n AS n_members, CAST(s AS DOUBLE) AS c_sum
-           |FROM u3 ORDER BY cluster, dim""".stripMargin
-      }),
+           |FROM u3 ORDER BY cluster, dim""".stripMargin)),
 
     // ---- BPE vocabulary learning: the top merge candidates ---------------
     // The first iteration of byte-pair-encoding training: count adjacent
@@ -624,6 +575,105 @@ object TrainQueries {
     * and `bpe_apply` (the tokenization it induces) cannot drift apart.
     * Per-round argmax is a 1-row driver read (the CC-probe precedent);
     * state is Q.truncate'd per round so round k never recomputes 1..k-1. */
+  /** kmeans_train's 3-round Lloyd loop over full vectors, factored r14 so
+    * ivf_trained_topk's coarse quantizer is provably the audit query's own
+    * training (the pqResidualTrain precedent at the coarse level). Returns
+    * (final centroids (cent_id, centv array<double>), final update table
+    * (cluster, dim, n_members, s6)). Float discipline: see kmeans_train's
+    * comment — every number feeding round k+1 is bit-identical
+    * cross-engine (seed doubles, grid6-decimal sums, one correctly-rounded
+    * mean division per coordinate). */
+  private[queries] def kmeansTrainLoop(
+      emb: org.apache.spark.sql.DataFrame, spherical: Boolean = false)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.functions.VectorFunctions.l2Sq
+    // spherical k-means (Dhillon & Modha 2001): centroids are RE-NORMALIZED
+    // to the unit sphere after every mean update — without this, Lloyd
+    // means shrink off the sphere and L2 argmin to them is NOT cosine
+    // argmax (the -|c|^2/2 term penalizes longer centroids). Zero-mean
+    // clusters stay zero (the CASE guard keeps NaN out of both engines).
+    def sphere(c: org.apache.spark.sql.DataFrame) =
+      if (!spherical) c
+      else c.withColumn("cn2",
+          expr("aggregate(centv, 0.0D, (a, y) -> a + y * y)"))
+        .select(col("cent_id"),
+          expr("""transform(centv,
+                 |  x -> CASE WHEN cn2 > 0.0D THEN x / sqrt(cn2)
+                 |            ELSE 0.0D END)""".stripMargin).as("centv"))
+    var cents = sphere(emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centv")))
+    var update: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      val assigned = emb
+        .crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(min(struct(
+            coalesce(l2Sq(col("embedding"), col("centv")),
+              lit(Double.PositiveInfinity)).as("d2"),
+            col("cent_id"))).as("m"),
+          first(col("embedding")).as("embedding"))
+        .select(col("m.cent_id").as("cluster"), col("embedding"))
+      update = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          sum(Q.grid6(col("v").cast("double")).cast("decimal(16,6)")).as("s6"))
+      cents = sphere(update
+        .withColumn("m", col("s6").cast("decimal(20,6)").cast("double") / col("n_members"))
+        .groupBy(col("cluster").as("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
+          .as("centv")))
+    }
+    (cents, update)
+  }
+
+  /** Oracle twin of [[kmeansTrainLoop]] — CTE text from `e` (double-cast
+    * embeddings) through `c3` (trained centroids) / `u3` (final update);
+    * shared by kmeans_train and ivf_trained_topk. */
+  private[queries] def kmeansSqlCtes: String =
+    kmeansSqlCtesFrom(
+      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings""".stripMargin)
+
+  /** [[kmeansSqlCtes]] with a caller-supplied `e(vec_id, emb)` body —
+    * ivf_spherical_topk trains on L2-NORMALIZED vectors (r14). */
+  private[queries] def kmeansSqlCtesFrom(eBody: String, spherical: Boolean = false): String = {
+    def sphereSql(inner: String) =
+      if (!spherical) inner
+      else s"""SELECT cent_id,
+              |       list_transform(centv,
+              |         x -> CASE WHEN cn2 > 0 THEN x / sqrt(cn2)
+              |                   ELSE CAST(0 AS DOUBLE) END) AS centv
+              |FROM (SELECT cent_id, centv,
+              |             list_reduce(list_transform(centv, x -> x * x),
+              |                         (a, v) -> a + v) AS cn2
+              |      FROM ($inner))""".stripMargin
+    def l2(e: String, c: String) =
+      s"""list_reduce(list_transform(range(1, 65),
+         |  i -> ($e[i] - $c[i]) * ($e[i] - $c[i])),
+         |  (acc, v) -> acc + v)""".stripMargin
+    val iters = (1 to 3).map { k =>
+      s"""a$k AS (
+         |  SELECT cluster, emb FROM (
+         |    SELECT e.vec_id, e.emb, c.cent_id AS cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${l2("e.emb", "c.centv")}, c.cent_id) AS rk
+         |    FROM e CROSS JOIN c${k - 1} c) t
+         |  WHERE rk = 1),
+         |f$k AS (
+         |  SELECT cluster, CAST(u.i - 1 AS INTEGER) AS dim,
+         |         CAST(floor(emb[u.i] * 1000000.0) / 1000000.0 AS DECIMAL(16,6)) AS v6
+         |  FROM a$k, UNNEST(range(1, 65)) AS u(i)),
+         |u$k AS (SELECT cluster, dim, COUNT(*) AS n, CAST(SUM(v6) AS DECIMAL(20,6)) AS s
+         |        FROM f$k GROUP BY cluster, dim),
+         |c$k AS (${sphereSql(s"SELECT cluster AS cent_id, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centv FROM u$k GROUP BY cluster")})""".stripMargin
+    }.mkString(",\n")
+    s"""e AS ($eBody),
+       |c0 AS (${sphereSql("SELECT vec_id AS cent_id, emb AS centv FROM e WHERE vec_id < 16")}),
+       |$iters""".stripMargin
+  }
+
   /** Session-scoped memo of [[bpeTrainLoop]]'s result (r14, VERDICT item
     * 2): bpe_train / bpe_apply / bpe_token_freq each consume the SAME
     * 6-round trainer, and per-query self-containment made each re-run it —

@@ -121,6 +121,14 @@ class PlanGuardSpec extends SparkTestBase {
       // dedup_policy_compare: composes dup_graph_pagerank's whitelisted
       // nodes × 1-row node-count broadcast (r14)
       "dedup_policy_compare",
+      // ivf_trained_topk / ivf_spherical_topk: kmeans_train's ≤16-row
+      // trained-centroid broadcast (assignment + per-round Lloyd products)
+      // + the ≤5-row query probe product (ivf_topk's shape, r14)
+      "ivf_trained_topk",
+      "ivf_spherical_topk",
+      // ivf_trained_recall: composes the three coarse retrievers — their
+      // whitelisted centroid/query broadcasts (r14)
+      "ivf_trained_recall",
       // bpe_apply: 1-row totals × 1-row vocab-size aggregate product (r13)
       "bpe_apply",
       // bpe_token_freq: 1-row token-total broadcast onto the post-limit

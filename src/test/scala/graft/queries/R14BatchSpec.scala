@@ -130,6 +130,37 @@ class R14BatchSpec extends SparkTestBase {
     }
   }
 
+  test("spherical k-means: every trained centroid sits on the unit sphere") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val withN = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("n2", expr(
+        "aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .select(col("vec_id"),
+        expr("""transform(embedding,
+               |  x -> CASE WHEN n2 > 0.0D THEN CAST(x AS DOUBLE) / sqrt(n2)
+               |            ELSE 0.0D END)""".stripMargin).as("embedding"))
+    val cents = TrainQueries.kmeansTrainLoop(withN, spherical = true)._1
+      .withColumn("nrm", sqrt(expr("aggregate(centv, 0.0D, (a, x) -> a + x * x)")))
+      .collect()
+    assert(cents.nonEmpty)
+    cents.foreach { r =>
+      val n = r.getDouble(r.fieldIndex("nrm"))
+      assert(n == 0.0 || math.abs(n - 1.0) < 1e-12,
+        s"centroid ${r.get(0)} norm $n off the unit sphere")
+    }
+  }
+
+  test("ivf_trained_recall: three coarse retrievers, well-formed recall rows") {
+    val rows = graft.SparkEntry.queries("ivf_trained_recall")(spark, sf).collect()
+    val methods = rows.map(_.getString(0)).toSet
+    assert(methods == Set("ivf_topk", "ivf_trained_topk", "ivf_spherical_topk"))
+    rows.foreach { r =>
+      val rec = r.getDouble(r.fieldIndex("recall"))
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("pq_train: full Scala replay of coarse-assign -> residual -> 2 Lloyd rounds") {
     val out = graft.SparkEntry.queries("pq_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
