@@ -69,12 +69,21 @@ object PrivacyQueries {
     * `nu/ne/np/nc/ni/nd`, each counted on the string the previous class
     * already masked so counts ≡ redactions by construction.
     *
-    * Card masking is CONDITIONAL: the leftmost 16-digit candidate is
-    * Luhn-validated and only then literal-replaced (one candidate per row
-    * by fixture construction; the leftmost-candidate semantics is the
-    * documented contract). The valid fixture card is lpad(uid, 15, '0')
-    * plus the computed Luhn check digit; the invalid one shifts that
-    * digit by 5 (mod 10), so its digit mass must flow to `nd` instead. */
+    * Card masking is CONDITIONAL: the LEFTMOST 16-digit candidate is
+    * Luhn-validated and only then literal-replaced — that leftmost-
+    * candidate contract is what covers the uid % 143 == 0 rows, which
+    * carry BOTH the Luhn-valid (uid%11) and Luhn-invalid (uid%13)
+    * fixtures: the valid card renders first, so it is the candidate;
+    * the invalid one stays unmasked and its digits flow to `nd`. Two
+    * deliberate fine-print points of the contract: (1) `replace(m3,
+    * cand, ...)` is a literal GLOBAL replace — if the validated
+    * candidate string ever appeared twice in one row, both occurrences
+    * would mask (the conservative direction for a release gate); (2)
+    * `nc` is a per-row VALIDATED-CANDIDATE FLAG (0/1), not an
+    * occurrence count — on this fixture corpus the two coincide because
+    * the valid card renders exactly once per row. The valid fixture
+    * card is lpad(uid, 15, '0') plus the computed Luhn check digit; the
+    * invalid one shifts that digit by 5 (mod 10). */
   private[graft] def piiMasked(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val uid = col("user_id")

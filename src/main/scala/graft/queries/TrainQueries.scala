@@ -687,24 +687,38 @@ object TrainQueries {
     * WeakReference (the BucketSqlFunctions memo precedent) so a stopped
     * session is never pinned; a different dir/rounds replaces the entry.
     * Each query stays INDIVIDUALLY oracle-green: the memo changes when the
-    * trainer runs, never what it computes. */
+    * trainer runs, never what it computes. Train-and-publish is ATOMIC
+    * (r15, ADVICE): the check-then-set runs under [[bpeMemoLock]], so two
+    * concurrent first callers can't both run the trainer (the second
+    * blocks, then hits the memo) — without the lock, a concurrent suite
+    * would double-train and flake the one-trainer-per-session pin. */
   private val bpeMemo = new java.util.concurrent.atomic.AtomicReference[
     (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], String, Int,
       (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame))]()
+  private val bpeMemoLock = new Object
 
   /** Count of ACTUAL trainer executions (memo misses) — observability for
     * R14BatchSpec's one-trainer-per-session pin; no query reads it. */
   private[queries] val bpeTrainerRuns =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Wall-clock (ms) of the LAST actual trainer execution (r15, ADVICE):
+    * with the memo in place, Bench's min-of-N measures memo hits only, so
+    * a real trainer slowdown would be paid once and discarded by the min —
+    * this value (stamped into Bench's noise block as `bpe_trainer_ms` and
+    * logged at train time) keeps trainer-cost regressions observable. */
+  private[graft] val bpeTrainerLastMs =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   private def bpeTrainLoop(
       s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int)
-      : (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
+      : (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = bpeMemoLock.synchronized {
     bpeMemo.get() match {
       case (ref, d, r, res) if ref != null && (ref.get() eq s) && d == dir && r == rounds =>
         return res
       case _ =>
     }
+    val trainT0 = System.nanoTime()
     bpeTrainerRuns.incrementAndGet()
     val vocab = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -745,6 +759,11 @@ object TrainQueries {
     }
     val res = (merges.toSeq, state)
     bpeMemo.set((new java.lang.ref.WeakReference(s), dir, rounds, res))
+    val trainMs = (System.nanoTime() - trainT0) / 1000000L
+    bpeTrainerLastMs.set(trainMs)
+    // stderr, not stdout: Bench's one-JSON-line stdout contract
+    System.err.println(
+      s"[bpe-trainer] run #${bpeTrainerRuns.get()} ($rounds rounds) took $trainMs ms")
     res
   }
 }
