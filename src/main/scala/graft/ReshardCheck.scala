@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * within-list 1-NN pair work grows with list occupancy — (n/L)²·L at
   * fixed L = 16. Its own docs prescribe scaling n_lists with corpus size
   * to hold n/L constant; this main MEASURES that prescription: at a given
-  * SF dir it times [[graft.queries.SimilarityQueries.knnConsistencyFrom]]
+  * SF dir it times [[graft.queries.AnnQueries.knnConsistencyFrom]]
   * both as-is (L = 16) and re-sharded (L chosen to hold n/L at the sf0.1
   * occupancy of 125), plus dedup_clusters as-is for the companion number.
   * Prints one JSON line. Usage:
@@ -53,7 +53,7 @@ object ReshardCheck {
       if (sys.env.get("SPARK_GRAFT_SKIP_KNN").contains("1")) Seq.empty
       else lists.map { l =>
         time(s"knn_L$l") {
-          graft.queries.SimilarityQueries.knnConsistencyFrom(emb, l)
+          graft.queries.AnnQueries.knnConsistencyFrom(emb, l)
             .queryExecution.toRdd.count(); ()
         }
       }

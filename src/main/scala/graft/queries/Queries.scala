@@ -122,7 +122,7 @@ object Q {
     * IEEE sqrt, fixed op chains) — never on a libm transcendental (those
     * go through [[LnGrid]]/[[isqrt]] instead). SQL twin:
     * `floor((x) * 1000000.0) / 1000000.0`. */
-  private[queries] def grid6(c: Column): Column =
+  private[graft] def grid6(c: Column): Column =
     floor(c * lit(1000000.0d)) / lit(1000000.0d)
 
   /** Min-label connected components over a SYMMETRIC (src, dst) edge frame
@@ -420,7 +420,7 @@ object Queries {
 
   val all: Map[String, Q] =
     bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ AnnQueries.all ++ AnnIndexQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
       TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all ++ TrainQueries.all ++
       SelectionQueries.all ++ StatQueries.all
 

@@ -185,6 +185,76 @@ object PriorityStreams {
   def quantizeStream(embs: DataFrame): DataFrame =
     graft.queries.SimilarityQueries.quantized(embs).drop("maxabs")
 
+  /** Streaming ANN serving (r15, VERDICT item 5): incoming QUERY vectors
+    * against a STATIC, already-built IVF index — the online half of the
+    * build-once / serve-many architecture (AnnIndexQueries). Per arriving
+    * query row: (1) probe assignment IN-ROW against the broadcast
+    * centroid set (the 16 centroids collapse to one broadcastable array
+    * row; the top-4-by-cosine probe pick is an in-row sort of
+    * (−sim, cent_id) structs — windows are unsupported on streams, and a
+    * probe AGGREGATION would spend the one non-windowed agg the plan gets,
+    * so the probe stage must be stateless); (2) stream-static equi-join on
+    * `list_id` into the index's inverted lists — the streaming twin of the
+    * batch retriever's probe-pruned scan (at scale the static side is the
+    * `list_id`-partitioned codes/lists table, so each micro-batch reads
+    * only probed partitions); (3) exact cosine per candidate (the codegen
+    * [[graft.functions.VectorFunctions.cosineSimilarity]], the batch
+    * retriever's own expression); (4) ONE per-qid aggregation collecting
+    * the top-k as a sorted-slice of (−sim, cid) structs — Update output
+    * mode, each qid's final row lands in the micro-batch that carried it.
+    *
+    * Float parity with the batch ivf_topk: the in-row probe cosine is the
+    * HOF left-fold dot/(√na·√nb) with a `nullif` zero-denominator guard —
+    * the formulation [[graft.functions.CosineSimilarity]] documents itself
+    * bit-identical to (FuseCosineRule's equivalence), with NULL sims
+    * coalesced to −∞ exactly like the batch argmax's NULLS-LAST coalesce;
+    * the (−sim, cid) sort matches the batch window's (sim DESC, cid)
+    * tie-break (double negation is exact). AnnStreamSpec pins the output
+    * ≡ the batch ivf_topk rows on the same inputs.
+    *
+    * State note: the per-qid agg state grows with distinct qids; a
+    * production deployment bounds it with a watermark on a query-arrival
+    * timestamp or a state TTL — omitted here because the twin's contract
+    * is per-micro-batch serving, not cross-batch accumulation. */
+  def annStream(
+      queries: DataFrame,
+      lists: DataFrame,
+      cents: DataFrame,
+      k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    def dotD(a: String, b: String) =
+      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |  0.0D, (acc, v) -> acc + v)""".stripMargin
+    val centsRow = cents
+      .select(struct(col("cent_id"), col("centv")).as("c"))
+      .agg(expr("array_sort(collect_list(c))").as("carr"))
+    val probed = queries.crossJoin(broadcast(centsRow))
+      .select(col("qid"), col("qv"),
+        expr(
+          s"""slice(array_sort(transform(carr, c -> named_struct(
+             |  'negsim', coalesce(
+             |     -(${dotD("qv", "c.centv")}
+             |       / nullif(sqrt(${dotD("qv", "qv")})
+             |                * sqrt(${dotD("c.centv", "c.centv")}), 0.0D)),
+             |     CAST('Infinity' AS DOUBLE)),
+             |  'cent_id', c.cent_id))), 1, 4)""".stripMargin).as("parr"))
+    probed
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(parr, p -> p.cent_id)")).as("list_id"))
+      .join(lists, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosineSimilarity(col("qv"), col("cv")))
+      .groupBy("qid")
+      .agg(expr(
+        s"""slice(array_sort(collect_list(named_struct(
+           |  'negsim', coalesce(-sim, CAST('Infinity' AS DOUBLE)),
+           |  'cid', cid))), 1, $k)""".stripMargin).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), col("t.cid").as("cid"),
+        graft.queries.Q.grid6(-col("t.negsim")).as("sim"),
+        (col("i") + 1).cast("int").as("rk"))
+  }
+
   // ---- stateful per-bucket backlog / SLA tracker -------------------------
 
   /** One input event, already bucketed. */

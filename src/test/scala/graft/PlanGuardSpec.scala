@@ -129,6 +129,15 @@ class PlanGuardSpec extends SparkTestBase {
       // ivf_trained_recall: composes the three coarse retrievers — their
       // whitelisted centroid/query broadcasts (r14)
       "ivf_trained_recall",
+      // ivf_sampled_topk / ivf_sampled_recall: the SAME ivfL2Serve tail as
+      // ivf_trained_topk — ≤16-row trained-centroid broadcast (assignment +
+      // Lloyd products over the hash-sample) + ≤5-row query probe product (r15)
+      "ivf_sampled_topk",
+      "ivf_sampled_recall",
+      // ivf_pq_served_topk: the persisted-index serve — 16-row loaded
+      // centroid broadcast (probe product) + the gated refine tail's
+      // whitelisted ≤q×50 shortlist broadcasts (r15)
+      "ivf_pq_served_topk",
       // bpe_apply: 1-row totals × 1-row vocab-size aggregate product (r13)
       "bpe_apply",
       // bpe_token_freq: 1-row token-total broadcast onto the post-limit

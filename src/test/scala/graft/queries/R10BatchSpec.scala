@@ -150,7 +150,7 @@ class R10BatchSpec extends SparkTestBase {
     // bit-exactly) — so re-derive the NN frame through a DIFFERENT engine
     // path (row_number window instead of min(struct)) and pin equality
     val emb = graft.Tables.load(spark, dir, "embeddings")
-    val lists = SimilarityQueries.ivfLists(emb)
+    val lists = AnnQueries.ivfLists(emb)
     val a = lists.select(col("list_id"), col("cid").as("a_id"), col("cv").as("va"))
     val b = lists.select(col("list_id"), col("cid").as("b_id"), col("cv").as("vb"))
     val pairs = a.join(b, Seq("list_id")).filter(col("a_id") =!= col("b_id"))

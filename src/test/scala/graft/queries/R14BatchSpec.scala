@@ -63,7 +63,8 @@ class R14BatchSpec extends SparkTestBase {
   test("pq_train_distortion: Lloyd training never increases residual distortion") {
     val rows = graft.SparkEntry.queries("pq_train_distortion")(spark, sf).collect()
     val byMethod = rows.groupBy(_.getString(0))
-    assert(byMethod.keySet == Set("raw_pq", "residual_init", "residual_pq"))
+    assert(byMethod.keySet == Set("raw_pq", "residual_init", "residual_pq",
+      "plain_trained", "opq_trained"))
     byMethod.values.foreach(g => assert(g.length == 8, "8 subspaces per method"))
     def total(m: String) =
       byMethod(m).map(r => r.getDouble(r.fieldIndex("total_d2"))).sum
