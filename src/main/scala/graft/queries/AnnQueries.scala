@@ -697,22 +697,20 @@ object AnnQueries {
   /** Rotated subspace slices (cid, j, rsub double[8]): rᵢ =
     * (Σⱼ floor(h[i·64+j]·qⱼ)) / 10⁶ with qⱼ the micro-gridded raw
     * component — one map-only projection per vector (the 1-row H frame
-    * broadcasts; the 64×64 fold runs inside the row, no join fan-out). */
+    * broadcasts; the 64×64 fold runs inside the row, no join fan-out).
+    * The fold is the codegen'd [[graft.functions.MicroRotate]] — the
+    * interpreted transform/aggregate spelling it replaces paid 4096 boxed
+    * lambda calls per row (the FloatVectorDot lesson at n² scale: 41 s of
+    * pq_train_distortion's first sf0.1 reading was this one projection);
+    * identical arithmetic order, so the DuckDB HOF mirror is unchanged. */
   private[queries] def opqRotSub(
       emb: org.apache.spark.sql.DataFrame,
       hrow: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     emb.crossJoin(broadcast(hrow))
       .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
-          .as("qarr"),
-        col("harr"))
-      .select(col("cid"),
-        expr("""transform(sequence(0, 63), i ->
-               |  CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-               |    (acc, jj) -> acc + CAST(floor(element_at(harr, i * 64 + jj + 1)
-               |                                  * element_at(qarr, jj + 1)) AS BIGINT))
-               |       AS BIGINT) / 1000000.0D)""".stripMargin).as("rv"))
+        graft.functions.VectorFunctions.microRotate(col("harr"), col("embedding"))
+          .as("rv"))
       .select(col("cid"), explode(sequence(lit(0), lit(7))).as("j"), col("rv"))
       .select(col("cid"), col("j"), expr("slice(rv, int(j * 8 + 1), 8)").as("rsub"))
 
