@@ -2098,14 +2098,16 @@ object AnnQueries {
   // verbatim, the oracle nests their SQL.
   "ivf_trained_recall" -> Q(
     fn = (s, dir) => {
-      // Shared-frame form (r15, ADVICE item 5 — the recall_pq_family
-      // treatment): the three legs consume the SAME factored serve tail
-      // the registry retrievers run (ivfL2ServeFrom / ivfL2ServeAssignFrom
-      // — no-drift composition preserved), each trained centroid set is
-      // derived once and truncated, and the spherical leg's normalized
-      // frame is materialized ONCE (it otherwise re-derives inside every
-      // Lloyd round's assignment, the probe stage, and the list
-      // assignment — 5 re-normalization passes at sf0.1).
+      // Shared-tail form (r15, ADVICE item 5): the three legs consume the
+      // SAME factored serve tail the registry retrievers run
+      // (ivfL2ServeFrom / ivfL2ServeAssignFrom — no-drift composition
+      // preserved) over once-derived truncated centroid sets. The ADVICE's
+      // further suggestion — materialize the spherical leg's normalized
+      // frame — was TRIED and MEASURED SLOWER (7.1 s vs 5.1 s committed at
+      // sf0.1): normalization is a map-only codegen'd projection, and
+      // checkpointing 60k×64 doubles costs more than recomputing it inside
+      // each consumer's scan pipeline. So withN stays lazy, exactly like
+      // the registry entry.
       val emb = Tables.load(s, dir, "embeddings")
       val exact = Q.truncate(
         base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")))
@@ -2119,7 +2121,7 @@ object AnnQueries {
       }
       val centsL2 = truncate(TrainQueries.kmeansTrainLoop(
         emb.select(col("vec_id"), col("embedding")))._1)
-      val withN = Q.truncate(normalizedEmb(emb))
+      val withN = normalizedEmb(emb)
       val centsS = truncate(TrainQueries.kmeansTrainLoop(
         withN.select(col("vec_id"), col("nv").as("embedding")),
         spherical = true)._1)

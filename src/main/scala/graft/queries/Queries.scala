@@ -81,7 +81,7 @@ object Q {
     * fault-tolerant FS and survive executor loss; otherwise (local mode,
     * tests, bench) keep the fast in-memory local checkpoint. Both are eager,
     * so loop structure and convergence reads are identical either way. */
-  private[queries] def truncate(df: DataFrame): DataFrame = {
+  private[graft] def truncate(df: DataFrame): DataFrame = {
     val ck =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
