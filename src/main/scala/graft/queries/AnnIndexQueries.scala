@@ -120,6 +120,54 @@ object AnnIndexQueries {
       ix
     }
 
+  /** nlist-parameterized index build for the re-shard measurement
+    * (graft.ServedReshardCheck — the 100 TB serving dial): identical
+    * pipeline to [[servedIndex]] with L coarse centroids (the first L
+    * vectors) and PQ init codewords taken from the next 16 vectors past
+    * the centroid block. NOT memoized and NOT a registry query — the
+    * registry's gate shape stays L = 16; this exists so the "serving cost
+    * tracks probed-list size" claim is measured at re-sharded L instead of
+    * asserted. */
+  private[graft] def buildServedIndexN(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nl: Int, root: String): ServedIndex = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < nl)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    val listsFull = Q.truncate(AnnQueries.ivfListsN(emb, nl))
+    val rsub = Q.truncate(AnnQueries.pqResidualSubFrom(listsFull, cents))
+    val cb = Q.truncate(AnnQueries.pqResidualTrainFrom(rsub, initLo = nl)._1)
+    val codes = AnnQueries.pqResidualCodesFrom(rsub, cb)
+      .join(listsFull.select(col("cid"), col("list_id")), Seq("cid"))
+    val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema)
+    cents.write.mode("overwrite").parquet(ix.centroidsPath)
+    cb.write.mode("overwrite").parquet(ix.codebookPath)
+    codes.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath)
+    ix
+  }
+
+  /** Serve from an [[buildServedIndexN]] index — [[servedTopk]]'s plan over
+    * the provided index paths. */
+  private[graft] def servedTopkFromIx(
+      s: org.apache.spark.sql.SparkSession, dir: String, ix: ServedIndex)
+      : org.apache.spark.sql.DataFrame = {
+    val cents = s.read.schema(ix.centroidsSchema).parquet(ix.centroidsPath)
+    val cb = s.read.schema(ix.codebookSchema).parquet(ix.codebookPath)
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < AnnQueries.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = AnnQueries.ivfProbesFrom(q, cents)
+    val adc = AnnQueries.residualAdcFrom(q, probes, cents, cb)
+    val codes = s.read.schema(ix.codesSchema).parquet(ix.codesPath)
+      .select(col("cid"), col("j"), col("code"), col("list_id"))
+    val dist = broadcast(probes).join(codes, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .join(broadcast(adc), Seq("qid", "list_id", "j", "code"))
+      .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
+    AnnQueries.ivfPqRefineTopk(s, dir, dist)
+  }
+
   /** The serving plan over a built index: load centroids + codebook
     * (broadcast-sized), compute this query batch's probes and per-list
     * residual ADC table with the retrievers' own factored stages, then

@@ -420,7 +420,7 @@ object Queries {
 
   val all: Map[String, Q] =
     bucketQueries ++ relationalQueries ++ RelationalQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ AnnQueries.all ++ AnnIndexQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ AnnQueries.all ++ AnnEvalQueries.all ++ AnnIndexQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
       TpchQueries.all ++ PrivacyQueries.all ++ FunnelQueries.all ++ GraphQueries.all ++ TrainQueries.all ++
       SelectionQueries.all ++ StatQueries.all
 

@@ -126,7 +126,7 @@ class R15BatchSpec extends SparkTestBase {
   }
 
   test("OPQ Householder matrix is orthogonal and preserves micro-grid norms") {
-    val harr = AnnQueries.opqHouseholderRow(spark, dir)
+    val harr = AnnEvalQueries.opqHouseholderRow(spark, dir)
       .collect()(0).getSeq[Double](0).toArray
     assert(harr.length == 64 * 64)
     // H·Hᵀ == I to double tolerance (Householder is exactly orthogonal in
@@ -149,10 +149,10 @@ class R15BatchSpec extends SparkTestBase {
     // rotation preserves squared norms up to the per-component floor error
     // (64 components × at most 1 micro-unit each)
     val emb = graft.Tables.load(spark, dir, "embeddings").limit(50)
-    val rot = AnnQueries.opqRotSub(emb, AnnQueries.opqHouseholderRow(spark, dir))
+    val rot = AnnEvalQueries.opqRotSub(emb, AnnEvalQueries.opqHouseholderRow(spark, dir))
       .groupBy("cid")
       .agg(sum(expr("aggregate(rsub, 0.0D, (a, x) -> a + x * x)")).as("rn2"))
-    val plain = AnnQueries.microSub(emb)
+    val plain = AnnEvalQueries.microSub(emb)
       .groupBy("cid")
       .agg(sum(expr("aggregate(rsub, 0.0D, (a, x) -> a + x * x)")).as("pn2"))
     val joined = rot.join(plain, Seq("cid")).collect()
