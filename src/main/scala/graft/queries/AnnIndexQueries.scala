@@ -44,15 +44,20 @@ object AnnIndexQueries {
   /** Root directory of one materialized index; layout:
     * `centroids/` (cent_id, centv float[64]) — the coarse quantizer,
     * `codebook/`  (j, code, centv double[8]) — trained residual-PQ,
-    * `codes/list_id=N/` (cid, j, code)       — the corpus, 8 codes/vector. */
+    * `codes/list_id=N/` (cid, j, code)       — the corpus, 8 codes/vector,
+    * `vectors/list_id=N/` (cid, cv float[64]) — raw vectors co-partitioned
+    *   with their codes (the FAISS convention) so the exact re-rank reads
+    *   only probed lists too, never the source table. */
   private[queries] final case class ServedIndex(
       root: String,
       centroidsSchema: org.apache.spark.sql.types.StructType,
       codebookSchema: org.apache.spark.sql.types.StructType,
-      codesSchema: org.apache.spark.sql.types.StructType) {
+      codesSchema: org.apache.spark.sql.types.StructType,
+      vectorsSchema: org.apache.spark.sql.types.StructType) {
     def centroidsPath: String = root + "/centroids"
     def codebookPath: String = root + "/codebook"
     def codesPath: String = root + "/codes"
+    def vectorsPath: String = root + "/vectors"
   }
 
   /** Session-scoped memo of the built index (the bpeTrainLoop pattern,
@@ -108,11 +113,20 @@ object AnnIndexQueries {
       // schema inference would fail on the empty dirs (EmptyInputSpec);
       // explicitly typing list_id long also kills the partition-dir
       // int-inference cast on the join key
-      val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema)
+      val vectors = listsFull.select(col("cid"), col("cv"), col("list_id"))
+      val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema,
+        vectors.schema)
       cents.write.mode("overwrite").parquet(ix.centroidsPath)
       cb.write.mode("overwrite").parquet(ix.codebookPath)
       codes.repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath)
+      // raw vectors co-partitioned with their codes (the FAISS convention:
+      // lists carry the vectors the exact re-rank needs) — without this the
+      // refine stage re-scans the SOURCE embeddings table per serve, which
+      // the sf10 re-shard measurement showed to be the serving floor once
+      // code-side pruning works
+      vectors.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(ix.vectorsPath)
       val ms = (System.nanoTime() - t0) / 1000000L
       System.err.println(
         s"[ann-index] build #${ixBuilds.get()} for $dir took $ms ms -> $root")
@@ -139,11 +153,15 @@ object AnnIndexQueries {
     val cb = Q.truncate(AnnQueries.pqResidualTrainFrom(rsub, initLo = nl)._1)
     val codes = AnnQueries.pqResidualCodesFrom(rsub, cb)
       .join(listsFull.select(col("cid"), col("list_id")), Seq("cid"))
-    val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema)
+    val vectors = listsFull.select(col("cid"), col("cv"), col("list_id"))
+    val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema,
+      vectors.schema)
     cents.write.mode("overwrite").parquet(ix.centroidsPath)
     cb.write.mode("overwrite").parquet(ix.codebookPath)
     codes.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath)
+    vectors.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(ix.vectorsPath)
     ix
   }
 
@@ -159,13 +177,44 @@ object AnnIndexQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probes = AnnQueries.ivfProbesFrom(q, cents)
     val adc = AnnQueries.residualAdcFrom(q, probes, cents, cb)
+    // explicit schema (from the build) keeps the partition column its
+    // written LONG type — no inference, no cast on the join/pruning key —
+    // and makes an empty index readable (see servedIndex)
     val codes = s.read.schema(ix.codesSchema).parquet(ix.codesPath)
       .select(col("cid"), col("j"), col("code"), col("list_id"))
+    // list_id rides through the ADC aggregation (functionally dependent on
+    // cid, so first() is deterministic) — the refine join below prunes the
+    // VECTORS table with it
     val dist = broadcast(probes).join(codes, Seq("list_id"))
       .filter(col("qid") =!= col("cid"))
       .join(broadcast(adc), Seq("qid", "list_id", "j", "code"))
-      .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
-    AnnQueries.ivfPqRefineTopk(s, dir, dist)
+      .groupBy("qid", "cid")
+      .agg(sum(col("qd2")).as("adist"), first(col("list_id")).as("list_id"))
+    // the exact re-rank reads the INDEX's own per-list raw vectors (the
+    // FAISS convention), not the source embeddings table — so BOTH serving
+    // stages are partition-pruned to the probed lists. Arithmetic is
+    // ivfPqRefineTopk's verbatim (same windows, tie-breaks, grid): the cv
+    // floats round-trip parquet exactly, so the result is bit-identical to
+    // the in-plan refine and the shared oracle is unchanged.
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val short = dist
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= AnnQueries.RefineShortlist)
+      .select(col("qid"), col("cid"), col("list_id"))
+    val vectors = s.read.schema(ix.vectorsSchema).parquet(ix.vectorsPath)
+      .select(col("cid"), col("cv"), col("list_id"))
+    val rr = broadcast(short)
+      .join(vectors, Seq("list_id", "cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    rr.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= AnnQueries.TopK)
+      .select(col("qid"), col("cid"), Q.grid6(col("sim")).as("sim"), col("rk"))
+      .orderBy("qid", "rk")
   }
 
   /** The serving plan over a built index: load centroids + codebook
@@ -177,26 +226,8 @@ object AnnIndexQueries {
     * gated ADC-sum + shortlist + exact-cosine re-rank tail. */
   private[queries] def servedTopk(
       s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val ix = servedIndex(s, dir)
-    val cents = s.read.schema(ix.centroidsSchema).parquet(ix.centroidsPath)
-    val cb = s.read.schema(ix.codebookSchema).parquet(ix.codebookPath)
-    val emb = Tables.load(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < AnnQueries.NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val probes = AnnQueries.ivfProbesFrom(q, cents)
-    val adc = AnnQueries.residualAdcFrom(q, probes, cents, cb)
-    // explicit schema (from the build) keeps the partition column its
-    // written LONG type — no inference, no cast on the join/pruning key —
-    // and makes an empty index readable (see servedIndex)
-    val codes = s.read.schema(ix.codesSchema).parquet(ix.codesPath)
-      .select(col("cid"), col("j"), col("code"), col("list_id"))
-    val dist = broadcast(probes).join(codes, Seq("list_id"))
-      .filter(col("qid") =!= col("cid"))
-      .join(broadcast(adc), Seq("qid", "list_id", "j", "code"))
-      .groupBy("qid", "cid").agg(sum(col("qd2")).as("adist"))
-    AnnQueries.ivfPqRefineTopk(s, dir, dist)
-  }
+      : org.apache.spark.sql.DataFrame =
+    servedTopkFromIx(s, dir, servedIndex(s, dir))
 
   /** Deterministic hash-sample predicate for quantizer training (the
     * sample_stratified md5-threshold idiom): the 16 seed vectors plus
