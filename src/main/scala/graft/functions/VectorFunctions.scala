@@ -443,6 +443,202 @@ case class MicroRotate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd broadcast-candidates argmin (r15 optimization round): given a
+  * SINGLE-ROW candidate table `cands` (array<struct<id bigint, centv
+  * array<float|double>>>, sorted ascending by id) and a data vector `v`
+  * (array<float|double>), returns struct(score double, id bigint) — the
+  * candidate minimizing the score, smallest id on ties.
+  *
+  * This replaces the `crossJoin(broadcast(cands)) → groupBy(row_key) →
+  * min(struct(score, id))` assignment idiom used by every ANN
+  * assignment/encode stage. That idiom is CORRECT but pays, per corpus
+  * pass: a 16× row fan-out, a partial SortAggregate + Exchange + final
+  * SortAggregate (min over a struct buffer is not hash-aggregable, so
+  * Spark plans sort-based aggregation with TWO extra sorts), and the
+  * corpus-sized shuffle itself. This expression computes the identical
+  * argmin per row inside whole-stage codegen — guide §2.4 "remove
+  * shuffles outright": the assignment becomes a map-only projection over
+  * the scan, and at 100 TB the corpus never crosses the network at all.
+  *
+  * Bit-parity: per candidate the score is the EXACT fold of the
+  * expression it replaces — `negCos = false`: [[VectorL2Sq]]'s
+  * left-to-right double accumulation of squared deltas; `negCos = true`:
+  * the negation of [[CosineSimilarity]]'s LEGACY fold (dot/‖a‖/‖b‖
+  * accumulated left-to-right, NULL on zero denominator). A NULL score
+  * (length mismatch, null element, zero norm) maps to +∞ exactly like the
+  * `coalesce(score, +Inf)` the call sites wrapped around the old
+  * min(struct); selection is strict `<` over candidates in ascending-id
+  * order, which equals min(struct(score, id))'s (score, id) lexicographic
+  * order. The DuckDB oracle twins (ROW_NUMBER ... ORDER BY score, id)
+  * are untouched — both engines compute the same argmin on the same bits.
+  */
+case class VectorArgmin(left: Expression, right: Expression, negCos: Boolean)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  private def elemOk(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 && fields(0).dataType == LongType &&
+          elemOk(fields(1).dataType) && elemOk(right.dataType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<struct<bigint, array<float|double>>>, " +
+        s"array<float|double>), got ${left.dataType.simpleString} and " +
+        s"${right.dataType.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (negCos) "vector_argmin_negcos" else "vector_argmin_l2"
+
+  private def candElemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType](1)
+      .dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def vElemIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(c: Any, e: Any): Any = {
+    val cands = c.asInstanceOf[ArrayData]
+    val v = e.asInstanceOf[ArrayData]
+    val m = cands.numElements()
+    if (m == 0) return null
+    val n = v.numElements()
+    val cf = candElemIsFloat; val vf = vElemIsFloat
+    var bestScore = Double.PositiveInfinity
+    var bestId = 0L
+    var first = true
+    var k = 0
+    while (k < m) {
+      if (!cands.isNullAt(k)) {
+        val cand = cands.getStruct(k, 2)
+        val id = cand.getLong(0)
+        var score = Double.PositiveInfinity
+        if (!cand.isNullAt(1)) {
+          val cv = cand.getArray(1)
+          if (cv.numElements() == n) {
+            var acc = 0.0; var dot = 0.0; var na = 0.0; var nb = 0.0
+            var ok = true
+            var i = 0
+            while (ok && i < n) {
+              if (v.isNullAt(i) || cv.isNullAt(i)) ok = false
+              else {
+                val xv = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+                val yv = if (cf) cv.getFloat(i).toDouble else cv.getDouble(i)
+                if (negCos) { dot += xv * yv; na += xv * xv; nb += yv * yv }
+                else { val d = xv - yv; acc += d * d }
+                i += 1
+              }
+            }
+            if (ok) {
+              if (negCos) {
+                val denom = math.sqrt(na) * math.sqrt(nb)
+                if (denom != 0.0) score = -(dot / denom)
+              } else score = acc
+            }
+          }
+        }
+        if (first || score < bestScore) { bestScore = score; bestId = id; first = false }
+      }
+      k += 1
+    }
+    if (first) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestScore, bestId))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, e) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val cand = ctx.freshName("cand")
+      val cv = ctx.freshName("cv")
+      val id = ctx.freshName("id")
+      val score = ctx.freshName("score")
+      val acc = ctx.freshName("acc")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ok = ctx.freshName("ok")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val d = ctx.freshName("d")
+      val denom = ctx.freshName("denom")
+      val bestScore = ctx.freshName("bestScore")
+      val bestId = ctx.freshName("bestId")
+      val firstV = ctx.freshName("first")
+      def getV = if (vElemIsFloat) s"(double) $e.getFloat($i)" else s"$e.getDouble($i)"
+      def getC = if (candElemIsFloat) s"(double) $cv.getFloat($i)" else s"$cv.getDouble($i)"
+      val foldBody = if (negCos)
+        s"$dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;"
+      else
+        s"double $d = $xv - $yv; $acc += $d * $d;"
+      val finish = if (negCos)
+        s"""double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if ($denom != 0.0) $score = -($dot / $denom);""".stripMargin
+      else
+        s"$score = $acc;"
+      s"""
+         |int $m = $c.numElements();
+         |if ($m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $e.numElements();
+         |  double $bestScore = Double.POSITIVE_INFINITY;
+         |  long $bestId = 0L;
+         |  boolean $firstV = true;
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    if ($c.isNullAt($k)) continue;
+         |    InternalRow $cand = $c.getStruct($k, 2);
+         |    long $id = $cand.getLong(0);
+         |    double $score = Double.POSITIVE_INFINITY;
+         |    if (!$cand.isNullAt(1)) {
+         |      ArrayData $cv = $cand.getArray(1);
+         |      if ($cv.numElements() == $n) {
+         |        double $acc = 0.0, $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |        boolean $ok = true;
+         |        for (int $i = 0; $ok && $i < $n; $i++) {
+         |          if ($e.isNullAt($i) || $cv.isNullAt($i)) { $ok = false; break; }
+         |          double $xv = $getV;
+         |          double $yv = $getC;
+         |          $foldBody
+         |        }
+         |        if ($ok) {
+         |          $finish
+         |        }
+         |      }
+         |    }
+         |    if ($firstV || $score < $bestScore) {
+         |      $bestScore = $score; $bestId = $id; $firstV = false;
+         |    }
+         |  }
+         |  if ($firstV) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{$bestScore, $bestId});
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API entry point — pinned LEGACY (NULL on zero norm) so library
     * query results are mode-independent and stay hash-identical to the
@@ -470,6 +666,19 @@ object VectorFunctions {
     * transform/aggregate form — see [[MicroRotate]]). */
   def microRotate(h: Column, emb: Column): Column =
     Bridge.column(MicroRotate(Bridge.expression(h), Bridge.expression(emb)))
+
+  /** Per-row L2 argmin against a broadcast candidate array — returns
+    * struct(score double, id bigint); see [[VectorArgmin]]. */
+  def argminL2(cands: Column, v: Column): Column =
+    Bridge.column(VectorArgmin(Bridge.expression(cands), Bridge.expression(v),
+      negCos = false))
+
+  /** Per-row cosine ARGMAX (as negated-cosine argmin, matching the
+    * min(struct(−csim, id)) idiom) against a broadcast candidate array —
+    * returns struct(score double, id bigint); see [[VectorArgmin]]. */
+  def argminNegCos(cands: Column, v: Column): Column =
+    Bridge.column(VectorArgmin(Bridge.expression(cands), Bridge.expression(v),
+      negCos = true))
 
   /** Register `cosine_similarity(a, b)` for the SQL surface. Like Divide,
     * the eval mode is captured from the session conf at PARSE time. */

@@ -239,15 +239,19 @@ object AnnEvalQueries {
       // subtree. The legs consume the gated retrievers' OWN tails
       // (ivfPqRankTopk / ivfPqRefineTopk — the registry queries are those
       // tails over the same builder), so no-drift composition is preserved.
-      val exact = Q.truncate(
-        base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")))
-      // the coarse stage (ivfLists argmin — the one corpus-sized pass the
-      // IVF legs share) is derived ONCE and feeds both dist builders
+      // r15 (guide §2.6): the truth pass and the coarse-assignment pass are
+      // independent — their checkpoint jobs overlap; the dependent frames
+      // (rsub/dist on listsFull, rdist on rsub) follow in two more stages,
+      // each stage's independent members also overlapped
       val emb = Tables.load(s, dir, "embeddings")
-      val listsFull = Q.truncate(ivfLists(emb))
+      val Seq(exact, listsFull) = Q.truncatePar(Seq(
+        base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")),
+        ivfLists(emb)))
       val lists = listsFull.select(col("cid"), col("list_id"))
       val probes = ivfProbes(emb)
-      val dist = Q.truncate(ivfPqAdcDistFrom(emb, lists, probes))
+      val Seq(rsub, dist) = Q.truncatePar(Seq(
+        pqResidualSubFrom(listsFull, ivfCentroids(emb)),
+        ivfPqAdcDistFrom(emb, lists, probes)))
       def leg(name: String, approx0: org.apache.spark.sql.DataFrame) = {
         val approx = approx0.select(col("qid"), col("cid"), lit(1L).as("hit"))
         exact.join(approx, Seq("qid", "cid"), "left")
@@ -256,7 +260,6 @@ object AnnEvalQueries {
           .select(lit(name).as("method"), col("qid"), col("n_hit"),
             (col("n_hit").cast("double") / lit(TopK)).as("recall"))
       }
-      val rsub = Q.truncate(pqResidualSubFrom(listsFull, ivfCentroids(emb)))
       val rdist = Q.truncate(ivfPqResidualDistFrom(emb, rsub, lists, probes))
       leg("pq_topk", base("pq_topk").fn(s, dir))
         .unionAll(leg("ivf_pq_topk", ivfPqRankTopk(dist)))
@@ -322,9 +325,8 @@ object AnnEvalQueries {
       // each consumer's scan pipeline. So withN stays lazy, exactly like
       // the registry entry.
       val emb = Tables.load(s, dir, "embeddings")
-      val exact = Q.truncate(
-        base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")))
-      def leg(name: String, approx0: org.apache.spark.sql.DataFrame) = {
+      def leg(name: String, approx0: org.apache.spark.sql.DataFrame,
+          exact: org.apache.spark.sql.DataFrame) = {
         val approx = approx0.select(col("qid"), col("cid"), lit(1L).as("hit"))
         exact.join(approx, Seq("qid", "cid"), "left")
           .groupBy("qid")
@@ -332,17 +334,22 @@ object AnnEvalQueries {
           .select(lit(name).as("method"), col("qid"), col("n_hit"),
             (col("n_hit").cast("double") / lit(TopK)).as("recall"))
       }
-      val centsL2 = truncate(TrainQueries.kmeansTrainLoop(
-        emb.select(col("vec_id"), col("embedding")))._1)
       val withN = normalizedEmb(emb)
-      val centsS = truncate(TrainQueries.kmeansTrainLoop(
-        withN.select(col("vec_id"), col("nv").as("embedding")),
-        spherical = true)._1)
-      leg("ivf_topk", base("ivf_topk").fn(s, dir))
-        .unionAll(leg("ivf_trained_topk", ivfL2ServeFrom(emb, centsL2)))
+      // r15 (guide §2.6): the truth pass and the two independent trainings
+      // used to checkpoint strictly serially — three action barriers, most
+      // of the box idle during each; their jobs now overlap
+      val Seq(exact, centsL2, centsS) = Q.truncatePar(Seq(
+        base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")),
+        TrainQueries.kmeansTrainLoop(
+          emb.select(col("vec_id"), col("embedding")))._1,
+        TrainQueries.kmeansTrainLoop(
+          withN.select(col("vec_id"), col("nv").as("embedding")),
+          spherical = true)._1))
+      leg("ivf_topk", base("ivf_topk").fn(s, dir), exact)
+        .unionAll(leg("ivf_trained_topk", ivfL2ServeFrom(emb, centsL2), exact))
         .unionAll(leg("ivf_spherical_topk", ivfL2ServeAssignFrom(
           withN.select(col("vec_id"), col("embedding"), col("nv").as("assignv")),
-          centsS)))
+          centsS), exact))
         .orderBy("method", "qid")
     },
     oracle = Some {
@@ -830,17 +837,25 @@ object AnnEvalQueries {
       fn = (s, dir) => {
         val raw = pqRawErrs(s, dir)
           .select(lit("raw_pq").as("method"), col("j"), col("d2"))
-        val rsub = truncate(pqResidualSub(s, dir))
+        // r15 (guide §2.6): the three source frames — coarse residuals,
+        // micro-gridded raws, rotated raws (the latter carrying the PCA
+        // power-iteration chain) — are independent; their checkpoint jobs
+        // now overlap instead of running as three serial action barriers
+        val emb = Tables.load(s, dir, "embeddings")
+        val Seq(rsub, plainSub, rotSub) = Q.truncatePar(Seq(
+          pqResidualSub(s, dir),
+          microSub(emb),
+          opqRotSub(emb, opqHouseholderRow(s, dir))))
+        // r15: map-only VectorArgmin against the 8-row per-subspace
+        // collected codebook — the per-method encode no longer shuffles
+        // the corpus (see AnnQueries.ivfListsN's optimization note)
         def resErrsOn(src: org.apache.spark.sql.DataFrame,
             cb: org.apache.spark.sql.DataFrame, method: String) =
-          src.join(broadcast(cb), Seq("j"))
-            .groupBy("cid", "j")
-            .agg(min(struct(
-                coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
-                  lit(Double.PositiveInfinity)).as("d2"),
-                col("code"))).as("m"))
+          src.join(broadcast(AnnQueries.cbCands(cb)), Seq("j"))
             .select(lit(method).as("method"), col("j"),
-              Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
+              Q.grid6(graft.functions.VectorFunctions
+                .argminL2(col("cands"), col("rsub")).getField("score"))
+                .cast("decimal(16,6)").as("d2"))
         def resErrs(cb: org.apache.spark.sql.DataFrame, method: String) =
           resErrsOn(rsub, cb, method)
         val trained = resErrs(pqResidualTrainFrom(rsub)._1, "residual_pq")
@@ -850,9 +865,6 @@ object AnnEvalQueries {
         // above) — training, grid, and rounds held constant, so the
         // mean_d2 delta isolates what the rotation's variance
         // re-allocation buys (Ge et al. 2013)
-        val emb = Tables.load(s, dir, "embeddings")
-        val plainSub = truncate(microSub(emb))
-        val rotSub = truncate(opqRotSub(emb, opqHouseholderRow(s, dir)))
         val plainTrained = resErrsOn(plainSub,
           pqResidualTrainFrom(plainSub)._1, "plain_trained")
         val opqTrained = resErrsOn(rotSub,

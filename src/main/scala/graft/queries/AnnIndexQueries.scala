@@ -319,14 +319,13 @@ object AnnIndexQueries {
         val cents = AnnQueries.ivfCentroids(emb)
         val rsub = Q.truncate(AnnQueries.pqResidualSubFrom(listsFull, cents))
         val cb = Q.truncate(AnnQueries.pqResidualTrainFrom(rsub)._1)
-        val errs = rsub.join(broadcast(cb), Seq("j"))
-          .groupBy("cid", "j")
-          .agg(min(struct(
-              coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
-                lit(Double.PositiveInfinity)).as("d2"),
-              col("code"))).as("m"))
+        // r15: map-only VectorArgmin encode (see AnnQueries.ivfListsN's
+        // optimization note) — no corpus shuffle in the error pass
+        val errs = rsub.join(broadcast(AnnQueries.cbCands(cb)), Seq("j"))
           .select(col("cid"), col("j"),
-            Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
+            Q.grid6(graft.functions.VectorFunctions
+              .argminL2(col("cands"), col("rsub")).getField("score"))
+              .cast("decimal(16,6)").as("d2"))
         val perVec = errs.groupBy("cid")
           .agg(sum(col("d2")).cast("decimal(20,6)").as("vd2"))
           .join(listsFull.select(col("cid"), col("list_id")), Seq("cid"))
@@ -412,9 +411,15 @@ object AnnIndexQueries {
     "ivf_sampled_recall" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val exact = Q.truncate(
+        // r15 (guide §2.6): truth pass + the two independent trainings
+        // overlap instead of three serial checkpoint barriers
+        val Seq(exact, centsFull, centsSampled) = Q.truncatePar(Seq(
           AnnQueries.base("similarity_topk").fn(s, dir)
-            .select(col("qid"), col("cid")))
+            .select(col("qid"), col("cid")),
+          TrainQueries.kmeansTrainLoop(
+            emb.select(col("vec_id"), col("embedding")))._1,
+          TrainQueries.kmeansTrainLoop(
+            emb.filter(sampledPredicate).select(col("vec_id"), col("embedding")))._1))
         def leg(name: String, approx0: org.apache.spark.sql.DataFrame) = {
           val approx = approx0.select(col("qid"), col("cid"), lit(1L).as("hit"))
           exact.join(approx, Seq("qid", "cid"), "left")
@@ -423,10 +428,6 @@ object AnnIndexQueries {
             .select(lit(name).as("method"), col("qid"), col("n_hit"),
               (col("n_hit").cast("double") / lit(AnnQueries.TopK)).as("recall"))
         }
-        val centsFull = Q.truncate(TrainQueries.kmeansTrainLoop(
-          emb.select(col("vec_id"), col("embedding")))._1)
-        val centsSampled = Q.truncate(TrainQueries.kmeansTrainLoop(
-          emb.filter(sampledPredicate).select(col("vec_id"), col("embedding")))._1)
         leg("ivf_trained_topk", AnnQueries.ivfL2ServeFrom(emb, centsFull))
           .unionAll(leg("ivf_sampled_topk",
             AnnQueries.ivfL2ServeFrom(emb, centsSampled)))

@@ -57,19 +57,31 @@ object AnnQueries {
     * re-shard dial — n_lists scales with corpus size to hold n/L constant,
     * so within-list pair work stays (n/L)²·L = n²/L. The registry's
     * retriever keeps L = 16 (right for the gate corpus); `graft
-    * .ReshardCheck` measures the re-shard at the sf10 decade. */
-  private[graft] def ivfListsN(emb: org.apache.spark.sql.DataFrame, nLists: Int): org.apache.spark.sql.DataFrame =
+    * .ReshardCheck` measures the re-shard at the sf10 decade.
+    *
+    * r15 optimization (guide §2.4): the assignment is a MAP-ONLY
+    * [[graft.functions.VectorArgmin]] projection against the ONE-ROW
+    * collected centroid array, replacing crossJoin(16-row broadcast) →
+    * groupBy(cid) → min(struct(−csim, cent_id)). The old form paid a 16×
+    * fan-out plus a corpus-sized Sort+Exchange+SortAggregate pair (struct
+    * min is not hash-aggregable); the new form never shuffles the corpus
+    * at all. Same argmin bit-for-bit: the expression folds cosine exactly
+    * like [[cosineSimilarity]], maps NULL→+∞ like the old coalesce, and
+    * breaks score ties by ascending cent_id like the old struct order
+    * (cands sorted by id; strict-< keeps the first). The isNotNull filter
+    * reproduces the old crossJoin-with-empty-broadcast behavior (zero
+    * rows) on an empty centroid set. */
+  private[graft] def ivfListsN(emb: org.apache.spark.sql.DataFrame, nLists: Int): org.apache.spark.sql.DataFrame = {
+    val cands = emb.filter(col("vec_id") < nLists)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("long").as("id"), col("embedding").as("centv")))).as("cands"))
     emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(
-        emb.filter(col("vec_id") < nLists)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))))
-      .withColumn("csim", cosineSimilarity(col("cv"), col("centv")))
-      .groupBy("cid")
-      .agg(min(struct(
-          coalesce(negate(col("csim")), lit(Double.PositiveInfinity)).as("negsim"),
-          col("cent_id"))).as("m"),
-        first(col("cv")).as("cv"))
-      .select(col("cid"), col("cv"), col("m.cent_id").as("list_id"))
+      .crossJoin(broadcast(cands))
+      .select(col("cid"), col("cv"),
+        graft.functions.VectorFunctions.argminNegCos(col("cands"), col("cv")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("cid"), col("cv"), col("m.id").as("list_id"))
+  }
 
   /** knn_label_consistency's body with a parameterized list count — the
     * registry query is `knnConsistencyFrom(emb, 16)` verbatim, so the
@@ -215,13 +227,20 @@ object AnnQueries {
           explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
         .select(col(idCol), col("j"),
           expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
-    // PQ side: codes + ADC table (pq_topk's spelling)
+    // PQ side: codes + ADC table (pq_topk's spelling). r15: the encode
+    // argmin is the map-only VectorArgmin against the 8-row per-subspace
+    // collected codebook (see ivfListsN's optimization note) — the corpus
+    // shuffle of the old groupBy(cid, j) min(struct) is gone; the argmin
+    // bits are unchanged (same floatL2Sq fold, same (d2, cent_id) order).
     val pqcents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+    val pqcands = pqcents.groupBy("j")
+      .agg(sort_array(collect_list(struct(
+        col("cent_id").cast("long").as("id"), col("centv")))).as("cands"))
     val codes = subspaces(emb, "cid", "subv")
-      .join(broadcast(pqcents), Seq("j"))
-      .groupBy("cid", "j")
-      .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
-      .select(col("cid"), col("j"), col("m.cent_id").as("code"))
+      .join(broadcast(pqcands), Seq("j"))
+      .select(col("cid"), col("j"),
+        graft.functions.VectorFunctions.argminL2(col("cands"), col("subv")).as("m"))
+      .select(col("cid"), col("j"), col("m.id").as("code"))
     val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
       .join(broadcast(pqcents), Seq("j"))
       .select(col("qid"), col("j"), col("cent_id").as("code"),
@@ -397,6 +416,18 @@ object AnnQueries {
       .select(col("j"), (col("cid") - initLo).cast("int").as("code"),
         col("rsub").as("centv"))
 
+  /** The 8-row per-subspace collected-codebook frame (j, cands) feeding
+    * [[graft.functions.VectorFunctions.argminL2]] — the r15 map-only
+    * encode path shared by the Lloyd rounds, the final encoders, and the
+    * distortion audits, so every consumer provably assigns with the same
+    * argmin (see ivfListsN's optimization note for the equivalence
+    * argument). */
+  private[queries] def cbCands(cb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cb.groupBy("j")
+      .agg(sort_array(collect_list(struct(
+        col("code").cast("long").as("id"), col("centv")))).as("cands"))
+
   /** [[pqResidualTrain]] over a PREPARED (ideally Q.truncate'd) residual
     * frame — rsub feeds every Lloyd round plus the callers' encode stage,
     * so materializing it once saves [[PqTrainRounds]] re-derivations of
@@ -407,14 +438,11 @@ object AnnQueries {
     var cb = pqResidualInitCb(rsub, initLo)
     var update: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to PqTrainRounds) {
-      val assigned = rsub.join(broadcast(cb), Seq("j"))
-        .groupBy("cid", "j")
-        .agg(min(struct(
-            coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
-              lit(Double.PositiveInfinity)).as("d2"),
-            col("code"))).as("m"),
-          first(col("rsub")).as("rsub"))
-        .select(col("j"), col("m.code").as("code"), col("rsub"))
+      val assigned = rsub.join(broadcast(cbCands(cb)), Seq("j"))
+        .select(col("j"),
+          graft.functions.VectorFunctions.argminL2(col("cands"), col("rsub"))
+            .getField("id").cast("int").as("code"),
+          col("rsub"))
       update = assigned
         .select(col("j"), col("code"), posexplode(col("rsub")).as(Seq("dim", "v")))
         .groupBy("j", "code", "dim")
@@ -511,13 +539,10 @@ object AnnQueries {
       rsub: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    rsub.join(broadcast(cb), Seq("j"))
-      .groupBy("cid", "j")
-      .agg(min(struct(
-          coalesce(graft.functions.VectorFunctions.l2Sq(col("rsub"), col("centv")),
-            lit(Double.PositiveInfinity)).as("d2"),
-          col("code"))).as("m"))
-      .select(col("cid"), col("j"), col("m.code").as("code"))
+    rsub.join(broadcast(cbCands(cb)), Seq("j"))
+      .select(col("cid"), col("j"),
+        graft.functions.VectorFunctions.argminL2(col("cands"), col("rsub"))
+          .getField("id").cast("int").as("code"))
 
   /** [[ivfPqResidualDist]] over PREPARED frames (truncated rsub + coarse
     * lists/probes) — the recall_pq_family shared-frame path (r14). */
@@ -624,12 +649,15 @@ object AnnQueries {
           explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
         .select(col(idCol), col("j"),
           expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
-    val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+    val cands = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+      .groupBy("j")
+      .agg(sort_array(collect_list(struct(
+        col("cent_id").cast("long").as("id"), col("centv")))).as("cands"))
     subspaces(emb, "cid", "subv")
-      .join(broadcast(cents), Seq("j"))
-      .groupBy("cid", "j")
-      .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
-      .select(col("j"), Q.grid6(col("m.d2")).cast("decimal(16,6)").as("d2"))
+      .join(broadcast(cands), Seq("j"))
+      .select(col("j"),
+        Q.grid6(graft.functions.VectorFunctions.argminL2(col("cands"), col("subv"))
+          .getField("score")).cast("decimal(16,6)").as("d2"))
   }
 
 
@@ -659,15 +687,17 @@ object AnnQueries {
       cents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorFunctions.l2Sq
+    // r15: map-only argmin against the one-row collected centroid array —
+    // no corpus shuffle in the assignment (see ivfListsN's note)
+    val cands = cents.agg(sort_array(collect_list(struct(
+      col("cent_id").cast("long").as("id"), col("centv")))).as("cands"))
     val lists = corpus.select(col("vec_id"), col("embedding"), col("assignv"))
-      .crossJoin(broadcast(cents))
-      .groupBy("vec_id")
-      .agg(min(struct(
-          coalesce(l2Sq(col("assignv"), col("centv")),
-            lit(Double.PositiveInfinity)).as("d2"),
-          col("cent_id"))).as("m"),
-        first(col("embedding")).as("cv"))
-      .select(col("vec_id").as("cid"), col("cv"), col("m.cent_id").as("list_id"))
+      .crossJoin(broadcast(cands))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.argminL2(col("cands"), col("assignv")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("m.id").as("list_id"))
     val q = corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("assignv").as("qav"))
@@ -861,12 +891,15 @@ object AnnQueries {
               explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
             .select(col(idCol), col("j"),
               expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
-        val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+        val cands = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
+          .groupBy("j")
+          .agg(sort_array(collect_list(struct(
+            col("cent_id").cast("long").as("id"), col("centv")))).as("cands"))
         val codes = subspaces(emb, "cid", "subv")
-          .join(broadcast(cents), Seq("j"))
-          .groupBy("cid", "j")
-          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
-          .select(col("j"), col("m.cent_id").as("code"))
+          .join(broadcast(cands), Seq("j"))
+          .select(col("j"),
+            graft.functions.VectorFunctions.argminL2(col("cands"), col("subv"))
+              .getField("id").as("code"))
         val hist = codes.groupBy("j", "code").agg(count(lit(1)).as("c"))
         hist.groupBy("j")
           .agg(sum(col("c")).as("n"), count(lit(1)).as("codes_used"),
@@ -1450,19 +1483,21 @@ object AnnQueries {
             .select(col(idCol), col("j"),
               expr("slice(embedding, int(j * 8 + 1), 8)").as(subName))
         val cents = subspaces(emb.filter(col("vec_id") < 16), "cent_id", "centv")
-        // encode: nearest codebook entry per (vector, subspace). The argmin
-        // is a min(struct(d2, cent_id)) AGGREGATE, not a window: the
-        // vectors × codebook product (16 rows per (vec, subspace)) collapses
-        // in the map-side partial agg, so the exchange carries ONE row per
-        // (vec, subspace) — a window would shuffle all 16, a 16× difference
-        // that matters at 100 TB. Lexicographic struct ordering gives the
-        // identical (d2 asc, cent_id asc) tie-break as the oracle's
-        // ROW_NUMBER.
+        // encode: nearest codebook entry per (vector, subspace). r15: the
+        // argmin is the map-only VectorArgmin against the 8-row collected
+        // per-subspace codebook (was: min(struct) aggregate — which already
+        // collapsed the 16× product map-side, but still shuffled one row
+        // per (vec, subspace) through a Sort+Exchange+SortAggregate pair;
+        // now the corpus never shuffles at all — guide §2.4). Identical
+        // (d2 asc, cent_id asc) tie-break as the oracle's ROW_NUMBER.
         val codes = subspaces(emb, "cid", "subv")
-          .join(broadcast(cents), Seq("j"))
-          .groupBy("cid", "j")
-          .agg(min(struct(l2("subv", "centv").as("d2"), col("cent_id"))).as("m"))
-          .select(col("cid"), col("j"), col("m.cent_id").as("code"))
+          .join(broadcast(cents.groupBy("j")
+            .agg(sort_array(collect_list(struct(
+              col("cent_id").cast("long").as("id"), col("centv")))).as("cands"))),
+            Seq("j"))
+          .select(col("cid"), col("j"),
+            graft.functions.VectorFunctions.argminL2(col("cands"), col("subv"))
+              .getField("id").as("code"))
         // ADC table: query × subspace × codebook entry, rounded + exact-sum
         val adc = subspaces(emb.filter(col("vec_id") < NumQueries), "qid", "qsubv")
           .join(broadcast(cents), Seq("j"))

@@ -96,6 +96,30 @@ object Q {
     org.apache.spark.sql.graftbridge.Bridge.capRddStats(ck)
   }
 
+  /** [[truncate]] of several INDEPENDENT frames, their checkpoint jobs
+    * submitted concurrently (r15 optimization round; guide §2.6 "overlap
+    * independent jobs"). Each truncate is an eager Spark action, and the
+    * multi-leg evals used to pay them strictly serially — while one job's
+    * tail runs, the rest of the cluster idles. Spark's scheduler runs
+    * concurrent jobs from driver threads natively (FIFO back-fill), so the
+    * trainings/truth passes of an eval's legs now overlap. Results are
+    * bit-identical: each frame's own plan is unchanged, only the wall-clock
+    * interleaving of their jobs differs. Caller must pass frames with NO
+    * dependency on each other's checkpoint. */
+  private[graft] def truncatePar(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.sizeIs <= 1) dfs.map(truncate)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(dfs.size)
+      try {
+        val futs = dfs.map { df =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = truncate(df)
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
+    }
+
   /** Exact integer square root ⌊√x⌋ for a non-negative int64 column —
     * engine-VERSION-proof (r8 doctrine, see the class doc). The double
     * `sqrt` only proposes a candidate; a ±1 integer CASE correction

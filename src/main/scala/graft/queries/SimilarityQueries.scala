@@ -980,19 +980,21 @@ object SimilarityQueries {
     // so the raw 0.35 comparison and max(sim) agree exactly.
     "semdedup" -> Q(
       fn = (s, dir) => {
-        import graft.functions.VectorFunctions.floatL2Sq
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        // r15: map-only VectorArgmin against the one-row collected centroid
+        // array (see AnnQueries.ivfListsN's optimization note) — the
+        // assignment no longer shuffles the corpus; the cluster self-join
+        // below still shares ONE corpus pass, now via ReusedExchange on the
+        // join-side cluster exchanges (both sides are canonically equal).
+        val cands = emb.filter(col("vec_id") < 16)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").cast("long").as("id"), col("embedding").as("centv")))).as("cands"))
         val assigned = emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .groupBy("vec_id")
-          .agg(min(struct(
-              coalesce(floatL2Sq(col("embedding"), col("centv")),
-                lit(Double.PositiveInfinity)).as("d2"),
-              col("cent_id"))).as("m"),
-            first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("m.cent_id").as("cluster"), col("embedding"))
+          .crossJoin(broadcast(cands))
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.VectorFunctions.argminL2(col("cands"), col("embedding")).as("m"))
+          .filter(col("m").isNotNull)
+          .select(col("vec_id"), col("m.id").as("cluster"), col("embedding"))
         val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
           col("embedding").as("av"))
         val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),

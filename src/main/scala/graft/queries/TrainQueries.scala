@@ -40,20 +40,20 @@ object TrainQueries {
     "kmeans_step" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        // r15: map-only VectorArgmin against the one-row collected centroid
+        // array (see AnnQueries.ivfListsN's optimization note) — NULL d2
+        // still sorts LAST (the expression maps NULL→+∞ exactly like the
+        // old coalesce), and the assignment no longer shuffles the corpus
+        val cands = emb.filter(col("vec_id") < 16)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").cast("long").as("id"), col("embedding").as("centv")))).as("cands"))
         val assigned = emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .groupBy("vec_id")
-          // NULL d2 (malformed centroid: short array / null element) must
-          // sort LAST like the oracle's NULLS LAST ranking — structs order
-          // NULL fields FIRST, so coalesce to +∞ (the ivf_topk discipline)
-          .agg(min(struct(
-              coalesce(floatL2Sq(col("embedding"), col("centv")),
-                lit(Double.PositiveInfinity)).as("d2"),
-              col("cent_id"))).as("m"),
-            first(col("embedding")).as("embedding"))
-          .select(col("m.cent_id").as("cluster"), col("embedding"))
+          .crossJoin(broadcast(cands))
+          .select(graft.functions.VectorFunctions
+              .argminL2(col("cands"), col("embedding")).as("m"),
+            col("embedding"))
+          .filter(col("m").isNotNull)
+          .select(col("m.id").as("cluster"), col("embedding"))
         assigned
           .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("cluster", "dim")
@@ -110,16 +110,17 @@ object TrainQueries {
     "cluster_source_mix" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        // r15: map-only VectorArgmin assignment (see AnnQueries.ivfListsN's
+        // optimization note) — no corpus shuffle before the source roll-up
+        val cands = emb.filter(col("vec_id") < 16)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").cast("long").as("id"), col("embedding").as("centv")))).as("cands"))
         val assigned = emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .groupBy("vec_id")
-          .agg(min(struct(
-            coalesce(floatL2Sq(col("embedding"), col("centv")),
-              lit(Double.PositiveInfinity)).as("d2"),
-            col("cent_id"))).as("m"))
-          .select(col("vec_id").as("doc_id"), col("m.cent_id").as("cluster"))
+          .crossJoin(broadcast(cands))
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.argminL2(col("cands"), col("embedding")).as("m"))
+          .filter(col("m").isNotNull)
+          .select(col("vec_id").as("doc_id"), col("m.id").as("cluster"))
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
         val sc = docs.join(assigned, Seq("doc_id"))
           .groupBy("source", "cluster").agg(count(lit(1)).as("n"))
@@ -170,16 +171,18 @@ object TrainQueries {
     "cluster_purity" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        // r15: map-only VectorArgmin assignment (see AnnQueries.ivfListsN's
+        // optimization note) — no corpus shuffle before the (cluster, label)
+        // roll-up
+        val cands = emb.filter(col("vec_id") < 16)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").cast("long").as("id"), col("embedding").as("centv")))).as("cands"))
         val assigned = emb.select(col("vec_id"), col("embedding"), col("label"))
-          .crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"), col("label"))
-          .agg(min(struct(
-            coalesce(floatL2Sq(col("embedding"), col("centv")),
-              lit(Double.PositiveInfinity)).as("d2"),
-            col("cent_id"))).as("m"))
-          .select(col("label"), col("m.cent_id").as("cluster"))
+          .crossJoin(broadcast(cands))
+          .select(col("label"),
+            graft.functions.VectorFunctions.argminL2(col("cands"), col("embedding")).as("m"))
+          .filter(col("m").isNotNull)
+          .select(col("label"), col("m.id").as("cluster"))
         val cl = assigned.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
         val top = cl.groupBy("cluster")
           .agg(sum(col("n")).as("n_total"),
@@ -605,15 +608,20 @@ object TrainQueries {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centv")))
     var update: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to 3) {
+      // r15: map-only VectorArgmin against the one-row collected centroid
+      // array — each Lloyd round's assignment no longer shuffles the corpus
+      // (see AnnQueries.ivfListsN's optimization note for the bit-parity
+      // argument; the l2Sq fold, NULL→+∞ coalesce, and (d2, cent_id)
+      // tie-break are reproduced exactly)
+      val cands = cents.agg(sort_array(collect_list(struct(
+        col("cent_id").cast("long").as("id"), col("centv")))).as("cands"))
       val assigned = emb
-        .crossJoin(broadcast(cents))
-        .groupBy("vec_id")
-        .agg(min(struct(
-            coalesce(l2Sq(col("embedding"), col("centv")),
-              lit(Double.PositiveInfinity)).as("d2"),
-            col("cent_id"))).as("m"),
-          first(col("embedding")).as("embedding"))
-        .select(col("m.cent_id").as("cluster"), col("embedding"))
+        .crossJoin(broadcast(cands))
+        .select(graft.functions.VectorFunctions
+            .argminL2(col("cands"), col("embedding")).as("m"),
+          col("embedding"))
+        .filter(col("m").isNotNull)
+        .select(col("m.id").as("cluster"), col("embedding"))
       update = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
