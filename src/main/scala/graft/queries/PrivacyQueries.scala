@@ -131,18 +131,19 @@ object PrivacyQueries {
         when(col("card_ok"), expr("replace(m3, cand, '<CARD>')"))
           .otherwise(col("m3")))
       .withColumn("m5", regexp_replace(col("m4"), IpPat, "<IP>"))
-      .withColumn("nu",
-        size(regexp_extract_all(col("blurb"), lit(UrlPat), lit(0))).cast("long"))
-      .withColumn("ne",
-        size(regexp_extract_all(col("m1"), lit(EmailPat), lit(0))).cast("long"))
-      .withColumn("np",
-        size(regexp_extract_all(col("m2"), lit(PhonePat), lit(0))).cast("long"))
+      // r15: counts via regexp_count — the SAME non-overlapping-match count
+      // as size(regexp_extract_all(...)), without materializing the match
+      // array per row (this chain is the per-row hot path of a map-only
+      // export; guide §1.2 per-task work). nd likewise drops the extra
+      // regexp_replace + string alloc for a direct digit count. The DuckDB
+      // twin keeps its len(regexp_extract_all) spelling — both count the
+      // same matches.
+      .withColumn("nu", regexp_count(col("blurb"), lit(UrlPat)).cast("long"))
+      .withColumn("ne", regexp_count(col("m1"), lit(EmailPat)).cast("long"))
+      .withColumn("np", regexp_count(col("m2"), lit(PhonePat)).cast("long"))
       .withColumn("nc", when(col("card_ok"), 1L).otherwise(0L))
-      .withColumn("ni",
-        size(regexp_extract_all(col("m4"), lit(IpPat), lit(0))).cast("long"))
-      .withColumn("nd",
-        (length(col("m5")) - length(regexp_replace(col("m5"), "[0-9]", "")))
-          .cast("long"))
+      .withColumn("ni", regexp_count(col("m4"), lit(IpPat)).cast("long"))
+      .withColumn("nd", regexp_count(col("m5"), lit("[0-9]")).cast("long"))
   }
 
   /** The shared PII span classifier (r13, +card/IP r14): for a frame

@@ -107,13 +107,22 @@ object Q {
     * interleaving of their jobs differs. Caller must pass frames with NO
     * dependency on each other's checkpoint. */
   private[graft] def truncatePar(dfs: Seq[DataFrame]): Seq[DataFrame] =
-    if (dfs.sizeIs <= 1) dfs.map(truncate)
+    par(dfs.map(df => () => truncate(df)): _*)
+
+  /** Run INDEPENDENT action-bearing thunks concurrently (guide §2.6) —
+    * the generic form of [[truncatePar]] for legs that are whole iterative
+    * loops (connected components, pagerank, k-core peel) rather than one
+    * checkpoint. Each thunk's own computation is unchanged; only the
+    * wall-clock interleaving of their jobs differs, so results are
+    * bit-identical. Thunks must not depend on each other's side effects. */
+  private[graft] def par[T](thunks: (() => T)*): Seq[T] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(dfs.size)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
       try {
-        val futs = dfs.map { df =>
-          pool.submit(new java.util.concurrent.Callable[DataFrame] {
-            override def call(): DataFrame = truncate(df)
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[T] {
+            override def call(): T = t()
           })
         }
         futs.map(_.get())

@@ -1240,9 +1240,15 @@ object SelectionQueries {
             explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "true_src", "tok").agg(count(lit(1)).as("cdt"))
         val dlen = dt.groupBy("doc_id", "true_src").agg(sum(col("cdt")).as("len"))
-        val st = docs
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+        // r15 (guide §2.3 "aggregate before you shuffle"): the per-source
+        // token counts are EXACTLY the doc-token counts re-aggregated —
+        // st = Σ_docs cdt — so derive them from dt instead of a second
+        // tokenize+explode pass over the corpus (one scan + one exploded
+        // shuffle removed; the oracle spells st independently but computes
+        // the identical counts)
+        val st = dt
+          .groupBy(col("true_src").as("source"), col("tok"))
+          .agg(sum(col("cdt")).as("cst"))
         val srcTot = st.groupBy("source").agg(sum(col("cst")).as("ns"))
         val vocabV = st.agg(countDistinct(col("tok")).as("v"))
         val nDocs = docs.groupBy("source").agg(count(lit(1)).as("docs_s"))

@@ -1366,14 +1366,22 @@ object SimilarityQueries {
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("n_chars"))
-      val members = Q.truncate(Q.connectedComponents(sym)
-        .select(col("label").as("cluster"), col("id"))
-        .join(docs, Seq("id")))
-      val pr = GraphQueries.dupPagerankFrom(pairs)
-      val (coreEdges, _, _, _) = kcorePeel(pairs, pairs.count())
-      val core = coreEdges.select(col("a_id").as("id"))
-        .union(coreEdges.select(col("b_id").as("id"))).distinct()
-        .withColumn("is_core", lit(0L))
+      // r15 (guide §2.6): CC, pagerank, and the k-core peel are three
+      // INDEPENDENT iterative loops over the same truncated pair frame —
+      // each is a chain of small serial actions, so running them serially
+      // left the box mostly idle; their loops now overlap in three driver
+      // threads (results bit-identical, each loop's own plan unchanged)
+      val Seq(members, pr, core) = Q.par[org.apache.spark.sql.DataFrame](
+        () => Q.truncate(Q.connectedComponents(sym)
+          .select(col("label").as("cluster"), col("id"))
+          .join(docs, Seq("id"))),
+        () => GraphQueries.dupPagerankFrom(pairs),
+        () => {
+          val (coreEdges, _, _, _) = kcorePeel(pairs, pairs.count())
+          coreEdges.select(col("a_id").as("id"))
+            .union(coreEdges.select(col("b_id").as("id"))).distinct()
+            .withColumn("is_core", lit(0L))
+        })
       def policy(name: String, src: org.apache.spark.sql.DataFrame, pri: Column) =
         src.groupBy("cluster")
           .agg(count(lit(1)).as("n_members"),
