@@ -116,17 +116,18 @@ object AnnIndexQueries {
       val vectors = listsFull.select(col("cid"), col("cv"), col("list_id"))
       val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema,
         vectors.schema)
-      cents.write.mode("overwrite").parquet(ix.centroidsPath)
-      cb.write.mode("overwrite").parquet(ix.codebookPath)
-      codes.repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath)
-      // raw vectors co-partitioned with their codes (the FAISS convention:
-      // lists carry the vectors the exact re-rank needs) — without this the
-      // refine stage re-scans the SOURCE embeddings table per serve, which
-      // the sf10 re-shard measurement showed to be the serving floor once
-      // code-side pruning works
-      vectors.repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(ix.vectorsPath)
+      // r15 (guide §2.6): the four index files are independent write jobs
+      // over already-truncated inputs — overlap them instead of paying four
+      // serial write barriers (the one-time build cost halves; raw vectors
+      // stay co-partitioned with their codes, the FAISS convention, so the
+      // exact re-rank reads only probed lists — see the class doc)
+      Q.par[Unit](
+        () => cents.write.mode("overwrite").parquet(ix.centroidsPath),
+        () => cb.write.mode("overwrite").parquet(ix.codebookPath),
+        () => codes.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath),
+        () => vectors.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(ix.vectorsPath))
       val ms = (System.nanoTime() - t0) / 1000000L
       System.err.println(
         s"[ann-index] build #${ixBuilds.get()} for $dir took $ms ms -> $root")
@@ -156,12 +157,14 @@ object AnnIndexQueries {
     val vectors = listsFull.select(col("cid"), col("cv"), col("list_id"))
     val ix = ServedIndex(root, cents.schema, cb.schema, codes.schema,
       vectors.schema)
-    cents.write.mode("overwrite").parquet(ix.centroidsPath)
-    cb.write.mode("overwrite").parquet(ix.codebookPath)
-    codes.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath)
-    vectors.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(ix.vectorsPath)
+    // overlapped independent write jobs — see servedIndex
+    Q.par[Unit](
+      () => cents.write.mode("overwrite").parquet(ix.centroidsPath),
+      () => cb.write.mode("overwrite").parquet(ix.codebookPath),
+      () => codes.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(ix.codesPath),
+      () => vectors.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(ix.vectorsPath))
     ix
   }
 

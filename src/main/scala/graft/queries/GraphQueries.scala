@@ -48,10 +48,12 @@ object GraphQueries {
   private[queries] def dupPagerankFrom(pairs: DataFrame): DataFrame = {
     val sym = pairs.union(pairs.select(col("b_id"), col("a_id")))
     val outw = sym.groupBy("a_id").agg(count(lit(1)).as("outw"))
-    val shared = Q.truncate(sym.join(outw, Seq("a_id"))
-      .select(col("a_id"), col("b_id"),
-        Q.grid6(lit(1.0) / col("outw")).cast("decimal(10,6)").as("share")))
-    val nodes = Q.truncate(sym.select(col("a_id").as("id")).distinct())
+    // r15 (guide §2.6): the two independent checkpoint barriers overlap
+    val Seq(shared, nodes) = Q.truncatePar(Seq(
+      sym.join(outw, Seq("a_id"))
+        .select(col("a_id"), col("b_id"),
+          Q.grid6(lit(1.0) / col("outw")).cast("decimal(10,6)").as("share")),
+      sym.select(col("a_id").as("id")).distinct()))
     val ncount = nodes.agg(count(lit(1)).as("n"))
     def iterate(pr: DataFrame): DataFrame = {
       val contrib = pr.join(shared, pr("id") === shared("a_id"))
@@ -155,12 +157,13 @@ object GraphQueries {
         // outright (re-benched r6: no regression vs the ReusedExchange
         // form, and the corpus-scan count is now structural, not
         // optimizer-dependent).
-        val shared = Q.truncate(edges.join(outw, Seq("a"))
-          .select(col("a"), col("b"),
-            Q.grid6(col("w").cast("double") / col("outw"))
-              .cast("decimal(10,6)").as("share")))
-        val nodes = Q.truncate(
-          docs.select(explode(split(col("text"), " ")).as("tok")).distinct())
+        // r15 (guide §2.6): two independent checkpoint barriers overlapped
+        val Seq(shared, nodes) = Q.truncatePar(Seq(
+          edges.join(outw, Seq("a"))
+            .select(col("a"), col("b"),
+              Q.grid6(col("w").cast("double") / col("outw"))
+                .cast("decimal(10,6)").as("share")),
+          docs.select(explode(split(col("text"), " ")).as("tok")).distinct()))
         val ncount = nodes.agg(count(lit(1)).as("n"))
         def iterate(pr: DataFrame): DataFrame = {
           val contrib = pr.join(shared, pr("tok") === shared("a"))
