@@ -467,13 +467,41 @@ case class MicroRotate(left: Expression, right: Expression)
   * accumulated left-to-right, NULL on zero denominator). A NULL score
   * (length mismatch, null element, zero norm) maps to +∞ exactly like the
   * `coalesce(score, +Inf)` the call sites wrapped around the old
-  * min(struct); selection is strict `<` over candidates in ascending-id
-  * order, which equals min(struct(score, id))'s (score, id) lexicographic
-  * order. The DuckDB oracle twins (ROW_NUMBER ... ORDER BY score, id)
-  * are untouched — both engines compute the same argmin on the same bits.
-  */
+  * min(struct); selection is strict Double.compare-< over candidates in
+  * ascending-id order, which equals min(struct(score, id))'s (score, id)
+  * lexicographic order under Spark's double total ordering (NaN last,
+  * -0.0 < 0.0 — r16 ADVICE fix; primitive < diverged on NaN). The DuckDB
+  * oracle twins (ROW_NUMBER ... ORDER BY score, id) are untouched — both
+  * engines compute the same argmin on the same bits.
+  *
+  * NULL-handling note (r16, ADVICE): the expression is null-INTOLERANT —
+  * a row whose data-vector COLUMN is NULL (not merely containing null
+  * elements) yields m = NULL, and call sites drop it via
+  * .filter(isNotNull). The replaced idiom would have assigned such a row
+  * to the smallest-id candidate (+Inf scores everywhere). The corpora
+  * have no NULL vectors (every oracle is hash-green), so this is a
+  * documented design choice: top-level NULL vectors are excluded from
+  * assignment by design.
+  *
+  * DECLARED non-deterministic (r16; guide §4.4's remedy applied to a
+  * Catalyst expression): the function is a pure fold, but with
+  * `deterministic = true` the optimizer DUPLICATED it — the call sites'
+  * `isnotnull(m)` filter, the equi-join null checks on `m.id`, and
+  * constraints inferred from the other join side (`code < 16`) all push
+  * through the projection and re-expand the full 16-candidate × 64-dim
+  * fold inside join conditions: the r15 `*_after` plans show up to THREE
+  * copies of the fold in one BroadcastNestedLoopJoin condition plus the
+  * projection's own — 4× the assignment compute at any scale. Flagging
+  * non-deterministic forbids the optimizer from reordering or duplicating
+  * the expression, so every plan evaluates the fold exactly ONCE per row
+  * and the predicates test the computed column above it. Results are
+  * bit-identical (the expression never actually varies); the trade is the
+  * lost IsNotNull scan pushdown on the vector column — worthless here, as
+  * the corpora have no NULL vectors and the filter still applies above. */
 case class VectorArgmin(left: Expression, right: Expression, negCos: Boolean)
     extends BinaryExpression {
+
+  override lazy val deterministic: Boolean = false
 
   import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -548,7 +576,16 @@ case class VectorArgmin(left: Expression, right: Expression, negCos: Boolean)
             }
           }
         }
-        if (first || score < bestScore) { bestScore = score; bestId = id; first = false }
+        // java.lang.Double.compare, not primitive < (r16, ADVICE): the
+        // primitive comparison diverges from min(struct)'s total ordering
+        // once a NaN score appears (score < NaN is false for every later
+        // candidate, so a first-candidate NaN would win); Double.compare
+        // reproduces Spark's double ordering exactly (NaN last,
+        // -0.0 < 0.0), which is what the replaced min(struct(score, id))
+        // used. Identical on NaN-free data.
+        if (first || java.lang.Double.compare(score, bestScore) < 0) {
+          bestScore = score; bestId = id; first = false
+        }
       }
       k += 1
     }
@@ -620,7 +657,7 @@ case class VectorArgmin(left: Expression, right: Expression, negCos: Boolean)
          |        }
          |      }
          |    }
-         |    if ($firstV || $score < $bestScore) {
+         |    if ($firstV || java.lang.Double.compare($score, $bestScore) < 0) {
          |      $bestScore = $score; $bestId = $id; $firstV = false;
          |    }
          |  }
@@ -629,6 +666,200 @@ case class VectorArgmin(left: Expression, right: Expression, negCos: Boolean)
          |  } else {
          |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |      new Object[]{$bestScore, $bestId});
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-2 variant of [[VectorArgmin]] for the L2 metric (r16, verdict item
+  * 2): given the same SINGLE-ROW candidate array (sorted ascending by id)
+  * and a data vector, returns struct(score double, id bigint, score2
+  * double) — the best candidate's (distance², id) plus the SECOND-best
+  * distance², both under the (score, id) lexicographic order that
+  * min(struct)/sort_array used.
+  *
+  * This makes silhouette_positive_share map-only: the old idiom paid the
+  * 16× crossJoin fan-out plus a corpus-sized Sort+Exchange+SortAggregate
+  * pair (min(struct) AND sort_array(collect_list(...)) per vec_id) to get
+  * (own-centroid d², nearest-other d²) — the last corpus-sized
+  * sort-aggregate shuffle left in the ANN deck after r15.
+  *
+  * Bit-parity with the replaced idiom: per candidate the score is
+  * [[VectorL2Sq]]'s exact left-to-right fold; a NULL score (null element,
+  * length mismatch) maps to +∞ like the old `coalesce(d2, +Inf)`;
+  * top-2 selection over candidates in ascending-id order with
+  * Double.compare reproduces sort_array's (score, id) struct order (NaN
+  * last, -0.0 < 0.0); `score2` is element [1] of that order — NULL when
+  * only one candidate exists, exactly like the old out-of-bounds
+  * `all[1]`. Null handling follows [[VectorArgmin]] exactly (r16 ADVICE
+  * note there): null-INTOLERANT on the data-vector column — top-level
+  * NULL vectors are excluded by design (none exist in the corpora; every
+  * oracle is hash-green), and a NULL/empty candidate array yields NULL,
+  * dropped by the call site's isNotNull filter like the old
+  * crossJoin-with-empty-broadcast zero-rows case. */
+case class VectorArgmin2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  // pure fold, declared non-deterministic so the optimizer cannot
+  // duplicate it into join conditions — see [[VectorArgmin]]'s note
+  override lazy val deterministic: Boolean = false
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("score2", DoubleType, nullable = true)))
+
+  private def elemOk(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 && fields(0).dataType == LongType &&
+          elemOk(fields(1).dataType) && elemOk(right.dataType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<struct<bigint, array<float|double>>>, " +
+        s"array<float|double>), got ${left.dataType.simpleString} and " +
+        s"${right.dataType.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_argmin2_l2"
+
+  private def candElemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType](1)
+      .dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def vElemIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(c: Any, e: Any): Any = {
+    val cands = c.asInstanceOf[ArrayData]
+    val m = cands.numElements()
+    if (m == 0) return null
+    val v = e.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val cf = candElemIsFloat; val vf = vElemIsFloat
+    var bestScore = Double.PositiveInfinity; var bestId = 0L
+    var secondScore = Double.PositiveInfinity
+    var seen = 0
+    var k = 0
+    while (k < m) {
+      if (!cands.isNullAt(k)) {
+        val cand = cands.getStruct(k, 2)
+        val id = cand.getLong(0)
+        var score = Double.PositiveInfinity
+        if (!cand.isNullAt(1)) {
+          val cv = cand.getArray(1)
+          if (cv.numElements() == n) {
+            var acc = 0.0
+            var ok = true
+            var i = 0
+            while (ok && i < n) {
+              if (v.isNullAt(i) || cv.isNullAt(i)) ok = false
+              else {
+                val xv = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+                val yv = if (cf) cv.getFloat(i).toDouble else cv.getDouble(i)
+                val d = xv - yv
+                acc += d * d
+                i += 1
+              }
+            }
+            if (ok) score = acc
+          }
+        }
+        // lexicographic (score, id) top-2; ids ascend, so a strict
+        // Double.compare on the score alone decides placement
+        if (seen == 0) { bestScore = score; bestId = id }
+        else if (java.lang.Double.compare(score, bestScore) < 0) {
+          secondScore = bestScore
+          bestScore = score; bestId = id
+        } else if (seen == 1 ||
+            java.lang.Double.compare(score, secondScore) < 0) {
+          secondScore = score
+        }
+        seen += 1
+      }
+      k += 1
+    }
+    if (seen == 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestScore, bestId,
+        if (seen >= 2) java.lang.Double.valueOf(secondScore) else null))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, e) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val cand = ctx.freshName("cand")
+      val cv = ctx.freshName("cv")
+      val id = ctx.freshName("id")
+      val score = ctx.freshName("score")
+      val acc = ctx.freshName("acc")
+      val ok = ctx.freshName("ok")
+      val d = ctx.freshName("d")
+      val bestScore = ctx.freshName("bestScore")
+      val bestId = ctx.freshName("bestId")
+      val secondScore = ctx.freshName("secondScore")
+      val seen = ctx.freshName("seen")
+      def getV = if (vElemIsFloat) s"(double) $e.getFloat($i)" else s"$e.getDouble($i)"
+      def getC = if (candElemIsFloat) s"(double) $cv.getFloat($i)" else s"$cv.getDouble($i)"
+      s"""
+         |int $m = $c.numElements();
+         |if ($m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $e.numElements();
+         |  double $bestScore = Double.POSITIVE_INFINITY;
+         |  long $bestId = 0L;
+         |  double $secondScore = Double.POSITIVE_INFINITY;
+         |  int $seen = 0;
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    if ($c.isNullAt($k)) continue;
+         |    InternalRow $cand = $c.getStruct($k, 2);
+         |    long $id = $cand.getLong(0);
+         |    double $score = Double.POSITIVE_INFINITY;
+         |    if (!$cand.isNullAt(1)) {
+         |      ArrayData $cv = $cand.getArray(1);
+         |      if ($cv.numElements() == $n) {
+         |        double $acc = 0.0;
+         |        boolean $ok = true;
+         |        for (int $i = 0; $ok && $i < $n; $i++) {
+         |          if ($e.isNullAt($i) || $cv.isNullAt($i)) { $ok = false; break; }
+         |          double $d = $getV - $getC;
+         |          $acc += $d * $d;
+         |        }
+         |        if ($ok) { $score = $acc; }
+         |      }
+         |    }
+         |    if ($seen == 0) { $bestScore = $score; $bestId = $id; }
+         |    else if (java.lang.Double.compare($score, $bestScore) < 0) {
+         |      $secondScore = $bestScore;
+         |      $bestScore = $score; $bestId = $id;
+         |    } else if ($seen == 1 ||
+         |        java.lang.Double.compare($score, $secondScore) < 0) {
+         |      $secondScore = $score;
+         |    }
+         |    $seen++;
+         |  }
+         |  if ($seen == 0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{$bestScore, $bestId,
+         |        ($seen >= 2) ? (Object) java.lang.Double.valueOf($secondScore) : null});
          |  }
          |}
        """.stripMargin
@@ -672,6 +903,12 @@ object VectorFunctions {
   def argminL2(cands: Column, v: Column): Column =
     Bridge.column(VectorArgmin(Bridge.expression(cands), Bridge.expression(v),
       negCos = false))
+
+  /** Per-row L2 TOP-2 argmin against a broadcast candidate array —
+    * returns struct(score double, id bigint, score2 double); see
+    * [[VectorArgmin2]]. */
+  def argmin2L2(cands: Column, v: Column): Column =
+    Bridge.column(VectorArgmin2(Bridge.expression(cands), Bridge.expression(v)))
 
   /** Per-row cosine ARGMAX (as negated-cosine argmin, matching the
     * min(struct(−csim, id)) idiom) against a broadcast candidate array —

@@ -239,19 +239,23 @@ object AnnEvalQueries {
       // subtree. The legs consume the gated retrievers' OWN tails
       // (ivfPqRankTopk / ivfPqRefineTopk — the registry queries are those
       // tails over the same builder), so no-drift composition is preserved.
-      // r15 (guide §2.6): the truth pass and the coarse-assignment pass are
-      // independent — their checkpoint jobs overlap; the dependent frames
-      // (rsub/dist on listsFull, rdist on rsub) follow in two more stages,
-      // each stage's independent members also overlapped
+      // r15 (guide §2.6): independent checkpoint jobs overlap. r16
+      // (verdict item 3): the residual frame no longer WAITS on the
+      // coarse-assignment checkpoint — since r15's VectorArgmin the
+      // coarse argmin is a map-only projection, so rsub's own lineage
+      // (argmin + broadcast-centroid join + residual slices, one fused
+      // scan pipeline, no shuffle) is checkpointed CONCURRENTLY with
+      // exact/listsFull in stage 1, and stage 2 overlaps the two ADC
+      // dist frames. Barrier stages: 3 → 2 before the final plan
+      // (same bits — the fresh argmin is deterministic and equals the
+      // checkpointed one row-for-row).
       val emb = Tables.load(s, dir, "embeddings")
-      val Seq(exact, listsFull) = Q.truncatePar(Seq(
+      val Seq(exact, listsFull, rsub) = Q.truncatePar(Seq(
         base("similarity_topk").fn(s, dir).select(col("qid"), col("cid")),
-        ivfLists(emb)))
+        ivfLists(emb),
+        pqResidualSubFrom(ivfLists(emb), ivfCentroids(emb))))
       val lists = listsFull.select(col("cid"), col("list_id"))
       val probes = ivfProbes(emb)
-      val Seq(rsub, dist) = Q.truncatePar(Seq(
-        pqResidualSubFrom(listsFull, ivfCentroids(emb)),
-        ivfPqAdcDistFrom(emb, lists, probes)))
       def leg(name: String, approx0: org.apache.spark.sql.DataFrame) = {
         val approx = approx0.select(col("qid"), col("cid"), lit(1L).as("hit"))
         exact.join(approx, Seq("qid", "cid"), "left")
@@ -260,7 +264,12 @@ object AnnEvalQueries {
           .select(lit(name).as("method"), col("qid"), col("n_hit"),
             (col("n_hit").cast("double") / lit(TopK)).as("recall"))
       }
-      val rdist = Q.truncate(ivfPqResidualDistFrom(emb, rsub, lists, probes))
+      // thunks, not pre-built frames: ivfPqResidualDistFrom runs its
+      // codebook-training truncate EAGERLY at call time, so only a thunk
+      // lets that training overlap the raw-ADC dist checkpoint
+      val Seq(dist, rdist) = Q.par[org.apache.spark.sql.DataFrame](
+        () => Q.truncate(ivfPqAdcDistFrom(emb, lists, probes)),
+        () => Q.truncate(ivfPqResidualDistFrom(emb, rsub, lists, probes)))
       leg("pq_topk", base("pq_topk").fn(s, dir))
         .unionAll(leg("ivf_pq_topk", ivfPqRankTopk(dist)))
         .unionAll(leg("ivf_pq_refined_topk", ivfPqRefineTopk(s, dir, dist)))
@@ -631,22 +640,28 @@ object AnnEvalQueries {
           .select(col("vec_id"), col("embedding"))
         val withV = cand.join(emb, cand("cid") === emb("vec_id"))
           .select(col("qid"), col("cid"), col("embedding"))
-        val pairs = withV.select(col("qid"), col("cid").as("x"), col("embedding").as("xv"))
-          .join(withV.select(col("qid"), col("cid").as("y"), col("embedding").as("yv")),
-            Seq("qid"))
-          .filter(col("x") =!= col("y"))
-          .select(col("qid"), col("x"), col("y"),
-            floor(cosineSimilarity(col("xv"), col("yv")) * lit(1000000.0d))
-              .cast("long").as("red6"))
-          .localCheckpoint()
-        // round 1: pure relevance
-        var selected = cand
-          .groupBy("qid")
-          .agg(min(struct(negate(col("rel6")).cast("long").as("ns"), col("cid"),
-            col("rel6"))).as("m"))
-          .select(col("qid"), col("m.cid").as("cid"), lit(1).as("pick_rank"),
-            (lit(3L) * col("m.rel6")).as("s6"))
-          .localCheckpoint()
+        // r16 (guide §2.6): the pair table and the round-1 pick are both
+        // derived from the already-checkpointed cand frame and are
+        // independent of each other — their checkpoint jobs overlap
+        // instead of running as two serial barriers
+        val Seq(pairs, sel1) = Q.par[org.apache.spark.sql.DataFrame](
+          () => withV.select(col("qid"), col("cid").as("x"), col("embedding").as("xv"))
+            .join(withV.select(col("qid"), col("cid").as("y"), col("embedding").as("yv")),
+              Seq("qid"))
+            .filter(col("x") =!= col("y"))
+            .select(col("qid"), col("x"), col("y"),
+              floor(cosineSimilarity(col("xv"), col("yv")) * lit(1000000.0d))
+                .cast("long").as("red6"))
+            .localCheckpoint(),
+          // round 1: pure relevance
+          () => cand
+            .groupBy("qid")
+            .agg(min(struct(negate(col("rel6")).cast("long").as("ns"), col("cid"),
+              col("rel6"))).as("m"))
+            .select(col("qid"), col("m.cid").as("cid"), lit(1).as("pick_rank"),
+              (lit(3L) * col("m.rel6")).as("s6"))
+            .localCheckpoint())
+        var selected = sel1
         for (r <- 2 to 5) {
           val rem = cand.join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
           val red = pairs

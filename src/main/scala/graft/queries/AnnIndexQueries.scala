@@ -96,10 +96,14 @@ object AnnIndexQueries {
       ixBuilds.incrementAndGet()
       val t0 = System.nanoTime()
       val emb = Tables.load(s, dir, "embeddings")
-      val listsFull = Q.truncate(AnnQueries.ivfLists(emb))
       val cents = AnnQueries.ivfCentroids(emb)
-      val rsub = Q.truncate(
-        AnnQueries.pqResidualSubFrom(listsFull, cents))
+      // r16 (verdict item 3): the residual frame derives from its OWN
+      // map-only coarse argmin (fused scan pipeline, no shuffle) so its
+      // checkpoint overlaps listsFull's instead of waiting on it —
+      // same bits, one fewer serial barrier in the build
+      val Seq(listsFull, rsub) = Q.truncatePar(Seq(
+        AnnQueries.ivfLists(emb),
+        AnnQueries.pqResidualSubFrom(AnnQueries.ivfLists(emb), cents)))
       val cb = Q.truncate(AnnQueries.pqResidualTrainFrom(rsub)._1)
       val codes = AnnQueries.pqResidualCodesFrom(rsub, cb)
         .join(listsFull.select(col("cid"), col("list_id")), Seq("cid"))
@@ -149,8 +153,11 @@ object AnnIndexQueries {
     val emb = Tables.load(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < nl)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-    val listsFull = Q.truncate(AnnQueries.ivfListsN(emb, nl))
-    val rsub = Q.truncate(AnnQueries.pqResidualSubFrom(listsFull, cents))
+    // r16: overlapped coarse-assignment + residual checkpoints (see
+    // servedIndex)
+    val Seq(listsFull, rsub) = Q.truncatePar(Seq(
+      AnnQueries.ivfListsN(emb, nl),
+      AnnQueries.pqResidualSubFrom(AnnQueries.ivfListsN(emb, nl), cents)))
     val cb = Q.truncate(AnnQueries.pqResidualTrainFrom(rsub, initLo = nl)._1)
     val codes = AnnQueries.pqResidualCodesFrom(rsub, cb)
       .join(listsFull.select(col("cid"), col("list_id")), Seq("cid"))
@@ -318,9 +325,13 @@ object AnnIndexQueries {
     "index_append" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val listsFull = Q.truncate(AnnQueries.ivfLists(emb))
         val cents = AnnQueries.ivfCentroids(emb)
-        val rsub = Q.truncate(AnnQueries.pqResidualSubFrom(listsFull, cents))
+        // r16 (verdict item 3): rsub's checkpoint overlaps listsFull's —
+        // its own map-only argmin replaces the wait on listsFull (same
+        // bits; see servedIndex)
+        val Seq(listsFull, rsub) = Q.truncatePar(Seq(
+          AnnQueries.ivfLists(emb),
+          AnnQueries.pqResidualSubFrom(AnnQueries.ivfLists(emb), cents)))
         val cb = Q.truncate(AnnQueries.pqResidualTrainFrom(rsub)._1)
         // r15: map-only VectorArgmin encode (see AnnQueries.ivfListsN's
         // optimization note) — no corpus shuffle in the error pass

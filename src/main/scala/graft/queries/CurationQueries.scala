@@ -627,12 +627,18 @@ object CurationQueries {
     // Exact-substring dedup at chunk granularity (the tractable 100 TB
     // stand-in for suffix-array substring dedup, Lee et al. 2022): a doc's
     // overlap rate = fraction of its 50-token chunks whose hash appears in
-    // ≥ 2 DISTINCT documents. Scale shape: chunk explode → one hash agg for
-    // per-chunk doc counts → equi-join back on chunk_hash (both sides
-    // partitioned by the SAME key — one exchange each, no broadcast of a
-    // corpus-sized table) → per-doc agg → per-source roll-up with a
-    // decimal-exact average. Chunk identity is the same md5 as
-    // chunk_documents, so the two operators compose.
+    // ≥ 2 DISTINCT documents.
+    //
+    // Scale shape (r16, guide §2.4 "share one exchange"): the shared-chunk
+    // test `COUNT(DISTINCT doc_id) ≥ 2` is exactly `min(doc_id) ≠
+    // max(doc_id)` over the chunk_hash partition, so it now runs as a
+    // WINDOW over the ONE chunk_hash exchange instead of a distinct-agg
+    // plus an equi-join back — the old plan computed the corpus
+    // chunk-explode + md5 TWICE (once per join side) and paid two
+    // corpus-sized exchanges on the same key; the new plan explodes once,
+    // exchanges once, then rolls up per doc and per source. The oracle
+    // keeps the COUNT(DISTINCT) spelling — same verdict per row by
+    // construction.
     "dedup_chunk_overlap" -> Q(
       fn = (s, dir) => {
         val chunks = Tables.load(s, dir, "documents")
@@ -642,12 +648,13 @@ object CurationQueries {
             col("toks"))
           .select(col("doc_id"), col("source"),
             expr("md5(array_join(slice(toks, int(i * 40 + 1), 50), ' '))").as("chunk_hash"))
-        val freq = chunks.groupBy("chunk_hash")
-          .agg(countDistinct(col("doc_id")).as("n_docs_with"))
-        val perDoc = chunks.join(freq, Seq("chunk_hash"))
+        val wch = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
+        val perDoc = chunks
+          .withColumn("shared",
+            min(col("doc_id")).over(wch) =!= max(col("doc_id")).over(wch))
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("n_docs_with") >= 2, 1).otherwise(0)).as("n_shared"))
+            sum(when(col("shared"), 1).otherwise(0)).as("n_shared"))
           .withColumn("rate",
             Q.grid6(col("n_shared").cast("double") / col("n_chunks")))
         perDoc.groupBy("source")

@@ -2191,6 +2191,17 @@ object FunnelQueries {
     // (transition_matrix's plan); everything after is ≤|types|² rows — the
     // 12 steps are 12 joins over broadcast-tiny frames, constant cost at
     // any corpus size.
+    //
+    // r16 (guide §2.4 + the r10/r12 multi-branch rule): the 12 unrolled
+    // steps all reference p6, whose lineage holds the corpus window pass —
+    // the lazy form planned that subtree 12× (and the final join re-planned
+    // it again), leaning on exchange reuse to dedup at runtime; p6 and emp
+    // are now checkpoint-truncated ONCE (concurrently, §2.6), so the
+    // corpus is scanned a structural 2× (window pass + count pass) and the
+    // iteration chain runs over a ≤|types|²-row materialized frame.
+    // `states` and the event total are DERIVED from emp (its keys are
+    // exactly the distinct types; Σ n_ev is exactly count(*)), removing
+    // the separate distinct pass and global-count corpus scans outright.
     "markov_stationary" -> Q(
       fn = (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -2202,11 +2213,18 @@ object FunnelQueries {
           .filter(col("nxt").isNotNull)
         val p = seq0.groupBy("cur", "nxt").agg(count(lit(1)).as("cnt"))
         val tot = p.groupBy("cur").agg(sum(col("cnt")).as("tot"))
-        val p6 = p.join(broadcast(tot), Seq("cur"))
-          .select(col("cur"), col("nxt"), expr("(cnt * 1000000L) div tot").as("p6"))
+        // p6 truncated (12 iteration branches); emp stays a LAZY aggregate —
+        // the PlanGuard R2 global-window bound must remain visible in the
+        // plan (a checkpoint would hide that `states` is |types|-bounded),
+        // and emp's 3 consumers dedup via runtime exchange reuse
+        val p6 = Q.truncate(
+          p.join(broadcast(tot), Seq("cur"))
+            .select(col("cur"), col("nxt"), expr("(cnt * 1000000L) div tot").as("p6")))
+        val emp = ev.groupBy(col("event_type").as("state"))
+          .agg(count(lit(1)).as("n_ev"))
+        val states = emp.select(col("state"))
         // deterministic uniform start: 10^6 split evenly, remainder to the
         // lexicographically first states
-        val states = ev.select(col("event_type").as("state")).distinct()
         val ws = Window.orderBy(col("state"))
         val init = states
           .withColumn("rn", row_number().over(ws).cast("long"))
@@ -2222,9 +2240,7 @@ object FunnelQueries {
             .agg(sum(expr("(pi6 * p6) div 1000000L")).as("pi6"))
             .select(col("state2").as("state"), col("pi6"))
         }
-        val emp = ev.groupBy(col("event_type").as("state"))
-          .agg(count(lit(1)).as("n_ev"))
-        val nTot = ev.agg(count(lit(1)).as("n_all"))
+        val nTot = emp.agg(sum(col("n_ev")).as("n_all"))
         states.join(pi, Seq("state"), "left").na.fill(0L, Seq("pi6"))
           .join(emp, Seq("state"), "left").na.fill(0L, Seq("n_ev"))
           .crossJoin(broadcast(nTot))

@@ -48,9 +48,12 @@ object SimilarityQueries {
     * frame until stable or `maxRounds` (12 — spec-pinned ≡ the oracle's
     * fixed unroll; convergence within the bound is reported, never
     * assumed). Returns (final edges, final edge count, rounds peeled,
-    * converged). Per-round edge counts are bounded driver reads (the CC
-    * convergence-probe precedent); each round's frame is truncated so
-    * round r never recomputes rounds 1..r−1. */
+    * converged). r16 (verdict item 4's pattern): the per-round edge count
+    * is OBSERVED on the checkpoint action itself (Dataset.observe — the
+    * CC-loop mechanism, pinned by graft.examples.ObserveProbe) instead of
+    * a second count() job re-scanning the fresh checkpoint, so each round
+    * is ONE driver-blocking job, not two. Counts are identical: the
+    * metric counts the same rows the checkpoint writes. */
   private[queries] def kcorePeel(
       edges0: org.apache.spark.sql.DataFrame, nEdges0: Long,
       k: Int = 3, maxRounds: Int = 12)
@@ -65,11 +68,13 @@ object SimilarityQueries {
         .union(edges.select(col("b_id"), col("a_id")))
       val keep = sym.groupBy("a_id").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a_id").as("id"))
+      val obs = org.apache.spark.sql.Observation()
       edges = truncate(edges
         .join(keep.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
         .join(keep.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
-        .select(col("a_id"), col("b_id")))
-      val c = edges.count()
+        .select(col("a_id"), col("b_id"))
+        .observe(obs, count(lit(1)).as("n_edges")))
+      val c = obs.get("n_edges").asInstanceOf[Long]
       if (c == prev) converged = true
       else { roundsPeeled += 1; prev = c }
       r += 1
@@ -703,9 +708,13 @@ object SimilarityQueries {
       fn = (s, dir) => {
         val (pairsRaw, sig) = lshNearDupPairsBandLocalWithSig(
           Tables.load(s, dir, "embeddings"), 0.40)
-        val edges0 = truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        // r16: the initial edge count rides the truncate action (observe)
+        // instead of a second count() job over the fresh checkpoint
+        val obs0 = org.apache.spark.sql.Observation()
+        val edges0 = truncate(pairsRaw.select(col("a_id"), col("b_id"))
+          .observe(obs0, count(lit(1)).as("n")))
         sig.unpersist()
-        val nEdges0 = edges0.count()
+        val nEdges0 = obs0.get("n").asInstanceOf[Long]
         val nNodes0 = edges0.select(col("a_id").as("id"))
           .union(edges0.select(col("b_id").as("id"))).distinct().count()
         val (edges, coreEdges, roundsPeeled, converged) = kcorePeel(edges0, nEdges0)
@@ -1360,7 +1369,10 @@ object SimilarityQueries {
     fn = (s, dir) => {
       val (pairsRaw, sig) = lshNearDupPairsBandLocalWithSig(
         Tables.load(s, dir, "embeddings"), 0.40)
-      val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
+      // r16: the kcore leg's initial edge count rides the shared truncate
+      val obsPairs = org.apache.spark.sql.Observation()
+      val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id"))
+        .observe(obsPairs, count(lit(1)).as("n")))
       sig.unpersist()
       val sym = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -1377,7 +1389,8 @@ object SimilarityQueries {
           .join(docs, Seq("id"))),
         () => GraphQueries.dupPagerankFrom(pairs),
         () => {
-          val (coreEdges, _, _, _) = kcorePeel(pairs, pairs.count())
+          val (coreEdges, _, _, _) =
+            kcorePeel(pairs, obsPairs.get("n").asInstanceOf[Long])
           coreEdges.select(col("a_id").as("id"))
             .union(coreEdges.select(col("b_id").as("id"))).distinct()
             .withColumn("is_core", lit(0L))

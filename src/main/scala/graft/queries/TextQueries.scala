@@ -2027,15 +2027,47 @@ object TextQueries {
     // sample slice; the LSH side under eval stays the production shape.
     "lsh_recall_curve" -> Q(
       fn = (s, dir) => {
-        val (lshPairs, sh) = minhashPairsWithHandle(s, dir)
+        // r16 (verdict item 5, guide §2.4): the banding HIT flag no longer
+        // re-runs the whole minhash candidate pipeline (band self-join →
+        // distinct → two shingle-carrier joins → exact-Jaccard verify).
+        // For a pair already KNOWN to be true (jacc ≥ 0.5 — the truth
+        // side), membership in the LSH pair set reduces to "do the two
+        // docs share a band key": the verify leg of the pipeline is
+        // implied by the truth predicate (the two jacc computations use
+        // the same |A∩B|/|A∪B| integers, so the same double), and the
+        // candidate leg's join-on-bk ≡ arrays_overlap over the two docs'
+        // band-key arrays (bandKeysCol — the gated pipeline's own
+        // construction, so the curve still measures the production
+        // banding). One corpus-derived candidate pass and its
+        // distinct/join shuffles removed at any scale; truth side
+        // unchanged.
+        val sh = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles",
+            graft.functions.ShingleFunctions.shingleSet(col("toks")))
+          .select("doc_id", "shingles")
+          .cache()
         val truth = ngramJaccardPairs(sh.withColumn("source", lit("_")), 32, 0.5)
           .select(col("a_id"), col("b_id"), col("jacc"))
-        val hit = lshPairs.select(col("a_id"), col("b_id"), lit(1L).as("hit"))
-        val curve = truth.join(hit, Seq("a_id", "b_id"), "left")
+        val bks = sh.select(col("doc_id"),
+            graft.functions.MinhashFunctions.minhashSignature(col("shingles"))
+              .as("sigs"))
+          .filter(col("sigs").isNotNull)
+          .select(col("doc_id"), bandKeysCol.as("bks"))
+        // LEFT joins + null-safe overlap: a doc absent from banding (the
+        // null-sigs guard) must keep its truth row with hit = 0, exactly
+        // like the old left join against the pair set
+        val curve = truth
+          .join(bks.select(col("doc_id").as("a_id"), col("bks").as("bka")),
+            Seq("a_id"), "left")
+          .join(bks.select(col("doc_id").as("b_id"), col("bks").as("bkb")),
+            Seq("b_id"), "left")
+          .withColumn("hit",
+            when(arrays_overlap(col("bka"), col("bkb")), 1L).otherwise(0L))
           .withColumn("jbucket", floor(col("jacc") * lit(10.0)).cast("int"))
           .groupBy("jbucket")
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+          .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_caught"))
         val j = (col("jbucket").cast("double") + lit(0.5)) / lit(10.0)
         val x = lit(1.0) - j * j
         curve

@@ -233,26 +233,31 @@ object TrainQueries {
     // discipline applied to geometry). Low share = overlapping clusters —
     // semdedup's epsilon and kmeans' k need revisiting.
     //
-    // Scale shape: the 16-row codebook broadcast; assignment argmin AND
-    // the second-nearest distance fall out of ONE map-side min(struct)
-    // pair per vector; ≤16-row roll-up.
+    // Scale shape (r16, verdict item 2): the (own-centroid d², nearest-
+    // other d²) pair falls out of ONE map-only VectorArgmin2 projection
+    // against the broadcast collected codebook — the old form paid a 16×
+    // crossJoin fan-out plus a corpus-sized Sort+Exchange+SortAggregate
+    // pair (min(struct) and sort_array(collect_list) per vec_id are
+    // sort-aggregated), the last corpus-sized sort-agg shuffle in the ANN
+    // deck after r15's VectorArgmin conversion. Bit-parity: the top-2
+    // selection reproduces sort_array's (d2, cent_id) struct order with
+    // the identical coalesce(+Inf) NULL mapping and exact L2 fold — see
+    // the VectorArgmin2 scaladoc; the ≤16-row roll-up is unchanged.
     "silhouette_positive_share" -> Q(
       fn = (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-        val d = emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .withColumn("d2",
-            coalesce(floatL2Sq(col("embedding"), col("centv")),
-              lit(Double.PositiveInfinity)))
-        val best2 = d.groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cent_id"))).as("m1"),
-            // second-best: min over the same struct EXCLUDING the argmin —
-            // expressed as the min of structs strictly greater than m1
-            sort_array(collect_list(struct(col("d2"), col("cent_id")))).as("all"))
-          .select(col("vec_id"), col("m1.cent_id").as("cluster"),
-            col("m1.d2").as("a2"), expr("all[1].d2").as("b2"))
+        val cands = emb.filter(col("vec_id") < 16)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").cast("long").as("id"),
+            col("embedding").as("centv")))).as("cands"))
+        val best2 = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cands))
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.argmin2L2(
+              col("cands"), col("embedding")).as("m"))
+          .filter(col("m").isNotNull)
+          .select(col("vec_id"), col("m.id").as("cluster"),
+            col("m.score").as("a2"), col("m.score2").as("b2"))
         best2.groupBy("cluster")
           .agg(count(lit(1)).as("n"),
             sum(when(col("a2") < col("b2"), 1L).otherwise(0L)).as("n_sep"))
