@@ -1732,8 +1732,13 @@ object FunnelQueries {
     // Scale shape: the 32× replica fan-out is map-side (4 digests computed
     // per ROW, then an explode feeding a partial agg that collapses to
     // ≤ |types|×32 rows per partition before the shuffle); the per-type
-    // sorted list holds exactly 32 doubles. One corpus pass for the
-    // replicas, one for the point estimate.
+    // sorted list holds exactly 32 doubles. ONE corpus pass total (r16,
+    // guide §2.3/§2.4): the point estimate's Σc and row count are constant
+    // across replicas — every row appears once in every b — so they ride
+    // the replica aggregation (two extra map-side sum columns) and the
+    // old second corpus scan + join-back is gone; per (type, b) group
+    // they are the identical integers, so max() over b reproduces the old
+    // pass's exact values bit-for-bit.
     "bootstrap_mean_ci" -> Q(
       fn = (s, dir) => {
         // P(Poisson(1) ≤ k)·16⁴ as zero-padded hex, k = 0..6; mult 7 beyond
@@ -1751,23 +1756,24 @@ object FunnelQueries {
           .withColumn("b", explode(sequence(lit(0), lit(31))))
           .withColumn("mult", mult)
           .groupBy("event_type", "b")
-          .agg(sum(col("mult") * col("c")).as("sm"), sum(col("mult")).as("n"))
+          .agg(sum(col("mult") * col("c")).as("sm"), sum(col("mult")).as("n"),
+            sum(col("c")).as("sc"), count(lit(1)).as("cnt"))
           .select(col("event_type"),
-            (col("sm").cast("double") / (col("n") * 100L).cast("double")).as("mb"))
+            (col("sm").cast("double") / (col("n") * 100L).cast("double")).as("mb"),
+            col("sc"), col("cnt"))
           .groupBy("event_type")
-          .agg(sort_array(collect_list(col("mb"))).as("ms"))
+          .agg(sort_array(collect_list(col("mb"))).as("ms"),
+            max(col("cnt")).as("n_events"), max(col("sc")).as("sc"))
         def lerp(p: Double, name: String) = Q.grid6(expr(
           s"""ms[int(floor($p * (size(ms) - 1)))]
              |+ ($p * (size(ms) - 1) - floor($p * (size(ms) - 1)))
              |  * (ms[int(ceil($p * (size(ms) - 1)))]
              |     - ms[int(floor($p * (size(ms) - 1)))])""".stripMargin))
           .as(name)
-        val point = e.groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            (sum(col("c")).cast("double")
-              / (count(lit(1)) * 100L).cast("double")).as("mean"))
-        point.join(broadcast(reps), Seq("event_type"))
-          .select(col("event_type"), col("n_events"), col("mean"),
+        reps
+          .select(col("event_type"), col("n_events"),
+            (col("sc").cast("double")
+              / (col("n_events") * 100L).cast("double")).as("mean"),
             lerp(0.025, "ci_lo"), lerp(0.975, "ci_hi"))
           .orderBy("event_type")
       },
