@@ -285,18 +285,28 @@ object CurationQueries {
       fn = (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
-        val model = toks.filter(size(col("toks")) >= 2)
-          .select(explode(expr(
-            """transform(sequence(0, size(toks) - 2),
-              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
-              .stripMargin)).as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        val start = toks.select(explode(col("toks")).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("c"))
-          .agg(min(struct(negate(col("c")).as("nc"), col("t").as("t"))).as("m"))
-          .select(lit(0L).as("step"), col("m.t").as("token"),
-            negate(col("m.nc")).as("c"))
+        // r16: the lazy model/start subtrees nested into every unrolled
+        // step's plan (step k's 1-row argmax references step k−1's whole
+        // plan, which references the model again) — the final plan carried
+        // 56 corpus-scan subtrees of which runtime exchange reuse deduped
+        // only a third (ReuseCheck: 30 executed scans, 11 reused). The
+        // model (vocab²-bounded) and the 1-row start are each ONE corpus
+        // aggregate — materialize both once, their jobs overlapped (§2.6);
+        // the decode chain then runs over checkpointed frames only: two
+        // corpus passes total at any scale.
+        val Seq(model, start) = Q.truncatePar(Seq(
+          toks.filter(size(col("toks")) >= 2)
+            .select(explode(expr(
+              """transform(sequence(0, size(toks) - 2),
+                |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+                .stripMargin)).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("c")),
+          toks.select(explode(col("toks")).as("t"))
+            .groupBy("t").agg(count(lit(1)).as("c"))
+            .agg(min(struct(negate(col("c")).as("nc"), col("t").as("t"))).as("m"))
+            .select(lit(0L).as("step"), col("m.t").as("token"),
+              negate(col("m.nc")).as("c"))))
         var out = start
         var cur = start
         for (k <- 1 to 6) {

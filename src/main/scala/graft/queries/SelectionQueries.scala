@@ -408,8 +408,14 @@ object SelectionQueries {
           .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
             .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-        tf.join(df, Seq("gh")) // un-hinted: vocab-sized
+        // r16 (guide §2.4 "share one exchange"): df per gram = the row
+        // count over the gh window of the SAME (doc, gh) frame — the old
+        // agg-then-join-back re-executed the corpus 5-gram explode for the
+        // df branch (partial agg before the exchange breaks canonical
+        // equality, so runtime exchange reuse never fired; the
+        // ngram_novelty/q2 window precedent). One corpus pass, one gh
+        // exchange instead of two corpus-derived ones.
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_ngrams"),
             sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
@@ -1235,10 +1241,17 @@ object SelectionQueries {
     "source_separability" -> Q(
       fn = (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val dt = docs
+        // r16: dt feeds dlen, st (→ srcTot/vocabV/model) AND the present
+        // join — the lazy form re-derived the corpus tokenize+explode per
+        // branch and the consts/model composition multiplied the subtrees
+        // (ReuseCheck: 19 parquet scans, 3 reused exchanges). Materialize
+        // the (doc, tok) counts ONCE; every model/grid frame then reads the
+        // checkpoint — one corpus tokenize pass at any scale (the r15 "st
+        // derives from dt" fix, completed).
+        val dt = Q.truncate(docs
           .select(col("doc_id"), col("source").as("true_src"),
             explode(split(col("text"), " ")).as("tok"))
-          .groupBy("doc_id", "true_src", "tok").agg(count(lit(1)).as("cdt"))
+          .groupBy("doc_id", "true_src", "tok").agg(count(lit(1)).as("cdt")))
         val dlen = dt.groupBy("doc_id", "true_src").agg(sum(col("cdt")).as("len"))
         // r15 (guide §2.3 "aggregate before you shuffle"): the per-source
         // token counts are EXACTLY the doc-token counts re-aggregated —
@@ -1360,9 +1373,24 @@ object SelectionQueries {
             """transform(sequence(0, size(toks) - 2),
               |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
               .stripMargin)).as("bg"))
-        val wt = bgAll.groupBy("bg").agg(count(lit(1)).as("w"))
-        val tot = wt.agg(sum(col("w")).as("total"))
-        var st = bgAll.distinct().join(wt, Seq("bg")).localCheckpoint()
+        // r16 (guide §2.3 "aggregate before you shuffle" + §2.4 "share one
+        // exchange"): the old spelling ran the corpus bigram explode THREE
+        // times — once for the per-bigram weights wt, once for the distinct
+        // incidence frame, and once more for `tot` (lazy, re-derived at the
+        // final action because only st is checkpointed). The per-(source,
+        // bigram) counts subsume all three: their keys ARE the distinct
+        // incidence rows, w = Σ_sources c over the bg window (every
+        // occurrence of bg belongs to exactly one source), and
+        // total = Σ c — read off the CHECKPOINTED st, zero extra passes.
+        // One corpus explode + one (source,bg) exchange + one
+        // incidence-sized bg window exchange, instead of two corpus-sized
+        // aggregations, a corpus-sized distinct, a join, and a third
+        // corpus pass for tot.
+        val sbg = bgAll.groupBy("source", "bg").agg(count(lit(1)).as("c"))
+        var st = sbg
+          .withColumn("w", sum(col("c")).over(Window.partitionBy(col("bg"))))
+          .localCheckpoint()
+        val tot = st.agg(sum(col("c")).as("total"))
         var picks: org.apache.spark.sql.DataFrame = null
         for (k <- 1 to 3) {
           val pick = st.groupBy("source").agg(sum(col("w")).as("gain"))
@@ -1372,8 +1400,10 @@ object SelectionQueries {
             .withColumn("round", lit(k.toLong))
           picks = if (picks == null) pick else picks.unionByName(pick)
           if (k < 3) {
+            // covered: the picked source's bg values are already distinct
+            // within the source (sbg keys) — no dedup shuffle needed
             val covered = st.join(broadcast(pick.select(col("source").as("ps"))),
-              col("source") === col("ps")).select("bg").distinct()
+              col("source") === col("ps")).select("bg")
             st = st.join(broadcast(pick.select(col("source").as("ps"))),
                 col("source") === col("ps"), "left_anti")
               .join(covered, Seq("bg"), "left_anti")

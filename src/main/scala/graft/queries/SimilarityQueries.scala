@@ -558,8 +558,16 @@ object SimilarityQueries {
     "dup_graph_assortativity" -> Q(
       fn = (s, dir) => {
         val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-        val pairs = lshNearDupPairsBandLocal(Tables.load(s, dir, "embeddings"), 0.35)
-          .select(col("a_id"), col("b_id"))
+        // r16: the pair frame feeds FOUR plan branches (sym ×2 via the
+        // union, deg, and the two degree-attach joins re-derive deg) — the
+        // unmaterialized form re-executed the band self-join + verify up to
+        // 8× per run (ReuseCheck: 24 parquet scans, 0 reused exchanges).
+        // Materialize the verified pairs ONCE (the dbscan/modularity/kcore
+        // discipline), then drop the signature cache.
+        val (pairsRaw, sig) =
+          lshNearDupPairsBandLocalWithSig(Tables.load(s, dir, "embeddings"), 0.35)
+        val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        sig.unpersist()
         val sym = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         val deg = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("d"))

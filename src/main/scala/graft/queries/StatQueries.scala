@@ -91,8 +91,16 @@ object StatQueries {
           .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
             .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+        // r16 (guide §2.4 "share one exchange"): df per gram = the row
+        // count over the gh window of the SAME (doc, gh) frame — the old
+        // agg-then-join-back re-executed the corpus 5-gram explode for the
+        // df branch (partial agg before the exchange breaks canonical
+        // equality, so runtime exchange reuse never fired; the
+        // ngram_novelty/q2 window precedent). One corpus pass, one gh
+        // exchange instead of two corpus-derived ones.
+        val lab = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+          .groupBy("doc_id")
           .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
         val sc = docs.join(lab, Seq("doc_id"), "left")
           .select(col("n_chars").as("v"), coalesce(col("pos"), lit(0L)).as("pos"))
@@ -745,7 +753,13 @@ object StatQueries {
     // the same ordering information on an exact grid).
     "spearman_length_quality" -> Q(
       fn = (s, dir) => {
-        val base = Tables.load(s, dir, "documents")
+        // r16: the per-doc (x, y) projection — a tokenize + stopword filter
+        // over every row — fed FIVE plan branches (xg, ygrid→yoff, ygrid→yg,
+        // and the m join's own base + grid re-derivations) and re-executed
+        // per branch (ReuseCheck: 8 parquet scans, 0 reused exchanges).
+        // Materialize the three-column frame ONCE; every grid then reads
+        // the checkpoint — one corpus pass at any scale.
+        val base = Q.truncate(Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("n_stop",
@@ -754,7 +768,7 @@ object StatQueries {
             floor((lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
               lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
               lit(0.3) * least(lit(1.0), length(col("text")).cast("double") / 200.0))
-              * 1000000.0).cast("long").as("y"))
+              * 1000000.0).cast("long").as("y")))
         val xg = base.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
           .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("x"))))
           .select(col("x"), (col("cum") * 2 - col("cnt") + 1).as("mx2"))
@@ -1632,8 +1646,16 @@ object StatQueries {
           .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
             .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+        // r16 (guide §2.4 "share one exchange"): df per gram = the row
+        // count over the gh window of the SAME (doc, gh) frame — the old
+        // agg-then-join-back re-executed the corpus 5-gram explode for the
+        // df branch (partial agg before the exchange breaks canonical
+        // equality, so runtime exchange reuse never fired; the
+        // ngram_novelty/q2 window precedent). One corpus pass, one gh
+        // exchange instead of two corpus-derived ones.
+        val lab = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+          .groupBy("doc_id")
           .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
         val scored = docs
           .withColumn("toks", split(col("text"), " "))
@@ -2432,8 +2454,16 @@ object StatQueries {
           .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
             .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+        // r16 (guide §2.4 "share one exchange"): df per gram = the row
+        // count over the gh window of the SAME (doc, gh) frame — the old
+        // agg-then-join-back re-executed the corpus 5-gram explode for the
+        // df branch (partial agg before the exchange breaks canonical
+        // equality, so runtime exchange reuse never fired; the
+        // ngram_novelty/q2 window precedent). One corpus pass, one gh
+        // exchange instead of two corpus-derived ones.
+        val lab = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+          .groupBy("doc_id")
           .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
         val sc = docs.join(lab, Seq("doc_id"), "left")
           .select(col("n_chars").as("v"), coalesce(col("pos"), lit(0L)).as("pos"))
@@ -2656,8 +2686,16 @@ object StatQueries {
           .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
             .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+        // r16 (guide §2.4 "share one exchange"): df per gram = the row
+        // count over the gh window of the SAME (doc, gh) frame — the old
+        // agg-then-join-back re-executed the corpus 5-gram explode for the
+        // df branch (partial agg before the exchange breaks canonical
+        // equality, so runtime exchange reuse never fired; the
+        // ngram_novelty/q2 window precedent). One corpus pass, one gh
+        // exchange instead of two corpus-derived ones.
+        val lab = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+          .groupBy("doc_id")
           .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
         docs
           .withColumn("toks", split(col("text"), " "))
@@ -2808,8 +2846,16 @@ object StatQueries {
           .select(col("doc_id"), explode(graft.functions.WindowMd5Functions
             .rollingWindowHashes(col("toks"), 5)).as("gh"))
           .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-        val df = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-        val lab = tf.join(df, Seq("gh")).groupBy("doc_id")
+        // r16 (guide §2.4 "share one exchange"): df per gram = the row
+        // count over the gh window of the SAME (doc, gh) frame — the old
+        // agg-then-join-back re-executed the corpus 5-gram explode for the
+        // df branch (partial agg before the exchange breaks canonical
+        // equality, so runtime exchange reuse never fired; the
+        // ngram_novelty/q2 window precedent). One corpus pass, one gh
+        // exchange instead of two corpus-derived ones.
+        val lab = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+          .groupBy("doc_id")
           .agg(max(when(col("df") >= 2, 1L).otherwise(0L)).as("pos"))
         val bands = docs
           .withColumn("toks", split(col("text"), " "))

@@ -3108,8 +3108,14 @@ object TextQueries {
     // (degree 0) comes from one 1-row corpus-count broadcast.
     "dup_degree_profile" -> Q(
       fn = (s, dir) => {
-        val (pairs, shCache) = minhashPairsWithHandle(s, dir)
-        shCache // query-scoped cache (see Q's cache-lifecycle contract)
+        // r16: the pair pipeline (band self-join → distinct → two shingle-
+        // carrier verify joins) fed four plan branches (deg's union ×2,
+        // hist, touched) and re-executed per branch above the shingle cache
+        // (ReuseCheck: 34 parquet scans, 0 reused exchanges). Materialize
+        // the verified pairs ONCE, then the shingle cache can drop.
+        val (pairsRaw, shCache) = minhashPairsWithHandle(s, dir)
+        val pairs = Q.truncate(pairsRaw.select(col("a_id"), col("b_id")))
+        shCache.unpersist()
         val deg = pairs.select(col("a_id").as("doc_id"))
           .unionAll(pairs.select(col("b_id").as("doc_id")))
           .groupBy("doc_id").agg(count(lit(1)).as("degree"))
