@@ -1056,7 +1056,14 @@ object CurationQueries {
         // per-doc score joins the (doc-distinct-bigram)-sized tf3 frame,
         // not the raw corpus bigram stream, weighting each ln6 by its
         // exact int multiplicity (int × int is exact).
-        val tf3 = Tables.load(s, dir, "documents")
+        // r16 batch 3: the model branch and the per-doc scoring join both
+        // re-ran the corpus bigram explode (ReuseCheck: 5 executed scans,
+        // 1 reused) — materialize tf3 once. The context total na is the
+        // sum over the `a` window of the SAME counts frame (an INNER
+        // join-back of counts with its own re-aggregation — every a in
+        // counts is in ctx), so the ctx aggregate + join collapse into one
+        // window over one exchange (guide §2.4, the batch-2 df precedent).
+        val tf3 = Q.truncate(Tables.load(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(expr(
@@ -1064,11 +1071,10 @@ object CurationQueries {
               |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
               .stripMargin)).as("e"))
           .select(col("doc_id"), col("e.a").as("a"), col("e.b").as("b"))
-          .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c")))
         val counts = tf3.groupBy("a", "b").agg(sum(col("c")).as("nb"))
-        val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
-        val model = LnGrid.withLn6(counts.join(ctx, Seq("a")),
-            col("nb"), col("na"), "logp6")
+          .withColumn("na", sum(col("nb")).over(Window.partitionBy(col("a"))))
+        val model = LnGrid.withLn6(counts, col("nb"), col("na"), "logp6")
           .select(col("a"), col("b"), col("logp6"))
         tf3.join(model, Seq("a", "b"))
           .groupBy("doc_id")
@@ -1121,7 +1127,17 @@ object CurationQueries {
         val assigned = Tables.load(s, dir, "documents")
           .withColumn("h2",
             substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
-        val tf3 = assigned
+        // r16 batch 3: the train and val branches both re-ran the corpus
+        // bigram explode (the h2 filters push below the per-doc agg, so the
+        // two subtrees are canonically different and exchange reuse never
+        // fires — ReuseCheck: 8 executed scans, 0 reused). Materialize the
+        // per-doc bigram counts ONCE, pre-filtered to the union band
+        // h2 < 'e6' (rows ≥ 'e6' feed neither branch); train/val are then
+        // cheap filters of the checkpoint — one corpus bigram pass at any
+        // scale (vocab's distinct-token pass stays: it counts raw train
+        // tokens, including docs the len ≥ 2 filter drops).
+        val tf3 = Q.truncate(assigned
+          .filter(col("h2") < "e6")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), col("h2"), explode(expr(
@@ -1129,7 +1145,7 @@ object CurationQueries {
               |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
               .stripMargin)).as("e"))
           .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
-          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c")))
         val train = tf3.filter(col("h2") < "cc")
         val counts = train.groupBy("a", "b").agg(sum(col("c")).as("nb"))
         val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
@@ -1204,21 +1220,32 @@ object CurationQueries {
         val assigned = Tables.load(s, dir, "documents")
           .withColumn("h2",
             substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
-        val tf3 = assigned
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), col("h2"), explode(expr(
-            """transform(sequence(0, size(toks) - 2),
-              |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
-              .stripMargin)).as("e"))
-          .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
-          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c"))
+        // r16 batch 3 (heldout_bigram_ppl's fix, plus the unigram leg): the
+        // train/val branches re-ran the corpus bigram explode, and the
+        // unigram model re-ran the train-split token explode for BOTH its
+        // consumers (the val join and the 1-row total) — ReuseCheck: 9
+        // executed scans, 1 reused. Materialize the per-doc bigram counts
+        // (pre-filtered to the h2 < 'e6' union band) and the vocab-sized
+        // unigram counts ONCE, the two independent jobs overlapped (§2.6);
+        // tTot reads the checkpointed uni. Two corpus passes at any scale
+        // (bigram + unigram grain), down from four.
+        val Seq(tf3, uni) = Q.truncatePar(Seq(
+          assigned
+            .filter(col("h2") < "e6")
+            .withColumn("toks", split(col("text"), " "))
+            .filter(size(col("toks")) >= 2)
+            .select(col("doc_id"), col("h2"), explode(expr(
+              """transform(sequence(0, size(toks) - 2),
+                |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
+                .stripMargin)).as("e"))
+            .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
+            .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c")),
+          assigned.filter(col("h2") < "cc")
+            .select(explode(split(col("text"), " ")).as("b"))
+            .groupBy("b").agg(count(lit(1)).as("cb"))))
         val train = tf3.filter(col("h2") < "cc")
         val counts = train.groupBy("a", "b").agg(sum(col("c")).as("nb"))
         val ctx = counts.groupBy("a").agg(sum(col("nb")).as("na"))
-        val uni = assigned.filter(col("h2") < "cc")
-          .select(explode(split(col("text"), " ")).as("b"))
-          .groupBy("b").agg(count(lit(1)).as("cb"))
         val tTot = uni.agg(sum(col("cb")).as("tt"))
         val vd = tf3.filter(col("h2") >= "cc" && col("h2") < "e6")
         val mixed = vd
@@ -1306,7 +1333,16 @@ object CurationQueries {
         val assigned = Tables.load(s, dir, "documents")
           .withColumn("h2",
             substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
-        val tf3 = assigned
+        // r16 batch 3: same corpus-pass dedup as heldout/interp (ReuseCheck:
+        // 10 executed scans, 0 reused), plus the KN-specific hazard — the
+        // train bigram model `counts` feeds FOUR branches (ctx, contb, nbt,
+        // and the val join), each of which re-ran the corpus explode + two
+        // aggregations. Materialize the per-doc counts (h2 < 'e6' band) and
+        // the vocab²-sized model; every continuation count then reads the
+        // model checkpoint. One corpus bigram pass at any scale, down from
+        // five.
+        val tf3 = Q.truncate(assigned
+          .filter(col("h2") < "e6")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), col("h2"), explode(expr(
@@ -1314,9 +1350,9 @@ object CurationQueries {
               |  i -> struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))"""
               .stripMargin)).as("e"))
           .select(col("doc_id"), col("h2"), col("e.a").as("a"), col("e.b").as("b"))
-          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c"))
-        val counts = tf3.filter(col("h2") < "cc")
-          .groupBy("a", "b").agg(sum(col("c")).as("nb"))
+          .groupBy("doc_id", "h2", "a", "b").agg(count(lit(1)).as("c")))
+        val counts = Q.truncate(tf3.filter(col("h2") < "cc")
+          .groupBy("a", "b").agg(sum(col("c")).as("nb")))
         val ctx = counts.groupBy("a")
           .agg(sum(col("nb")).as("na"), count(lit(1)).as("n1f"))
         val contb = counts.groupBy("b").agg(count(lit(1)).as("n1b"))
